@@ -1,0 +1,67 @@
+"""matcha_spark — a PySpark-native triples/BGP query engine with the
+query surface of Swirrl/matcha, plus Spark-scale data-pipeline
+operators (dedup, similarity search, text analysis, streaming).
+
+Quick start::
+
+    from matcha_spark import TriplesDB, select, kw
+
+    friends = [
+        (kw("rick"), kw("rdfs/label"), "Rick"),
+        (kw("rick"), kw("foaf/knows"), kw("martin")),
+        (kw("martin"), kw("rdfs/label"), "Martin"),
+    ]
+    db = TriplesDB.from_triples(spark, friends)
+    select(["?name"], [
+        (kw("rick"), kw("foaf/knows"), "?p"),
+        ("?p", kw("rdfs/label"), "?name"),
+    ], db)
+    # → ["Martin"]
+"""
+
+from .db import TriplesDB, ensure_db, merge_dbs
+from .errors import InvalidBgpError, InvalidValuesError, MatchaError
+from .patterns import Literal, Optional, Values, Var, find_vars
+from .query import (
+    GRAFTER_URI,
+    ask,
+    build,
+    build_1,
+    construct,
+    construct_1,
+    select,
+    select_1,
+    select_df,
+)
+from .terms import URI, Keyword, LangString, RDFLiteral, Unbound, kw
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "TriplesDB",
+    "ensure_db",
+    "merge_dbs",
+    "select",
+    "select_1",
+    "select_df",
+    "ask",
+    "construct",
+    "construct_1",
+    "build",
+    "build_1",
+    "GRAFTER_URI",
+    "Values",
+    "Optional",
+    "Var",
+    "Literal",
+    "find_vars",
+    "Keyword",
+    "URI",
+    "LangString",
+    "RDFLiteral",
+    "Unbound",
+    "kw",
+    "MatchaError",
+    "InvalidBgpError",
+    "InvalidValuesError",
+]

@@ -1,0 +1,165 @@
+"""Query AST: triple patterns, ``values`` and ``optional`` clauses.
+
+The reference expresses queries as Clojure macro syntax validated by a
+spec grammar (``src/grafter/matcha/alpha.clj:130-173``).  In Python the
+query is plain data:
+
+- a *pattern* is a 3-tuple/list ``(s, p, o)``; each element is either a
+  query variable (a ``"?name"`` string or :class:`Var`) or a constant
+  host value (4-tuples are accepted and the 4th element dropped —
+  quad tolerance, reference ``src:54-58``);
+- ``Values(var, coll)`` constrains a var to a finite collection
+  (reference ``src:91-105``);
+- ``Optional([...patterns...])`` is a SPARQL-like optional block,
+  arbitrarily nestable (reference ``src:107-124``).
+
+Parameterization needs no machinery: pattern constants are ordinary
+Python expressions, already evaluated by the host (the reference
+evaluates s-expressions in host scope for the same effect,
+``src:130-146``, ``test:317-328``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Iterable, Sequence
+
+from .errors import InvalidBgpError, InvalidValuesError
+
+__all__ = ["Var", "Literal", "Values", "Optional", "is_var", "var_name", "find_vars"]
+
+
+@dataclass(frozen=True)
+class Var:
+    """Explicit query-variable form; ``Var("x")`` ≡ ``"?x"``."""
+
+    name: str
+
+    def __str__(self) -> str:
+        return f"?{self.name}"
+
+
+@dataclass(frozen=True)
+class Literal:
+    """Escape hatch: a constant *string* that itself starts with ``?``."""
+
+    value: Any
+
+
+@dataclass(frozen=True)
+class Values:
+    """``VALUES ?var { ... }`` membership constraint.
+
+    RHS may be any sequence, set, or None (reference ``src:215-228``);
+    None / empty yields no solutions; duplicates in a sequence duplicate
+    solutions (``membero`` multiset semantics, reference ``src:175-176``).
+    """
+
+    var: Any
+    coll: Any
+
+
+@dataclass(frozen=True)
+class Optional:
+    """A nestable optional block of patterns (reference ``src:107-124``)."""
+
+    patterns: Sequence[Any]
+
+    def __init__(self, *patterns):
+        # Accept both Optional([p1, p2]) and Optional(p1, p2).
+        if len(patterns) == 1 and isinstance(patterns[0], list):
+            object.__setattr__(self, "patterns", tuple(patterns[0]))
+        else:
+            object.__setattr__(self, "patterns", tuple(patterns))
+
+
+def is_var(x: Any) -> bool:
+    """``?``-prefixed strings and :class:`Var` are query variables
+    (reference ``query-var?``, ``src:78-83``)."""
+    return isinstance(x, Var) or (isinstance(x, str) and len(x) > 1 and x.startswith("?"))
+
+
+def var_name(x: Any) -> str:
+    """Canonical ``?name`` form used as the solution column name."""
+    if isinstance(x, Var):
+        return f"?{x.name}"
+    return x
+
+
+def const_value(x: Any) -> Any:
+    return x.value if isinstance(x, Literal) else x
+
+
+def _is_collection(x: Any) -> bool:
+    return isinstance(x, (list, tuple, set, frozenset, dict))
+
+
+def find_vars(patterns: Iterable[Any]) -> list[str]:
+    """Distinct query vars in first-appearance order, walking nested
+    clauses (reference ``find-vars`` ``src:85-89`` + tree walk
+    ``src:444-445``)."""
+    out: list[str] = []
+    seen: set[str] = set()
+
+    def visit(item):
+        if isinstance(item, Values):
+            visit(item.var)
+            return
+        if isinstance(item, Optional):
+            for p in item.patterns:
+                visit(p)
+            return
+        if isinstance(item, (tuple, list)):
+            for e in item:
+                visit(e)
+            return
+        if is_var(item):
+            n = var_name(item)
+            if n not in seen:
+                seen.add(n)
+                out.append(n)
+
+    for p in patterns:
+        visit(p)
+    return out
+
+
+def validate_patterns(patterns: Sequence[Any]) -> None:
+    """Runtime validation with typed errors, mirroring ``valid-bgps?`` /
+    ``valid-values?`` (reference ``src:205-228``).
+
+    Raises :class:`InvalidBgpError` if any triple element is a
+    collection, :class:`InvalidValuesError` if a ``values`` RHS is not a
+    sequence/set/None.
+    """
+    bad_bgp = []
+    bad_values = []
+
+    def visit(item):
+        if isinstance(item, Values):
+            rhs = item.coll
+            if not (rhs is None or isinstance(rhs, (list, tuple, set, frozenset))):
+                bad_values.append(rhs)
+            return
+        if isinstance(item, Optional):
+            for p in item.patterns:
+                visit(p)
+            return
+        if isinstance(item, (tuple, list)):
+            row = list(item)
+            if len(row) == 4:  # quad tolerance: graph element dropped later
+                row = row[:3]
+            if len(row) != 3:
+                raise InvalidBgpError(item)
+            for e in row:
+                if not is_var(e) and _is_collection(const_value(e)):
+                    bad_bgp.append(e)
+            return
+        raise InvalidBgpError(item)
+
+    for p in patterns:
+        visit(p)
+    if bad_bgp:
+        raise InvalidBgpError(bad_bgp)
+    if bad_values:
+        raise InvalidValuesError(bad_values)

@@ -1,0 +1,294 @@
+"""BGP → DataFrame plan compiler.
+
+This module replaces the reference's entire execution stack — the
+miniKanren goal interpreter and pldb hash indexes (``src/grafter/matcha/
+alpha.clj:188-203``, ``src:252-261``) — with declarative Spark plans:
+
+- one *triple-pattern scan* per pattern: constant positions become
+  pushdown-able struct-equality filters, variable positions become
+  column renames, a repeated var inside one pattern becomes an intra-row
+  equality filter (reference ``src:188-191``);
+- BGP conjunction = **equi-join tree on shared variables** (shared logic
+  vars unify ⇔ natural join, reference ``src:193-199``) ordered by a
+  selectivity heuristic (ground-position count × predicate frequency
+  stats) — the cluster-scale replacement for pldb's index selectivity;
+- ``values`` = broadcast join against a literal DataFrame (multiset
+  semantics of ``membero`` preserved, reference ``src:175-176``);
+- ``optional`` blocks compile exactly like the reference's hoisted
+  ``conde`` (``src:193-203``): solutions are the UNION of
+  (required ⋈ block_i) branches plus — when a required part exists — a
+  "succeed" branch of the bare required solutions with every
+  optional-only var NULL (= unbound).
+
+Scale notes: all joins are plain equi-joins Catalyst/AQE can turn into
+broadcast or shuffled-hash joins; small pattern scans (by predicate
+stats) get explicit ``broadcast()`` hints; nothing ever collects to the
+driver inside a plan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
+
+from ..db import TriplesDB
+from ..patterns import (
+    Optional,
+    Values,
+    const_value,
+    find_vars,
+    is_var,
+    validate_patterns,
+    var_name,
+)
+from ..terms import TERM_TYPE, term_lit, to_term
+
+# Pattern scans estimated below this many rows get a broadcast hint.
+BROADCAST_ROWS = 100_000
+
+
+@dataclass
+class Solutions:
+    """Raw solution set: one TERM-struct column per variable.
+
+    ``maybe_unbound`` tracks vars that can be NULL (bound only inside
+    optional blocks) — the engine's internal representation of the
+    reference's unbound logic vars.
+    """
+
+    df: DataFrame
+    vars: list[str]
+    required_vars: list[str]
+    has_required: bool
+    maybe_unbound: set[str] = field(default_factory=set)
+
+
+@dataclass
+class _Scan:
+    df: DataFrame
+    vars: list[str]
+    est: float
+    guard: bool = False  # all-ground pattern: existence filter only
+
+
+def _split_clauses(patterns: Sequence[Any]):
+    """Hoist optionals after required clauses (reference ``parse-patterns``
+    ``src:193-203`` — order-invariance among optionals is a tested
+    semantic, ``test:689-716``)."""
+    triples, values, optionals = [], [], []
+    for p in patterns:
+        if isinstance(p, Optional):
+            optionals.append(p)
+        elif isinstance(p, Values):
+            values.append(p)
+        else:
+            row = list(p)
+            if len(row) == 4:
+                row = row[:3]  # quad tolerance (src:54-58)
+            triples.append(tuple(row))
+    return triples, values, optionals
+
+
+def _scan_pattern(db: TriplesDB, pattern, stats, total: float) -> _Scan:
+    """One triple pattern → filtered/projected scan of the triples DF."""
+    df = db.df
+    conds = []
+    first_pos_of_var: dict[str, str] = {}
+    aliases: list = []
+    base = float(total)
+    extra_ground = 0
+    for pos, item in zip(("s", "p", "o"), pattern):
+        if is_var(item):
+            v = var_name(item)
+            if v in first_pos_of_var:
+                # repeated var in one pattern ⇒ intra-row equality (src:188-191)
+                conds.append(F.col(pos) == F.col(first_pos_of_var[v]))
+            else:
+                first_pos_of_var[v] = pos
+                aliases.append(F.col(pos).alias(v))
+        else:
+            value = const_value(item)
+            conds.append(F.col(pos) == term_lit(value))
+            if pos == "p":
+                # exact per-predicate cardinality from the one-pass stats
+                k = to_term(value)
+                base = float(stats.get((k[0], k[1]), 0))
+            else:
+                extra_ground += 1
+    # crude selectivity: each additional ground position divides candidates
+    est = base / (10.0**extra_ground)
+    for c in conds:
+        df = df.where(c)
+    vars_ = list(first_pos_of_var)
+    if vars_:
+        df = df.select(*aliases)
+        return _Scan(df, vars_, max(est, 0.0))
+    # all-ground pattern: existence guard — contributes 0 or 1 row
+    return _Scan(df.limit(1).select(F.lit(1).alias("__guard")), [], 1.0, guard=True)
+
+
+def _join_solutions(left_df: DataFrame, left_vars: list[str], scan: _Scan) -> tuple[DataFrame, list[str]]:
+    shared = [v for v in scan.vars if v in left_vars]
+    right = F.broadcast(scan.df) if scan.est <= BROADCAST_ROWS else scan.df
+    if scan.guard:
+        return left_df.crossJoin(right).drop("__guard"), left_vars
+    if shared:
+        out = left_df.join(right, on=shared, how="inner")
+    else:
+        out = left_df.crossJoin(right)
+    return out, left_vars + [v for v in scan.vars if v not in left_vars]
+
+
+def _compile_required(db: TriplesDB, triples, spark: SparkSession) -> tuple[DataFrame, list[str]] | None:
+    """Greedy selectivity-ordered join tree over the pattern scans."""
+    if not triples:
+        return None
+    stats = db.predicate_stats()
+    total = float(db.total_triples())
+    scans = [_scan_pattern(db, t, stats, total) for t in triples]
+    scans.sort(key=lambda s: s.est)
+    first = scans.pop(0)
+    df, vars_ = first.df, list(first.vars)
+    if first.guard:
+        df = df.drop("__guard")
+        # seed with a single anonymous row; subsequent joins cross in
+        df = df.select(F.lit(1).alias("__seed"))
+    while scans:
+        # prefer the cheapest scan that shares a var (equi-join over cross)
+        idx = None
+        for i, sc in enumerate(scans):
+            if any(v in vars_ for v in sc.vars):
+                idx = i
+                break
+        if idx is None:
+            idx = 0
+        sc = scans.pop(idx)
+        df, vars_ = _join_solutions(df, vars_, sc)
+    if "__seed" in df.columns:
+        df = df.drop("__seed")
+    return df, vars_
+
+
+def _values_df(spark: SparkSession, var: str, coll) -> DataFrame:
+    schema = StructType([StructField(var, TERM_TYPE, nullable=False)])
+    rows = [(to_term(v),) for v in (coll or [])]
+    return spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+
+
+def _apply_values(df, vars_, values_clauses, spark):
+    """``membero`` semantics: inner join against the literal collection —
+    duplicates in a sequence duplicate solutions; None/empty yields no
+    solutions (reference ``src:175-176``, ``src:215-228``)."""
+    for vc in values_clauses:
+        v = var_name(vc.var)
+        coll = list(vc.coll) if isinstance(vc.coll, (set, frozenset)) else vc.coll
+        vdf = F.broadcast(_values_df(spark, v, coll))
+        if df is None:
+            df, vars_ = vdf, [v]
+        elif v in vars_:
+            df = df.join(vdf, on=[v], how="inner")
+        else:
+            df = df.crossJoin(vdf)
+            vars_ = vars_ + [v]
+    return df, vars_
+
+
+def _null_term():
+    return F.lit(None).cast(TERM_TYPE)
+
+
+def _join_optional_branch(req_df, req_vars, block: Solutions) -> DataFrame:
+    """required ⋈ one optional block (inner — the conde branch in which
+    this block's goals all succeed, reference ``src:201-203``)."""
+    shared = [v for v in block.vars if v in req_vars]
+    clean_shared = [v for v in shared if v not in block.maybe_unbound]
+    loose_shared = [v for v in shared if v in block.maybe_unbound]
+    bdf = block.df
+    if not shared:
+        return req_df.crossJoin(bdf)
+    if not loose_shared:
+        return req_df.join(bdf, on=clean_shared, how="inner")
+    # A shared var that is only optionally bound inside the block: an
+    # unbound (NULL) block-side value unifies with anything (miniKanren
+    # fresh-var semantics), so the join is null-tolerant on those vars.
+    bdf2 = bdf
+    for v in loose_shared:
+        bdf2 = bdf2.withColumnRenamed(v, f"__b_{v}")
+    cond = None
+    for v in clean_shared:
+        c = req_df[v] == bdf2[v]
+        cond = c if cond is None else (cond & c)
+    for v in loose_shared:
+        c = bdf2[f"__b_{v}"].isNull() | (req_df[v] == bdf2[f"__b_{v}"])
+        cond = c if cond is None else (cond & c)
+    out = req_df.join(bdf2, on=cond, how="inner")
+    for v in clean_shared:
+        out = out.drop(bdf2[v])
+    for v in loose_shared:
+        out = out.drop(f"__b_{v}")
+    return out
+
+
+def solve(db: TriplesDB, patterns: Sequence[Any], spark: SparkSession | None = None) -> Solutions:
+    """Compile a full pattern list to its raw solution DataFrame.
+
+    Equivalent of the reference's ``solve*`` (``src:252-261``): validate,
+    conjoin required goals, then disjoin optional branches.  Unbound
+    optional vars are NULL structs here; the query layer turns them into
+    numbered ``_N`` markers.
+    """
+    spark = spark or SparkSession.getActiveSession()
+    validate_patterns(patterns)
+    triples, values_clauses, optionals = _split_clauses(patterns)
+
+    required = _compile_required(db, triples, spark)
+    if required is None:
+        df, vars_ = None, []
+    else:
+        df, vars_ = required
+    df, vars_ = _apply_values(df, vars_, values_clauses, spark)
+    has_required = bool(triples or values_clauses)
+    required_vars = list(vars_)
+
+    if not optionals:
+        if df is None:
+            raise ValueError("query has no patterns")
+        return Solutions(df, vars_, required_vars, has_required)
+
+    # compile each optional block independently (nested optionals recurse)
+    blocks = [solve(db, opt.patterns, spark) for opt in optionals]
+
+    all_vars = list(vars_)
+    for b in blocks:
+        for v in b.vars:
+            if v not in all_vars:
+                all_vars.append(v)
+
+    def pad(frame: DataFrame, have: list[str]) -> DataFrame:
+        cols = [F.col(v) if v in have else _null_term().alias(v) for v in all_vars]
+        return frame.select(*cols)
+
+    branches: list[DataFrame] = []
+    if df is not None:
+        for b in blocks:
+            joined = _join_optional_branch(df, vars_, b)
+            branches.append(pad(joined, vars_ + [v for v in b.vars if v not in vars_]))
+        if has_required:
+            branches.append(pad(df, vars_))  # the l/succeed branch (src:202-203)
+    else:
+        # optional-only query: no succeed branch — each block stands alone
+        # (reference guard src:202-203; test:469-500)
+        branches = [pad(b.df, b.vars) for b in blocks]
+
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+
+    maybe_unbound = {v for v in all_vars if v not in required_vars}
+    for b in blocks:
+        maybe_unbound |= b.maybe_unbound
+    return Solutions(out, all_vars, required_vars, has_required, maybe_unbound)

@@ -1,0 +1,464 @@
+"""Query verbs: ``select``, ``select_1``, ``ask``, ``construct``,
+``construct_1``, ``build``, ``build_1`` (+ DataFrame-returning
+``select_df`` for composition at scale).
+
+Result-shaping semantics replicated from the reference:
+
+- **select regroup** (``src/grafter/matcha/alpha.clj:374-412``): raw
+  solutions are grouped by the required projected vars; per group each
+  *optional* projected var contributes the set of its bound values (all
+  unbound → a numbered ``_N`` marker); the group emits the cartesian
+  product of those per-var value lists.  Net effect: independent
+  left-join semantics per optional var with union across blocks
+  (see SURVEY §2.4.2).
+- **unbound markers** are first-class terms (``kind='unbound'``,
+  lex ``_N``) with deterministic numbering; the reference's numbers are
+  evaluation-order dependent so comparisons must be marker-blind
+  (SURVEY §2.4.3).
+- **construct** (``src:641-665``): per-solution template instantiation;
+  subject-grouping when the template is a map with ``:grafter.rdf/uri``
+  (``src:546-553``) merging colliding keys into sets.
+- **build** (``src:580-627``): configurable subject key, unbound keys
+  dropped (``src:464-486``), singleton sets flattened to scalars
+  (``src:555-569``).
+- empty results → ``None`` (the reference returns ``nil``, ``src:258``).
+
+All verbs accept a :class:`~matcha_spark.db.TriplesDB`, a TERM-struct
+DataFrame, or a raw Python sequence of triples (auto-indexed), and all
+have a curried form: omit ``db`` to get back a function of the db
+(reference arity symmetry, ``test:362-398``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .db import ensure_db
+from .patterns import Optional, Values, find_vars, is_var, var_name
+from .plans.compiler import Solutions, solve
+from .terms import TERM_TYPE, Keyword, Unbound, from_term, kw, sort_key
+
+GRAFTER_URI = kw("grafter.rdf/uri")
+
+__all__ = [
+    "select",
+    "select_1",
+    "select_df",
+    "ask",
+    "construct",
+    "construct_1",
+    "build",
+    "build_1",
+    "GRAFTER_URI",
+]
+
+
+# ---------------------------------------------------------------------------
+# shared plumbing
+# ---------------------------------------------------------------------------
+
+
+def _mandatory_vars(patterns) -> set[str]:
+    """Vars bound by the top-level required clauses — the reference's
+    ``decompose-optionals`` mandatory set (``src:301-313``)."""
+    req = [p for p in patterns if not isinstance(p, Optional)]
+    return set(find_vars(req))
+
+
+def _with_missing_vars(sols: Solutions, pvars: list[str]) -> DataFrame:
+    """Project, adding NULL columns for projected vars never bound by any
+    pattern (they behave as always-unbound optionals — exercised by the
+    reference's ``optionals-with-values`` test, ``test:792-807``)."""
+    cols = [
+        F.col(v) if v in sols.vars else F.lit(None).cast(TERM_TYPE).alias(v)
+        for v in pvars
+    ]
+    return sols.df.select(*cols)
+
+
+def _marker_struct(num_col):
+    lex = F.concat(F.lit("_"), num_col.cast("string"))
+    return F.struct(
+        F.lit("unbound").alias("kind"),
+        lex.alias("lex"),
+        num_col.cast("double").alias("num"),
+        F.lit("").alias("lang"),
+        F.lit("").alias("dt"),
+    )
+
+
+def _regroup(df: DataFrame, req_proj: list[str], opt_proj: list[str]) -> DataFrame:
+    """The select-level optional regroup (``src:374-412``): group by
+    required vars, per-var distinct bound values, empty → one numbered
+    marker per (group, var), then cartesian via sequential explode."""
+    gcols = list(req_proj)
+    synthetic_group = not gcols
+    if synthetic_group:
+        # groupBy on a literal key: an empty input yields *no* groups, which
+        # implements the optional-only-query rule (src:202-203, test:476-479)
+        df = df.withColumn("__g", F.lit(1))
+        gcols = ["__g"]
+    agg = df.groupBy(*gcols).agg(
+        *[F.collect_set(F.col(v)).alias(v) for v in opt_proj]
+    )
+    # deterministic marker numbering: row_number over canonically-ordered
+    # groups.  NOTE: fine at the group counts where markers matter; plans
+    # without optionals never pay this window.
+    w = Window.orderBy(*[F.col(c) for c in gcols])
+    agg = agg.withColumn("__rn", F.row_number().over(w))
+    k = max(len(opt_proj), 1)
+    for i, v in enumerate(opt_proj):
+        n = (F.col("__rn") - 1) * k + i
+        agg = agg.withColumn(
+            v,
+            F.when(F.size(F.col(v)) == 0, F.array(_marker_struct(n))).otherwise(
+                F.col(v)
+            ),
+        )
+        agg = agg.withColumn(v, F.explode(F.col(v)))
+    return agg.drop("__rn", *(["__g"] if synthetic_group else []))
+
+
+def _solve_projected(db, patterns, pvars: list[str]) -> DataFrame:
+    """Raw solutions projected to ``pvars`` with the select regroup
+    applied to optional projected vars."""
+    tdb = ensure_db(db)
+    sols = solve(tdb, patterns)
+    mandatory = _mandatory_vars(patterns)
+    req_proj = [v for v in pvars if v in mandatory]
+    opt_proj = [v for v in pvars if v not in mandatory]
+    projected = _with_missing_vars(sols, pvars)
+    if not opt_proj:
+        # regroup with no optional columns collapses duplicate solutions
+        # (reference group-by does the same, src:396-399)
+        return projected.dropDuplicates()
+    return _regroup(projected, req_proj, opt_proj).select(*pvars)
+
+
+def _decode_rows(df: DataFrame, pvars: list[str]) -> list[tuple]:
+    rows = df.collect()
+    out = [tuple(from_term(r[v]) for v in pvars) for r in rows]
+    out.sort(key=lambda t: tuple(sort_key(v) for v in t))
+    return out
+
+
+def _normalize_patterns(patterns) -> list:
+    if not isinstance(patterns, (list, tuple)):
+        raise TypeError(f"patterns must be a list, got {type(patterns).__name__}")
+    return list(patterns)
+
+
+# ---------------------------------------------------------------------------
+# select / ask
+# ---------------------------------------------------------------------------
+
+
+def select_df(project_vars, patterns, db) -> DataFrame:
+    """DataFrame-returning select: one TERM-struct column per projected
+    var.  The scale path — no driver collection, composable with any
+    further DataFrame transformation."""
+    patterns = _normalize_patterns(patterns)
+    pvars = [var_name(v) for v in project_vars] if project_vars else find_vars(patterns)
+    return _solve_projected(db, patterns, pvars)
+
+
+def select(*args, db=None):
+    """``select(patterns)``, ``select(vars, patterns)`` → curried;
+    ``select(vars, patterns, db)`` / ``db=`` kwarg → direct.
+
+    Returns a list of tuples in projection order — scalars when exactly
+    one var is projected (``src:375-381``) — or ``None`` when empty
+    (``src:258``).  Output is canonically sorted (the reference's order
+    is engine-incidental, SURVEY §2.4.7).
+    """
+    if len(args) == 1:
+        pvars_raw, patterns = None, args[0]
+    elif len(args) == 2:
+        pvars_raw, patterns = args
+    elif len(args) == 3:
+        pvars_raw, patterns, db = args
+    else:
+        raise TypeError("select takes (patterns), (vars, patterns) or (vars, patterns, db)")
+    patterns = _normalize_patterns(patterns)
+    pvars = [var_name(v) for v in pvars_raw] if pvars_raw is not None else find_vars(patterns)
+    if db is None:
+        return lambda db_: select(pvars, patterns, db_)
+    out_df = _solve_projected(db, patterns, pvars)
+    decoded = _decode_rows(out_df, pvars)
+    if len(pvars) == 1:
+        decoded = [t[0] for t in decoded]
+    return decoded or None
+
+
+def select_1(*args, db=None):
+    """First solution (canonical order) or None (``src:414-431``)."""
+    if len(args) == 3:
+        *rest, db = args
+        args = tuple(rest)
+    if db is None:
+        inner = select(*args)
+        return lambda db_: _first(inner(db_))
+    return _first(select(*args, db=db))
+
+
+def _first(res):
+    return res[0] if res else None
+
+
+def ask(patterns, db=None):
+    """Existence check (``src:713-722``): True iff the BGP has any
+    solution.  Curried when ``db`` omitted."""
+    patterns = _normalize_patterns(patterns)
+    if db is None:
+        return lambda db_: ask(patterns, db_)
+    tdb = ensure_db(db)
+    sols = solve(tdb, patterns)
+    return not sols.df.isEmpty()
+
+
+# ---------------------------------------------------------------------------
+# template machinery (construct / build)
+# ---------------------------------------------------------------------------
+
+
+def _find_vars_in_tree(tree) -> list[str]:
+    out: list[str] = []
+    seen: set[str] = set()
+
+    def visit(x):
+        if is_var(x):
+            n = var_name(x)
+            if n not in seen:
+                seen.add(n)
+                out.append(n)
+        elif isinstance(x, dict):
+            for k, v in x.items():
+                visit(k)
+                visit(v)
+        elif isinstance(x, (list, tuple, set, frozenset)):
+            for e in x:
+                visit(e)
+
+    visit(tree)
+    return out
+
+
+def _instantiate(template, binding: dict):
+    """postwalk-replace of ``?vars`` with bound values
+    (``src:459-462``); Python sets become frozensets for hashability."""
+    if is_var(template):
+        return binding[var_name(template)]
+    if isinstance(template, dict):
+        return {
+            _instantiate(k, binding): _instantiate(v, binding)
+            for k, v in template.items()
+        }
+    if isinstance(template, list):
+        return [_instantiate(e, binding) for e in template]
+    if isinstance(template, tuple):
+        return tuple(_instantiate(e, binding) for e in template)
+    if isinstance(template, (set, frozenset)):
+        return frozenset(_instantiate(e, binding) for e in template)
+    return template
+
+
+def _solutions_as_bindings(db, patterns, pvars: list[str]) -> list[dict]:
+    """Distinct raw solutions decoded to ``{?var: value}`` binding maps
+    (``unify-solutions``, ``src:447-457``), with NULL (unbound) decoded
+    to numbered :class:`Unbound` markers in canonical row order."""
+    tdb = ensure_db(db)
+    sols = solve(tdb, patterns)
+    df = _with_missing_vars(sols, pvars).dropDuplicates()
+    rows = [tuple(from_term(r[v]) for v in pvars) for r in df.collect()]
+    rows.sort(key=lambda t: tuple(sort_key(v) for v in t))
+    counter = [0]
+    out = []
+    for row in rows:
+        b: dict[str, Any] = {}
+        for v, val in zip(pvars, row):
+            if val is None and _is_unbound_position(sols, v):
+                val = Unbound(counter[0])
+                counter[0] += 1
+            b[v] = val
+        out.append(b)
+    return out
+
+
+def _is_unbound_position(sols: Solutions, v: str) -> bool:
+    # NULL in a maybe-unbound or never-bound var is an unbound marker;
+    # NULL in a required var is the literal nil value... except nil
+    # encodes as kind='null', not SQL NULL — so any SQL NULL is unbound.
+    return True
+
+
+def _freeze(x):
+    """Hashable mirror of a decoded value, for grouping/dedup."""
+    if isinstance(x, dict):
+        return ("__dict", tuple(sorted(((_freeze(k), _freeze(v)) for k, v in x.items()), key=repr)))
+    if isinstance(x, list):
+        return ("__list", tuple(_freeze(e) for e in x))
+    if isinstance(x, (set, frozenset)):
+        return ("__set", tuple(sorted((_freeze(e) for e in x), key=repr)))
+    return x
+
+
+class _MergedVal:
+    """merge-with set-conj semantics (``src:497-512``): scalar on first
+    occurrence, collection after a collision (sets in the reference;
+    a deduped list here when values are unhashable)."""
+
+    def __init__(self, first, key=None):
+        self.values = [first]
+        self.collided = False
+        self.key = key
+
+    def add(self, v):
+        self.collided = True
+        if _freeze(v) not in {_freeze(x) for x in self.values}:
+            self.values.append(v)
+
+    def result(self, flatten_singletons: bool):
+        if not self.collided or (flatten_singletons and len(self.values) == 1):
+            return self.values[0]
+        try:
+            return set(self.values)
+        except TypeError:
+            return self.values
+
+
+def _group_maps(maps: list[dict], subject_key, *, flatten_singletons: bool, drop_unbound: bool) -> list[dict]:
+    """Group instantiated maps by subject key and merge predicate values
+    (construct: ``src:546-553``; build: ``src:571-578`` + cleanup
+    ``src:555-569``)."""
+    groups: dict = {}
+    order: list = []
+    for m in maps:
+        subj = m.get(subject_key)
+        fs = _freeze(subj)
+        if fs not in groups:
+            groups[fs] = (subj, {})
+            order.append(fs)
+        _, acc = groups[fs]
+        for k, v in m.items():
+            if k == subject_key:
+                continue
+            fk = _freeze(k)
+            if fk in acc:
+                acc[fk].add(v)
+            else:
+                acc[fk] = _MergedVal(v, key=k)
+    out = []
+    for fs in order:
+        subj, acc = groups[fs]
+        m = {subject_key: subj}
+        for fk, merged in acc.items():
+            val = merged.result(flatten_singletons)
+            if drop_unbound and (isinstance(val, Unbound) or isinstance(merged.key, Unbound)):
+                continue
+            m[merged.key] = val
+        out.append(m)
+    return out
+
+
+def construct(*args, db=None):
+    """``construct(template, patterns[, db])`` — instantiate an arbitrary
+    Python data template per solution (``src:641-665``); templates that
+    are dicts containing :data:`GRAFTER_URI` are grouped by subject
+    (``src:546-553``).  Empty → None."""
+    if len(args) == 2:
+        template, patterns = args
+    elif len(args) == 3:
+        template, patterns, db = args
+    else:
+        raise TypeError("construct takes (template, patterns[, db])")
+    patterns = _normalize_patterns(patterns)
+    if db is None:
+        return lambda db_: construct(template, patterns, db_)
+    pvars = _find_vars_in_tree(template)
+    bindings = _solutions_as_bindings(db, patterns, pvars)
+    results = [_instantiate(template, b) for b in bindings]
+    # dedupe instantiated structures (reference solutions are already
+    # distinct per projected tuple at this data shape)
+    seen = set()
+    deduped = []
+    for r in results:
+        f = _freeze(r)
+        if f not in seen:
+            seen.add(f)
+            deduped.append(r)
+    if isinstance(template, dict) and GRAFTER_URI in template:
+        deduped = _group_maps(
+            deduped, GRAFTER_URI, flatten_singletons=False, drop_unbound=False
+        )
+    return deduped or None
+
+
+def construct_1(*args, db=None):
+    if len(args) == 3:
+        *rest, db = args
+        args = tuple(rest)
+    if db is None:
+        inner = construct(*args)
+        return lambda db_: _first(inner(db_))
+    return _first(construct(*args, db=db))
+
+
+def build(*args, db=None):
+    """``build(subject, template, patterns[, db])`` — subject-grouped
+    resource maps (``src:580-627``).
+
+    ``subject`` is a ``?var``, a concrete value, or a 2-tuple
+    ``(key, var_or_value)``; default key is :data:`GRAFTER_URI`
+    (``src:606-608``).  Unbound keys are dropped and singleton sets
+    flattened to scalars (``src:555-569``, ``src:464-486``).
+    """
+    if len(args) == 3:
+        subject, template, patterns = args
+    elif len(args) == 4:
+        subject, template, patterns, db = args
+    else:
+        raise TypeError("build takes (subject, template, patterns[, db])")
+    patterns = _normalize_patterns(patterns)
+    if db is None:
+        return lambda db_: build(subject, template, patterns, db_)
+    if isinstance(subject, tuple) and len(subject) == 2:
+        subject_key, subject_var = subject
+    else:
+        subject_key, subject_var = GRAFTER_URI, subject
+    tvars = _find_vars_in_tree(template)
+    pvars = ([var_name(subject_var)] if is_var(subject_var) else []) + [
+        v for v in tvars if not (is_var(subject_var) and v == var_name(subject_var))
+    ]
+    bindings = _solutions_as_bindings(db, patterns, pvars)
+    full_template = {subject_key: subject_var, **template}
+    results = [_instantiate(full_template, b) for b in bindings]
+    seen = set()
+    deduped = []
+    for r in results:
+        # drop top-level unbound-valued keys before grouping
+        # (handle-optionals, src:464-486)
+        r = {k: v for k, v in r.items() if not isinstance(v, Unbound) or k == subject_key}
+        f = _freeze(r)
+        if f not in seen:
+            seen.add(f)
+            deduped.append(r)
+    grouped = _group_maps(
+        deduped, subject_key, flatten_singletons=True, drop_unbound=True
+    )
+    # drop groups whose subject itself is unbound
+    grouped = [g for g in grouped if not isinstance(g.get(subject_key), Unbound)]
+    return grouped or None
+
+
+def build_1(*args, db=None):
+    if len(args) == 4:
+        *rest, db = args
+        args = tuple(rest)
+    if db is None:
+        inner = build(*args)
+        return lambda db_: _first(inner(db_))
+    return _first(build(*args, db=db))

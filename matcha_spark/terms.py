@@ -1,0 +1,230 @@
+"""Heterogeneous term encoding for the triples engine.
+
+The reference (Swirrl/matcha) stores *any* host value in any triple
+position and compares by Clojure value equality — ``:rick`` (keyword),
+``"rick"`` (string) and ``URI("rick")`` are all distinct, and ``nil`` is a
+matchable value, not an absence (reference ``test/grafter/matcha/
+alpha_test.clj:133-138``; spec ``src/grafter/matcha/alpha.clj:142-146``).
+
+Spark columns are homogeneously typed and SQL ``NULL`` never equi-joins,
+so each triple position is a tagged struct::
+
+    TERM = struct<kind: string, lex: string, num: double,
+                  lang: string, dt: string>
+
+Unused fields hold *empty-string / 0.0 defaults rather than NULL* so that
+plain field-wise struct equality — which is what Spark equi-joins use —
+implements host-value equality exactly, with no null-semantics corner
+cases inside the join keys.  ``kind='null'`` makes nil a joinable value.
+
+Kinds: ``uri kw str int double bool null lang typed date datetime
+unbound``.  ``unbound`` never appears in a database; it is produced by
+the query layer for SPARQL-OPTIONAL unbound markers (``_0``, ``_1`` …,
+reference ``src:382-395``).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+__all__ = [
+    "TERM_TYPE",
+    "TRIPLE_SCHEMA",
+    "Keyword",
+    "URI",
+    "LangString",
+    "RDFLiteral",
+    "Unbound",
+    "kw",
+    "to_term",
+    "from_term",
+    "term_lit",
+]
+
+TERM_TYPE = StructType(
+    [
+        StructField("kind", StringType(), nullable=False),
+        StructField("lex", StringType(), nullable=False),
+        StructField("num", DoubleType(), nullable=False),
+        StructField("lang", StringType(), nullable=False),
+        StructField("dt", StringType(), nullable=False),
+    ]
+)
+
+TRIPLE_SCHEMA = StructType(
+    [
+        StructField("s", TERM_TYPE, nullable=False),
+        StructField("p", TERM_TYPE, nullable=False),
+        StructField("o", TERM_TYPE, nullable=False),
+    ]
+)
+
+
+@dataclass(frozen=True)
+class Keyword:
+    """Analog of a Clojure keyword ``:ns/name`` (reference test fixtures
+    use keywords pervasively, e.g. ``test:38-45``)."""
+
+    ns: str | None
+    name: str
+
+    def __str__(self) -> str:  # ":ns/name" | ":name"
+        return f":{self.ns}/{self.name}" if self.ns else f":{self.name}"
+
+    def __repr__(self) -> str:
+        return str(self)
+
+
+def kw(s: str) -> Keyword:
+    """``kw(":foaf/knows")`` / ``kw("foaf/knows")`` / ``kw(":label")``."""
+    s = s[1:] if s.startswith(":") else s
+    if "/" in s:
+        ns, _, name = s.partition("/")
+        return Keyword(ns, name)
+    return Keyword(None, s)
+
+
+@dataclass(frozen=True)
+class URI:
+    """An IRI term (reference uses ``java.net.URI``, ``test:21-26``)."""
+
+    value: str
+
+    def __str__(self) -> str:
+        return self.value
+
+    def __repr__(self) -> str:
+        return f"<{self.value}>"
+
+
+@dataclass(frozen=True)
+class LangString:
+    """RDF language-tagged literal (reference ``src:32-39``)."""
+
+    text: str
+    lang: str
+
+
+@dataclass(frozen=True)
+class RDFLiteral:
+    """RDF datatyped literal (reference ``src:41-48``)."""
+
+    lex: str
+    datatype: str
+
+
+@dataclass(frozen=True)
+class Unbound:
+    """Unbound-optional marker, surfaces as ``_N`` (reference
+    ``src:382-395``; expected literally in ``test:536``, ``test:746-750``).
+    Marker *numbers* depend on evaluation order in the reference; compare
+    up to renaming."""
+
+    n: int
+
+    def __str__(self) -> str:
+        return f"_{self.n}"
+
+    def __repr__(self) -> str:
+        return f"_{self.n}"
+
+
+_EMPTY = ("", 0.0, "", "")  # lex-tail defaults: num, lang, dt
+
+
+def to_term(value: Any) -> tuple[str, str, float, str, str]:
+    """Encode a Python value to a TERM struct tuple.
+
+    Covers every host type exercised by the reference test suite
+    (``test:21-45``, ``test:133-138``, ``test:234-249``, ``test:691-694``).
+    Collections are rejected by the pattern validator before reaching here.
+    """
+    if value is None:
+        return ("null", "", 0.0, "", "")
+    if isinstance(value, bool):  # before int: bool is an int subclass
+        return ("bool", "true" if value else "false", 1.0 if value else 0.0, "", "")
+    if isinstance(value, int):
+        try:
+            num = float(value)
+        except OverflowError:
+            num = 0.0
+        return ("int", str(value), num, "", "")
+    if isinstance(value, float):
+        return ("double", repr(value), value, "", "")
+    if isinstance(value, str):
+        return ("str", value, 0.0, "", "")
+    if isinstance(value, Keyword):
+        return ("kw", str(value)[1:], 0.0, "", "")
+    if isinstance(value, URI):
+        return ("uri", value.value, 0.0, "", "")
+    if isinstance(value, LangString):
+        return ("lang", value.text, 0.0, value.lang, "")
+    if isinstance(value, RDFLiteral):
+        return ("typed", value.lex, 0.0, "", value.datatype)
+    if isinstance(value, _dt.datetime):  # before date: datetime is a date
+        return ("datetime", value.isoformat(), value.timestamp() if value.tzinfo else 0.0, "", "")
+    if isinstance(value, _dt.date):
+        return ("date", value.isoformat(), float(value.toordinal()), "", "")
+    if isinstance(value, Unbound):
+        return ("unbound", str(value), float(value.n), "", "")
+    raise TypeError(f"cannot encode {type(value).__name__} as a triple term: {value!r}")
+
+
+def from_term(row: Any) -> Any:
+    """Decode a TERM struct Row (or tuple) back to a Python value."""
+    if row is None:
+        return None
+    kind, lex = row[0], row[1]
+    if kind == "null":
+        return None
+    if kind == "str":
+        return lex
+    if kind == "kw":
+        return kw(lex)
+    if kind == "uri":
+        return URI(lex)
+    if kind == "int":
+        return int(lex)
+    if kind == "double":
+        return float(lex)
+    if kind == "bool":
+        return lex == "true"
+    if kind == "lang":
+        return LangString(lex, row[3])
+    if kind == "typed":
+        return RDFLiteral(lex, row[4])
+    if kind == "datetime":
+        return _dt.datetime.fromisoformat(lex)
+    if kind == "date":
+        return _dt.date.fromisoformat(lex)
+    if kind == "unbound":
+        return Unbound(int(lex[1:]))
+    raise ValueError(f"unknown term kind: {kind!r}")
+
+
+def term_lit(value: Any):
+    """A Spark literal Column holding the TERM struct for ``value``.
+
+    Used to inject pattern constants into filters — the resulting
+    ``col == term_lit(v)`` comparison is a plain struct equality that
+    Catalyst folds and pushes down to the scan.
+    """
+    k, lex, num, lang, dt = to_term(value)
+    return F.struct(
+        F.lit(k).alias("kind"),
+        F.lit(lex).alias("lex"),
+        F.lit(num).alias("num"),
+        F.lit(lang).alias("lang"),
+        F.lit(dt).alias("dt"),
+    )
+
+
+def sort_key(value: Any) -> tuple:
+    """Deterministic cross-type ordering for canonical result sorting."""
+    t = to_term(value)
+    return (t[0], t[1], t[2], t[3], t[4])

@@ -1,0 +1,235 @@
+"""Port of the reference's select/ask/values tests
+(test/grafter/matcha/alpha_test.clj:47-110, 339-448)."""
+
+import pytest
+
+from matcha_spark import (
+    InvalidBgpError,
+    InvalidValuesError,
+    TriplesDB,
+    Values,
+    ask,
+    select,
+    select_1,
+)
+
+from .fixtures import (
+    FOAF_KNOWS,
+    RDFS_LABEL,
+    abc_db,
+    friends,
+    friends_vectors,
+    julie,
+    katie,
+    martin,
+    nil_db,
+    rick,
+)
+from .util import as_set
+
+
+@pytest.fixture(scope="module")
+def friends_db(spark):
+    return TriplesDB.from_triples(spark, friends)
+
+
+@pytest.fixture(scope="module")
+def friends_vectors_db(spark):
+    return TriplesDB.from_triples(spark, friends_vectors)
+
+
+def test_names_rick_knows(friends_db):
+    # README flagship / test:58-65
+    res = select(
+        ["?name"],
+        [(rick, FOAF_KNOWS, "?p"), ("?p", RDFS_LABEL, "?name")],
+        friends_db,
+    )
+    assert set(res) == {"Martin", "Katie"}
+
+
+def test_friend_of_friend_chain(friends_db):
+    # test:75-81: 3-pattern chain
+    res = select(
+        ["?p1", "?p2", "?p3"],
+        [
+            ("?p1", FOAF_KNOWS, "?p2"),
+            ("?p2", FOAF_KNOWS, "?p3"),
+        ],
+        friends_db,
+    )
+    assert as_set(res) == {(rick, katie, julie)}
+
+
+def test_select_all_vars_inferred(friends_db):
+    # 1-arity select: project all vars in pattern order
+    q = select([("?s", "?p", "?o")])
+    res = q(friends_db)
+    assert as_set(res) == {tuple(t) for t in friends}
+
+
+def test_keyword_db_same_shape(friends_vectors_db):
+    from matcha_spark import kw
+
+    res = select(
+        ["?name"],
+        [(kw("rick"), kw("foaf/knows"), "?p"), ("?p", kw("rdfs/label"), "?name")],
+        friends_vectors_db,
+    )
+    assert set(res) == {"Martin", "Katie"}
+
+
+def test_empty_result_is_none(spark):
+    res = select(["?p", "?o"], [(kw_not_matching(), "?p", "?o")], abc_db)
+    assert res is None
+
+
+def kw_not_matching():
+    from matcha_spark import kw
+
+    return kw("not-a-matching-query")
+
+
+def test_nil_is_matchable(spark):
+    # test:133-138: nil subject is a value, not an absence
+    from matcha_spark import kw
+
+    res = select(["?label"], [(None, kw("label"), "?label")], nil_db)
+    assert res == ["nil label"]
+
+
+def test_repeated_var_in_pattern(spark):
+    from matcha_spark import kw
+
+    db = [(kw("x"), kw("x"), kw("y")), (kw("a"), kw("b"), kw("c"))]
+    res = select(["?s"], [("?s", "?s", "?o")], db)
+    assert res == [kw("x")]
+
+
+def test_scalar_unwrap_single_var(friends_db):
+    res = select(["?name"], [(rick, RDFS_LABEL, "?name")], friends_db)
+    assert res == ["Rick"]
+
+
+def test_select_1(friends_db):
+    res = select_1(["?name"], [(rick, RDFS_LABEL, "?name")], friends_db)
+    assert res == "Rick"
+    assert select_1(["?x"], [(rick, kw_not_matching(), "?x")], friends_db) is None
+
+
+def test_curried_arities_equiv(friends_db):
+    pats = [(rick, FOAF_KNOWS, "?p"), ("?p", RDFS_LABEL, "?name")]
+    assert select(["?name"], pats)(friends_db) == select(["?name"], pats, friends_db)
+    assert ask(pats)(friends_db) == ask(pats, friends_db)
+
+
+def test_ask(friends_db):
+    assert ask([(rick, FOAF_KNOWS, "?p")], friends_db) is True
+    assert ask([(julie, FOAF_KNOWS, "?p")], friends_db) is False
+
+
+def test_cross_join_disconnected_patterns(spark):
+    from matcha_spark import kw
+
+    db = [(kw("a"), kw("p"), 1), (kw("b"), kw("q"), 2)]
+    res = select(["?x", "?y"], [("?s1", kw("p"), "?x"), ("?s2", kw("q"), "?y")], db)
+    assert as_set(res) == {(1, 2)}
+
+
+def test_all_ground_pattern_guard(spark):
+    from matcha_spark import kw
+
+    db = [(kw("a"), kw("p"), 1), (kw("b"), kw("q"), 2)]
+    # matching ground pattern: acts as existence filter
+    res = select(["?x"], [("?s", kw("p"), "?x"), (kw("b"), kw("q"), 2)], db)
+    assert res == [1]
+    # non-matching ground pattern annihilates
+    assert select(["?x"], [("?s", kw("p"), "?x"), (kw("b"), kw("q"), 3)], db) is None
+
+
+# -- values (test:400-448) --------------------------------------------------
+
+
+def test_values_basic(friends_db):
+    people = {rick}
+    res = select(
+        ["?name"],
+        [
+            ("?person", FOAF_KNOWS, "?o"),
+            ("?o", RDFS_LABEL, "?name"),
+            Values("?person", people),
+        ],
+        friends_db,
+    )
+    assert set(res) == {"Martin", "Katie"}
+
+
+def test_values_two_subjects(friends_db):
+    res = select(
+        ["?name"],
+        [
+            ("?person", FOAF_KNOWS, "?o"),
+            ("?o", RDFS_LABEL, "?name"),
+            Values("?person", {rick, katie}),
+        ],
+        friends_db,
+    )
+    assert set(res) == {"Martin", "Katie", "Julie"}
+
+
+def test_values_double_constraint(friends_db):
+    res = select(
+        ["?name"],
+        [
+            ("?person", FOAF_KNOWS, "?o"),
+            Values("?person", [rick, katie]),
+            ("?o", RDFS_LABEL, "?name"),
+            Values("?name", {"Julie"}),
+        ],
+        friends_db,
+    )
+    assert set(res) == {"Julie"}
+
+
+def test_values_nil_yields_nothing(friends_db):
+    res = select(
+        ["?name"],
+        [("?person", FOAF_KNOWS, "?o"), ("?o", RDFS_LABEL, "?name"), Values("?person", None)],
+        friends_db,
+    )
+    assert res is None
+
+
+def test_values_invalid_rhs(friends_db):
+    with pytest.raises(InvalidValuesError):
+        select(
+            ["?name"],
+            [("?person", FOAF_KNOWS, "?o"), Values("?person", rick)],
+            friends_db,
+        )
+    with pytest.raises(InvalidValuesError):
+        select(
+            ["?name"],
+            [("?person", FOAF_KNOWS, "?o"), Values("?person", 1)],
+            friends_db,
+        )
+
+
+def test_values_unbound_var_binds(friends_db):
+    # values var not bound by any pattern: enumerates the collection
+    res = select(
+        ["?name", "?tag"],
+        [(rick, RDFS_LABEL, "?name"), Values("?tag", [1, 2])],
+        friends_db,
+    )
+    assert as_set(res) == {("Rick", 1), ("Rick", 2)}
+
+
+# -- invalid BGPs (test:274-360) --------------------------------------------
+
+
+def test_invalid_bgp_collection_element(friends_db):
+    with pytest.raises(InvalidBgpError):
+        select(["?o"], [([1, 2, 3], RDFS_LABEL, "?o")], friends_db)
+    with pytest.raises(InvalidBgpError):
+        select(["?o"], [(rick, RDFS_LABEL, {"a": 1})], friends_db)
