@@ -1,0 +1,111 @@
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Queries are forced with a noop-format write (full materialization, no
+driver-collect overhead).  The triples graph is built and cached once
+("index once, query many" — the reference's index-triples contract)
+and its build time reported as graph_build.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("matcha-spark-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from matcha_spark import select_df
+    from matcha_spark import relational as R
+    from matcha_spark.operators import dedup as D
+    from matcha_spark.operators import similarity as S
+    from matcha_spark.operators import text as T
+    from matcha_spark.sources.tpch_graph import load_tables
+    from matcha_spark.suite import (
+        _graph,
+        bgp_customers_in_region,
+        bgp_optional_urgent_orders,
+    )
+
+    times: dict[str, float] = {}
+
+    def bench(name, fn):
+        t0 = time.time()
+        fn()
+        times[name] = round(time.time() - t0, 3)
+
+    # --- graph build (cached once, like index-triples) ---
+    bench("graph_build", lambda: _graph(spark, SF_DIR).df.count())
+    bench(
+        "graph_build_orders",
+        lambda: _graph(
+            spark, SF_DIR, include_orders=True, order_priority="1-URGENT"
+        ).df.count(),
+    )
+
+    docs = load_tables(spark, SF_DIR, "documents")["documents"]
+    emb = load_tables(spark, SF_DIR, "embeddings")["embeddings"]
+
+    # --- headline queries ---
+    bench("q1_pricing_summary", lambda: force(R.q1_pricing_summary(spark, SF_DIR)))
+    bench("q3_top_revenue", lambda: force(R.q3_top_unshipped_revenue(spark, SF_DIR)))
+    bench("q5_nation_revenue", lambda: force(R.q5_nation_revenue(spark, SF_DIR)))
+    bench("q6_forecast_revenue", lambda: force(R.q6_forecast_revenue(spark, SF_DIR)))
+    bench("topk_orders_per_customer", lambda: force(R.topk_orders_per_customer(spark, SF_DIR)))
+    bench("events_sessionize", lambda: force(R.events_sessionize(spark, SF_DIR)))
+    bench("bgp_scan_all", lambda: force(
+        select_df(["?s", "?p", "?o"], [("?s", "?p", "?o")], _graph(spark, SF_DIR))
+    ))
+    bench("bgp_customers_in_region", lambda: force(bgp_customers_in_region(spark, SF_DIR)))
+    bench("bgp_optional_urgent_orders", lambda: force(bgp_optional_urgent_orders(spark, SF_DIR)))
+    bench("dedup_exact_docs", lambda: force(T.dedup_exact(docs)))
+    bench("doc_minhash_lsh", lambda: force(D.minhash_lsh_candidates(docs)))
+    bench("doc_token_count", lambda: force(T.token_count(docs)))
+    bench("emb_cosine_topk", lambda: force(
+        S.cosine_topk(emb, emb.where("vec_id < 5"), k=5)
+    ))
+
+    total = round(sum(times.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "matcha_spark headline suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

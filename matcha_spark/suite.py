@@ -1,0 +1,446 @@
+"""The declared operator suite: every implemented operator exposed as a
+``(spark, sf_dir) → DataFrame`` callable plus (where SQL-expressible)
+an equivalent DuckDB oracle query.
+
+This is the correctness surface the driver checks per-round
+(``__spark_entry__.queries`` / ``oracle_sql``).  Column names/aliases
+match between the Spark plans and the SQL exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import relational as R
+from .db import merge_dbs
+from .functions.termcols import lex, lex_as
+from .operators import dedup as D
+from .operators import similarity as S
+from .operators import text as T
+from .patterns import Optional, Values
+from .query import ask, select_df
+from .sources.tpch_graph import KW, load_tables, tpch_graph
+
+_GRAPH_CACHE: dict = {}
+
+
+def _graph(spark, sf_dir, **kw):
+    key = (sf_dir, tuple(sorted(kw.items())))
+    if key not in _GRAPH_CACHE:
+        _GRAPH_CACHE[key] = tpch_graph(spark, sf_dir, **kw)
+    return _GRAPH_CACHE[key]
+
+
+# ---------------------------------------------------------------------------
+# BGP engine queries over the derived graph
+# ---------------------------------------------------------------------------
+
+
+def bgp_customers_in_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: 5-pattern BGP (two hops + leaf labels) answered by the
+    triples engine; oracle is the equivalent relational join."""
+    db = _graph(spark, sf_dir)
+    res = select_df(
+        ["?cname"],
+        [
+            ("?c", KW["mktsegment"], "?seg"),
+            ("?c", KW["nation"], "?n"),
+            ("?n", KW["region"], "?r"),
+            ("?r", KW["name"], "EUROPE"),
+            ("?c", KW["name"], "?cname"),
+        ],
+        db,
+    )
+    return res.select(lex(F.col("`?cname`")).alias("cname"))
+
+
+def bgp_nations_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = _graph(spark, sf_dir)
+    res = select_df(
+        ["?nname"],
+        [
+            ("?n", KW["name"], "?nname"),
+            ("?n", KW["region"], "?r"),
+            ("?r", KW["name"], "?rname"),
+            Values("?rname", ["ASIA", "AFRICA"]),
+        ],
+        db,
+    )
+    return res.select(lex(F.col("`?nname`")).alias("nname"))
+
+
+def bgp_optional_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIONAL semantics against genuinely-missing data: BUILDING
+    customers and their urgent orders, unbound → NULL."""
+    db = _graph(spark, sf_dir, include_orders=True, order_priority="1-URGENT")
+    res = select_df(
+        ["?cname", "?okey"],
+        [
+            ("?c", KW["mktsegment"], "BUILDING"),
+            ("?c", KW["name"], "?cname"),
+            Optional([("?o", KW["customer"], "?c"), ("?o", KW["okey"], "?okey")]),
+        ],
+        db,
+    )
+    return res.select(
+        lex(F.col("`?cname`")).alias("cname"),
+        lex_as(F.col("`?okey`"), "bigint").alias("okey"),
+    )
+
+
+def bgp_ask_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = _graph(spark, sf_dir)
+    exists = ask([("?c", KW["mktsegment"], "BUILDING")], db)
+    missing = ask([("?c", KW["mktsegment"], "NO-SUCH-SEGMENT")], db)
+    return spark.createDataFrame([(exists, missing)], "found boolean, not_found boolean")
+
+
+def bgp_merge_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge-dbs set-union semantics: overlapping graphs dedupe."""
+    t = load_tables(spark, sf_dir, "region", "nation")
+    from .functions.termcols import str_col, uri_col
+
+    def tri(df, s, pname, o):
+        from .sources.tpch_graph import _kw_lit
+
+        return df.select(s.alias("s"), _kw_lit(pname).alias("p"), o.alias("o"))
+
+    g1 = tri(t["nation"], uri_col("nation:", F.col("n_nationkey")), "name", str_col(F.col("n_name"))).unionByName(
+        tri(t["region"], uri_col("region:", F.col("r_regionkey")), "name", str_col(F.col("r_name")))
+    )
+    g2 = tri(t["region"], uri_col("region:", F.col("r_regionkey")), "name", str_col(F.col("r_name"))).unionByName(
+        tri(t["nation"], uri_col("nation:", F.col("n_nationkey")), "region", uri_col("region:", F.col("n_regionkey")))
+    )
+    merged = merge_dbs(g1, g2)
+    n = merged.df.count()
+    merged.unpersist()
+    return spark.createDataFrame([(n,)], "n_triples bigint")
+
+
+# ---------------------------------------------------------------------------
+# pipeline operators over documents / embeddings / events
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact_docs(spark, sf_dir):
+    return T.dedup_exact(load_tables(spark, sf_dir, "documents")["documents"])
+
+
+def doc_fingerprint(spark, sf_dir):
+    return T.fingerprint(load_tables(spark, sf_dir, "documents")["documents"])
+
+
+def doc_token_count(spark, sf_dir):
+    return T.token_count(load_tables(spark, sf_dir, "documents")["documents"])
+
+
+def doc_text_quality(spark, sf_dir):
+    return T.text_quality(load_tables(spark, sf_dir, "documents")["documents"])
+
+
+def doc_lang_id(spark, sf_dir):
+    return T.lang_id(load_tables(spark, sf_dir, "documents")["documents"])
+
+
+def doc_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(
+        load_tables(spark, sf_dir, "documents")["documents"], n=3, threshold=0.2
+    )
+
+
+def doc_minhash_lsh(spark, sf_dir):
+    # no SQL oracle (xxhash64 is Spark-specific); driver records rows-only
+    return D.minhash_lsh_candidates(
+        load_tables(spark, sf_dir, "documents")["documents"]
+    )
+
+
+def doc_simhash(spark, sf_dir):
+    return D.simhash(load_tables(spark, sf_dir, "documents")["documents"])
+
+
+def emb_l2_norms(spark, sf_dir):
+    return S.l2_norms(load_tables(spark, sf_dir, "embeddings")["embeddings"])
+
+
+def emb_cosine_topk(spark, sf_dir):
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return S.cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
+
+
+def emb_lsh_topk(spark, sf_dir):
+    # approximate variant: rows-only check (recall measured in tests)
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return S.lsh_bucketed_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    # relational layer
+    "q1_pricing_summary": R.q1_pricing_summary,
+    "q3_top_revenue": R.q3_top_unshipped_revenue,
+    "q5_nation_revenue": R.q5_nation_revenue,
+    "q6_forecast_revenue": R.q6_forecast_revenue,
+    "topk_orders_per_customer": R.topk_orders_per_customer,
+    "running_customer_spend": R.running_customer_spend,
+    "orders_by_month": R.orders_by_month,
+    "segment_stats": R.segment_stats,
+    "events_hourly": R.events_hourly,
+    "events_sessionize": R.events_sessionize,
+    # BGP engine
+    "bgp_customers_in_region": bgp_customers_in_region,
+    "bgp_nations_values": bgp_nations_values,
+    "bgp_optional_urgent_orders": bgp_optional_urgent_orders,
+    "bgp_ask_segment": bgp_ask_segment,
+    "bgp_merge_count": bgp_merge_count,
+    # documents pipeline
+    "dedup_exact_docs": dedup_exact_docs,
+    "doc_fingerprint": doc_fingerprint,
+    "doc_token_count": doc_token_count,
+    "doc_text_quality": doc_text_quality,
+    "doc_lang_id": doc_lang_id,
+    "doc_ngram_jaccard": doc_ngram_jaccard,
+    "doc_minhash_lsh": doc_minhash_lsh,
+    "doc_simhash": doc_simhash,
+    # embeddings
+    "emb_l2_norms": emb_l2_norms,
+    "emb_cosine_topk": emb_cosine_topk,
+    "emb_lsh_topk": emb_lsh_topk,
+}
+
+_EN = "'the','a','and','of','to','in','is','that','it','for'"
+_ES = "'el','la','de','que','y','en','un','es','no','por'"
+_FR = "'le','la','de','et','un','est','que','pour','dans','ce'"
+
+_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+ORACLES = {
+    "q1_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+               round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q3_top_revenue": """
+        SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate > TIMESTAMP '1998-03-15'
+        GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """,
+    "q5_nation_revenue": """
+        SELECT n_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+    "q6_forecast_revenue": """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "topk_orders_per_customer": """
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rank
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
+            FROM orders
+        )
+        WHERE rank <= 3
+    """,
+    "running_customer_spend": """
+        SELECT o_custkey, o_orderkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_spend
+        FROM orders
+    """,
+    "orders_by_month": """
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY 1 ORDER BY 1
+    """,
+    "segment_stats": """
+        SELECT c_mktsegment, count(*) AS n_customers,
+               round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_acctbal
+        FROM customer GROUP BY 1 ORDER BY 1
+    """,
+    "events_hourly": """
+        SELECT (CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) % 3600) AS hour_epoch,
+               event_type,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "events_sessionize": """
+        WITH marked AS (
+            SELECT user_id, event_id, value,
+                   CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                             - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                               OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                        THEN 1
+                        WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1
+                        ELSE 0 END AS new_sess,
+                   ts
+            FROM events
+        ), sess AS (
+            SELECT user_id, value,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+            FROM marked
+        )
+        SELECT user_id, session_idx, count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+        FROM sess GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "bgp_customers_in_region": """
+        SELECT c_name AS cname
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    """,
+    "bgp_nations_values": """
+        SELECT n_name AS nname
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name IN ('ASIA', 'AFRICA')
+    """,
+    "bgp_optional_urgent_orders": """
+        SELECT c_name AS cname, o.o_orderkey AS okey
+        FROM customer c
+        LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+               ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+    """,
+    "bgp_ask_segment": """
+        SELECT EXISTS(SELECT 1 FROM customer WHERE c_mktsegment = 'BUILDING') AS found,
+               EXISTS(SELECT 1 FROM customer WHERE c_mktsegment = 'NO-SUCH-SEGMENT') AS not_found
+    """,
+    "bgp_merge_count": """
+        SELECT count(*) AS n_triples FROM (
+            SELECT 'nation:' || n_nationkey AS s, 'name' AS p, n_name AS o FROM nation
+            UNION
+            SELECT 'region:' || r_regionkey, 'name', r_name FROM region
+            UNION
+            SELECT 'nation:' || n_nationkey, 'region', 'region:' || n_regionkey FROM nation
+        )
+    """,
+    "dedup_exact_docs": f"""
+        SELECT md5({_NORM}) AS fp, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        FROM documents GROUP BY 1
+    """,
+    "doc_fingerprint": f"""
+        SELECT doc_id, md5({_NORM}) AS fp FROM documents
+    """,
+    "doc_token_count": f"""
+        SELECT doc_id,
+               len({_TOKS}) AS n_tokens,
+               CAST(ceil(length(text) / 4) AS BIGINT) AS est_bpe_tokens
+        FROM documents
+    """,
+    "doc_text_quality": f"""
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len({_TOKS}) AS n_tokens,
+               round(length(text) / len({_TOKS}), 4) AS avg_token_len,
+               round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / length(text), 4) AS punct_ratio,
+               round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))) / length(text), 4) AS upper_ratio,
+               round(len(list_filter({_TOKS}, x -> lower(x) IN ({_EN}))) / len({_TOKS}), 4) AS stopword_ratio
+        FROM documents
+    """,
+    "doc_lang_id": f"""
+        SELECT doc_id,
+               CASE WHEN greatest(en, es, fr) = 0 THEN 'und'
+                    WHEN en = greatest(en, es, fr) THEN 'en'
+                    WHEN es = greatest(en, es, fr) THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM (
+            SELECT doc_id,
+                   len(list_filter({_TOKS}, x -> lower(x) IN ({_EN}))) AS en,
+                   len(list_filter({_TOKS}, x -> lower(x) IN ({_ES}))) AS es,
+                   len(list_filter({_TOKS}, x -> lower(x) IN ({_FR}))) AS fr
+            FROM documents
+        )
+    """,
+    "doc_ngram_jaccard": """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(greatest(len(t) - 2, 0)),
+                                             i -> array_to_string(t[i + 1 : i + 3], ' '))) AS shingle
+                FROM toks WHERE len(t) >= 3
+            )
+        ), sizes AS (
+            SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(i / (sa.sz + sb.sz - i), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.2
+    """,
+    "emb_l2_norms": """
+        SELECT vec_id,
+               round(sqrt(list_dot_product(embedding :: DOUBLE[], embedding :: DOUBLE[])), 4) AS l2_norm
+        FROM embeddings
+    """,
+    "emb_cosine_topk": """
+        WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
+        s AS (
+            SELECT q_id, n_id,
+                   round(list_dot_product(q_vec :: DOUBLE[], n_vec :: DOUBLE[])
+                         / (sqrt(list_dot_product(q_vec :: DOUBLE[], q_vec :: DOUBLE[]))
+                            * sqrt(list_dot_product(n_vec :: DOUBLE[], n_vec :: DOUBLE[]))), 6) AS cosine
+            FROM c, q WHERE n_id != q_id
+        )
+        SELECT q_id, n_id, cosine, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank FROM s
+        ) WHERE rank <= 5
+    """,
+    # doc_minhash_lsh, doc_simhash, emb_lsh_topk: Spark-specific hashing /
+    # seeded projections — no SQL oracle (driver records rows-only checks)
+}
