@@ -29,7 +29,14 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     """Distinct word n-gram shingles per doc: split → sliding window via
     transform over token indexes → explode."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    d = docs.select("doc_id", toks.alias("toks")).where(F.size("toks") >= n)
+    # spread docs across all cores first: a single parquet file otherwise
+    # pins the whole shingle/hash pipeline to one task
+    spark = docs.sparkSession
+    d = (
+        docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= n)
+    )
     # i ∈ [0, size-n] → size-n+1 shingles
     sh = F.expr(
         f"transform(sequence(0, size(toks) - {n}), "
@@ -60,7 +67,9 @@ def minhash_lsh_candidates(
     pairs (a < b).  The band bucket join is the only pairwise step —
     complexity is bounded by bucket occupancy, not corpus size."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes=num_hashes, n=n)
+    # cache: the self-join would otherwise recompute the full signature
+    # pipeline for each side
+    sig = minhash_signatures(docs, num_hashes=num_hashes, n=n).cache()
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),

@@ -1,0 +1,155 @@
+"""Structured Streaming operators over an events stream
+(``event_id, ts, user_id, event_type, value, props``).
+
+Streaming twins of the batch operators in ``matcha_spark.relational``:
+the same logical plans run on ``readStream`` sources with watermarks
+for late data.  At cluster scale these run against Kafka/files; tests
+drive them with in-memory batches via the file source + memory sink.
+
+- :func:`hourly_counts` — tumbling-window count/sum with watermark.
+- :func:`sliding_activity` — sliding window per event_type.
+- :func:`sessionize_stateful` — gap-based sessions via
+  ``applyInPandasWithState`` (custom stateful operator: the Spark-native
+  replacement for an imperative per-key session tracker).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+__all__ = ["hourly_counts", "sliding_activity", "sessionize_stateful", "SESSION_SCHEMA"]
+
+
+def hourly_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour windows; watermark bounds state for late rows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_activity(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """15-minute sliding windows advancing every 5 minutes."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "15 minutes", "5 minutes").alias("win"))
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(F.col("win.start").alias("window_start"), "approx_users", "n")
+    )
+
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("session_value", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+    ]
+)
+
+
+def _session_fn(gap_s: int):
+    gap_us = gap_s * 1_000_000
+
+    def fn(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            if state.exists:
+                start_us, last_us, n, total = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "session_start": [pd.Timestamp(start_us, unit="us")],
+                        "session_end": [pd.Timestamp(last_us, unit="us")],
+                        "n_events": [n],
+                        "session_value": [total],
+                    }
+                )
+            return
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        closed = []
+        if state.exists:
+            start_us, last_us, n, total = state.get
+        else:
+            start_us, last_us, n, total = None, None, 0, 0.0
+        for ts, value in zip(rows["ts"], rows["value"]):
+            us = ts.value // 1000
+            if last_us is not None and us - last_us > gap_us:
+                closed.append((start_us, last_us, n, total))
+                start_us, n, total = us, 0, 0.0
+            if start_us is None:
+                start_us = us
+            last_us = us
+            n += 1
+            total += float(value)
+        state.update((start_us, last_us, n, total))
+        state.setTimeoutDuration(gap_s * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [pd.Timestamp(c[0], unit="us") for c in closed],
+                    "session_end": [pd.Timestamp(c[1], unit="us") for c in closed],
+                    "n_events": [c[2] for c in closed],
+                    "session_value": [c[3] for c in closed],
+                }
+            )
+
+    return fn
+
+
+def sessionize_stateful(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Custom stateful streaming operator: per-user session accumulation
+    with processing-time timeout flush.  Emits a session row when a gap
+    larger than ``gap_s`` closes it (or on state timeout).
+
+    Arrow-batched per-key state (``applyInPandasWithState``) — the
+    idiomatic Spark shape for operators that the built-in windowed aggs
+    can't express."""
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn(gap_s),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -1,0 +1,154 @@
+"""Tests for pipeline operators: dedup, similarity, text, multimodal."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from matcha_spark.operators import dedup as D
+from matcha_spark.operators import multimodal as M
+from matcha_spark.operators import similarity as S
+from matcha_spark.operators import text as T
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # plant exact and near duplicates with known ids
+    src = base.limit(3).collect()
+    extra = [
+        (9001, src[0]["text"], "en", "dup", len(src[0]["text"])),  # exact dup of doc 0
+        (9002, src[1]["text"] + " extra token", "en", "dup", 0),  # near dup of doc 1
+        (9003, "completely unrelated tiny text", "en", "dup", 0),
+    ]
+    extra_df = spark.createDataFrame(extra, base.schema)
+    return base.unionByName(extra_df).cache()
+
+
+def test_dedup_exact_finds_planted_dup(docs):
+    res = T.dedup_exact(docs)
+    groups = {r["keep_doc_id"]: r["n_copies"] for r in res.collect()}
+    first_id = docs.orderBy("doc_id").first()["doc_id"]
+    assert groups[first_id] == 2  # original + planted 9001
+    assert sum(groups.values()) == docs.count()
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]) for r in D.minhash_lsh_candidates(docs).collect()
+    }
+    ids = sorted(r["doc_id"] for r in docs.limit(2).collect())
+    # exact dup pair must be a candidate; near-dup pair should be too
+    d0 = docs.orderBy("doc_id").first()["doc_id"]
+    d1 = [r["doc_id"] for r in docs.orderBy("doc_id").limit(2).collect()][1]
+    assert (d0, 9001) in pairs
+    assert (d1, 9002) in pairs
+
+
+def test_ngram_jaccard_scores(docs):
+    res = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    d0 = docs.orderBy("doc_id").first()["doc_id"]
+    assert res[(d0, 9001)] == 1.0  # exact dup → jaccard 1
+
+
+def test_simhash_close_for_near_dups(docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
+    d0 = docs.orderBy("doc_id").first()["doc_id"]
+    d1 = [r["doc_id"] for r in docs.orderBy("doc_id").limit(2).collect()][1]
+    assert sigs[d0] == sigs[9001]  # identical text → identical signature
+
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert hamming(sigs[d1], sigs[9002]) <= 8  # near dup → close
+    assert hamming(sigs[d0], sigs[9003]) > 8  # unrelated → far
+
+
+def test_text_quality_and_tokens(spark):
+    docs = spark.createDataFrame(
+        [(1, "Hello, World! This is a test."), (2, "one two three")],
+        "doc_id long, text string",
+    )
+    tq = {r["doc_id"]: r for r in T.text_quality(docs).collect()}
+    assert tq[1]["n_tokens"] == 6
+    assert tq[2]["punct_ratio"] == 0.0
+    tc = {r["doc_id"]: r for r in T.token_count(docs).collect()}
+    assert tc[2]["n_tokens"] == 3
+
+
+def test_lang_id(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it is happy"),
+            (2, "el gato es un animal que vive en la casa"),
+            (3, "le chat est un animal que nous aimons dans ce pays"),
+            (4, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    res = {r["doc_id"]: r["lang_pred"] for r in T.lang_id(docs).collect()}
+    assert res[1] == "en"
+    assert res[2] == "es"
+    assert res[3] == "fr"
+    assert res[4] == "und"
+
+
+def test_cosine_topk_exact(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [-1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    res = S.cosine_topk(emb, emb.where("vec_id = 0"), k=3).collect()
+    order = [r["n_id"] for r in sorted(res, key=lambda r: r["rank"])]
+    assert order == [1, 2, 3]
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where("vec_id < 3")
+    exact = {
+        (r["q_id"], r["n_id"]) for r in S.cosine_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["q_id"], r["n_id"])
+        for r in S.lsh_bucketed_topk(emb, q, k=5, n_planes=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2  # approximate by design; must find some true neighbors
+
+
+def test_multimodal_image_features(spark):
+    rows = [
+        (1, "image", "jpeg", 8, 8, None, bytearray(b"\x01\x02\x03")),
+        (2, "image", "png", 8, 8, None, bytearray(b"\x04\x05")),
+        (3, "video", "mp4", None, None, 3500, bytearray(b"\x00")),
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in M.image_features(media).collect()}
+    assert set(feats) == {1, 2}
+    assert len(feats[1]["feature"]) == 8
+    assert feats[1]["n_bytes"] == 3
+    # deterministic fake decoder → reproducible features
+    feats2 = {r["media_id"]: r for r in M.image_features(media).collect()}
+    assert feats[1]["feature"] == feats2[1]["feature"]
+
+
+def test_multimodal_strict_decoder_raises():
+    with pytest.raises(NotImplementedError):
+        M.strict_decode_image(b"anything")
+
+
+def test_frame_sample(spark):
+    rows = [(3, "video", "mp4", None, None, 3500, bytearray(b"\x00"))]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    frames = M.frame_sample(media, every_ms=1000).collect()
+    assert [f["frame_ts_ms"] for f in frames] == [0, 1000, 2000, 3000]
+    assert [f["frame_idx"] for f in frames] == [0, 1, 2, 3]

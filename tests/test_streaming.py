@@ -1,0 +1,99 @@
+"""Structured Streaming operator tests: file source → memory sink."""
+
+import shutil
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from matcha_spark.streaming.events import (
+    hourly_counts,
+    sessionize_stateful,
+    sliding_activity,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+@pytest.fixture()
+def stream_dir(spark):
+    d = tempfile.mkdtemp(prefix="mstream_")
+    rows = [
+        (1, "2024-01-01 10:05:00", 1, "click", 1.0),
+        (2, "2024-01-01 10:20:00", 1, "click", 2.0),
+        (3, "2024-01-01 11:10:00", 1, "view", 3.0),
+        (4, "2024-01-01 10:30:00", 2, "click", 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_to_memory(spark, stream_df, name, mode="update"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_hourly_counts_stream(spark, stream_dir):
+    src = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).parquet(stream_dir)
+    out = _run_to_memory(spark, hourly_counts(src), "hourly_t")
+    rows = {(r["window_start"].hour, r["event_type"]): r for r in out.collect()}
+    assert rows[(10, "click")]["n"] == 3
+    assert rows[(10, "click")]["total_value"] == 7.0
+    assert rows[(11, "view")]["n"] == 1
+
+
+def test_sliding_activity_stream(spark, stream_dir):
+    src = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).parquet(stream_dir)
+    out = _run_to_memory(spark, sliding_activity(src), "sliding_t")
+    rows = out.collect()
+    assert len(rows) > 0
+    # the 10:05 event appears in 3 sliding windows (15m window, 5m slide)
+    hits = [r for r in rows if r["window_start"].minute in (55, 0, 5) and r["n"] >= 1]
+    assert hits
+
+
+def test_sessionize_stateful_stream(spark, stream_dir):
+    src = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).parquet(stream_dir)
+    out = _run_to_memory(
+        spark, sessionize_stateful(src, gap_s=1800), "sessions_t", mode="append"
+    )
+    rows = out.collect()
+    # user 1: events at 10:05/10:20 then 11:10 → first session closed by
+    # the 50-minute gap within the batch; the open sessions stay in state
+    closed = {(r["user_id"], r["n_events"]) for r in rows}
+    assert (1, 2) in closed
