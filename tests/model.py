@@ -1,0 +1,108 @@
+"""A tiny pure-Python model of the reference's query semantics, used as
+a differential-testing oracle for the Spark engine.
+
+Implements the observable behavior of ``solve*`` + select's regroup
+(reference src:252-261, 374-412) directly over Python lists — unification
+by backtracking, conde-style optional branches, membero values — with no
+Spark involvement.  Comparisons must be set-based and marker-blind.
+"""
+
+from __future__ import annotations
+
+from itertools import product
+
+from matcha_spark.patterns import Optional, Values, is_var, var_name
+
+UNBOUND = "<unbound>"
+
+
+def _match(triple, pattern, binding):
+    b = dict(binding)
+    for val, pat in zip(triple, pattern):
+        if is_var(pat):
+            v = var_name(pat)
+            if v in b:
+                if b[v] != val:
+                    return None
+            else:
+                b[v] = val
+        elif pat != val:
+            return None
+    return b
+
+
+def _solve(db, patterns, binding):
+    """All bindings extending ``binding`` that satisfy ``patterns``
+    (conde semantics for optionals, reference src:193-203)."""
+    triples = [p for p in patterns if not isinstance(p, (Optional, Values))]
+    values = [p for p in patterns if isinstance(p, Values)]
+    optionals = [p for p in patterns if isinstance(p, Optional)]
+
+    bindings = [dict(binding)]
+    for pat in triples:
+        bindings = [b2 for b in bindings for t in db if (b2 := _match(t, pat, b)) is not None]
+    for vc in values:
+        v = var_name(vc.var)
+        coll = list(vc.coll) if vc.coll is not None else []
+        out = []
+        for b in bindings:
+            if v in b:
+                out.extend(b for x in coll if x == b[v])
+            else:
+                out.extend({**b, v: x} for x in coll)
+        bindings = out
+
+    if not optionals:
+        return bindings
+
+    has_required = bool(triples or values)
+    result = []
+    for b in bindings:
+        for opt in optionals:
+            result.extend(_solve(db, opt.patterns, b))
+        if has_required:
+            result.append(b)  # the succeed branch
+    return result
+
+
+def model_select(pvars, patterns, db):
+    """Reference select: solve, then regroup by required projected vars
+    with per-optional-var column collection and cartesian emit."""
+    db = list(dict.fromkeys(tuple(t) for t in db))  # pldb set semantics
+    pvars = [var_name(v) for v in pvars]
+    sols = _solve(db, patterns, {})
+
+    def mandatory():
+        req = [p for p in patterns if not isinstance(p, Optional)]
+        out = set()
+        for p in req:
+            if isinstance(p, Values):
+                out.add(var_name(p.var))
+            else:
+                out.update(var_name(e) for e in p if is_var(e))
+        return out
+
+    mand = mandatory()
+    req_proj = [v for v in pvars if v in mand]
+    opt_proj = [v for v in pvars if v not in mand]
+
+    groups: dict[tuple, list[dict]] = {}
+    for s in sols:
+        key = tuple(_freeze(s.get(v)) for v in req_proj)
+        groups.setdefault(key, []).append(s)
+
+    rows = set()
+    for key, group in groups.items():
+        cols = []
+        for v in opt_proj:
+            vals = [_freeze(s[v]) for s in group if v in s]
+            cols.append(sorted(set(vals), key=repr) if vals else [UNBOUND])
+        for combo in product(*cols):
+            row = dict(zip(req_proj, key))
+            row.update(zip(opt_proj, combo))
+            rows.add(tuple(row[v] for v in pvars))
+    return rows
+
+
+def _freeze(x):
+    return x

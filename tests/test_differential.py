@@ -1,0 +1,76 @@
+"""Differential testing: random BGP queries, Spark engine vs the pure
+Python model of the reference semantics (tests/model.py)."""
+
+import random
+
+import pytest
+
+from matcha_spark import Optional, TriplesDB, Unbound, Values, select
+
+from .model import UNBOUND, model_select
+
+POOL = [None, 0, 1, "x", "y"] + [f"k{i}" for i in range(4)]
+PREDS = ["p", "q", "r"]
+VARS = ["?a", "?b", "?c", "?d"]
+
+
+def _rand_db(rng, n):
+    return [
+        (rng.choice(POOL), rng.choice(PREDS), rng.choice(POOL)) for _ in range(n)
+    ]
+
+
+def _rand_pattern(rng, allow_var=0.55):
+    def elem(pool):
+        return rng.choice(VARS) if rng.random() < allow_var else rng.choice(pool)
+
+    return (elem(POOL), elem(PREDS), elem(POOL))
+
+
+def _rand_patterns(rng, depth=0):
+    pats = [_rand_pattern(rng) for _ in range(rng.randint(1, 3))]
+    if rng.random() < 0.5:
+        pats.append(Values(rng.choice(VARS), [rng.choice(POOL) for _ in range(rng.randint(0, 3))]))
+    if depth < 1:
+        for _ in range(rng.randint(0, 2)):
+            pats.append(Optional(_rand_patterns(rng, depth + 1)))
+    return pats
+
+
+def _blind(rows):
+    out = set()
+    for r in rows:
+        out.add(tuple(UNBOUND if isinstance(v, Unbound) or v == UNBOUND else v for v in r))
+    return out
+
+
+SEEDS = list(range(40))
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_random_bgp_matches_model(spark, seed):
+    rng = random.Random(seed)
+    db_rows = _rand_db(rng, rng.randint(0, 10))
+    patterns = _rand_patterns(rng)
+    from matcha_spark.patterns import find_vars
+
+    allv = find_vars(patterns)
+    if not allv:
+        pytest.skip("no vars generated")
+    rng.shuffle(allv)
+    pvars = allv[: rng.randint(1, len(allv))]
+
+    expected = _blind(model_select(pvars, patterns, db_rows))
+
+    db = TriplesDB.from_triples(spark, db_rows)
+    try:
+        got = select(pvars, patterns, db)
+    finally:
+        db.unpersist()
+    got_rows = set()
+    if got is not None:
+        for r in got if len(pvars) > 1 else [(g,) for g in got]:
+            got_rows.add(r if isinstance(r, tuple) else (r,))
+    assert _blind(got_rows) == expected, (
+        f"seed={seed}\ndb={db_rows}\npatterns={patterns}\npvars={pvars}"
+    )

@@ -1,0 +1,98 @@
+"""Term codec round-trips and TriplesDB behaviors (reference parity:
+src:32-76, test:234-264)."""
+
+import datetime
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from matcha_spark import (
+    URI,
+    Keyword,
+    LangString,
+    RDFLiteral,
+    TriplesDB,
+    Unbound,
+    kw,
+    select,
+)
+from matcha_spark.terms import from_term, to_term
+
+from .fixtures import FOAF_KNOWS, RDFS_LABEL, friends_big, rick
+
+VALUES = [
+    None,
+    True,
+    False,
+    0,
+    -17,
+    50,
+    2**40,
+    1.5,
+    -0.25,
+    "",
+    "hello",
+    "?not-a-var-actually",  # round-trips fine as a plain value
+    kw("a"),
+    kw("foaf/knows"),
+    URI("http://example.com/x"),
+    LangString("foo", "en"),
+    RDFLiteral("foo", "http://some/datatype"),
+    datetime.date(2024, 1, 1),
+    datetime.datetime(2024, 1, 1, 12, 30, 15),
+    Unbound(3),
+]
+
+
+@pytest.mark.parametrize("v", VALUES, ids=[repr(v) for v in VALUES])
+def test_roundtrip(v):
+    assert from_term(to_term(v)) == v
+
+
+def test_distinct_kinds_not_equal():
+    # :rick ≠ "rick" ≠ URI("rick") ≠ 50 ≠ 50.0 (host-equality semantics)
+    encs = {to_term(kw("rick")), to_term("rick"), to_term(URI("rick"))}
+    assert len(encs) == 3
+    assert to_term(50) != to_term(50.0)
+    assert to_term(True) != to_term(1)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-(2**62), max_value=2**62),
+        st.floats(allow_nan=False, allow_infinity=False),
+        st.text(max_size=50),
+    )
+)
+def test_roundtrip_property(v):
+    assert from_term(to_term(v)) == v
+
+
+def test_duplicate_triples_deduped(spark):
+    db = TriplesDB.from_triples(spark, [(1, 2, 3), (1, 2, 3), (4, 5, 6)])
+    assert db.df.count() == 2
+
+
+def test_bigish_dataset_query(spark):
+    # reference scale smoke (test:253-264): 100k-triple chain, 2-pattern join
+    db = TriplesDB.from_triples(spark, friends_big())
+    res = select(
+        ["?name"],
+        [(rick, FOAF_KNOWS, "?p"), ("?p", RDFS_LABEL, "?name")],
+        db,
+    )
+    assert set(res) == {"Martin", "Katie"}
+    db.unpersist()
+
+
+def test_save_load_roundtrip(spark, tmp_path):
+    db = TriplesDB.from_triples(spark, [(kw("a"), kw("p"), 1), (kw("b"), kw("p"), 2)])
+    path = str(tmp_path / "triples")
+    db.save(path)
+    db2 = TriplesDB.load(spark, path)
+    assert db2.df.count() == 2
+    assert select(["?o"], [(kw("a"), kw("p"), "?o")], db2) == [1]
