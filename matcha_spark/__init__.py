@@ -27,6 +27,7 @@ from .query import (
     ask,
     build,
     build_1,
+    build_df,
     construct,
     construct_1,
     select,
@@ -49,6 +50,7 @@ __all__ = [
     "construct_1",
     "build",
     "build_1",
+    "build_df",
     "GRAFTER_URI",
     "Values",
     "Optional",

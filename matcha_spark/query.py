@@ -52,6 +52,7 @@ __all__ = [
     "construct",
     "construct_1",
     "build",
+    "build_df",
     "build_1",
     "GRAFTER_URI",
 ]
@@ -452,6 +453,39 @@ def build(*args, db=None):
     # drop groups whose subject itself is unbound
     grouped = [g for g in grouped if not isinstance(g.get(subject_key), Unbound)]
     return grouped or None
+
+
+def build_df(subject_var, template: dict, patterns, db) -> DataFrame:
+    """Distributed ``build``: subject-grouped aggregation that never
+    collects to the driver — the 100 TB path for ``build``-shaped
+    workloads (the classic ``build`` returns Python dicts by contract
+    and therefore collects).
+
+    Requires a static-key template ``{key: "?var"}`` (the common case;
+    var-keyed templates like ``{?p ?o}`` need the driver-side verb).
+    Returns one row per subject with an array<TERM> column per key
+    (unbounds dropped; empty arrays where nothing bound), aggregated
+    with ``groupBy(subject).agg(collect_set(...))`` — one shuffle on the
+    subject key.
+    """
+    patterns = _normalize_patterns(patterns)
+    if not is_var(subject_var):
+        raise TypeError("build_df requires a ?var subject")
+    for k, v in template.items():
+        if is_var(k):
+            raise TypeError("build_df requires static template keys")
+        if not is_var(v):
+            raise TypeError("build_df requires ?var template values")
+    sv = var_name(subject_var)
+    pvars = [sv] + [var_name(v) for v in template.values()]
+    tdb = ensure_db(db)
+    sols = solve(tdb, patterns)
+    df = _with_missing_vars(sols, pvars)
+    aggs = [
+        F.array_sort(F.collect_set(F.col(var_name(v)))).alias(str(k))
+        for k, v in template.items()
+    ]
+    return df.groupBy(F.col(sv).alias("subject")).agg(*aggs)
 
 
 def build_1(*args, db=None):

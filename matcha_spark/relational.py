@@ -221,3 +221,71 @@ def events_sessionize(spark: SparkSession, sf_dir: str, gap_s: int = 1800) -> Da
         )
         .orderBy("user_id", "session_idx")
     )
+
+
+def rollup_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregation: ROLLUP(nation, segment) — subtotals and
+    grand total in one pass (Expand + single shuffle)."""
+    t = load_tables(spark, sf_dir, "customer", "nation")
+    j = t["customer"].join(
+        F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        j.rollup("n_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_acctbal"),
+        )
+        .orderBy("n_name", "c_mktsegment")
+    )
+
+
+def nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result-level set operators (absent from the reference, SURVEY
+    §2.5): INTERSECT / EXCEPT / UNION over customer vs supplier nations."""
+    t = load_tables(spark, sf_dir, "customer", "supplier", "nation")
+    nat = F.broadcast(t["nation"])
+    cust_nations = (
+        t["customer"].join(nat, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name").distinct()
+    )
+    supp_nations = (
+        t["supplier"].join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name").distinct()
+    )
+    both = cust_nations.intersect(supp_nations).select(F.lit("both").alias("op"), "n_name")
+    cust_only = cust_nations.exceptAll(supp_nations).select(F.lit("cust_only").alias("op"), "n_name")
+    all_n = cust_nations.union(supp_nations).distinct().select(F.lit("any").alias("op"), "n_name")
+    return both.unionByName(cust_only).unionByName(all_n).orderBy("op", "n_name")
+
+
+def asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks the customer's latest order at or
+    before the event timestamp (union-merge pattern: one shuffle, no
+    theta-join — see operators/joins.py)."""
+    from .operators.joins import asof_join
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, "events", "orders")
+    # dedupe reference side to one row per (key, ts): deterministic winner
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(F.col("o_orderkey").desc())
+    orders = (
+        t["orders"]
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("o_custkey", "o_orderdate", "o_orderkey")
+    )
+    ev = t["events"].select("event_id", "user_id", "ts")
+    out = asof_join(
+        ev.withColumnRenamed("user_id", "__key"),
+        orders.withColumnRenamed("o_custkey", "__key"),
+        on="__key",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey"],
+    )
+    return out.select(
+        "event_id",
+        F.col("__key").alias("user_id"),
+        F.col("o_orderkey").alias("okey"),
+    ).orderBy("event_id")

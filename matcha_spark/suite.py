@@ -191,6 +191,9 @@ QUERIES = {
     "segment_stats": R.segment_stats,
     "events_hourly": R.events_hourly,
     "events_sessionize": R.events_sessionize,
+    "rollup_nation_segment": R.rollup_nation_segment,
+    "nation_set_ops": R.nation_set_ops,
+    "asof_events_orders": R.asof_events_orders,
     # BGP engine
     "bgp_customers_in_region": bgp_customers_in_region,
     "bgp_nations_values": bgp_nations_values,
@@ -327,6 +330,40 @@ ORACLES = {
         SELECT user_id, session_idx, count(*) AS n_events,
                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
         FROM sess GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "rollup_nation_segment": """
+        SELECT n_name, c_mktsegment, count(*) AS n_customers,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP(n_name, c_mktsegment)
+        ORDER BY n_name, c_mktsegment
+    """,
+    "nation_set_ops": """
+        WITH cn AS (
+            SELECT DISTINCT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+        ), sn AS (
+            SELECT DISTINCT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        )
+        SELECT 'both' AS op, n_name FROM (SELECT n_name FROM cn INTERSECT SELECT n_name FROM sn)
+        UNION ALL
+        SELECT 'cust_only', n_name FROM (SELECT n_name FROM cn EXCEPT SELECT n_name FROM sn)
+        UNION ALL
+        SELECT 'any', n_name FROM (SELECT n_name FROM cn UNION SELECT n_name FROM sn)
+        ORDER BY op, n_name
+    """,
+    "asof_events_orders": """
+        WITH o AS (
+            SELECT o_custkey, o_orderdate, o_orderkey FROM (
+                SELECT o_custkey, o_orderdate, o_orderkey,
+                       row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                          ORDER BY o_orderkey DESC) AS rn
+                FROM orders
+            ) WHERE rn = 1
+        )
+        SELECT e.event_id, e.user_id, o.o_orderkey AS okey
+        FROM events e
+        ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        ORDER BY e.event_id
     """,
     "bgp_customers_in_region": """
         SELECT c_name AS cname

@@ -298,3 +298,35 @@ def test_merge_dbs_complex(spark):
         [(kw("s"), kw("p2"), kw("o2"))],
     )
     assert merged.df.count() == 3
+
+
+# -- build_df: the distributed build path ------------------------------------
+
+
+def test_build_df_distributed(spark):
+    from matcha_spark import build_df
+    from matcha_spark.terms import from_term
+
+    db = [
+        (kw("s"), kw("label"), "s"),
+        (kw("s"), kw("label"), "s another"),
+        (kw("s"), kw("optional"), "optional"),
+        (kw("s2"), kw("label"), "s2"),
+    ]
+    out = build_df(
+        "?s",
+        {"label": "?label", "opt": "?opt"},
+        [("?s", kw("label"), "?label"), Optional([("?s", kw("optional"), "?opt")])],
+        db,
+    )
+    rows = {
+        from_term(r["subject"]): {
+            "label": sorted(from_term(t) for t in r["label"]),
+            "opt": [from_term(t) for t in r["opt"]],
+        }
+        for r in out.collect()
+    }
+    assert rows[kw("s")]["label"] == ["s", "s another"]
+    assert rows[kw("s")]["opt"] == ["optional"]
+    assert rows[kw("s2")]["label"] == ["s2"]
+    assert rows[kw("s2")]["opt"] == []

@@ -1,0 +1,66 @@
+"""Tests for extended join operators (as-of, range)."""
+
+from matcha_spark.operators.joins import asof_join, range_join
+
+
+def _ts(s):
+    return s
+
+
+def test_asof_basic(spark):
+    left = spark.createDataFrame(
+        [(1, "k1", "2024-01-01 10:00:00"), (2, "k1", "2024-01-01 12:00:00"),
+         (3, "k2", "2024-01-01 09:00:00")],
+        "id long, key string, ts string",
+    ).selectExpr("id", "key", "cast(ts as timestamp) ts")
+    right = spark.createDataFrame(
+        [("k1", "2024-01-01 09:30:00", 100.0), ("k1", "2024-01-01 11:30:00", 200.0),
+         ("k2", "2024-01-01 10:00:00", 300.0)],
+        "key string, rts string, px double",
+    ).selectExpr("key", "cast(rts as timestamp) rts", "px")
+    out = {
+        r["id"]: r["px"]
+        for r in asof_join(left, right, on="key", left_ts="ts", right_ts="rts").collect()
+    }
+    assert out[1] == 100.0  # latest k1 quote before 10:00
+    assert out[2] == 200.0  # latest before 12:00
+    assert out[3] is None  # k2 quote is after the event
+
+
+def test_asof_equal_timestamp_visible(spark):
+    left = spark.createDataFrame(
+        [(1, "k", "2024-01-01 10:00:00")], "id long, key string, ts string"
+    ).selectExpr("id", "key", "cast(ts as timestamp) ts")
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 10:00:00", 5.0)], "key string, rts string, px double"
+    ).selectExpr("key", "cast(rts as timestamp) rts", "px")
+    out = asof_join(left, right, on="key", left_ts="ts", right_ts="rts").collect()
+    assert out[0]["px"] == 5.0
+
+
+def test_asof_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, "k", "2024-01-01 10:00:00")], "id long, key string, ts string"
+    ).selectExpr("id", "key", "cast(ts as timestamp) ts")
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 08:00:00", 5.0)], "key string, rts string, px double"
+    ).selectExpr("key", "cast(rts as timestamp) rts", "px")
+    out = asof_join(
+        left, right, on="key", left_ts="ts", right_ts="rts", tolerance_s=3600
+    ).collect()
+    assert out[0]["px"] is None  # 2h gap > 1h tolerance
+
+
+def test_range_join(spark):
+    points = spark.createDataFrame(
+        [(1, "u", "2024-01-01 10:30:00"), (2, "u", "2024-01-01 13:00:00")],
+        "id long, key string, at string",
+    ).selectExpr("id", "key", "cast(at as timestamp) at")
+    spans = spark.createDataFrame(
+        [("u", "2024-01-01 10:00:00", "2024-01-01 11:00:00", "morning"),
+         ("u", "2024-01-01 12:00:00", "2024-01-01 12:30:00", "noon")],
+        "key string, s string, e string, label string",
+    ).selectExpr("key", "cast(s as timestamp) s", "cast(e as timestamp) e", "label")
+    out = range_join(points, spans, on="key", point="at", range_start="s", range_end="e")
+    rows = {(r["id"], r["label"]) for r in out.collect()}
+    assert rows == {(1, "morning")}  # 13:00 falls in no span
