@@ -46,8 +46,12 @@ class TriplesDB:
     """An indexed triples database over a DataFrame with TERM-struct
     columns ``s``, ``p``, ``o``."""
 
-    def __init__(self, df: DataFrame, *, deduped: bool = True):
+    def __init__(self, df: DataFrame, *, deduped: bool = True, p_bucketed: bool = False):
         self.df = df
+        # True when backed by parquet partitioned on p_bucket: the compiler
+        # then adds the derived partition filter so ground-predicate scans
+        # prune at the source (see plans/compiler._scan_pattern)
+        self.p_bucketed = p_bucketed
         self._stats: dict[tuple, int] | None = None
         self._total: int | None = None
 
@@ -94,10 +98,12 @@ class TriplesDB:
 
     @classmethod
     def load(cls, spark: SparkSession, path: str, *, cache: bool = False) -> "TriplesDB":
-        df = spark.read.parquet(path).select("s", "p", "o")
+        raw = spark.read.parquet(path)
+        bucketed = "p_bucket" in raw.columns
+        df = raw.select("s", "p", "o", *(["p_bucket"] if bucketed else []))
         if cache:
             df = df.cache()
-        return cls(df)
+        return cls(df, p_bucketed=bucketed)
 
     # -- statistics ------------------------------------------------------
 

@@ -117,6 +117,15 @@ def _scan_pattern(db: TriplesDB, pattern, stats, total: float) -> _Scan:
                 # exact per-predicate cardinality from the one-pass stats
                 k = to_term(value)
                 base = float(stats.get((k[0], k[1]), 0))
+                if getattr(db, "p_bucketed", False):
+                    # derived partition filter: prunes p_bucket=... dirs
+                    # at the parquet source (vertical partitioning)
+                    from ..db import _N_PRED_BUCKETS
+
+                    conds.append(
+                        F.col("p_bucket")
+                        == F.pmod(F.xxhash64(term_lit(value)), F.lit(_N_PRED_BUCKETS))
+                    )
             else:
                 extra_ground += 1
     # crude selectivity: each additional ground position divides candidates

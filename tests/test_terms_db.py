@@ -96,3 +96,20 @@ def test_save_load_roundtrip(spark, tmp_path):
     db2 = TriplesDB.load(spark, path)
     assert db2.df.count() == 2
     assert select(["?o"], [(kw("a"), kw("p"), "?o")], db2) == [1]
+
+
+def test_partition_pruning_on_loaded_db(spark, tmp_path):
+    from matcha_spark.query import select_df
+
+    db = TriplesDB.from_triples(
+        spark,
+        [(kw(f"s{i}"), kw("p1" if i % 2 else "p2"), i) for i in range(20)],
+    )
+    path = str(tmp_path / "bucketed")
+    db.save(path)
+    db2 = TriplesDB.load(spark, path)
+    assert db2.p_bucketed
+    df = select_df(["?o"], [("?s", kw("p1"), "?o")], db2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "p_bucket" in plan and "PartitionFilters: [isnotnull(p_bucket" in plan
+    assert df.count() == 10
