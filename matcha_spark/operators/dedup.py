@@ -46,12 +46,15 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 3) -> DataFrame:
-    """Per-doc MinHash signature: min over shingles of ``xxhash64(shingle,
-    seed_i)`` for each of ``num_hashes`` seeds.  One groupBy(doc_id) —
-    linear in total shingle count."""
-    sh = shingles(docs, n=n)
+    """Per-doc MinHash signature: each shingle string is xxhash64'd ONCE,
+    then the ``num_hashes`` family members re-hash that single 8-byte
+    value with a per-function salt — fixed-width hashing instead of 64
+    string re-hashes per shingle (and no long-arithmetic overflow, which
+    ANSI mode would reject).  One groupBy(doc_id); linear in total
+    shingle count."""
+    sh = shingles(docs, n=n).select("doc_id", F.xxhash64("shingle").alias("h"))
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy("doc_id").agg(*mins)
