@@ -106,3 +106,49 @@ def model_select(pvars, patterns, db):
 
 def _freeze(x):
     return x
+
+
+def model_build(subject_var, template, patterns, db):
+    """Reference build pipeline (src:580-627): solve → binding maps →
+    instantiate {subject_key: subject} ∪ template → drop unbound keys →
+    group by subject → merge into sets → flatten singletons."""
+    from matcha_spark.patterns import find_vars
+
+    db = list(dict.fromkeys(tuple(t) for t in db))
+    sv = var_name(subject_var)
+    tvars = [var_name(v) for v in template.values() if is_var(v)]
+    sols = _solve(db, patterns, {})
+
+    maps = []
+    for s in sols:
+        if sv not in s:
+            continue  # unbound subject → dropped group
+        m = {"__subject": s[sv]}
+        for k, v in template.items():
+            val = s.get(var_name(v), UNBOUND) if is_var(v) else v
+            if val is not UNBOUND:
+                m[k] = val
+        maps.append(m)
+    # dedupe instantiated maps
+    seen, deduped = set(), []
+    for m in maps:
+        f = tuple(sorted(m.items(), key=repr))
+        if f not in seen:
+            seen.add(f)
+            deduped.append(m)
+    groups: dict = {}
+    for m in deduped:
+        acc = groups.setdefault(m["__subject"], {})
+        for k, v in m.items():
+            if k == "__subject":
+                continue
+            acc.setdefault(k, [])
+            if v not in acc[k]:
+                acc[k].append(v)
+    out = set()
+    for subj, acc in groups.items():
+        items = [("__subject", subj)]
+        for k, vals in acc.items():
+            items.append((k, vals[0] if len(vals) == 1 else frozenset(vals)))
+        out.add(frozenset(items))
+    return out

@@ -74,3 +74,44 @@ def test_random_bgp_matches_model(spark, seed):
     assert _blind(got_rows) == expected, (
         f"seed={seed}\ndb={db_rows}\npatterns={patterns}\npvars={pvars}"
     )
+
+
+BUILD_SEEDS = list(range(100, 125))
+
+
+@pytest.mark.parametrize("seed", BUILD_SEEDS)
+def test_random_build_matches_model(spark, seed):
+    from matcha_spark import GRAFTER_URI, build
+
+    from .model import model_build
+
+    rng = random.Random(seed)
+    db_rows = _rand_db(rng, rng.randint(1, 10))
+    patterns = _rand_patterns(rng)
+    from matcha_spark.patterns import find_vars
+
+    allv = find_vars(patterns)
+    if not allv:
+        pytest.skip("no vars generated")
+    subject = allv[0]
+    tvars = allv[1:] or allv
+    template = {f"key{i}": v for i, v in enumerate(tvars[:3])}
+
+    expected = model_build(subject, template, patterns, db_rows)
+
+    db = TriplesDB.from_triples(spark, db_rows)
+    try:
+        got = build(subject, template, patterns, db) or []
+    finally:
+        db.unpersist()
+    got_norm = set()
+    for m in got:
+        items = []
+        for k, v in m.items():
+            key = "__subject" if k == GRAFTER_URI else k
+            val = frozenset(v) if isinstance(v, (set, frozenset)) else v
+            items.append((key, val))
+        got_norm.add(frozenset(items))
+    assert got_norm == expected, (
+        f"seed={seed}\ndb={db_rows}\npatterns={patterns}\nsubject={subject}\ntemplate={template}"
+    )
