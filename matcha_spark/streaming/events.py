@@ -30,7 +30,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-__all__ = ["hourly_counts", "sliding_activity", "sessionize_stateful", "SESSION_SCHEMA"]
+__all__ = ["hourly_counts", "sliding_activity", "sessionize_stateful", "stream_dedup", "SESSION_SCHEMA"]
 
 
 def hourly_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
@@ -153,3 +153,11 @@ def sessionize_stateful(events: DataFrame, gap_s: int = 1800) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def stream_dedup(events: DataFrame, keys: list[str] | None = None, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: drops duplicate events within the
+    watermark horizon (bounded state — the streaming twin of
+    ``operators.text.dedup_exact``)."""
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

@@ -97,3 +97,17 @@ def test_sessionize_stateful_stream(spark, stream_dir):
     # the 50-minute gap within the batch; the open sessions stay in state
     closed = {(r["user_id"], r["n_events"]) for r in rows}
     assert (1, 2) in closed
+
+
+def test_stream_dedup(spark, stream_dir):
+    from matcha_spark.streaming.events import stream_dedup
+
+    src = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).parquet(stream_dir)
+    # duplicate the stream by unioning it with itself: dedup must collapse
+    out = _run_to_memory(
+        spark, stream_dedup(src.union(src)), "dedup_t", mode="append"
+    )
+    ids = [r["event_id"] for r in out.collect()]
+    assert sorted(ids) == [1, 2, 3, 4]
