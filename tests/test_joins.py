@@ -64,3 +64,44 @@ def test_range_join(spark):
     out = range_join(points, spans, on="key", point="at", range_start="s", range_end="e")
     rows = {(r["id"], r["label"]) for r in out.collect()}
     assert rows == {(1, "morning")}  # 13:00 falls in no span
+
+
+# -- skew utilities ----------------------------------------------------------
+
+
+def test_salted_agg_matches_plain(spark):
+    from pyspark.sql import functions as F
+
+    from matcha_spark.operators.skew import salted_agg
+
+    df = spark.range(10000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("v")
+    )
+    got = {
+        r["k"]: (r["total"], r["n"], r["mx"])
+        for r in salted_agg(
+            df, ["k"], {"total": "sum(v)", "n": "count(*)", "mx": "max(v)"},
+            det_col="v",
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["total"], r["n"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("n"), F.max("v").alias("mx"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_join_matches_plain(spark):
+    from pyspark.sql import functions as F
+
+    from matcha_spark.operators.skew import salted_join
+
+    left = spark.range(5000).select((F.col("id") % 5).alias("k"), F.col("id").alias("lv"))
+    right = spark.range(5).select(F.col("id").alias("k"), (F.col("id") * 100).alias("rv"))
+    got = salted_join(left, right, ["k"], det_col="lv").orderBy("lv").collect()
+    want = left.join(right, "k").orderBy("lv").collect()
+    assert [(r["k"], r["lv"], r["rv"]) for r in got] == [
+        (r["k"], r["lv"], r["rv"]) for r in want
+    ]
