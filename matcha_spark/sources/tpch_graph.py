@@ -76,6 +76,26 @@ def _kw_lit(name: str):
     )
 
 
+def order_triples(
+    spark: SparkSession, sf_dir: str, order_priority: str | None = None
+) -> DataFrame:
+    """Just the order-entity triples (for extending a cached base graph
+    without rescanning the dimension tables)."""
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    if order_priority is not None:
+        o = o.where(F.col("o_orderpriority") == order_priority)
+    s = uri_col("order:", F.col("o_orderkey"))
+    parts = [
+        o.select(s.alias("s"), _kw_lit("customer").alias("p"), uri_col("customer:", F.col("o_custkey")).alias("o")),
+        o.select(s.alias("s"), _kw_lit("priority").alias("p"), str_col(F.col("o_orderpriority")).alias("o")),
+        o.select(s.alias("s"), _kw_lit("okey").alias("p"), int_col(F.col("o_orderkey")).alias("o")),
+    ]
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
 def tpch_graph(
     spark: SparkSession,
     sf_dir: str,
@@ -83,6 +103,7 @@ def tpch_graph(
     include_orders: bool = False,
     order_priority: str | None = None,
     cache: bool = True,
+    base: TriplesDB | None = None,
 ) -> TriplesDB:
     """Build the derived graph as a TriplesDB.
 
@@ -90,7 +111,11 @@ def tpch_graph(
     together — Catalyst sees one scan per table and the union stays
     narrow (3 struct columns).  Order edges are optional and can be
     restricted to one priority class (gives genuinely-missing optional
-    data for OPTIONAL queries)."""
+    data for OPTIONAL queries).  Pass ``base=`` (an already-cached
+    orders-less graph) to extend it without rescanning the dims."""
+    if base is not None and include_orders:
+        df = base.df.unionByName(order_triples(spark, sf_dir, order_priority))
+        return TriplesDB.from_df(df, dedup=False, cache=cache)
     t = load_tables(spark, sf_dir, "region", "nation", "customer", "supplier", "orders")
 
     def triples(df, s, p_name, o):

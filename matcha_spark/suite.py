@@ -28,6 +28,9 @@ _GRAPH_CACHE: dict = {}
 def _graph(spark, sf_dir, **kw):
     key = (sf_dir, tuple(sorted(kw.items())))
     if key not in _GRAPH_CACHE:
+        if kw.get("include_orders"):
+            # extend the cached base graph instead of rescanning the dims
+            kw = dict(kw, base=_graph(spark, sf_dir))
         _GRAPH_CACHE[key] = tpch_graph(spark, sf_dir, **kw)
     return _GRAPH_CACHE[key]
 
