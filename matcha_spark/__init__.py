@@ -19,7 +19,7 @@ Quick start::
     # → ["Martin"]
 """
 
-from .db import TriplesDB, ensure_db, merge_dbs
+from .db import TriplesDB, ensure_db, index_if_necessary, index_triples, merge_dbs
 from .errors import InvalidBgpError, InvalidValuesError, MatchaError
 from .patterns import Literal, Optional, Values, Var, find_vars
 from .query import (
@@ -34,6 +34,7 @@ from .query import (
     select_1,
     select_df,
 )
+from .session import get_spark
 from .terms import URI, Keyword, LangString, RDFLiteral, Unbound, kw
 
 __version__ = "0.1.0"
@@ -41,6 +42,8 @@ __version__ = "0.1.0"
 __all__ = [
     "TriplesDB",
     "ensure_db",
+    "index_triples",
+    "index_if_necessary",
     "merge_dbs",
     "select",
     "select_1",
@@ -66,4 +69,5 @@ __all__ = [
     "MatchaError",
     "InvalidBgpError",
     "InvalidValuesError",
+    "get_spark",
 ]

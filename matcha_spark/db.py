@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from .terms import TRIPLE_SCHEMA, to_term
 
-__all__ = ["TriplesDB", "ensure_db", "merge_dbs"]
+__all__ = ["TriplesDB", "ensure_db", "merge_dbs", "index_triples", "index_if_necessary"]
 
 _N_PRED_BUCKETS = 64
 
@@ -155,3 +155,13 @@ def merge_dbs(*dbs: Any) -> TriplesDB:
     for f in frames[1:]:
         out = out.unionByName(f)
     return TriplesDB(out.dropDuplicates().cache())
+
+
+def index_triples(spark, triples) -> TriplesDB:
+    """Reference-named alias for :meth:`TriplesDB.from_triples`
+    (``index-triples``, ``src:60-69``)."""
+    return TriplesDB.from_triples(spark, triples)
+
+
+# reference-named alias for ensure_db (``index-if-necessary``, src:71-76)
+index_if_necessary = ensure_db
