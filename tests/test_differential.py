@@ -115,3 +115,46 @@ def test_random_build_matches_model(spark, seed):
     assert got_norm == expected, (
         f"seed={seed}\ndb={db_rows}\npatterns={patterns}\nsubject={subject}\ntemplate={template}"
     )
+
+
+CONSTRUCT_SEEDS = list(range(200, 220))
+
+
+@pytest.mark.parametrize("seed", CONSTRUCT_SEEDS)
+def test_random_construct_vector_matches_select(spark, seed):
+    """construct with a vector template ≡ select of the same vars
+    (template instantiation is a bijection on solutions here), and the
+    uri-grouped variant groups by the first var."""
+    from matcha_spark import GRAFTER_URI, construct, select
+
+    rng = random.Random(seed)
+    db_rows = _rand_db(rng, rng.randint(1, 8))
+    # no optionals: construct emits raw per-branch solutions while select
+    # regroups into per-var cartesians — equivalence only holds without
+    # optional blocks (optional construct/build is covered elsewhere)
+    patterns = _rand_patterns(rng, depth=1)
+    from matcha_spark.patterns import find_vars
+
+    allv = find_vars(patterns)
+    if len(allv) < 2:
+        pytest.skip("need 2+ vars")
+    pvars = allv[:2]
+
+    db = TriplesDB.from_triples(spark, db_rows)
+    try:
+        sel = select(pvars, patterns, db) or []
+        con = construct(list(pvars), patterns, db) or []
+        grouped = construct({GRAFTER_URI: pvars[0], "val": pvars[1]}, patterns, db) or []
+    finally:
+        db.unpersist()
+    assert _blind({tuple(r) for r in con}) == _blind(set(sel))
+    # grouped: every select row's value appears under its subject
+    from .util import blind
+
+    by_subj = {}
+    for m in grouped:
+        v = m.get("val")
+        vals = v if isinstance(v, (set, frozenset)) else ({v} if "val" in m else set())
+        by_subj[blind(m[GRAFTER_URI])] = {blind(x) for x in vals}
+    for s, v in _blind(set(sel)):
+        assert s in by_subj and v in by_subj[s], f"seed={seed} missing {s}->{v}"

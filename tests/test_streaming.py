@@ -111,3 +111,36 @@ def test_stream_dedup(spark, stream_dir):
     )
     ids = [r["event_id"] for r in out.collect()]
     assert sorted(ids) == [1, 2, 3, 4]
+
+
+def test_streaming_hourly_equals_batch(spark):
+    """The streaming tumbling-window agg over the real events table must
+    agree with the batch events_hourly plan (same logical semantics)."""
+    from matcha_spark.relational import events_hourly
+    from matcha_spark.sources.tpch_graph import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        (r["hour_epoch"], r["event_type"]): (r["n"], round(r["total_value"], 2))
+        for r in events_hourly(spark, sf).collect()
+    }
+    # stream the same parquet (ts stored as nanos long → downcast)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import pyspark.sql.functions as F
+
+    src = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, value double, props string"
+        )
+        .parquet(f"{sf}/events.parquet")
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+    out = _run_to_memory(spark, hourly_counts(src), "hourly_batch_eq")
+    got = {
+        (int(r["window_start"].timestamp()), r["event_type"]): (
+            r["n"],
+            round(r["total_value"], 2),
+        )
+        for r in out.collect()
+    }
+    assert got == batch
