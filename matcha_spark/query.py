@@ -267,6 +267,21 @@ def _instantiate(template, binding: dict):
     return template
 
 
+class _UnboundCell:
+    """Pre-decode sentinel for a SQL-NULL solution cell.  Distinct from
+    a bound nil value: nil encodes as a ``kind='null'`` term struct,
+    while an unbound logic var is a NULL struct — the distinction must
+    be made BEFORE ``from_term`` collapses both to ``None``."""
+
+    __slots__ = ()
+
+    def sort_marker(self):
+        return ("~unbound", "", 0.0, "", "")
+
+
+_UNBOUND_CELL = _UnboundCell()
+
+
 def _solutions_as_bindings(db, patterns, pvars: list[str]) -> list[dict]:
     """Distinct raw solutions decoded to ``{?var: value}`` binding maps
     (``unify-solutions``, ``src:447-457``), with NULL (unbound) decoded
@@ -274,26 +289,29 @@ def _solutions_as_bindings(db, patterns, pvars: list[str]) -> list[dict]:
     tdb = ensure_db(db)
     sols = solve(tdb, patterns)
     df = _with_missing_vars(sols, pvars).dropDuplicates()
-    rows = [tuple(from_term(r[v]) for v in pvars) for r in df.collect()]
-    rows.sort(key=lambda t: tuple(sort_key(v) for v in t))
+    rows = [
+        tuple(
+            _UNBOUND_CELL if r[v] is None else from_term(r[v]) for v in pvars
+        )
+        for r in df.collect()
+    ]
+    rows.sort(
+        key=lambda t: tuple(
+            v.sort_marker() if isinstance(v, _UnboundCell) else sort_key(v)
+            for v in t
+        )
+    )
     counter = [0]
     out = []
     for row in rows:
         b: dict[str, Any] = {}
         for v, val in zip(pvars, row):
-            if val is None and _is_unbound_position(sols, v):
+            if isinstance(val, _UnboundCell):
                 val = Unbound(counter[0])
                 counter[0] += 1
             b[v] = val
         out.append(b)
     return out
-
-
-def _is_unbound_position(sols: Solutions, v: str) -> bool:
-    # NULL in a maybe-unbound or never-bound var is an unbound marker;
-    # NULL in a required var is the literal nil value... except nil
-    # encodes as kind='null', not SQL NULL — so any SQL NULL is unbound.
-    return True
 
 
 def _freeze(x):
