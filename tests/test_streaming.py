@@ -132,7 +132,8 @@ def test_streaming_hourly_equals_batch(spark):
         spark.readStream.schema(
             "event_id long, ts long, user_id long, event_type string, value double, props string"
         )
-        .parquet(f"{sf}/events.parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)  # file source watches a directory
         .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
     )
     out = _run_to_memory(spark, hourly_counts(src), "hourly_batch_eq")
