@@ -289,3 +289,32 @@ def asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__key").alias("user_id"),
         F.col("o_orderkey").alias("okey"),
     ).orderBy("event_id")
+
+
+def segment_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (sort-based, linear interpolation) of account
+    balance per market segment."""
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.expr("percentile(c_acctbal, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(c_acctbal, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(c_acctbal, 0.9)"), 4).alias("p90"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation: all grouping-set combinations of order priority
+    × status in one Expand pass."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .orderBy("o_orderpriority", "o_orderstatus")
+    )

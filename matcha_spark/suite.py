@@ -195,6 +195,8 @@ QUERIES = {
     "events_hourly": R.events_hourly,
     "events_sessionize": R.events_sessionize,
     "rollup_nation_segment": R.rollup_nation_segment,
+    "segment_quantiles": R.segment_quantiles,
+    "cube_priority_status": R.cube_priority_status,
     "nation_set_ops": R.nation_set_ops,
     "asof_events_orders": R.asof_events_orders,
     # BGP engine
@@ -333,6 +335,20 @@ ORACLES = {
         SELECT user_id, session_idx, count(*) AS n_events,
                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
         FROM sess GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "segment_quantiles": """
+        SELECT c_mktsegment,
+               round(quantile_cont(c_acctbal, 0.25), 4) AS p25,
+               round(quantile_cont(c_acctbal, 0.5), 4) AS p50,
+               round(quantile_cont(c_acctbal, 0.9), 4) AS p90
+        FROM customer GROUP BY 1 ORDER BY 1
+    """,
+    "cube_priority_status": """
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        ORDER BY 1, 2
     """,
     "rollup_nation_segment": """
         SELECT n_name, c_mktsegment, count(*) AS n_customers,
