@@ -233,3 +233,12 @@ def test_invalid_bgp_collection_element(friends_db):
         select(["?o"], [([1, 2, 3], RDFS_LABEL, "?o")], friends_db)
     with pytest.raises(InvalidBgpError):
         select(["?o"], [(rick, RDFS_LABEL, {"a": 1})], friends_db)
+
+
+def test_literal_escape_hatch(spark):
+    # a constant string that itself starts with '?' must not parse as a var
+    from matcha_spark import Literal, kw
+
+    db = [(kw("a"), kw("p"), "?not-a-var"), (kw("b"), kw("p"), "x")]
+    res = select(["?s"], [("?s", kw("p"), Literal("?not-a-var"))], db)
+    assert res == [kw("a")]
