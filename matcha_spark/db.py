@@ -148,7 +148,9 @@ def ensure_db(db: Any, spark: SparkSession | None = None) -> TriplesDB:
 def merge_dbs(*dbs: Any) -> TriplesDB:
     """N-ary set-union of databases, idempotent (reference ``merge-dbs``
     ``src:728-746``, ``test:211-231``)."""
-    frames = [ensure_db(d).df for d in dbs]
+    # normalize to the 3 term columns: a loaded DB carries the p_bucket
+    # partition column, which would break unionByName against a raw graph
+    frames = [ensure_db(d).df.select("s", "p", "o") for d in dbs]
     if not frames:
         raise ValueError("merge_dbs requires at least one database")
     out = frames[0]

@@ -73,7 +73,18 @@ def salted_join(
 ) -> DataFrame:
     """Replicate-and-salt equi-join: left rows get one salt, right rows
     are exploded across all salts; join on ``on + [salt]``.  Right-side
-    cost is ×``n_salts`` rows, shuffle skew drops ÷``n_salts``."""
+    cost is ×``n_salts`` rows, shuffle skew drops ÷``n_salts``.
+
+    Only inner/left-flavored joins are supported: with ``right``/``full``
+    outer, an unmatched right row would be emitted once per salt replica
+    (silently wrong data)."""
+    if how.lower().replace("_", "").replace("outer", "") not in (
+        "inner", "left", "leftsemi", "semi", "leftanti", "anti", "cross",
+    ):
+        raise ValueError(
+            f"salted_join does not support how={how!r}: replicate-and-salt "
+            "emits unmatched right rows once per salt for right/full joins"
+        )
     on = list(on)
     lsalted = left.withColumn("__salt", _salt_col(n_salts, det_col))
     rsalted = right.withColumn(

@@ -57,9 +57,11 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
             if dict(df.dtypes).get("ts") == "bigint":
-                df = df.withColumn(
-                    "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-                )
+                # integer division: float division rounds half the µs values
+                # up by 1 (a double can't hold 1.7e18 ns exactly), which
+                # diverges from DuckDB's truncating ns→µs read and shifts
+                # tie-ordering / second boundaries in gap logic
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
             out[n] = df
         else:
             out[n] = spark.read.parquet(f"{sf_dir}/{n}.parquet")

@@ -330,3 +330,16 @@ def test_build_df_distributed(spark):
     assert rows[kw("s")]["opt"] == ["optional"]
     assert rows[kw("s2")]["label"] == ["s2"]
     assert rows[kw("s2")]["opt"] == []
+
+
+def test_merge_dbs_with_loaded_db(spark, tmp_path):
+    # a loaded DB carries the p_bucket partition column; merge must
+    # normalize to (s, p, o) instead of failing unionByName
+    db1 = TriplesDB.from_triples(spark, [(kw("a"), kw("p"), 1)])
+    path = str(tmp_path / "merge_loaded")
+    db1.save(path)
+    loaded = TriplesDB.load(spark, path)
+    merged = merge_dbs(loaded, [(kw("b"), kw("p"), 2)])
+    assert merged.df.columns == ["s", "p", "o"]
+    assert merged.df.count() == 2
+    assert select(["?o"], [("?s", kw("p"), "?o")], merged) == [1, 2]

@@ -105,3 +105,19 @@ def test_salted_join_matches_plain(spark):
     assert [(r["k"], r["lv"], r["rv"]) for r in got] == [
         (r["k"], r["lv"], r["rv"]) for r in want
     ]
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from matcha_spark.operators.skew import salted_join
+
+    left = spark.range(10).select((F.col("id") % 2).alias("k"))
+    right = spark.range(4).select(F.col("id").alias("k"))
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError):
+            salted_join(left, right, ["k"], how=how)
+    # left outer still works: unmatched left rows appear exactly once
+    got = salted_join(left, right, ["k"], n_salts=4, how="left")
+    assert got.count() == 10
