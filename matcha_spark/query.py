@@ -35,7 +35,6 @@ from typing import Any, Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from .db import ensure_db
 from .patterns import Optional, Values, find_vars, is_var, var_name
@@ -106,14 +105,15 @@ def _regroup(df: DataFrame, req_proj: list[str], opt_proj: list[str]) -> DataFra
     agg = df.groupBy(*gcols).agg(
         *[F.collect_set(F.col(v)).alias(v) for v in opt_proj]
     )
-    # deterministic marker numbering: row_number over canonically-ordered
-    # groups.  NOTE: fine at the group counts where markers matter; plans
-    # without optionals never pay this window.
-    w = Window.orderBy(*[F.col(c) for c in gcols])
-    agg = agg.withColumn("__rn", F.row_number().over(w))
-    k = max(len(opt_proj), 1)
+    # deterministic marker numbering WITHOUT a global sort: markers only
+    # need per-(group, var) uniqueness and comparisons are marker-blind
+    # (SURVEY §2.4.3), so the number is a hash of (var index, group key) —
+    # shuffle-safe at any group count (a row_number window here would
+    # force every optional-projecting select through one partition)
     for i, v in enumerate(opt_proj):
-        n = (F.col("__rn") - 1) * k + i
+        n = F.pmod(
+            F.xxhash64(F.lit(i), *[F.col(c) for c in gcols]), F.lit(2**62)
+        )
         agg = agg.withColumn(
             v,
             F.when(F.size(F.col(v)) == 0, F.array(_marker_struct(n))).otherwise(
@@ -121,7 +121,7 @@ def _regroup(df: DataFrame, req_proj: list[str], opt_proj: list[str]) -> DataFra
             ),
         )
         agg = agg.withColumn(v, F.explode(F.col(v)))
-    return agg.drop("__rn", *(["__g"] if synthetic_group else []))
+    return agg.drop(*(["__g"] if synthetic_group else []))
 
 
 def _solve_projected(db, patterns, pvars: list[str]) -> DataFrame:
@@ -196,14 +196,34 @@ def select(*args, db=None):
 
 
 def select_1(*args, db=None):
-    """First solution (canonical order) or None (``src:414-431``)."""
+    """First solution (canonical order) or None (``src:414-431``).
+
+    The reference takes ``first`` of a *lazy* seq; the Spark analog is a
+    plan-level top-1 (``orderBy(...).limit(1)`` compiles to
+    TakeOrderedAndProject: each partition keeps a 1-row prefix and only
+    those prefixes reach the driver) instead of collecting and sorting
+    the whole result like :func:`select` must."""
     if len(args) == 3:
         *rest, db = args
         args = tuple(rest)
     if db is None:
-        inner = select(*args)
-        return lambda db_: _first(inner(db_))
-    return _first(select(*args, db=db))
+        return lambda db_: select_1(*args, db=db_)
+    if len(args) == 1:
+        pvars_raw, patterns = None, args[0]
+    elif len(args) == 2:
+        pvars_raw, patterns = args
+    else:
+        raise TypeError("select_1 takes (patterns) or (vars, patterns) [+ db]")
+    patterns = _normalize_patterns(patterns)
+    pvars = [var_name(v) for v in pvars_raw] if pvars_raw is not None else find_vars(patterns)
+    out_df = _solve_projected(db, patterns, pvars)
+    # canonical order == lexicographic TERM-struct order (sort_key IS the
+    # term tuple), so the driver-side sort pushes down to the plan
+    rows = out_df.orderBy(*[F.col(v) for v in pvars]).limit(1).collect()
+    if not rows:
+        return None
+    t = tuple(from_term(rows[0][v]) for v in pvars)
+    return t[0] if len(pvars) == 1 else t
 
 
 def _first(res):

@@ -62,8 +62,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q3_top_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3-style: broadcast the filtered customer dim into the
-    orders⋈lineitem join, aggregate revenue per order, top-10."""
+    """TPC-H Q3-style: filter orders/customer/lineitem, join, aggregate
+    revenue per order, top-10.
+
+    No forced broadcasts: orders and customer both scale with SF, so a
+    broadcast hint sized for the bench would OOM executors at 100×.  AQE
+    picks broadcast joins at runtime whenever the filtered sides fit
+    under spark.sql.autoBroadcastJoinThreshold, and converts to skew-safe
+    sort-merge when they don't."""
     t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
     cust = t["customer"].where(F.col("c_mktsegment") == "BUILDING")
     orders = t["orders"].where(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
@@ -72,7 +78,7 @@ def q3_top_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         1 - F.col("l_discount").cast("decimal(18,2)")
     )
     return (
-        li.join(F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+        li.join(orders.join(cust, orders.o_custkey == cust.c_custkey),
                 F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"), "o_orderpriority")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
@@ -82,8 +88,10 @@ def q3_top_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-style: one big fact join (orders⋈lineitem) with every
-    dimension broadcast; revenue per nation in one region-year."""
+    """TPC-H Q5-style: the big fact joins (lineitem⋈orders⋈customer⋈
+    supplier) are left to AQE — those tables all scale with SF, so forced
+    broadcast hints would OOM at 100×.  Only the fixed-cardinality
+    nation (25 rows) and region (5 rows) dims keep explicit hints."""
     t = load_tables(spark, sf_dir, "region", "nation", "customer", "supplier", "orders", "lineitem")
     region = t["region"].where(F.col("r_name") == "EUROPE")
     orders = t["orders"].where(
@@ -95,9 +103,9 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t["lineitem"]
-        .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(t["supplier"]),
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"],
               (F.col("l_suppkey") == F.col("s_suppkey"))
               & (F.col("c_nationkey") == F.col("s_nationkey")))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))

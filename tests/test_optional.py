@@ -291,3 +291,25 @@ def test_optional_order_invariance(spark):
     ra = select(["?id", "?oa", "?ob"], pats_ab, issue_21_db)
     rb = select(["?id", "?oa", "?ob"], pats_ba, issue_21_db)
     assert as_set(ra) == as_set(rb) == {(1, kw("X"), kw("Z"))}
+
+
+def test_optional_regroup_no_single_partition_exchange(spark):
+    """Marker numbering must not force a global single-partition sort:
+    at scale a Window.orderBy with no partitionBy would serialize every
+    optional-projecting select through one task."""
+    from matcha_spark.query import select_df
+
+    db = TriplesDB.from_triples(
+        spark,
+        [(kw(f"s{i}"), kw("status"), kw("ok")) for i in range(10)]
+        + [(kw(f"s{i}"), kw("prop"), i) for i in range(0, 10, 2)],
+    )
+    df = select_df(
+        ["?s", "?v"],
+        [("?s", kw("status"), "?v0"), Optional([("?s", kw("prop"), "?v")])],
+        db,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    assert df.count() == 10
+    db.unpersist()

@@ -242,3 +242,27 @@ def test_literal_escape_hatch(spark):
     db = [(kw("a"), kw("p"), "?not-a-var"), (kw("b"), kw("p"), "x")]
     res = select(["?s"], [("?s", kw("p"), Literal("?not-a-var"))], db)
     assert res == [kw("a")]
+
+
+def test_select_1_plan_is_bounded(spark):
+    """select_1 must compile to a plan-level top-1 (TakeOrderedAndProject),
+    not a full collect + driver sort, and agree with select()[0]."""
+    from pyspark.sql import functions as F
+
+    from matcha_spark import kw
+    from matcha_spark.query import _solve_projected
+
+    db = TriplesDB.from_triples(
+        spark, [(kw(f"s{i}"), kw("p"), i) for i in range(100)]
+    )
+    pats = [("?s", kw("p"), "?o")]
+    out = _solve_projected(db, pats, ["?s", "?o"])
+    plan = (
+        out.orderBy(F.col("?s"), F.col("?o")).limit(1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    first = select_1(["?s", "?o"], pats, db)
+    full = select(["?s", "?o"], pats, db)
+    assert first == full[0]
+    db.unpersist()
