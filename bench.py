@@ -92,9 +92,14 @@ def main() -> None:
     bench("bgp_optional_urgent_orders", lambda: force(bgp_optional_urgent_orders(spark, SF_DIR)))
     bench("dedup_exact_docs", lambda: force(T.dedup_exact(docs)))
     bench("doc_minhash_lsh", lambda: force(D.minhash_lsh_candidates(docs)))
+    bench("doc_simhash_pairs", lambda: force(D.simhash_candidates(docs)))
+    bench("dedup_near_lsh", lambda: force(D.dedup_near_docs_lsh(docs)))
     bench("doc_token_count", lambda: force(T.token_count(docs)))
     bench("emb_cosine_topk", lambda: force(
         S.cosine_topk(emb, emb.where("vec_id < 5"), k=5)
+    ))
+    bench("emb_lsh_topk", lambda: force(
+        S.lsh_bucketed_topk(emb, emb.where("vec_id < 5"), k=5)
     ))
 
     total = round(sum(times.values()), 3)

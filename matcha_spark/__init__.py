@@ -35,12 +35,23 @@ from .query import (
     select_df,
 )
 from .session import get_spark
-from .terms import URI, Keyword, LangString, RDFLiteral, Unbound, kw
+from .terms import (
+    URI,
+    Keyword,
+    LangString,
+    RDFLiteral,
+    Unbound,
+    kw,
+    register_term_codec,
+    unregister_term_codec,
+)
 
 __version__ = "0.1.0"
 
 __all__ = [
     "TriplesDB",
+    "register_term_codec",
+    "unregister_term_codec",
     "ensure_db",
     "index_triples",
     "index_if_necessary",

@@ -7,9 +7,10 @@ from warehouse tables (cf. ``matcha_spark.sources``).  Encodings match
 Spark-side derived terms equi-join correctly (ints: ``str(i)``;
 strings: identity; URIs/keywords: lex without sigil).
 
-Caveat: for ``double`` terms the Python codec uses ``repr(f)`` while the
-Spark cast renders e.g. ``1.0E20`` — avoid float terms as *join keys*
-across the Python/Spark boundary (fine as plain values).
+``double`` terms carry their value in the ``num`` field with an empty
+``lex`` (Python ``repr`` and Java ``Double.toString`` disagree on
+shortest-float rendering, so a lexical join key would be fragile);
+equality is native double comparison, identical from either side.
 """
 
 from __future__ import annotations
@@ -55,7 +56,7 @@ def int_col(c: Column) -> Column:
 
 
 def double_col(c: Column) -> Column:
-    return _mk("double", c.cast("double").cast("string"), c)
+    return _mk("double", F.lit(""), c)
 
 
 def kw_col(c: Column) -> Column:

@@ -7,11 +7,19 @@ Scale shapes (the 100 TB story):
   per-doc min (one narrow agg) → band signatures → *bucket join* (only
   docs sharing a band bucket are compared).  Candidate verification is a
   join on doc pairs, never an all-pairs product.
-- **SimHash**: 64-bit signature from per-token hashes; near-dup = equal
-  band keys on rotated signatures (Hamming-adjacent docs collide).
+- **SimHash**: 64-bit signature from per-token hashes; candidate pairs
+  come from a banded equi-join (``simhash_candidates``): a signature
+  split into ``max_hamming + 1`` bands guarantees by pigeonhole that any
+  pair within that Hamming distance shares at least one exact band — so
+  recall is 1.0 by construction, verified with ``bit_count(a ^ b)``.
 - **n-gram Jaccard**: exact set overlap via shingle equi-join +
-  groupBy — quadratic only within shingle buckets, used as the
-  verifier for LSH candidates or directly at small scale.
+  groupBy — quadratic only within shingle buckets; shingles above a
+  document-frequency cap are dropped first (stopword-like shingles
+  carry no signal and are the quadratic blowup at scale).
+- **candidate → cluster** (``dedup_near_docs`` /
+  ``dedup_near_docs_lsh``): verified pairs → connected components
+  (iterative min-label propagation, no GraphX) → keep the min doc per
+  cluster, mirroring ``text.dedup_exact``'s keep-one contract.
 
 Everything is built-in functions + higher-order SQL over arrays; no
 Python in the hot path.
@@ -22,18 +30,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["shingles", "minhash_signatures", "minhash_lsh_candidates", "simhash", "ngram_jaccard_pairs"]
+__all__ = [
+    "shingles",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "simhash",
+    "simhash_candidates",
+    "ngram_jaccard_pairs",
+    "jaccard_verify",
+    "connected_components",
+    "dedup_near_docs",
+    "dedup_near_docs_lsh",
+]
 
 
 def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     """Distinct word n-gram shingles per doc: split → sliding window via
     transform over token indexes → explode."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    # spread docs across all cores first: a single parquet file otherwise
-    # pins the whole shingle/hash pipeline to one task
-    spark = docs.sparkSession
+    # spread docs across cores first: a single parquet file otherwise pins
+    # the whole shingle/hash pipeline to one task.  No explicit partition
+    # count — AQE coalesces the shuffle to match the data size, so a small
+    # corpus doesn't pay 32 tasks of fixed overhead and a large one still
+    # fans out
     d = (
-        docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        docs.repartition("doc_id")
         .select("doc_id", toks.alias("toks"))
         .where(F.size("toks") >= n)
     )
@@ -97,8 +118,10 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
     # explode → one xxhash64 per token, then 64 codegen'd conditional sums
     # (map-side partial agg; stays in whole-stage codegen, unlike a
-    # higher-order `aggregate` lambda which is interpreted per element)
-    h = docs.select("doc_id", F.explode(toks).alias("t")).select(
+    # higher-order `aggregate` lambda which is interpreted per element).
+    # repartition first: a single input file would otherwise run the whole
+    # explode+partial-agg pipeline in one task (AQE right-sizes the count)
+    h = docs.repartition("doc_id").select("doc_id", F.explode(toks).alias("t")).select(
         "doc_id", F.xxhash64("t").alias("h")
     )
     votes = [
@@ -117,15 +140,88 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return agg.select("doc_id", sig.alias("simhash"))
 
 
+def simhash_candidates(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup candidate pairs with guaranteed recall.
+
+    The 64-bit signature is split into ``max_hamming + 1`` contiguous
+    bands; by pigeonhole, two signatures within Hamming distance
+    ``max_hamming`` differ in at most ``max_hamming`` bands and thus
+    share at least one band exactly — the banded equi-join therefore
+    finds *every* such pair (the only pairwise step; fan-out bounded by
+    band-bucket occupancy, never all-pairs).  Candidates are then
+    verified with ``bit_count(a ^ b)`` so the output is exact:
+    ``(doc_a < doc_b, hamming ≤ max_hamming)``.
+    """
+    n_bands = max_hamming + 1
+    sig = simhash(docs, text_col=text_col).cache()
+    # band widths: distribute 64 bits as evenly as possible
+    base, extra = divmod(64, n_bands)
+    offsets, off = [], 0
+    for i in range(n_bands):
+        w = base + (1 if i < extra else 0)
+        offsets.append((off, w))
+        off += w
+    band_cols = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftright(F.col("simhash"), o)
+            .bitwiseAND(F.lit((1 << w) - 1).cast("long"))
+            .alias("bits"),
+        )
+        for i, (o, w) in enumerate(offsets)
+    ]
+    banded = sig.select("doc_id", "simhash", F.explode(F.array(*band_cols)).alias("bk"))
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def _capped_shingles(docs: DataFrame, n: int, max_doc_freq: int | None) -> DataFrame:
+    """Distinct (doc_id, shingle) with stopword-like shingles removed:
+    a shingle appearing in more than ``max_doc_freq`` docs carries no
+    discriminative signal but drives the self-join fan-out quadratic
+    (the 100 TB failure mode of exact Jaccard)."""
+    sh = shingles(docs, n=n)
+    if max_doc_freq is None:
+        return sh
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") <= max_doc_freq)
+        .select("shingle")
+    )
+    return sh.join(rare, "shingle").select("doc_id", "shingle")
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
     threshold: float = 0.2,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle:
     |A∩B| from the shingle self-join, |A|,|B| from per-doc counts;
-    emits (doc_a < doc_b, jaccard ≥ threshold)."""
-    sh = shingles(docs, n=n).cache()
+    emits (doc_a < doc_b, jaccard ≥ threshold).
+
+    ``max_doc_freq`` drops shingles occurring in more docs than the cap
+    *before* the self-join (set sizes count post-cap shingles, so the
+    similarity is Jaccard over the capped sets on both sides).  Without
+    a cap the hot-shingle buckets are quadratic — fine at test scale,
+    required at corpus scale."""
+    sh = _capped_shingles(docs, n, max_doc_freq).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -133,12 +229,145 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # sizes scales with the corpus: no forced broadcast (AQE decides)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def jaccard_verify(
+    docs: DataFrame,
+    pairs: DataFrame,
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for *given* candidate pairs only — the
+    verification stage after LSH.  Join fan-out is bounded by the
+    candidate count, never by hot shingles: the shingle self-join is
+    replaced by pairs ⋈ shingles(a) ⋈ shingles(b).  Pairs sharing no
+    shingle get jaccard 0.0."""
+    docs_in = pairs.select(F.col("doc_a").alias("doc_id")).union(
+        pairs.select(F.col("doc_b"))
+    ).distinct()
+    sh = shingles(docs.join(docs_in, "doc_id"), n=n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        pairs.join(sh.alias("a"), F.col("doc_a") == F.col("a.doc_id"))
+        .join(
+            sh.alias("b"),
+            (F.col("doc_b") == F.col("b.doc_id"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        pairs.select("doc_a", "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.coalesce(jac, F.lit(0.0)), 4).alias("jaccard"),
+        )
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation (the
+    GraphX-free pattern): every node starts labeled with itself; each
+    round a node takes the min of its own and its neighbors' labels;
+    converged when no label changes.  Rounds needed = graph diameter —
+    small for near-dup graphs (clusters are clique-ish) — and each round
+    is one equi-join + one groupBy.  ``localCheckpoint`` truncates the
+    lineage so plans don't grow exponentially.
+
+    Returns ``(id, component)`` where component = min node id reachable.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # materialize once: every propagation round rescans the edge list,
+    # which may otherwise carry an arbitrarily expensive upstream lineage
+    # (LSH candidate generation, Jaccard verification, ...)
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nb = sym.join(labels, sym.dst == labels.id).select(
+            F.col("src").alias("id"), F.col("component")
+        )
+        new_labels = (
+            labels.union(nb).groupBy("id").agg(F.min("component").alias("component"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+        )
+        labels = new_labels
+        if changed.isEmpty():
+            break
+    return labels
+
+
+def _keep_map(docs: DataFrame, comp: DataFrame) -> DataFrame:
+    """Per-doc keep mapping from a component labeling: docs in no
+    component keep themselves; component members keep the min doc id."""
+    return docs.select("doc_id").join(comp, F.col("doc_id") == F.col("id"), "left").select(
+        "doc_id", F.coalesce(F.col("component"), F.col("doc_id")).alias("keep_doc_id")
+    )
+
+
+def dedup_near_docs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate dedup, exact path: n-gram Jaccard pairs ≥
+    threshold → connected components → per-doc ``(doc_id,
+    keep_doc_id)`` (keep = min doc id of the cluster; singletons keep
+    themselves).  ``docs.where(doc_id == keep_doc_id)`` is the deduped
+    corpus — the same keep-one contract as ``text.dedup_exact``.
+
+    SQL-expressible end-to-end (recursive-CTE closure), so it carries a
+    DuckDB oracle; at corpus scale use :func:`dedup_near_docs_lsh`."""
+    pairs = ngram_jaccard_pairs(docs, n=n, threshold=threshold, max_doc_freq=max_doc_freq)
+    comp = connected_components(pairs)
+    return _keep_map(docs, comp)
+
+
+def dedup_near_docs_lsh(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate dedup, scale path: MinHash+LSH candidates →
+    exact-Jaccard verification *restricted to the candidate pairs* (no
+    hot-shingle blowup) → connected components → keep-one mapping.
+    Recall follows the LSH banding curve (1-(1-j^r)^b), chosen so pairs
+    at ``threshold`` are caught with high probability."""
+    # checkpoint: the candidate set feeds three joins in the verify stage
+    cand = minhash_lsh_candidates(docs, num_hashes=num_hashes, bands=bands, n=n).localCheckpoint()
+    verified = jaccard_verify(docs, cand, n=n).where(F.col("jaccard") >= threshold)
+    comp = connected_components(verified)
+    return _keep_map(docs, comp)

@@ -97,32 +97,78 @@ def lsh_bucketed_topk(
     k: int = 5,
     dim: int = 64,
     n_planes: int = 8,
+    n_tables: int = 4,
     vec_col: str = "embedding",
     seed: int = 42,
+    multi_probe: bool = True,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane bucket join + exact re-rank
-    within buckets.  Recall < 1.0 by design; compare against
-    :func:`cosine_topk` to measure it (see tests)."""
-    planes = _hyperplanes(dim, n_planes, seed)
-    plane_arr = F.array(*[F.array(*[F.lit(x) for x in p]) for p in planes])
+    within buckets.
 
-    def bucket(df, vcol):
-        bits = F.expr(
+    Standard LSH recall levers, both corpus-linear:
+
+    - ``n_tables`` independent hash tables (separate hyperplane sets):
+      a neighbor is found if it collides in *any* table, so the miss
+      probability decays exponentially in L.  The corpus pass emits one
+      (table, bucket) row per table — L× the bucket-index size, never
+      an all-pairs product.
+    - ``multi_probe``: each *query* additionally probes the
+      ``n_planes`` Hamming-1 buckets per table — a vector near a
+      hyperplane lands on the wrong side of that one bit.  Fan-out
+      multiplies only the tiny broadcast query side.
+
+    Recall < 1.0 by design; tune (planes, tables) to the corpus —
+    fewer planes / more tables raises recall and candidate count.
+    Compare against :func:`cosine_topk` to measure (see tests)."""
+    all_planes = _hyperplanes(dim, n_planes * n_tables, seed)
+    plane_arr = F.array(*[F.array(*[F.lit(x) for x in p]) for p in all_planes])
+
+    def bucket_col(vcol, t):
+        # bucket for table t: sign bits under planes [t*n_planes, ...)
+        return F.expr(
             "aggregate(transform(sequence(0, {np} - 1), i -> "
-            " IF(aggregate(zip_with({v}, __planes[i], (x, y) -> cast(x AS double) * y), 0D, (a, b) -> a + b) > 0,"
-            "    shiftleft(1, i), 0)), 0, (acc, x) -> acc | x)".format(np=n_planes, v=vcol)
+            " IF(aggregate(zip_with({v}, __planes[i + {off}], (x, y) -> cast(x AS double) * y), 0D, (a, b) -> a + b) > 0,"
+            "    shiftleft(1, i), 0)), 0, (acc, x) -> acc | x)".format(
+                np=n_planes, off=t * n_planes, v=vcol
+            )
         )
-        return df.withColumn("__planes", plane_arr).withColumn("bucket", bits).drop("__planes")
 
-    q = F.broadcast(
-        bucket(queries.select(F.col("vec_id").alias("q_id"), F.col(vec_col).alias("q_vec")), "q_vec")
+    def with_buckets(df, vcol):
+        tb = F.array(
+            *[
+                F.struct(F.lit(t).alias("table"), bucket_col(vcol, t).alias("bucket"))
+                for t in range(n_tables)
+            ]
+        )
+        return (
+            df.withColumn("__planes", plane_arr)
+            .withColumn("tb", F.explode(tb))
+            .drop("__planes")
+            .select("*", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+            .drop("tb")
+        )
+
+    q = with_buckets(
+        queries.select(F.col("vec_id").alias("q_id"), F.col(vec_col).alias("q_vec")), "q_vec"
     )
-    c = bucket(corpus.select(F.col("vec_id").alias("n_id"), F.col(vec_col).alias("n_vec")), "n_vec")
+    if multi_probe:
+        probe_buckets = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+        )
+        q = q.withColumn("bucket", F.explode(probe_buckets))
+    q = F.broadcast(q)
+    c = with_buckets(
+        corpus.select(F.col("vec_id").alias("n_id"), F.col(vec_col).alias("n_vec")), "n_vec"
+    )
     sim = _dot("q_vec", "n_vec") / (_norm("q_vec") * _norm("n_vec"))
     scored = (
-        c.join(q, on="bucket")
+        c.join(q, on=["table", "bucket"])
         .where(F.col("n_id") != F.col("q_id"))
         .select("q_id", "n_id", F.round(sim, 6).alias("cosine"))
+        # a (query, neighbor) pair can match in several tables/probes;
+        # keep one copy before ranking
+        .dropDuplicates(["q_id", "n_id"])
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

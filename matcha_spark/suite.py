@@ -22,7 +22,11 @@ from .patterns import Optional, Values
 from .query import ask, select_df
 from .sources.tpch_graph import KW, load_tables, tpch_graph
 
+# bounded LRU over cached derived graphs: a long-lived session querying
+# many (sf_dir, variant) combinations would otherwise pin every cached
+# DataFrame in executor memory forever; evicted entries are unpersisted.
 _GRAPH_CACHE: dict = {}
+_GRAPH_CACHE_MAX = 8
 
 
 def _graph(spark, sf_dir, **kw):
@@ -31,7 +35,11 @@ def _graph(spark, sf_dir, **kw):
         if kw.get("include_orders"):
             # extend the cached base graph instead of rescanning the dims
             kw = dict(kw, base=_graph(spark, sf_dir))
+        while len(_GRAPH_CACHE) >= _GRAPH_CACHE_MAX:
+            _GRAPH_CACHE.pop(next(iter(_GRAPH_CACHE))).unpersist()
         _GRAPH_CACHE[key] = tpch_graph(spark, sf_dir, **kw)
+    else:
+        _GRAPH_CACHE[key] = _GRAPH_CACHE.pop(key)  # move to MRU position
     return _GRAPH_CACHE[key]
 
 
@@ -148,7 +156,10 @@ def doc_lang_id(spark, sf_dir):
 
 def doc_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(
-        load_tables(spark, sf_dir, "documents")["documents"], n=3, threshold=0.2
+        load_tables(spark, sf_dir, "documents")["documents"],
+        n=3,
+        threshold=0.2,
+        max_doc_freq=100,
     )
 
 
@@ -161,6 +172,30 @@ def doc_minhash_lsh(spark, sf_dir):
 
 def doc_simhash(spark, sf_dir):
     return D.simhash(load_tables(spark, sf_dir, "documents")["documents"])
+
+
+def doc_simhash_pairs(spark, sf_dir):
+    # banded candidate join + popcount verify; xxhash64-based → rows-only
+    return D.simhash_candidates(
+        load_tables(spark, sf_dir, "documents")["documents"], max_hamming=3
+    )
+
+
+def dedup_near_docs(spark, sf_dir):
+    """Exact near-dup keep-one mapping (oracle: recursive-CTE closure)."""
+    return D.dedup_near_docs(
+        load_tables(spark, sf_dir, "documents")["documents"],
+        n=3,
+        threshold=0.2,
+        max_doc_freq=100,
+    )
+
+
+def dedup_near_lsh(spark, sf_dir):
+    # MinHash candidates → verify → cluster; xxhash64-based → rows-only
+    return D.dedup_near_docs_lsh(
+        load_tables(spark, sf_dir, "documents")["documents"], threshold=0.5
+    )
 
 
 def emb_l2_norms(spark, sf_dir):
@@ -214,6 +249,9 @@ QUERIES = {
     "doc_ngram_jaccard": doc_ngram_jaccard,
     "doc_minhash_lsh": doc_minhash_lsh,
     "doc_simhash": doc_simhash,
+    "doc_simhash_pairs": doc_simhash_pairs,
+    "dedup_near_docs": dedup_near_docs,
+    "dedup_near_lsh": dedup_near_lsh,
     # embeddings
     "emb_l2_norms": emb_l2_norms,
     "emb_cosine_topk": emb_cosine_topk,
@@ -226,6 +264,40 @@ _FR = "'le','la','de','et','un','est','que','pour','dans','ce'"
 
 _NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
 _TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+def _jaccard_pairs_ctes(cap: int, threshold: float) -> str:
+    """CTE chain ending in ``pairs(doc_a, doc_b, jaccard)`` — the DuckDB
+    twin of ``operators.dedup.ngram_jaccard_pairs`` (trigrams, document-
+    frequency cap applied before the self-join, sizes post-cap)."""
+    return f"""toks AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        ), sh0 AS (
+            SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(greatest(len(t) - 2, 0)),
+                                             i -> array_to_string(t[i + 1 : i + 3], ' '))) AS shingle
+                FROM toks WHERE len(t) >= 3
+            )
+        ), rare AS (
+            SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {cap}
+        ), sh AS (
+            SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN rare USING (shingle)
+        ), sizes AS (
+            SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), pairs AS (
+            SELECT doc_a, doc_b,
+                   round(i / (sa.sz + sb.sz - i), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(i / (sa.sz + sb.sz - i), 4) >= {threshold}
+        )"""
 
 ORACLES = {
     "q1_pricing_summary": f"""
@@ -453,30 +525,27 @@ ORACLES = {
             FROM documents
         )
     """,
-    "doc_ngram_jaccard": """
-        WITH toks AS (
-            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
-            FROM documents
-        ), sh AS (
-            SELECT DISTINCT doc_id, shingle FROM (
-                SELECT doc_id,
-                       unnest(list_transform(range(greatest(len(t) - 2, 0)),
-                                             i -> array_to_string(t[i + 1 : i + 3], ' '))) AS shingle
-                FROM toks WHERE len(t) >= 3
-            )
-        ), sizes AS (
-            SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
-        ), inter AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
+    "doc_ngram_jaccard": f"""
+        WITH {_jaccard_pairs_ctes(cap=100, threshold=0.2)}
+        SELECT doc_a, doc_b, jaccard FROM pairs
+    """,
+    "dedup_near_docs": f"""
+        WITH RECURSIVE {_jaccard_pairs_ctes(cap=100, threshold=0.2)},
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT reach.a, e.b FROM reach JOIN edges e ON reach.b = e.a
+        ),
+        label AS (
+            SELECT a AS doc_id, least(a, min(b)) AS keep FROM reach GROUP BY a
         )
-        SELECT doc_a, doc_b,
-               round(i / (sa.sz + sb.sz - i), 4) AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = doc_a
-        JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.2
+        SELECT d.doc_id, coalesce(l.keep, d.doc_id) AS keep_doc_id
+        FROM documents d LEFT JOIN label l ON d.doc_id = l.doc_id
     """,
     "emb_l2_norms": """
         SELECT vec_id,

@@ -44,6 +44,8 @@ __all__ = [
     "to_term",
     "from_term",
     "term_lit",
+    "register_term_codec",
+    "unregister_term_codec",
 ]
 
 TERM_TYPE = StructType(
@@ -136,6 +138,33 @@ class Unbound:
 
 _EMPTY = ("", 0.0, "", "")  # lex-tail defaults: num, lang, dt
 
+# pluggable codecs for arbitrary host types (the reference accepts any
+# host value as a term, e.g. Grafter's OffsetDate record, ``src:54-58``,
+# ``test:234-249``): type → (name, encode), name → (type, decode).
+_CODEC_BY_TYPE: dict[type, tuple[str, Any]] = {}
+_CODEC_BY_NAME: dict[str, Any] = {}
+_CODEC_DT_PREFIX = "python:"
+
+
+def register_term_codec(cls: type, name: str, encode, decode) -> None:
+    """Register a codec so instances of ``cls`` can be used as terms.
+
+    ``encode(value) → str`` must be *injective* (equal values ↔ equal
+    strings): term equality, joins, and dedup all compare the encoded
+    struct.  ``decode(lex) → value`` inverts it.  Encoded terms are
+    ``kind='typed'`` with datatype ``python:<name>``, so they survive
+    save/load and compare distinctly from every built-in kind."""
+    if not isinstance(name, str) or not name:
+        raise ValueError("codec name must be a non-empty string")
+    _CODEC_BY_TYPE[cls] = (name, encode)
+    _CODEC_BY_NAME[name] = decode
+
+
+def unregister_term_codec(cls: type) -> None:
+    entry = _CODEC_BY_TYPE.pop(cls, None)
+    if entry:
+        _CODEC_BY_NAME.pop(entry[0], None)
+
 
 def to_term(value: Any) -> tuple[str, str, float, str, str]:
     """Encode a Python value to a TERM struct tuple.
@@ -155,7 +184,11 @@ def to_term(value: Any) -> tuple[str, str, float, str, str]:
             num = 0.0
         return ("int", str(value), num, "", "")
     if isinstance(value, float):
-        return ("double", repr(value), value, "", "")
+        # lex deliberately empty: Python repr and Java Double.toString
+        # disagree on shortest float rendering (1e+20 vs 1.0E20, subnormal
+        # digit choice), so equality lives in the num field — native
+        # double comparison joins identically from either side
+        return ("double", "", value, "", "")
     if isinstance(value, str):
         return ("str", value, 0.0, "", "")
     if isinstance(value, Keyword):
@@ -172,7 +205,13 @@ def to_term(value: Any) -> tuple[str, str, float, str, str]:
         return ("date", value.isoformat(), float(value.toordinal()), "", "")
     if isinstance(value, Unbound):
         return ("unbound", str(value), float(value.n), "", "")
-    raise TypeError(f"cannot encode {type(value).__name__} as a triple term: {value!r}")
+    for cls, (name, encode) in _CODEC_BY_TYPE.items():
+        if isinstance(value, cls):
+            return ("typed", encode(value), 0.0, "", _CODEC_DT_PREFIX + name)
+    raise TypeError(
+        f"cannot encode {type(value).__name__} as a triple term: {value!r} "
+        "(register_term_codec adds support for custom host types)"
+    )
 
 
 def from_term(row: Any) -> Any:
@@ -191,13 +230,18 @@ def from_term(row: Any) -> Any:
     if kind == "int":
         return int(lex)
     if kind == "double":
-        return float(lex)
+        return float(row[2])
     if kind == "bool":
         return lex == "true"
     if kind == "lang":
         return LangString(lex, row[3])
     if kind == "typed":
-        return RDFLiteral(lex, row[4])
+        dt = row[4]
+        if dt.startswith(_CODEC_DT_PREFIX):
+            decode = _CODEC_BY_NAME.get(dt[len(_CODEC_DT_PREFIX):])
+            if decode is not None:
+                return decode(lex)
+        return RDFLiteral(lex, dt)
     if kind == "datetime":
         return _dt.datetime.fromisoformat(lex)
     if kind == "date":

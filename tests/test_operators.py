@@ -117,12 +117,22 @@ def test_lsh_recall_vs_bruteforce(spark):
     exact = {
         (r["q_id"], r["n_id"]) for r in S.cosine_topk(emb, q, k=5).collect()
     }
-    approx = {
+    single = {
         (r["q_id"], r["n_id"])
-        for r in S.lsh_bucketed_topk(emb, q, k=5, n_planes=4).collect()
+        for r in S.lsh_bucketed_topk(
+            emb, q, k=5, n_planes=4, n_tables=8, multi_probe=False
+        ).collect()
     }
-    recall = len(exact & approx) / len(exact)
-    assert recall >= 0.2  # approximate by design; must find some true neighbors
+    multi = {
+        (r["q_id"], r["n_id"])
+        for r in S.lsh_bucketed_topk(emb, q, k=5, n_planes=4, n_tables=8).collect()
+    }
+    single_recall = len(exact & single) / len(exact)
+    multi_recall = len(exact & multi) / len(exact)
+    assert single_recall >= 0.2  # approximate by design
+    # tables × Hamming-1 probing must reach near-exact at this config
+    assert multi_recall >= 0.9, (single_recall, multi_recall)
+    assert multi_recall >= single_recall
 
 
 def test_multimodal_image_features(spark):
@@ -152,3 +162,98 @@ def test_frame_sample(spark):
     frames = M.frame_sample(media, every_ms=1000).collect()
     assert [f["frame_ts_ms"] for f in frames] == [0, 1000, 2000, 3000]
     assert [f["frame_idx"] for f in frames] == [0, 1, 2, 3]
+
+
+def test_simhash_candidates_complete_vs_bruteforce(docs):
+    """Pigeonhole guarantee: every pair within Hamming<=3 must appear in
+    the banded candidate output (recall 1.0), with correct distances."""
+    sigs = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    want = {
+        (a, b): hamming(sigs[a], sigs[b])
+        for a in sigs
+        for b in sigs
+        if a < b and hamming(sigs[a], sigs[b]) <= 3
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in D.simhash_candidates(docs, max_hamming=3).collect()
+    }
+    assert want, "fixture must contain at least one hamming<=3 pair"
+    assert got == want
+
+
+def test_connected_components(spark):
+    # two components: {1,2,3,4} chained, {10,11}; 99 isolated via self-ref edge
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    comp = {r["id"]: r["component"] for r in D.connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_near_docs_keep_mapping(docs):
+    res = {r["doc_id"]: r["keep_doc_id"] for r in D.dedup_near_docs(docs, threshold=0.5).collect()}
+    d0 = docs.orderBy("doc_id").first()["doc_id"]
+    d1 = [r["doc_id"] for r in docs.orderBy("doc_id").limit(2).collect()][1]
+    assert len(res) == docs.count()  # one row per doc
+    assert res[9001] == d0  # exact dup keeps the original
+    assert res[d0] == d0
+    assert res[9002] == d1  # near dup keeps its original
+    assert res[9003] == 9003  # unrelated doc keeps itself
+
+
+def test_dedup_near_docs_lsh_keep_mapping(docs):
+    res = {
+        r["doc_id"]: r["keep_doc_id"]
+        for r in D.dedup_near_docs_lsh(docs, threshold=0.5).collect()
+    }
+    d0 = docs.orderBy("doc_id").first()["doc_id"]
+    assert len(res) == docs.count()
+    assert res[9001] == d0  # exact dup caught by every band
+    assert res[9003] == 9003
+
+
+def test_ngram_jaccard_doc_freq_cap(spark):
+    # all 3 docs share the hot shingle "a b c" (df=3); docs 1/2 also
+    # share rare shingles ("b c q", "c q r", "q r s", df=2 each)
+    rows = [
+        (1, "a b c q r s t1"),
+        (2, "a b c q r s t2"),
+        (3, "a b c x3 y3 z3 w3"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.ngram_jaccard_pairs(docs, n=3, threshold=0.01).collect()
+    }
+    assert (1, 3) in uncapped and (2, 3) in uncapped  # via the hot shingle
+    capped = D.ngram_jaccard_pairs(docs, n=3, threshold=0.01, max_doc_freq=2)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    # cap drops "a b c": doc 3 shares nothing rare with 1/2
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)
+
+
+def test_graph_cache_bounded_eviction(spark):
+    from matcha_spark import suite
+
+    saved, saved_max = dict(suite._GRAPH_CACHE), suite._GRAPH_CACHE_MAX
+    suite._GRAPH_CACHE.clear()
+    suite._GRAPH_CACHE_MAX = 2
+    try:
+        suite._graph(spark, SF_DIR)
+        g1 = suite._graph(spark, SF_DIR, include_orders=True)
+        suite._graph(spark, SF_DIR, include_orders=True, order_priority="1-URGENT")
+        assert len(suite._GRAPH_CACHE) == 2  # oldest evicted
+        # evicted (uncached) graphs still answer queries correctly
+        base_again = suite._graph(spark, SF_DIR)
+        assert base_again.df.count() > 0
+        assert g1.df.count() >= base_again.df.count()
+    finally:
+        suite._GRAPH_CACHE.clear()
+        suite._GRAPH_CACHE.update(saved)
+        suite._GRAPH_CACHE_MAX = saved_max

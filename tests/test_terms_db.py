@@ -113,3 +113,77 @@ def test_partition_pruning_on_loaded_db(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "p_bucket" in plan and "PartitionFilters: [isnotnull(p_bucket" in plan
     assert df.count() == 10
+
+
+def test_custom_codec_roundtrip_through_join(spark):
+    """Arbitrary host dataclasses as term values via register_term_codec
+    (reference accepts any host value, src:54-58, test:234-249)."""
+    from dataclasses import dataclass
+
+    from matcha_spark import register_term_codec, unregister_term_codec
+    from matcha_spark.terms import from_term, to_term
+
+    @dataclass(frozen=True)
+    class Point:
+        x: int
+        y: int
+
+    with pytest.raises(TypeError):
+        to_term(Point(1, 2))
+
+    register_term_codec(
+        Point,
+        "point",
+        lambda p: f"{p.x},{p.y}",
+        lambda s: Point(*map(int, s.split(","))),
+    )
+    try:
+        assert from_term(to_term(Point(1, 2))) == Point(1, 2)
+        # equal values must equi-join: two triples sharing a Point object
+        db = TriplesDB.from_triples(
+            spark,
+            [
+                (kw("a"), kw("at"), Point(1, 2)),
+                (kw("b"), kw("at"), Point(1, 2)),
+                (kw("c"), kw("at"), Point(9, 9)),
+                (kw("a"), kw("label"), "A"),
+            ],
+        )
+        res = select(
+            ["?s1", "?s2"],
+            [("?s1", kw("at"), "?pt"), ("?s2", kw("at"), "?pt")],
+            db,
+        )
+        assert (kw("a"), kw("b")) in set(res)
+        # decode comes back as the host type
+        pts = select(["?pt"], [(kw("a"), kw("at"), "?pt")], db)
+        assert pts == [Point(1, 2)]
+        db.unpersist()
+    finally:
+        unregister_term_codec(Point)
+
+
+def test_float_terms_join_across_boundary(spark):
+    """Python-side float constants must equi-join Spark-derived double
+    terms: equality lives in the num field, not a fragile lexical form."""
+    from pyspark.sql import functions as F
+
+    from matcha_spark.functions.termcols import double_col, uri_col
+    from matcha_spark.query import select_df
+    from matcha_spark.terms import URI, from_term
+
+    vals = [1e20, 1.5e-8, 0.1, 123456789.25]
+    rows = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id long, v double")
+    tri = rows.select(
+        uri_col("row:", F.col("id")).alias("s"),
+        double_col(F.lit(0.0)).alias("p"),  # predicate: the double 0.0
+        double_col(F.col("v")).alias("o"),
+    )
+    db = TriplesDB.from_df(tri)
+    for i, v in enumerate(vals):
+        res = select(["?s"], [("?s", 0.0, v)], db)
+        assert res == [URI(f"row:{i}")], (v, res)
+    # and floats decode back exactly
+    got = sorted(select(["?o"], [("?s", 0.0, "?o")], db))
+    assert got == sorted(vals)
+    db.unpersist()
