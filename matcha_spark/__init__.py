@@ -30,6 +30,7 @@ from .query import (
     build_df,
     construct,
     construct_1,
+    construct_db,
     select,
     select_1,
     select_df,
@@ -62,6 +63,7 @@ __all__ = [
     "ask",
     "construct",
     "construct_1",
+    "construct_db",
     "build",
     "build_1",
     "build_df",

@@ -50,6 +50,7 @@ __all__ = [
     "ask",
     "construct",
     "construct_1",
+    "construct_db",
     "build",
     "build_df",
     "build_1",
@@ -524,6 +525,58 @@ def build_df(subject_var, template: dict, patterns, db) -> DataFrame:
         for k, v in template.items()
     ]
     return df.groupBy(F.col(sv).alias("subject")).agg(*aggs)
+
+
+def construct_db(triple_templates, patterns, db):
+    """Distributed CONSTRUCT: materialize a *new graph* from template
+    triples instantiated per solution — the 100 TB path for
+    graph-to-graph transformation (the classic :func:`construct` returns
+    Python data by contract and therefore collects; this never leaves
+    the cluster).
+
+    ``triple_templates`` is a list of 3-tuples whose elements are
+    ``?vars`` or constants.  Each template contributes one narrow
+    projection of the solution set; the union is deduped into a
+    :class:`~matcha_spark.db.TriplesDB` (set semantics, same as
+    ``index-triples``).  Solutions with an unbound var in a template
+    position drop that template row (SPARQL CONSTRUCT semantics;
+    matches the reference's unbound-key dropping, ``src:464-486``).
+    """
+    from .db import TriplesDB
+    from .terms import term_lit
+
+    patterns = _normalize_patterns(patterns)
+    norm = []
+    for t in triple_templates:
+        t = tuple(t)
+        if len(t) != 3:
+            raise TypeError(f"construct_db template must be 3-tuples, got {t!r}")
+        norm.append(t)
+    if not norm:
+        raise TypeError("construct_db requires at least one template triple")
+    tvars = _find_vars_in_tree([list(t) for t in norm])
+    tdb = ensure_db(db)
+    sols = solve(tdb, patterns)
+    sdf = _with_missing_vars(sols, tvars) if tvars else sols.df
+    parts = []
+    for s, p, o in norm:
+        cols = []
+        null_guards = []
+        for pos, elem in zip(("s", "p", "o"), (s, p, o)):
+            if is_var(elem):
+                c = F.col(var_name(elem))
+                null_guards.append(c.isNotNull())
+                cols.append(c.alias(pos))
+            else:
+                cols.append(term_lit(elem).alias(pos))
+        part = sdf
+        for g in null_guards:
+            part = part.where(g)
+        parts.append(part.select(*cols))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return TriplesDB.from_df(out, dedup=True, cache=False)
 
 
 def build_1(*args, db=None):

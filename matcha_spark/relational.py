@@ -231,6 +231,33 @@ def events_sessionize(spark: SparkSession, sf_dir: str, gap_s: int = 1800) -> Da
     )
 
 
+def events_sessionize_native(spark: SparkSession, sf_dir: str, gap_s: int = 1800) -> DataFrame:
+    """Gap sessionization via Spark's built-in ``session_window``
+    aggregation — no window-function sort pass: sessions merge inside
+    the hash aggregate (partial map-side merge included), and the exact
+    same plan runs incrementally under Structured Streaming
+    (``streaming.events.sessionize_native``).  This is the preferred
+    scale form of :func:`events_sessionize`; the lag+cumsum variant is
+    kept for the session-index contract."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    return (
+        ev.groupBy(
+            F.col("user_id"), F.session_window(F.col("ts"), f"{gap_s} seconds").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+            "session_value",
+        )
+        .orderBy("user_id", "session_start_us")
+    )
+
+
 def rollup_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical aggregation: ROLLUP(nation, segment) — subtotals and
     grand total in one pass (Expand + single shuffle)."""

@@ -30,7 +30,14 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-__all__ = ["hourly_counts", "sliding_activity", "sessionize_stateful", "stream_dedup", "SESSION_SCHEMA"]
+__all__ = [
+    "hourly_counts",
+    "sliding_activity",
+    "sessionize_native",
+    "sessionize_stateful",
+    "stream_dedup",
+    "SESSION_SCHEMA",
+]
 
 
 def hourly_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
@@ -58,6 +65,31 @@ def sliding_activity(events: DataFrame, watermark: str = "30 minutes") -> DataFr
             F.count(F.lit(1)).alias("n"),
         )
         .select(F.col("win.start").alias("window_start"), "approx_users", "n")
+    )
+
+
+def sessionize_native(
+    events: DataFrame, gap_s: int = 1800, watermark: str = "1 hour"
+) -> DataFrame:
+    """Gap sessionization with Spark's built-in ``session_window``: the
+    engine merges/extends session state incrementally and closes a
+    session once the watermark passes its end — no custom state code.
+    Identical aggregation to the batch ``relational.
+    events_sessionize_native``, which is the point: one plan, two
+    execution modes."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.col("user_id"),
+            F.session_window(F.col("ts"), f"{gap_s} seconds").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("session_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
     )
 
 

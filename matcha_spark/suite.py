@@ -100,6 +100,29 @@ def bgp_optional_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bgp_construct_region_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed CONSTRUCT: materialize a derived graph (customer →
+    region-name edges) without collecting; decoded to lex columns for
+    the oracle."""
+    from .query import construct_db
+    from .terms import kw as _kw
+
+    db = _graph(spark, sf_dir)
+    g2 = construct_db(
+        [("?c", _kw("region_name"), "?rname")],
+        [
+            ("?c", KW["mktsegment"], "?seg"),
+            ("?c", KW["nation"], "?n"),
+            ("?n", KW["region"], "?r"),
+            ("?r", KW["name"], "?rname"),
+        ],
+        db,
+    )
+    return g2.df.select(
+        lex(F.col("s")).alias("subj"), lex(F.col("o")).alias("region_name")
+    )
+
+
 def bgp_ask_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = _graph(spark, sf_dir)
     exists = ask([("?c", KW["mktsegment"], "BUILDING")], db)
@@ -213,6 +236,12 @@ def emb_lsh_topk(spark, sf_dir):
     return S.lsh_bucketed_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
 
 
+def emb_ivf_topk(spark, sf_dir):
+    # IVF coarse-quantizer ANN: rows-only (seeded k-means is Spark-side)
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return S.ivf_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -229,6 +258,7 @@ QUERIES = {
     "segment_stats": R.segment_stats,
     "events_hourly": R.events_hourly,
     "events_sessionize": R.events_sessionize,
+    "events_sessionize_native": R.events_sessionize_native,
     "rollup_nation_segment": R.rollup_nation_segment,
     "segment_quantiles": R.segment_quantiles,
     "cube_priority_status": R.cube_priority_status,
@@ -238,6 +268,7 @@ QUERIES = {
     "bgp_customers_in_region": bgp_customers_in_region,
     "bgp_nations_values": bgp_nations_values,
     "bgp_optional_urgent_orders": bgp_optional_urgent_orders,
+    "bgp_construct_region_graph": bgp_construct_region_graph,
     "bgp_ask_segment": bgp_ask_segment,
     "bgp_merge_count": bgp_merge_count,
     # documents pipeline
@@ -256,6 +287,7 @@ QUERIES = {
     "emb_l2_norms": emb_l2_norms,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_lsh_topk": emb_lsh_topk,
+    "emb_ivf_topk": emb_ivf_topk,
 }
 
 _EN = "'the','a','and','of','to','in','is','that','it','for'"
@@ -407,6 +439,32 @@ ORACLES = {
         SELECT user_id, session_idx, count(*) AS n_events,
                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
         FROM sess GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "events_sessionize_native": """
+        WITH e AS (
+            SELECT user_id, value, epoch_us(ts) AS ts_us FROM events
+        ), marked AS (
+            SELECT user_id, value, ts_us,
+                   CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL THEN 1
+                        WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) >= 1800000000 THEN 1
+                        ELSE 0 END AS new_sess
+            FROM e
+        ), sess AS (
+            SELECT user_id, value, ts_us,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sidx
+            FROM marked
+        )
+        SELECT user_id, min(ts_us) AS session_start_us, count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+        FROM sess GROUP BY user_id, sidx
+        ORDER BY user_id, session_start_us
+    """,
+    "bgp_construct_region_graph": """
+        SELECT DISTINCT 'customer:' || c_custkey AS subj, r_name AS region_name
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
     """,
     "segment_quantiles": """
         SELECT c_mktsegment,

@@ -343,3 +343,49 @@ def test_merge_dbs_with_loaded_db(spark, tmp_path):
     assert merged.df.columns == ["s", "p", "o"]
     assert merged.df.count() == 2
     assert select(["?o"], [("?s", kw("p"), "?o")], merged) == [1, 2]
+
+
+def test_construct_db_materializes_graph(spark):
+    """Distributed CONSTRUCT: solutions → new queryable TriplesDB."""
+    from matcha_spark import construct_db
+
+    db = TriplesDB.from_triples(
+        spark,
+        [
+            (kw("a"), kw("knows"), kw("b")),
+            (kw("b"), kw("knows"), kw("c")),
+            (kw("a"), kw("name"), "Alice"),
+            (kw("b"), kw("name"), "Bob"),
+        ],
+    )
+    g2 = construct_db(
+        [("?y", kw("known_by"), "?x"), ("?y", kw("source"), "graph1")],
+        [("?x", kw("knows"), "?y")],
+        db,
+    )
+    assert select(["?who"], [(kw("b"), kw("known_by"), "?who")], g2) == [kw("a")]
+    assert set(select(["?s"], [("?s", kw("source"), "graph1")], g2)) == {kw("b"), kw("c")}
+    # 2 solutions x 2 templates, set-deduped
+    assert g2.df.count() == 4
+    db.unpersist()
+
+
+def test_construct_db_drops_unbound_template_rows(spark):
+    from matcha_spark import Optional, construct_db
+
+    db = TriplesDB.from_triples(
+        spark,
+        [
+            (kw("a"), kw("status"), "ok"),
+            (kw("b"), kw("status"), "ok"),
+            (kw("a"), kw("email"), "a@x.com"),
+        ],
+    )
+    g2 = construct_db(
+        [("?s", kw("contact"), "?e")],
+        [("?s", kw("status"), "ok"), Optional([("?s", kw("email"), "?e")])],
+        db,
+    )
+    # only :a has an email; :b's unbound ?e drops its template row
+    assert select(["?s", "?e"], [("?s", kw("contact"), "?e")], g2) == [(kw("a"), "a@x.com")]
+    db.unpersist()

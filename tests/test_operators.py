@@ -257,3 +257,21 @@ def test_graph_cache_bounded_eviction(spark):
         suite._GRAPH_CACHE.clear()
         suite._GRAPH_CACHE.update(saved)
         suite._GRAPH_CACHE_MAX = saved_max
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where("vec_id < 3")
+    exact = {(r["q_id"], r["n_id"]) for r in S.cosine_topk(emb, q, k=5).collect()}
+    # probing every cell is exhaustive search -> recall 1.0
+    allcells = {
+        (r["q_id"], r["n_id"])
+        for r in S.ivf_topk(emb, q, k=5, n_centroids=8, n_probe=8).collect()
+    }
+    assert allcells == exact
+    # partial probing trades recall for touched fraction
+    part = {
+        (r["q_id"], r["n_id"])
+        for r in S.ivf_topk(emb, q, k=5, n_centroids=8, n_probe=4).collect()
+    }
+    assert len(exact & part) / len(exact) >= 0.5

@@ -1,0 +1,73 @@
+"""Physical-plan property audits: the scale contract, codified.
+
+Correct results are necessary but not sufficient — these assert the
+*plan shapes* that survive a 100× scale-up: predicate/column pushdown to
+the parquet scan, partial (map-side) aggregation, per-partition window
+top-k pruning, no nested-loop joins in equi-join operators, and no
+single-partition exchanges in hot paths.
+"""
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filters_and_columns_pushed_to_scan(spark):
+    from matcha_spark import relational as R
+
+    plan = _plan(R.q6_forecast_revenue(spark, SF_DIR))
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+    # column pruning: the scan reads only the 4 referenced columns
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "l_comment" not in read_schema and "l_orderkey" not in read_schema
+
+
+def test_q1_has_partial_aggregation(spark):
+    from matcha_spark import relational as R
+
+    plan = _plan(R.q1_pricing_summary(spark, SF_DIR))
+    # two HashAggregate levels = map-side partial + final (one shuffle)
+    assert plan.count("HashAggregate") >= 2
+    assert "SortAggregate" not in plan
+
+
+def test_topk_window_group_limit(spark):
+    from matcha_spark import relational as R
+
+    plan = _plan(R.topk_orders_per_customer(spark, SF_DIR))
+    # Spark's rank-limit pushdown: each partition keeps only k rows per
+    # group before the shuffle instead of sorting everything
+    assert "WindowGroupLimit" in plan
+
+
+def test_asof_join_no_nested_loop(spark):
+    from matcha_spark import relational as R
+
+    plan = _plan(R.asof_events_orders(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sessionize_native_no_window_sort(spark):
+    from matcha_spark import relational as R
+
+    plan = _plan(R.events_sessionize_native(spark, SF_DIR))
+    # built-in session_window sessionizes inside the aggregate (plus the
+    # final presentation orderBy) — no Window operator pass
+    assert "Window" not in plan.replace("session_window", "").replace(
+        "WindowGroupLimit", ""
+    )
+
+
+def test_bgp_join_tree_no_single_partition(spark):
+    from matcha_spark.suite import bgp_customers_in_region, bgp_optional_urgent_orders
+
+    for q in (bgp_customers_in_region, bgp_optional_urgent_orders):
+        plan = _plan(q(spark, SF_DIR))
+        assert "SinglePartition" not in plan, q.__name__
+        assert "CartesianProduct" not in plan, q.__name__

@@ -145,3 +145,30 @@ def test_streaming_hourly_equals_batch(spark):
         for r in out.collect()
     }
     assert got == batch
+
+
+def test_sessionize_native_stream_equals_batch(spark, stream_dir):
+    """Built-in session_window: streaming result (append, availableNow)
+    must equal the same aggregation run as a batch query."""
+    from matcha_spark.streaming.events import sessionize_native
+
+    src = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).parquet(stream_dir)
+    out = _run_to_memory(
+        spark, sessionize_native(src, gap_s=1800, watermark="0 seconds"),
+        "sessions_native_t", mode="append",
+    ).collect()
+    batch = (
+        spark.read.parquet(stream_dir)
+        .groupBy("user_id", F.session_window("ts", "1800 seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("session_value"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events", "session_value")
+        .collect()
+    )
+    key = lambda r: (r["user_id"], r["session_start"], r["n_events"], r["session_value"])
+    # the final (open) sessions are withheld until the watermark passes,
+    # so streaming output is a prefix of the batch result
+    assert set(map(key, out)) <= set(map(key, batch))
+    # user 1's 10:05+10:20 pair closed by the 11:10 event advancing the watermark
+    assert any(r["user_id"] == 1 and r["n_events"] == 2 for r in out)
