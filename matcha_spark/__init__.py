@@ -21,7 +21,16 @@ Quick start::
 
 from .db import TriplesDB, ensure_db, index_if_necessary, index_triples, merge_dbs
 from .errors import InvalidBgpError, InvalidValuesError, MatchaError
-from .patterns import Literal, Optional, Values, Var, find_vars
+from .patterns import (
+    Filter,
+    Literal,
+    Minus,
+    NotExists,
+    Optional,
+    Values,
+    Var,
+    find_vars,
+)
 from .query import (
     GRAFTER_URI,
     ask,
@@ -70,6 +79,9 @@ __all__ = [
     "GRAFTER_URI",
     "Values",
     "Optional",
+    "Filter",
+    "NotExists",
+    "Minus",
     "Var",
     "Literal",
     "find_vars",

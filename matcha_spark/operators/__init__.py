@@ -1,6 +1,18 @@
-from .dedup import minhash_lsh_candidates, minhash_signatures, ngram_jaccard_pairs, shingles, simhash
+from .dedup import (
+    connected_components,
+    dedup_near_docs,
+    dedup_near_docs_lsh,
+    jaccard_verify,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+    simhash_candidates,
+)
 from .joins import asof_join, range_join
 from .multimodal import frame_sample, image_features
-from .similarity import cosine_topk, l2_norms, lsh_bucketed_topk
+from .graph import predicate_closure, transitive_closure
+from .similarity import cosine_topk, ivf_topk, l2_norms, lsh_bucketed_topk
 from .skew import salted_agg, salted_join
 from .text import dedup_exact, fingerprint, lang_id, text_quality, token_count

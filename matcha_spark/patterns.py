@@ -26,7 +26,18 @@ from typing import Any, Iterable, Sequence
 
 from .errors import InvalidBgpError, InvalidValuesError
 
-__all__ = ["Var", "Literal", "Values", "Optional", "is_var", "var_name", "find_vars"]
+__all__ = [
+    "Var",
+    "Literal",
+    "Values",
+    "Optional",
+    "Filter",
+    "NotExists",
+    "Minus",
+    "is_var",
+    "var_name",
+    "find_vars",
+]
 
 
 @dataclass(frozen=True)
@@ -73,6 +84,57 @@ class Optional:
             object.__setattr__(self, "patterns", tuple(patterns))
 
 
+@dataclass(frozen=True)
+class Filter:
+    """FILTER over bound vars — a Spark-native extension the reference
+    cannot express (its host s-expressions are evaluated *before*
+    matching and cannot see query vars, SURVEY §2.5).
+
+    ``fn`` maps ``{var_name: Column}`` (TERM-struct columns) to a
+    boolean Column, applied once the required BGP + values clauses have
+    bound every var it uses; ``functions.termcols.lex`` / ``lex_as``
+    decode terms inside the predicate.  Stays declarative: the condition
+    lands in the Spark plan and can fold into joins/scans.
+    """
+
+    fn: Any
+
+    def __post_init__(self):
+        if not callable(self.fn):
+            raise InvalidBgpError(self.fn)
+
+
+@dataclass(frozen=True)
+class NotExists:
+    """SPARQL ``FILTER NOT EXISTS``: drop solutions for which the block
+    has at least one compatible solution (anti-join on shared vars; a
+    block sharing no vars empties the result iff it matches at all).
+    Spark-native extension (SURVEY §2.5: negation absent in reference)."""
+
+    patterns: Sequence[Any]
+
+    def __init__(self, *patterns):
+        if len(patterns) == 1 and isinstance(patterns[0], list):
+            object.__setattr__(self, "patterns", tuple(patterns[0]))
+        else:
+            object.__setattr__(self, "patterns", tuple(patterns))
+
+
+@dataclass(frozen=True)
+class Minus:
+    """SPARQL ``MINUS``: like :class:`NotExists` on shared vars, but a
+    block sharing *no* vars removes nothing (SPARQL's dom-disjoint
+    rule — the observable difference between the two negations)."""
+
+    patterns: Sequence[Any]
+
+    def __init__(self, *patterns):
+        if len(patterns) == 1 and isinstance(patterns[0], list):
+            object.__setattr__(self, "patterns", tuple(patterns[0]))
+        else:
+            object.__setattr__(self, "patterns", tuple(patterns))
+
+
 def is_var(x: Any) -> bool:
     """``?``-prefixed strings and :class:`Var` are query variables
     (reference ``query-var?``, ``src:78-83``)."""
@@ -109,6 +171,10 @@ def find_vars(patterns: Iterable[Any]) -> list[str]:
             for p in item.patterns:
                 visit(p)
             return
+        if isinstance(item, (Filter, NotExists, Minus)):
+            # filters bind nothing; negation-block vars are scoped to the
+            # block (SPARQL: NOT EXISTS/MINUS vars are not projected out)
+            return
         if isinstance(item, (tuple, list)):
             for e in item:
                 visit(e)
@@ -141,7 +207,9 @@ def validate_patterns(patterns: Sequence[Any]) -> None:
             if not (rhs is None or isinstance(rhs, (list, tuple, set, frozenset))):
                 bad_values.append(rhs)
             return
-        if isinstance(item, Optional):
+        if isinstance(item, Filter):
+            return  # callability enforced at construction
+        if isinstance(item, (Optional, NotExists, Minus)):
             for p in item.patterns:
                 visit(p)
             return

@@ -37,6 +37,9 @@ from pyspark.sql.types import StructField, StructType
 
 from ..db import TriplesDB
 from ..patterns import (
+    Filter,
+    Minus,
+    NotExists,
     Optional,
     Values,
     const_value,
@@ -78,19 +81,24 @@ class _Scan:
 def _split_clauses(patterns: Sequence[Any]):
     """Hoist optionals after required clauses (reference ``parse-patterns``
     ``src:193-203`` — order-invariance among optionals is a tested
-    semantic, ``test:689-716``)."""
-    triples, values, optionals = [], [], []
+    semantic, ``test:689-716``).  Filters and negation blocks apply to
+    the required+values solutions, before optionals."""
+    triples, values, optionals, filters, negations = [], [], [], [], []
     for p in patterns:
         if isinstance(p, Optional):
             optionals.append(p)
         elif isinstance(p, Values):
             values.append(p)
+        elif isinstance(p, Filter):
+            filters.append(p)
+        elif isinstance(p, (NotExists, Minus)):
+            negations.append(p)
         else:
             row = list(p)
             if len(row) == 4:
                 row = row[:3]  # quad tolerance (src:54-58)
             triples.append(tuple(row))
-    return triples, values, optionals
+    return triples, values, optionals, filters, negations
 
 
 def _scan_pattern(db: TriplesDB, pattern, stats, total: float) -> _Scan:
@@ -252,7 +260,7 @@ def solve(db: TriplesDB, patterns: Sequence[Any], spark: SparkSession | None = N
     """
     spark = spark or SparkSession.getActiveSession()
     validate_patterns(patterns)
-    triples, values_clauses, optionals = _split_clauses(patterns)
+    triples, values_clauses, optionals, filters, negations = _split_clauses(patterns)
 
     required = _compile_required(db, triples, spark)
     if required is None:
@@ -260,6 +268,27 @@ def solve(db: TriplesDB, patterns: Sequence[Any], spark: SparkSession | None = N
     else:
         df, vars_ = required
     df, vars_ = _apply_values(df, vars_, values_clauses, spark)
+
+    if (filters or negations) and df is None:
+        raise ValueError("FILTER / NOT EXISTS / MINUS require required patterns")
+    for flt in filters:
+        # the predicate becomes an ordinary plan condition — Catalyst can
+        # push it into the joins/scans like any WHERE clause
+        df = df.where(flt.fn({v: F.col(v) for v in vars_}))
+    for neg in negations:
+        sub = solve(db, list(neg.patterns), spark)
+        shared = [v for v in sub.vars if v in vars_]
+        if shared:
+            df = df.join(
+                sub.df.select(*shared).dropDuplicates(), on=shared, how="left_anti"
+            )
+        elif isinstance(neg, NotExists):
+            # uncorrelated NOT EXISTS: block matching at all empties the
+            # result — expressed as an anti-join against a 1-row probe so
+            # nothing collects to the driver
+            df = df.join(sub.df.limit(1), F.lit(True), "left_anti")
+        # uncorrelated MINUS removes nothing (SPARQL dom-disjoint rule)
+
     has_required = bool(triples or values_clauses)
     required_vars = list(vars_)
 

@@ -100,6 +100,58 @@ def bgp_optional_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bgp_filter_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER over bound vars (extension absent from the reference):
+    EUROPE customers whose name sorts above a cutoff."""
+    from .patterns import Filter
+
+    db = _graph(spark, sf_dir)
+    res = select_df(
+        ["?cname"],
+        [
+            ("?c", KW["mktsegment"], "?seg"),  # restricts ?c to customers
+            ("?c", KW["nation"], "?n"),
+            ("?n", KW["region"], "?r"),
+            ("?r", KW["name"], "EUROPE"),
+            ("?c", KW["name"], "?cname"),
+            Filter(lambda v: lex(v["?cname"]) > "Customer#000001000"),
+        ],
+        db,
+    )
+    return res.select(lex(F.col("`?cname`")).alias("cname"))
+
+
+def bgp_not_exists_unurgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS negation (extension): BUILDING customers with no
+    1-URGENT order in the graph."""
+    from .patterns import NotExists
+
+    db = _graph(spark, sf_dir, include_orders=True, order_priority="1-URGENT")
+    res = select_df(
+        ["?cname"],
+        [
+            ("?c", KW["mktsegment"], "BUILDING"),
+            ("?c", KW["name"], "?cname"),
+            NotExists([("?o", KW["customer"], "?c")]),
+        ],
+        db,
+    )
+    return res.select(lex(F.col("`?cname`")).alias("cname"))
+
+
+def graph_closure_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure (property-path analog, absent from the
+    reference): reachability over the nation-key successor chain."""
+    from .operators.graph import transitive_closure
+
+    n = load_tables(spark, sf_dir, "nation")["nation"]
+    a, b = n.alias("a"), n.alias("b")
+    edges = a.join(b, F.col("b.n_nationkey") == F.col("a.n_nationkey") + 1).select(
+        F.col("a.n_nationkey").alias("src"), F.col("b.n_nationkey").alias("dst")
+    )
+    return transitive_closure(edges).orderBy("src", "dst")
+
+
 def bgp_construct_region_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed CONSTRUCT: materialize a derived graph (customer →
     region-name edges) without collecting; decoded to lex columns for
@@ -269,6 +321,9 @@ QUERIES = {
     "bgp_nations_values": bgp_nations_values,
     "bgp_optional_urgent_orders": bgp_optional_urgent_orders,
     "bgp_construct_region_graph": bgp_construct_region_graph,
+    "bgp_filter_customer_names": bgp_filter_customer_names,
+    "bgp_not_exists_unurgent": bgp_not_exists_unurgent,
+    "graph_closure_nations": graph_closure_nations,
     "bgp_ask_segment": bgp_ask_segment,
     "bgp_merge_count": bgp_merge_count,
     # documents pipeline
@@ -465,6 +520,33 @@ ORACLES = {
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
+    """,
+    "bgp_filter_customer_names": """
+        SELECT c_name AS cname
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE' AND c_name > 'Customer#000001000'
+    """,
+    "bgp_not_exists_unurgent": """
+        SELECT c_name AS cname
+        FROM customer c
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+          )
+    """,
+    "graph_closure_nations": """
+        WITH RECURSIVE edges AS (
+            SELECT a.n_nationkey AS src, b.n_nationkey AS dst
+            FROM nation a JOIN nation b ON b.n_nationkey = a.n_nationkey + 1
+        ), reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT reach.src, e.dst FROM reach JOIN edges e ON reach.dst = e.src
+        )
+        SELECT src, dst FROM reach ORDER BY src, dst
     """,
     "segment_quantiles": """
         SELECT c_mktsegment,

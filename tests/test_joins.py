@@ -121,3 +121,33 @@ def test_salted_join_rejects_right_and_full(spark):
     # left outer still works: unmatched left rows appear exactly once
     got = salted_join(left, right, ["k"], n_salts=4, how="left")
     assert got.count() == 10
+
+
+def test_transitive_closure_chain_and_cycle(spark):
+    from matcha_spark.operators.graph import transitive_closure
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 10)], "src long, dst long"
+    )
+    got = {(r["src"], r["dst"]) for r in transitive_closure(edges).collect()}
+    want = {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+            (10, 11), (11, 10), (10, 10), (11, 11)}
+    assert got == want
+
+
+def test_predicate_closure_over_triplesdb(spark):
+    from matcha_spark import TriplesDB, kw
+    from matcha_spark.operators.graph import predicate_closure
+    from matcha_spark.terms import from_term
+
+    db = TriplesDB.from_triples(
+        spark,
+        [(kw("a"), kw("knows"), kw("b")), (kw("b"), kw("knows"), kw("c")),
+         (kw("a"), kw("likes"), kw("z"))],
+    )
+    got = {
+        (from_term(r["s"]), from_term(r["o"]))
+        for r in predicate_closure(db, kw("knows")).collect()
+    }
+    assert got == {(kw("a"), kw("b")), (kw("b"), kw("c")), (kw("a"), kw("c"))}
+    db.unpersist()

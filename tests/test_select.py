@@ -266,3 +266,65 @@ def test_select_1_plan_is_bounded(spark):
     full = select(["?s", "?o"], pats, db)
     assert first == full[0]
     db.unpersist()
+
+
+def test_filter_clause(spark):
+    from matcha_spark import Filter, kw
+    from matcha_spark.functions.termcols import lex_as
+
+    db = TriplesDB.from_triples(
+        spark, [(kw(f"s{i}"), kw("score"), i) for i in range(10)]
+    )
+    res = select(
+        ["?s", "?v"],
+        [
+            ("?s", kw("score"), "?v"),
+            Filter(lambda v: lex_as(v["?v"], "bigint") >= 7),
+        ],
+        db,
+    )
+    assert sorted(r[1] for r in res) == [7, 8, 9]
+    # filter referencing a never-usable shape: non-callable rejected
+    with pytest.raises(InvalidBgpError):
+        from matcha_spark.patterns import Filter as _F
+
+        _F("not callable")
+    db.unpersist()
+
+
+def test_not_exists_and_minus(spark):
+    from matcha_spark import Filter, Minus, NotExists, kw
+
+    db = TriplesDB.from_triples(
+        spark,
+        [
+            (kw("a"), kw("type"), "person"),
+            (kw("b"), kw("type"), "person"),
+            (kw("a"), kw("banned"), True),
+            (kw("x"), kw("unrelated"), 1),
+        ],
+    )
+    # correlated NOT EXISTS: persons without a banned edge
+    res = select(
+        ["?s"],
+        [("?s", kw("type"), "person"), NotExists([("?s", kw("banned"), "?b")])],
+        db,
+    )
+    assert res == [kw("b")]
+    # MINUS behaves identically when vars are shared
+    res2 = select(
+        ["?s"],
+        [("?s", kw("type"), "person"), Minus([("?s", kw("banned"), "?b")])],
+        db,
+    )
+    assert res2 == [kw("b")]
+    # uncorrelated: NOT EXISTS empties (the block matches something),
+    # MINUS keeps everything (SPARQL dom-disjoint rule)
+    assert (
+        select(["?s"], [("?s", kw("type"), "person"), NotExists([("?z", kw("unrelated"), 1)])], db)
+        is None
+    )
+    assert set(
+        select(["?s"], [("?s", kw("type"), "person"), Minus([("?z", kw("unrelated"), 1)])], db)
+    ) == {kw("a"), kw("b")}
+    db.unpersist()
