@@ -113,31 +113,48 @@ def minhash_lsh_candidates(
 
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit SimHash: per-token xxhash64; signature bit i is the sign of
-    the sum over tokens of ±1 for that bit.  Pure higher-order-function
-    aggregation — one pass, no shuffle beyond the final projection."""
-    toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
-    # explode → one xxhash64 per token, then 64 codegen'd conditional sums
-    # (map-side partial agg; stays in whole-stage codegen, unlike a
-    # higher-order `aggregate` lambda which is interpreted per element).
-    # repartition first: a single input file would otherwise run the whole
-    # explode+partial-agg pipeline in one task (AQE right-sizes the count)
-    h = docs.repartition("doc_id").select("doc_id", F.explode(toks).alias("t")).select(
-        "doc_id", F.xxhash64("t").alias("h")
+    the sum over tokens of ±1 for that bit.
+
+    Shuffle-free shape: token hashing stays in the JVM (``transform`` +
+    ``xxhash64`` — stable and shared with the MinHash pipeline), and the
+    bit-vote fold runs in one Arrow-batched ``mapInPandas`` kernel as a
+    vectorized numpy segment-sum — a signature is a per-row computation,
+    so the operator is a pure narrow map (the explode + 64-column
+    groupBy alternative pays a full shuffle for no reason).
+    """
+    import numpy as np
+    import pandas as pd
+
+    # repartition: a single input file would otherwise run everything in
+    # one task (AQE right-sizes the partition count)
+    d = (
+        docs.repartition("doc_id")
+        .select("doc_id", F.expr(
+            f"transform(array_distinct(split(lower(trim({text_col})), '\\\\s+')), t -> xxhash64(t))"
+        ).alias("hs"))
     )
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
-        ).alias(f"v{i}")
-        for i in range(64)
-    ]
-    agg = h.groupBy("doc_id").agg(*votes)
-    sig = None
-    for i in range(64):
-        bit = F.when(F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig = bit if sig is None else sig.bitwiseOR(bit)
-    return agg.select("doc_id", sig.alias("simhash"))
+
+    def kernel(batches):
+        shifts = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            arrs = [np.asarray(x, dtype=np.int64) for x in pdf["hs"]]
+            lens = np.array([len(a) for a in arrs], dtype=np.int64)
+            out = np.zeros(len(arrs), dtype=np.int64)
+            nz = lens > 0
+            if nz.any():
+                flat = np.concatenate([a for a in arrs if len(a)]).view(np.uint64)
+                bits = ((flat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+                starts = np.zeros(int(nz.sum()), dtype=np.int64)
+                np.cumsum(lens[nz][:-1], out=starts[1:])
+                ones = np.add.reduceat(bits, starts, axis=0)
+                votes = 2 * ones - lens[nz][:, None]
+                sigs = ((votes > 0).astype(np.uint64) << shifts[None, :]).sum(
+                    axis=1, dtype=np.uint64
+                )
+                out[nz] = sigs.view(np.int64)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
+
+    return d.mapInPandas(kernel, schema="doc_id long, simhash long")
 
 
 def simhash_candidates(
