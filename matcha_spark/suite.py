@@ -229,6 +229,29 @@ def doc_lang_id(spark, sf_dir):
     return T.lang_id(load_tables(spark, sf_dir, "documents")["documents"])
 
 
+def doc_quality_filter(spark, sf_dir):
+    return T.quality_filter(
+        load_tables(spark, sf_dir, "documents")["documents"],
+        min_tokens=40,
+        max_punct_ratio=0.1,
+        min_stopword_ratio=0.01,
+    )
+
+
+def doc_scrub_pii(spark, sf_dir):
+    return T.scrub_pii(load_tables(spark, sf_dir, "documents")["documents"])
+
+
+def doc_strip_boilerplate(spark, sf_dir):
+    return T.strip_boilerplate(
+        load_tables(spark, sf_dir, "documents")["documents"], min_doc_freq=3
+    )
+
+
+def doc_corpus_stats(spark, sf_dir):
+    return T.corpus_stats(load_tables(spark, sf_dir, "documents")["documents"])
+
+
 def doc_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(
         load_tables(spark, sf_dir, "documents")["documents"],
@@ -332,6 +355,10 @@ QUERIES = {
     "doc_token_count": doc_token_count,
     "doc_text_quality": doc_text_quality,
     "doc_lang_id": doc_lang_id,
+    "doc_quality_filter": doc_quality_filter,
+    "doc_scrub_pii": doc_scrub_pii,
+    "doc_strip_boilerplate": doc_strip_boilerplate,
+    "doc_corpus_stats": doc_corpus_stats,
     "doc_ngram_jaccard": doc_ngram_jaccard,
     "doc_minhash_lsh": doc_minhash_lsh,
     "doc_simhash": doc_simhash,
@@ -664,6 +691,60 @@ ORACLES = {
                    len(list_filter({_TOKS}, x -> lower(x) IN ({_FR}))) AS fr
             FROM documents
         )
+    """,
+    "doc_quality_filter": f"""
+        SELECT * FROM (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len({_TOKS}) AS n_tokens,
+                   round(length(text) / len({_TOKS}), 4) AS avg_token_len,
+                   round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / length(text), 4) AS punct_ratio,
+                   round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))) / length(text), 4) AS upper_ratio,
+                   round(len(list_filter({_TOKS}, x -> lower(x) IN ({_EN}))) / len({_TOKS}), 4) AS stopword_ratio
+            FROM documents
+        )
+        WHERE n_tokens >= 40 AND avg_token_len <= 12.0
+          AND punct_ratio <= 0.1 AND stopword_ratio >= 0.01
+    """,
+    "doc_scrub_pii": """
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\\+?\\d[\\d\\s().-]{7,}\\d', '<PHONE>', 'g'),
+                 '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS text
+        FROM documents
+    """,
+    "doc_strip_boilerplate": """
+        WITH t AS (
+            SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+        ), lines AS (
+            SELECT doc_id, i AS pos, ls[i + 1] AS line
+            FROM t, UNNEST(range(len(ls))) AS u(i)
+        ), norm AS (
+            SELECT doc_id, pos, line, lower(trim(line)) AS norm FROM lines
+        ), bp AS (
+            SELECT norm FROM (
+                SELECT DISTINCT doc_id, norm FROM norm WHERE norm != ''
+            ) GROUP BY norm HAVING count(*) >= 3
+        ), kept AS (
+            SELECT n.doc_id, n.pos, n.line
+            FROM norm n LEFT JOIN bp ON n.norm = bp.norm
+            WHERE bp.norm IS NULL
+        ), rebuilt AS (
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+            FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(r.text, '') AS text
+        FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    """,
+    "doc_corpus_stats": f"""
+        SELECT count(*) AS n_docs,
+               sum(len({_TOKS})) AS n_tokens,
+               sum(length(text)) AS n_chars,
+               count(DISTINCT md5({_NORM})) AS n_unique_docs
+        FROM documents
     """,
     "doc_ngram_jaccard": f"""
         WITH {_jaccard_pairs_ctes(cap=100, threshold=0.2)}

@@ -275,3 +275,52 @@ def test_ivf_recall_vs_bruteforce(spark):
         for r in S.ivf_topk(emb, q, k=5, n_centroids=8, n_probe=4).collect()
     }
     assert len(exact & part) / len(exact) >= 0.5
+
+
+def test_strip_boilerplate_planted(spark):
+    bp = "copyright 2024 example corp"
+    rows = [
+        (1, f"unique first line\n{bp}\nreal content one"),
+        (2, f"{bp}\nreal content two"),
+        (3, f"other text\n{bp}"),
+        (4, bp),  # nothing but boilerplate
+        (5, "no shared lines here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    found = {r["norm"] for r in T.boilerplate_lines(docs, min_doc_freq=3).collect()}
+    assert found == {bp}
+    out = {r["doc_id"]: r["text"] for r in T.strip_boilerplate(docs, min_doc_freq=3).collect()}
+    assert out[1] == "unique first line\nreal content one"  # order preserved
+    assert out[2] == "real content two"
+    assert out[3] == "other text"
+    assert out[4] == ""  # fully-boilerplate doc survives as empty
+    assert out[5] == "no shared lines here"
+    assert len(out) == 5
+
+
+def test_scrub_pii_patterns(spark):
+    rows = [(1, "mail a.b+c@ex-ample.org or call +1 (555) 123-4567 from 10.0.0.1 ok")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = T.scrub_pii(docs).collect()[0]["text"]
+    assert "<EMAIL>" in out and "<PHONE>" in out and "<IP>" in out
+    assert "@" not in out and "555" not in out and "10.0.0.1" not in out
+    assert out.startswith("mail ") and out.endswith(" ok")
+
+
+def test_quality_filter_cuts(spark):
+    rows = [
+        (1, "the cat sat on the mat and then it ran away happily today"),  # good
+        (2, "aa bb"),  # too short
+        (3, "!!! ??? ... ;;; ::: @@@ $$$ %%% ^^^ &&&"),  # punct-heavy, no stopwords
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r["doc_id"] for r in T.quality_filter(docs, min_tokens=5, max_punct_ratio=0.2, min_stopword_ratio=0.05).collect()}
+    assert kept == {1}
+
+
+def test_corpus_stats(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "d e")], "doc_id long, text string"
+    )
+    r = T.corpus_stats(docs).collect()[0]
+    assert (r["n_docs"], r["n_tokens"], r["n_unique_docs"]) == (3, 8, 2)
