@@ -43,9 +43,14 @@ from pyspark.sql.types import (
 __all__ = [
     "MEDIA_SCHEMA",
     "IMAGE_FEATURES_SCHEMA",
+    "AUDIO_FEATURES_SCHEMA",
     "fake_decode_image",
     "strict_decode_image",
+    "fake_decode_audio",
+    "strict_decode_audio",
     "image_features",
+    "audio_features",
+    "resize_images",
     "frame_sample",
 ]
 
@@ -120,6 +125,97 @@ def image_features(
 
     imgs = media.where(F.col("kind") == "image").select("media_id", "payload")
     return imgs.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("rms", FloatType(), False),
+        StructField("zero_crossings", LongType(), False),
+    ]
+)
+
+
+def strict_decode_audio(payload: bytes) -> np.ndarray:
+    """The real audio-decoder plug point.  STUB: audio codecs are not
+    available in this environment."""
+    raise NotImplementedError(
+        "audio decode requires a codec library (e.g. soundfile/ffmpeg); "
+        "inject one via audio_features(decoder=...)"
+    )
+
+
+def fake_decode_audio(payload: bytes) -> np.ndarray:
+    """Deterministic FAKE decoder: expands the payload hash into a
+    256-sample float waveform in [-1, 1).  Exercises the distributed
+    plumbing with stable outputs."""
+    h = hashlib.sha256(payload or b"").digest()
+    raw = np.frombuffer((h * 8)[:256], dtype=np.uint8)
+    return (raw.astype(np.float32) - 128.0) / 128.0
+
+
+def audio_features(
+    media: DataFrame,
+    decoder: Callable[[bytes], np.ndarray] = fake_decode_audio,
+) -> DataFrame:
+    """Decode + feature-extract audio via ``mapInPandas``: sample count,
+    RMS energy, zero-crossing count — the classic cheap signal stats."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ns, rms, zc = [], [], []
+            for payload in pdf["payload"]:
+                wave = decoder(bytes(payload) if payload is not None else b"")
+                ns.append(len(wave))
+                rms.append(float(np.sqrt(np.mean(wave**2))) if len(wave) else 0.0)
+                zc.append(int(np.sum(np.signbit(wave[1:]) != np.signbit(wave[:-1]))))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "n_samples": ns, "rms": rms, "zero_crossings": zc}
+            )
+
+    auds = media.where(F.col("kind") == "audio").select("media_id", "payload")
+    return auds.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def resize_images(
+    media: DataFrame,
+    target: tuple[int, int] = (4, 4),
+    decoder: Callable[[bytes], np.ndarray] = fake_decode_image,
+) -> DataFrame:
+    """Resize plumbing: decode → nearest-neighbor downsample (pure numpy
+    index striding — a real deployment swaps in a codec + interpolation)
+    → re-encode as raw bytes with updated width/height metadata.  Output
+    keeps the media-table shape so resized images flow back into any
+    downstream media operator."""
+    th, tw = target
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, ws, hs = [], [], []
+            for payload in pdf["payload"]:
+                arr = decoder(bytes(payload) if payload is not None else b"")
+                h, w = arr.shape[:2]
+                rows = np.linspace(0, h - 1, th).round().astype(int)
+                cols = np.linspace(0, w - 1, tw).round().astype(int)
+                small = arr[np.ix_(rows, cols)]
+                payloads.append(small.astype(np.float32).tobytes())
+                ws.append(tw)
+                hs.append(th)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "format": "raw_f32",
+                    "width": ws,
+                    "height": hs,
+                    "duration_ms": pdf["duration_ms"],
+                    "payload": payloads,
+                }
+            )
+
+    imgs = media.where(F.col("kind") == "image")
+    return imgs.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def frame_sample(

@@ -36,6 +36,7 @@ __all__ = [
     "sessionize_native",
     "sessionize_stateful",
     "stream_dedup",
+    "stream_interval_join",
     "SESSION_SCHEMA",
 ]
 
@@ -66,6 +67,30 @@ def sliding_activity(events: DataFrame, watermark: str = "30 minutes") -> DataFr
         )
         .select(F.col("win.start").alias("window_start"), "approx_users", "n")
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "15 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream equi-join with a time-interval condition: each left
+    event pairs with right events for the same key within ``within``
+    *before* it.  Watermarks on both sides bound the join state — Spark
+    evicts buffered rows once the watermark passes the interval, so
+    state is O(key-rate × window), never unbounded."""
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner")
 
 
 def sessionize_native(

@@ -324,3 +324,23 @@ def test_corpus_stats(spark):
     )
     r = T.corpus_stats(docs).collect()[0]
     assert (r["n_docs"], r["n_tokens"], r["n_unique_docs"]) == (3, 8, 2)
+
+
+def test_audio_features_and_resize(spark):
+    rows = [
+        (1, "image", "jpeg", 8, 8, None, bytearray(b"\x01\x02")),
+        (5, "audio", "wav", None, None, 2000, bytearray(b"\xaa\xbb")),
+        (6, "audio", "wav", None, None, 1000, bytearray(b"\xaa\xbb")),
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    af = {r["media_id"]: r for r in M.audio_features(media).collect()}
+    assert set(af) == {5, 6}
+    assert af[5]["n_samples"] == 256 and 0.0 < af[5]["rms"] < 1.0
+    assert af[5]["rms"] == af[6]["rms"]  # same payload → deterministic features
+    resized = M.resize_images(media, target=(4, 4)).collect()
+    assert len(resized) == 1
+    r = resized[0]
+    assert (r["width"], r["height"], r["format"]) == (4, 4, "raw_f32")
+    assert len(bytes(r["payload"])) == 4 * 4 * 4  # 16 float32 pixels
+    with pytest.raises(NotImplementedError):
+        M.strict_decode_audio(b"x")

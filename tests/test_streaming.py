@@ -172,3 +172,23 @@ def test_sessionize_native_stream_equals_batch(spark, stream_dir):
     assert set(map(key, out)) <= set(map(key, batch))
     # user 1's 10:05+10:20 pair closed by the 11:10 event advancing the watermark
     assert any(r["user_id"] == 1 and r["n_events"] == 2 for r in out)
+
+
+def test_stream_interval_join(spark, stream_dir):
+    """Stream-stream join: each event pairs with same-user events within
+    the preceding 15 minutes (watermark-bounded state)."""
+    from matcha_spark.streaming.events import stream_interval_join
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    left = spark.readStream.schema(schema).parquet(stream_dir)
+    right = spark.readStream.schema(schema).parquet(stream_dir)
+    joined = stream_interval_join(left, right, within="15 minutes").select(
+        F.col("l.event_id").alias("le"), F.col("r.event_id").alias("re")
+    )
+    out = _run_to_memory(spark, joined, "ssjoin_t", mode="append")
+    pairs = {(r["le"], r["re"]) for r in out.collect()}
+    # self-pairs always; event 2 (10:20) sees event 1 (10:05, 15m before);
+    # event 3 (11:10) sees nothing earlier within 15m
+    assert (2, 1) in pairs and (2, 2) in pairs and (1, 1) in pairs
+    assert (3, 1) not in pairs and (3, 2) not in pairs
+    assert (1, 2) not in pairs  # interval is backward-looking only
