@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ..db import TriplesDB
 from ..functions.termcols import int_col, kw_col, str_col, uri_col
 from ..terms import kw
+from .frame import df_to_triples, kw_lit as _kw_lit
 
 __all__ = ["KW", "tpch_graph", "load_tables"]
 
@@ -68,34 +69,25 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return out
 
 
-def _kw_lit(name: str):
-    return F.struct(
-        F.lit("kw").alias("kind"),
-        F.lit(name).alias("lex"),
-        F.lit(0.0).alias("num"),
-        F.lit("").alias("lang"),
-        F.lit("").alias("dt"),
-    )
-
-
 def order_triples(
     spark: SparkSession, sf_dir: str, order_priority: str | None = None
 ) -> DataFrame:
     """Just the order-entity triples (for extending a cached base graph
-    without rescanning the dimension tables)."""
+    without rescanning the dimension tables).  One scan of orders for
+    all three predicates (explode encoding, see ``sources.frame``)."""
     o = load_tables(spark, sf_dir, "orders")["orders"]
-    if order_priority is not None:
-        o = o.where(F.col("o_orderpriority") == order_priority)
-    s = uri_col("order:", F.col("o_orderkey"))
-    parts = [
-        o.select(s.alias("s"), _kw_lit("customer").alias("p"), uri_col("customer:", F.col("o_custkey")).alias("o")),
-        o.select(s.alias("s"), _kw_lit("priority").alias("p"), str_col(F.col("o_orderpriority")).alias("o")),
-        o.select(s.alias("s"), _kw_lit("okey").alias("p"), int_col(F.col("o_orderkey")).alias("o")),
-    ]
-    df = parts[0]
-    for p in parts[1:]:
-        df = df.unionByName(p)
-    return df
+    return df_to_triples(
+        o,
+        uri_col("order:", F.col("o_orderkey")),
+        {
+            "customer": uri_col("customer:", F.col("o_custkey")),
+            "priority": str_col(F.col("o_orderpriority")),
+            "okey": int_col(F.col("o_orderkey")),
+        },
+        where=None
+        if order_priority is None
+        else F.col("o_orderpriority") == order_priority,
+    )
 
 
 def tpch_graph(
@@ -118,37 +110,44 @@ def tpch_graph(
     if base is not None and include_orders:
         df = base.df.unionByName(order_triples(spark, sf_dir, order_priority))
         return TriplesDB.from_df(df, dedup=False, cache=cache)
-    t = load_tables(spark, sf_dir, "region", "nation", "customer", "supplier", "orders")
-
-    def triples(df, s, p_name, o):
-        return df.select(s.alias("s"), _kw_lit(p_name).alias("p"), o.alias("o"))
-
-    region, nation, customer, supplier, orders = (
-        t["region"],
-        t["nation"],
-        t["customer"],
-        t["supplier"],
-        t["orders"],
-    )
+    t = load_tables(spark, sf_dir, "region", "nation", "customer", "supplier")
+    # one scan per source table for ALL its predicates (explode encoding,
+    # see sources.frame) — at 100 TB this is the difference between
+    # reading customer once and reading it three times
     parts = [
-        triples(region, uri_col("region:", F.col("r_regionkey")), "name", str_col(F.col("r_name"))),
-        triples(nation, uri_col("nation:", F.col("n_nationkey")), "name", str_col(F.col("n_name"))),
-        triples(nation, uri_col("nation:", F.col("n_nationkey")), "region", uri_col("region:", F.col("n_regionkey"))),
-        triples(customer, uri_col("customer:", F.col("c_custkey")), "name", str_col(F.col("c_name"))),
-        triples(customer, uri_col("customer:", F.col("c_custkey")), "nation", uri_col("nation:", F.col("c_nationkey"))),
-        triples(customer, uri_col("customer:", F.col("c_custkey")), "mktsegment", str_col(F.col("c_mktsegment"))),
-        triples(supplier, uri_col("supplier:", F.col("s_suppkey")), "name", str_col(F.col("s_name"))),
-        triples(supplier, uri_col("supplier:", F.col("s_suppkey")), "nation", uri_col("nation:", F.col("s_nationkey"))),
+        df_to_triples(
+            t["region"],
+            uri_col("region:", F.col("r_regionkey")),
+            {"name": str_col(F.col("r_name"))},
+        ),
+        df_to_triples(
+            t["nation"],
+            uri_col("nation:", F.col("n_nationkey")),
+            {
+                "name": str_col(F.col("n_name")),
+                "region": uri_col("region:", F.col("n_regionkey")),
+            },
+        ),
+        df_to_triples(
+            t["customer"],
+            uri_col("customer:", F.col("c_custkey")),
+            {
+                "name": str_col(F.col("c_name")),
+                "nation": uri_col("nation:", F.col("c_nationkey")),
+                "mktsegment": str_col(F.col("c_mktsegment")),
+            },
+        ),
+        df_to_triples(
+            t["supplier"],
+            uri_col("supplier:", F.col("s_suppkey")),
+            {
+                "name": str_col(F.col("s_name")),
+                "nation": uri_col("nation:", F.col("s_nationkey")),
+            },
+        ),
     ]
     if include_orders:
-        o = orders
-        if order_priority is not None:
-            o = o.where(F.col("o_orderpriority") == order_priority)
-        parts += [
-            triples(o, uri_col("order:", F.col("o_orderkey")), "customer", uri_col("customer:", F.col("o_custkey"))),
-            triples(o, uri_col("order:", F.col("o_orderkey")), "priority", str_col(F.col("o_orderpriority"))),
-            triples(o, uri_col("order:", F.col("o_orderkey")), "okey", int_col(F.col("o_orderkey"))),
-        ]
+        parts.append(order_triples(spark, sf_dir, order_priority))
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)

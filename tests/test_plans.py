@@ -71,3 +71,46 @@ def test_bgp_join_tree_no_single_partition(spark):
         plan = _plan(q(spark, SF_DIR))
         assert "SinglePartition" not in plan, q.__name__
         assert "CartesianProduct" not in plan, q.__name__
+
+
+def test_df_to_triples_one_scan_per_table(spark):
+    """The generic frame source scans its input once for ALL predicates
+    (explode encoding) — not once per predicate — and column pruning
+    still reaches the parquet reader."""
+    from pyspark.sql import functions as F
+
+    from matcha_spark.functions.termcols import str_col, uri_col
+    from matcha_spark.sources.frame import df_to_triples
+    from matcha_spark.terms import from_term
+
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    t = df_to_triples(
+        cust,
+        uri_col("customer:", F.col("c_custkey")),
+        {
+            "name": str_col(F.col("c_name")),
+            "mktsegment": str_col(F.col("c_mktsegment")),
+        },
+    )
+    n_cust = cust.count()
+    assert t.count() == 2 * n_cust
+    plan = _plan(t)
+    assert plan.count("Scan parquet") == 1
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "c_address" not in read_schema and "c_comment" not in read_schema
+    # spot-check decode round-trip of one generated triple
+    from matcha_spark.terms import kw
+
+    row = t.orderBy(F.col("s.lex")).first()
+    s, p = from_term(row.s), from_term(row.p)
+    assert str(s).startswith("customer:")
+    assert p in (kw("name"), kw("mktsegment"))
+
+
+def test_tpch_graph_scans_each_table_once(spark):
+    from matcha_spark.sources.tpch_graph import tpch_graph
+
+    g = tpch_graph(spark, SF_DIR, cache=False)
+    plan = _plan(g.df)
+    # region, nation, customer, supplier: one scan each
+    assert plan.count("Scan parquet") == 4
