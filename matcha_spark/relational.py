@@ -28,6 +28,10 @@ __all__ = [
     "segment_stats",
     "events_hourly",
     "events_sessionize",
+    "q4_order_priority",
+    "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
 ]
 
 
@@ -352,4 +356,124 @@ def cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
         )
         .orderBy("o_orderpriority", "o_orderstatus")
+    )
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style EXISTS: count orders per priority that have at
+    least one late-shipping lineitem.  The subquery is a LEFT SEMI join
+    (equi on orderkey + residual non-equi ship>order date) — Spark probes
+    the hash table and emits each order at most once; never builds the
+    multiplied join output."""
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    orders = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    return (
+        orders.join(
+            t["lineitem"],
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style anti-join + scalar subquery: positive-balance
+    customers with above-average account balance and NO urgent orders.
+    The average is a 1-row aggregate (broadcast by AQE); the NOT EXISTS
+    is a LEFT ANTI join on custkey against the filtered orders side —
+    the scale shape (never a NOT IN over a collected list)."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    cust = t["customer"].where(F.col("c_acctbal") > 0.0)
+    avg_bal = cust.agg(F.avg("c_acctbal").alias("avg_bal"))
+    rich = cust.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("avg_bal")).drop(
+        "avg_bal"
+    )
+    urgent = t["orders"].where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        rich.join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style correlated min: for each part in a brand, the
+    supplier(s) offering the minimum unit price.  Expressed as a window
+    min over the part partition + filter — one shuffle on partkey, no
+    self-join re-scan of lineitem (the classic correlated-subquery plan
+    would scan the fact table twice)."""
+    t = load_tables(spark, sf_dir, "part", "supplier", "lineitem")
+    part = t["part"].where(F.col("p_brand") == "Brand#1")
+    unit = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        / F.col("l_quantity").cast("decimal(18,4)")
+    ).cast("decimal(18,4)")
+    offers = (
+        t["lineitem"]
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_partkey", "p_name", "l_suppkey", unit.alias("unit_price"))
+    )
+    w = Window.partitionBy("p_partkey")
+    best = offers.withColumn("min_price", F.min("unit_price").over(w)).where(
+        F.col("unit_price") == F.col("min_price")
+    )
+    return (
+        best.join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("s_name").alias("supplier"),
+            F.col("unit_price").cast("double").alias("unit_price"),
+        )
+        .dropDuplicates(["p_partkey", "supplier"])
+        .orderBy("p_partkey", "supplier")
+    )
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style nation-pair trade volume: revenue shipped from a
+    supplier nation to a customer nation per year, for one ordered pair
+    of nations in both directions.  Facts join on keys; the 25-row
+    nation dim is broadcast twice (alias-renamed) — the only safe forced
+    broadcasts at 100 TB."""
+    t = load_tables(
+        spark, sf_dir, "nation", "customer", "supplier", "orders", "lineitem"
+    )
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("supp_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("cust_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(18,2)")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    rpair = (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("supp_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cust_nkey"))
+        .where(pair | rpair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
     )

@@ -339,6 +339,10 @@ QUERIES = {
     "cube_priority_status": R.cube_priority_status,
     "nation_set_ops": R.nation_set_ops,
     "asof_events_orders": R.asof_events_orders,
+    "q4_order_priority": R.q4_order_priority,
+    "q22_idle_customers": R.q22_idle_customers,
+    "q2_min_cost_supplier": R.q2_min_cost_supplier,
+    "q7_volume_shipping": R.q7_volume_shipping,
     # BGP engine
     "bgp_customers_in_region": bgp_customers_in_region,
     "bgp_nations_values": bgp_nations_values,
@@ -414,6 +418,58 @@ def _jaccard_pairs_ctes(cap: int, threshold: float) -> str:
         )"""
 
 ORACLES = {
+    "q4_order_priority": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY 1 ORDER BY 1
+    """,
+    "q22_idle_customers": """
+        WITH pos AS (SELECT * FROM customer WHERE c_acctbal > 0.0),
+             bal AS (SELECT avg(c_acctbal) AS ab FROM pos)
+        SELECT c_mktsegment, count(*) AS n_custs,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        FROM pos, bal
+        WHERE c_acctbal > ab
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        GROUP BY 1 ORDER BY 1
+    """,
+    "q2_min_cost_supplier": """
+        WITH offers AS (
+            SELECT p_partkey, p_name, l_suppkey,
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                        / CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(18,4)) AS unit_price
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#1'
+        ), best AS (
+            SELECT *, min(unit_price) OVER (PARTITION BY p_partkey) AS min_price
+            FROM offers
+        )
+        SELECT DISTINCT p_partkey, p_name, s_name AS supplier,
+               CAST(unit_price AS DOUBLE) AS unit_price
+        FROM best JOIN supplier ON l_suppkey = s_suppkey
+        WHERE unit_price = min_price
+        ORDER BY p_partkey, supplier
+    """,
+    "q7_volume_shipping": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS ship_year,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
     "q1_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

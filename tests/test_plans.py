@@ -114,3 +114,29 @@ def test_tpch_graph_scans_each_table_once(spark):
     plan = _plan(g.df)
     # region, nation, customer, supplier: one scan each
     assert plan.count("Scan parquet") == 4
+
+
+def test_q4_semi_join_shape(spark):
+    """EXISTS compiles to a semi join (one output row per order, no
+    multiplied intermediate) with the date filter pushed to the scan."""
+    from matcha_spark import relational as R
+
+    plan = _plan(R.q4_order_priority(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q22_anti_join_shape(spark):
+    from matcha_spark import relational as R
+
+    plan = _plan(R.q22_idle_customers(spark, SF_DIR))
+    assert "LeftAnti" in plan
+
+
+def test_q2_single_fact_scan(spark):
+    """The window-min formulation scans lineitem once; the naive
+    correlated subquery would scan it twice."""
+    from matcha_spark import relational as R
+
+    plan = _plan(R.q2_min_cost_supplier(spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 1
