@@ -135,20 +135,26 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
     def kernel(batches):
-        shifts = np.arange(64, dtype=np.uint64)
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
         for pdf in batches:
             arrs = [np.asarray(x, dtype=np.int64) for x in pdf["hs"]]
             lens = np.array([len(a) for a in arrs], dtype=np.int64)
             out = np.zeros(len(arrs), dtype=np.int64)
             nz = lens > 0
             if nz.any():
-                flat = np.concatenate([a for a in arrs if len(a)]).view(np.uint64)
-                bits = ((flat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+                flat = np.concatenate([a for a in arrs if len(a)])
+                # bit matrix via unpackbits on the raw little-endian bytes:
+                # T×64 uint8 (1 byte per bit) — the shift-broadcast
+                # alternative materializes T×64 int64 (8× the memory) and
+                # is the kernel's hot spot at corpus batch sizes
+                bits = np.unpackbits(
+                    flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+                )
                 starts = np.zeros(int(nz.sum()), dtype=np.int64)
                 np.cumsum(lens[nz][:-1], out=starts[1:])
-                ones = np.add.reduceat(bits, starts, axis=0)
+                ones = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
                 votes = 2 * ones - lens[nz][:, None]
-                sigs = ((votes > 0).astype(np.uint64) << shifts[None, :]).sum(
+                sigs = ((votes > 0).astype(np.uint64) * weights[None, :]).sum(
                     axis=1, dtype=np.uint64
                 )
                 out[nz] = sigs.view(np.int64)
@@ -326,21 +332,27 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
+
+    def label_sum(lab) -> int:
+        # min-propagation only ever lowers labels, so the label sum
+        # strictly decreases until convergence — a one-aggregate check
+        # with no join (decimal: an int64 sum would overflow at corpus
+        # scale node-id magnitudes)
+        row = lab.agg(F.sum(F.col("component").cast("decimal(38,0)"))).first()
+        return int(row[0] or 0)
+
+    prev_sum = label_sum(labels)
     for _ in range(max_iter):
         nb = sym.join(labels, sym.dst == labels.id).select(
             F.col("src").alias("id"), F.col("component")
         )
-        new_labels = (
+        labels = (
             labels.union(nb).groupBy("id").agg(F.min("component").alias("component"))
         ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-        )
-        labels = new_labels
-        if changed.isEmpty():
+        cur_sum = label_sum(labels)
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
 
 
