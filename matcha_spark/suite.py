@@ -574,7 +574,7 @@ ORACLES = {
                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
             FROM marked
         )
-        SELECT user_id, session_idx, count(*) AS n_events,
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events,
                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
         FROM sess GROUP BY 1, 2 ORDER BY 1, 2
     """,
@@ -797,8 +797,8 @@ ORACLES = {
     """,
     "doc_corpus_stats": f"""
         SELECT count(*) AS n_docs,
-               sum(len({_TOKS})) AS n_tokens,
-               sum(length(text)) AS n_chars,
+               CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens,
+               CAST(sum(length(text)) AS BIGINT) AS n_chars,
                count(DISTINCT md5({_NORM})) AS n_unique_docs
         FROM documents
     """,
