@@ -5,20 +5,68 @@ The reference has no property paths (SURVEY §2.5); SPARQL engines offer
 with :func:`predicate_closure` binding it to a :class:`TriplesDB`
 predicate.
 
-Scale shape: semi-naive iteration — each round joins only the *frontier*
-(pairs discovered last round) against the edge list, anti-joins out the
-already-known pairs, and stops when the frontier drains.  Rounds =
-longest shortest-path; every round is one equi-join + one anti-join,
-both shuffle-partitioned on the join key, with ``localCheckpoint``
-truncating lineage.  Nothing collects to the driver.
+Scale shape: path-doubling iteration — each round composes the
+accumulated reachability with itself, anti-joins out the already-known
+pairs, and stops when no new pairs appear.  Rounds = ⌈log₂ diameter⌉;
+every round is one equi-join + one anti-join, both shuffle-partitioned
+on the join key.  Nothing collects to the driver.
+
+Cluster safety: each round is materialized to parquet under a *shared*
+work directory — the explicit ``checkpoint_dir`` argument, else the
+session's Spark checkpoint dir (``sc.setCheckpointDir``), else (local
+master only) a driver tempdir.  On a multi-node cluster executors write
+task output through the Hadoop FileSystem for that path, so the
+directory must be on shared storage (HDFS/S3/NFS); a driver-local
+tempdir would silently scatter files across machines, which is why the
+non-local fallback raises instead.  Superseded round files are deleted
+eagerly; only the final result's files remain (the returned DataFrame
+reads them lazily).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["transitive_closure", "predicate_closure"]
+
+
+def _fs_delete(spark: SparkSession, path: str) -> None:
+    """Recursively delete ``path`` via the Hadoop FileSystem API, so it
+    works for file:/, hdfs:/, s3a:/ ... alike.  Best-effort."""
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jpath, True)
+    except Exception:
+        pass  # cleanup is best-effort; leaking one dir beats failing the job
+
+
+def _resolve_work_dir(spark: SparkSession, checkpoint_dir: str | None) -> str:
+    """Pick the base directory for round materialization.
+
+    Priority: explicit argument > session checkpoint dir > (local master
+    only) a fresh tempdir.  Raises on a non-local cluster with neither
+    configured — a driver-local tempdir is NOT visible to executors on
+    other machines and would corrupt the iteration silently.
+    """
+    base = checkpoint_dir
+    if base is None:
+        base = spark.sparkContext.getCheckpointDir()
+    if base is None:
+        master = spark.sparkContext.master or ""
+        if not master.startswith("local"):
+            raise ValueError(
+                "transitive_closure needs a shared work directory on a cluster: "
+                "pass checkpoint_dir= or call spark.sparkContext.setCheckpointDir() "
+                "with an HDFS/S3/shared-FS path"
+            )
+        base = tempfile.mkdtemp(prefix="matcha_closure_")
+    return f"{base.rstrip('/')}/closure_{uuid.uuid4().hex}"
 
 
 def transitive_closure(
@@ -26,16 +74,19 @@ def transitive_closure(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 30,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """All reachability pairs ``(src, dst)`` of the directed edge list
     (the ``+`` closure: at least one hop; reflexive pairs only appear on
-    actual cycles)."""
-    import tempfile
-    import uuid
+    actual cycles).
 
-    tmpdir = tempfile.mkdtemp(prefix="matcha_closure_")
+    ``checkpoint_dir``: shared base directory for the per-round parquet
+    materialization (see module docstring for the resolution rule).
+    """
+    spark = edges.sparkSession
+    base = _resolve_work_dir(spark, checkpoint_dir)
 
-    def _materialize(df: DataFrame) -> DataFrame:
+    def _materialize(df: DataFrame) -> tuple[DataFrame, str]:
         # parquet round-trip: a genuine lineage cut with *fresh attribute
         # ids* per round.  localCheckpoint trips Spark's LogicalRDD
         # constraint rewriting when the same piece appears on both sides
@@ -43,35 +94,44 @@ def transitive_closure(
         # plan — which doubles per round and OOMs the driver stringifying
         # it.  Persisting frontiers is also the production shape: at real
         # graph sizes the frontier belongs in storage, not driver memory.
-        path = f"{tmpdir}/{uuid.uuid4().hex}"
+        path = f"{base}/{uuid.uuid4().hex}"
         df.write.mode("overwrite").parquet(path)
-        return df.sparkSession.read.parquet(path)
+        return spark.read.parquet(path), path
 
-    acc = _materialize(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).dropDuplicates()
-    )
-    # path doubling: each round composes the accumulated reachability
-    # with itself, so a diameter-d graph converges in ⌈log₂ d⌉ rounds
-    # instead of d — rounds (each a shuffle + materialization barrier)
-    # are the dominant cost of iterative algorithms on Spark
-    for _ in range(max_iter):
-        nxt = (
-            acc.alias("f")
-            .join(acc.alias("n"), F.col("f.dst") == F.col("n.src"))
-            .select(F.col("f.src").alias("src"), F.col("n.dst").alias("dst"))
-            .dropDuplicates()
+    try:
+        acc, acc_path = _materialize(
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).dropDuplicates()
         )
-        new = _materialize(nxt.join(acc, on=["src", "dst"], how="left_anti"))
-        if new.isEmpty():
-            break
-        acc = _materialize(acc.union(new))
-    return acc.select(F.col("src").alias(src), F.col("dst").alias(dst))
+        # path doubling: each round composes the accumulated reachability
+        # with itself, so a diameter-d graph converges in ⌈log₂ d⌉ rounds
+        # instead of d — rounds (each a shuffle + materialization barrier)
+        # are the dominant cost of iterative algorithms on Spark
+        for _ in range(max_iter):
+            nxt = (
+                acc.alias("f")
+                .join(acc.alias("n"), F.col("f.dst") == F.col("n.src"))
+                .select(F.col("f.src").alias("src"), F.col("n.dst").alias("dst"))
+                .dropDuplicates()
+            )
+            new, new_path = _materialize(nxt.join(acc, on=["src", "dst"], how="left_anti"))
+            if new.isEmpty():
+                _fs_delete(spark, new_path)
+                break
+            merged, merged_path = _materialize(acc.union(new))
+            # merged's files are written; the inputs are dead — drop them now
+            _fs_delete(spark, acc_path)
+            _fs_delete(spark, new_path)
+            acc, acc_path = merged, merged_path
+        return acc.select(F.col("src").alias(src), F.col("dst").alias(dst))
+    except BaseException:
+        _fs_delete(spark, base)
+        raise
 
 
-def predicate_closure(db, predicate) -> DataFrame:
+def predicate_closure(db, predicate, checkpoint_dir: str | None = None) -> DataFrame:
     """``pred+`` over a triples database: reachability pairs (TERM
     structs ``s``, ``o``) through edges labeled ``predicate``."""
     from ..terms import term_lit
 
     edges = db.df.where(F.col("p") == term_lit(predicate)).select("s", "o")
-    return transitive_closure(edges, src="s", dst="o")
+    return transitive_closure(edges, src="s", dst="o", checkpoint_dir=checkpoint_dir)

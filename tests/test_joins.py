@@ -151,3 +151,63 @@ def test_predicate_closure_over_triplesdb(spark):
     }
     assert got == {(kw("a"), kw("b")), (kw("b"), kw("c")), (kw("a"), kw("c"))}
     db.unpersist()
+
+
+def test_transitive_closure_explicit_checkpoint_dir(spark, tmp_path):
+    """Cluster-portability contract: rounds materialize under the given
+    shared dir (not an implicit driver tempdir), superseded round files
+    are deleted, and results are unaffected."""
+    import os
+
+    from matcha_spark.operators.graph import transitive_closure
+
+    ckpt = str(tmp_path / "shared_ckpt")
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    df = transitive_closure(edges, checkpoint_dir=ckpt)
+    got = {(r["src"], r["dst"]) for r in df.collect()}
+    assert got == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+    closure_dirs = [d for d in os.listdir(ckpt) if d.startswith("closure_")]
+    assert len(closure_dirs) == 1
+    # only the final accumulated result's files survive cleanup
+    rounds = os.listdir(os.path.join(ckpt, closure_dirs[0]))
+    assert len(rounds) == 1
+
+
+def test_transitive_closure_uses_session_checkpoint_dir(spark, tmp_path):
+    import os
+
+    from matcha_spark.operators.graph import transitive_closure
+
+    ckpt = str(tmp_path / "session_ckpt")
+    os.makedirs(ckpt)
+    spark.sparkContext.setCheckpointDir(ckpt)
+    try:
+        edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+        got = {(r["src"], r["dst"]) for r in transitive_closure(edges).collect()}
+        assert got == {(1, 2), (2, 3), (1, 3)}
+        # getCheckpointDir() returns a UUID subdir under ckpt
+        found = [
+            d for _, dirs, _ in os.walk(ckpt) for d in dirs if d.startswith("closure_")
+        ]
+        assert found
+    finally:
+        reset = getattr(spark._jsc.sc(), "checkpointDir_$eq")
+        reset(spark._jvm.scala.Option.empty())
+
+
+def test_resolve_work_dir_raises_on_cluster_without_shared_dir(spark, monkeypatch):
+    import pytest
+
+    from matcha_spark.operators import graph as graph_mod
+
+    class FakeSC:
+        master = "spark://cluster:7077"
+
+        def getCheckpointDir(self):
+            return None
+
+    class FakeSession:
+        sparkContext = FakeSC()
+
+    with pytest.raises(ValueError, match="shared work directory"):
+        graph_mod._resolve_work_dir(FakeSession(), None)
