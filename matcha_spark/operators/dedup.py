@@ -91,9 +91,17 @@ def minhash_lsh_candidates(
     pairs (a < b).  The band bucket join is the only pairwise step —
     complexity is bounded by bucket occupancy, not corpus size."""
     rows_per_band = num_hashes // bands
-    # cache: the self-join would otherwise recompute the full signature
-    # pipeline for each side
-    sig = minhash_signatures(docs, num_hashes=num_hashes, n=n).cache()
+    # eager localCheckpoint, not cache(): the banded self-join launches
+    # both map stages concurrently, and a *lazy* cache lets each side
+    # recompute the full signature pipeline before either populates the
+    # cache block.  Materializing eagerly computes it exactly once, and —
+    # unlike CacheManager entries, which persist until session end — the
+    # checkpoint RDD is dropped by the ContextCleaner once the result
+    # DataFrame is garbage-collected, so repeated calls don't leak
+    # executor storage.  (Tradeoff: localCheckpoint output is not
+    # fault-tolerant — an executor loss fails the job instead of
+    # recomputing — acceptable for derived intermediates.)
+    sig = minhash_signatures(docs, num_hashes=num_hashes, n=n).localCheckpoint()
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -137,7 +145,12 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     def kernel(batches):
         weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
         for pdf in batches:
-            arrs = [np.asarray(x, dtype=np.int64) for x in pdf["hs"]]
+            # NULL text → NULL hs: treat as zero tokens (signature 0)
+            # instead of crashing; a row-preserving map shouldn't drop docs
+            arrs = [
+                np.asarray(x if x is not None else [], dtype=np.int64)
+                for x in pdf["hs"]
+            ]
             lens = np.array([len(a) for a in arrs], dtype=np.int64)
             out = np.zeros(len(arrs), dtype=np.int64)
             nz = lens > 0
@@ -180,7 +193,9 @@ def simhash_candidates(
     ``(doc_a < doc_b, hamming ≤ max_hamming)``.
     """
     n_bands = max_hamming + 1
-    sig = simhash(docs, text_col=text_col).cache()
+    # eager localCheckpoint: one kernel run feeding both self-join sides
+    # (see minhash_lsh_candidates for the cache()-vs-checkpoint rationale)
+    sig = simhash(docs, text_col=text_col).localCheckpoint()
     # band widths: distribute 64 bits as evenly as possible
     base, extra = divmod(64, n_bands)
     offsets, off = [], 0
@@ -244,7 +259,9 @@ def ngram_jaccard_pairs(
     similarity is Jaccard over the capped sets on both sides).  Without
     a cap the hot-shingle buckets are quadratic — fine at test scale,
     required at corpus scale."""
-    sh = _capped_shingles(docs, n, max_doc_freq).cache()
+    # eager localCheckpoint: feeds the size agg and both self-join sides
+    # (see minhash_lsh_candidates for the cache()-vs-checkpoint rationale)
+    sh = _capped_shingles(docs, n, max_doc_freq).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -277,7 +294,7 @@ def jaccard_verify(
     docs_in = pairs.select(F.col("doc_a").alias("doc_id")).union(
         pairs.select(F.col("doc_b"))
     ).distinct()
-    sh = shingles(docs.join(docs_in, "doc_id"), n=n).cache()
+    sh = shingles(docs.join(docs_in, "doc_id"), n=n).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         pairs.join(sh.alias("a"), F.col("doc_a") == F.col("a.doc_id"))
@@ -289,12 +306,24 @@ def jaccard_verify(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # left-join sizes: a doc with fewer than n tokens has no shingle rows
+    # and hence no size row — the pair must still surface with jaccard
+    # 0.0 (inner joins would silently drop it); 0/0 divides to NULL and
+    # coalesces to 0.0
     jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
     return (
         pairs.select("doc_a", "doc_b")
         .join(inter, ["doc_a", "doc_b"], "left")
-        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")),
+            "doc_a",
+            "left",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")),
+            "doc_b",
+            "left",
+        )
         .select(
             "doc_a",
             "doc_b",
