@@ -204,8 +204,19 @@ def ivf_topk(
         n[n == 0] = 1.0
         return m / n
 
+    # deterministic pseudo-random sample: order by a seeded hash of the
+    # whole row and take the first N — one TakeOrderedAndProject pass,
+    # unbiased w.r.t. the corpus's storage order (a bare limit() takes
+    # the head of the first partition, so on sorted/partitioned corpora
+    # the quantizer would train on one slice of the distribution)
     sample = np.array(
-        [list(r[0]) for r in corpus.select(vec_col).limit(sample_size).collect()],
+        [
+            list(r[0])
+            for r in corpus.select(vec_col, F.xxhash64("vec_id", F.lit(seed)).alias("__r"))
+            .orderBy("__r")
+            .limit(sample_size)
+            .collect()
+        ],
         dtype=np.float64,
     )
     sample = _normalize(sample)
@@ -245,8 +256,8 @@ def ivf_topk(
         spark.createDataFrame(
             [
                 (int(qid), [float(x) for x in qv], int(cell))
-                for qid, qv in zip(q_ids, qm)
-                for cell in probe[q_ids.index(qid)]
+                for qi, (qid, qv) in enumerate(zip(q_ids, qm))
+                for cell in probe[qi]
             ],
             "q_id long, q_vec array<double>, cell int",
         )

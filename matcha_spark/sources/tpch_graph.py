@@ -54,15 +54,31 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     for n in names:
         if n == "events":
             # events.parquet uses TIMESTAMP(NANOS), which the vectorized
-            # reader rejects; read ns-as-long and downcast to micros
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
-            if dict(df.dtypes).get("ts") == "bigint":
-                # integer division: float division rounds half the µs values
-                # up by 1 (a double can't hold 1.7e18 ns exactly), which
-                # diverges from DuckDB's truncating ns→µs read and shifts
-                # tie-ordering / second boundaries in gap logic
-                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # reader rejects; read ns-as-long and downcast to micros.
+            # The legacy conf is consulted only while the relation's
+            # schema is resolved (verified: actions on the DataFrame
+            # succeed after restore; a fresh read without it fails with
+            # PARQUET_TYPE_ILLEGAL), so scope it set→read→restore
+            # instead of mutating the session conf for good.
+            key = "spark.sql.legacy.parquet.nanosAsLong"
+            prev = spark.conf.get(key, None)
+            spark.conf.set(key, "true")
+            try:
+                df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+                if dict(df.dtypes).get("ts") == "bigint":
+                    # integer division: float division rounds half the µs
+                    # values up by 1 (a double can't hold 1.7e18 ns
+                    # exactly), which diverges from DuckDB's truncating
+                    # ns→µs read and shifts tie-ordering / second
+                    # boundaries in gap logic
+                    df = df.withColumn(
+                        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                    )
+            finally:
+                if prev is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, prev)
             out[n] = df
         else:
             out[n] = spark.read.parquet(f"{sf_dir}/{n}.parquet")

@@ -277,6 +277,49 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert len(exact & part) / len(exact) >= 0.5
 
 
+def test_load_tables_scopes_nanos_conf(spark):
+    """The events read must not leak the legacy nanosAsLong conf into
+    the session: it is restored after schema resolution, the events
+    DataFrame stays fully readable, and unrelated reads are untouched."""
+    from matcha_spark.sources.tpch_graph import load_tables
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    t = load_tables(spark, SF_DIR, "events", "orders")
+    assert spark.conf.get(key, None) is None, "session conf leaked"
+    assert dict(t["events"].dtypes)["ts"] == "timestamp"
+    assert t["events"].select("ts").where("ts IS NOT NULL").count() > 0
+    assert t["orders"].count() > 0
+
+
+def test_ivf_recall_on_skew_ordered_corpus(spark):
+    """Quantizer-sampling bias audit: the corpus is stored SORTED by
+    cluster, so a head-of-first-partition sample (a bare ``limit``)
+    would train k-means on one cluster only and partial-probe recall
+    collapses.  The seeded-hash sample must see every cluster."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n_clusters, per, dim = 8, 50, 8
+    centers = rng.normal(size=(n_clusters, dim)) * 10.0
+    rows = []
+    vid = 0
+    for c in range(n_clusters):  # storage order = cluster order (skew)
+        for _ in range(per):
+            v = centers[c] + rng.normal(size=dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").coalesce(1)
+    q = emb.where(f"vec_id >= {vid - 3}")  # queries from the LAST cluster
+    exact = {(r["q_id"], r["n_id"]) for r in S.cosine_topk(emb, q, k=5).collect()}
+    part = {
+        (r["q_id"], r["n_id"])
+        for r in S.ivf_topk(
+            emb, q, k=5, n_centroids=8, n_probe=2, sample_size=64
+        ).collect()
+    }
+    assert len(exact & part) / len(exact) >= 0.8
+
+
 def test_strip_boilerplate_planted(spark):
     bp = "copyright 2024 example corp"
     rows = [

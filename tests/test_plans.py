@@ -133,6 +133,24 @@ def test_q22_anti_join_shape(spark):
     assert "LeftAnti" in plan
 
 
+def test_q7_supplier_join_before_orders(spark):
+    """Join-order audit: the nation-pair filter's selectivity (2 of 25
+    nations) must prune lineitem via the supplier join BEFORE the
+    orders/customer shuffles — at 100× the wrong order is ~12× wasted
+    shuffle volume on orders/customer."""
+    from matcha_spark import relational as R
+
+    plan = _plan(R.q7_volume_shipping(spark, SF_DIR))
+    # walk the operator tree top-down: the orders-side join key
+    # (o_orderkey) must appear ABOVE the supplier-side key (s_suppkey) in
+    # the executed plan string (executedPlan prints root first, so the
+    # earlier-executed join prints later/deeper)
+    supp_at = plan.index("s_suppkey")
+    orders_at = plan.index("o_orderkey")
+    assert orders_at < supp_at, "supplier⋈nation must sit below the orders join"
+    assert "CartesianProduct" not in plan
+
+
 def test_q2_single_fact_scan(spark):
     """The window-min formulation scans lineitem once; the naive
     correlated subquery would scan it twice."""
