@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import cut_lineage, memo_persist
+
 __all__ = [
     "shingles",
     "minhash_signatures",
@@ -91,17 +93,12 @@ def minhash_lsh_candidates(
     pairs (a < b).  The band bucket join is the only pairwise step —
     complexity is bounded by bucket occupancy, not corpus size."""
     rows_per_band = num_hashes // bands
-    # eager localCheckpoint, not cache(): the banded self-join launches
-    # both map stages concurrently, and a *lazy* cache lets each side
-    # recompute the full signature pipeline before either populates the
-    # cache block.  Materializing eagerly computes it exactly once, and —
-    # unlike CacheManager entries, which persist until session end — the
-    # checkpoint RDD is dropped by the ContextCleaner once the result
-    # DataFrame is garbage-collected, so repeated calls don't leak
-    # executor storage.  (Tradeoff: localCheckpoint output is not
-    # fault-tolerant — an executor loss fails the job instead of
-    # recomputing — acceptable for derived intermediates.)
-    sig = minhash_signatures(docs, num_hashes=num_hashes, n=n).localCheckpoint()
+    # eager memoized persist: computed once (the banded self-join would
+    # otherwise recompute the signature pipeline per side), reused across
+    # calls with the same inputs/params, bounded LRU — see cache.py for
+    # why this beats both bare cache() (session-lifetime leak) and
+    # localCheckpoint (recompute per call, no fault tolerance)
+    sig = memo_persist(minhash_signatures(docs, num_hashes=num_hashes, n=n))
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -193,9 +190,16 @@ def simhash_candidates(
     ``(doc_a < doc_b, hamming ≤ max_hamming)``.
     """
     n_bands = max_hamming + 1
-    # eager localCheckpoint: one kernel run feeding both self-join sides
-    # (see minhash_lsh_candidates for the cache()-vs-checkpoint rationale)
-    sig = simhash(docs, text_col=text_col).localCheckpoint()
+    # eager memoized persist: one kernel run feeds both self-join sides
+    # and repeated calls (see cache.py).  NULL/empty-text docs (signature
+    # 0 by the simhash() row-preserving contract) are excluded from
+    # banding: they are not meaningful near-dup candidates, and a corpus
+    # with many NULL docs would otherwise make every such pair share all
+    # bands at hamming 0 — an all-pairs quadratic blowup.  This matches
+    # the MinHash path, where <n-token docs drop out in shingles().
+    sig = memo_persist(
+        simhash(docs, text_col=text_col).where(F.col("simhash") != 0)
+    )
     # band widths: distribute 64 bits as evenly as possible
     base, extra = divmod(64, n_bands)
     offsets, off = [], 0
@@ -259,9 +263,9 @@ def ngram_jaccard_pairs(
     similarity is Jaccard over the capped sets on both sides).  Without
     a cap the hot-shingle buckets are quadratic — fine at test scale,
     required at corpus scale."""
-    # eager localCheckpoint: feeds the size agg and both self-join sides
-    # (see minhash_lsh_candidates for the cache()-vs-checkpoint rationale)
-    sh = _capped_shingles(docs, n, max_doc_freq).localCheckpoint()
+    # eager memoized persist: feeds the size agg and both self-join sides
+    # (see cache.py for the rationale)
+    sh = memo_persist(_capped_shingles(docs, n, max_doc_freq))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -294,7 +298,7 @@ def jaccard_verify(
     docs_in = pairs.select(F.col("doc_a").alias("doc_id")).union(
         pairs.select(F.col("doc_b"))
     ).distinct()
-    sh = shingles(docs.join(docs_in, "doc_id"), n=n).localCheckpoint()
+    sh = memo_persist(shingles(docs.join(docs_in, "doc_id"), n=n))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         pairs.join(sh.alias("a"), F.col("doc_a") == F.col("a.doc_id"))
@@ -343,8 +347,10 @@ def connected_components(
     round a node takes the min of its own and its neighbors' labels;
     converged when no label changes.  Rounds needed = graph diameter —
     small for near-dup graphs (clusters are clique-ish) — and each round
-    is one equi-join + one groupBy.  ``localCheckpoint`` truncates the
-    lineage so plans don't grow exponentially.
+    is one equi-join + one groupBy.  Each round's labels are
+    materialized with lineage cut (``cut_lineage``: a reliable
+    checkpoint when the session has a checkpoint dir, else
+    localCheckpoint) so plans don't grow exponentially.
 
     Returns ``(id, component)`` where component = min node id reachable.
     """
@@ -352,14 +358,13 @@ def connected_components(
     # materialize once: every propagation round rescans the edge list,
     # which may otherwise carry an arbitrarily expensive upstream lineage
     # (LSH candidate generation, Jaccard verification, ...)
-    sym = e.union(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
-    labels = (
+    sym = cut_lineage(
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    )
+    labels = cut_lineage(
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .localCheckpoint()
     )
 
     def label_sum(lab) -> int:
@@ -375,9 +380,9 @@ def connected_components(
         nb = sym.join(labels, sym.dst == labels.id).select(
             F.col("src").alias("id"), F.col("component")
         )
-        labels = (
+        labels = cut_lineage(
             labels.union(nb).groupBy("id").agg(F.min("component").alias("component"))
-        ).localCheckpoint()
+        )
         cur_sum = label_sum(labels)
         if cur_sum == prev_sum:
             break
@@ -424,8 +429,10 @@ def dedup_near_docs_lsh(
     hot-shingle blowup) → connected components → keep-one mapping.
     Recall follows the LSH banding curve (1-(1-j^r)^b), chosen so pairs
     at ``threshold`` are caught with high probability."""
-    # checkpoint: the candidate set feeds three joins in the verify stage
-    cand = minhash_lsh_candidates(docs, num_hashes=num_hashes, bands=bands, n=n).localCheckpoint()
+    # memoized persist: the candidate set feeds three joins in the verify stage
+    cand = memo_persist(
+        minhash_lsh_candidates(docs, num_hashes=num_hashes, bands=bands, n=n)
+    )
     verified = jaccard_verify(docs, cand, n=n).where(F.col("jaccard") >= threshold)
     comp = connected_components(verified)
     return _keep_map(docs, comp)

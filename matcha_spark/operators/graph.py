@@ -31,7 +31,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["transitive_closure", "predicate_closure"]
+__all__ = ["transitive_closure", "predicate_closure", "cleanup_closure"]
 
 
 def _fs_delete(spark: SparkSession, path: str) -> None:
@@ -56,16 +56,26 @@ def _resolve_work_dir(spark: SparkSession, checkpoint_dir: str | None) -> str:
     """
     base = checkpoint_dir
     if base is None:
-        base = spark.sparkContext.getCheckpointDir()
-    if base is None:
-        master = spark.sparkContext.master or ""
-        if not master.startswith("local"):
+        try:
+            sc = spark.sparkContext
+        except Exception:
+            # Spark Connect: no sparkContext on the client — the session
+            # checkpoint dir and master are unknowable here, so a shared
+            # directory must be named explicitly
             raise ValueError(
-                "transitive_closure needs a shared work directory on a cluster: "
-                "pass checkpoint_dir= or call spark.sparkContext.setCheckpointDir() "
-                "with an HDFS/S3/shared-FS path"
-            )
-        base = tempfile.mkdtemp(prefix="matcha_closure_")
+                "transitive_closure under Spark Connect needs an explicit "
+                "checkpoint_dir= (a shared HDFS/S3/NFS path)"
+            ) from None
+        base = sc.getCheckpointDir()
+        if base is None:
+            master = sc.master or ""
+            if not master.startswith("local"):
+                raise ValueError(
+                    "transitive_closure needs a shared work directory on a cluster: "
+                    "pass checkpoint_dir= or call spark.sparkContext.setCheckpointDir() "
+                    "with an HDFS/S3/shared-FS path"
+                )
+            base = tempfile.mkdtemp(prefix="matcha_closure_")
     return f"{base.rstrip('/')}/closure_{uuid.uuid4().hex}"
 
 
@@ -122,10 +132,28 @@ def transitive_closure(
             _fs_delete(spark, acc_path)
             _fs_delete(spark, new_path)
             acc, acc_path = merged, merged_path
-        return acc.select(F.col("src").alias(src), F.col("dst").alias(dst))
+        out = acc.select(F.col("src").alias(src), F.col("dst").alias(dst))
+        # the returned DataFrame reads the final round's parquet lazily, so
+        # its directory must outlive this call; hand callers the cleanup
+        # handle (see cleanup_closure) instead of leaking it silently —
+        # repeated closures under one session checkpoint dir would
+        # otherwise accumulate orphaned closure_* dirs on shared storage
+        out._matcha_closure_path = base  # type: ignore[attr-defined]
+        return out
     except BaseException:
         _fs_delete(spark, base)
         raise
+
+
+def cleanup_closure(result: DataFrame) -> None:
+    """Delete the work directory backing a :func:`transitive_closure` /
+    :func:`predicate_closure` result, once the caller is done with it
+    (has collected it, written it out, or no longer needs it).  The
+    DataFrame must not be used afterwards.  Safe to call on any
+    DataFrame: a no-op when there is nothing to clean."""
+    path = getattr(result, "_matcha_closure_path", None)
+    if path:
+        _fs_delete(result.sparkSession, path)
 
 
 def predicate_closure(db, predicate, checkpoint_dir: str | None = None) -> DataFrame:

@@ -186,6 +186,24 @@ def test_simhash_candidates_complete_vs_bruteforce(docs):
     assert got == want
 
 
+def test_simhash_candidates_null_docs_excluded(spark):
+    """NULL/empty-text docs (signature 0) must not enter the banded
+    self-join: every NULL-NULL pair is hamming 0 across all bands, so a
+    NULL-heavy corpus would otherwise blow up quadratically.  simhash()
+    itself stays row-preserving (one signature row per doc)."""
+    rows = [(i, None) for i in range(20)] + [
+        (100, "alpha beta gamma delta"),
+        (101, "alpha beta gamma delta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assert D.simhash(docs).count() == 22  # row-preserving map
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.simhash_candidates(docs, max_hamming=3).collect()
+    }
+    assert pairs == {(100, 101)}
+
+
 def test_connected_components(spark):
     # two components: {1,2,3,4} chained, {10,11}; 99 isolated via self-ref edge
     edges = spark.createDataFrame(
