@@ -102,6 +102,10 @@ def main() -> None:
     bench("emb_lsh_topk", lambda: force(
         S.lsh_bucketed_topk(emb, emb.where("vec_id < 5"), k=5)
     ))
+    bench("emb_dup_pairs", lambda: force(D.embedding_dup_pairs(emb, threshold=0.4)))
+    # LSH near-dup benched in its design regime (high-cosine dups, tight
+    # buckets); at wide angles the bucket join floods and exact wins
+    bench("emb_dup_lsh", lambda: force(D.embedding_dup_pairs_lsh(emb, threshold=0.9)))
 
     total = round(sum(times.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]

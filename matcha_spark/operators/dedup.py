@@ -43,6 +43,9 @@ __all__ = [
     "connected_components",
     "dedup_near_docs",
     "dedup_near_docs_lsh",
+    "embedding_dup_pairs",
+    "embedding_dup_pairs_lsh",
+    "dedup_near_embeddings",
 ]
 
 
@@ -436,3 +439,191 @@ def dedup_near_docs_lsh(
     verified = jaccard_verify(docs, cand, n=n).where(F.col("jaccard") >= threshold)
     comp = connected_components(verified)
     return _keep_map(docs, comp)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (the third dedup modality after text-exact
+# and text-shingle: two docs are duplicates when their embedding vectors
+# point the same way)
+# ---------------------------------------------------------------------------
+
+
+def _pairs_cosine(pairs: DataFrame, out_cols: list[str]) -> DataFrame:
+    """Vectorized cosine over candidate pair rows carrying both vectors
+    (``va``, ``vb``): one Arrow-batched numpy pass, rounded to 6 dp for
+    cross-engine reproducibility.  For *candidate* sets only — bounded
+    by the LSH collision count, never all-pairs."""
+    import numpy as np
+    import pandas as pd
+
+    schema = ", ".join(f"{c} long" for c in out_cols) + ", cosine double"
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.array(pdf["va"].tolist(), dtype=np.float64)
+            b = np.array(pdf["vb"].tolist(), dtype=np.float64)
+            na = np.linalg.norm(a, axis=1)
+            nb = np.linalg.norm(b, axis=1)
+            na[na == 0] = 1.0
+            nb[nb == 0] = 1.0
+            cos = np.round(np.einsum("ij,ij->i", a, b) / (na * nb), 6)
+            out = {c: pdf[c].to_numpy(dtype=np.int64) for c in out_cols}
+            out["cosine"] = cos
+            yield pd.DataFrame(out)
+
+    return pairs.mapInPandas(kernel, schema=schema)
+
+
+def embedding_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup pairs (``id_a < id_b``,
+    ``cosine >= threshold``) via a block-grid self-join — the exactness
+    baseline (SQL-expressible, DuckDB-oracled); the corpus-scale path is
+    :func:`embedding_dup_pairs_lsh`.
+
+    Scale shape: each vector lands in block ``hash(id) % B`` and is
+    replicated to the ``B+1`` grid cells its block participates in —
+    cell (i, j), i ≤ j, compares block i against block j — so the
+    shuffle is ``(B+1)·n`` rows, never n².  Each cell is scored with one
+    BLAS matmul inside a cogrouped ``applyInPandas`` and emits only the
+    thresholded pairs; the n² pair space exists as flops, not rows.
+    ``blocks`` sizes cells to executor memory: cell cost is
+    ``(n/B)² · dim`` flops and ``2·(n/B)`` resident vectors, so B grows
+    with √n at constant memory (B=8 → 36 cells saturates local[32];
+    a 10⁹-vector corpus wants B in the thousands)."""
+    import numpy as np
+    import pandas as pd
+
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(blocks)).cast("int").alias("blk"),
+    )
+    # left replica of block k covers cells (k, j >= k); right replica
+    # covers (i <= k, k) — every unordered block pair met exactly once.
+    # Distinct column names per side: a self-cogroup sharing attribute
+    # ids across sides resolves ambiguously once downstream pruning
+    # kicks in (the right side's pdf arrived without its id column).
+    left = base.select(
+        F.col("id").alias("id_l"), F.col("vec").alias("vec_l"),
+        F.col("blk").alias("i"),
+        F.explode(F.expr(f"sequence(blk, {blocks - 1})")).alias("j"),
+    )
+    right = base.select(
+        F.col("id").alias("id_r"), F.col("vec").alias("vec_r"),
+        F.explode(F.expr("sequence(0, blk)")).alias("i"),
+        F.col("blk").alias("j"),
+    )
+
+    def cell(key, lpdf, rpdf):
+        if not len(lpdf) or not len(rpdf):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        ids_l = lpdf["id_l"].to_numpy(dtype=np.int64)
+        ids_r = rpdf["id_r"].to_numpy(dtype=np.int64)
+        ml = np.array(lpdf["vec_l"].tolist(), dtype=np.float64)
+        mr = np.array(rpdf["vec_r"].tolist(), dtype=np.float64)
+        for m in (ml, mr):
+            n = np.linalg.norm(m, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            m /= n
+        sims = np.round(ml @ mr.T, 6)
+        mask = sims >= threshold
+        if key[0] == key[1]:  # diagonal cell: same block on both sides
+            mask &= ids_l[:, None] < ids_r[None, :]
+        li, ri = np.nonzero(mask)
+        ia, ib = ids_l[li], ids_r[ri]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ia, ib),
+                "id_b": np.maximum(ia, ib),
+                "cosine": sims[li, ri],
+            }
+        )
+
+    return (
+        left.groupBy("i", "j")
+        .cogroup(right.groupBy("i", "j"))
+        .applyInPandas(cell, schema="id_a long, id_b long, cosine double")
+    )
+
+
+def embedding_dup_pairs_lsh(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs, corpus-scale path: random-hyperplane
+    sign buckets (``similarity.sign_buckets``) → same-(table, bucket)
+    self-join for candidates → exact-cosine verification of candidates
+    only.
+
+    Recall per the hyperplane collision curve: a pair at angle θ shares
+    one table's bucket with p = (1 − θ/π)^planes, and is caught in any
+    of the L tables with 1 − (1 − p)^L — at cosine 0.95 (θ≈18°),
+    8 planes × 8 tables ⇒ ≈0.99.  Work is corpus-linear: L bucket rows
+    per vector, pairwise only within buckets."""
+    from .similarity import sign_buckets
+
+    # eager memoized persist: the bucket table feeds both self-join
+    # sides (and repeated calls) — without it the projection kernel
+    # runs once per side (see cache.py)
+    b = memo_persist(
+        sign_buckets(
+            emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+            "vec", dim=dim, n_planes=n_planes, n_tables=n_tables, seed=seed,
+        )
+    )
+    cand = (
+        b.alias("a")
+        .join(b.alias("b"), on=["table", "bucket"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.vec").alias("va"),
+            F.col("b.vec").alias("vb"),
+        )
+        # a pair can collide in several tables; verify it once
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return _pairs_cosine(cand, ["id_a", "id_b"]).where(F.col("cosine") >= threshold)
+
+
+def dedup_near_embeddings(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    method: str = "exact",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **kwargs,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate dedup: pairs ≥ threshold →
+    connected components → per-vector ``(vec_id, keep_vec_id)`` keep-one
+    mapping (keep = min id of the cluster; singletons keep themselves) —
+    the same contract as ``dedup_near_docs`` / ``text.dedup_exact``.
+
+    ``method='exact'`` (block-grid all-pairs, oracle-checkable) or
+    ``'lsh'`` (bucketed candidates, corpus-scale)."""
+    fn = embedding_dup_pairs if method == "exact" else embedding_dup_pairs_lsh
+    pairs = fn(emb, threshold=threshold, id_col=id_col, vec_col=vec_col, **kwargs)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    return (
+        emb.select(id_col)
+        .join(comp, F.col(id_col) == F.col("id"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias(f"keep_{id_col}"),
+        )
+    )

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["l2_norms", "cosine_topk", "lsh_bucketed_topk", "ivf_topk"]
+__all__ = ["l2_norms", "cosine_topk", "lsh_bucketed_topk", "ivf_topk", "sign_buckets"]
 
 
 def _dot(a: str, b: str):
@@ -91,6 +91,57 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def sign_buckets(
+    df: DataFrame,
+    vec_col: str,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Append random-hyperplane LSH ``(table, bucket)`` columns: one row
+    per input row per table, bucket = the ``n_planes`` sign bits of the
+    vector under that table's hyperplane set.
+
+    One Arrow-batched ``mapInPandas`` pass: all ``n_planes·n_tables``
+    projections of a batch are a single BLAS matmul, then sign bits pack
+    into bucket ints with vectorized shifts.  (A previous revision
+    expressed this as higher-order array functions — aggregate/zip_with
+    folds are *interpreted* per element, not codegen'd, and benched
+    10-40× slower with high variance.)  A linear corpus pass emitting
+    ``n_tables``× rows — the shared bucketing step for both ANN search
+    (:func:`lsh_bucketed_topk`) and embedding near-dup candidate
+    generation (``dedup.embedding_dup_pairs_lsh``)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    planes = np.array(_hyperplanes(dim, n_planes * n_tables, seed)).T  # (dim, P)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))[None, None, :]
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField("table", IntegerType()), StructField("bucket", LongType())]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            bits = (m @ planes) > 0  # (batch, tables*planes)
+            buckets = (
+                (bits.reshape(len(m), n_tables, n_planes) * weights)
+                .sum(axis=2, dtype=np.int64)
+            )  # (batch, tables)
+            rep = pdf.loc[pdf.index.repeat(n_tables)].reset_index(drop=True)
+            rep["table"] = np.tile(np.arange(n_tables, dtype=np.int32), len(m))
+            rep["bucket"] = buckets.reshape(-1)
+            yield rep
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -120,32 +171,10 @@ def lsh_bucketed_topk(
     Recall < 1.0 by design; tune (planes, tables) to the corpus —
     fewer planes / more tables raises recall and candidate count.
     Compare against :func:`cosine_topk` to measure (see tests)."""
-    all_planes = _hyperplanes(dim, n_planes * n_tables, seed)
-    plane_arr = F.array(*[F.array(*[F.lit(x) for x in p]) for p in all_planes])
-
-    def bucket_col(vcol, t):
-        # bucket for table t: sign bits under planes [t*n_planes, ...)
-        return F.expr(
-            "aggregate(transform(sequence(0, {np} - 1), i -> "
-            " IF(aggregate(zip_with({v}, __planes[i + {off}], (x, y) -> cast(x AS double) * y), 0D, (a, b) -> a + b) > 0,"
-            "    shiftleft(1, i), 0)), 0, (acc, x) -> acc | x)".format(
-                np=n_planes, off=t * n_planes, v=vcol
-            )
-        )
 
     def with_buckets(df, vcol):
-        tb = F.array(
-            *[
-                F.struct(F.lit(t).alias("table"), bucket_col(vcol, t).alias("bucket"))
-                for t in range(n_tables)
-            ]
-        )
-        return (
-            df.withColumn("__planes", plane_arr)
-            .withColumn("tb", F.explode(tb))
-            .drop("__planes")
-            .select("*", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
-            .drop("tb")
+        return sign_buckets(
+            df, vcol, dim=dim, n_planes=n_planes, n_tables=n_tables, seed=seed
         )
 
     q = with_buckets(

@@ -317,6 +317,38 @@ def emb_ivf_topk(spark, sf_dir):
     return S.ivf_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
 
 
+# the synthetic embeddings are random (no planted near-dups; max pairwise
+# cosine ≈ 0.51 at sf0.01), so the suite threshold sits where the data
+# has structure — the operators' semantics don't depend on it
+_EMB_DUP_THRESHOLD = 0.4
+
+
+def emb_dup_pairs(spark, sf_dir):
+    """Exact embedding near-dup pairs (block-grid all-pairs cosine)."""
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return D.embedding_dup_pairs(emb, threshold=_EMB_DUP_THRESHOLD)
+
+
+def emb_dup_pairs_lsh(spark, sf_dir):
+    # scale path: hyperplane-bucket candidates + exact verify; recall < 1
+    # by the collision curve → rows-only (recall measured in tests, where
+    # planted near-dups at cosine ≈ 0.999 are caught at recall 1.0).
+    # Bands are widened for this suite threshold: 0.4 cosine ≈ 66° — far
+    # outside the high-similarity regime LSH is built for — so the
+    # default 8×8 banding would have ~0.2 recall here; 4 planes × 8
+    # tables gives ~0.75 at ~2× fewer comparisons than all-pairs
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return D.embedding_dup_pairs_lsh(
+        emb, threshold=_EMB_DUP_THRESHOLD, n_planes=4, n_tables=8
+    )
+
+
+def dedup_near_emb(spark, sf_dir):
+    """Embedding-cosine keep-one dedup (oracle: recursive-CTE closure)."""
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return D.dedup_near_embeddings(emb, threshold=_EMB_DUP_THRESHOLD)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -374,6 +406,9 @@ QUERIES = {
     "emb_cosine_topk": emb_cosine_topk,
     "emb_lsh_topk": emb_lsh_topk,
     "emb_ivf_topk": emb_ivf_topk,
+    "emb_dup_pairs": emb_dup_pairs,
+    "emb_dup_pairs_lsh": emb_dup_pairs_lsh,
+    "dedup_near_emb": dedup_near_emb,
 }
 
 _EN = "'the','a','and','of','to','in','is','that','it','for'"
@@ -843,6 +878,42 @@ ORACLES = {
             SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank FROM s
         ) WHERE rank <= 5
     """,
-    # doc_minhash_lsh, doc_simhash, emb_lsh_topk: Spark-specific hashing /
-    # seeded projections — no SQL oracle (driver records rows-only checks)
+    "emb_dup_pairs": """
+        WITH s AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.embedding :: DOUBLE[], b.embedding :: DOUBLE[])
+                         / (sqrt(list_dot_product(a.embedding :: DOUBLE[], a.embedding :: DOUBLE[]))
+                            * sqrt(list_dot_product(b.embedding :: DOUBLE[], b.embedding :: DOUBLE[]))), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, cosine FROM s WHERE cosine >= 0.4
+    """,
+    "dedup_near_emb": """
+        WITH RECURSIVE s AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.embedding :: DOUBLE[], b.embedding :: DOUBLE[])
+                         / (sqrt(list_dot_product(a.embedding :: DOUBLE[], a.embedding :: DOUBLE[]))
+                            * sqrt(list_dot_product(b.embedding :: DOUBLE[], b.embedding :: DOUBLE[]))), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        ),
+        pairs AS (SELECT id_a, id_b FROM s WHERE cosine >= 0.4),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT reach.a, e.b FROM reach JOIN edges e ON reach.b = e.a
+        ),
+        label AS (
+            SELECT a AS vec_id, least(a, min(b)) AS keep FROM reach GROUP BY a
+        )
+        SELECT e.vec_id, coalesce(l.keep, e.vec_id) AS keep_vec_id
+        FROM embeddings e LEFT JOIN label l ON e.vec_id = l.vec_id
+    """,
+    # doc_minhash_lsh, doc_simhash, emb_lsh_topk, emb_dup_pairs_lsh:
+    # Spark-specific hashing / seeded projections — no SQL oracle
+    # (driver records rows-only checks)
 }

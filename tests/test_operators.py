@@ -405,3 +405,65 @@ def test_audio_features_and_resize(spark):
     assert len(bytes(r["payload"])) == 4 * 4 * 4  # 16 float32 pixels
     with pytest.raises(NotImplementedError):
         M.strict_decode_audio(b"x")
+
+
+def _planted_embeddings(spark, n=40, seed=7):
+    """Random 64-dim corpus plus three planted near-dups (41~0, 42~1,
+    43~1) at cosine ≈ 0.999; random pairs sit well below 0.6."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(n, 64))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    for j, src in [(41, 0), (42, 1), (43, 1)]:
+        rows.append(
+            (j, [float(x) for x in base[src] + rng.normal(scale=0.01, size=64)])
+        )
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_dup_pairs_exact(spark):
+    emb = _planted_embeddings(spark)
+    pairs = D.embedding_dup_pairs(emb, threshold=0.95).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 41), (1, 42), (1, 43), (42, 43)}
+    assert all(r.cosine >= 0.95 for r in pairs)
+
+
+def test_embedding_dup_pairs_blocks_invariant(spark):
+    """The block count is a parallelism knob, not a semantic one: every
+    unordered pair must be met exactly once for any grid size."""
+    emb = _planted_embeddings(spark)
+    want = {(r.id_a, r.id_b) for r in D.embedding_dup_pairs(emb, threshold=0.95, blocks=1).collect()}
+    for blocks in (3, 16):
+        got = D.embedding_dup_pairs(emb, threshold=0.95, blocks=blocks).collect()
+        assert {(r.id_a, r.id_b) for r in got} == want
+        assert len(got) == len(want), f"duplicate pair rows at blocks={blocks}"
+
+
+def test_embedding_dup_pairs_lsh_recall_on_near_dups(spark):
+    """Planted near-dups at cosine ≈ 0.999 are ~0° apart: every table's
+    bucket collides, so LSH recall on them is 1.0 — and verification
+    keeps precision exact (no pair below threshold)."""
+    emb = _planted_embeddings(spark)
+    got = {(r.id_a, r.id_b) for r in D.embedding_dup_pairs_lsh(emb, threshold=0.95).collect()}
+    assert got == {(0, 41), (1, 42), (1, 43), (42, 43)}
+
+
+def test_dedup_near_embeddings_keep_mapping(spark):
+    emb = _planted_embeddings(spark)
+    for method in ("exact", "lsh"):
+        keep = D.dedup_near_embeddings(emb, threshold=0.95, method=method).collect()
+        assert len(keep) == 43
+        nontrivial = {(r.vec_id, r.keep_vec_id) for r in keep if r.vec_id != r.keep_vec_id}
+        assert nontrivial == {(41, 0), (42, 1), (43, 1)}, method
+
+
+def test_sign_buckets_shape_and_determinism(spark):
+    emb = _planted_embeddings(spark)
+    b = S.sign_buckets(emb, "embedding", n_planes=6, n_tables=3)
+    rows = b.collect()
+    assert len(rows) == 43 * 3  # one row per (vector, table)
+    assert {r.table for r in rows} == {0, 1, 2}
+    assert all(0 <= r.bucket < 64 for r in rows)  # 6 sign bits
+    again = {(r.vec_id, r.table, r.bucket) for r in b.collect()}
+    assert again == {(r.vec_id, r.table, r.bucket) for r in rows}
