@@ -244,6 +244,15 @@ def events_sessionize_native(spark: SparkSession, sf_dir: str, gap_s: int = 1800
     scale form of :func:`events_sessionize`; the lag+cumsum variant is
     kept for the session-index contract."""
     ev = load_tables(spark, sf_dir, "events")["events"]
+    if dict(ev.dtypes).get("ts") == "timestamp_ntz":
+        # unix_micros only accepts LTZ; diff against an NTZ epoch keeps the
+        # naive-as-UTC semantics DuckDB's epoch_us(ts) oracle uses, with no
+        # dependence on the session timezone
+        start_us = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', w.start)"
+        )
+    else:
+        start_us = F.unix_micros(F.col("w.start"))
     return (
         ev.groupBy(
             F.col("user_id"), F.session_window(F.col("ts"), f"{gap_s} seconds").alias("w")
@@ -254,7 +263,7 @@ def events_sessionize_native(spark: SparkSession, sf_dir: str, gap_s: int = 1800
         )
         .select(
             "user_id",
-            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            start_us.alias("session_start_us"),
             "n_events",
             "session_value",
         )

@@ -53,32 +53,41 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     out = {}
     for n in names:
         if n == "events":
-            # events.parquet uses TIMESTAMP(NANOS), which the vectorized
-            # reader rejects; read ns-as-long and downcast to micros.
-            # The legacy conf is consulted only while the relation's
-            # schema is resolved (verified: actions on the DataFrame
-            # succeed after restore; a fresh read without it fails with
-            # PARQUET_TYPE_ILLEGAL), so scope it set→read→restore
-            # instead of mutating the session conf for good.
-            key = "spark.sql.legacy.parquet.nanosAsLong"
-            prev = spark.conf.get(key, None)
-            spark.conf.set(key, "true")
+            # events.parquet historically used TIMESTAMP(NANOS), which the
+            # vectorized reader rejects; newer fixtures write plain
+            # TIMESTAMP_NTZ(micros) that reads directly.  Try the plain
+            # read first and fall back to the scoped legacy ns-as-long
+            # conf only when the footer really carries nanos.
             try:
                 df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
-                if dict(df.dtypes).get("ts") == "bigint":
-                    # integer division: float division rounds half the µs
-                    # values up by 1 (a double can't hold 1.7e18 ns
-                    # exactly), which diverges from DuckDB's truncating
-                    # ns→µs read and shifts tie-ordering / second
-                    # boundaries in gap logic
-                    df = df.withColumn(
-                        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-                    )
-            finally:
-                if prev is None:
-                    spark.conf.unset(key)
-                else:
-                    spark.conf.set(key, prev)
+                # force schema resolution now, while we can still fall back
+                df.schema
+            except Exception:
+                key = "spark.sql.legacy.parquet.nanosAsLong"
+                prev = spark.conf.get(key, None)
+                spark.conf.set(key, "true")
+                try:
+                    df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+                    if dict(df.dtypes).get("ts") == "bigint":
+                        # integer division: float division rounds half the µs
+                        # values up by 1 (a double can't hold 1.7e18 ns
+                        # exactly), which diverges from DuckDB's truncating
+                        # ns→µs read and shifts tie-ordering / second
+                        # boundaries in gap logic.  timestampadd over an NTZ
+                        # epoch keeps the result session-timezone-independent
+                        # (timestamp_micros would yield LTZ).
+                        df = df.withColumn(
+                            "ts",
+                            F.expr(
+                                "timestampadd(MICROSECOND, ts div 1000, "
+                                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                            ),
+                        )
+                finally:
+                    if prev is None:
+                        spark.conf.unset(key)
+                    else:
+                        spark.conf.set(key, prev)
             out[n] = df
         else:
             out[n] = spark.read.parquet(f"{sf_dir}/{n}.parquet")
