@@ -111,5 +111,13 @@ def cut_lineage(df: DataFrame) -> DataFrame:
     except Exception:
         has_dir = False
     if has_dir:
-        return df.checkpoint(eager=True)
+        # persist first: an unpersisted reliable checkpoint computes the
+        # plan once for the job and AGAIN when writing the checkpoint
+        # files (the classic 2× recompute gotcha) — cache makes the
+        # checkpoint write a cache scan, then drop the scratch entry
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            return df.checkpoint(eager=True)
+        finally:
+            _safe_unpersist(df)
     return df.localCheckpoint()

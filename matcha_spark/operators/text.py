@@ -22,6 +22,11 @@ __all__ = [
     "quality_filter",
     "scrub_pii",
     "corpus_stats",
+    "sample_hash",
+    "rate_threshold_hex",
+    "stratified_sample",
+    "tfidf_top_terms",
+    "bm25_search",
 ]
 
 # tiny in-query stopword lists for the heuristic scorers
@@ -223,4 +228,166 @@ def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.sum(F.size(_tokens(text_col))).alias("n_tokens"),
         F.sum(F.length(F.col(text_col))).alias("n_chars"),
         F.countDistinct(F.md5(norm)).alias("n_unique_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus curation: deterministic sampling + relevance scoring
+# ---------------------------------------------------------------------------
+
+
+def _hash_hex(key_col, salt: str):
+    """Deterministic per-row draw: ``md5(salt || key)`` as lowercase hex.
+    Fixed-width lowercase hex compares lexicographically exactly as the
+    128-bit value compares numerically, so thresholding and ordering
+    need no hex→int conversion.  md5 is bit-identical across engines
+    (unlike xxhash64, which is Spark-specific), so samples are
+    reproducible anywhere — the property corpus curation needs when a
+    pipeline re-runs months later on different infrastructure."""
+    return F.md5(F.concat(F.lit(salt), key_col.cast("string")))
+
+
+def rate_threshold_hex(rate: float) -> str:
+    """The 32-hex-digit threshold under which a uniform 128-bit draw
+    falls with probability ``rate`` — shareable verbatim with any engine
+    that can compare md5 strings (the DuckDB oracles use it literally)."""
+    n = min(max(int(float(rate) * (1 << 128)), 0), (1 << 128))
+    return format(min(n, (1 << 128) - 1), "032x") if rate < 1.0 else "g" * 32
+
+
+def sample_hash(
+    docs: DataFrame,
+    rate: float,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic hash sample: keep a row iff ``md5(salt||key)``
+    falls under ``rate``.  Unlike ``df.sample`` (seeded per-partition
+    RNG — resplitting the input changes the sample), the decision is a
+    pure per-row function of the key: stable under repartitioning,
+    re-runs, and engine changes, and *consistent across tables* sharing
+    the key.  Narrow map — no shuffle, filter pushes to the scan."""
+    return docs.where(_hash_hex(F.col(key_col), salt) < F.lit(rate_threshold_hex(rate)))
+
+
+def stratified_sample(
+    docs: DataFrame,
+    per_group: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Per-group deterministic cap: keep at most ``per_group`` rows per
+    ``group_col`` value, chosen by md5 order (a uniform random-but-
+    reproducible draw) — the "domain mixing" primitive that stops one
+    giant crawl domain from dominating a training corpus.
+
+    One hash-partitioned window per group; at 100 TB a skewed group
+    processes as a single partition's sort, so pair with a pre-filter
+    (e.g. :func:`sample_hash`) when a group alone exceeds executor
+    memory."""
+    from pyspark.sql.window import Window
+
+    w = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(
+            _hash_hex(F.col(key_col), salt), F.col(key_col)
+        )
+    )
+    return docs.withColumn("__rn", w).where(F.col("__rn") <= per_group).drop("__rn")
+
+
+def _term_tf(docs: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, term, tf) from whitespace tokenization — one explode +
+    one hash aggregation, all JVM-side."""
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by smoothed TF-IDF
+    (``tf · (ln((N+1)/(df+1)) + 1)``).
+
+    Shape: one token explode + two hash aggs (term frequency, document
+    frequency) + one window top-k — the df table is term-keyed (vocab-
+    sized, far smaller than the corpus) and AQE broadcasts it when it
+    fits.  Ranking ties break on integer fields (tf desc, df asc, term
+    asc), never on float compares, so the result is engine-stable."""
+    tf = _term_tf(docs, text_col)
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__n"))
+    from pyspark.sql.window import Window
+
+    idf = F.log((F.col("__n") + 1) / (F.col("df_docs") + 1)) + 1
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df_docs",
+            F.round(F.col("tf") * idf, 4).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df_docs").asc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("doc_id", "term", "tf", "df_docs", "tfidf", "rk")
+    )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 ranked retrieval of the top-``k`` documents for a bag of
+    query terms (Robertson/Spärck Jones; the ``+1`` idf variant that
+    keeps weights positive).
+
+    Scale shape: the per-(doc, term) tf table is filtered to the query
+    vocabulary *before* any join (predicate pushdown on a tiny IN
+    list), corpus stats (N, avgdl) are one broadcast row, and the final
+    ordering is a top-k (TakeOrderedAndProject), not a full sort."""
+    qt = [t.lower() for t in query_terms]
+    tf = _term_tf(docs, text_col).where(F.col("term").isin(qt))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    dl = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("dl"),
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg(F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))).alias("__avgdl"),
+    )
+    idf = F.log(
+        (F.col("__n") - F.col("df_docs") + 0.5) / (F.col("df_docs") + 0.5) + 1
+    )
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("__avgdl"))
+    contrib = idf * (F.col("tf") * (k1 + 1)) / denom
+    return (
+        tf.join(df_t, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(k)
     )

@@ -252,6 +252,73 @@ def doc_corpus_stats(spark, sf_dir):
     return T.corpus_stats(load_tables(spark, sf_dir, "documents")["documents"])
 
 
+def doc_sample_hash(spark, sf_dir):
+    return T.sample_hash(
+        load_tables(spark, sf_dir, "documents")["documents"], rate=0.25
+    )
+
+
+def doc_stratified_sample(spark, sf_dir):
+    return T.stratified_sample(
+        load_tables(spark, sf_dir, "documents")["documents"],
+        per_group=15,
+        group_col="source",
+    )
+
+
+def doc_tfidf_top(spark, sf_dir):
+    return T.tfidf_top_terms(
+        load_tables(spark, sf_dir, "documents")["documents"], k=3
+    )
+
+
+def doc_bm25_search(spark, sf_dir):
+    return T.bm25_search(
+        load_tables(spark, sf_dir, "documents")["documents"],
+        ["spark", "table", "sort"],
+        k=10,
+    )
+
+
+def doc_nt_roundtrip(spark, sf_dir):
+    """documents → N-Triples lines → parse → reconstruct the flat table.
+
+    Identity against the source table proves serialize/parse are exact
+    inverses over real data (every column round-trips through the term
+    encoding and the ECHAR escaping); the oracle is simply the source
+    table itself."""
+    from .functions.termcols import int_col, str_col, uri_col
+    from .sources.frame import df_to_triples
+    from .sources.ntriples import ntlines_to_triples, triples_to_ntlines
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    db = df_to_triples(
+        docs,
+        uri_col("urn:doc:", F.col("doc_id")),
+        {
+            "text": str_col(F.col("text")),
+            "lang": str_col(F.col("lang")),
+            "source": str_col(F.col("source")),
+            "n_chars": int_col(F.col("n_chars")),
+        },
+    )
+    t = ntlines_to_triples(triples_to_ntlines(db))
+    p_lex, o = F.col("p.lex"), F.col("o")
+    return (
+        t.groupBy(
+            F.regexp_extract(F.col("s.lex"), r"^urn:doc:(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id")
+        )
+        .agg(
+            F.max(F.when(p_lex == "text", o["lex"])).alias("text"),
+            F.max(F.when(p_lex == "lang", o["lex"])).alias("lang"),
+            F.max(F.when(p_lex == "source", o["lex"])).alias("source"),
+            F.max(F.when(p_lex == "n_chars", o["lex"].cast("long"))).alias("n_chars"),
+        )
+    )
+
+
 def doc_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(
         load_tables(spark, sf_dir, "documents")["documents"],
@@ -395,6 +462,11 @@ QUERIES = {
     "doc_scrub_pii": doc_scrub_pii,
     "doc_strip_boilerplate": doc_strip_boilerplate,
     "doc_corpus_stats": doc_corpus_stats,
+    "doc_sample_hash": doc_sample_hash,
+    "doc_stratified_sample": doc_stratified_sample,
+    "doc_tfidf_top": doc_tfidf_top,
+    "doc_bm25_search": doc_bm25_search,
+    "doc_nt_roundtrip": doc_nt_roundtrip,
     "doc_ngram_jaccard": doc_ngram_jaccard,
     "doc_minhash_lsh": doc_minhash_lsh,
     "doc_simhash": doc_simhash,
@@ -836,6 +908,71 @@ ORACLES = {
                CAST(sum(length(text)) AS BIGINT) AS n_chars,
                count(DISTINCT md5({_NORM})) AS n_unique_docs
         FROM documents
+    """,
+    # md5-threshold sampling: the hex literal is rate_threshold_hex(0.25)
+    # — fixed-width lowercase hex compares as the 128-bit value does, so
+    # the oracle shares the exact keep-decision with the Spark plan
+    "doc_sample_hash": """
+        SELECT doc_id, text, lang, source, n_chars FROM documents
+        WHERE md5(CAST(doc_id AS VARCHAR)) < '40000000000000000000000000000000'
+    """,
+    "doc_stratified_sample": """
+        SELECT doc_id, text, lang, source, n_chars FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM documents)
+        WHERE rn <= 15
+    """,
+    "doc_tfidf_top": """
+        WITH tok AS (
+            SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2
+        ), dfq AS (
+            SELECT term, count(*) AS df_docs FROM tf GROUP BY 1
+        ), n AS (SELECT count(*) AS n FROM documents)
+        SELECT doc_id, term, tf, df_docs,
+               round(tf * (ln((n + 1) / (df_docs + 1)) + 1), 4) AS tfidf, rk
+        FROM (
+            SELECT tf.doc_id, tf.term, tf.tf, dfq.df_docs, n.n,
+                   row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf DESC, dfq.df_docs ASC, tf.term ASC) AS rk
+            FROM tf JOIN dfq USING (term) CROSS JOIN n)
+        WHERE rk <= 3
+    """,
+    "doc_bm25_search": """
+        WITH tok AS (
+            SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM tok
+            WHERE term IN ('spark', 'table', 'sort') GROUP BY 1, 2
+        ), dfq AS (
+            SELECT term, count(*) AS df_docs FROM tf GROUP BY 1
+        ), dl AS (
+            SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS dl
+            FROM documents
+        ), st AS (
+            SELECT count(*) AS n,
+                   avg(len(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS avgdl
+            FROM documents
+        )
+        SELECT doc_id,
+               round(sum(ln((n - df_docs + 0.5) / (df_docs + 0.5) + 1)
+                         * (tf * (1.2 + 1))
+                         / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
+        FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+        GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id
+        LIMIT 10
+    """,
+    # round-trip identity: serialize → parse is exact, so the oracle is
+    # the source table itself
+    "doc_nt_roundtrip": """
+        SELECT doc_id, text, lang, source, n_chars FROM documents
     """,
     "doc_ngram_jaccard": f"""
         WITH {_jaccard_pairs_ctes(cap=100, threshold=0.2)}

@@ -1,0 +1,131 @@
+"""Corpus-curation operators: deterministic sampling, stratified caps,
+TF-IDF, BM25."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from matcha_spark.operators.text import (
+    bm25_search,
+    rate_threshold_hex,
+    sample_hash,
+    stratified_sample,
+    tfidf_top_terms,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    from matcha_spark.sources.tpch_graph import load_tables
+
+    return load_tables(spark, SF_DIR, "documents")["documents"]
+
+
+def test_sample_hash_deterministic_and_partition_invariant(spark):
+    docs = _docs(spark)
+    a = {r.doc_id for r in sample_hash(docs, 0.3).select("doc_id").collect()}
+    b = {r.doc_id for r in sample_hash(docs.repartition(7), 0.3).select("doc_id").collect()}
+    assert a == b and a  # same keys regardless of physical layout
+    # df.sample by contrast is layout-dependent; that's the point of md5
+
+
+def test_sample_hash_rate_roughly_holds(spark):
+    docs = _docs(spark)
+    n = docs.count()
+    got = sample_hash(docs, 0.5).count()
+    assert abs(got / n - 0.5) < 0.2  # uniform md5 draw, small-n tolerance
+
+
+def test_sample_hash_salt_changes_sample(spark):
+    docs = _docs(spark)
+    a = {r.doc_id for r in sample_hash(docs, 0.3).select("doc_id").collect()}
+    b = {r.doc_id for r in sample_hash(docs, 0.3, salt="v2").select("doc_id").collect()}
+    assert a != b
+
+
+def test_rate_threshold_hex_bounds():
+    assert rate_threshold_hex(0.0) == "0" * 32
+    assert rate_threshold_hex(0.25) == "4" + "0" * 31
+    assert rate_threshold_hex(1.0) > "f" * 32  # everything passes
+
+
+def test_stratified_sample_caps_each_group(spark):
+    docs = _docs(spark)
+    out = stratified_sample(docs, per_group=3, group_col="source")
+    per = out.groupBy("source").count().collect()
+    assert per and all(r["count"] <= 3 for r in per)
+    # deterministic: same keys on re-run
+    a = {r.doc_id for r in out.select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in stratified_sample(docs.repartition(5), per_group=3, group_col="source")
+        .select("doc_id")
+        .collect()
+    }
+    assert a == b
+
+
+def test_stratified_sample_keeps_small_groups_whole(spark):
+    docs = _docs(spark)
+    sizes = {r["source"]: r["count"] for r in docs.groupBy("source").count().collect()}
+    out = stratified_sample(docs, per_group=10_000, group_col="source")
+    got = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    assert got == sizes  # cap above group size = identity
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    rows = [
+        (1, "apple apple apple zebra"),
+        (2, "apple banana banana"),
+        (3, "apple cherry"),
+        (4, "apple dates"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_top_terms(docs, k=2)
+    top1 = {r.doc_id: r.term for r in out.where("rk = 1").collect()}
+    # doc 1: apple tf=3 beats zebra tf=1 on the integer-first ranking
+    assert top1[1] == "apple"
+    # doc 2: banana tf=2 beats apple (tf=1, and apple is in every doc)
+    assert top1[2] == "banana"
+    # ubiquitous 'apple' scores lowest idf: its tfidf in doc 3 < cherry's
+    d3 = {r.term: r.tfidf for r in out.where("doc_id = 3").collect()}
+    assert d3["cherry"] > d3["apple"]
+
+
+def test_tfidf_k_bound(spark):
+    docs = _docs(spark)
+    out = tfidf_top_terms(docs, k=3)
+    per = out.groupBy("doc_id").count().collect()
+    assert all(r["count"] <= 3 for r in per)
+    assert out.where("rk > 3").count() == 0
+
+
+def test_bm25_finds_term_heavy_docs(spark):
+    rows = [
+        (1, "spark spark spark engine"),
+        (2, "spark engine"),
+        (3, "pandas only here"),
+        (4, "nothing relevant"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_search(docs, ["spark"], k=2).collect()
+    assert [r.doc_id for r in out] == [1, 2]
+    assert out[0].bm25 > out[1].bm25 > 0
+
+
+def test_bm25_multi_term_accumulates(spark):
+    rows = [
+        (1, "alpha beta"),
+        (2, "alpha alpha"),
+        (3, "beta gamma delta epsilon zeta eta theta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.bm25 for r in bm25_search(docs, ["alpha", "beta"], k=3).collect()}
+    # doc 1 matches both query terms; doc 3's beta is diluted by length
+    assert out[1] > out[3]
+    assert set(out) == {1, 2, 3}
+
+
+def test_bm25_no_matches_empty(spark):
+    docs = _docs(spark)
+    assert bm25_search(docs, ["zzzzqqqq"], k=5).count() == 0

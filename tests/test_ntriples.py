@@ -1,0 +1,143 @@
+"""N-Triples source/sink: lossless round-trip of every TERM kind, file
+I/O, and parsing of externally-written N-Triples."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from matcha_spark.sources.ntriples import (
+    ntlines_to_triples,
+    read_ntriples,
+    triples_to_ntlines,
+    write_ntriples,
+)
+from matcha_spark.terms import (
+    TRIPLE_SCHEMA,
+    LangString,
+    RDFLiteral,
+    URI,
+    from_term,
+    kw,
+    to_term,
+)
+
+VALUES = [
+    URI("http://example.org/a"),
+    kw(":foaf/knows"),
+    kw(":label"),
+    "plain",
+    'tricky "quoted" \\n literal-backslash-n',
+    "real\nnewline\tand\ttab plus \\ backslash and trailing \\\\ pair",
+    "unicode: héllo wörld — ∀x∈ℝ",
+    "",
+    42,
+    -7,
+    3.5,
+    -0.25,
+    1e20,
+    True,
+    False,
+    None,
+    LangString("bonjour", "fr"),
+    LangString("hello", "en-GB"),
+    RDFLiteral("P1Y2M", "http://www.w3.org/2001/XMLSchema#duration"),
+    dt.date(2024, 2, 29),
+    dt.datetime(2024, 2, 29, 12, 34, 56, 789012),
+    dt.datetime(2024, 2, 29, 12, 34, 56, 789012, tzinfo=dt.timezone.utc),
+]
+
+
+def _mk_db(spark):
+    triples = []
+    for i, v in enumerate(VALUES):
+        triples.append((to_term(URI(f"urn:s{i}")), to_term(kw(":p")), to_term(v)))
+        # any kind is legal in any position (matcha triples are untyped:
+        # reference src/grafter/matcha/alpha.clj:54-58)
+        triples.append((to_term(v), to_term(v), to_term(v)))
+    return spark.createDataFrame(triples, TRIPLE_SCHEMA)
+
+
+def _decoded_set(db):
+    return {
+        (repr(from_term(r.s)), repr(from_term(r.p)), repr(from_term(r.o)))
+        for r in db.collect()
+    }
+
+
+def test_roundtrip_all_kinds_in_memory(spark):
+    db = _mk_db(spark)
+    back = ntlines_to_triples(triples_to_ntlines(db))
+    assert _decoded_set(back) == _decoded_set(db)
+
+
+def test_roundtrip_through_files(spark, tmp_path):
+    db = _mk_db(spark)
+    path = str(tmp_path / "graph.nt")
+    write_ntriples(db, path)
+    back = read_ntriples(spark, path)
+    assert _decoded_set(back) == _decoded_set(db)
+
+
+def test_num_mirror_reconstructed(spark):
+    """The num field (join mirror for int/double/bool/date) must survive
+    the trip — doubles join by num, so a zeroed mirror would break
+    equality joins on round-tripped graphs."""
+    db = _mk_db(spark)
+    back = ntlines_to_triples(triples_to_ntlines(db))
+    orig = {(r.o["kind"], r.o["lex"], r.o["num"]) for r in db.collect()}
+    got = {(r.o["kind"], r.o["lex"], r.o["num"]) for r in back.collect()}
+    assert got == orig
+
+
+def test_parse_external_ntriples(spark):
+    """Hand-written (non-engine) N-Triples parse: IRIs, plain/lang/typed
+    literals, comments, blank lines, ECHAR escapes."""
+    lines = [
+        "# a comment line",
+        "",
+        "<http://ex.org/s> <http://ex.org/p> <http://ex.org/o> .",
+        '<http://ex.org/s> <http://ex.org/name> "Alice" .',
+        '<http://ex.org/s> <http://ex.org/greet> "bonjour"@fr .',
+        '<http://ex.org/s> <http://ex.org/age> "42"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+        '<http://ex.org/s> <http://ex.org/note> "line1\\nline2 \\"q\\" \\\\" .',
+        "   ",
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], "value string")
+    out = ntlines_to_triples(df)
+    rows = {(from_term(r.s), from_term(r.p), from_term(r.o)) for r in out.collect()}
+    assert (URI("http://ex.org/s"), URI("http://ex.org/p"), URI("http://ex.org/o")) in rows
+    assert (URI("http://ex.org/s"), URI("http://ex.org/name"), "Alice") in rows
+    assert (URI("http://ex.org/s"), URI("http://ex.org/greet"), LangString("bonjour", "fr")) in rows
+    assert (URI("http://ex.org/s"), URI("http://ex.org/age"), 42) in rows
+    assert (URI("http://ex.org/s"), URI("http://ex.org/note"), 'line1\nline2 "q" \\') in rows
+    assert len(rows) == 5  # comments/blanks dropped
+
+
+def test_malformed_lines_dropped(spark):
+    df = spark.createDataFrame(
+        [("<a> <b> .",), ("not a triple",), ("<http://s> <http://p> <http://o> .",)],
+        "value string",
+    )
+    out = ntlines_to_triples(df)
+    assert out.count() == 1
+
+
+def test_queryable_after_roundtrip(spark):
+    """Round-tripped graphs answer BGP queries identically — the num
+    mirror and struct equality survive serialization."""
+    from matcha_spark.query import select
+
+    triples = [
+        (kw(":rick"), kw(":age"), 60),
+        (kw(":morty"), kw(":age"), 14),
+        (kw(":rick"), kw(":score"), 3.5),
+    ]
+    db = spark.createDataFrame(
+        [tuple(to_term(x) for x in t) for t in triples], TRIPLE_SCHEMA
+    )
+    back = ntlines_to_triples(triples_to_ntlines(db))
+    who = select(["?s"], [("?s", kw(":age"), 60)], back)
+    assert who == [kw(":rick")]
+    scored = select(["?s"], [("?s", kw(":score"), 3.5)], back)
+    assert scored == [kw(":rick")]

@@ -304,7 +304,9 @@ def test_load_tables_scopes_nanos_conf(spark):
     key = "spark.sql.legacy.parquet.nanosAsLong"
     t = load_tables(spark, SF_DIR, "events", "orders")
     assert spark.conf.get(key, None) is None, "session conf leaked"
-    assert dict(t["events"].dtypes)["ts"] == "timestamp"
+    # new fixtures read natively as TIMESTAMP_NTZ(micros); legacy
+    # TIMESTAMP(NANOS) footers land as LTZ via the ns-as-long fallback
+    assert dict(t["events"].dtypes)["ts"] in ("timestamp", "timestamp_ntz")
     assert t["events"].select("ts").where("ts IS NOT NULL").count() > 0
     assert t["orders"].count() > 0
 

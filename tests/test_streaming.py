@@ -124,18 +124,21 @@ def test_streaming_hourly_equals_batch(spark):
         (r["hour_epoch"], r["event_type"]): (r["n"], round(r["total_value"], 2))
         for r in events_hourly(spark, sf).collect()
     }
-    # stream the same parquet (ts stored as nanos long → downcast)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import pyspark.sql.functions as F
-
+    # stream the same parquet; new fixtures store ts as TIMESTAMP_NTZ
+    # (micros), which the file stream source reads natively
     src = (
         spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, value double, props string"
+            "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+            "value double, props string"
         )
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf)  # file source watches a directory
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
     )
+    import pyspark.sql.functions as F
+
+    # watermarks need LTZ event time; session-tz cast matches the batch
+    # plan's unix_timestamp interpretation
+    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
     out = _run_to_memory(spark, hourly_counts(src), "hourly_batch_eq")
     got = {
         (int(r["window_start"].timestamp()), r["event_type"]): (
