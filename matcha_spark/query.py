@@ -92,9 +92,12 @@ def _marker_struct(num_col):
     )
 
 
-def _regroup(df: DataFrame, req_proj: list[str], opt_proj: list[str]) -> DataFrame:
+def _regroup(
+    df: DataFrame, req_proj: list[str], opt_proj: list[str], bag: bool = False
+) -> DataFrame:
     """The select-level optional regroup (``src:374-412``): group by
-    required vars, per-var distinct bound values, empty → one numbered
+    required vars, per-var collected bound values (distinct under the
+    default set semantics, multiset under ``bag``), empty → one numbered
     marker per (group, var), then cartesian via sequential explode."""
     gcols = list(req_proj)
     synthetic_group = not gcols
@@ -103,8 +106,9 @@ def _regroup(df: DataFrame, req_proj: list[str], opt_proj: list[str]) -> DataFra
         # implements the optional-only-query rule (src:202-203, test:476-479)
         df = df.withColumn("__g", F.lit(1))
         gcols = ["__g"]
+    collect = F.collect_list if bag else F.collect_set
     agg = df.groupBy(*gcols).agg(
-        *[F.collect_set(F.col(v)).alias(v) for v in opt_proj]
+        *[collect(F.col(v)).alias(v) for v in opt_proj]
     )
     # deterministic marker numbering WITHOUT a global sort: markers only
     # need per-(group, var) uniqueness and comparisons are marker-blind
@@ -125,9 +129,14 @@ def _regroup(df: DataFrame, req_proj: list[str], opt_proj: list[str]) -> DataFra
     return agg.drop(*(["__g"] if synthetic_group else []))
 
 
-def _solve_projected(db, patterns, pvars: list[str]) -> DataFrame:
+def _solve_projected(db, patterns, pvars: list[str], bag: bool = False) -> DataFrame:
     """Raw solutions projected to ``pvars`` with the select regroup
-    applied to optional projected vars."""
+    applied to optional projected vars.
+
+    ``bag=True`` keeps duplicate solutions (one row per derivation —
+    the reference's ``run*`` enumeration can emit duplicates,
+    ``src:252-261``; the default set semantics is the engine's
+    documented deviation, PARITY.md)."""
     tdb = ensure_db(db)
     sols = solve(tdb, patterns)
     mandatory = _mandatory_vars(patterns)
@@ -135,10 +144,13 @@ def _solve_projected(db, patterns, pvars: list[str]) -> DataFrame:
     opt_proj = [v for v in pvars if v not in mandatory]
     projected = _with_missing_vars(sols, pvars)
     if not opt_proj:
+        if bag:
+            # one row per derivation path — no distinct anywhere
+            return projected
         # regroup with no optional columns collapses duplicate solutions
         # (reference group-by does the same, src:396-399)
         return projected.dropDuplicates()
-    return _regroup(projected, req_proj, opt_proj).select(*pvars)
+    return _regroup(projected, req_proj, opt_proj, bag=bag).select(*pvars)
 
 
 def _decode_rows(df: DataFrame, pvars: list[str]) -> list[tuple]:
@@ -159,16 +171,20 @@ def _normalize_patterns(patterns) -> list:
 # ---------------------------------------------------------------------------
 
 
-def select_df(project_vars, patterns, db) -> DataFrame:
+def select_df(project_vars, patterns, db, bag_semantics: bool = False) -> DataFrame:
     """DataFrame-returning select: one TERM-struct column per projected
     var.  The scale path — no driver collection, composable with any
-    further DataFrame transformation."""
+    further DataFrame transformation.
+
+    ``bag_semantics=True`` emits one row per derivation (multiset
+    parity with the reference's ``run*`` enumeration) instead of the
+    default canonical set semantics."""
     patterns = _normalize_patterns(patterns)
     pvars = [var_name(v) for v in project_vars] if project_vars else find_vars(patterns)
-    return _solve_projected(db, patterns, pvars)
+    return _solve_projected(db, patterns, pvars, bag=bag_semantics)
 
 
-def select(*args, db=None):
+def select(*args, db=None, bag_semantics: bool = False):
     """``select(patterns)``, ``select(vars, patterns)`` → curried;
     ``select(vars, patterns, db)`` / ``db=`` kwarg → direct.
 
@@ -188,8 +204,8 @@ def select(*args, db=None):
     patterns = _normalize_patterns(patterns)
     pvars = [var_name(v) for v in pvars_raw] if pvars_raw is not None else find_vars(patterns)
     if db is None:
-        return lambda db_: select(pvars, patterns, db_)
-    out_df = _solve_projected(db, patterns, pvars)
+        return lambda db_: select(pvars, patterns, db_, bag_semantics=bag_semantics)
+    out_df = _solve_projected(db, patterns, pvars, bag=bag_semantics)
     decoded = _decode_rows(out_df, pvars)
     if len(pvars) == 1:
         decoded = [t[0] for t in decoded]

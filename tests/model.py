@@ -152,3 +152,44 @@ def model_build(subject_var, template, patterns, db):
             items.append((k, vals[0] if len(vals) == 1 else frozenset(vals)))
         out.add(frozenset(items))
     return out
+
+
+def model_select_bag(pvars, patterns, db):
+    """Bag-semantics reference select: one output row per derivation
+    (the reference's ``run*`` enumeration keeps duplicates,
+    ``src:252-261``; its regroup collects optional values without
+    distinct, ``src:374-412``).  Returns a multiset as a sorted list."""
+    db = list(dict.fromkeys(tuple(t) for t in db))  # pldb set semantics
+    pvars = [var_name(v) for v in pvars]
+    sols = _solve(db, patterns, {})
+
+    req = [p for p in patterns if not isinstance(p, Optional)]
+    mand = set()
+    for p in req:
+        if isinstance(p, Values):
+            mand.add(var_name(p.var))
+        else:
+            mand.update(var_name(e) for e in p if is_var(e))
+    req_proj = [v for v in pvars if v in mand]
+    opt_proj = [v for v in pvars if v not in mand]
+
+    if not opt_proj:
+        rows = [tuple(_freeze(s.get(v)) for v in pvars) for s in sols]
+        return sorted(rows, key=repr)
+
+    groups: dict[tuple, list[dict]] = {}
+    for s in sols:
+        key = tuple(_freeze(s.get(v)) for v in req_proj)
+        groups.setdefault(key, []).append(s)
+
+    rows = []
+    for key, group in groups.items():
+        cols = []
+        for v in opt_proj:
+            vals = [_freeze(s[v]) for s in group if v in s]
+            cols.append(sorted(vals, key=repr) if vals else [UNBOUND])
+        for combo in product(*cols):
+            row = dict(zip(req_proj, key))
+            row.update(zip(opt_proj, combo))
+            rows.append(tuple(row[v] for v in pvars))
+    return sorted(rows, key=repr)

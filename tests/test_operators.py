@@ -469,3 +469,36 @@ def test_sign_buckets_shape_and_determinism(spark):
     assert all(0 <= r.bucket < 64 for r in rows)  # 6 sign bits
     again = {(r.vec_id, r.table, r.bucket) for r in b.collect()}
     assert again == {(r.vec_id, r.table, r.bucket) for r in rows}
+
+
+def test_image_features_real_codec_plug_point(spark):
+    """Inject a REAL decoder (Pillow) through the pluggable codec seam
+    to prove ``image_features(decoder=...)`` accepts a genuine codec;
+    skips cleanly where Pillow isn't installed (the deterministic fake
+    twins remain the CI path)."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    import numpy as np
+
+    from matcha_spark.operators.multimodal import image_features
+
+    def pil_decode(payload: bytes) -> np.ndarray:
+        return np.asarray(PIL.open(io.BytesIO(payload)).convert("L"), dtype=np.float64)
+
+    def png_bytes(w, h, val):
+        img = PIL.new("L", (w, h), val)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [
+        (1, "image", png_bytes(4, 3, 10)),
+        (2, "image", png_bytes(2, 2, 255)),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    out = {r.media_id: r for r in image_features(media, decoder=pil_decode).collect()}
+    # constant-value images: every row-mean equals the fill value
+    assert [round(x) for x in out[1].feature] == [10, 10, 10]
+    assert [round(x) for x in out[2].feature] == [255, 255]
+    assert out[1].n_bytes > 0 and len(out[1].sha256) == 64

@@ -328,3 +328,94 @@ def test_not_exists_and_minus(spark):
         select(["?s"], [("?s", kw("type"), "person"), Minus([("?z", kw("unrelated"), 1)])], db)
     ) == {kw("a"), kw("b")}
     db.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# bag (multiset) semantics — the reference's run* enumeration keeps one
+# row per derivation; the engine's default canonical set semantics is the
+# documented deviation (PARITY.md).  bag_semantics=True closes it.
+# ---------------------------------------------------------------------------
+
+
+def _bag_rows(spark, pvars, patterns, triples, bag=True):
+    from matcha_spark.db import index_triples
+    from matcha_spark.query import select_df
+    from matcha_spark.terms import from_term
+
+    db = index_triples(spark, triples)
+    df = select_df(pvars, patterns, db, bag_semantics=bag)
+    out = [tuple(from_term(r[v]) for v in df.columns) for r in df.collect()]
+    db.unpersist()
+    return sorted(out, key=repr)
+
+
+def test_bag_semantics_keeps_duplicate_derivations(spark):
+    """Two derivation paths for the same projected row → two rows under
+    bag semantics, one under the default set semantics."""
+    from matcha_spark.terms import kw
+
+    triples = [
+        (kw(":a"), kw(":p"), kw(":b")),
+        (kw(":a"), kw(":q"), kw(":b")),
+    ]
+    pat = [("?s", "?p1", "?o"), ("?s", "?p2", "?o")]
+    bag = _bag_rows(spark, ["?s", "?o"], pat, triples, bag=True)
+    assert len(bag) == 4  # (p,p) (p,q) (q,p) (q,q)
+    st = _bag_rows(spark, ["?s", "?o"], pat, triples, bag=False)
+    assert len(st) == 1
+
+
+def test_bag_semantics_matches_model_on_fixture(spark):
+    """Differential: engine bag multiset == pure-Python reference model
+    bag multiset on a crafted fixture (joins + values)."""
+    from tests.model import model_select_bag
+    from matcha_spark.terms import kw
+
+    triples = [
+        (kw(":r"), kw(":knows"), kw(":m")),
+        (kw(":r"), kw(":knows"), kw(":s")),
+        (kw(":m"), kw(":knows"), kw(":s")),
+        (kw(":r"), kw(":age"), 60),
+        (kw(":m"), kw(":age"), 14),
+    ]
+    pat = [("?a", kw(":knows"), "?b"), ("?a", kw(":age"), "?n")]
+    got = _bag_rows(spark, ["?a", "?n"], pat, triples, bag=True)
+    want = sorted(model_select_bag(["?a", "?n"], pat, triples), key=repr)
+    assert got == want
+    # the same fixture under set semantics collapses the (:r, 60) pair
+    assert len(got) == 3 and len(_bag_rows(spark, ["?a", "?n"], pat, triples, bag=False)) == 2
+
+
+def test_bag_semantics_optional_collects_without_distinct(spark):
+    """Optional regroup under bag: duplicate optional values survive
+    (collect_list), matching the model's no-distinct collection."""
+    from tests.model import model_select_bag
+    from matcha_spark.patterns import Optional as Opt
+    from matcha_spark.terms import kw
+
+    triples = [
+        (kw(":r"), kw(":type"), kw(":person")),
+        (kw(":m"), kw(":type"), kw(":person")),
+        (kw(":r"), kw(":likes"), kw(":pizza")),
+        (kw(":r"), kw(":eats"), kw(":pizza")),
+    ]
+    pat = [
+        ("?s", kw(":type"), kw(":person")),
+        Opt([("?s", "?how", kw(":pizza")), ("?s", "?how2", "?x")]),
+    ]
+    pv = ["?s", "?x"]
+    got = _bag_rows(spark, pv, pat, triples, bag=True)
+    want_raw = model_select_bag(pv, pat, triples)
+
+    def norm(rows):
+        # marker-blind: unbound markers (engine) / UNBOUND (model) → None
+        from matcha_spark.terms import Unbound
+
+        out = []
+        for r in rows:
+            out.append(tuple(
+                None if (isinstance(v, Unbound) or v == "<unbound>") else v for v in r
+            ))
+        return sorted(out, key=repr)
+
+    assert norm(got) == norm(want_raw)
