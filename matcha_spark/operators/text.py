@@ -27,6 +27,7 @@ __all__ = [
     "stratified_sample",
     "tfidf_top_terms",
     "bm25_search",
+    "repetition_signals",
 ]
 
 # tiny in-query stopword lists for the heuristic scorers
@@ -390,4 +391,74 @@ def bm25_search(
         .agg(F.round(F.sum(contrib), 4).alias("bm25"))
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(k)
+    )
+
+
+def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    - ``dup_line_frac``: fraction of (normalized, non-empty) lines that
+      are repeats of an earlier line — high values mark templated /
+      machine-generated pages.  Computed entirely with array built-ins
+      (``array_distinct`` / ``size``) — a narrow map, no shuffle.
+    - ``top_bigram`` / ``top_bigram_frac``: the most frequent token
+      bigram and the fraction of all bigram slots it occupies — the
+      classic stuck-on-repeat signal.  One explode + two hash aggs,
+      keyed by doc_id; ties break to the lexicographically smallest
+      bigram so the result is engine-stable.
+
+    Ratios are exact rational divisions of integer counts, rounded to
+    4 dp — safe to oracle-compare."""
+    from pyspark.sql.window import Window
+
+    lines = F.expr(
+        f"filter(transform(split({text_col}, '\\n'), l -> lower(trim(l))), l -> l != '')"
+    )
+    base = docs.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        F.size(F.array_distinct(lines)).alias("n_uniq_lines"),
+    ).select(
+        "doc_id",
+        "n_lines",
+        F.round(
+            F.when(
+                F.col("n_lines") > 0,
+                1 - F.col("n_uniq_lines") / F.col("n_lines"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("dup_line_frac"),
+    )
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    big = F.expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', toks[i], toks[i+1]))"
+    )
+    bigrams = (
+        docs.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select("doc_id", F.explode(big).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("bigram").asc())
+    tot = bigrams.groupBy("doc_id").agg(F.sum("cnt").alias("n_bigrams"))
+    top = (
+        bigrams.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .join(tot, "doc_id")
+        .select(
+            "doc_id",
+            F.col("bigram").alias("top_bigram"),
+            F.round(F.col("cnt") / F.col("n_bigrams"), 4).alias("top_bigram_frac"),
+        )
+    )
+    return (
+        base.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            "dup_line_frac",
+            "top_bigram",
+            F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)).alias("top_bigram_frac"),
+        )
     )

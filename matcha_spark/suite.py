@@ -319,6 +319,10 @@ def doc_nt_roundtrip(spark, sf_dir):
     )
 
 
+def doc_repetition(spark, sf_dir):
+    return T.repetition_signals(load_tables(spark, sf_dir, "documents")["documents"])
+
+
 def doc_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(
         load_tables(spark, sf_dir, "documents")["documents"],
@@ -467,6 +471,7 @@ QUERIES = {
     "doc_tfidf_top": doc_tfidf_top,
     "doc_bm25_search": doc_bm25_search,
     "doc_nt_roundtrip": doc_nt_roundtrip,
+    "doc_repetition": doc_repetition,
     "doc_ngram_jaccard": doc_ngram_jaccard,
     "doc_minhash_lsh": doc_minhash_lsh,
     "doc_simhash": doc_simhash,
@@ -973,6 +978,45 @@ ORACLES = {
     # the source table itself
     "doc_nt_roundtrip": """
         SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+    "doc_repetition": """
+        WITH lines AS (
+            SELECT doc_id,
+                   list_filter(list_transform(string_split(text, chr(10)),
+                                              l -> lower(trim(l))),
+                               l -> l <> '') AS ls
+            FROM documents
+        ), base AS (
+            SELECT doc_id, len(ls) AS n_lines,
+                   round(CASE WHEN len(ls) > 0
+                              THEN 1 - len(list_distinct(ls)) / len(ls)
+                              ELSE 0.0 END, 4) AS dup_line_frac
+            FROM lines
+        ), toks AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        ), bigrams AS (
+            SELECT doc_id, bigram, count(*) AS cnt FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(len(t) - 1),
+                                             i -> concat_ws(' ', t[i + 1], t[i + 2]))) AS bigram
+                FROM toks WHERE len(t) >= 2
+            ) GROUP BY 1, 2
+        ), tot AS (
+            SELECT doc_id, sum(cnt) AS n_bigrams FROM bigrams GROUP BY 1
+        ), top AS (
+            SELECT doc_id, bigram AS top_bigram,
+                   round(cnt / n_bigrams, 4) AS top_bigram_frac
+            FROM (
+                SELECT doc_id, bigram, cnt,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY cnt DESC, bigram ASC) AS rk
+                FROM bigrams) JOIN tot USING (doc_id)
+            WHERE rk = 1
+        )
+        SELECT base.doc_id, base.n_lines, base.dup_line_frac,
+               top.top_bigram, coalesce(top.top_bigram_frac, 0.0) AS top_bigram_frac
+        FROM base LEFT JOIN top ON base.doc_id = top.doc_id
     """,
     "doc_ngram_jaccard": f"""
         WITH {_jaccard_pairs_ctes(cap=100, threshold=0.2)}

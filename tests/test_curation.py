@@ -129,3 +129,23 @@ def test_bm25_multi_term_accumulates(spark):
 def test_bm25_no_matches_empty(spark):
     docs = _docs(spark)
     assert bm25_search(docs, ["zzzzqqqq"], k=5).count() == 0
+
+
+def test_repetition_signals_planted(spark):
+    from matcha_spark.operators.text import repetition_signals
+
+    rows = [
+        (1, "Buy now!\nGreat deal\nBuy now!\nbuy NOW!\nunique line"),  # 3/5 dup
+        (2, "spam spam spam spam eggs"),  # 'spam spam' dominates bigrams
+        (3, "all distinct lines\nhere"),
+        (4, "one"),  # no bigrams, one line
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    # doc 1: 5 non-empty lines, normalized dups: 'buy now!' x3 -> 1 - 3/5
+    assert out[1].n_lines == 5 and out[1].dup_line_frac == 0.4
+    assert out[3].dup_line_frac == 0.0
+    # doc 2 bigrams: (spam spam) x3, (spam eggs) x1 -> 0.75
+    assert out[2].top_bigram == "spam spam" and out[2].top_bigram_frac == 0.75
+    # no bigrams -> frac 0.0, NULL bigram
+    assert out[4].top_bigram is None and out[4].top_bigram_frac == 0.0

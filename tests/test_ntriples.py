@@ -141,3 +141,26 @@ def test_queryable_after_roundtrip(spark):
     assert who == [kw(":rick")]
     scored = select(["?s"], [("?s", kw(":score"), 3.5)], back)
     assert scored == [kw(":rick")]
+
+
+def test_streaming_ntriples_ingestion(spark, tmp_path):
+    """The NT parser is a narrow map, so it composes with readStream
+    unchanged — a 100 TB dump directory can stream-ingest file-by-file."""
+    from matcha_spark.sources.ntriples import ntlines_to_triples, write_ntriples
+
+    db = _mk_db(spark)
+    path = str(tmp_path / "stream_nt")
+    write_ntriples(db, path)
+    src = spark.readStream.format("text").load(path)
+    parsed = ntlines_to_triples(src)
+    assert parsed.isStreaming
+    q = (
+        parsed.writeStream.format("memory")
+        .queryName("nt_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = _decoded_set(spark.table("nt_stream"))
+    assert got == _decoded_set(db)
