@@ -37,21 +37,54 @@ from pyspark.sql import functions as F
 
 from .terms import TRIPLE_SCHEMA, to_term
 
-__all__ = ["TriplesDB", "ensure_db", "merge_dbs", "index_triples", "index_if_necessary"]
+__all__ = ["TriplesDB", "ensure_db", "merge_dbs", "index_triples", "index_if_necessary", "subject_key"]
 
 _N_PRED_BUCKETS = 64
+
+
+def subject_key(c: F.Column) -> F.Column:
+    """Bucket key for a TERM struct column: xxhash64 of the
+    float-normalized struct.  Spark's struct equality normalizes floats
+    (-0.0 == +0.0, NaN == NaN) while xxhash64 hashes raw bits, so the
+    num field is canonicalized (+0.0 fold; IEEE: -0.0 + 0.0 = +0.0)
+    before hashing — hash equality then implies exactly what the join's
+    struct equality implies."""
+    return F.xxhash64(
+        F.struct(
+            c["kind"].alias("kind"),
+            c["lex"].alias("lex"),
+            F.when(F.isnan(c["num"]), float("nan"))
+            .otherwise(c["num"] + F.lit(0.0))
+            .alias("num"),
+            c["lang"].alias("lang"),
+            c["dt"].alias("dt"),
+        )
+    )
 
 
 class TriplesDB:
     """An indexed triples database over a DataFrame with TERM-struct
     columns ``s``, ``p``, ``o``."""
 
-    def __init__(self, df: DataFrame, *, deduped: bool = True, p_bucketed: bool = False):
+    def __init__(
+        self,
+        df: DataFrame,
+        *,
+        deduped: bool = True,
+        p_bucketed: bool = False,
+        s_bucketed: bool = False,
+    ):
         self.df = df
         # True when backed by parquet partitioned on p_bucket: the compiler
         # then adds the derived partition filter so ground-predicate scans
         # prune at the source (see plans/compiler._scan_pattern)
         self.p_bucketed = p_bucketed
+        # True when backed by a subject-hash bucketed table (save_bucketed):
+        # the df carries an s_key column aligned with the bucket spec, the
+        # compiler propagates it through pattern scans, and subject-subject
+        # BGP self-joins run with ZERO exchanges (plus ground-subject
+        # bucket pruning at the scan)
+        self.s_bucketed = s_bucketed
         self._stats: dict[tuple, int] | None = None
         self._total: int | None = None
 
@@ -104,6 +137,36 @@ class TriplesDB:
         if cache:
             df = df.cache()
         return cls(df, p_bucketed=bucketed)
+
+    def save_bucketed(self, table: str, buckets: int = 64) -> None:
+        """Persist as a subject-hash **bucketed table** (``bucketBy`` on
+        ``s_key = xxhash64(s)``): BGP conjunctions join patterns on their
+        shared subject var, and with every pattern scan pre-partitioned
+        by the same bucket function those self-joins need NO shuffle —
+        the dominant cost of multi-pattern queries at 100 TB.  Ground
+        subjects additionally prune to a single bucket at the scan.
+
+        ``bucketBy`` requires a saveAsTable target (bucket metadata lives
+        in the catalog); point ``spark.sql.warehouse.dir`` at shared
+        storage on a cluster."""
+        (
+            self.df.select("s", "p", "o")
+            .withColumn("s_key", subject_key(F.col("s")))
+            .write.bucketBy(buckets, "s_key")
+            .sortBy("s_key")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(table)
+        )
+
+    @classmethod
+    def load_bucketed(cls, spark: SparkSession, table: str) -> "TriplesDB":
+        """Load a :meth:`save_bucketed` table; requires
+        ``spark.sql.requireAllClusterKeysForCoPartition=false`` (set by
+        ``matcha_spark.session.get_spark``) for the exchange-free
+        subject joins — the join keys are (s_key, s) while the bucket
+        partitioning covers s_key only."""
+        return cls(spark.table(table), s_bucketed=True)
 
     # -- statistics ------------------------------------------------------
 

@@ -109,6 +109,7 @@ def _scan_pattern(db: TriplesDB, pattern, stats, total: float) -> _Scan:
     aliases: list = []
     base = float(total)
     extra_ground = 0
+    s_bucketed = getattr(db, "s_bucketed", False)
     for pos, item in zip(("s", "p", "o"), pattern):
         if is_var(item):
             v = var_name(item)
@@ -118,9 +119,23 @@ def _scan_pattern(db: TriplesDB, pattern, stats, total: float) -> _Scan:
             else:
                 first_pos_of_var[v] = pos
                 aliases.append(F.col(pos).alias(v))
+                if pos == "s" and s_bucketed:
+                    # propagate the bucket key under the var's name: the
+                    # join tree adds it to subject-subject join keys, and
+                    # the bucketed scans' co-partitioning elides the
+                    # shuffle entirely (see TriplesDB.save_bucketed)
+                    aliases.append(F.col("s_key").alias(f"__skey__{v}"))
         else:
             value = const_value(item)
             conds.append(F.col(pos) == term_lit(value))
+            if pos == "s" and s_bucketed:
+                # ground subject: the foldable hash equality prunes the
+                # scan to a single bucket (SelectedBucketsCount 1/N);
+                # subject_key applies the same float normalization the
+                # store used, so hash equality tracks struct equality
+                from ..db import subject_key
+
+                conds.append(F.col("s_key") == subject_key(term_lit(value)))
             if pos == "p":
                 # exact per-predicate cardinality from the one-pass stats
                 k = to_term(value)
@@ -154,7 +169,15 @@ def _join_solutions(left_df: DataFrame, left_vars: list[str], scan: _Scan) -> tu
     if scan.guard:
         return left_df.crossJoin(right).drop("__guard"), left_vars
     if shared:
-        out = left_df.join(right, on=shared, how="inner")
+        # include the propagated bucket keys for vars both sides bind in
+        # subject position: with subject-bucketed stores these joins are
+        # co-partitioned by the bucket spec and need no exchange
+        skeys = [
+            f"__skey__{v}"
+            for v in shared
+            if f"__skey__{v}" in left_df.columns and f"__skey__{v}" in scan.df.columns
+        ]
+        out = left_df.join(right, on=shared + skeys, how="inner")
     else:
         out = left_df.crossJoin(right)
     return out, left_vars + [v for v in scan.vars if v not in left_vars]
@@ -187,6 +210,9 @@ def _compile_required(db: TriplesDB, triples, spark: SparkSession) -> tuple[Data
         df, vars_ = _join_solutions(df, vars_, sc)
     if "__seed" in df.columns:
         df = df.drop("__seed")
+    skey_cols = [c for c in df.columns if c.startswith("__skey__")]
+    if skey_cols:
+        df = df.drop(*skey_cols)
     return df, vars_
 
 

@@ -24,6 +24,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # subject-bucketed stores: the BGP self-join keys are
+        # (s_key, s-struct); the bucketed scan's partitioning covers only
+        # s_key, so subset co-partitioning must be allowed for the
+        # bucket join to elide its exchanges (semantics-preserving — a
+        # subset hash partitioning still co-locates equal full keys)
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     )
     if shuffle_partitions is not None:
         b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))

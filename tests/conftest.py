@@ -18,6 +18,9 @@ def spark():
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")
+        # mirror matcha_spark.session.get_spark: subject-bucketed store
+        # joins key on (s_key, s) while buckets cover s_key only
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .getOrCreate()
     )
     yield s
