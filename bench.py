@@ -92,6 +92,7 @@ def main() -> None:
     bench("topk_orders_per_customer", lambda: force(R.topk_orders_per_customer(spark, SF_DIR)))
     bench("events_sessionize", lambda: force(R.events_sessionize(spark, SF_DIR)))
     bench("events_sessionize_native", lambda: force(R.events_sessionize_native(spark, SF_DIR)))
+    bench("events_funnel", lambda: force(R.events_funnel(spark, SF_DIR)))
     bench("bgp_scan_all", lambda: force(
         select_df(["?s", "?p", "?o"], [("?s", "?p", "?o")], _graph(spark, SF_DIR))
     ))

@@ -91,10 +91,19 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band signature become candidate
     pairs (a < b).  The band bucket join is the only pairwise step —
-    complexity is bounded by bucket occupancy, not corpus size."""
+    complexity is bounded by bucket occupancy, not corpus size.
+
+    ``max_bucket_size`` drops band buckets holding more docs than the
+    cap *before* the self-join.  A bucket of k docs emits k²/2 pairs:
+    at corpus scale one boilerplate-heavy bucket (near-identical license
+    pages, templated listings) can dominate the whole job, and pairs
+    inside such a bucket are rediscovered by the remaining bands anyway
+    when they are genuine near-dups.  The same cap idea as
+    ``ngram_jaccard_pairs(max_doc_freq=...)``, one level up."""
     rows_per_band = num_hashes // bands
     # eager memoized persist: computed once (the banded self-join would
     # otherwise recompute the signature pipeline per side), reused across
@@ -110,6 +119,14 @@ def minhash_lsh_candidates(
         for b in range(bands)
     ]
     banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk"))
+    if max_bucket_size is not None:
+        small = (
+            banded.groupBy("bk")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") <= max_bucket_size)
+            .select("bk")
+        )
+        banded = banded.join(small, "bk")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -426,6 +443,7 @@ def dedup_near_docs_lsh(
     bands: int = 16,
     n: int = 3,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate dedup, scale path: MinHash+LSH candidates →
     exact-Jaccard verification *restricted to the candidate pairs* (no
@@ -434,7 +452,13 @@ def dedup_near_docs_lsh(
     at ``threshold`` are caught with high probability."""
     # memoized persist: the candidate set feeds three joins in the verify stage
     cand = memo_persist(
-        minhash_lsh_candidates(docs, num_hashes=num_hashes, bands=bands, n=n)
+        minhash_lsh_candidates(
+            docs,
+            num_hashes=num_hashes,
+            bands=bands,
+            n=n,
+            max_bucket_size=max_bucket_size,
+        )
     )
     verified = jaccard_verify(docs, cand, n=n).where(F.col("jaccard") >= threshold)
     comp = connected_components(verified)

@@ -498,3 +498,47 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(revenue).cast("double").alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "ship_year")
     )
+
+
+def events_funnel(
+    spark: SparkSession,
+    sf_dir: str,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Ordered funnel analysis: how many users performed step 1, then
+    step 2 strictly after it, then step 3 after that, … (each stage's
+    timestamp is the *earliest* event of that type after the previous
+    stage — the standard strict-sequence funnel).
+
+    Scale shape: one pass per stage, each ``filter(event_type) →
+    groupBy(user_id)`` with the type filter pushed to the scan and the
+    per-stage state joined back on user_id — k−1 hash joins on the same
+    key (AQE reuses the partitioning), never a window over all events.
+    Output: (step_idx, step, n_users), monotone non-increasing."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    stage = (
+        ev.where(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    counts = [(1, steps[0], stage)]
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            ev.where(F.col("event_type") == step)
+            .join(stage.select("user_id", F.col("t").alias("prev_t")), "user_id")
+            .where(F.col("ts") > F.col("prev_t"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+        counts.append((i, step, nxt))
+        stage = nxt
+    parts = [
+        df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i).alias("step_idx"), F.lit(s).alias("step"), "n_users"
+        )
+        for i, s, df in counts
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("step_idx")

@@ -437,6 +437,7 @@ QUERIES = {
     "events_hourly": R.events_hourly,
     "events_sessionize": R.events_sessionize,
     "events_sessionize_native": R.events_sessionize_native,
+    "events_funnel": R.events_funnel,
     "rollup_nation_segment": R.rollup_nation_segment,
     "segment_quantiles": R.segment_quantiles,
     "cube_priority_status": R.cube_priority_status,
@@ -978,6 +979,26 @@ ORACLES = {
     # the source table itself
     "doc_nt_roundtrip": """
         SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+    "events_funnel": """
+        WITH s1 AS (
+            SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY 1
+        ), s2 AS (
+            SELECT e.user_id, min(e.ts) AS t
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1
+        ), s3 AS (
+            SELECT e.user_id, min(e.ts) AS t
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1
+        )
+        SELECT 1 AS step_idx, 'view' AS step, count(*) AS n_users FROM s1
+        UNION ALL
+        SELECT 2, 'click', count(*) FROM s2
+        UNION ALL
+        SELECT 3, 'purchase', count(*) FROM s3
+        ORDER BY step_idx
     """,
     "doc_repetition": """
         WITH lines AS (

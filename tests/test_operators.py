@@ -502,3 +502,23 @@ def test_image_features_real_codec_plug_point(spark):
     assert [round(x) for x in out[1].feature] == [10, 10, 10]
     assert [round(x) for x in out[2].feature] == [255, 255]
     assert out[1].n_bytes > 0 and len(out[1].sha256) == 64
+
+
+def test_minhash_bucket_cap_bounds_hot_buckets(spark):
+    """A boilerplate flood (many identical docs) fills one band bucket;
+    the cap drops that bucket's quadratic pair fan-out while distinct
+    near-dup pairs elsewhere survive."""
+    flood = [(i, "exactly the same boilerplate license page text here") for i in range(40)]
+    pair = [
+        (100, "a genuinely unique document about spark and parquet tables"),
+        (101, "a genuinely unique document about spark and parquet files"),
+    ]
+    docs = spark.createDataFrame(flood + pair, "doc_id long, text string")
+    uncapped = D.minhash_lsh_candidates(docs)
+    assert uncapped.count() >= 40 * 39 / 2  # the flood dominates
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_lsh_candidates(docs, max_bucket_size=10).collect()
+    }
+    assert (100, 101) in capped  # real near-dup survives
+    assert not any(a < 40 and b < 40 for a, b in capped)  # flood pairs gone
