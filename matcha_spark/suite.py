@@ -266,6 +266,28 @@ def doc_stratified_sample(spark, sf_dir):
     )
 
 
+def orders_sample_consistent(spark, sf_dir):
+    """Cross-table consistent sampling: hash-sample orders AND lineitem
+    on the SAME key (orderkey) at the same rate, join, and aggregate.
+    Because the keep-decision is a pure function of the key, every
+    sampled lineitem finds its order — referential integrity without
+    coordination, the property that lets a pipeline sample documents
+    and their embeddings/annotations independently on different
+    machines and still line up."""
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    o = T.sample_hash(t["orders"], 0.2, key_col="o_orderkey")
+    l = T.sample_hash(t["lineitem"], 0.2, key_col="l_orderkey")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.count_distinct(F.col("o_orderkey")).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def doc_tfidf_top(spark, sf_dir):
     return T.tfidf_top_terms(
         load_tables(spark, sf_dir, "documents")["documents"], k=3
@@ -468,6 +490,7 @@ QUERIES = {
     "doc_strip_boilerplate": doc_strip_boilerplate,
     "doc_corpus_stats": doc_corpus_stats,
     "doc_sample_hash": doc_sample_hash,
+    "orders_sample_consistent": orders_sample_consistent,
     "doc_stratified_sample": doc_stratified_sample,
     "doc_tfidf_top": doc_tfidf_top,
     "doc_bm25_search": doc_bm25_search,
@@ -921,6 +944,22 @@ ORACLES = {
     "doc_sample_hash": """
         SELECT doc_id, text, lang, source, n_chars FROM documents
         WHERE md5(CAST(doc_id AS VARCHAR)) < '40000000000000000000000000000000'
+    """,
+    # the threshold literal comes from rate_threshold_hex(0.2) — 0.2 is
+    # not binary-exact, so a hand-written hex constant would disagree
+    # with the Spark side in the last digits
+    "orders_sample_consistent": f"""
+        WITH o AS (
+            SELECT * FROM orders
+            WHERE md5(CAST(o_orderkey AS VARCHAR)) < '{T.rate_threshold_hex(0.2)}'
+        ), l AS (
+            SELECT * FROM lineitem
+            WHERE md5(CAST(l_orderkey AS VARCHAR)) < '{T.rate_threshold_hex(0.2)}'
+        )
+        SELECT o_orderpriority, count(*) AS n_items,
+               count(DISTINCT o_orderkey) AS n_orders
+        FROM l JOIN o ON l_orderkey = o_orderkey
+        GROUP BY 1 ORDER BY 1
     """,
     "doc_stratified_sample": """
         SELECT doc_id, text, lang, source, n_chars FROM (
