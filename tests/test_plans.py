@@ -210,3 +210,14 @@ def test_ntriples_roundtrip_no_shuffle(spark):
     lines = triples_to_ntlines(db.df)
     assert "Exchange" not in _plan(lines)
     assert "Exchange" not in _plan(ntlines_to_triples(lines))
+
+
+def test_funnel_pushes_event_type_to_scan(spark):
+    """Each funnel stage must reach the parquet scan with its
+    event_type equality (PushedFilters), not filter post-scan — at
+    100 TB the stage input is one event type, not the full log."""
+    from matcha_spark import relational as R
+
+    plan = _plan(R.events_funnel(spark, SF_DIR))
+    assert plan.count("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,") >= 3
+    assert "CartesianProduct" not in plan
