@@ -28,6 +28,7 @@ __all__ = [
     "tfidf_top_terms",
     "bm25_search",
     "repetition_signals",
+    "corpus_sketch_stats",
 ]
 
 # tiny in-query stopword lists for the heuristic scorers
@@ -461,4 +462,33 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "top_bigram",
             F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)).alias("top_bigram_frac"),
         )
+    )
+
+
+def corpus_sketch_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    rsd: float = 0.02,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Sketch-based corpus summary for scales where exact distincts are
+    uneconomical: HyperLogLog++ distinct fingerprints
+    (``approx_count_distinct``, mergeable across partitions — one pass,
+    no shuffle of raw values) and quantiles of the token-count
+    distribution via ``percentile_approx`` (Greenwald-Khanna, same
+    mergeable one-pass property).
+
+    The exact twin is :func:`corpus_stats`; a pytest pins the sketch
+    within tolerance of it.  No DuckDB oracle by design — sketch
+    internals are engine-specific (the suite records rows-only)."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    n_toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    qcols = [
+        F.percentile_approx(n_toks, q, 10_000).alias(f"p{int(q * 100)}_tokens")
+        for q in quantiles
+    ]
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.approx_count_distinct(F.md5(norm), rsd).alias("approx_unique_docs"),
+        *qcols,
     )

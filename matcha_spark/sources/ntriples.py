@@ -61,6 +61,7 @@ __all__ = [
     "ntlines_to_triples",
     "write_ntriples",
     "read_ntriples",
+    "ntlines_malformed",
 ]
 
 _XSD = "http://www.w3.org/2001/XMLSchema#"
@@ -330,3 +331,15 @@ def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
     DataFrame.  ``spark.read.text`` gives line-level input splits, so a
     100 TB dump parses fully in parallel."""
     return ntlines_to_triples(spark.read.text(path))
+
+
+def ntlines_malformed(lines: DataFrame, col: str = "value") -> DataFrame:
+    """The audit complement of :func:`ntlines_to_triples`: lines that
+    are neither blank/comment nor parseable triples.  Run it (cheaply,
+    same narrow-map shape) alongside an ingest to count/inspect what
+    was dropped — silent truncation at 100 TB reads as "ingested
+    everything" when it didn't."""
+    c = F.col(col)
+    return lines.where(
+        ~F.trim(c).rlike(r"^(#.*)?$") & ~c.rlike(_LINE_RX)
+    )

@@ -341,6 +341,13 @@ def doc_nt_roundtrip(spark, sf_dir):
     )
 
 
+def doc_sketch_stats(spark, sf_dir):
+    # no SQL oracle by design: HLL++/GK sketch internals are
+    # engine-specific; pytest pins the sketch within tolerance of the
+    # exact corpus_stats twin (driver records rows-only)
+    return T.corpus_sketch_stats(load_tables(spark, sf_dir, "documents")["documents"])
+
+
 def doc_repetition(spark, sf_dir):
     return T.repetition_signals(load_tables(spark, sf_dir, "documents")["documents"])
 
@@ -496,6 +503,7 @@ QUERIES = {
     "doc_bm25_search": doc_bm25_search,
     "doc_nt_roundtrip": doc_nt_roundtrip,
     "doc_repetition": doc_repetition,
+    "doc_sketch_stats": doc_sketch_stats,
     "doc_ngram_jaccard": doc_ngram_jaccard,
     "doc_minhash_lsh": doc_minhash_lsh,
     "doc_simhash": doc_simhash,

@@ -149,3 +149,19 @@ def test_repetition_signals_planted(spark):
     assert out[2].top_bigram == "spam spam" and out[2].top_bigram_frac == 0.75
     # no bigrams -> frac 0.0, NULL bigram
     assert out[4].top_bigram is None and out[4].top_bigram_frac == 0.0
+
+
+def test_corpus_sketch_stats_within_tolerance(spark):
+    """HLL distinct and GK quantiles must land near the exact twin —
+    the contract that lets the sketch replace the exact pass at scale."""
+    from matcha_spark.operators.text import corpus_sketch_stats
+    from matcha_spark.operators.text import corpus_stats
+
+    docs = _docs(spark)
+    sk = corpus_sketch_stats(docs).collect()[0]
+    ex = corpus_stats(docs).collect()[0]
+    assert sk.n_docs == ex.n_docs
+    assert abs(sk.approx_unique_docs - ex.n_unique_docs) / ex.n_unique_docs < 0.05
+    # quantiles: monotone and inside the observed token-count range
+    toks = [r[0] for r in docs.selectExpr("size(split(trim(text), '\\\\s+'))").collect()]
+    assert min(toks) <= sk.p50_tokens <= sk.p90_tokens <= sk.p99_tokens <= max(toks)

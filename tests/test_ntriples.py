@@ -164,3 +164,48 @@ def test_streaming_ntriples_ingestion(spark, tmp_path):
     q.awaitTermination(120)
     got = _decoded_set(spark.table("nt_stream"))
     assert got == _decoded_set(db)
+
+
+def test_malformed_audit_complements_parse(spark):
+    """ntlines_malformed + ntlines_to_triples partition the non-blank,
+    non-comment input exactly: nothing silently vanishes."""
+    from matcha_spark.sources.ntriples import ntlines_malformed
+
+    lines = [
+        "# comment",
+        "",
+        "<http://s> <http://p> <http://o> .",
+        "<unclosed <http://p> <http://o> .",
+        "no angle brackets at all",
+        '<http://s> <http://p> "ok" .',
+        '<http://s> <http://p> "unterminated .',
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], "value string")
+    good = ntlines_to_triples(df).count()
+    bad = ntlines_malformed(df).count()
+    assert good == 2
+    assert bad == 3
+    assert good + bad == 5  # = non-blank, non-comment lines
+
+
+def test_fuzz_string_roundtrip(spark):
+    """200 seeded adversarial strings (escape chars, unicode, quotes,
+    backslash runs, control chars) must round-trip byte-exactly through
+    serialize → parse in one Spark job."""
+    import random
+
+    rng = random.Random(20260813)
+    alphabet = list('abc"\\\n\r\t é中\U0001f600<>@^#.%:') + ["\\\\", '\\"', "\\n"]
+    strings = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 30)))
+        for _ in range(200)
+    ]
+    triples = [
+        (to_term(URI(f"urn:f{i}")), to_term(kw(":v")), to_term(s))
+        for i, s in enumerate(strings)
+    ]
+    db = spark.createDataFrame(triples, TRIPLE_SCHEMA)
+    back = ntlines_to_triples(triples_to_ntlines(db))
+    got = {r.s["lex"]: r.o["lex"] for r in back.collect()}
+    want = {f"urn:f{i}": s for i, s in enumerate(strings)}
+    assert got == want
