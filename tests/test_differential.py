@@ -158,3 +158,49 @@ def test_random_construct_vector_matches_select(spark, seed):
         by_subj[blind(m[GRAFTER_URI])] = {blind(x) for x in vals}
     for s, v in _blind(set(sel)):
         assert s in by_subj and v in by_subj[s], f"seed={seed} missing {s}->{v}"
+
+
+BAG_SEEDS = list(range(200, 215))
+
+
+@pytest.mark.parametrize("seed", BAG_SEEDS)
+def test_random_bgp_bag_matches_model(spark, seed):
+    """Bag-semantics differential: the engine's per-derivation multiset
+    must equal the no-distinct reference model's, multiplicities
+    included (markers blinded, compared as sorted multisets)."""
+    from collections import Counter
+
+    from matcha_spark.query import select_df
+    from matcha_spark.terms import from_term
+
+    from .model import model_select_bag
+
+    rng = random.Random(seed)
+    db_rows = _rand_db(rng, rng.randint(0, 10))
+    patterns = _rand_patterns(rng)
+    from matcha_spark.patterns import find_vars
+
+    allv = find_vars(patterns)
+    if not allv:
+        pytest.skip("no vars generated")
+    rng.shuffle(allv)
+    pvars = allv[: rng.randint(1, len(allv))]
+
+    def blind_one(v):
+        return UNBOUND if isinstance(v, Unbound) or v == UNBOUND else v
+
+    want = Counter(
+        tuple(blind_one(v) for v in r) for r in model_select_bag(pvars, patterns, db_rows)
+    )
+    db = TriplesDB.from_triples(spark, db_rows)
+    try:
+        df = select_df(pvars, patterns, db, bag_semantics=True)
+        got = Counter(
+            tuple(blind_one(from_term(r[v])) for v in df.columns) for r in df.collect()
+        )
+    finally:
+        db.unpersist()
+    assert got == want, (
+        f"seed={seed}\ndb={db_rows}\npatterns={patterns}\npvars={pvars}\n"
+        f"extra={got - want}\nmissing={want - got}"
+    )
