@@ -125,6 +125,7 @@ def _render_iri(t: Column) -> Column:
         .when(k == "bool", F.concat(F.lit("urn:matcha:bool:"), lex))
         .when(k == "date", F.concat(F.lit("urn:matcha:date:"), lex))
         .when(k == "datetime", F.concat(F.lit("urn:matcha:datetime:"), _enc(lex)))
+        .when(k == "unbound", F.concat(F.lit("urn:matcha:unbound:"), lex))
         .when(
             k == "lang",
             F.concat(F.lit("urn:matcha:lang:"), _enc(lex), F.lit(":"), lang),
@@ -227,6 +228,14 @@ def _parse_iri_body(body: Column) -> Column:
             ),
         )
         .when(kind == F.lit("datetime"), _datetime_term(_dec(tail)))
+        .when(
+            kind == F.lit("unbound"),
+            _term(
+                F.lit("unbound"),
+                tail,
+                num=F.regexp_extract(tail, r"^_(\d+)$", 1).cast("double"),
+            ),
+        )
         .when(kind == F.lit("lang"), _term(F.lit("lang"), lang_lex, lang=lang_tag))
         .when(kind == F.lit("typed"), _term(F.lit("typed"), typed_lex, dt=typed_dt))
         .otherwise(_term(F.lit("uri"), body))  # unknown urn:matcha:* → opaque IRI

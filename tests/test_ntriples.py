@@ -209,3 +209,22 @@ def test_fuzz_string_roundtrip(spark):
     got = {r.s["lex"]: r.o["lex"] for r in back.collect()}
     want = {f"urn:f{i}": s for i, s in enumerate(strings)}
     assert got == want
+
+
+def test_unbound_marker_roundtrip(spark):
+    """Graphs holding unbound markers (a construct over optionals can
+    produce them) must serialize to well-formed lines and round-trip —
+    not silently emit malformed NULL-element lines."""
+    from matcha_spark.sources.ntriples import ntlines_malformed
+    from matcha_spark.terms import Unbound
+
+    db = spark.createDataFrame(
+        [(to_term(URI("urn:s")), to_term(kw(":p")), to_term(Unbound(7)))],
+        TRIPLE_SCHEMA,
+    )
+    lines = triples_to_ntlines(db)
+    assert ntlines_malformed(lines).count() == 0
+    back = ntlines_to_triples(lines).collect()
+    assert len(back) == 1
+    o = back[0].o
+    assert (o["kind"], o["lex"], o["num"]) == ("unbound", "_7", 7.0)
