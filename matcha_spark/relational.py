@@ -513,17 +513,23 @@ def events_funnel(
     Scale shape: one pass per stage, each ``filter(event_type) →
     groupBy(user_id)`` with the type filter pushed to the scan and the
     per-stage state joined back on user_id — k−1 hash joins on the same
-    key (AQE reuses the partitioning), never a window over all events.
+    key, never a window over all events.  Each stage's (user_id, t)
+    table is materialized once (``memo_persist``): stage k feeds both
+    stage k+1 and the final count, and without materialization the
+    nested lineage rescans the event log O(k²) times (verified: 6
+    FileScans for 3 steps before, k+… after).
     Output: (step_idx, step, n_users), monotone non-increasing."""
+    from .cache import memo_persist
+
     ev = load_tables(spark, sf_dir, "events")["events"]
-    stage = (
+    stage = memo_persist(
         ev.where(F.col("event_type") == steps[0])
         .groupBy("user_id")
         .agg(F.min("ts").alias("t"))
     )
     counts = [(1, steps[0], stage)]
     for i, step in enumerate(steps[1:], start=2):
-        nxt = (
+        nxt = memo_persist(
             ev.where(F.col("event_type") == step)
             .join(stage.select("user_id", F.col("t").alias("prev_t")), "user_id")
             .where(F.col("ts") > F.col("prev_t"))
