@@ -323,9 +323,15 @@ def tfidf_top_terms(
     Shape: one token explode + two hash aggs (term frequency, document
     frequency) + one window top-k — the df table is term-keyed (vocab-
     sized, far smaller than the corpus) and AQE broadcasts it when it
-    fits.  Ranking ties break on integer fields (tf desc, df asc, term
-    asc), never on float compares, so the result is engine-stable."""
-    tf = _term_tf(docs, text_col)
+    fits.  The (doc, term, tf) table is materialized once
+    (``memo_persist``) because it feeds both the document-frequency agg
+    and the scoring join — unmaterialized, the corpus is scanned and
+    re-tokenized per consumer.  Ranking ties break on integer fields
+    (tf desc, df asc, term asc), never on float compares, so the result
+    is engine-stable."""
+    from ..cache import memo_persist
+
+    tf = memo_persist(_term_tf(docs, text_col))
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("__n"))
     from pyspark.sql.window import Window
@@ -368,16 +374,22 @@ def bm25_search(
     vocabulary *before* any join (predicate pushdown on a tiny IN
     list), corpus stats (N, avgdl) are one broadcast row, and the final
     ordering is a top-k (TakeOrderedAndProject), not a full sort."""
+    from ..cache import memo_persist
+
     qt = [t.lower() for t in query_terms]
-    tf = _term_tf(docs, text_col).where(F.col("term").isin(qt))
+    tf = memo_persist(_term_tf(docs, text_col).where(F.col("term").isin(qt)))
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
-    dl = docs.select(
-        "doc_id",
-        F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("dl"),
+    # one corpus scan for document lengths; N and avgdl derive from the
+    # cached table instead of re-scanning/re-tokenizing the corpus
+    dl = memo_persist(
+        docs.select(
+            "doc_id",
+            F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("dl"),
+        )
     )
-    stats = docs.agg(
+    stats = dl.agg(
         F.count(F.lit(1)).alias("__n"),
-        F.avg(F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))).alias("__avgdl"),
+        F.avg(F.col("dl")).alias("__avgdl"),
     )
     idf = F.log(
         (F.col("__n") - F.col("df_docs") + 0.5) / (F.col("df_docs") + 0.5) + 1
