@@ -341,6 +341,34 @@ def doc_nt_roundtrip(spark, sf_dir):
     )
 
 
+def doc_media_features(spark, sf_dir):
+    """Multimodal plumbing, oracle-checked end-to-end: documents become
+    binary payloads (utf-8 bytes), flow through the Arrow-batched
+    ``image_features`` mapInPandas with the deterministic fake decoder
+    (sha256-expansion — the real-codec seam stays stubbed), and the
+    per-row feature means are re-derived in pure SQL from the digest
+    hex, byte by byte.  Proves schema, batching, hashing, and the
+    vectorized feature kernel — not just 'it ran'."""
+    from .operators import multimodal as MM
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("png").alias("format"),
+        F.lit(8).alias("width"),
+        F.lit(8).alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    feats = MM.image_features(media)
+    return feats.select(
+        "media_id",
+        "sha256",
+        F.posexplode("feature").alias("pos", "feat"),
+    ).withColumn("feat", F.col("feat").cast("double"))
+
+
 def doc_sketch_stats(spark, sf_dir):
     # no SQL oracle by design: HLL++/GK sketch internals are
     # engine-specific; pytest pins the sketch within tolerance of the
@@ -504,6 +532,7 @@ QUERIES = {
     "doc_nt_roundtrip": doc_nt_roundtrip,
     "doc_repetition": doc_repetition,
     "doc_sketch_stats": doc_sketch_stats,
+    "doc_media_features": doc_media_features,
     "doc_ngram_jaccard": doc_ngram_jaccard,
     "doc_minhash_lsh": doc_minhash_lsh,
     "doc_simhash": doc_simhash,
@@ -1026,6 +1055,24 @@ ORACLES = {
     # the source table itself
     "doc_nt_roundtrip": """
         SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+    # the fake decoder expands sha256(payload) into an 8x8 byte grid and
+    # features are row means — re-derivable in SQL from the digest hex
+    # (exact: integer byte sums / 8.0 are binary-exact in both engines)
+    "doc_media_features": """
+        WITH h AS (
+            SELECT doc_id AS media_id, sha256(text) AS hx FROM documents
+        ), b AS (
+            SELECT media_id, hx, list_transform(range(64), j ->
+                    (strpos('0123456789abcdef',
+                            substr(hx, 2 * (CASE WHEN j < 32 THEN j ELSE j - 32 END) + 1, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef',
+                            substr(hx, 2 * (CASE WHEN j < 32 THEN j ELSE j - 32 END) + 2, 1)) - 1)) AS bs
+            FROM h
+        )
+        SELECT media_id, hx AS sha256, i AS pos,
+               list_sum(bs[8 * i + 1 : 8 * i + 8]) / 8.0 AS feat
+        FROM b, range(8) t(i)
     """,
     "events_funnel": """
         WITH s1 AS (
