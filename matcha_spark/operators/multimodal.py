@@ -168,7 +168,16 @@ def audio_features(
             for payload in pdf["payload"]:
                 wave = decoder(bytes(payload) if payload is not None else b"")
                 ns.append(len(wave))
-                rms.append(float(np.sqrt(np.mean(wave**2))) if len(wave) else 0.0)
+                # accumulate in float64: float32 pairwise-mean rounding is
+                # numpy-version-dependent, while the float64 sum of exact
+                # (k/128)^2 terms is bit-reproducible (and re-derivable in
+                # SQL — see the doc_audio_features oracle); the final
+                # float32 cast happens at the schema boundary
+                rms.append(
+                    float(np.sqrt(np.mean(wave.astype(np.float64) ** 2)))
+                    if len(wave)
+                    else 0.0
+                )
                 zc.append(int(np.sum(np.signbit(wave[1:]) != np.signbit(wave[:-1]))))
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "n_samples": ns, "rms": rms, "zero_crossings": zc}

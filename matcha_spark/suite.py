@@ -369,6 +369,27 @@ def doc_media_features(spark, sf_dir):
     ).withColumn("feat", F.col("feat").cast("double"))
 
 
+def doc_audio_features(spark, sf_dir):
+    """Audio twin of :func:`doc_media_features`: payloads through the
+    Arrow-batched ``audio_features`` kernel (fake sha256-waveform
+    decoder), with RMS and zero-crossings re-derived exactly in SQL
+    (integer byte math; float64 accumulation; float32 cast on both
+    sides)."""
+    from .operators import multimodal as MM
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.lit("wav").alias("format"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(1000).cast("long").alias("duration_ms"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return MM.audio_features(media)
+
+
 def doc_sketch_stats(spark, sf_dir):
     # no SQL oracle by design: HLL++/GK sketch internals are
     # engine-specific; pytest pins the sketch within tolerance of the
@@ -533,6 +554,7 @@ QUERIES = {
     "doc_repetition": doc_repetition,
     "doc_sketch_stats": doc_sketch_stats,
     "doc_media_features": doc_media_features,
+    "doc_audio_features": doc_audio_features,
     "doc_ngram_jaccard": doc_ngram_jaccard,
     "doc_minhash_lsh": doc_minhash_lsh,
     "doc_simhash": doc_simhash,
@@ -1073,6 +1095,31 @@ ORACLES = {
         SELECT media_id, hx AS sha256, i AS pos,
                list_sum(bs[8 * i + 1 : 8 * i + 8]) / 8.0 AS feat
         FROM b, range(8) t(i)
+    """,
+    # fake audio decoder: sha256 digest repeated to 256 bytes, sample_j =
+    # (byte[j % 32] - 128)/128.  Squares (k/128)^2 are exact in float64
+    # (k^2 <= 16384, /2^14 exact), the 256-term sum stays exact, sqrt is
+    # correctly rounded in both engines, and both sides cast to float32
+    "doc_audio_features": """
+        WITH h AS (
+            SELECT doc_id AS media_id, sha256(text) AS hx FROM documents
+        ), b AS (
+            SELECT media_id, list_transform(range(256), j ->
+                    (strpos('0123456789abcdef',
+                            substr(hx, 2 * (j % 32) + 1, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef',
+                            substr(hx, 2 * (j % 32) + 2, 1)) - 1)) AS bs
+            FROM h
+        )
+        SELECT media_id,
+               CAST(256 AS BIGINT) AS n_samples,
+               CAST(sqrt(list_sum(list_transform(bs,
+                        v -> ((v - 128) / 128.0) * ((v - 128) / 128.0))) / 256.0)
+                    AS FLOAT) AS rms,
+               CAST(list_sum(list_transform(range(255),
+                        j -> CASE WHEN (bs[j + 1] < 128) <> (bs[j + 2] < 128)
+                                  THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings
+        FROM b
     """,
     "events_funnel": """
         WITH s1 AS (
