@@ -390,6 +390,26 @@ def doc_audio_features(spark, sf_dir):
     return MM.audio_features(media)
 
 
+def doc_frame_sample(spark, sf_dir):
+    """Video third of the multimodal trio: per-document synthetic
+    durations drive the columnar frame-sampling plan (sequence explode,
+    byte-range metadata only — no decode), re-derived in SQL with
+    ``range``."""
+    from .operators import multimodal as MM
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit("mp4").alias("format"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.col("n_chars") * 25).cast("long").alias("duration_ms"),
+        F.lit(None).cast("binary").alias("payload"),
+    )
+    return MM.frame_sample(media, every_ms=1000)
+
+
 def doc_sketch_stats(spark, sf_dir):
     # no SQL oracle by design: HLL++/GK sketch internals are
     # engine-specific; pytest pins the sketch within tolerance of the
@@ -555,6 +575,7 @@ QUERIES = {
     "doc_sketch_stats": doc_sketch_stats,
     "doc_media_features": doc_media_features,
     "doc_audio_features": doc_audio_features,
+    "doc_frame_sample": doc_frame_sample,
     "doc_ngram_jaccard": doc_ngram_jaccard,
     "doc_minhash_lsh": doc_minhash_lsh,
     "doc_simhash": doc_simhash,
@@ -1120,6 +1141,17 @@ ORACLES = {
                         j -> CASE WHEN (bs[j + 1] < 128) <> (bs[j + 2] < 128)
                                   THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings
         FROM b
+    """,
+    "doc_frame_sample": """
+        SELECT media_id, format, duration_ms,
+               CAST(ts AS BIGINT) AS frame_ts_ms,
+               CAST(ts // 1000 AS INT) AS frame_idx
+        FROM (
+            SELECT doc_id AS media_id, 'mp4' AS format,
+                   CAST(n_chars * 25 AS BIGINT) AS duration_ms,
+                   unnest(range(0, n_chars * 25 + 1, 1000)) AS ts
+            FROM documents WHERE n_chars IS NOT NULL
+        )
     """,
     "events_funnel": """
         WITH s1 AS (
