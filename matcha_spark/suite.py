@@ -410,6 +410,43 @@ def doc_frame_sample(spark, sf_dir):
     return MM.frame_sample(media, every_ms=1000)
 
 
+def doc_resize_pixels(spark, sf_dir):
+    """Last multimodal op under the gate: fake-decode → 8×8 grid →
+    nearest-neighbor 4×4 resize → raw float32 payload, decoded back to
+    pixel rows.  The oracle picks the same strided digest bytes
+    (rows/cols [0,2,5,7]) in SQL."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators import multimodal as MM
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("png").alias("format"),
+        F.lit(8).alias("width"),
+        F.lit(8).alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    resized = MM.resize_images(media, target=(4, 4))
+
+    def unpack(batches):
+        for pdf in batches:
+            ids, poss, pxs = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(payload), dtype=np.float32)
+                ids.extend([mid] * len(arr))
+                poss.extend(range(len(arr)))
+                pxs.extend(float(x) for x in arr)
+            yield pd.DataFrame({"media_id": ids, "pos": poss, "px": pxs})
+
+    return resized.select("media_id", "payload").mapInPandas(
+        unpack, schema="media_id long, pos int, px double"
+    )
+
+
 def doc_sketch_stats(spark, sf_dir):
     # no SQL oracle by design: HLL++/GK sketch internals are
     # engine-specific; pytest pins the sketch within tolerance of the
@@ -576,6 +613,7 @@ QUERIES = {
     "doc_media_features": doc_media_features,
     "doc_audio_features": doc_audio_features,
     "doc_frame_sample": doc_frame_sample,
+    "doc_resize_pixels": doc_resize_pixels,
     "doc_ngram_jaccard": doc_ngram_jaccard,
     "doc_minhash_lsh": doc_minhash_lsh,
     "doc_simhash": doc_simhash,
@@ -1152,6 +1190,25 @@ ORACLES = {
                    unnest(range(0, n_chars * 25 + 1, 1000)) AS ts
             FROM documents WHERE n_chars IS NOT NULL
         )
+    """,
+    # 4x4 nearest-neighbor of the 8x8 digest grid: rows/cols [0,2,5,7]
+    # (linspace(0,7,4).round()); pixel (r,c) = doubled-digest byte 8r+c;
+    # uint8 -> float32 -> double is exact
+    "doc_resize_pixels": """
+        WITH h AS (
+            SELECT doc_id AS media_id, sha256(text) AS hx FROM documents
+        ), b AS (
+            SELECT media_id, hx, list_transform(range(64), j ->
+                    (strpos('0123456789abcdef',
+                            substr(hx, 2 * (CASE WHEN j < 32 THEN j ELSE j - 32 END) + 1, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef',
+                            substr(hx, 2 * (CASE WHEN j < 32 THEN j ELSE j - 32 END) + 2, 1)) - 1)) AS bs
+            FROM h
+        ), idx AS (SELECT unnest([0, 2, 5, 7]) AS v, unnest([0, 1, 2, 3]) AS k)
+        SELECT b.media_id,
+               CAST(r.k * 4 + c.k AS INT) AS pos,
+               CAST(bs[8 * r.v + c.v + 1] AS DOUBLE) AS px
+        FROM b, idx r, idx c
     """,
     "events_funnel": """
         WITH s1 AS (
