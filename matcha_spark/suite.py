@@ -559,7 +559,34 @@ def dedup_near_emb(spark, sf_dir):
 # registry
 # ---------------------------------------------------------------------------
 
+# Registry ordering contract: the correctness driver checks only the FIRST
+# 50 entries, so the dict is ordered by "rounds since last driver check",
+# descending — entries never (or longest-ago) recorded in a CORRECTNESS_r*
+# file come first, and the 8 rows-only-by-design entries (no ORACLES row;
+# engine-specific hashes/seeds, pinned by pytests instead) are parked last.
+# When adding a new oracle-backed entry, insert it at the top; after each
+# round, rotate entries the driver just verified toward the back.
 QUERIES = {
+    # oracle-backed, never driver-checked before r07 (judge-verified green)
+    "doc_resize_pixels": doc_resize_pixels,
+    "doc_ngram_jaccard": doc_ngram_jaccard,
+    "dedup_near_docs": dedup_near_docs,
+    "emb_l2_norms": emb_l2_norms,
+    "emb_cosine_topk": emb_cosine_topk,
+    "emb_dup_pairs": emb_dup_pairs,
+    "dedup_near_emb": dedup_near_emb,
+    # modified this round — keep inside the checked window
+    "doc_nt_roundtrip": doc_nt_roundtrip,
+    # BGP engine
+    "bgp_customers_in_region": bgp_customers_in_region,
+    "bgp_nations_values": bgp_nations_values,
+    "bgp_optional_urgent_orders": bgp_optional_urgent_orders,
+    "bgp_construct_region_graph": bgp_construct_region_graph,
+    "bgp_filter_customer_names": bgp_filter_customer_names,
+    "bgp_not_exists_unurgent": bgp_not_exists_unurgent,
+    "graph_closure_nations": graph_closure_nations,
+    "bgp_ask_segment": bgp_ask_segment,
+    "bgp_merge_count": bgp_merge_count,
     # relational layer
     "q1_pricing_summary": R.q1_pricing_summary,
     "q3_top_revenue": R.q3_top_unshipped_revenue,
@@ -582,16 +609,6 @@ QUERIES = {
     "q22_idle_customers": R.q22_idle_customers,
     "q2_min_cost_supplier": R.q2_min_cost_supplier,
     "q7_volume_shipping": R.q7_volume_shipping,
-    # BGP engine
-    "bgp_customers_in_region": bgp_customers_in_region,
-    "bgp_nations_values": bgp_nations_values,
-    "bgp_optional_urgent_orders": bgp_optional_urgent_orders,
-    "bgp_construct_region_graph": bgp_construct_region_graph,
-    "bgp_filter_customer_names": bgp_filter_customer_names,
-    "bgp_not_exists_unurgent": bgp_not_exists_unurgent,
-    "graph_closure_nations": graph_closure_nations,
-    "bgp_ask_segment": bgp_ask_segment,
-    "bgp_merge_count": bgp_merge_count,
     # documents pipeline
     "dedup_exact_docs": dedup_exact_docs,
     "doc_fingerprint": doc_fingerprint,
@@ -607,27 +624,20 @@ QUERIES = {
     "doc_stratified_sample": doc_stratified_sample,
     "doc_tfidf_top": doc_tfidf_top,
     "doc_bm25_search": doc_bm25_search,
-    "doc_nt_roundtrip": doc_nt_roundtrip,
     "doc_repetition": doc_repetition,
-    "doc_sketch_stats": doc_sketch_stats,
     "doc_media_features": doc_media_features,
     "doc_audio_features": doc_audio_features,
     "doc_frame_sample": doc_frame_sample,
-    "doc_resize_pixels": doc_resize_pixels,
-    "doc_ngram_jaccard": doc_ngram_jaccard,
+    # rows-only by design (no ORACLES entry; pinned by pytests): parked last
+    # so the driver's 50-entry window spends its rows on hash-gated entries.
+    "doc_sketch_stats": doc_sketch_stats,
     "doc_minhash_lsh": doc_minhash_lsh,
     "doc_simhash": doc_simhash,
     "doc_simhash_pairs": doc_simhash_pairs,
-    "dedup_near_docs": dedup_near_docs,
     "dedup_near_lsh": dedup_near_lsh,
-    # embeddings
-    "emb_l2_norms": emb_l2_norms,
-    "emb_cosine_topk": emb_cosine_topk,
     "emb_lsh_topk": emb_lsh_topk,
     "emb_ivf_topk": emb_ivf_topk,
-    "emb_dup_pairs": emb_dup_pairs,
     "emb_dup_pairs_lsh": emb_dup_pairs_lsh,
-    "dedup_near_emb": dedup_near_emb,
 }
 
 _EN = "'the','a','and','of','to','in','is','that','it','for'"
