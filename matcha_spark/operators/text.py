@@ -278,24 +278,41 @@ def stratified_sample(
     group_col: str = "source",
     key_col: str = "doc_id",
     salt: str = "",
+    buckets: int = 1024,
 ) -> DataFrame:
     """Per-group deterministic cap: keep at most ``per_group`` rows per
     ``group_col`` value, chosen by md5 order (a uniform random-but-
     reproducible draw) — the "domain mixing" primitive that stops one
     giant crawl domain from dominating a training corpus.
 
-    One hash-partitioned window per group; at 100 TB a skewed group
-    processes as a single partition's sort, so pair with a pre-filter
-    (e.g. :func:`sample_hash`) when a group alone exceeds executor
-    memory."""
+    Skew-safe two-phase plan.  Phase 1 caps per ``(group, bucket)``
+    where ``bucket = xxhash64(key) mod buckets``: a corpus-scale group
+    is split across ``buckets`` independent cells, so no task ever sorts
+    a whole group.  Phase 2 re-caps the survivors per group — at most
+    ``buckets × per_group`` rows per group enter that sort, a bound
+    independent of input size (with Catalyst's map-side partial
+    ``WindowGroupLimit`` further capping each phase pre-shuffle).
+    Exactness: the global top-``per_group`` rows of a group under the
+    ``(md5, key)`` total order are each top-``per_group`` within their
+    own cell, so phase 1 never discards a final survivor and the result
+    is identical to a single global window."""
     from pyspark.sql.window import Window
 
-    w = F.row_number().over(
-        Window.partitionBy(group_col).orderBy(
-            _hash_hex(F.col(key_col), salt), F.col(key_col)
-        )
+    draw = _hash_hex(F.col(key_col), salt)
+    bucket = F.pmod(F.xxhash64(F.col(key_col), F.lit(salt)), F.lit(buckets))
+    order = [F.col("__draw"), F.col(key_col)]
+    w1 = F.row_number().over(Window.partitionBy(group_col, "__bkt").orderBy(*order))
+    w2 = F.row_number().over(Window.partitionBy(group_col).orderBy(*order))
+    return (
+        docs.withColumn("__draw", draw)
+        .withColumn("__bkt", bucket)
+        .withColumn("__rn", w1)
+        .where(F.col("__rn") <= per_group)
+        .drop("__rn", "__bkt")
+        .withColumn("__rn", w2)
+        .where(F.col("__rn") <= per_group)
+        .drop("__rn", "__draw")
     )
-    return docs.withColumn("__rn", w).where(F.col("__rn") <= per_group).drop("__rn")
 
 
 def _term_tf(docs: DataFrame, text_col: str) -> DataFrame:

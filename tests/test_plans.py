@@ -221,3 +221,56 @@ def test_funnel_pushes_event_type_to_scan(spark):
     plan = _plan(R.events_funnel(spark, SF_DIR))
     assert plan.count("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_stratified_sample_two_phase_no_full_group_sort(spark):
+    """The per-group cap must never sort a whole group in one task: phase
+    1 windows over (group, key-hash bucket) so a skewed group splits
+    across bucket cells, and phase 2's group-only sort sees at most
+    buckets x per_group survivors. Assert the bucketed exchange exists,
+    sits BELOW the group-only exchange (executes first), and both phases
+    get Catalyst's map-side partial WindowGroupLimit."""
+    from matcha_spark.operators.text import stratified_sample
+    from matcha_spark.sources.tpch_graph import load_tables
+
+    docs = load_tables(spark, SF_DIR, "documents")["documents"]
+    plan = _plan(stratified_sample(docs, 5))
+    assert plan.count("Window [row_number()") == 2
+    bucketed = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "__bkt" in ln
+    ]
+    assert bucketed, "phase-1 exchange must partition by (group, __bkt)"
+    group_only = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "__bkt" not in ln and "source" in ln
+    ]
+    assert group_only, "phase-2 exchange partitions by group only"
+    assert plan.index(group_only[0]) < plan.index(bucketed[0]), (
+        "bucketed exchange must execute before (print below) the group-only one"
+    )
+    assert plan.count("WindowGroupLimit") >= 4  # partial+final per phase
+
+
+def test_stratified_sample_matches_single_window(spark):
+    """Exactness of the two-phase rewrite: identical result set to the
+    naive single global window, for several bucket counts (including
+    buckets=1, the degenerate single-cell case)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from matcha_spark.operators.text import _hash_hex, stratified_sample
+    from matcha_spark.sources.tpch_graph import load_tables
+
+    docs = load_tables(spark, SF_DIR, "documents")["documents"]
+    w = F.row_number().over(
+        Window.partitionBy("source").orderBy(_hash_hex(F.col("doc_id"), ""), "doc_id")
+    )
+    naive = (
+        docs.withColumn("__rn", w).where(F.col("__rn") <= 7).drop("__rn")
+    )
+    expected = sorted(tuple(r) for r in naive.collect())
+    for buckets in (1, 4, 1024):
+        got = sorted(
+            tuple(r) for r in stratified_sample(docs, 7, buckets=buckets).collect()
+        )
+        assert got == expected, f"buckets={buckets} diverged"
