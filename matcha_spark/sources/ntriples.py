@@ -29,24 +29,41 @@ plain RDF literals in object position where N-Triples permits:
 ====== ============================================ =======================
 kind    subject / predicate                          object
 ====== ============================================ =======================
-uri     ``<lex>``                                    ``<lex>``
+uri     ``<lex>`` [#collide]_                        ``<lex>``
+bnode   ``_:label`` (subject) [#bn]_                 ``_:label``
 kw      ``<urn:matcha:kw:ENC>``                      ``<urn:matcha:kw:ENC>``
 null    ``<urn:matcha:null>``                        ``<urn:matcha:null>``
 str     ``<urn:matcha:str:ENC>``                     ``"escaped"``
 int     ``<urn:matcha:int:lex>``                     ``"lex"^^xsd:integer``
 double  ``<urn:matcha:double:num>``                  ``"num"^^xsd:double``
 bool    ``<urn:matcha:bool:lex>``                    ``"lex"^^xsd:boolean``
-lang    ``<urn:matcha:lang:ENC:tag>``                ``"escaped"@tag``
-typed   ``<urn:matcha:typed:ENC:ENC(dt)>``           ``"escaped"^^<dt>``
+lang    ``<urn:matcha:lang:ENC:ENC(tag)>``           ``"escaped"@tag`` [#fb]_
+typed   ``<urn:matcha:typed:ENC:ENC(dt)>``           ``"escaped"^^<dt>`` [#fb]_
 date    ``<urn:matcha:date:lex>``                    ``"lex"^^xsd:date``
 datetime ``<urn:matcha:datetime:ENC>``               ``"lex"^^xsd:dateTime``
 ====== ============================================ =======================
 
-``ENC`` = ``url_encode`` (RFC 3986 percent-encoding, JVM built-in);
-literal strings use the N-Triples ECHAR escapes (``\\`` ``\"`` ``\n``
-``\r`` ``\t``).  Parsing inverts the table exactly, reconstructing the
-``num`` mirror field (int/double/bool/date from the lexical form) so
+``ENC`` = ``url_encode`` (percent-encoding, JVM built-in); literal
+strings use the N-Triples ECHAR escapes (``\\`` ``\"`` ``\n`` ``\r``
+``\t``).  Parsing inverts the table exactly, reconstructing the ``num``
+mirror field (int/double/bool/date from the lexical form — non-finite
+int casts clamp to 0.0, mirroring ``to_term``'s overflow behavior) so
 round-tripped graphs join identically to the originals.
+
+.. [#collide] A genuine URI whose lex itself starts with the reserved
+   ``urn:matcha:`` prefix is escaped as ``<urn:matcha:uri:ENC>`` so the
+   encoding stays injective (no collision with the reserved scheme).
+.. [#bn] Blank nodes render as ``_:label`` where N-Triples allows them
+   (subject/object) and the label fits the safe grammar
+   ``[A-Za-z0-9_]([A-Za-z0-9_.-]*[A-Za-z0-9_-])?``; otherwise (or in
+   predicate position, which N-Triples forbids) they fall back to
+   ``<urn:matcha:bnode:ENC>``.  The parser accepts ``_:label`` in any
+   position.
+.. [#fb] Rendered as a literal only when the tag/datatype fits the safe
+   grammar (lang: ``[A-Za-z][A-Za-z0-9-]*``; datatype IRI: no ``>``,
+   control characters, or whitespace); otherwise the term falls back to
+   its ``urn:matcha:`` IRI form, so no input value can produce a
+   malformed line.
 """
 
 from __future__ import annotations
@@ -111,12 +128,31 @@ def _dec(c: Column) -> Column:
     return F.url_decode(c)
 
 
-def _render_iri(t: Column) -> Column:
-    """Render a TERM struct as an IRI — the subject/predicate form."""
+# blank-node labels we emit as bare ``_:label`` (a conservative ASCII
+# subset of the spec's BLANK_NODE_LABEL; anything else falls back to the
+# urn:matcha:bnode IRI form so rendering can never produce a bad line)
+_BNODE_SAFE_RX = r"^[A-Za-z0-9_]([A-Za-z0-9_.-]*[A-Za-z0-9_-])?$"
+_LANG_SAFE_RX = r"^[A-Za-z][A-Za-z0-9-]*$"
+# datatype IRIs renderable inside ``^^<...>``: no '>', whitespace, or
+# control characters (which would break the term/line grammar)
+_DT_UNSAFE_RX = r"[\x00-\x20>]"
+
+
+def _render_iri(t: Column, allow_bnode: bool = False) -> Column:
+    """Render a TERM struct as an IRI (or, for bnodes in positions where
+    N-Triples permits them, as a bare ``_:label``) — the subject form."""
     k = t["kind"]
     lex, num, lang, dt = t["lex"], t["num"], t["lang"], t["dt"]
     body = (
-        F.when(k == "uri", lex)
+        F.when(
+            k == "uri",
+            # escape genuine URIs that collide with the reserved scheme
+            F.when(
+                lex.startswith("urn:matcha:"),
+                F.concat(F.lit("urn:matcha:uri:"), _enc(lex)),
+            ).otherwise(lex),
+        )
+        .when(k == "bnode", F.concat(F.lit("urn:matcha:bnode:"), _enc(lex)))
         .when(k == "kw", F.concat(F.lit("urn:matcha:kw:"), _enc(lex)))
         .when(k == "null", F.lit("urn:matcha:null"))
         .when(k == "str", F.concat(F.lit("urn:matcha:str:"), _enc(lex)))
@@ -128,14 +164,19 @@ def _render_iri(t: Column) -> Column:
         .when(k == "unbound", F.concat(F.lit("urn:matcha:unbound:"), lex))
         .when(
             k == "lang",
-            F.concat(F.lit("urn:matcha:lang:"), _enc(lex), F.lit(":"), lang),
+            F.concat(F.lit("urn:matcha:lang:"), _enc(lex), F.lit(":"), _enc(lang)),
         )
         .when(
             k == "typed",
             F.concat(F.lit("urn:matcha:typed:"), _enc(lex), F.lit(":"), _enc(dt)),
         )
     )
-    return F.concat(F.lit("<"), body, F.lit(">"))
+    iri = F.concat(F.lit("<"), body, F.lit(">"))
+    if not allow_bnode:
+        return iri
+    return F.when(
+        (k == "bnode") & lex.rlike(_BNODE_SAFE_RX), F.concat(F.lit("_:"), lex)
+    ).otherwise(iri)
 
 
 def _render_obj(t: Column) -> Column:
@@ -157,12 +198,17 @@ def _render_obj(t: Column) -> Column:
         .when(k == "bool", F.concat(q, lex, q, F.lit(f"^^<{_XSD}boolean>")))
         .when(k == "date", F.concat(q, lex, q, F.lit(f"^^<{_XSD}date>")))
         .when(k == "datetime", F.concat(q, lex, q, F.lit(f"^^<{_XSD}dateTime>")))
-        .when(k == "lang", F.concat(q, _esc_chain(lex), q, F.lit("@"), lang))
         .when(
-            k == "typed",
+            (k == "lang") & lang.rlike(_LANG_SAFE_RX),
+            F.concat(q, _esc_chain(lex), q, F.lit("@"), lang),
+        )
+        .when(
+            (k == "typed") & (dt != "") & ~dt.rlike(_DT_UNSAFE_RX),
             F.concat(q, _esc_chain(lex), q, F.lit("^^<"), dt, F.lit(">")),
         )
-        .otherwise(_render_iri(t))
+        # lang/typed with out-of-grammar tag/datatype fall through to the
+        # urn:matcha: IRI form rather than emitting a malformed line
+        .otherwise(_render_iri(t, allow_bnode=True))
     )
 
 
@@ -172,8 +218,8 @@ def triples_to_ntlines(db: DataFrame) -> DataFrame:
     return db.select(
         F.concat_ws(
             " ",
-            _render_iri(F.col("s")),
-            _render_iri(F.col("p")),
+            _render_iri(F.col("s"), allow_bnode=True),
+            _render_iri(F.col("p")),  # N-Triples forbids bnode predicates
             _render_obj(F.col("o")),
             F.lit("."),
         ).alias("value")
@@ -187,8 +233,13 @@ def write_ntriples(db: DataFrame, path: str, mode: str = "overwrite") -> None:
     triples_to_ntlines(db).write.mode(mode).text(path)
 
 
-# one N-Triples term: IRI | literal (with optional @lang / ^^<dt>)
-_TERM_RX = r'(?:<[^>]*>|"(?:[^"\\]|\\.)*"(?:@[A-Za-z][A-Za-z0-9-]*|\^\^<[^>]*>)?)'
+# one N-Triples term: IRI | blank node | literal (with optional @lang /
+# ^^<dt>); bnodes are accepted in every position (lenient — real-world
+# Turtle-ish dumps put them anywhere), labels per the spec's ASCII core
+_TERM_RX = (
+    r'(?:<[^>]*>|_:[A-Za-z0-9_](?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?'
+    r'|"(?:[^"\\]|\\.)*"(?:@[A-Za-z][A-Za-z0-9-]*|\^\^<[^>]*>)?)'
+)
 _LINE_RX = rf"^\s*({_TERM_RX})\s+({_TERM_RX})\s+({_TERM_RX})\s*\.\s*$"
 
 
@@ -199,16 +250,20 @@ def _parse_iri_body(body: Column) -> Column:
     rest = F.substring(body, len(pref) + 1, 1 << 30)
     kind = F.regexp_extract(rest, r"^([a-z]+)", 1)
     tail = F.regexp_extract(rest, r"^[a-z]+:(.*)$", 1)
-    lang_lex = _dec(F.regexp_extract(tail, r"^(.*):([A-Za-z][A-Za-z0-9-]*)$", 1))
-    lang_tag = F.regexp_extract(tail, r"^(.*):([A-Za-z][A-Za-z0-9-]*)$", 2)
+    # lang mirrors typed: both lex and tag are ENC'd (ENC never emits
+    # ':', so the last-colon split is unambiguous)
+    lang_lex = _dec(F.regexp_extract(tail, r"^(.*):([^:]*)$", 1))
+    lang_tag = _dec(F.regexp_extract(tail, r"^(.*):([^:]*)$", 2))
     typed_lex = _dec(F.regexp_extract(tail, r"^(.*):([^:]*)$", 1))
     typed_dt = _dec(F.regexp_extract(tail, r"^(.*):([^:]*)$", 2))
     return (
         F.when(~body.startswith(pref), _term(F.lit("uri"), body))
         .when(kind == F.lit("null"), _term(F.lit("null"), F.lit("")))
+        .when(kind == F.lit("uri"), _term(F.lit("uri"), _dec(tail)))
+        .when(kind == F.lit("bnode"), _term(F.lit("bnode"), _dec(tail)))
         .when(kind == F.lit("kw"), _term(F.lit("kw"), _dec(tail)))
         .when(kind == F.lit("str"), _term(F.lit("str"), _dec(tail)))
-        .when(kind == F.lit("int"), _term(F.lit("int"), tail, num=tail.cast("double")))
+        .when(kind == F.lit("int"), _term(F.lit("int"), tail, num=_finite(tail)))
         .when(
             kind == F.lit("double"),
             _term(F.lit("double"), F.lit(""), num=tail.cast("double")),
@@ -240,6 +295,17 @@ def _parse_iri_body(body: Column) -> Column:
         .when(kind == F.lit("typed"), _term(F.lit("typed"), typed_lex, dt=typed_dt))
         .otherwise(_term(F.lit("uri"), body))  # unknown urn:matcha:* → opaque IRI
     )
+
+
+def _finite(c: Column) -> Column:
+    """Cast a lexical form to double, clamping non-finite results (e.g.
+    an integer beyond double range parsing to Infinity) to 0.0 — the
+    exact mirror of ``to_term``'s OverflowError fallback, so huge-int
+    terms stay struct-equal (and joinable) across a round-trip."""
+    d = c.cast("double")
+    return F.when(
+        d.isNull() | F.isnan(d) | (F.abs(d) == F.lit(float("inf"))), F.lit(0.0)
+    ).otherwise(d)
 
 
 def _term(kind: Column, lex: Column, num: Column | None = None,
@@ -283,7 +349,8 @@ def _parse_term(ts: Column) -> Column:
         .otherwise(F.lit("typed"))
     )
     num = (
-        F.when(plain_kind.isin("int", "double"), lit_body.cast("double"))
+        F.when(plain_kind == "int", _finite(lit_body))
+        .when(plain_kind == "double", lit_body.cast("double"))
         .when(plain_kind == "bool", (lit_body == "true").cast("double"))
         .when(
             plain_kind == "date",
@@ -306,7 +373,15 @@ def _parse_term(ts: Column) -> Column:
         .when(plain_kind == "datetime", _datetime_term(lit_body))
         .otherwise(_term(plain_kind, lit_body, num=num))
     )
-    return F.when(is_iri, _parse_iri_body(iri_body)).otherwise(literal).cast(TERM_TYPE)
+    return (
+        F.when(is_iri, _parse_iri_body(iri_body))
+        .when(
+            ts.startswith("_:"),
+            _term(F.lit("bnode"), F.substring(ts, 3, 1 << 30)),
+        )
+        .otherwise(literal)
+        .cast(TERM_TYPE)
+    )
 
 
 def ntlines_to_triples(lines: DataFrame, col: str = "value") -> DataFrame:

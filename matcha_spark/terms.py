@@ -18,9 +18,12 @@ implements host-value equality exactly, with no null-semantics corner
 cases inside the join keys.  ``kind='null'`` makes nil a joinable value.
 
 Kinds: ``uri kw str int double bool null lang typed date datetime
-unbound``.  ``unbound`` never appears in a database; it is produced by
-the query layer for SPARQL-OPTIONAL unbound markers (``_0``, ``_1`` …,
-reference ``src:382-395``).
+bnode unbound``.  ``unbound`` never appears in a database; it is
+produced by the query layer for SPARQL-OPTIONAL unbound markers
+(``_0``, ``_1`` …, reference ``src:382-395``).  ``bnode`` is an RDF
+blank node (label-identified, scoped to the graph it was read from) —
+real-world dumps the reference's fetch-then-query workflow ingests
+contain them, so they are first-class joinable terms here.
 """
 
 from __future__ import annotations
@@ -37,6 +40,7 @@ __all__ = [
     "TRIPLE_SCHEMA",
     "Keyword",
     "URI",
+    "BNode",
     "LangString",
     "RDFLiteral",
     "Unbound",
@@ -102,6 +106,22 @@ class URI:
 
     def __repr__(self) -> str:
         return f"<{self.value}>"
+
+
+@dataclass(frozen=True)
+class BNode:
+    """RDF blank node, identified by label.  Labels are only meaningful
+    within one graph/dump — two dumps both naming ``_:b0`` denote
+    unrelated nodes — so cross-graph joins on bnodes are the caller's
+    responsibility (standard RDF semantics)."""
+
+    label: str
+
+    def __str__(self) -> str:
+        return f"_:{self.label}"
+
+    def __repr__(self) -> str:
+        return f"_:{self.label}"
 
 
 @dataclass(frozen=True)
@@ -195,6 +215,8 @@ def to_term(value: Any) -> tuple[str, str, float, str, str]:
         return ("kw", str(value)[1:], 0.0, "", "")
     if isinstance(value, URI):
         return ("uri", value.value, 0.0, "", "")
+    if isinstance(value, BNode):
+        return ("bnode", value.label, 0.0, "", "")
     if isinstance(value, LangString):
         return ("lang", value.text, 0.0, value.lang, "")
     if isinstance(value, RDFLiteral):
@@ -227,6 +249,8 @@ def from_term(row: Any) -> Any:
         return kw(lex)
     if kind == "uri":
         return URI(lex)
+    if kind == "bnode":
+        return BNode(lex)
     if kind == "int":
         return int(lex)
     if kind == "double":

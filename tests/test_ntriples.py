@@ -228,3 +228,114 @@ def test_unbound_marker_roundtrip(spark):
     assert len(back) == 1
     o = back[0].o
     assert (o["kind"], o["lex"], o["num"]) == ("unbound", "_7", 7.0)
+
+
+def test_bnode_roundtrip_and_external_parse(spark):
+    """Blank nodes: third-party `_:label` lines parse to bnode terms (not
+    malformed), engine round-trip is lossless in every position, and
+    unsafe labels / predicate position fall back to the IRI form."""
+    from matcha_spark.sources.ntriples import ntlines_malformed
+    from matcha_spark.terms import BNode
+
+    lines = [
+        "_:b0 <http://ex.org/p> _:b1 .",
+        '_:genid-1.x <http://ex.org/name> "Anon" .',
+        "<http://ex.org/s> <http://ex.org/link> _:b0 .",
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], "value string")
+    assert ntlines_malformed(df).count() == 0
+    rows = {
+        (from_term(r.s), from_term(r.p), from_term(r.o))
+        for r in ntlines_to_triples(df).collect()
+    }
+    assert (BNode("b0"), URI("http://ex.org/p"), BNode("b1")) in rows
+    assert (BNode("genid-1.x"), URI("http://ex.org/name"), "Anon") in rows
+    assert (URI("http://ex.org/s"), URI("http://ex.org/link"), BNode("b0")) in rows
+
+    # engine round-trip: safe + unsafe labels, all three positions
+    weird = BNode("has space & unicode é")
+    db = spark.createDataFrame(
+        [
+            (to_term(BNode("b0")), to_term(kw(":p")), to_term(BNode("b1"))),
+            (to_term(weird), to_term(weird), to_term(weird)),
+        ],
+        TRIPLE_SCHEMA,
+    )
+    out_lines = triples_to_ntlines(db)
+    assert ntlines_malformed(out_lines).count() == 0
+    texts = [r.value for r in out_lines.collect()]
+    assert any(t.startswith("_:b0 ") and t.rstrip(" .").endswith("_:b1") for t in texts)
+    back = ntlines_to_triples(out_lines)
+    assert _decoded_set(back) == _decoded_set(db)
+
+
+def test_bnode_queryable(spark):
+    """bnode terms are first-class joinable values in BGP queries."""
+    from matcha_spark.query import select
+    from matcha_spark.terms import BNode
+
+    db = spark.createDataFrame(
+        [
+            (to_term(BNode("b0")), to_term(kw(":age")), to_term(60)),
+            (to_term(kw(":rick")), to_term(kw(":addr")), to_term(BNode("b0"))),
+        ],
+        TRIPLE_SCHEMA,
+    )
+    assert select(["?s"], [("?s", kw(":addr"), BNode("b0"))], db) == [kw(":rick")]
+    got = select(["?a"], [(kw(":rick"), kw(":addr"), "?a"), ("?a", kw(":age"), 60)], db)
+    assert got == [BNode("b0")]
+
+
+def test_reserved_prefix_uri_roundtrip(spark):
+    """A genuine URI under the reserved urn:matcha: scheme must survive
+    the trip as a URI (escaped, not re-parsed as an encoded term)."""
+    tricky = [
+        URI("urn:matcha:str:x"),
+        URI("urn:matcha:kw:foo/bar"),
+        URI("urn:matcha:null"),
+        URI("urn:matcha:something-else"),
+    ]
+    db = spark.createDataFrame(
+        [(to_term(u), to_term(kw(":p")), to_term(u)) for u in tricky],
+        TRIPLE_SCHEMA,
+    )
+    back = ntlines_to_triples(triples_to_ntlines(db))
+    assert _decoded_set(back) == _decoded_set(db)
+
+
+def test_unsafe_datatype_and_lang_fall_back_to_iri_form(spark):
+    """Datatype IRIs containing '>'/whitespace and out-of-grammar lang
+    tags can't be rendered as literals; they must fall back to the
+    urn:matcha: IRI form (never emit a malformed line) and round-trip."""
+    from matcha_spark.sources.ntriples import ntlines_malformed
+    from matcha_spark.terms import LangString, RDFLiteral
+
+    vals = [
+        RDFLiteral("x", "http://ex.org/weird>dt with space"),
+        RDFLiteral("y", ""),
+        LangString("hola", "es_MX"),  # underscore: outside BCP-ish grammar
+        LangString("hi", "1en"),  # leading digit
+    ]
+    db = spark.createDataFrame(
+        [(to_term(URI(f"urn:s{i}")), to_term(kw(":p")), to_term(v)) for i, v in enumerate(vals)],
+        TRIPLE_SCHEMA,
+    )
+    lines = triples_to_ntlines(db)
+    assert ntlines_malformed(lines).count() == 0
+    back = ntlines_to_triples(lines)
+    assert _decoded_set(back) == _decoded_set(db)
+
+
+def test_huge_int_num_mirror_clamped(spark):
+    """Ints beyond double range carry num=0.0 from to_term; the parser
+    must reconstruct 0.0 (not Infinity) so the structs stay equal."""
+    huge = 10 ** 400
+    db = spark.createDataFrame(
+        [(to_term(URI("urn:s")), to_term(kw(":p")), to_term(huge))],
+        TRIPLE_SCHEMA,
+    )
+    assert db.collect()[0].o["num"] == 0.0
+    back = ntlines_to_triples(triples_to_ntlines(db)).collect()
+    o = back[0].o
+    assert (o["kind"], o["lex"], o["num"]) == ("int", str(huge), 0.0)
+    assert from_term(o) == huge
