@@ -48,14 +48,16 @@ def asof_join(
         .withColumn("__side", F.lit(0))
         .withColumn("__ts", F.col(right_ts))
     )
-    # pad to a common column set
-    for c in lt.columns:
-        if c not in rt.columns:
-            rt = rt.withColumn(c, F.lit(None))
-    for c in rt.columns:
-        if c not in lt.columns:
-            lt = lt.withColumn(c, F.lit(None))
-    rt = rt.select(*lt.columns)
+    # pad to a common column set in one select per side (O(1) plan
+    # nodes, not O(cols) chained projections)
+    all_cols = lt.columns + [c for c in rt.columns if c not in lt.columns]
+    lt_cols, rt_cols = set(lt.columns), set(rt.columns)
+    lt = lt.select(
+        *[F.col(c) if c in lt_cols else F.lit(None).alias(c) for c in all_cols]
+    )
+    rt = rt.select(
+        *[F.col(c) if c in rt_cols else F.lit(None).alias(c) for c in all_cols]
+    )
     u = lt.unionByName(rt)
 
     # reference rows sort before probe rows at equal timestamps so an
@@ -82,8 +84,13 @@ def asof_join(
         in_tol = (
             F.unix_timestamp(F.col("__ts")) - F.unix_timestamp(F.col("__r_ts"))
         ) <= tolerance_s
-        for c in right_cols:
-            out = out.withColumn(f"__r_{c}", F.when(in_tol, F.col(f"__r_{c}")))
+        masked = {f"__r_{c}" for c in right_cols}
+        out = out.select(
+            *[
+                F.when(in_tol, F.col(c)).alias(c) if c in masked else F.col(c)
+                for c in out.columns
+            ]
+        )
     keep = [c for c in left.columns]
     return out.select(
         *keep, *[F.col(f"__r_{c}").alias(c) for c in right_cols]

@@ -433,14 +433,20 @@ def doc_resize_pixels(spark, sf_dir):
     resized = MM.resize_images(media, target=(4, 4))
 
     def unpack(batches):
+        # vectorized explode: one frombuffer per payload (a C call, not a
+        # per-element loop), then repeat/cumsum for the id/pos columns
         for pdf in batches:
-            ids, poss, pxs = [], [], []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                arr = np.frombuffer(bytes(payload), dtype=np.float32)
-                ids.extend([mid] * len(arr))
-                poss.extend(range(len(arr)))
-                pxs.extend(float(x) for x in arr)
-            yield pd.DataFrame({"media_id": ids, "pos": poss, "px": pxs})
+            arrs = [np.frombuffer(bytes(p), dtype=np.float32) for p in pdf["payload"]]
+            lens = np.array([a.size for a in arrs], dtype=np.int64)
+            flat = np.concatenate(arrs) if arrs else np.array([], dtype=np.float32)
+            pos = np.arange(flat.size) - np.repeat(np.cumsum(lens) - lens, lens)
+            yield pd.DataFrame(
+                {
+                    "media_id": np.repeat(pdf["media_id"].to_numpy(), lens),
+                    "pos": pos.astype("int32"),
+                    "px": flat.astype("float64"),
+                }
+            )
 
     return resized.select("media_id", "payload").mapInPandas(
         unpack, schema="media_id long, pos int, px double"
