@@ -31,7 +31,13 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["transitive_closure", "predicate_closure", "cleanup_closure"]
+__all__ = [
+    "transitive_closure",
+    "predicate_closure",
+    "cleanup_closure",
+    "path_edges",
+    "graph_nodes",
+]
 
 
 def _fs_delete(spark: SparkSession, path: str) -> None:
@@ -163,3 +169,92 @@ def predicate_closure(db, predicate, checkpoint_dir: str | None = None) -> DataF
 
     edges = db.df.where(F.col("p") == term_lit(predicate)).select("s", "o")
     return transitive_closure(edges, src="s", dst="o", checkpoint_dir=checkpoint_dir)
+
+
+def graph_nodes(db) -> DataFrame:
+    """Every *mentioned node* of the graph (each distinct term appearing
+    in subject or object position) as a one-column DataFrame ``n`` —
+    SPARQL's node set for zero-length path matches."""
+    return (
+        db.df.select(F.col("s").alias("n"))
+        .unionByName(db.df.select(F.col("o").alias("n")))
+        .dropDuplicates()
+    )
+
+
+def path_edges(db, path, checkpoint_dir: str | None = None) -> DataFrame:
+    """Compile a property-path expression (:mod:`matcha_spark.patterns`
+    ``Seq``/``Alt``/``Inv``/``OneOrMore``/``ZeroOrMore``/``ZeroOrOne``,
+    or a plain predicate constant) to the DISTINCT ``(s, o)`` TERM-pair
+    DataFrame it connects — the S2RDF-style composition: every path
+    operator is an equi-join / union / closure over edge sets, so
+    Catalyst plans each step and nothing collects to the driver.
+
+    Scale shape per operator:
+
+    - predicate: one pushdown-filtered scan of the triple store;
+    - ``Inv``: column swap (free);
+    - ``Seq``: one equi-join per step, shuffle-partitioned on the
+      midpoint — the same shape as a BGP conjunction;
+    - ``Alt``: union of branch scans + one dedup shuffle;
+    - ``OneOrMore``: :func:`transitive_closure` (log-round path
+      doubling; materializes rounds under ``checkpoint_dir`` — on a
+      cluster that must be shared storage, see module docstring).
+      **Evaluated eagerly** when the plan is compiled, not lazily;
+    - ``ZeroOrMore`` / ``ZeroOrOne``: the above ∪ identity pairs over
+      :func:`graph_nodes`.
+
+    SPARQL parity notes: path results are node-pair *sets* (duplicate
+    derivations through different midpoints/branches collapse), and
+    zero-length paths match every mentioned node with itself.
+    """
+    from ..patterns import Alt, Inv, OneOrMore, PathExpr, Seq, ZeroOrMore, ZeroOrOne
+    from ..terms import term_lit
+
+    def compile_(p) -> DataFrame:
+        if isinstance(p, Inv):
+            inner = compile_(p.path)
+            return inner.select(F.col("o").alias("s"), F.col("s").alias("o"))
+        if isinstance(p, Seq):
+            acc = compile_(p.steps[0])
+            for step in p.steps[1:]:
+                nxt = compile_(step)
+                acc = (
+                    acc.select(F.col("s"), F.col("o").alias("__mid"))
+                    .join(
+                        nxt.select(F.col("s").alias("__mid"), F.col("o")),
+                        on="__mid",
+                        how="inner",
+                    )
+                    .select("s", "o")
+                    .dropDuplicates()
+                )
+            return acc
+        if isinstance(p, Alt):
+            branches = [compile_(b) for b in p.alts]
+            acc = branches[0]
+            for b in branches[1:]:
+                acc = acc.unionByName(b)
+            return acc.dropDuplicates() if len(branches) > 1 else acc
+        if isinstance(p, OneOrMore):
+            return transitive_closure(
+                compile_(p.path), src="s", dst="o", checkpoint_dir=checkpoint_dir
+            )
+        if isinstance(p, (ZeroOrMore, ZeroOrOne)):
+            base = (
+                transitive_closure(
+                    compile_(p.path), src="s", dst="o", checkpoint_dir=checkpoint_dir
+                )
+                if isinstance(p, ZeroOrMore)
+                else compile_(p.path)
+            )
+            ident = graph_nodes(db).select(
+                F.col("n").alias("s"), F.col("n").alias("o")
+            )
+            return base.unionByName(ident).dropDuplicates()
+        if isinstance(p, PathExpr):
+            raise TypeError(f"unknown path form: {type(p).__name__}")
+        # base case: a predicate constant → one filtered scan
+        return db.df.where(F.col("p") == term_lit(p)).select("s", "o")
+
+    return compile_(path)

@@ -34,6 +34,13 @@ __all__ = [
     "Filter",
     "NotExists",
     "Minus",
+    "PathExpr",
+    "Seq",
+    "Alt",
+    "Inv",
+    "OneOrMore",
+    "ZeroOrMore",
+    "ZeroOrOne",
     "is_var",
     "var_name",
     "find_vars",
@@ -135,6 +142,93 @@ class Minus:
             object.__setattr__(self, "patterns", tuple(patterns))
 
 
+class PathExpr:
+    """Base class for property-path expressions, usable in the
+    *predicate* position of a triple pattern (SPARQL 1.1 property paths;
+    absent from the reference — SURVEY §2.5 extension).
+
+    Path operands are predicate constants or nested :class:`PathExpr`
+    forms — never query variables (same restriction as SPARQL).  A path
+    pattern ``(s, path, o)`` binds/filters its subject and object
+    positions exactly like a plain triple pattern.
+
+    Semantics are *set-based*: a path pattern contributes the DISTINCT
+    (s, o) node pairs connected by the path (matching SPARQL's
+    exists-style path evaluation for ``+``/``*``; for ``/`` and ``|``
+    this engine dedups alternate derivations too, consistent with its
+    set-semantic triple store).
+    """
+
+    __slots__ = ()
+
+
+@dataclass(frozen=True)
+class Seq(PathExpr):
+    """Sequence path ``p1/p2/...`` — follow each step in order."""
+
+    steps: Sequence[Any]
+
+    def __init__(self, *steps):
+        if len(steps) < 2:
+            raise InvalidBgpError(steps)
+        object.__setattr__(self, "steps", tuple(steps))
+
+
+@dataclass(frozen=True)
+class Alt(PathExpr):
+    """Alternative path ``p1|p2|...`` — any branch connects."""
+
+    alts: Sequence[Any]
+
+    def __init__(self, *alts):
+        if not alts:
+            raise InvalidBgpError(alts)
+        object.__setattr__(self, "alts", tuple(alts))
+
+
+@dataclass(frozen=True)
+class Inv(PathExpr):
+    """Inverse path ``^p`` — traverse p object→subject."""
+
+    path: Any
+
+
+@dataclass(frozen=True)
+class OneOrMore(PathExpr):
+    """``p+`` — one or more hops (transitive closure)."""
+
+    path: Any
+
+
+@dataclass(frozen=True)
+class ZeroOrMore(PathExpr):
+    """``p*`` — ``p+`` ∪ the zero-length path.  Zero-length matches
+    every *mentioned node* (each term appearing as a subject or object
+    in the graph) with itself, per SPARQL's evaluation of zero-length
+    paths over the active graph's terms."""
+
+    path: Any
+
+
+@dataclass(frozen=True)
+class ZeroOrOne(PathExpr):
+    """``p?`` — one hop ∪ the zero-length path (see :class:`ZeroOrMore`
+    for zero-length semantics)."""
+
+    path: Any
+
+
+def path_operands(path: Any):
+    """The direct operands of a path form (constants or sub-paths)."""
+    if isinstance(path, Seq):
+        return list(path.steps)
+    if isinstance(path, Alt):
+        return list(path.alts)
+    if isinstance(path, (Inv, OneOrMore, ZeroOrMore, ZeroOrOne)):
+        return [path.path]
+    return []
+
+
 def is_var(x: Any) -> bool:
     """``?``-prefixed strings and :class:`Var` are query variables
     (reference ``query-var?``, ``src:78-83``)."""
@@ -219,11 +313,26 @@ def validate_patterns(patterns: Sequence[Any]) -> None:
                 row = row[:3]
             if len(row) != 3:
                 raise InvalidBgpError(item)
-            for e in row:
-                if not is_var(e) and _is_collection(const_value(e)):
+            for pos, e in zip(("s", "p", "o"), row):
+                if isinstance(e, PathExpr):
+                    if pos != "p":
+                        bad_bgp.append(e)  # paths live in predicate position
+                    else:
+                        _check_path(e)
+                elif not is_var(e) and _is_collection(const_value(e)):
                     bad_bgp.append(e)
             return
         raise InvalidBgpError(item)
+
+    def _check_path(path):
+        for op in path_operands(path):
+            if isinstance(op, PathExpr):
+                _check_path(op)
+            elif is_var(op):
+                # SPARQL restriction: no variables inside a path
+                bad_bgp.append(op)
+            elif _is_collection(const_value(op)):
+                bad_bgp.append(op)
 
     for p in patterns:
         visit(p)

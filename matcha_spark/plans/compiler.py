@@ -37,11 +37,18 @@ from pyspark.sql.types import StructField, StructType
 
 from ..db import TriplesDB
 from ..patterns import (
+    Alt,
     Filter,
+    Inv,
     Minus,
     NotExists,
+    OneOrMore,
     Optional,
+    PathExpr,
+    Seq,
     Values,
+    ZeroOrMore,
+    ZeroOrOne,
     const_value,
     find_vars,
     is_var,
@@ -101,8 +108,61 @@ def _split_clauses(patterns: Sequence[Any]):
     return triples, values, optionals, filters, negations
 
 
+def _path_est(path, stats, total: float) -> float:
+    """Row estimate for a path pattern's edge set — drives join ordering
+    and the broadcast hint exactly like plain pattern estimates.
+    Closures get a deliberately huge estimate: reachability pairs can
+    exceed the triple count, so they must never be broadcast and should
+    join after the selective scans have shrunk the solution set."""
+    if isinstance(path, Inv):
+        return _path_est(path.path, stats, total)
+    if isinstance(path, Seq):
+        return max(_path_est(s, stats, total) for s in path.steps)
+    if isinstance(path, Alt):
+        return sum(_path_est(a, stats, total) for a in path.alts)
+    if isinstance(path, (OneOrMore, ZeroOrMore, ZeroOrOne)):
+        return float(total) * 100.0
+    k = to_term(const_value(path))
+    return float(stats.get((k[0], k[1]), total))
+
+
+def _scan_path_pattern(db: TriplesDB, pattern, stats, total: float) -> _Scan:
+    """Property-path pattern → scan over its compiled edge set (see
+    ``operators.graph.path_edges``).  Subject/object positions behave
+    exactly like a plain pattern: constants filter, vars project, a
+    repeated var becomes an intra-row equality.  Closure forms
+    materialize eagerly at compile time (path-doubling rounds under the
+    session checkpoint dir — set one on a cluster)."""
+    from ..operators.graph import path_edges
+
+    s_item, path, o_item = pattern
+    df = path_edges(db, path)
+    conds = []
+    first_pos_of_var: dict[str, str] = {}
+    aliases: list = []
+    for pos, item in (("s", s_item), ("o", o_item)):
+        if is_var(item):
+            v = var_name(item)
+            if v in first_pos_of_var:
+                conds.append(F.col(pos) == F.col(first_pos_of_var[v]))
+            else:
+                first_pos_of_var[v] = pos
+                aliases.append(F.col(pos).alias(v))
+        else:
+            conds.append(F.col(pos) == term_lit(const_value(item)))
+    est = _path_est(path, stats, total) / (10.0 ** len(conds))
+    for c in conds:
+        df = df.where(c)
+    vars_ = list(first_pos_of_var)
+    if vars_:
+        return _Scan(df.select(*aliases), vars_, max(est, 0.0))
+    return _Scan(df.limit(1).select(F.lit(1).alias("__guard")), [], 1.0, guard=True)
+
+
 def _scan_pattern(db: TriplesDB, pattern, stats, total: float) -> _Scan:
     """One triple pattern → filtered/projected scan of the triples DF."""
+    if isinstance(pattern[1], PathExpr):
+        return _scan_path_pattern(db, pattern, stats, total)
     df = db.df
     conds = []
     first_pos_of_var: dict[str, str] = {}

@@ -152,6 +152,46 @@ def graph_closure_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transitive_closure(edges).orderBy("src", "dst")
 
 
+def bgp_path_region_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property-path Seq (SPARQL ``:nation/:region`` — extension absent
+    from the reference): every entity (customer or supplier) whose
+    nation lies in ASIA, by name.  The path compiles to an equi-join
+    chain on the midpoint; oracle is the two relational join paths
+    unioned."""
+    from .patterns import Seq
+
+    db = _graph(spark, sf_dir)
+    res = select_df(
+        ["?ename"],
+        [
+            ("?e", Seq(KW["nation"], KW["region"]), "?r"),
+            ("?r", KW["name"], "ASIA"),
+            ("?e", KW["name"], "?ename"),
+        ],
+        db,
+    )
+    return res.select(lex(F.col("`?ename`")).alias("ename"))
+
+
+def bgp_path_reach_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property-path closure over an alternative (SPARQL
+    ``(:customer|:nation|:region)+``): all reachability pairs in the
+    urgent-order entity hierarchy (order → customer → nation → region).
+    Compiles to path-doubling closure over the unioned edge scans;
+    oracle is a recursive CTE over the same union."""
+    from .patterns import Alt, OneOrMore
+
+    db = _graph(spark, sf_dir, include_orders=True, order_priority="1-URGENT")
+    res = select_df(
+        ["?x", "?y"],
+        [("?x", OneOrMore(Alt(KW["customer"], KW["nation"], KW["region"])), "?y")],
+        db,
+    )
+    return res.select(
+        lex(F.col("`?x`")).alias("src"), lex(F.col("`?y`")).alias("dst")
+    )
+
+
 def bgp_construct_region_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed CONSTRUCT: materialize a derived graph (customer →
     region-name edges) without collecting; decoded to lex columns for
@@ -573,6 +613,9 @@ def dedup_near_emb(spark, sf_dir):
 # When adding a new oracle-backed entry, insert it at the top; after each
 # round, rotate entries the driver just verified toward the back.
 QUERIES = {
+    # new this round (r07): property paths — never driver-checked
+    "bgp_path_region_members": bgp_path_region_members,
+    "bgp_path_reach_urgent": bgp_path_reach_urgent,
     # oracle-backed, never driver-checked before r07 (judge-verified green)
     "doc_resize_pixels": doc_resize_pixels,
     "doc_ngram_jaccard": doc_ngram_jaccard,
@@ -583,6 +626,7 @@ QUERIES = {
     "dedup_near_emb": dedup_near_emb,
     # modified this round — keep inside the checked window
     "doc_nt_roundtrip": doc_nt_roundtrip,
+    "doc_stratified_sample": doc_stratified_sample,
     # BGP engine
     "bgp_customers_in_region": bgp_customers_in_region,
     "bgp_nations_values": bgp_nations_values,
@@ -627,7 +671,6 @@ QUERIES = {
     "doc_corpus_stats": doc_corpus_stats,
     "doc_sample_hash": doc_sample_hash,
     "orders_sample_consistent": orders_sample_consistent,
-    "doc_stratified_sample": doc_stratified_sample,
     "doc_tfidf_top": doc_tfidf_top,
     "doc_bm25_search": doc_bm25_search,
     "doc_repetition": doc_repetition,
@@ -889,6 +932,34 @@ ORACLES = {
               SELECT 1 FROM orders o
               WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
           )
+    """,
+    "bgp_path_region_members": """
+        SELECT c_name AS ename
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        UNION ALL
+        SELECT s_name AS ename
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+    """,
+    "bgp_path_reach_urgent": """
+        WITH RECURSIVE edges AS (
+            SELECT 'order:' || o_orderkey AS src, 'customer:' || o_custkey AS dst
+            FROM orders WHERE o_orderpriority = '1-URGENT'
+            UNION ALL
+            SELECT 'customer:' || c_custkey, 'nation:' || c_nationkey FROM customer
+            UNION ALL
+            SELECT 'supplier:' || s_suppkey, 'nation:' || s_nationkey FROM supplier
+            UNION ALL
+            SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey FROM nation
+        ), reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        )
+        SELECT src, dst FROM reach
     """,
     "graph_closure_nations": """
         WITH RECURSIVE edges AS (

@@ -1,0 +1,146 @@
+"""Property-path battery: Seq / Alt / Inv / OneOrMore / ZeroOrMore /
+ZeroOrOne as compiler-level pattern forms (SPARQL 1.1 paths — a
+Spark-native extension; the reference has none, SURVEY §2.5).
+
+Graph under test::
+
+    :a -knows-> :b -knows-> :c -knows-> :d      (chain)
+    :c -knows-> :a                               (cycle back)
+    :a -likes-> :x                               (side edge)
+    :b -name-> "bee"                             (literal leaf)
+"""
+
+import pytest
+
+from matcha_spark.db import TriplesDB
+from matcha_spark.errors import InvalidBgpError
+from matcha_spark.patterns import Alt, Inv, OneOrMore, Seq, ZeroOrMore, ZeroOrOne
+from matcha_spark.query import select
+from matcha_spark.terms import kw
+
+A, B, C, D, X = kw(":a"), kw(":b"), kw(":c"), kw(":d"), kw(":x")
+KNOWS, LIKES, NAME = kw(":knows"), kw(":likes"), kw(":name")
+
+TRIPLES = [
+    (A, KNOWS, B),
+    (B, KNOWS, C),
+    (C, KNOWS, D),
+    (C, KNOWS, A),
+    (A, LIKES, X),
+    (B, NAME, "bee"),
+]
+
+
+@pytest.fixture(scope="module")
+def db(spark):
+    return TriplesDB.from_triples(spark, TRIPLES)
+
+
+def _pairs(db, path):
+    rows = select(["?s", "?o"], [("?s", path, "?o")], db) or []
+    return {tuple(r) for r in rows}
+
+
+def test_seq_two_hop(db):
+    assert _pairs(db, Seq(KNOWS, KNOWS)) == {(A, C), (B, D), (B, A), (C, B)}
+
+
+def test_seq_three_hop_and_mixed_leaf(db):
+    # knows/knows/name reaches the literal leaf two hops out
+    assert _pairs(db, Seq(KNOWS, KNOWS, NAME)) == {(C, "bee")}
+
+
+def test_alt_union(db):
+    got = _pairs(db, Alt(KNOWS, LIKES))
+    assert got == {(A, B), (B, C), (C, D), (C, A), (A, X)}
+
+
+def test_inv(db):
+    assert _pairs(db, Inv(KNOWS)) == {(B, A), (C, B), (D, C), (A, C)}
+    # ^p/p = siblings-through-shared-object (incl. self)
+    got = _pairs(db, Seq(Inv(KNOWS), KNOWS))
+    assert (D, A) in got and (A, D) in got  # both known by :c
+
+
+def test_one_or_more_closure_with_cycle(db):
+    got = _pairs(db, OneOrMore(KNOWS))
+    # a,b,c sit on the cycle: each reaches a,b,c,d
+    for s in (A, B, C):
+        assert {(s, A), (s, B), (s, C), (s, D)} <= got
+    assert not any(p[0] == D for p in got)  # d has no out-edges
+    assert len(got) == 12
+
+
+def test_one_or_more_matches_transitive_closure_operator(db, spark):
+    from pyspark.sql import functions as F
+
+    from matcha_spark.operators.graph import path_edges, transitive_closure
+    from matcha_spark.terms import term_lit
+
+    edges = db.df.where(F.col("p") == term_lit(KNOWS)).select("s", "o")
+    want = {(r.s["lex"], r.o["lex"]) for r in transitive_closure(edges, "s", "o").collect()}
+    got = {(r.s["lex"], r.o["lex"]) for r in path_edges(db, OneOrMore(KNOWS)).collect()}
+    assert got == want
+
+
+def test_zero_or_more_includes_identity_on_mentioned_nodes(db):
+    got = _pairs(db, ZeroOrMore(KNOWS))
+    # every mentioned node (subjects, objects, even the literal) self-pairs
+    for n in (A, B, C, D, X, "bee"):
+        assert (n, n) in got
+    assert (A, D) in got  # closure pairs present too
+    # 12 closure pairs + 6 identity pairs − 3 overlaps (cycle self-pairs)
+    assert len(got) == 15
+
+
+def test_zero_or_one(db):
+    got = _pairs(db, ZeroOrOne(KNOWS))
+    assert got == {(A, B), (B, C), (C, D), (C, A)} | {
+        (n, n) for n in (A, B, C, D, X, "bee")
+    }
+
+
+def test_ground_endpoints_and_bgp_join(db):
+    # ground object: who reaches :d in one-or-more hops?
+    rows = select(["?s"], [("?s", OneOrMore(KNOWS), D)], db)
+    assert set(rows) == {A, B, C}
+    # path pattern joins with plain patterns on shared vars
+    rows = select(
+        ["?n"],
+        [("?s", LIKES, X), ("?s", Seq(KNOWS, NAME), "?n")],
+        db,
+    )
+    assert rows == ["bee"]
+    # both ends ground: acts as an existence guard
+    assert select(["?v"], [(A, OneOrMore(KNOWS), D), (B, NAME, "?v")], db) == ["bee"]
+    assert select(["?v"], [(D, OneOrMore(KNOWS), A), (B, NAME, "?v")], db) is None
+
+
+def test_repeated_var_on_cycle(db):
+    # (?x knows+ ?x) — exactly the cycle members
+    rows = select(["?x"], [("?x", OneOrMore(KNOWS), "?x")], db)
+    assert set(rows) == {A, B, C}
+
+
+def test_nested_composition(db):
+    # (^likes)/knows+ : from :x back to :a, then anywhere the closure goes
+    got = _pairs(db, Seq(Inv(LIKES), OneOrMore(KNOWS)))
+    assert got == {(X, A), (X, B), (X, C), (X, D)}
+
+
+def test_alt_of_seq_dedups_derivations(db):
+    # both branches derive (a, c): result is a set, one row
+    path = Alt(Seq(KNOWS, KNOWS), Seq(KNOWS, KNOWS))
+    rows = select(["?s", "?o"], [("?s", path, "?o")], db)
+    assert list(map(tuple, rows)).count((A, C)) == 1
+
+
+def test_path_validation_errors(db):
+    with pytest.raises(InvalidBgpError):
+        select(["?o"], [(Seq(KNOWS, KNOWS), KNOWS, "?o")], db)  # path in subject
+    with pytest.raises(InvalidBgpError):
+        select(["?o"], [("?s", Seq(KNOWS, "?v"), "?o")], db)  # var inside path
+    with pytest.raises(InvalidBgpError):
+        Seq(KNOWS)  # sequence needs >= 2 steps
+    with pytest.raises(InvalidBgpError):
+        Alt()
