@@ -165,3 +165,25 @@ def test_corpus_sketch_stats_within_tolerance(spark):
     # quantiles: monotone and inside the observed token-count range
     toks = [r[0] for r in docs.selectExpr("size(split(trim(text), '\\\\s+'))").collect()]
     assert min(toks) <= sk.p50_tokens <= sk.p90_tokens <= sk.p99_tokens <= max(toks)
+
+
+def test_sketch_quantile_rank_error_bound(spark):
+    """Make the GK sketch's contract explicit: percentile_approx with
+    accuracy A guarantees rank error <= n/A, so each reported quantile
+    must be an order statistic within that rank window of the exact
+    distribution (not just 'inside the min/max range')."""
+    import math
+
+    from matcha_spark.operators.text import corpus_sketch_stats
+
+    docs = _docs(spark)
+    sk = corpus_sketch_stats(docs).collect()[0]
+    toks = sorted(
+        r[0] for r in docs.selectExpr("size(split(trim(text), '\\\\s+'))").collect()
+    )
+    n, eps = len(toks), 1.0 / 10_000  # operator's accuracy parameter
+    for q, val in ((0.5, sk.p50_tokens), (0.9, sk.p90_tokens), (0.99, sk.p99_tokens)):
+        lo = toks[max(0, math.floor((q - eps) * n) - 1)]
+        hi = toks[min(n - 1, math.ceil((q + eps) * n))]
+        assert lo <= val <= hi, f"q={q}: {val} outside rank window [{lo}, {hi}]"
+        assert val in toks  # GK returns a genuine observed value

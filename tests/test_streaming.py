@@ -195,3 +195,34 @@ def test_stream_interval_join(spark, stream_dir):
     assert (2, 1) in pairs and (2, 2) in pairs and (1, 1) in pairs
     assert (3, 1) not in pairs and (3, 2) not in pairs
     assert (1, 2) not in pairs  # interval is backward-looking only
+
+
+def test_stream_dedup_rocksdb_state_store(spark, stream_dir):
+    """The dedup state machine runs unchanged on the RocksDB state store
+    provider — the production configuration for state that outgrows the
+    default in-memory provider (docs/TUNING.md §Streaming,
+    session.get_spark(rocksdb_state_store=True)). providerClass is a
+    query-startup conf, so setting it on the session exercises the real
+    RocksDB store for this query."""
+    from matcha_spark.streaming.events import stream_dedup
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        ).parquet(stream_dir)
+        out = _run_to_memory(
+            spark, stream_dedup(src.union(src)), "dedup_rocks_t", mode="append"
+        )
+        ids = [r["event_id"] for r in out.collect()]
+        assert sorted(ids) == [1, 2, 3, 4]
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
