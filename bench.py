@@ -51,6 +51,10 @@ def main() -> None:
         _graph,
         bgp_customers_in_region,
         bgp_optional_urgent_orders,
+        bgp_path_reach_urgent,
+        bgp_path_region_members,
+        doc_media_features,
+        graph_closure_nations,
     )
 
     times: dict[str, float] = {}
@@ -98,6 +102,16 @@ def main() -> None:
     ))
     bench("bgp_customers_in_region", lambda: force(bgp_customers_in_region(spark, SF_DIR)))
     bench("bgp_optional_urgent_orders", lambda: force(bgp_optional_urgent_orders(spark, SF_DIR)))
+    bench("bgp_path_region_members", lambda: force(bgp_path_region_members(spark, SF_DIR)))
+    # closure entries materialize path-doubling rounds: timed once (their
+    # cost is the iteration, not plan reuse)
+    bench("bgp_path_reach_urgent", lambda: force(bgp_path_reach_urgent(spark, SF_DIR)), repeat=False)
+    bench("graph_closure_nations", lambda: force(graph_closure_nations(spark, SF_DIR)), repeat=False)
+    bench("asof_events_orders", lambda: force(R.asof_events_orders(spark, SF_DIR)))
+    bench("rollup_nation_segment", lambda: force(R.rollup_nation_segment(spark, SF_DIR)))
+    bench("cube_priority_status", lambda: force(R.cube_priority_status(spark, SF_DIR)))
+    bench("doc_strip_boilerplate", lambda: force(T.strip_boilerplate(docs)))
+    bench("doc_media_features", lambda: force(doc_media_features(spark, SF_DIR)))
     bench("dedup_exact_docs", lambda: force(T.dedup_exact(docs)))
     bench("doc_minhash_lsh", lambda: force(D.minhash_lsh_candidates(docs)))
     bench("doc_simhash_pairs", lambda: force(D.simhash_candidates(docs)))

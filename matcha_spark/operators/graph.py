@@ -118,26 +118,28 @@ def transitive_closure(
         acc, acc_path = _materialize(
             edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).dropDuplicates()
         )
+        n_acc = acc.count()
         # path doubling: each round composes the accumulated reachability
         # with itself, so a diameter-d graph converges in ⌈log₂ d⌉ rounds
         # instead of d — rounds (each a shuffle + materialization barrier)
-        # are the dominant cost of iterative algorithms on Spark
+        # are the dominant cost of iterative algorithms on Spark.  One
+        # materialization per round: merged = dedup(acc ∪ acc∘acc), with
+        # convergence read off the (free, post-materialization) row count
+        # instead of a separate anti-join + frontier write.
         for _ in range(max_iter):
             nxt = (
                 acc.alias("f")
                 .join(acc.alias("n"), F.col("f.dst") == F.col("n.src"))
                 .select(F.col("f.src").alias("src"), F.col("n.dst").alias("dst"))
-                .dropDuplicates()
             )
-            new, new_path = _materialize(nxt.join(acc, on=["src", "dst"], how="left_anti"))
-            if new.isEmpty():
-                _fs_delete(spark, new_path)
+            merged, merged_path = _materialize(acc.union(nxt).dropDuplicates())
+            n_merged = merged.count()
+            if n_merged == n_acc:
+                _fs_delete(spark, merged_path)
                 break
-            merged, merged_path = _materialize(acc.union(new))
-            # merged's files are written; the inputs are dead — drop them now
+            # merged's files are written; the input round is dead — drop it
             _fs_delete(spark, acc_path)
-            _fs_delete(spark, new_path)
-            acc, acc_path = merged, merged_path
+            acc, acc_path, n_acc = merged, merged_path, n_merged
         out = acc.select(F.col("src").alias(src), F.col("dst").alias(dst))
         # the returned DataFrame reads the final round's parquet lazily, so
         # its directory must outlive this call; hand callers the cleanup
