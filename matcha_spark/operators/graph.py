@@ -204,13 +204,25 @@ def path_edges(db, path, checkpoint_dir: str | None = None) -> DataFrame:
       cluster that must be shared storage, see module docstring).
       **Evaluated eagerly** when the plan is compiled, not lazily;
     - ``ZeroOrMore`` / ``ZeroOrOne``: the above ∪ identity pairs over
-      :func:`graph_nodes`.
+      :func:`graph_nodes`;
+    - ``NegSet`` (``!(p1|...)``): one scan with a conjunction of
+      predicate *inequalities* (+ dedup — distinct excluded predicates
+      may connect the same pair).
 
     SPARQL parity notes: path results are node-pair *sets* (duplicate
     derivations through different midpoints/branches collapse), and
     zero-length paths match every mentioned node with itself.
     """
-    from ..patterns import Alt, Inv, OneOrMore, PathExpr, Seq, ZeroOrMore, ZeroOrOne
+    from ..patterns import (
+        Alt,
+        Inv,
+        NegSet,
+        OneOrMore,
+        PathExpr,
+        Seq,
+        ZeroOrMore,
+        ZeroOrOne,
+    )
     from ..terms import term_lit
 
     def compile_(p) -> DataFrame:
@@ -254,6 +266,11 @@ def path_edges(db, path, checkpoint_dir: str | None = None) -> DataFrame:
                 F.col("n").alias("s"), F.col("n").alias("o")
             )
             return base.unionByName(ident).dropDuplicates()
+        if isinstance(p, NegSet):
+            cond = F.lit(True)
+            for pred in p.preds:
+                cond = cond & (F.col("p") != term_lit(pred))
+            return db.df.where(cond).select("s", "o").dropDuplicates()
         if isinstance(p, PathExpr):
             raise TypeError(f"unknown path form: {type(p).__name__}")
         # base case: a predicate constant → one filtered scan

@@ -41,6 +41,7 @@ __all__ = [
     "OneOrMore",
     "ZeroOrMore",
     "ZeroOrOne",
+    "NegSet",
     "is_var",
     "var_name",
     "find_vars",
@@ -218,12 +219,30 @@ class ZeroOrOne(PathExpr):
     path: Any
 
 
+@dataclass(frozen=True)
+class NegSet(PathExpr):
+    """Negated property set ``!(p1|p2|...)`` — one hop along any edge
+    whose predicate is *not* in the set.  Members must be plain
+    (forward) predicate constants — the SPARQL restriction that a
+    negated set contains only IRIs; this engine does not support
+    inverse members inside the negation."""
+
+    preds: Sequence[Any]
+
+    def __init__(self, *preds):
+        if not preds:
+            raise InvalidBgpError(preds)
+        object.__setattr__(self, "preds", tuple(preds))
+
+
 def path_operands(path: Any):
     """The direct operands of a path form (constants or sub-paths)."""
     if isinstance(path, Seq):
         return list(path.steps)
     if isinstance(path, Alt):
         return list(path.alts)
+    if isinstance(path, NegSet):
+        return list(path.preds)
     if isinstance(path, (Inv, OneOrMore, ZeroOrMore, ZeroOrOne)):
         return [path.path]
     return []
@@ -327,7 +346,10 @@ def validate_patterns(patterns: Sequence[Any]) -> None:
     def _check_path(path):
         for op in path_operands(path):
             if isinstance(op, PathExpr):
-                _check_path(op)
+                if isinstance(path, NegSet):
+                    bad_bgp.append(op)  # negated sets hold plain predicates
+                else:
+                    _check_path(op)
             elif is_var(op):
                 # SPARQL restriction: no variables inside a path
                 bad_bgp.append(op)

@@ -41,6 +41,7 @@ from ..patterns import (
     Filter,
     Inv,
     Minus,
+    NegSet,
     NotExists,
     OneOrMore,
     Optional,
@@ -122,6 +123,9 @@ def _path_est(path, stats, total: float) -> float:
         return sum(_path_est(a, stats, total) for a in path.alts)
     if isinstance(path, (OneOrMore, ZeroOrMore, ZeroOrOne)):
         return float(total) * 100.0
+    if isinstance(path, NegSet):
+        excluded = sum(_path_est(p, stats, total) for p in path.preds)
+        return max(float(total) - excluded, 0.0)
     k = to_term(const_value(path))
     return float(stats.get((k[0], k[1]), total))
 

@@ -144,3 +144,41 @@ def test_path_validation_errors(db):
         Seq(KNOWS)  # sequence needs >= 2 steps
     with pytest.raises(InvalidBgpError):
         Alt()
+
+
+def test_negated_property_set(db):
+    from matcha_spark.patterns import NegSet
+
+    # every edge that is not :knows
+    got = _pairs(db, NegSet(KNOWS))
+    assert got == {(A, X), (B, "bee")}
+    # !(knows|likes) leaves only the name edge
+    assert _pairs(db, NegSet(KNOWS, LIKES)) == {(B, "bee")}
+    # composes with other operators: one non-name hop then a knows hop
+    assert _pairs(db, Seq(NegSet(NAME), KNOWS)) == {(A, C), (B, D), (B, A), (C, B)}
+    with pytest.raises(InvalidBgpError):
+        NegSet()
+    with pytest.raises(InvalidBgpError):
+        select(["?o"], [("?s", NegSet(Seq(KNOWS, KNOWS)), "?o")], db)
+
+
+def test_path_inside_optional(db):
+    """Paths compose with OPTIONAL blocks (the block recurses into the
+    same compiler): reach set is optional per subject."""
+    from matcha_spark.patterns import Optional as Opt
+
+    rows = select(
+        ["?s", "?r"],
+        [
+            ("?s", KNOWS, "?t"),  # subjects with an out-edge: a, b, c
+            Opt([("?s", Seq(KNOWS, KNOWS, KNOWS, NAME), "?r")]),
+        ],
+        db,
+    )
+    from matcha_spark.terms import Unbound
+
+    got = {tuple(r) for r in rows}
+    # knows³ self-loops land only b back on itself, so only b reaches
+    # the name leaf; a and c keep unbound markers (optional never drops)
+    assert {(s, r) for s, r in got if not isinstance(r, Unbound)} == {(B, "bee")}
+    assert {s for s, _ in got} == {A, B, C}
