@@ -93,6 +93,16 @@ def main() -> None:
     bench("q3_top_revenue", lambda: force(R.q3_top_unshipped_revenue(spark, SF_DIR)))
     bench("q5_nation_revenue", lambda: force(R.q5_nation_revenue(spark, SF_DIR)))
     bench("q6_forecast_revenue", lambda: force(R.q6_forecast_revenue(spark, SF_DIR)))
+    # TPC-H completion (r07) — one per distinctive plan shape: 8-way
+    # dim-pruned join (q8), returned-items top-k (q10), left-outer double
+    # agg (q13), distinct-count agg (q16), pre-agg⋈fact (q18),
+    # decorrelated exists/not-exists (q21)
+    bench("q8_market_share", lambda: force(R.q8_market_share(spark, SF_DIR)))
+    bench("q10_returned_items", lambda: force(R.q10_returned_items(spark, SF_DIR)))
+    bench("q13_customer_distribution", lambda: force(R.q13_customer_distribution(spark, SF_DIR)))
+    bench("q16_supplier_part_counts", lambda: force(R.q16_supplier_part_counts(spark, SF_DIR)))
+    bench("q18_large_volume_customers", lambda: force(R.q18_large_volume_customers(spark, SF_DIR)))
+    bench("q21_waiting_suppliers", lambda: force(R.q21_waiting_suppliers(spark, SF_DIR)))
     bench("topk_orders_per_customer", lambda: force(R.topk_orders_per_customer(spark, SF_DIR)))
     bench("events_sessionize", lambda: force(R.events_sessionize(spark, SF_DIR)))
     bench("events_sessionize_native", lambda: force(R.events_sessionize_native(spark, SF_DIR)))

@@ -32,6 +32,20 @@ __all__ = [
     "q22_idle_customers",
     "q2_min_cost_supplier",
     "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_part_value_concentration",
+    "q12_late_shipments",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
 ]
 
 
@@ -548,3 +562,482 @@ def events_funnel(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("step_idx")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion (q8–q21, schema-adapted)
+#
+# The test tables carry a trimmed TPC-H schema (no partsupp; lineitem has
+# no commitdate/receiptdate/shipmode; part has no container).  Each query
+# below keeps the *plan shape* its TPC-H number is famous for — that is
+# what the engine is exercised on — and documents where a predicate or
+# cost column was re-derived from the available columns.
+# ---------------------------------------------------------------------------
+
+
+def _revenue():
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(18,2)")
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style national market share: of all PROMO-part volume
+    sold into AMERICA-region customers over two years, the fraction
+    supplied by one nation, per order year.
+
+    Plan shape: the 8-way join tree prunes the two fact shuffles early —
+    part (filtered, ~1/6 survives) broadcasts into lineitem before
+    orders/customer join in, and the two nation dims + region are
+    broadcast (fixed 25/5 rows at any SF).  The share is a conditional
+    aggregate over one grouped pass, not a self-join of two aggregates."""
+    t = load_tables(
+        spark, sf_dir, "part", "supplier", "lineitem", "orders",
+        "customer", "nation", "region",
+    )
+    part = t["part"].where(F.col("p_type") == "PROMO").select("p_partkey")
+    orders = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust_nation = t["nation"].select("n_nationkey", "n_regionkey")
+    region = t["region"].where(F.col("r_name") == "AMERICA")
+    supp_nation = t["nation"].select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = _revenue()
+    return (
+        t["lineitem"]
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(
+                    F.lit(0).cast("decimal(18,2)")
+                )).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style profit by supplier nation and year for one part
+    family.  No partsupp in the trimmed schema, so supply cost is
+    re-derived as 60% of p_retailprice per unit (fixed-margin proxy;
+    the plan — part-filtered fact join + two-key hash aggregate — is
+    unchanged).  part is brand-filtered and broadcast; nation (25 rows)
+    is broadcast; lineitem shuffles once for the group-by."""
+    t = load_tables(spark, sf_dir, "part", "supplier", "lineitem", "nation")
+    part = t["part"].where(F.col("p_name").like("%widget%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    # narrow decimal precisions keep the 3-factor product + subtraction
+    # under precision 38 (Spark would otherwise *round* the result type,
+    # engine-specifically); values fit decimal(12,2) with huge headroom
+    ext = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    profit = ext * (1 - disc) - (
+        F.col("p_retailprice").cast("decimal(12,2)")
+        * F.lit(0.6).cast("decimal(3,2)")
+        * F.col("l_quantity").cast("decimal(12,2)")
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year"))
+        .agg(F.round(F.sum(profit).cast("double"), 2).alias("sum_profit"))
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style returned-item report: top-20 customers by revenue
+    on returned lines (l_returnflag = 'R') for orders placed in one
+    quarter.  orders is date-pruned before joining lineitem; the final
+    top-20 is TakeOrderedAndProject (no global sort materialization)."""
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    orders = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = t["lineitem"].where(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q11_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style value concentration: parts whose traded value
+    (from lineitem — the trimmed schema has no partsupp stock) exceeds a
+    fixed fraction of total traded value for one region's suppliers.
+
+    Plan shape preserved from Q11: a grouped aggregate filtered against
+    a scalar global aggregate of the *same* pre-aggregated input — the
+    per-part table is computed once (memo_persist) and feeds both the
+    total (one extra scalar agg over ~|part| rows) and the HAVING join;
+    the lineitem fact is scanned once, not twice."""
+    from .cache import memo_persist
+
+    t = load_tables(spark, sf_dir, "supplier", "lineitem", "nation", "region")
+    nations = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey")
+    )
+    supp = t["supplier"].join(
+        F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    per_part = memo_persist(
+        t["lineitem"]
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_revenue()).alias("value_dec"))
+    )
+    total = per_part.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        per_part.join(F.broadcast(total))
+        # threshold compare on doubles: a decimal multiply here would
+        # overflow precision 38 and round engine-specifically; double
+        # arithmetic on the two exact sums is bit-deterministic
+        .where(F.col("value_dec").cast("double") > F.col("total_dec").cast("double") * 0.001)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("value_dec").cast("double").alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), F.col("p_partkey"))
+    )
+
+
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style priority split over a shipping dimension.  The
+    trimmed lineitem has no shipmode/commitdate/receiptdate, so the
+    grouping dimension is re-derived as the ship-delay bucket
+    (shipdate − orderdate: 60–120 days vs 120+) for lines shipped in
+    one year; the measure is Q12's verbatim high/low-priority
+    conditional counts.  One orders⋈lineitem join, one grouped pass."""
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(delay >= 60)
+        .groupBy(
+            F.when(delay < 120, "60-119").otherwise("120+").alias("delay_bucket")
+        )
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style customer order-count distribution: LEFT OUTER
+    join customer→orders (so zero-order customers survive with count 0),
+    count per customer, then histogram the counts.  Two hash aggregates;
+    the second groups ~|customer| rows, tiny at any SF.  The Q13 comment
+    filter is re-derived as an order-priority exclusion."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    orders = t["orders"].where(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+    per_cust = (
+        t["customer"]
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promo share: percentage of one month's revenue
+    from PROMO-type parts.  part joins broadcast into the date-pruned
+    lineitem; the share is one conditional aggregate pass."""
+    t = load_tables(spark, sf_dir, "part", "lineitem")
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    vol = _revenue()
+    return (
+        li.join(
+            F.broadcast(t["part"].select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", vol).otherwise(
+                        F.lit(0).cast("decimal(18,2)")
+                    )
+                ).cast("double")
+                / F.sum(vol).cast("double"),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style top supplier: supplier(s) with maximum revenue in
+    one quarter.  The revenue view is computed once (memo_persist) and
+    feeds both the scalar max (broadcast) and the equality filter — the
+    fact table is scanned once, and there is no single-partition global
+    window."""
+    from .cache import memo_persist
+
+    t = load_tables(spark, sf_dir, "supplier", "lineitem")
+    revenue0 = memo_persist(
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_revenue()).alias("total_dec"))
+    )
+    best = revenue0.agg(F.max("total_dec").alias("max_dec"))
+    return (
+        revenue0.join(F.broadcast(best), F.col("total_dec") == F.col("max_dec"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_dec").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style supplier counts per part attribute: distinct
+    suppliers that have shipped each (brand, type, size) combination —
+    re-derived from lineitem since the trimmed schema has no partsupp.
+    part is filter-broadcast; count(DISTINCT) expands to the standard
+    two-phase aggregate (dedup on full key, then count) — no
+    driver-side distinct."""
+    t = load_tables(spark, sf_dir, "part", "lineitem")
+    part = t["part"].where(
+        (F.col("p_brand") != "Brand#5") & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), F.col("p_brand"), F.col("p_type"), F.col("p_size")
+        )
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style small-order revenue: average yearly revenue lost
+    if small-quantity lines (below 20% of the part's average quantity)
+    of one brand were not filled.  The correlated AVG subquery is
+    decorrelated into a window average over the part partition — one
+    shuffle on partkey, one scan of the brand-pruned fact (the naive
+    plan scans it twice and re-joins)."""
+    t = load_tables(spark, sf_dir, "part", "lineitem")
+    part = t["part"].where(F.col("p_brand") == "Brand#3").select("p_partkey")
+    lp = t["lineitem"].join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    w = Window.partitionBy("l_partkey")
+    return (
+        lp.withColumn("avg_qty", F.avg("l_quantity").over(w))
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style large-volume customers: orders whose total
+    quantity exceeds a threshold, with their customer.  The HAVING
+    subquery is a pre-aggregation of lineitem joined back to orders —
+    the aggregate halves the rows entering the join, and the top-100 is
+    TakeOrderedAndProject."""
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_dec"))
+        .where(F.col("qty_dec") > 300)
+    )
+    return (
+        big.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.col("qty_dec").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style disjunctive-predicate revenue: three OR-ed
+    (brand, size-range, quantity-range) arms over the part⋈lineitem
+    join.  Catalyst splits the disjunction per side: the OR of the
+    three (brand AND size-range) arms pushes to the part scan and the
+    OR of the three quantity ranges to the lineitem scan (both visible
+    as Or(...) PushedFilters), with the full cross-side predicate as
+    the join residual — a single broadcast join, not a 3-way union of
+    scans (plan-tested)."""
+    t = load_tables(spark, sf_dir, "part", "lineitem")
+    arm1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(1, 20)
+    )
+    arm2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(11, 20)
+        & F.col("l_quantity").between(10, 30)
+    )
+    arm3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(21, 30)
+        & F.col("l_quantity").between(20, 40)
+    )
+    return (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_brand", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .where(arm1 | arm2 | arm3)
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style dominant suppliers: suppliers in one region that
+    shipped more than half of some small-part's total 1997 quantity.
+    Q20's partsupp availability test is re-derived from shipped
+    quantities: per-(part, supplier) totals vs per-part totals — the
+    per-pair aggregate is computed once (memo_persist) and rolled up to
+    the per-part total, so the fact is scanned once; the final DISTINCT
+    supplier set is a semi-join-shaped dedup on a tiny key set."""
+    from .cache import memo_persist
+
+    t = load_tables(
+        spark, sf_dir, "part", "supplier", "lineitem", "nation", "region"
+    )
+    part = t["part"].where(F.col("p_name").like("small%")).select("p_partkey")
+    li97 = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    per_pair = memo_persist(
+        li97.groupBy("l_partkey", "l_suppkey").agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("pair_qty")
+        )
+    )
+    per_part = per_pair.groupBy("l_partkey").agg(F.sum("pair_qty").alias("part_qty"))
+    dominant = (
+        per_pair.join(per_part, "l_partkey")
+        .where(F.col("pair_qty").cast("double") > F.col("part_qty").cast("double") * 0.5)
+        .select("l_suppkey")
+        .distinct()
+    )
+    nations = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].where(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey")
+    )
+    return (
+        t["supplier"]
+        .join(F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style suppliers-who-kept-orders-waiting: on finished
+    multi-supplier orders, suppliers whose line was returned while no
+    other supplier's line on the same order was ('R' re-derives Q21's
+    receipt-after-commit lateness, absent those columns).
+
+    Q21's EXISTS + NOT EXISTS pair is decorrelated into one per-order
+    aggregate — distinct suppliers and distinct returned-suppliers per
+    order — joined back to the returned (order, supplier) pairs: two
+    hash aggregates and one join instead of two correlated re-probes of
+    lineitem.  Top-20 is TakeOrderedAndProject."""
+    t = load_tables(spark, sf_dir, "supplier", "orders", "lineitem")
+    li = (
+        t["lineitem"]
+        .join(
+            t["orders"].where(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
+    )
+    returned = (
+        li.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        returned.join(per_order, "l_orderkey")
+        .where((F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )

@@ -613,6 +613,21 @@ def dedup_near_emb(spark, sf_dir):
 # When adding a new oracle-backed entry, insert it at the top; after each
 # round, rotate entries the driver just verified toward the back.
 QUERIES = {
+    # new this round (r07): TPC-H completion — never driver-checked
+    "q8_market_share": R.q8_market_share,
+    "q9_product_profit": R.q9_product_profit,
+    "q10_returned_items": R.q10_returned_items,
+    "q11_part_value": R.q11_part_value_concentration,
+    "q12_late_shipments": R.q12_late_shipments,
+    "q13_customer_distribution": R.q13_customer_distribution,
+    "q14_promo_revenue": R.q14_promo_revenue,
+    "q15_top_supplier": R.q15_top_supplier,
+    "q16_supplier_part_counts": R.q16_supplier_part_counts,
+    "q17_small_qty_revenue": R.q17_small_quantity_revenue,
+    "q18_large_volume_customers": R.q18_large_volume_customers,
+    "q19_disjunctive_revenue": R.q19_disjunctive_revenue,
+    "q20_excess_suppliers": R.q20_excess_suppliers,
+    "q21_waiting_suppliers": R.q21_waiting_suppliers,
     # new this round (r07): property paths — never driver-checked
     "bgp_path_region_members": bgp_path_region_members,
     "bgp_path_reach_urgent": bgp_path_reach_urgent,
@@ -731,6 +746,196 @@ def _jaccard_pairs_ctes(cap: int, threshold: float) -> str:
         )"""
 
 ORACLES = {
+    "q8_market_share": """
+        WITH vols AS (
+            SELECT year(o_orderdate) AS o_year,
+                   CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS vol,
+                   n2.n_name AS supp_nation
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+        )
+        SELECT o_year,
+               round(CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN vol
+                                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                     / CAST(sum(vol) AS DOUBLE), 6) AS mkt_share
+        FROM vols GROUP BY 1 ORDER BY 1
+    """,
+    "q9_product_profit": """
+        SELECT n_name AS nation, year(l_shipdate) AS o_year,
+               round(CAST(sum(
+                   CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                   - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(0.6 AS DECIMAL(3,2))
+                     * CAST(l_quantity AS DECIMAL(12,2))
+               ) AS DOUBLE), 2) AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY 1, 2 ORDER BY nation, o_year DESC
+    """,
+    "q10_returned_items": """
+        SELECT c_custkey, c_name, c_acctbal, n_name AS nation,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-04-01'
+        GROUP BY 1, 2, 3, 4
+        ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    "q11_part_value": """
+        WITH per_part AS (
+            SELECT l_partkey,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS value_dec
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+            GROUP BY 1
+        ), total AS (SELECT sum(value_dec) AS total_dec FROM per_part)
+        SELECT l_partkey AS p_partkey, CAST(value_dec AS DOUBLE) AS part_value
+        FROM per_part, total
+        WHERE CAST(value_dec AS DOUBLE) > CAST(total_dec AS DOUBLE) * 0.001
+        ORDER BY part_value DESC, p_partkey
+    """,
+    "q12_late_shipments": """
+        SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) < 120
+                    THEN '60-119' ELSE '120+' END AS delay_bucket,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND datediff('day', o_orderdate, l_shipdate) >= 60
+        GROUP BY 1 ORDER BY 1
+    """,
+    "q13_customer_distribution": """
+        WITH per_cust AS (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer
+            LEFT OUTER JOIN orders ON c_custkey = o_custkey
+                 AND o_orderpriority <> '4-NOT SPECIFIED'
+            GROUP BY 1
+        )
+        SELECT c_count, count(*) AS custdist
+        FROM per_cust GROUP BY 1
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "q14_promo_revenue": """
+        SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS promo_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+          AND l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+    "q15_top_supplier": """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_dec
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1997-04-01'
+            GROUP BY 1
+        )
+        SELECT s_suppkey, s_name, CAST(total_dec AS DOUBLE) AS total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_dec = (SELECT max(total_dec) FROM rev)
+        ORDER BY s_suppkey
+    """,
+    "q16_supplier_part_counts": """
+        SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#5' AND p_size IN (1, 5, 10, 15, 20, 25)
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    "q17_small_qty_revenue": """
+        WITH lp AS (
+            SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#3'
+        ), withavg AS (
+            SELECT *, avg(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty FROM lp
+        )
+        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+        FROM withavg WHERE l_quantity < 0.2 * avg_qty
+    """,
+    "q18_large_volume_customers": """
+        WITH big AS (
+            SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec
+            FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300
+        )
+        SELECT c_custkey, c_name, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               round(o_totalprice, 2) AS o_totalprice,
+               CAST(qty_dec AS DOUBLE) AS sum_qty
+        FROM big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    "q19_disjunctive_revenue": """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 20 AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 21 AND 30 AND l_quantity BETWEEN 20 AND 40)
+    """,
+    "q20_excess_suppliers": """
+        WITH per_pair AS (
+            SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS pair_qty
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_name LIKE 'small%'
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2
+        ), per_part AS (
+            SELECT l_partkey, sum(pair_qty) AS part_qty FROM per_pair GROUP BY 1
+        ), dominant AS (
+            SELECT DISTINCT l_suppkey
+            FROM per_pair JOIN per_part USING (l_partkey)
+            WHERE CAST(pair_qty AS DOUBLE) > CAST(part_qty AS DOUBLE) * 0.5
+        )
+        SELECT s_suppkey, s_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
+        ORDER BY s_suppkey
+    """,
+    "q21_waiting_suppliers": """
+        WITH li AS (
+            SELECT l_orderkey, l_suppkey, l_returnflag
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+        ), per_order AS (
+            SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+                   count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_ret_supp
+            FROM li GROUP BY 1
+        ), returned AS (
+            SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE l_returnflag = 'R'
+        )
+        SELECT s_name, numwait FROM (
+            SELECT l_suppkey, count(*) AS numwait
+            FROM returned JOIN per_order USING (l_orderkey)
+            WHERE n_supp >= 2 AND n_ret_supp = 1
+            GROUP BY 1
+        ) JOIN supplier ON l_suppkey = s_suppkey
+        ORDER BY numwait DESC, s_name LIMIT 20
+    """,
     "q4_order_priority": """
         SELECT o_orderpriority, count(*) AS order_count
         FROM orders

@@ -274,3 +274,79 @@ def test_stratified_sample_matches_single_window(spark):
             tuple(r) for r in stratified_sample(docs, 7, buckets=buckets).collect()
         )
         assert got == expected, f"buckets={buckets} diverged"
+
+
+def test_q19_disjunction_pushed_to_both_scans(spark):
+    """Catalyst splits the 3-arm OR per side: each scan's PushedFilters
+    carries the OR of its own columns' ranges, and the join is a single
+    broadcast hash join (not a union of three scans)."""
+    from matcha_spark import relational as R
+
+    plan = _plan(R.q19_disjunctive_revenue(spark, SF_DIR))
+    scans = [s for s in plan.split("FileScan parquet")[1:]]
+    li = next(s for s in scans if "lineitem" in s[:400])
+    pt = next(s for s in scans if "part.parquet" in s[:400])
+    assert "Or(" in li.split("PushedFilters")[1][:300]
+    assert "Or(" in pt.split("PushedFilters")[1][:300]
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_q18_preaggregates_before_join(spark):
+    """The HAVING pre-aggregation of lineitem happens BELOW the join
+    (aggregate first, then join the survivors) and the lineitem scan is
+    pruned to the 2 referenced columns."""
+    from matcha_spark import relational as R
+
+    plan = _plan(R.q18_large_volume_customers(spark, SF_DIR))
+    join_at = plan.find("Join")
+    agg_at = plan.find("HashAggregate(keys=[l_orderkey")
+    assert join_at != -1 and agg_at != -1 and agg_at > join_at  # agg deeper
+    li_scan = next(s for s in plan.split("FileScan parquet")[1:] if "lineitem" in s[:400])
+    rs = li_scan.split("ReadSchema")[1][:200]
+    assert "l_extendedprice" not in rs and "l_shipdate" not in rs
+
+
+def test_q13_left_outer_with_partial_aggs(spark):
+    from matcha_spark import relational as R
+
+    plan = _plan(R.q13_customer_distribution(spark, SF_DIR))
+    assert "LeftOuter" in plan
+    # both group-bys run partial+final (4 HashAggregate nodes)
+    assert plan.count("HashAggregate") >= 4
+    # the priority exclusion reaches the orders scan
+    ord_scan = next(s for s in plan.split("FileScan parquet")[1:] if "orders" in s[:400])
+    assert "o_orderpriority" in ord_scan.split("PushedFilters")[1][:300]
+
+
+def test_q21_decorrelated_no_cartesian(spark):
+    """Q21's EXISTS/NOT-EXISTS pair is one per-order aggregate joined
+    back — no cartesian/nested-loop re-probe of lineitem, and the 'R'
+    and status filters reach the scans."""
+    from matcha_spark import relational as R
+
+    plan = _plan(R.q21_waiting_suppliers(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "EqualTo(o_orderstatus,F)" in plan
+
+
+def test_q15_q11_q20_single_fact_scan(spark):
+    """memo_persist contract: the revenue/per-pair pre-aggregate feeds
+    both the scalar total and the filter join off ONE lineitem scan —
+    the second consumer reads the InMemoryRelation, not the parquet."""
+    from matcha_spark import relational as R
+
+    for q in (
+        R.q15_top_supplier,
+        R.q11_part_value_concentration,
+        R.q20_excess_suppliers,
+    ):
+        plan = _plan(q(spark, SF_DIR))
+        # both consumers (scalar agg + filter join) read the persisted
+        # pre-aggregate; a broken memo gives each its own FileScan and
+        # zero InMemoryTableScans.  (Counting raw FileScan fragments
+        # would overcount: InMemoryRelation prints its cached plan —
+        # including the one true fact scan — inline.)
+        assert plan.count("InMemoryTableScan") >= 2, q.__name__
