@@ -23,7 +23,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["l2_norms", "cosine_topk", "lsh_bucketed_topk", "ivf_topk", "sign_buckets"]
+__all__ = [
+    "l2_norms",
+    "cosine_topk",
+    "lsh_bucketed_topk",
+    "ivf_topk",
+    "sign_buckets",
+    "train_kmeans_centroids",
+    "assign_cells",
+]
 
 
 def _dot(a: str, b: str):
@@ -203,6 +211,91 @@ def lsh_bucketed_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def train_kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    sample_size: int = 4096,
+    iters: int = 10,
+):
+    """Seeded spherical k-means on a bounded corpus sample; returns the
+    (n_centroids, dim) float64 centroid matrix (rows unit-normalized, so
+    nearest-centroid = argmax dot product).
+
+    The sample is a deterministic pseudo-random draw: order by a seeded
+    hash of the id and take the first N — one TakeOrderedAndProject
+    pass, unbiased w.r.t. the corpus's storage order (a bare ``limit()``
+    takes the head of the first partition, so on sorted/partitioned
+    corpora the quantizer would train on one slice of the distribution).
+    Training is driver-side on the sample only — classic IVF/SemDeDup
+    practice; never a full corpus pass."""
+    import numpy as np
+
+    sample = np.array(
+        [
+            list(r[0])
+            for r in corpus.select(
+                vec_col, F.xxhash64(id_col, F.lit(seed)).alias("__r")
+            )
+            .orderBy("__r")
+            .limit(sample_size)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    n = np.linalg.norm(sample, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    sample = sample / n
+    rng = np.random.default_rng(seed)
+    cents = sample[
+        rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)
+    ]
+    for _ in range(iters):
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 0:
+                    cents[c] = m / norm
+    return cents
+
+
+def assign_cells(
+    corpus: DataFrame,
+    cents,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid: one linear
+    Arrow-batched pass, one numpy matmul per batch — returns
+    ``(id, cell, vec)``.  The centroid matrix ships to executors inside
+    the serialized closure (n_centroids × dim floats — KBs to low MBs,
+    broadcast-sized by construction)."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            n = np.linalg.norm(m, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "cell": np.argmax((m / n) @ cents.T, axis=1).astype(np.int32),
+                    "vec": pdf[vec_col],
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        kernel, schema="id long, cell int, vec array<float>"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -226,55 +319,24 @@ def ivf_topk(
     with ``n_probe`` (== n_centroids → exact).  Vectors are cosine-
     normalized, so nearest-centroid = argmax dot product."""
     import numpy as np
-    import pandas as pd
+
+    cents = train_kmeans_centroids(
+        corpus,
+        n_centroids,
+        vec_col=vec_col,
+        id_col="vec_id",
+        seed=seed,
+        sample_size=sample_size,
+        iters=kmeans_iters,
+    )
+    c = assign_cells(corpus, cents, vec_col=vec_col, id_col="vec_id").select(
+        F.col("id").alias("n_id"), "cell", F.col("vec").alias("n_vec")
+    )
 
     def _normalize(m):
         n = np.linalg.norm(m, axis=1, keepdims=True)
         n[n == 0] = 1.0
         return m / n
-
-    # deterministic pseudo-random sample: order by a seeded hash of the
-    # whole row and take the first N — one TakeOrderedAndProject pass,
-    # unbiased w.r.t. the corpus's storage order (a bare limit() takes
-    # the head of the first partition, so on sorted/partitioned corpora
-    # the quantizer would train on one slice of the distribution)
-    sample = np.array(
-        [
-            list(r[0])
-            for r in corpus.select(vec_col, F.xxhash64("vec_id", F.lit(seed)).alias("__r"))
-            .orderBy("__r")
-            .limit(sample_size)
-            .collect()
-        ],
-        dtype=np.float64,
-    )
-    sample = _normalize(sample)
-    rng = np.random.default_rng(seed)
-    cents = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
-    for _ in range(kmeans_iters):
-        assign = np.argmax(sample @ cents.T, axis=1)
-        for c in range(len(cents)):
-            members = sample[assign == c]
-            if len(members):
-                m = members.mean(axis=0)
-                norm = np.linalg.norm(m)
-                if norm > 0:
-                    cents[c] = m / norm
-
-    def assign_cells(batches):
-        for pdf in batches:
-            m = _normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
-            yield pd.DataFrame(
-                {
-                    "n_id": pdf["vec_id"].to_numpy(dtype=np.int64),
-                    "cell": np.argmax(m @ cents.T, axis=1).astype(np.int32),
-                    "n_vec": pdf[vec_col],
-                }
-            )
-
-    c = corpus.select("vec_id", vec_col).mapInPandas(
-        assign_cells, schema=f"n_id long, cell int, n_vec array<float>"
-    )
 
     qrows = queries.select("vec_id", vec_col).collect()
     q_ids = [r[0] for r in qrows]

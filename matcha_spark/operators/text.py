@@ -29,6 +29,7 @@ __all__ = [
     "bm25_search",
     "repetition_signals",
     "corpus_sketch_stats",
+    "dup_ngram_stats",
 ]
 
 # tiny in-query stopword lists for the heuristic scorers
@@ -520,4 +521,67 @@ def corpus_sketch_stats(
         F.count(F.lit(1)).alias("n_docs"),
         F.approx_count_distinct(F.md5(norm), rsd).alias("approx_unique_docs"),
         *qcols,
+    )
+
+
+def dup_ngram_stats(
+    docs: DataFrame, n: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Per-document duplicated-n-gram statistics — the exact-substring
+    dedup signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499) at word-n-gram
+    granularity: a position is *duplicated* if its n-gram occurs more
+    than once in the whole corpus (any document, including repeats
+    within the same one).
+
+    Output: ``(doc_id, n_grams, dup_grams, dup_ratio)`` for every input
+    document (docs shorter than ``n`` tokens report 0/0/0.0).  Filter on
+    ``dup_ratio`` to drop boilerplate-heavy documents, or feed
+    ``dup_grams`` into a quality score.
+
+    Scale shape: sliding n-grams via a JVM higher-order ``transform``
+    over token indexes (no Python), then two hash aggregates — per
+    (doc, gram) counts, rolled up to per-gram corpus totals — and one
+    join back; never pairwise.  Grams are carried as text here so the
+    result is engine-portable (DuckDB-oracled); at corpus scale swap the
+    gram for ``xxhash64(gram)`` so the shuffle key is 8 bytes (the
+    suffix-array variant of the paper is I/O-bound on the same
+    aggregate-join shape)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    grams = F.expr(
+        f"transform(sequence(1, size({'__toks'}) - {n} + 1),"
+        f" i -> array_join(slice(__toks, i, {n}), ' '))"
+    )
+    per_doc_gram = (
+        docs.select("doc_id", toks.alias("__toks"))
+        .where(F.size("__toks") >= n)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = per_doc_gram.groupBy("gram").agg(F.sum("c").alias("total"))
+    per_doc = (
+        per_doc_gram.join(totals, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.sum(F.when(F.col("total") > 1, F.col("c")).otherwise(0)).alias(
+                "dup_grams"
+            ),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("dup_grams", F.lit(0)).alias("dup_grams"),
+            F.round(
+                F.when(
+                    F.coalesce("n_grams", F.lit(0)) == 0, F.lit(0.0)
+                ).otherwise(F.col("dup_grams") / F.col("n_grams")),
+                6,
+            ).alias("dup_ratio"),
+        )
     )

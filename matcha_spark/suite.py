@@ -504,6 +504,21 @@ def doc_repetition(spark, sf_dir):
     return T.repetition_signals(load_tables(spark, sf_dir, "documents")["documents"])
 
 
+def doc_dup_ngrams(spark, sf_dir):
+    """Exact duplicated-5-gram scoring (Lee et al.-style substring-dup
+    signal; oracle: same two-aggregate plan in SQL)."""
+    return T.dup_ngram_stats(
+        load_tables(spark, sf_dir, "documents")["documents"], n=5
+    )
+
+
+def emb_semdedup(spark, sf_dir):
+    # SemDeDup semantic prune: rows-only (seeded Spark-side k-means);
+    # invariants + planted-dup recall pinned in pytest
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return D.semdedup(emb, threshold=0.4, n_clusters=8)
+
+
 def doc_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(
         load_tables(spark, sf_dir, "documents")["documents"],
@@ -613,6 +628,8 @@ def dedup_near_emb(spark, sf_dir):
 # When adding a new oracle-backed entry, insert it at the top; after each
 # round, rotate entries the driver just verified toward the back.
 QUERIES = {
+    # new this round (r07): LLM-pipeline curation — never driver-checked
+    "doc_dup_ngrams": doc_dup_ngrams,
     # new this round (r07): TPC-H completion — never driver-checked
     "q8_market_share": R.q8_market_share,
     "q9_product_profit": R.q9_product_profit,
@@ -702,6 +719,7 @@ QUERIES = {
     "emb_lsh_topk": emb_lsh_topk,
     "emb_ivf_topk": emb_ivf_topk,
     "emb_dup_pairs_lsh": emb_dup_pairs_lsh,
+    "emb_semdedup": emb_semdedup,
 }
 
 _EN = "'the','a','and','of','to','in','is','that','it','for'"
@@ -746,6 +764,31 @@ def _jaccard_pairs_ctes(cap: int, threshold: float) -> str:
         )"""
 
 ORACLES = {
+    "doc_dup_ngrams": """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        ), grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(len(t) - 4),
+                          i -> array_to_string(t[i + 1 : i + 5], ' '))) AS gram
+            FROM toks WHERE len(t) >= 5
+        ), pdg AS (
+            SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2
+        ), tot AS (
+            SELECT gram, sum(c) AS total FROM pdg GROUP BY 1
+        ), per_doc AS (
+            SELECT doc_id, sum(c) AS n_grams,
+                   sum(CASE WHEN total > 1 THEN c ELSE 0 END) AS dup_grams
+            FROM pdg JOIN tot USING (gram) GROUP BY 1
+        )
+        SELECT d.doc_id,
+               coalesce(n_grams, 0) AS n_grams,
+               coalesce(dup_grams, 0) AS dup_grams,
+               round(CASE WHEN coalesce(n_grams, 0) = 0 THEN 0.0
+                          ELSE dup_grams * 1.0 / n_grams END, 6) AS dup_ratio
+        FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+    """,
     "q8_market_share": """
         WITH vols AS (
             SELECT year(o_orderdate) AS o_year,

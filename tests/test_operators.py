@@ -522,3 +522,57 @@ def test_minhash_bucket_cap_bounds_hot_buckets(spark):
     }
     assert (100, 101) in capped  # real near-dup survives
     assert not any(a < 40 and b < 40 for a, b in capped)  # flood pairs gone
+
+
+def test_semdedup_planted_and_invariants(spark):
+    """SemDeDup on the planted corpus: near-dup pairs at cosine ≈ 0.999
+    land in the same k-means cell (they are ~0° apart, far closer to
+    each other than to any centroid boundary at this scale), so the
+    greedy prune drops the higher id of each pair; every other vector
+    is kept.  Also pins the structural invariants: one row per input,
+    dup_of NULL iff kept, dup_of is a kept lower id in the same
+    cluster, and determinism across runs."""
+    emb = _planted_embeddings(spark)
+    out = D.semdedup(emb, threshold=0.95, n_clusters=4).collect()
+    assert len(out) == 43
+    by_id = {r.vec_id: r for r in out}
+    # planted dups removed, shadowed by their source
+    assert not by_id[41].keep and by_id[41].dup_of == 0
+    assert not by_id[42].keep and by_id[42].dup_of == 1
+    # 43 ~ 1 too, but 42 (≈ same point) may shadow it first — either way
+    # the keeper must be the cluster representative 1
+    assert not by_id[43].keep and by_id[43].dup_of in (1, 42)
+    kept = {r.vec_id for r in out if r.keep}
+    assert kept == set(range(40))  # all originals survive
+    for r in out:
+        if r.keep:
+            assert r.dup_of is None
+        else:
+            assert r.dup_of in by_id and by_id[r.dup_of].keep
+            assert by_id[r.dup_of].cluster == r.cluster
+            assert r.dup_of < r.vec_id
+    again = {(r.vec_id, r.keep, r.dup_of) for r in D.semdedup(emb, threshold=0.95, n_clusters=4).collect()}
+    assert again == {(r.vec_id, r.keep, r.dup_of) for r in out}
+
+
+def test_dup_ngram_stats_planted(spark):
+    """A 5-gram shared by two docs (and repeated within one) marks all
+    its positions duplicated; unique tails don't.  Short docs report
+    0/0/0.0."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e unique tail one"),
+            (2, "a b c d e different ending here"),
+            (3, "x y z w v a b c d e a b c d e"),  # shared gram twice
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in T.dup_ngram_stats(docs, n=5).collect()}
+    assert rows[4].n_grams == 0 and rows[4].dup_grams == 0 and rows[4].dup_ratio == 0.0
+    # doc 1: grams at positions 1..4 -> 4 grams; only 'a b c d e' duplicated
+    assert rows[1].n_grams == 4 and rows[1].dup_grams == 1
+    assert rows[2].n_grams == 4 and rows[2].dup_grams == 1
+    # doc 3: 15 tokens -> 11 grams; 'a b c d e' occurs at pos 6 and 11
+    assert rows[3].n_grams == 11 and rows[3].dup_grams == 2
+    assert abs(rows[3].dup_ratio - 2 / 11) < 1e-6
