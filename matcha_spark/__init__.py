@@ -42,6 +42,7 @@ from .query import (
     construct_db,
     select,
     select_1,
+    select_agg,
     select_df,
 )
 from .session import get_spark
@@ -68,6 +69,7 @@ __all__ = [
     "merge_dbs",
     "select",
     "select_1",
+    "select_agg",
     "select_df",
     "ask",
     "construct",

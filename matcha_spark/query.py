@@ -47,6 +47,7 @@ __all__ = [
     "select",
     "select_1",
     "select_df",
+    "select_agg",
     "ask",
     "construct",
     "construct_1",
@@ -182,6 +183,113 @@ def select_df(project_vars, patterns, db, bag_semantics: bool = False) -> DataFr
     patterns = _normalize_patterns(patterns)
     pvars = [var_name(v) for v in project_vars] if project_vars else find_vars(patterns)
     return _solve_projected(db, patterns, pvars, bag=bag_semantics)
+
+
+_AGG_NUMERIC_KINDS = ("int", "double")
+
+
+def select_agg(
+    group_vars,
+    aggs: dict,
+    patterns,
+    db=None,
+    concat_sep: str = " ",
+) -> DataFrame:
+    """SPARQL 1.1-style ``GROUP BY`` + aggregates over BGP solutions
+    (the reference has no aggregation verb; this is the Spark-native
+    extension the relational layer's ``groupBy`` suggests, expressed at
+    the query-verb level).
+
+    ``aggs`` maps output column name → ``(op, var)`` with ``op`` one of
+    ``count`` (``var=None`` → COUNT(*)), ``count_distinct``, ``sum``,
+    ``avg``, ``min``, ``max``, ``sample``, ``group_concat``,
+    ``group_concat_distinct``.
+
+    Semantics (SPARQL 1.1 §11, divergences documented):
+
+    - aggregation runs over the solution **multiset** (``bag``
+      solutions — one row per derivation), as SPARQL requires;
+    - ``count(?v)`` counts *bound* bindings (NULL and ``unbound``
+      markers excluded); ``count_distinct`` likewise, distinct by term;
+    - ``sum/avg/min/max`` aggregate the numeric mirror of numeric terms
+      (``int``/``double``); non-numeric bindings are *ignored* rather
+      than erroring the group to unbound as strict SPARQL does — the
+      skip-nulls convention every SQL engine shares;
+    - ``sample`` is the canonical-least bound term (deterministic,
+      unlike SPARQL's implementation-defined SAMPLE) returned as a TERM
+      struct;
+    - ``group_concat`` concatenates the lexical forms sorted
+      canonically (deterministic) with ``concat_sep``.
+
+    Returns a DataFrame: one TERM-struct column per group var plus one
+    plain column per aggregate.  Curried when ``db`` is omitted.  Scale
+    shape: one hash aggregate over the solution stream — partial
+    map-side aggregation applies to every op above except the
+    ``collect_list`` inside ``group_concat``."""
+    if db is None:
+        return lambda db_: select_agg(
+            group_vars, aggs, patterns, db_, concat_sep=concat_sep
+        )
+    patterns = _normalize_patterns(patterns)
+    gvars = [var_name(v) for v in group_vars]
+    for op, v in aggs.values():
+        if v is not None and var_name(v) not in find_vars(patterns):
+            raise ValueError(f"aggregated var {v!r} not bound by any pattern")
+    # aggregate over COMPLETE solutions (every pattern var projected):
+    # SPARQL aggregates see the WHERE clause's solution multiset, one
+    # row per derivation.  Projecting down to the grouped/aggregated
+    # vars first would instead trigger the matcha optional-regroup
+    # (per-group optional value sets), silently collapsing rows an
+    # aggregate must count — e.g. an OPTIONAL var's unbound marker
+    # vanishes whenever its group has one bound value.
+    sols = _solve_projected(db, patterns, find_vars(patterns), bag=True)
+
+    def col(vn):
+        return F.col(f"`{vn}`")
+
+    def bound(vn):
+        return col(vn).isNotNull() & (col(vn)["kind"] != "unbound")
+
+    def num_of(vn):
+        return F.when(
+            bound(vn) & col(vn)["kind"].isin(*_AGG_NUMERIC_KINDS),
+            col(vn)["num"],
+        )
+
+    def lexish(vn):
+        # doubles carry their value in the num mirror (lex is empty)
+        return F.when(col(vn)["kind"] == "double", col(vn)["num"].cast("string")).otherwise(
+            col(vn)["lex"]
+        )
+
+    exprs = []
+    for out, (op, v) in aggs.items():
+        vn = var_name(v) if v is not None else None
+        if op == "count":
+            e = F.count(F.when(bound(vn), F.lit(1))) if vn else F.count(F.lit(1))
+        elif op == "count_distinct":
+            e = F.countDistinct(F.when(bound(vn), col(vn)))
+        elif op in ("sum", "avg", "min", "max"):
+            e = getattr(F, op)(num_of(vn))
+        elif op == "sample":
+            e = F.min(F.when(bound(vn), col(vn)))
+        elif op == "group_concat":
+            e = F.array_join(
+                F.sort_array(F.collect_list(F.when(bound(vn), lexish(vn)))),
+                concat_sep,
+            )
+        elif op == "group_concat_distinct":
+            e = F.array_join(
+                F.array_sort(
+                    F.array_distinct(F.collect_list(F.when(bound(vn), lexish(vn))))
+                ),
+                concat_sep,
+            )
+        else:
+            raise ValueError(f"unknown aggregate op: {op!r}")
+        exprs.append(e.alias(out))
+    grouped = sols.groupBy(*[col(g).alias(g) for g in gvars]) if gvars else sols.groupBy()
+    return grouped.agg(*exprs)
 
 
 def select(*args, db=None, bag_semantics: bool = False):

@@ -19,7 +19,7 @@ from .operators import dedup as D
 from .operators import similarity as S
 from .operators import text as T
 from .patterns import Optional, Values
-from .query import ask, select_df
+from .query import ask, select_agg, select_df
 from .sources.tpch_graph import KW, load_tables, tpch_graph
 
 # bounded LRU over cached derived graphs: a long-lived session querying
@@ -220,6 +220,63 @@ def bgp_ask_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists = ask([("?c", KW["mktsegment"], "BUILDING")], db)
     missing = ask([("?c", KW["mktsegment"], "NO-SUCH-SEGMENT")], db)
     return spark.createDataFrame([(exists, missing)], "found boolean, not_found boolean")
+
+
+def bgp_agg_customers_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-style GROUP BY over BGP solutions (``select_agg``):
+    customers counted per region with distinct segments and a
+    deterministic GROUP_CONCAT of the region's nations; oracle is the
+    equivalent relational aggregate."""
+    db = _graph(spark, sf_dir)
+    out = select_agg(
+        ["?rname"],
+        {
+            "n_customers": ("count", "?c"),
+            "n_segments": ("count_distinct", "?seg"),
+            "nations": ("group_concat_distinct", "?nname"),
+        },
+        [
+            ("?c", KW["nation"], "?n"),
+            ("?c", KW["mktsegment"], "?seg"),
+            ("?n", KW["region"], "?r"),
+            ("?n", KW["name"], "?nname"),
+            ("?r", KW["name"], "?rname"),
+        ],
+        db,
+        concat_sep=",",
+    )
+    return out.select(
+        lex(F.col("`?rname`")).alias("rname"), "n_customers", "n_segments", "nations"
+    )
+
+
+def bgp_agg_urgent_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric aggregates (sum/avg/max over the int okey terms) grouped
+    by the customer's nation, over the urgent-orders graph variant."""
+    db = _graph(spark, sf_dir, include_orders=True, order_priority="1-URGENT")
+    out = select_agg(
+        ["?nname"],
+        {
+            "n_orders": ("count", "?o"),
+            "sum_keys": ("sum", "?k"),
+            "avg_key": ("avg", "?k"),
+            "max_key": ("max", "?k"),
+        },
+        [
+            ("?o", KW["customer"], "?c"),
+            ("?o", KW["okey"], "?k"),
+            ("?c", KW["nation"], "?n"),
+            ("?n", KW["name"], "?nname"),
+        ],
+        db,
+    )
+    return out.select(
+        lex(F.col("`?nname`")).alias("nname"),
+        "n_orders",
+        "sum_keys",
+        F.round("avg_key", 4).alias("avg_key"),
+        "max_key",
+    )
 
 
 def bgp_merge_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -628,6 +685,9 @@ def dedup_near_emb(spark, sf_dir):
 # When adding a new oracle-backed entry, insert it at the top; after each
 # round, rotate entries the driver just verified toward the back.
 QUERIES = {
+    # new this round (r07): SPARQL-style aggregation verb — never checked
+    "bgp_agg_customers_by_region": bgp_agg_customers_by_region,
+    "bgp_agg_urgent_orders_by_nation": bgp_agg_urgent_orders_by_nation,
     # new this round (r07): LLM-pipeline curation — never driver-checked
     "doc_dup_ngrams": doc_dup_ngrams,
     # new this round (r07): TPC-H completion — never driver-checked
@@ -764,6 +824,31 @@ def _jaccard_pairs_ctes(cap: int, threshold: float) -> str:
         )"""
 
 ORACLES = {
+    "bgp_agg_customers_by_region": """
+        SELECT r_name AS rname,
+               count(*) AS n_customers,
+               count(DISTINCT c_mktsegment) AS n_segments,
+               string_agg(DISTINCT nm, ',' ORDER BY nm) AS nations
+        FROM (
+            SELECT r_name, c_mktsegment, n_name AS nm
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+        )
+        GROUP BY 1
+    """,
+    "bgp_agg_urgent_orders_by_nation": """
+        SELECT n_name AS nname,
+               count(*) AS n_orders,
+               sum(CAST(o_orderkey AS DOUBLE)) AS sum_keys,
+               round(avg(CAST(o_orderkey AS DOUBLE)), 4) AS avg_key,
+               CAST(max(o_orderkey) AS DOUBLE) AS max_key
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY 1
+    """,
     "doc_dup_ngrams": """
         WITH toks AS (
             SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t

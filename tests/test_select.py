@@ -419,3 +419,130 @@ def test_bag_semantics_optional_collects_without_distinct(spark):
         return sorted(out, key=repr)
 
     assert norm(got) == norm(want_raw)
+
+
+# ---------------------------------------------------------------------------
+# select_agg (SPARQL 1.1-style GROUP BY + aggregates — Spark extension)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def agg_db(spark):
+    from matcha_spark import kw
+
+    trips = []
+    for i in range(6):
+        trips.append((kw(f"item{i}"), kw("cat"), f"c{i % 2}"))
+        trips.append((kw(f"item{i}"), kw("size"), i + 1))
+        trips.append((kw(f"item{i}"), kw("tag"), f"t{i % 3}"))
+    # item6: category but NO size (exercises bound-only counting via optional)
+    trips.append((kw("item6"), kw("cat"), "c0"))
+    # item7: non-numeric 'size' (ignored by numeric aggregates)
+    trips.append((kw("item7"), kw("cat"), "c1"))
+    trips.append((kw("item7"), kw("size"), "not-a-number"))
+    return TriplesDB.from_triples(spark, trips)
+
+
+def _agg_rows(db, aggs, patterns, group=("?cat",), **kw_):
+    from matcha_spark import select_agg
+    from matcha_spark.functions.termcols import lex
+    from pyspark.sql import functions as F
+
+    out = select_agg(list(group), aggs, patterns, db, **kw_)
+    cols = [lex(F.col(f"`{g}`")).alias(g[1:]) for g in group] + [
+        F.col(k) for k in aggs
+    ]
+    return {r[0]: r for r in out.select(*cols).collect()}
+
+
+def test_select_agg_numeric_ops(agg_db):
+    from matcha_spark import kw
+
+    rows = _agg_rows(
+        agg_db,
+        {"n": ("count", "?i"), "total": ("sum", "?sz"),
+         "mean": ("avg", "?sz"), "lo": ("min", "?sz"), "hi": ("max", "?sz")},
+        [("?i", kw("cat"), "?cat"), ("?i", kw("size"), "?sz")],
+    )
+    # c0: items 0,2,4 (sizes 1,3,5); item6 has no size triple -> no solution
+    # c1: items 1,3,5 (sizes 2,4,6) + item7 (non-numeric size, ignored
+    #     by numeric aggs but still a solution row for count)
+    assert rows["c0"].n == 3 and rows["c0"].total == 9.0
+    assert rows["c0"].lo == 1.0 and rows["c0"].hi == 5.0 and rows["c0"].mean == 3.0
+    assert rows["c1"].n == 4  # count counts bound terms, numeric or not
+    assert rows["c1"].total == 12.0 and rows["c1"].mean == 4.0
+
+
+def test_select_agg_count_star_and_optional_unbound(agg_db):
+    from matcha_spark import Optional as Opt, kw
+
+    rows = _agg_rows(
+        agg_db,
+        {"all_rows": ("count", None), "with_size": ("count", "?sz")},
+        [("?i", kw("cat"), "?cat"), Opt([("?i", kw("size"), "?sz")])],
+    )
+    # c0 has 4 items (item6 sizeless -> unbound marker, excluded from
+    # count(?sz) but present in COUNT(*))
+    assert rows["c0"].all_rows == 4 and rows["c0"].with_size == 3
+    assert rows["c1"].all_rows == 4 and rows["c1"].with_size == 4
+
+
+def test_select_agg_concat_sample_distinct(agg_db):
+    from matcha_spark import kw
+
+    rows = _agg_rows(
+        agg_db,
+        {
+            "tags": ("group_concat", "?t"),
+            "utags": ("group_concat_distinct", "?t"),
+            "n_tags": ("count_distinct", "?t"),
+            "first_item": ("sample", "?i"),
+        },
+        [("?i", kw("cat"), "?cat"), ("?i", kw("tag"), "?t")],
+        concat_sep=",",
+    )
+    assert rows["c0"].tags == "t0,t1,t2"  # sorted multiset
+    assert rows["c1"].tags == "t0,t1,t2"
+    assert rows["c0"].utags == "t0,t1,t2" and rows["c0"].n_tags == 3
+    # sample = canonical-least term; items are kw terms -> item0 / item1
+    assert rows["c0"].first_item.lex == "item0"
+    assert rows["c1"].first_item.lex == "item1"
+
+
+def test_select_agg_global_group_and_curried(agg_db):
+    from matcha_spark import kw, select_agg
+
+    q = select_agg([], {"n": ("count", None), "total": ("sum", "?sz")},
+                   [("?i", kw("size"), "?sz")])
+    out = q(agg_db).collect()  # curried form
+    assert len(out) == 1
+    assert out[0].n == 7  # six numeric + one string size triple
+    assert out[0].total == 21.0
+
+
+def test_select_agg_bag_multiplicity(spark):
+    """Aggregates see the solution MULTISET: a value reachable through
+    two derivations counts twice (SPARQL §11 semantics)."""
+    from matcha_spark import kw, select_agg
+
+    db = TriplesDB.from_triples(
+        spark,
+        [
+            (kw("a"), kw("likes"), kw("x")),
+            (kw("b"), kw("likes"), kw("x")),
+            (kw("x"), kw("score"), 10),
+        ],
+    )
+    out = select_agg(
+        [], {"total": ("sum", "?s"), "n": ("count", "?s")},
+        [("?who", kw("likes"), "?x"), ("?x", kw("score"), "?s")], db
+    ).collect()
+    assert out[0].n == 2 and out[0].total == 20.0
+
+
+def test_select_agg_unknown_op(agg_db):
+    from matcha_spark import select_agg, kw
+
+    with pytest.raises(ValueError):
+        select_agg(["?c"], {"x": ("median", "?s")},
+                   [("?i", kw("cat"), "?c")], agg_db)
