@@ -30,6 +30,7 @@ __all__ = [
     "repetition_signals",
     "corpus_sketch_stats",
     "dup_ngram_stats",
+    "cdc_chunks",
 ]
 
 # tiny in-query stopword lists for the heuristic scorers
@@ -584,4 +585,114 @@ def dup_ngram_stats(
                 6,
             ).alias("dup_ratio"),
         )
+    )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    avg_size: int = 64,
+    min_size: int | None = None,
+    max_size: int | None = None,
+    text_col: str = "text",
+    window: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Content-defined chunking (gear-hash CDC, the FastCDC family):
+    split each document's UTF-8 bytes at positions where a rolling hash
+    of the last ``window`` bytes hits a boundary pattern, subject to
+    ``min_size``/``max_size`` (defaults ``avg_size // 4`` and
+    ``avg_size * 8``).
+
+    Boundaries depend only on *local content*, so an insertion near the
+    start of a document shifts only the chunks it touches — downstream
+    chunk-hash dedup then recognizes every later chunk unchanged (the
+    property fixed-size blocking lacks, and the reason CDC is the
+    dedup primitive for storage systems and long-document corpora).
+
+    Output: ``(doc_id, chunk_idx, start, length, chunk_hash)`` with
+    ``chunk_hash`` = md5 of the chunk bytes; chunks partition the
+    document exactly.  Group by ``chunk_hash`` for corpus-level chunk
+    dedup, exactly like :func:`dedup_exact` at document level.
+
+    Scale shape: one Arrow-batched ``mapInPandas`` pass, embarrassingly
+    parallel per document.  The gear hash is computed *vectorized*: the
+    window-truncated recurrence ``h_i = Σ_{k<window} gear[b_{i-k}] <<
+    k`` is a sliding-window dot product (uint64 wrap-around matmul),
+    not a per-byte Python loop; only the sparse boundary-candidate
+    min/max arbitration runs in Python, over candidates (~len/avg)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    lo = avg_size // 4 if min_size is None else min_size
+    hi = avg_size * 8 if max_size is None else max_size
+    if not (0 < lo <= avg_size <= hi):
+        raise ValueError("need 0 < min_size <= avg_size <= max_size")
+    rng = np.random.default_rng(seed)
+    gear = rng.integers(0, 2**63, size=256, dtype=np.uint64)
+    # boundary when the low bits match: P(boundary) = 1/avg -> mean
+    # chunk ~= avg_size (geometric, clipped by lo/hi)
+    mask = np.uint64(max(1, 1 << max(0, int(np.log2(avg_size)))) - 1)
+    shifts = (np.arange(window - 1, -1, -1) % 64).astype(np.uint64)
+    weights = (np.uint64(1) << shifts).astype(np.uint64)  # [2^(w-1) ... 2^0]
+
+    def chunk_one(data: bytes):
+        n = len(data)
+        if n == 0:
+            return []
+        if n <= lo:
+            return [(0, n)]
+        b = np.frombuffer(data, dtype=np.uint8)
+        g = gear[b]
+        if n >= window:
+            sw = np.lib.stride_tricks.sliding_window_view(g, window)
+            h = (sw * weights).sum(axis=1, dtype=np.uint64)  # wraps mod 2^64
+            # h[j] covers bytes j..j+window-1 -> candidate cut AFTER byte
+            # j+window-1, i.e. boundary position j+window
+            cand = np.nonzero((h & mask) == mask)[0] + window
+        else:
+            cand = np.empty(0, dtype=np.int64)
+        cuts = []
+        start = 0
+        ci = 0
+        while True:
+            # skip candidates inside the min-size region (FastCDC's skip)
+            while ci < len(cand) and cand[ci] < start + lo:
+                ci += 1
+            if ci < len(cand) and cand[ci] <= start + hi and cand[ci] < n:
+                cut = int(cand[ci])
+            elif start + hi < n:
+                cut = start + hi  # forced cut at max_size
+            else:
+                cuts.append((start, n - start))
+                break
+            cuts.append((start, cut - start))
+            start = cut
+        return cuts
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, idxs, starts, lens, hashes = [], [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                data = (text or "").encode("utf-8")
+                for i, (s, ln) in enumerate(chunk_one(data)):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    starts.append(s)
+                    lens.append(ln)
+                    hashes.append(hashlib.md5(data[s : s + ln]).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "chunk_idx": pd.Series(idxs, dtype="int32"),
+                    "start": pd.Series(starts, dtype="int64"),
+                    "length": pd.Series(lens, dtype="int64"),
+                    "chunk_hash": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        kernel,
+        schema="doc_id long, chunk_idx int, start long, length long, chunk_hash string",
     )

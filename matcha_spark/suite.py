@@ -569,6 +569,14 @@ def doc_dup_ngrams(spark, sf_dir):
     )
 
 
+def doc_cdc_chunks(spark, sf_dir):
+    # content-defined chunking: rows-only (seeded gear hash is
+    # engine-specific); partition/resync invariants pinned in pytest
+    return T.cdc_chunks(
+        load_tables(spark, sf_dir, "documents")["documents"], avg_size=64
+    )
+
+
 def emb_semdedup(spark, sf_dir):
     # SemDeDup semantic prune: rows-only (seeded Spark-side k-means);
     # invariants + planted-dup recall pinned in pytest
@@ -780,6 +788,7 @@ QUERIES = {
     "emb_ivf_topk": emb_ivf_topk,
     "emb_dup_pairs_lsh": emb_dup_pairs_lsh,
     "emb_semdedup": emb_semdedup,
+    "doc_cdc_chunks": doc_cdc_chunks,
 }
 
 _EN = "'the','a','and','of','to','in','is','that','it','for'"

@@ -187,3 +187,80 @@ def test_sketch_quantile_rank_error_bound(spark):
         hi = toks[min(n - 1, math.ceil((q + eps) * n))]
         assert lo <= val <= hi, f"q={q}: {val} outside rank window [{lo}, {hi}]"
         assert val in toks  # GK returns a genuine observed value
+
+
+def test_cdc_chunks_partition_and_resync(spark):
+    """CDC invariants: chunks exactly partition each document's UTF-8
+    bytes within [min,max] size bounds, and an edit near the start of a
+    document leaves later chunk hashes unchanged (boundary resync — the
+    property fixed-size blocking lacks)."""
+    import numpy as np
+
+    from matcha_spark.operators.text import cdc_chunks
+
+    rng = np.random.default_rng(3)
+    base = " ".join(
+        "".join(chr(97 + c) for c in rng.integers(0, 26, size=5)) for _ in range(400)
+    )
+    docs = spark.createDataFrame(
+        [(1, base), (2, "PREFIX EDIT " + base), (3, "short"), (4, "")],
+        "doc_id long, text string",
+    )
+    rows = cdc_chunks(docs, avg_size=64).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for did, text in [(1, base), (2, "PREFIX EDIT " + base), (3, "short")]:
+        chunks = sorted(by_doc[did], key=lambda r: r.chunk_idx)
+        data = text.encode("utf-8")
+        assert chunks[0].start == 0
+        assert sum(c.length for c in chunks) == len(data)
+        for a, b in zip(chunks, chunks[1:]):
+            assert a.start + a.length == b.start  # contiguous
+        assert all(c.length <= 64 * 8 for c in chunks)
+        assert all(
+            c.length >= 64 // 4 for c in chunks[:-1]
+        ) or len(chunks) == 1  # only the tail may undershoot min
+    assert 4 not in by_doc  # empty doc -> no chunks
+    # resync: doc2 = doc1 with a 12-byte prefix edit; most chunk hashes shared
+    h1 = {c.chunk_hash for c in by_doc[1]}
+    h2 = {c.chunk_hash for c in by_doc[2]}
+    assert len(h1 & h2) >= int(0.7 * len(h1)), (len(h1 & h2), len(h1))
+    # determinism
+    again = {(r.doc_id, r.chunk_idx, r.start, r.length, r.chunk_hash)
+             for r in cdc_chunks(docs, avg_size=64).collect()}
+    assert again == {(r.doc_id, r.chunk_idx, r.start, r.length, r.chunk_hash)
+                     for r in rows}
+
+
+def test_cdc_chunks_dedup_composition(spark):
+    """cdc_chunks → groupBy(chunk_hash) is chunk-level exact dedup: two
+    docs sharing a long run of text share chunk hashes in the middle of
+    that run even when their surroundings differ."""
+    from pyspark.sql import functions as F
+
+    from matcha_spark.operators.text import cdc_chunks
+
+    import numpy as np
+
+    # non-periodic shared run: perfectly periodic text can legitimately
+    # contain zero content-defined cut points (only |period| distinct
+    # hash windows exist), in which case only position-dependent forced
+    # cuts fire and no alignment is possible — the documented CDC
+    # behavior, not a bug
+    rng = np.random.default_rng(9)
+    shared = " ".join(
+        "".join(chr(97 + c) for c in rng.integers(0, 26, size=6)) for _ in range(300)
+    )
+    docs = spark.createDataFrame(
+        [(1, "intro A " + shared + " outro A"), (2, "different intro " + shared)],
+        "doc_id long, text string",
+    )
+    chunks = cdc_chunks(docs, avg_size=64)
+    dup = (
+        chunks.groupBy("chunk_hash")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .count()
+    )
+    assert dup >= 1  # shared run recognized across documents
