@@ -32,10 +32,26 @@ def asof_join(
     right_ts: str,
     right_cols: list[str] | None = None,
     tolerance_s: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with the same
-    ``on`` key and ``right_ts <= left_ts`` (within ``tolerance_s`` if
-    given).  Right columns come back NULL when nothing precedes."""
+    """For each left row, attach the as-of-matching right row with the
+    same ``on`` key (NULL right columns when nothing matches):
+
+    - ``direction='backward'`` (default): latest right with
+      ``right_ts <= left_ts``;
+    - ``'forward'``: earliest right with ``right_ts >= left_ts``;
+    - ``'nearest'``: whichever of the two is closer in time (ties break
+      backward) — both candidates come off the *same* sorted union
+      (same single shuffle; the second window pass re-sorts within
+      partitions, it does not reshuffle).
+
+    ``tolerance_s`` bounds the match distance per direction.  Among
+    multiple right rows at exactly the same timestamp the winner is
+    unspecified — dedupe the reference side to one row per (key, ts)
+    first (as ``relational.asof_events_orders`` does) when that case
+    exists in the data."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
 
     lt = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
@@ -60,41 +76,64 @@ def asof_join(
     )
     u = lt.unionByName(rt)
 
-    # reference rows sort before probe rows at equal timestamps so an
-    # exactly-simultaneous reference row is visible to the probe
-    w = (
-        Window.partitionBy(on)
-        .orderBy(F.col("__ts"), F.col("__side"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = [
-        F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True)
-        .over(w)
-        .alias(f"__r_{c}")
-        for c in right_cols
-    ]
-    carried_ts = (
-        F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True)
-        .over(w)
-        .alias("__r_ts")
-    )
-    u = u.select("*", *carried, carried_ts)
-    out = u.where(F.col("__side") == 1)
-    if tolerance_s is not None:
-        in_tol = (
-            F.unix_timestamp(F.col("__ts")) - F.unix_timestamp(F.col("__r_ts"))
-        ) <= tolerance_s
-        masked = {f"__r_{c}" for c in right_cols}
-        out = out.select(
-            *[
-                F.when(in_tol, F.col(c)).alias(c) if c in masked else F.col(c)
-                for c in out.columns
-            ]
+    ref = F.col("__side") == 0
+
+    def _carry(prefix, w, pick):
+        cols = [
+            pick(F.when(ref, F.col(c)), ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            for c in right_cols
+        ]
+        ts = pick(F.when(ref, F.col("__ts")), ignorenulls=True).over(w).alias(f"{prefix}ts")
+        return cols + [ts]
+
+    extra = []
+    if direction in ("backward", "nearest"):
+        # reference rows sort before probe rows at equal timestamps so an
+        # exactly-simultaneous reference row is visible to the probe
+        wb = (
+            Window.partitionBy(on)
+            .orderBy(F.col("__ts"), F.col("__side"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
+        extra += _carry("__b_", wb, F.last)
+    if direction in ("forward", "nearest"):
+        # mirrored: probe rows sort first at equal timestamps so the
+        # [current, following) frame still sees a simultaneous reference
+        wf = (
+            Window.partitionBy(on)
+            .orderBy(F.col("__ts"), F.col("__side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        extra += _carry("__f_", wf, F.first)
+    u = u.select("*", *extra)
+    out = u.where(F.col("__side") == 1)
+
+    secs = F.unix_timestamp
+    b_dist = secs(F.col("__ts")) - secs(F.col("__b_ts"))
+    f_dist = secs(F.col("__f_ts")) - secs(F.col("__ts"))
+    if direction == "backward":
+        valid = F.col("__b_ts").isNotNull()
+        if tolerance_s is not None:
+            valid = valid & (b_dist <= tolerance_s)
+        picked = {c: F.when(valid, F.col(f"__b_{c}")) for c in right_cols}
+    elif direction == "forward":
+        valid = F.col("__f_ts").isNotNull()
+        if tolerance_s is not None:
+            valid = valid & (f_dist <= tolerance_s)
+        picked = {c: F.when(valid, F.col(f"__f_{c}")) for c in right_cols}
+    else:  # nearest: closer wins, ties break backward
+        valid_b = F.col("__b_ts").isNotNull()
+        valid_f = F.col("__f_ts").isNotNull()
+        if tolerance_s is not None:
+            valid_b = valid_b & (b_dist <= tolerance_s)
+            valid_f = valid_f & (f_dist <= tolerance_s)
+        pick_f = valid_f & (~valid_b | (f_dist < b_dist))
+        picked = {
+            c: F.when(pick_f, F.col(f"__f_{c}")).when(valid_b, F.col(f"__b_{c}"))
+            for c in right_cols
+        }
     keep = [c for c in left.columns]
-    return out.select(
-        *keep, *[F.col(f"__r_{c}").alias(c) for c in right_cols]
-    )
+    return out.select(*keep, *[picked[c].alias(c) for c in right_cols])
 
 
 def range_join(

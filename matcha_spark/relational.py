@@ -353,6 +353,37 @@ def asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def asof_events_orders_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each event picks the customer's *next* order
+    at or after the event timestamp (mirrored union-merge window)."""
+    from .operators.joins import asof_join
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, "events", "orders")
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(F.col("o_orderkey"))
+    orders = (
+        t["orders"]
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("o_custkey", "o_orderdate", "o_orderkey")
+    )
+    ev = t["events"].select("event_id", "user_id", "ts")
+    out = asof_join(
+        ev.withColumnRenamed("user_id", "__key"),
+        orders.withColumnRenamed("o_custkey", "__key"),
+        on="__key",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        F.col("__key").alias("user_id"),
+        F.col("o_orderkey").alias("okey"),
+    ).orderBy("event_id")
+
+
 def segment_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (sort-based, linear interpolation) of account
     balance per market segment."""

@@ -696,6 +696,8 @@ QUERIES = {
     # new this round (r07): SPARQL-style aggregation verb — never checked
     "bgp_agg_customers_by_region": bgp_agg_customers_by_region,
     "bgp_agg_urgent_orders_by_nation": bgp_agg_urgent_orders_by_nation,
+    # new this round (r07): forward as-of direction — never driver-checked
+    "asof_events_orders_forward": R.asof_events_orders_forward,
     # new this round (r07): LLM-pipeline curation — never driver-checked
     "doc_dup_ngrams": doc_dup_ngrams,
     # new this round (r07): TPC-H completion — never driver-checked
@@ -1347,6 +1349,20 @@ ORACLES = {
         UNION ALL
         SELECT 'any', n_name FROM (SELECT n_name FROM cn UNION SELECT n_name FROM sn)
         ORDER BY op, n_name
+    """,
+    "asof_events_orders_forward": """
+        WITH o AS (
+            SELECT o_custkey, o_orderdate, o_orderkey FROM (
+                SELECT o_custkey, o_orderdate, o_orderkey,
+                       row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                          ORDER BY o_orderkey) AS rn
+                FROM orders
+            ) WHERE rn = 1
+        )
+        SELECT e.event_id, e.user_id, o.o_orderkey AS okey
+        FROM events e
+        ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+        ORDER BY e.event_id
     """,
     "asof_events_orders": """
         WITH o AS (

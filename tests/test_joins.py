@@ -211,3 +211,114 @@ def test_resolve_work_dir_raises_on_cluster_without_shared_dir(spark, monkeypatc
 
     with pytest.raises(ValueError, match="shared work directory"):
         graph_mod._resolve_work_dir(FakeSession(), None)
+
+
+def _asof_frames(spark):
+    left = spark.createDataFrame(
+        [(1, "k1", "2024-01-01 10:00:00"), (2, "k1", "2024-01-01 12:00:00"),
+         (3, "k2", "2024-01-01 09:00:00"), (4, "k1", "2024-01-01 11:31:00")],
+        "id long, key string, ts string",
+    ).selectExpr("id", "key", "cast(ts as timestamp) ts")
+    right = spark.createDataFrame(
+        [("k1", "2024-01-01 09:30:00", 100.0), ("k1", "2024-01-01 11:30:00", 200.0),
+         ("k1", "2024-01-01 13:00:00", 250.0), ("k2", "2024-01-01 10:00:00", 300.0)],
+        "key string, rts string, px double",
+    ).selectExpr("key", "cast(rts as timestamp) rts", "px")
+    return left, right
+
+
+def test_asof_forward(spark):
+    left, right = _asof_frames(spark)
+    out = {r["id"]: r["px"] for r in asof_join(
+        left, right, on="key", left_ts="ts", right_ts="rts", direction="forward"
+    ).collect()}
+    assert out[1] == 200.0  # earliest k1 quote at/after 10:00
+    assert out[2] == 250.0  # earliest at/after 12:00
+    assert out[3] == 300.0  # k2 quote after the event IS visible forward
+    assert out[4] == 250.0
+
+
+def test_asof_nearest_and_tie(spark):
+    left, right = _asof_frames(spark)
+    out = {r["id"]: r["px"] for r in asof_join(
+        left, right, on="key", left_ts="ts", right_ts="rts", direction="nearest"
+    ).collect()}
+    assert out[1] == 100.0  # 30min back vs 90min forward
+    assert out[2] == 200.0  # 30min back vs 60min forward
+    assert out[3] == 300.0  # only forward exists
+    # id 4 at 11:31: backward 11:30 (60s) vs forward 13:00 -> backward
+    assert out[4] == 200.0
+    # exact tie: equidistant candidates break backward
+    lt = spark.createDataFrame(
+        [(9, "k", "2024-01-01 10:00:00")], "id long, key string, ts string"
+    ).selectExpr("id", "key", "cast(ts as timestamp) ts")
+    rt = spark.createDataFrame(
+        [("k", "2024-01-01 09:00:00", 1.0), ("k", "2024-01-01 11:00:00", 2.0)],
+        "key string, rts string, px double",
+    ).selectExpr("key", "cast(rts as timestamp) rts", "px")
+    tied = asof_join(lt, rt, on="key", left_ts="ts", right_ts="rts",
+                     direction="nearest").collect()
+    assert tied[0]["px"] == 1.0
+
+
+def test_asof_forward_nearest_tolerance(spark):
+    left, right = _asof_frames(spark)
+    fwd = {r["id"]: r["px"] for r in asof_join(
+        left, right, on="key", left_ts="ts", right_ts="rts",
+        direction="forward", tolerance_s=3600,
+    ).collect()}
+    assert fwd[2] == 250.0  # 13:00 is exactly 3600s after 12:00 — inclusive
+    assert fwd[1] is None   # earliest forward (11:30) is 5400s away, outside
+    near = {r["id"]: r["px"] for r in asof_join(
+        left, right, on="key", left_ts="ts", right_ts="rts",
+        direction="nearest", tolerance_s=120,
+    ).collect()}
+    assert near[4] == 200.0  # 60s back inside tolerance
+    assert near[1] is None   # both candidates outside 120s
+
+
+def test_asof_directions_vs_bruteforce(spark):
+    """Randomized differential: every direction against a brute-force
+    per-row model."""
+    import random
+
+    rng = random.Random(11)
+    base = 1_700_000_000
+    lrows = [(i, f"k{rng.randrange(3)}", base + rng.randrange(0, 5000) * 2)
+             for i in range(60)]
+    rrows_raw = {(f"k{rng.randrange(3)}", base + rng.randrange(0, 5000) * 2 + 1)
+                 for _ in range(40)}  # odd ts -> no exact L/R ties; unique (key, ts)
+    rrows = [(k, t, float(i)) for i, (k, t) in enumerate(sorted(rrows_raw))]
+    left = spark.createDataFrame(
+        [(i, k, t) for i, k, t in lrows], "id long, key string, tsec long"
+    ).selectExpr("id", "key", "cast(tsec as timestamp) ts")
+    right = spark.createDataFrame(
+        rrows, "key string, rsec long, px double"
+    ).selectExpr("key", "cast(rsec as timestamp) rts", "px")
+
+    def model(direction, tol=None):
+        out = {}
+        for i, k, t in lrows:
+            cands = [(rt, px) for (rk, rt, px) in rrows if rk == k]
+            b = max(((rt, px) for rt, px in cands if rt <= t and (tol is None or t - rt <= tol)),
+                    default=None)
+            f = min(((rt, px) for rt, px in cands if rt >= t and (tol is None or rt - t <= tol)),
+                    default=None)
+            if direction == "backward":
+                out[i] = b and b[1]
+            elif direction == "forward":
+                out[i] = f and f[1]
+            else:
+                if b and f:
+                    out[i] = b[1] if (t - b[0]) <= (f[0] - t) else f[1]
+                else:
+                    out[i] = (b or f) and (b or f)[1]
+        return out
+
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 1000):
+            got = {r["id"]: r["px"] for r in asof_join(
+                left, right, on="key", left_ts="ts", right_ts="rts",
+                direction=direction, tolerance_s=tol,
+            ).collect()}
+            assert got == model(direction, tol), (direction, tol)
