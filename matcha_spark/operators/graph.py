@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "transitive_closure",
+    "shortest_path_lengths",
     "predicate_closure",
     "cleanup_closure",
     "path_edges",
@@ -146,6 +147,78 @@ def transitive_closure(
         # handle (see cleanup_closure) instead of leaking it silently —
         # repeated closures under one session checkpoint dir would
         # otherwise accumulate orphaned closure_* dirs on shared storage
+        out._matcha_closure_path = base  # type: ignore[attr-defined]
+        return out
+    except BaseException:
+        _fs_delete(spark, base)
+        raise
+
+
+def shortest_path_lengths(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """All-pairs shortest hop counts ``(src, dst, dist)`` over the
+    directed edge list (``dist`` = minimum number of edges on any path;
+    pairs with no path are absent; reflexive pairs appear only on
+    actual cycles, with the cycle's length).
+
+    Min-plus path doubling (repeated squaring over the tropical
+    semiring): each round keeps, per pair, the minimum of the known
+    distance and every two-segment composition — a diameter-d graph
+    converges in ⌈log₂ d⌉ rounds, each one equi-join + one min-agg,
+    materialized like :func:`transitive_closure` (same shared-storage
+    contract; call :func:`cleanup_closure` on the result when done).
+    Convergence needs BOTH the pair count and the distance total stable:
+    a round can shrink distances without discovering pairs."""
+    spark = edges.sparkSession
+    base = _resolve_work_dir(spark, checkpoint_dir)
+
+    def _materialize(df: DataFrame) -> tuple[DataFrame, str]:
+        path = f"{base}/{uuid.uuid4().hex}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path), path
+
+    def _stats(df: DataFrame):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dist").alias("total")
+        ).collect()[0]
+        return r["n"], r["total"]
+
+    try:
+        acc, acc_path = _materialize(
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .dropDuplicates()
+            .withColumn("dist", F.lit(1).cast("long"))
+        )
+        stats = _stats(acc)
+        for _ in range(max_iter):
+            composed = (
+                acc.alias("f")
+                .join(acc.alias("n"), F.col("f.dst") == F.col("n.src"))
+                .select(
+                    F.col("f.src").alias("src"),
+                    F.col("n.dst").alias("dst"),
+                    (F.col("f.dist") + F.col("n.dist")).alias("dist"),
+                )
+            )
+            merged, merged_path = _materialize(
+                acc.unionByName(composed)
+                .groupBy("src", "dst")
+                .agg(F.min("dist").alias("dist"))
+            )
+            new_stats = _stats(merged)
+            if new_stats == stats:
+                _fs_delete(spark, merged_path)
+                break
+            _fs_delete(spark, acc_path)
+            acc, acc_path, stats = merged, merged_path, new_stats
+        out = acc.select(
+            F.col("src").alias(src), F.col("dst").alias(dst), "dist"
+        )
         out._matcha_closure_path = base  # type: ignore[attr-defined]
         return out
     except BaseException:

@@ -192,6 +192,25 @@ def bgp_path_reach_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_shortest_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs shortest hop counts over the urgent-order entity
+    hierarchy (same edge union as ``bgp_path_reach_urgent``); min-plus
+    path doubling vs a bounded recursive-CTE min oracle."""
+    from .operators.graph import path_edges, shortest_path_lengths
+    from .patterns import Alt
+
+    db = _graph(spark, sf_dir, include_orders=True, order_priority="1-URGENT")
+    edges = path_edges(db, Alt(KW["customer"], KW["nation"], KW["region"]))
+    out = shortest_path_lengths(edges, src="s", dst="o")
+    res = out.select(
+        lex(F.col("s")).alias("src"), lex(F.col("o")).alias("dst"), "dist"
+    )
+    # the driver collects before this session ends; defer cleanup to the
+    # session-exit temp sweep (local master) — the result is lazy over
+    # the round parquet, so an eager cleanup here would break it
+    return res
+
+
 def bgp_construct_region_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed CONSTRUCT: materialize a derived graph (customer →
     region-name edges) without collecting; decoded to lex columns for
@@ -696,7 +715,8 @@ QUERIES = {
     # new this round (r07): SPARQL-style aggregation verb — never checked
     "bgp_agg_customers_by_region": bgp_agg_customers_by_region,
     "bgp_agg_urgent_orders_by_nation": bgp_agg_urgent_orders_by_nation,
-    # new this round (r07): forward as-of direction — never driver-checked
+    # new this round (r07): shortest paths + forward as-of — never checked
+    "graph_shortest_urgent": graph_shortest_urgent,
     "asof_events_orders_forward": R.asof_events_orders_forward,
     # new this round (r07): LLM-pipeline curation — never driver-checked
     "doc_dup_ngrams": doc_dup_ngrams,
@@ -1287,6 +1307,25 @@ ORACLES = {
         FROM supplier JOIN nation ON s_nationkey = n_nationkey
                       JOIN region ON n_regionkey = r_regionkey
         WHERE r_name = 'ASIA'
+    """,
+    "graph_shortest_urgent": """
+        WITH RECURSIVE edges AS (
+            SELECT 'order:' || o_orderkey AS src, 'customer:' || o_custkey AS dst
+            FROM orders WHERE o_orderpriority = '1-URGENT'
+            UNION ALL
+            SELECT 'customer:' || c_custkey, 'nation:' || c_nationkey FROM customer
+            UNION ALL
+            SELECT 'supplier:' || s_suppkey, 'nation:' || s_nationkey FROM supplier
+            UNION ALL
+            SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey FROM nation
+        ), walk(src, dst, d) AS (
+            SELECT src, dst, 1 FROM edges
+            UNION ALL
+            SELECT w.src, e.dst, w.d + 1
+            FROM walk w JOIN edges e ON w.dst = e.src
+            WHERE w.d < 6
+        )
+        SELECT src, dst, min(d) AS dist FROM walk GROUP BY 1, 2
     """,
     "bgp_path_reach_urgent": """
         WITH RECURSIVE edges AS (

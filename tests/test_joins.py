@@ -322,3 +322,27 @@ def test_asof_directions_vs_bruteforce(spark):
                 direction=direction, tolerance_s=tol,
             ).collect()}
             assert got == model(direction, tol), (direction, tol)
+
+
+def test_shortest_path_lengths_chain_diamond_cycle(spark):
+    from matcha_spark.operators.graph import cleanup_closure, shortest_path_lengths
+
+    edges = spark.createDataFrame(
+        [
+            # chain a->b->c->d  plus a shortcut a->c (diamond)
+            ("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"),
+            # 2-cycle x<->y
+            ("x", "y"), ("y", "x"),
+        ],
+        "src string, dst string",
+    )
+    out = shortest_path_lengths(edges)
+    got = {(r.src, r.dst): r.dist for r in out.collect()}
+    assert got[("a", "b")] == 1
+    assert got[("a", "c")] == 1  # shortcut beats the 2-hop path
+    assert got[("a", "d")] == 2  # via the shortcut
+    assert got[("b", "d")] == 2
+    assert got[("x", "y")] == 1 and got[("y", "x")] == 1
+    assert got[("x", "x")] == 2 and got[("y", "y")] == 2  # cycle length
+    assert ("d", "a") not in got  # no reverse reachability
+    cleanup_closure(out)
