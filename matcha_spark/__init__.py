@@ -22,6 +22,7 @@ Quick start::
 from .db import TriplesDB, ensure_db, index_if_necessary, index_triples, merge_dbs
 from .errors import InvalidBgpError, InvalidValuesError, MatchaError
 from .patterns import (
+    Bind,
     Filter,
     Literal,
     Minus,
@@ -81,6 +82,7 @@ __all__ = [
     "GRAFTER_URI",
     "Values",
     "Optional",
+    "Bind",
     "Filter",
     "NotExists",
     "Minus",

@@ -32,6 +32,7 @@ __all__ = [
     "Values",
     "Optional",
     "Filter",
+    "Bind",
     "NotExists",
     "Minus",
     "PathExpr",
@@ -108,6 +109,33 @@ class Filter:
     fn: Any
 
     def __post_init__(self):
+        if not callable(self.fn):
+            raise InvalidBgpError(self.fn)
+
+
+@dataclass(frozen=True)
+class Bind:
+    """SPARQL ``BIND(expr AS ?var)``: extend every solution with a
+    *computed* var (Spark-native extension; the reference cannot compute
+    over query vars, SURVEY §2.5 — same argument as :class:`Filter`).
+
+    ``fn`` maps ``{var_name: Column}`` (TERM-struct columns) to a Column
+    that must produce a TERM struct — build one with the
+    ``functions.termcols`` constructors (``str_col`` / ``int_col`` /
+    ``uri_col`` / ``kw_col``) over decoded ``lex`` / ``num`` values.
+
+    Evaluation order (documented simplification of SPARQL's in-place
+    scoping): required patterns + VALUES, then FILTERs, then BINDs in
+    listed order (later binds see earlier ones), then negation blocks
+    (which may anti-join on bound vars), then OPTIONALs.  The target var
+    must be new — rebinding an existing var raises."""
+
+    var: Any
+    fn: Any
+
+    def __post_init__(self):
+        if not is_var(self.var):
+            raise InvalidBgpError(self.var)
         if not callable(self.fn):
             raise InvalidBgpError(self.fn)
 
@@ -284,6 +312,9 @@ def find_vars(patterns: Iterable[Any]) -> list[str]:
             for p in item.patterns:
                 visit(p)
             return
+        if isinstance(item, Bind):
+            visit(item.var)  # BIND introduces its target var
+            return
         if isinstance(item, (Filter, NotExists, Minus)):
             # filters bind nothing; negation-block vars are scoped to the
             # block (SPARQL: NOT EXISTS/MINUS vars are not projected out)
@@ -320,8 +351,8 @@ def validate_patterns(patterns: Sequence[Any]) -> None:
             if not (rhs is None or isinstance(rhs, (list, tuple, set, frozenset))):
                 bad_values.append(rhs)
             return
-        if isinstance(item, Filter):
-            return  # callability enforced at construction
+        if isinstance(item, (Filter, Bind)):
+            return  # callability / var-ness enforced at construction
         if isinstance(item, (Optional, NotExists, Minus)):
             for p in item.patterns:
                 visit(p)

@@ -38,6 +38,7 @@ from pyspark.sql.types import StructField, StructType
 from ..db import TriplesDB
 from ..patterns import (
     Alt,
+    Bind,
     Filter,
     Inv,
     Minus,
@@ -91,7 +92,7 @@ def _split_clauses(patterns: Sequence[Any]):
     ``src:193-203`` — order-invariance among optionals is a tested
     semantic, ``test:689-716``).  Filters and negation blocks apply to
     the required+values solutions, before optionals."""
-    triples, values, optionals, filters, negations = [], [], [], [], []
+    triples, values, optionals, filters, binds, negations = [], [], [], [], [], []
     for p in patterns:
         if isinstance(p, Optional):
             optionals.append(p)
@@ -99,6 +100,8 @@ def _split_clauses(patterns: Sequence[Any]):
             values.append(p)
         elif isinstance(p, Filter):
             filters.append(p)
+        elif isinstance(p, Bind):
+            binds.append(p)
         elif isinstance(p, (NotExists, Minus)):
             negations.append(p)
         else:
@@ -106,7 +109,7 @@ def _split_clauses(patterns: Sequence[Any]):
             if len(row) == 4:
                 row = row[:3]  # quad tolerance (src:54-58)
             triples.append(tuple(row))
-    return triples, values, optionals, filters, negations
+    return triples, values, optionals, filters, binds, negations
 
 
 def _path_est(path, stats, total: float) -> float:
@@ -350,7 +353,7 @@ def solve(db: TriplesDB, patterns: Sequence[Any], spark: SparkSession | None = N
     """
     spark = spark or SparkSession.getActiveSession()
     validate_patterns(patterns)
-    triples, values_clauses, optionals, filters, negations = _split_clauses(patterns)
+    triples, values_clauses, optionals, filters, binds, negations = _split_clauses(patterns)
 
     required = _compile_required(db, triples, spark)
     if required is None:
@@ -359,12 +362,24 @@ def solve(db: TriplesDB, patterns: Sequence[Any], spark: SparkSession | None = N
         df, vars_ = required
     df, vars_ = _apply_values(df, vars_, values_clauses, spark)
 
-    if (filters or negations) and df is None:
-        raise ValueError("FILTER / NOT EXISTS / MINUS require required patterns")
+    if (filters or binds or negations) and df is None:
+        raise ValueError("FILTER / BIND / NOT EXISTS / MINUS require required patterns")
     for flt in filters:
         # the predicate becomes an ordinary plan condition — Catalyst can
         # push it into the joins/scans like any WHERE clause
         df = df.where(flt.fn({v: F.col(v) for v in vars_}))
+    for b in binds:
+        # BIND: a plain projection extension — stays in whole-stage
+        # codegen; later binds and negation anti-joins see the new var
+        bn = var_name(b.var)
+        if bn in vars_:
+            raise ValueError(f"BIND target {bn!r} is already bound")
+        # no cast to TERM_TYPE: the termcols constructors already emit the
+        # TERM field layout, and casting would fail on their (nullable)
+        # computed fields vs the schema's NOT NULL marks — struct
+        # equality downstream compares by value, not nullability
+        df = df.select("*", b.fn({v: F.col(v) for v in vars_}).alias(bn))
+        vars_ = list(vars_) + [bn]
     for neg in negations:
         sub = solve(db, list(neg.patterns), spark)
         shared = [v for v in sub.vars if v in vars_]

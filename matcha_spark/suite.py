@@ -192,6 +192,28 @@ def bgp_path_reach_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bgp_bind_segment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL BIND: extend solutions with a computed var (segment
+    prefix) — stays a plain codegen projection in the Spark plan."""
+    from .patterns import Bind
+    from .functions.termcols import str_col
+
+    db = _graph(spark, sf_dir)
+    res = select_df(
+        ["?cname", "?prefix"],
+        [
+            ("?c", KW["mktsegment"], "?seg"),
+            ("?c", KW["name"], "?cname"),
+            Bind("?prefix", lambda v: str_col(F.substring(lex(v["?seg"]), 1, 3))),
+        ],
+        db,
+    )
+    return res.select(
+        lex(F.col("`?cname`")).alias("cname"),
+        lex(F.col("`?prefix`")).alias("seg_prefix"),
+    )
+
+
 def graph_shortest_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs shortest hop counts over the urgent-order entity
     hierarchy (same edge union as ``bgp_path_reach_urgent``); min-plus
@@ -715,7 +737,8 @@ QUERIES = {
     # new this round (r07): SPARQL-style aggregation verb — never checked
     "bgp_agg_customers_by_region": bgp_agg_customers_by_region,
     "bgp_agg_urgent_orders_by_nation": bgp_agg_urgent_orders_by_nation,
-    # new this round (r07): shortest paths + forward as-of — never checked
+    # new this round (r07): BIND, shortest paths, forward as-of — never checked
+    "bgp_bind_segment_prefix": bgp_bind_segment_prefix,
     "graph_shortest_urgent": graph_shortest_urgent,
     "asof_events_orders_forward": R.asof_events_orders_forward,
     # new this round (r07): LLM-pipeline curation — never driver-checked
@@ -1307,6 +1330,10 @@ ORACLES = {
         FROM supplier JOIN nation ON s_nationkey = n_nationkey
                       JOIN region ON n_regionkey = r_regionkey
         WHERE r_name = 'ASIA'
+    """,
+    "bgp_bind_segment_prefix": """
+        SELECT c_name AS cname, substr(c_mktsegment, 1, 3) AS seg_prefix
+        FROM customer
     """,
     "graph_shortest_urgent": """
         WITH RECURSIVE edges AS (

@@ -546,3 +546,75 @@ def test_select_agg_unknown_op(agg_db):
     with pytest.raises(ValueError):
         select_agg(["?c"], {"x": ("median", "?s")},
                    [("?i", kw("cat"), "?c")], agg_db)
+
+
+# ---------------------------------------------------------------------------
+# Bind (SPARQL BIND — computed vars, Spark extension)
+# ---------------------------------------------------------------------------
+
+
+def test_bind_basic_and_chained(spark):
+    from pyspark.sql import functions as F
+
+    from matcha_spark import Bind, kw, select
+    from matcha_spark.functions.termcols import int_col
+
+    db = TriplesDB.from_triples(
+        spark, [(kw("a"), kw("n"), 3), (kw("b"), kw("n"), 7)]
+    )
+    rows = select(
+        ["?s", "?double"],
+        [("?s", kw("n"), "?v"),
+         Bind("?double", lambda v: int_col((v["?v"]["num"] * 2).cast("long")))],
+        db,
+    )
+    assert rows == [(kw("a"), 6), (kw("b"), 14)]
+    # later binds see earlier ones
+    rows2 = select(
+        ["?s", "?quad"],
+        [("?s", kw("n"), "?v"),
+         Bind("?double", lambda v: int_col((v["?v"]["num"] * 2).cast("long"))),
+         Bind("?quad", lambda v: int_col((v["?double"]["num"] * 2).cast("long")))],
+        db,
+    )
+    assert rows2 == [(kw("a"), 12), (kw("b"), 28)]
+    db.unpersist()
+
+
+def test_bind_join_and_negation_visibility(spark):
+    """A bound var is a first-class term: negation blocks anti-join on
+    it, and it projects like any var."""
+    from matcha_spark import Bind, NotExists, kw, select
+    from matcha_spark.functions.termcols import str_col, lex
+
+    db = TriplesDB.from_triples(
+        spark,
+        [(kw("x"), kw("tag"), "keep"), (kw("y"), kw("tag"), "drop"),
+         (kw("z"), kw("banned"), "drop")],
+    )
+    rows = select(
+        ["?s"],
+        [("?s", kw("tag"), "?t"),
+         Bind("?flag", lambda v: str_col(lex(v["?t"]))),
+         NotExists([("?z2", kw("banned"), "?flag")])],
+        db,
+    )
+    assert rows == [kw("x")]  # y's bound flag 'drop' matches the banned value
+    db.unpersist()
+
+
+def test_bind_errors(spark):
+    from matcha_spark import Bind, InvalidBgpError, kw, select
+    from matcha_spark.functions.termcols import str_col, lex
+    import pytest as _pytest
+
+    db = TriplesDB.from_triples(spark, [(kw("a"), kw("n"), 1)])
+    with _pytest.raises(InvalidBgpError):
+        Bind("notavar", lambda v: None)
+    with _pytest.raises(InvalidBgpError):
+        Bind("?x", "not-callable")
+    with _pytest.raises(ValueError):
+        # rebinding an existing var
+        select(["?v"], [("?s", kw("n"), "?v"),
+                        Bind("?v", lambda v: str_col(lex(v["?v"])))], db)
+    db.unpersist()
