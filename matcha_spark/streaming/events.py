@@ -36,6 +36,7 @@ __all__ = [
     "sessionize_native",
     "sessionize_stateful",
     "stream_dedup",
+    "stream_enrich",
     "stream_interval_join",
     "SESSION_SCHEMA",
 ]
@@ -218,3 +219,28 @@ def stream_dedup(events: DataFrame, keys: list[str] | None = None, watermark: st
     ``operators.text.dedup_exact``)."""
     keys = keys or ["event_id"]
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    on,
+    dim_cols: list[str] | None = None,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment: join a streaming event frame against a
+    static dimension table — the most common streaming pattern (attach
+    customer/device/experiment attributes to each event).
+
+    Spark plans stream-static joins without any streaming state: the
+    static side is re-read (and, under AQE, broadcast when it fits) per
+    micro-batch, so there is no watermark requirement and no state-store
+    growth.  At 100 TB-class dimension sizes, pre-broadcast or bucket
+    the dim and keep only ``dim_cols``.  Inner and left joins are the
+    streaming-supported shapes for a stream-left join; right/full would
+    need the unmatched-dim side re-emitted per batch and raise in Spark
+    itself."""
+    if dim_cols is not None:
+        keys = [on] if isinstance(on, str) else list(on)
+        dim = dim.select(*keys, *[c for c in dim_cols if c not in keys])
+    return events.join(dim, on=on, how=how)

@@ -226,3 +226,42 @@ def test_stream_dedup_rocksdb_state_store(spark, stream_dir):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_stream_enrich_equals_batch(spark, stream_dir):
+    """Stream-static join: enriching the event stream with a static dim
+    produces exactly the batch join's rows, with no state store."""
+    from matcha_spark.streaming.events import stream_enrich
+
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+    src = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).parquet(stream_dir)
+    out = _run_to_memory(
+        spark,
+        stream_enrich(src, dim, on="user_id", dim_cols=["tier"]),
+        "enrich_t",
+        mode="append",
+    )
+    got = {(r["event_id"], r["tier"]) for r in out.collect()}
+    batch = spark.read.parquet(stream_dir).join(dim, "user_id")
+    want = {(r["event_id"], r["tier"]) for r in batch.collect()}
+    assert got == want and len(got) == 4
+
+
+def test_stream_enrich_left_keeps_unmatched(spark, stream_dir):
+    from matcha_spark.streaming.events import stream_enrich
+
+    dim = spark.createDataFrame([(1, "gold")], "user_id long, tier string")
+    src = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).parquet(stream_dir)
+    out = _run_to_memory(
+        spark, stream_enrich(src, dim, on="user_id", dim_cols=["tier"]),
+        "enrich_left_t", mode="append",
+    )
+    rows = {r["event_id"]: r["tier"] for r in out.collect()}
+    assert rows[4] is None  # user 2 unmatched, row kept
+    assert rows[1] == "gold"
