@@ -38,6 +38,7 @@ __all__ = [
     "minhash_lsh_candidates",
     "simhash",
     "simhash_candidates",
+    "banded_hamming_pairs",
     "ngram_jaccard_pairs",
     "jaccard_verify",
     "connected_components",
@@ -210,7 +211,6 @@ def simhash_candidates(
     verified with ``bit_count(a ^ b)`` so the output is exact:
     ``(doc_a < doc_b, hamming ≤ max_hamming)``.
     """
-    n_bands = max_hamming + 1
     # eager memoized persist: one kernel run feeds both self-join sides
     # and repeated calls (see cache.py).  NULL/empty-text docs (signature
     # 0 by the simhash() row-preserving contract) are excluded from
@@ -221,6 +221,29 @@ def simhash_candidates(
     sig = memo_persist(
         simhash(docs, text_col=text_col).where(F.col("simhash") != 0)
     )
+    return banded_hamming_pairs(
+        sig, id_col="doc_id", sig_col="simhash", max_hamming=max_hamming
+    ).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
+    )
+
+
+def banded_hamming_pairs(
+    sig: DataFrame,
+    id_col: str = "id",
+    sig_col: str = "sig",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Exact near-dup pairs of 64-bit signatures within a Hamming bound
+    — the generic banded core behind :func:`simhash_candidates` and the
+    multimodal pHash pairs.
+
+    The signature splits into ``max_hamming + 1`` contiguous bands; by
+    pigeonhole any pair within the bound shares at least one band
+    exactly, so the banded equi-join finds every such pair (recall 1.0
+    by construction) and ``bit_count(a ^ b)`` verification keeps
+    precision exact.  Output: ``(id_a < id_b, hamming)``."""
+    n_bands = max_hamming + 1
     # band widths: distribute 64 bits as evenly as possible
     base, extra = divmod(64, n_bands)
     offsets, off = [], 0
@@ -231,20 +254,24 @@ def simhash_candidates(
     band_cols = [
         F.struct(
             F.lit(i).alias("band"),
-            F.shiftright(F.col("simhash"), o)
+            F.shiftright(F.col(sig_col), o)
             .bitwiseAND(F.lit((1 << w) - 1).cast("long"))
             .alias("bits"),
         )
         for i, (o, w) in enumerate(offsets)
     ]
-    banded = sig.select("doc_id", "simhash", F.explode(F.array(*band_cols)).alias("bk"))
+    banded = sig.select(
+        F.col(id_col).alias("__id"),
+        F.col(sig_col).alias("__sig"),
+        F.explode(F.array(*band_cols)).alias("bk"),
+    )
     a, b = banded.alias("a"), banded.alias("b")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    hamming = F.bit_count(F.col("a.__sig").bitwiseXOR(F.col("b.__sig")))
     return (
-        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.__id") < F.col("b.__id")))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
             hamming.alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)

@@ -52,6 +52,8 @@ __all__ = [
     "audio_features",
     "resize_images",
     "frame_sample",
+    "image_phash",
+    "phash_near_dup_pairs",
 ]
 
 # canonical media-table schema: opaque payload + typed metadata
@@ -244,4 +246,88 @@ def frame_sample(
         ts.alias("frame_ts_ms"),
     ).withColumn(
         "frame_idx", (F.col("frame_ts_ms") / every_ms).cast("int")
+    )
+
+
+def _dct_matrix(n: int) -> "np.ndarray":
+    """Orthonormal DCT-II basis (the classic pHash transform), plain
+    numpy — no scipy dependency."""
+    k = np.arange(n).reshape(-1, 1)
+    i = np.arange(n).reshape(1, -1)
+    c = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * i + 1) * k / (2.0 * n))
+    c[0, :] = np.sqrt(1.0 / n)
+    return c
+
+
+def _nn_resize(arr: "np.ndarray", h: int, w: int) -> "np.ndarray":
+    ys = (np.arange(h) * arr.shape[0] // h).clip(0, arr.shape[0] - 1)
+    xs = (np.arange(w) * arr.shape[1] // w).clip(0, arr.shape[1] - 1)
+    return arr[np.ix_(ys, xs)]
+
+
+def image_phash(
+    media: DataFrame,
+    decoder: Callable[[bytes], "np.ndarray"] = fake_decode_image,
+    hash_size: int = 8,
+) -> DataFrame:
+    """Perceptual hash (classic pHash): decode → nearest-neighbor
+    resize to ``(4·hash_size)²`` grayscale → 2-D DCT-II → keep the
+    top-left ``hash_size×hash_size`` low-frequency block → threshold
+    each coefficient against the block median (DC excluded from the
+    median and forced to 0) → 64-bit signature, robust to resizing,
+    mild blur/noise, and brightness shifts (all of which perturb high
+    frequencies the hash never looks at).
+
+    Output ``(media_id, phash)`` (int64, sign bit possible).  Same
+    Arrow-batched plumbing as :func:`image_features`; pair it with
+    :func:`~matcha_spark.operators.dedup.banded_hamming_pairs` (wrapped
+    as :func:`phash_near_dup_pairs`) for corpus-level near-dup images
+    without an all-pairs product."""
+    side = 4 * hash_size
+    dct = _dct_matrix(side)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                raw = bytes(payload) if payload is not None else b""
+                arr = np.asarray(decoder(raw), dtype=np.float64)
+                if arr.ndim == 3:  # RGB-ish: luminance mean over channels
+                    arr = arr.mean(axis=2)
+                arr = _nn_resize(arr, side, side)
+                coeffs = (dct @ arr @ dct.T)[:hash_size, :hash_size].copy()
+                flat = coeffs.flatten()
+                med = np.median(flat[1:])  # DC excluded
+                bits = flat > med
+                bits[0] = False  # DC carries brightness, not structure
+                h = 0
+                for bit in bits:
+                    h = (h << 1) | int(bit)
+                out.append(h - (1 << 64) if h >= (1 << 63) else h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": pd.Series(out, dtype="int64"),
+                }
+            )
+
+    imgs = media.where(F.col("kind") == "image").select("media_id", "payload")
+    return imgs.mapInPandas(run, schema="media_id long, phash long")
+
+
+def phash_near_dup_pairs(
+    media: DataFrame,
+    max_hamming: int = 6,
+    decoder: Callable[[bytes], "np.ndarray"] = fake_decode_image,
+    hash_size: int = 8,
+) -> DataFrame:
+    """Near-duplicate image pairs ``(id_a < id_b, hamming)`` within a
+    pHash Hamming bound — banded equi-join (pigeonhole recall 1.0) +
+    popcount verify; the image analog of ``simhash_candidates``."""
+    from ..cache import memo_persist
+    from .dedup import banded_hamming_pairs
+
+    sig = memo_persist(image_phash(media, decoder=decoder, hash_size=hash_size))
+    return banded_hamming_pairs(
+        sig, id_col="media_id", sig_col="phash", max_hamming=max_hamming
     )

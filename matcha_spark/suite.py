@@ -507,6 +507,26 @@ def doc_media_features(spark, sf_dir):
     ).withColumn("feat", F.col("feat").cast("double"))
 
 
+def doc_image_phash(spark, sf_dir):
+    """Perceptual hashes of the fake-decoded document payloads:
+    rows-only (the DCT + median threshold has no reasonable SQL twin;
+    determinism is the checkable property here — one signature per doc,
+    stable across runs).  The near-dup *pairs* path
+    (``phash_near_dup_pairs``) is pinned by a pigeonhole-completeness
+    pytest against brute force; on this corpus (no duplicate payloads,
+    sha256 fake decoder → pseudo-random spectra) its correct output is
+    empty."""
+    from .operators import multimodal as MM
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return MM.image_phash(media)
+
+
 def doc_audio_features(spark, sf_dir):
     """Audio twin of :func:`doc_media_features`: payloads through the
     Arrow-batched ``audio_features`` kernel (fake sha256-waveform
@@ -834,6 +854,7 @@ QUERIES = {
     "emb_dup_pairs_lsh": emb_dup_pairs_lsh,
     "emb_semdedup": emb_semdedup,
     "doc_cdc_chunks": doc_cdc_chunks,
+    "doc_image_phash": doc_image_phash,
 }
 
 _EN = "'the','a','and','of','to','in','is','that','it','for'"

@@ -576,3 +576,64 @@ def test_dup_ngram_stats_planted(spark):
     # doc 3: 15 tokens -> 11 grams; 'a b c d e' occurs at pos 6 and 11
     assert rows[3].n_grams == 11 and rows[3].dup_grams == 2
     assert abs(rows[3].dup_ratio - 2 / 11) < 1e-6
+
+
+def _grad_decoder(payload: bytes):
+    """Structured test decoder: payload[0] selects the image structure
+    (a rich-spectrum seeded random base — pHash needs natural-image-like
+    spectra; an overly smooth gradient has near-degenerate low
+    frequencies and its median-thresholded bits flip on any noise),
+    payload[1] a small-noise seed — same structure + different noise ≈
+    near-duplicate images; different structures are far apart."""
+    import numpy as np
+
+    shape_seed, noise_seed = payload[0], payload[1]
+    base = np.random.default_rng(int(shape_seed)).normal(size=(32, 32)) * 50.0
+    noise = np.random.default_rng(1000 + int(noise_seed)).normal(
+        scale=1.0, size=(32, 32)
+    )
+    return base + noise
+
+
+def test_image_phash_properties(spark):
+    rows = [
+        (1, "image", bytearray([1, 0])),   # structure 1
+        (2, "image", bytearray([1, 7])),   # structure 1, different noise
+        (3, "image", bytearray([9, 0])),   # different structure
+        (4, "image", bytearray([1, 0])),   # identical to 1
+    ]
+    media = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    h = {r.media_id: r.phash for r in M.image_phash(media, decoder=_grad_decoder).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert h[1] == h[4]                      # identical image, identical hash
+    assert ham(h[1], h[2]) <= 6              # same structure, noise only
+    assert ham(h[1], h[3]) > 10              # different structure
+    # brightness invariance: median thresholding ignores a constant shift
+    bright = lambda p: _grad_decoder(p) + 30.0
+    h2 = {r.media_id: r.phash for r in M.image_phash(media, decoder=bright).collect()}
+    assert h2 == h
+
+
+def test_phash_near_dup_pairs_complete(spark):
+    """Banded pairs == brute-force pairs within the Hamming bound
+    (pigeonhole recall 1.0), and verified distances are exact."""
+    rows = [(i, "image", bytearray([i % 3, i // 3])) for i in range(12)]
+    media = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    h = {r.media_id: r.phash for r in M.image_phash(media, decoder=_grad_decoder).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    want = {
+        (a, b, ham(h[a], h[b]))
+        for a in h for b in h
+        if a < b and ham(h[a], h[b]) <= 6
+    }
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in M.phash_near_dup_pairs(media, max_hamming=6, decoder=_grad_decoder).collect()
+    }
+    assert got == want and len(want) >= 3  # the 3 same-structure groups pair up
