@@ -49,12 +49,15 @@ def main() -> None:
     from matcha_spark.sources.tpch_graph import load_tables
     from matcha_spark.suite import (
         _graph,
+        bgp_agg_customers_by_region,
         bgp_customers_in_region,
         bgp_optional_urgent_orders,
         bgp_path_reach_urgent,
         bgp_path_region_members,
+        doc_image_phash,
         doc_media_features,
         graph_closure_nations,
+        graph_shortest_urgent,
     )
 
     times: dict[str, float] = {}
@@ -118,6 +121,7 @@ def main() -> None:
     bench("bgp_path_reach_urgent", lambda: force(bgp_path_reach_urgent(spark, SF_DIR)), repeat=False)
     bench("graph_closure_nations", lambda: force(graph_closure_nations(spark, SF_DIR)), repeat=False)
     bench("asof_events_orders", lambda: force(R.asof_events_orders(spark, SF_DIR)))
+    bench("asof_events_orders_forward", lambda: force(R.asof_events_orders_forward(spark, SF_DIR)))
     bench("rollup_nation_segment", lambda: force(R.rollup_nation_segment(spark, SF_DIR)))
     bench("cube_priority_status", lambda: force(R.cube_priority_status(spark, SF_DIR)))
     bench("doc_strip_boilerplate", lambda: force(T.strip_boilerplate(docs)))
@@ -137,6 +141,13 @@ def main() -> None:
         S.lsh_bucketed_topk(emb, emb.where("vec_id < 5"), k=5)
     ))
     bench("emb_dup_pairs", lambda: force(D.embedding_dup_pairs(emb, threshold=0.4)))
+    # r07 additions: curation + query-surface coverage
+    bench("doc_dup_ngrams", lambda: force(T.dup_ngram_stats(docs, n=5)))
+    bench("doc_cdc_chunks", lambda: force(T.cdc_chunks(docs, avg_size=64)))
+    bench("emb_semdedup", lambda: force(D.semdedup(emb, threshold=0.4, n_clusters=8)))
+    bench("doc_image_phash", lambda: force(doc_image_phash(spark, SF_DIR)))
+    bench("bgp_agg_customers_by_region", lambda: force(bgp_agg_customers_by_region(spark, SF_DIR)))
+    bench("graph_shortest_urgent", lambda: force(graph_shortest_urgent(spark, SF_DIR)), repeat=False)
     # LSH near-dup benched in its design regime (high-cosine dups, tight
     # buckets); at wide angles the bucket join floods and exact wins
     bench("emb_dup_lsh", lambda: force(D.embedding_dup_pairs_lsh(emb, threshold=0.9)))

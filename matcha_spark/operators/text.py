@@ -31,6 +31,8 @@ __all__ = [
     "corpus_sketch_stats",
     "dup_ngram_stats",
     "cdc_chunks",
+    "benchmark_contamination",
+    "unigram_logloss",
 ]
 
 # tiny in-query stopword lists for the heuristic scorers
@@ -695,4 +697,108 @@ def cdc_chunks(
     return docs.select("doc_id", text_col).mapInPandas(
         kernel,
         schema="doc_id long, chunk_idx int, start long, length long, chunk_hash string",
+    )
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    probes: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    probe_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination signal (the n-gram-overlap check used
+    before training on web corpora: GPT-3 appendix C / PaLM-style):
+    for each document, how many of its word n-gram positions also occur
+    in the *probe* set (an eval benchmark), and the contamination
+    ratio.
+
+    Output: ``(doc_id, n_grams, contaminated_grams, contamination)``
+    for every document.  Filter ``contamination > 0`` (any overlap) or
+    a looser threshold to drop leaked documents.
+
+    Scale shape: the probe side is a benchmark — small by definition —
+    so its distinct grams broadcast into a semi-join-shaped match
+    against the corpus gram stream: one scan of the corpus, no shuffle
+    of corpus grams beyond the per-doc rollup.  Grams stay text for the
+    oracle; hash both sides at 100 TB as in :func:`dup_ngram_stats`."""
+    def grams_of(frame, col, keep=()):
+        toks = F.split(F.lower(F.trim(F.col(col))), r"\s+")
+        g = F.expr(
+            f"transform(sequence(1, size(__toks) - {n} + 1),"
+            f" i -> array_join(slice(__toks, i, {n}), ' '))"
+        )
+        return (
+            frame.select(*[F.col(c) for c in keep], toks.alias("__toks"))
+            .where(F.size("__toks") >= n)
+            .select(*[F.col(c) for c in keep], F.explode(g).alias("gram"))
+        )
+
+    probe_grams = F.broadcast(
+        grams_of(probes, probe_text_col).select("gram").distinct()
+    )
+    doc_grams = grams_of(docs, text_col, keep=("doc_id",))
+    per_doc = (
+        doc_grams.join(probe_grams.withColumn("__hit", F.lit(1)), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("contaminated_grams"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("contaminated_grams", F.lit(0)).alias("contaminated_grams"),
+            F.round(
+                F.when(F.coalesce("n_grams", F.lit(0)) == 0, F.lit(0.0)).otherwise(
+                    F.col("contaminated_grams") / F.col("n_grams")
+                ),
+                6,
+            ).alias("contamination"),
+        )
+    )
+
+
+def unigram_logloss(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-trained unigram language-model quality score (the
+    CCNet-style LM filter with the simplest possible LM): per document,
+    the mean negative log probability of its tokens under the corpus's
+    own unigram distribution.  Low = typical text, high = rare-token
+    soup — bucket by this to drop gibberish or to tier training data.
+
+    Output: ``(doc_id, n_tokens, logloss)`` (natural log, 4dp).
+
+    Scale shape: one explode → token-count aggregate (the "training"
+    pass), one broadcast-able join of per-token −log p back onto the
+    token stream, one per-doc rollup.  Deterministic to 4dp: per-doc
+    sums add ~10²–10³ doubles of magnitude ~10, so reordering error is
+    ~1e-12 — far below the rounding."""
+    toks = (
+        docs.select("doc_id", F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    from .. import cache as _cache
+
+    toks = _cache.memo_persist(toks)
+    freqs = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = freqs.agg(F.sum("c").alias("t"))
+    probs = freqs.join(F.broadcast(total)).select(
+        "tok", (-(F.log(F.col("c") / F.col("t")))).alias("nll")
+    )
+    per_doc = (
+        toks.join(probs, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("nll") / F.count(F.lit(1)), 4).alias("logloss"),
+        )
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("logloss", F.lit(0.0)).alias("logloss"),
     )

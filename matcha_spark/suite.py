@@ -645,6 +645,22 @@ def emb_semdedup(spark, sf_dir):
     return D.semdedup(emb, threshold=0.4, n_clusters=8)
 
 
+def doc_contamination(spark, sf_dir):
+    """Benchmark decontamination: 8-gram overlap of every document
+    against a probe set (every 50th document stands in for an eval
+    benchmark — probes contaminate themselves with ratio 1.0, giving
+    the check real positives)."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    probes = docs.where(F.col("doc_id") % 50 == 0).select("text")
+    return T.benchmark_contamination(docs, probes, n=8)
+
+
+def doc_unigram_logloss(spark, sf_dir):
+    """Corpus-trained unigram LM quality score (CCNet-style filter with
+    the simplest LM); 4dp rounding absorbs double-sum reordering."""
+    return T.unigram_logloss(load_tables(spark, sf_dir, "documents")["documents"])
+
+
 def doc_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(
         load_tables(spark, sf_dir, "documents")["documents"],
@@ -762,6 +778,8 @@ QUERIES = {
     "graph_shortest_urgent": graph_shortest_urgent,
     "asof_events_orders_forward": R.asof_events_orders_forward,
     # new this round (r07): LLM-pipeline curation — never driver-checked
+    "doc_contamination": doc_contamination,
+    "doc_unigram_logloss": doc_unigram_logloss,
     "doc_dup_ngrams": doc_dup_ngrams,
     # new this round (r07): TPC-H completion — never driver-checked
     "q8_market_share": R.q8_market_share,
@@ -923,6 +941,54 @@ ORACLES = {
         JOIN nation ON c_nationkey = n_nationkey
         WHERE o_orderpriority = '1-URGENT'
         GROUP BY 1
+    """,
+    "doc_contamination": """
+        WITH ptoks AS (
+            SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents WHERE doc_id % 50 = 0
+        ), pg AS (
+            SELECT DISTINCT unnest(list_transform(range(len(t) - 7),
+                   i -> array_to_string(t[i + 1 : i + 8], ' '))) AS gram
+            FROM ptoks WHERE len(t) >= 8
+        ), dtoks AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        ), dg AS (
+            SELECT doc_id, unnest(list_transform(range(len(t) - 7),
+                   i -> array_to_string(t[i + 1 : i + 8], ' '))) AS gram
+            FROM dtoks WHERE len(t) >= 8
+        ), per AS (
+            SELECT doc_id, count(*) AS n_grams,
+                   sum(CASE WHEN pg.gram IS NOT NULL THEN 1 ELSE 0 END) AS contaminated_grams
+            FROM dg LEFT JOIN pg USING (gram) GROUP BY 1
+        )
+        SELECT d.doc_id,
+               coalesce(n_grams, 0) AS n_grams,
+               coalesce(contaminated_grams, 0) AS contaminated_grams,
+               round(CASE WHEN coalesce(n_grams, 0) = 0 THEN 0.0
+                          ELSE contaminated_grams * 1.0 / n_grams END, 6) AS contamination
+        FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    """,
+    "doc_unigram_logloss": """
+        WITH toks AS (
+            SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+            FROM documents
+        ), t2 AS (
+            SELECT * FROM toks WHERE tok <> ''
+        ), freqs AS (
+            SELECT tok, count(*) AS c FROM t2 GROUP BY 1
+        ), tot AS (
+            SELECT sum(c) AS t FROM freqs
+        ), probs AS (
+            SELECT tok, -ln(c * 1.0 / t) AS nll FROM freqs, tot
+        ), per AS (
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(sum(nll) / count(*), 4) AS logloss
+            FROM t2 JOIN probs USING (tok) GROUP BY 1
+        )
+        SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+               coalesce(logloss, 0.0) AS logloss
+        FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
     """,
     "doc_dup_ngrams": """
         WITH toks AS (

@@ -264,3 +264,47 @@ def test_cdc_chunks_dedup_composition(spark):
         .count()
     )
     assert dup >= 1  # shared run recognized across documents
+
+
+def test_benchmark_contamination_planted(spark):
+    from matcha_spark.operators.text import benchmark_contamination
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),            # contains the probe verbatim
+            (2, "x y z a b c d e f g h different"),# probe 8-gram inside
+            (3, "totally unrelated words here now and then more"),
+            (4, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame([("a b c d e f g h",)], "text string")
+    rows = {r.doc_id: r for r in benchmark_contamination(docs, probes, n=8).collect()}
+    # doc 1: 3 grams (10 tokens), gram at pos 1 matches
+    assert rows[1].n_grams == 3 and rows[1].contaminated_grams == 1
+    # doc 2: 5 grams (12 tokens), the a..h gram at pos 4 matches
+    assert rows[2].n_grams == 5 and rows[2].contaminated_grams == 1
+    assert rows[3].contaminated_grams == 0 and rows[3].contamination == 0.0
+    assert rows[4].n_grams == 0 and rows[4].contamination == 0.0
+
+
+def test_unigram_logloss_ranks_rarity(spark):
+    import math
+
+    from matcha_spark.operators.text import unigram_logloss
+
+    docs = spark.createDataFrame(
+        [(1, "common common common common"),
+         (2, "common rare"),
+         (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in unigram_logloss(docs).collect()}
+    # corpus: 'common' x5, 'rare' x1, total 6
+    nll_common = -math.log(5 / 6)
+    nll_rare = -math.log(1 / 6)
+    assert rows[1].n_tokens == 4
+    assert abs(rows[1].logloss - round(nll_common, 4)) < 1e-9
+    assert abs(rows[2].logloss - round((nll_common + nll_rare) / 2, 4)) < 1e-4
+    assert rows[2].logloss > rows[1].logloss  # rare-token doc scores worse
+    assert rows[3].n_tokens == 0 and rows[3].logloss == 0.0
