@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "transitive_closure",
     "shortest_path_lengths",
+    "pagerank",
     "predicate_closure",
     "cleanup_closure",
     "path_edges",
@@ -350,3 +351,67 @@ def path_edges(db, path, checkpoint_dir: str | None = None) -> DataFrame:
         return db.df.where(F.col("p") == term_lit(p)).select("s", "o")
 
     return compile_(path)
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 10,
+) -> DataFrame:
+    """PageRank over a directed edge list: ``(node, rank)`` after
+    ``iters`` synchronous power-iteration rounds with uniform
+    teleportation and dangling-mass redistribution (ranks sum to 1).
+
+    Scale shape: each round is one equi-join (edges ⋈ ranks on src,
+    out-degree pre-joined once) + one hash aggregate on dst + one
+    scalar aggregate for the dangling mass — all shuffle-partitioned on
+    the node key; the rank frontier is re-persisted per round with its
+    lineage cut (`cut_lineage`) so plans stay O(1) deep.  Driver-side
+    traffic is one scalar per round (the dangling sum), exactly like
+    ``connected_components``' convergence counter."""
+    from ..cache import cut_lineage, memo_persist
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = memo_persist(
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # contribution edges with the 1/deg weight folded in once
+    weighted = memo_persist(
+        e.join(out_deg, "src").select(
+            "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
+        )
+    )
+    ranks = cut_lineage(nodes.select("node", F.lit(1.0 / n).alias("rank")))
+    for _ in range(iters):
+        contribs = (
+            weighted.join(ranks, weighted.src == ranks.node)
+            .select("dst", (F.col("rank") * F.col("w")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        dangling = (
+            ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = cut_lineage(
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks

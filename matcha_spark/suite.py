@@ -233,6 +233,18 @@ def graph_shortest_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def graph_pagerank_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PageRank over the urgent-order hierarchy: rows-only (iterative
+    # float ranks); pinned by a numpy power-iteration differential pytest
+    from .operators.graph import pagerank, path_edges
+    from .patterns import Alt
+
+    db = _graph(spark, sf_dir, include_orders=True, order_priority="1-URGENT")
+    edges = path_edges(db, Alt(KW["customer"], KW["nation"], KW["region"]))
+    out = pagerank(edges, src="s", dst="o", iters=6)
+    return out.select(lex(F.col("node")).alias("node"), F.round("rank", 8).alias("rank"))
+
+
 def bgp_construct_region_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed CONSTRUCT: materialize a derived graph (customer →
     region-name edges) without collecting; decoded to lex columns for
@@ -873,6 +885,7 @@ QUERIES = {
     "emb_semdedup": emb_semdedup,
     "doc_cdc_chunks": doc_cdc_chunks,
     "doc_image_phash": doc_image_phash,
+    "graph_pagerank_urgent": graph_pagerank_urgent,
 }
 
 _EN = "'the','a','and','of','to','in','is','that','it','for'"

@@ -346,3 +346,35 @@ def test_shortest_path_lengths_chain_diamond_cycle(spark):
     assert got[("x", "x")] == 2 and got[("y", "y")] == 2  # cycle length
     assert ("d", "a") not in got  # no reverse reachability
     cleanup_closure(out)
+
+
+def test_pagerank_matches_power_iteration(spark):
+    """Differential vs a dense numpy power iteration with identical
+    damping/iteration/dangling semantics."""
+    import numpy as np
+
+    from matcha_spark.operators.graph import pagerank
+
+    edge_list = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)]  # node 4 isolated? no, 3->2; 4 absent
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(edges, damping=0.85, iters=12).collect()}
+
+    nodes = sorted({x for e in edge_list for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    M = np.zeros((n, n))
+    for s, d in edge_list:
+        M[idx[d], idx[s]] += 1
+    deg = M.sum(axis=0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(12):
+        contrib = np.zeros(n)
+        mask = deg > 0
+        contrib = M[:, mask] @ (r[mask] / deg[mask])
+        dangling = r[~mask].sum()
+        r = (1 - 0.85) / n + 0.85 * dangling / n + 0.85 * contrib
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, (v, got[v], r[idx[v]])
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # stochastic: ranks sum to 1
+    # node 2 receives from three nodes -> highest rank
+    assert max(got, key=got.get) == 2
