@@ -46,6 +46,8 @@ __all__ = [
     "q19_disjunctive_revenue",
     "q20_excess_suppliers",
     "q21_waiting_suppliers",
+    "grouping_sets_priority",
+    "cohort_retention",
 ]
 
 
@@ -1071,4 +1073,50 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "numwait")
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(20)
+    )
+
+
+def grouping_sets_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind rollup/cube —
+    exactly the requested combinations, one Expand pass): per-priority
+    totals, per-status totals, and the grand total, no cross product."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    orders.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY o_orderpriority, o_orderstatus
+        """
+    )
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, distinct
+    actives per (cohort, week offset) — the standard growth-analytics
+    rollup.
+
+    Plan shape: one min-per-user aggregate (the cohort assignment),
+    joined back onto the event stream on user_id, then a distinct-count
+    aggregate on the (cohort, offset) pair — two shuffles on user-scale
+    keys, no window over the whole log."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    cohort = first.select(
+        "user_id", F.date_trunc("week", F.col("first_ts")).alias("cohort_start")
+    )
+    return (
+        ev.join(cohort, "user_id")
+        .select(
+            F.date_format("cohort_start", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(F.datediff(F.col("ts"), F.col("cohort_start")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
     )

@@ -789,6 +789,8 @@ QUERIES = {
     "bgp_bind_segment_prefix": bgp_bind_segment_prefix,
     "graph_shortest_urgent": graph_shortest_urgent,
     "asof_events_orders_forward": R.asof_events_orders_forward,
+    "grouping_sets_priority": R.grouping_sets_priority,
+    "cohort_retention": R.cohort_retention,
     # new this round (r07): LLM-pipeline curation — never driver-checked
     "doc_contamination": doc_contamination,
     "doc_unigram_logloss": doc_unigram_logloss,
@@ -1515,6 +1517,24 @@ ORACLES = {
         UNION ALL
         SELECT 'any', n_name FROM (SELECT n_name FROM cn UNION SELECT n_name FROM sn)
         ORDER BY op, n_name
+    """,
+    "grouping_sets_priority": """
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY o_orderpriority, o_orderstatus
+    """,
+    "cohort_retention": """
+        WITH first AS (
+            SELECT user_id, date_trunc('week', min(ts)) AS cohort_start
+            FROM events GROUP BY 1
+        )
+        SELECT strftime(cohort_start, '%Y-%m-%d') AS cohort_week,
+               CAST(floor(datediff('day', CAST(cohort_start AS DATE), CAST(ts AS DATE)) / 7.0) AS BIGINT) AS week_offset,
+               count(DISTINCT e.user_id) AS active_users
+        FROM events e JOIN first USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "asof_events_orders_forward": """
         WITH o AS (
