@@ -350,3 +350,60 @@ def test_q15_q11_q20_single_fact_scan(spark):
         # would overcount: InMemoryRelation prints its cached plan —
         # including the one true fact scan — inline.)
         assert plan.count("InMemoryTableScan") >= 2, q.__name__
+
+
+def test_select_agg_partial_aggregation(spark):
+    """select_agg must compile to a partial+final hash aggregate over
+    the solution stream (map-side combine before the group shuffle)."""
+    from matcha_spark import kw, select_agg
+    from matcha_spark.db import TriplesDB
+
+    db = TriplesDB.from_triples(
+        spark, [(kw(f"i{i}"), kw("size"), i) for i in range(20)]
+    )
+    out = select_agg([], {"n": ("count", None), "total": ("sum", "?v")},
+                     [("?s", kw("size"), "?v")], db)
+    plan = _plan(out)
+    assert plan.count("HashAggregate") >= 2
+    db.unpersist()
+
+
+def test_dup_ngram_stats_shapes(spark):
+    """Two hash aggregates (per-doc-gram, per-gram totals) + the rollup
+    — no cartesian, no window; the docs scan reads only 2 columns."""
+    from matcha_spark.operators.text import dup_ngram_stats
+    from matcha_spark.sources.tpch_graph import load_tables
+
+    docs = load_tables(spark, SF_DIR, "documents")["documents"]
+    plan = _plan(dup_ngram_stats(docs, n=5))
+    assert "CartesianProduct" not in plan and "Window" not in plan
+    assert plan.count("HashAggregate") >= 4  # 2 aggs x partial+final
+    scans = [s for s in plan.split("FileScan parquet")[1:] if "documents" in s[:400]]
+    assert scans and all(
+        "lang" not in s.split("ReadSchema")[1][:200] for s in scans if "ReadSchema" in s
+    )
+
+
+def test_contamination_probe_side_broadcast(spark):
+    """The probe-gram set must reach the corpus match as a broadcast
+    (benchmarks are small by definition; shuffling corpus grams against
+    them would be the 100 TB mistake)."""
+    from matcha_spark.operators.text import benchmark_contamination
+    from matcha_spark.sources.tpch_graph import load_tables
+
+    docs = load_tables(spark, SF_DIR, "documents")["documents"]
+    probes = docs.where("doc_id % 50 = 0").select("text")
+    plan = _plan(benchmark_contamination(docs, probes, n=8))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan.split("BroadcastHashJoin")[0]
+
+
+def test_unigram_logloss_no_cartesian_one_token_scan(spark):
+    from matcha_spark.operators.text import unigram_logloss
+    from matcha_spark.sources.tpch_graph import load_tables
+
+    docs = load_tables(spark, SF_DIR, "documents")["documents"]
+    plan = _plan(unigram_logloss(docs))
+    assert "CartesianProduct" not in plan
+    # token stream memo-persisted: both consumers read the cache
+    assert plan.count("InMemoryTableScan") >= 2
