@@ -159,13 +159,16 @@ def shortest_path_lengths(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
+    weight: str | None = None,
     max_iter: int = 30,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
-    """All-pairs shortest hop counts ``(src, dst, dist)`` over the
-    directed edge list (``dist`` = minimum number of edges on any path;
-    pairs with no path are absent; reflexive pairs appear only on
-    actual cycles, with the cycle's length).
+    """All-pairs shortest path lengths ``(src, dst, dist)`` over the
+    directed edge list — hop counts by default, or summed edge weights
+    when ``weight`` names a (non-negative) numeric column; pairs with no
+    path are absent; reflexive pairs appear only on actual cycles, with
+    the cycle's length.  Negative weights are rejected: min-plus
+    squaring over a negative cycle diverges.
 
     Min-plus path doubling (repeated squaring over the tropical
     semiring): each round keeps, per pair, the minimum of the known
@@ -189,12 +192,28 @@ def shortest_path_lengths(
         ).collect()[0]
         return r["n"], r["total"]
 
+    if weight is not None:
+        neg = edges.where(F.col(weight) < 0).limit(1).count()
+        if neg:
+            _fs_delete(spark, base)
+            raise ValueError("shortest_path_lengths requires non-negative weights")
     try:
-        acc, acc_path = _materialize(
-            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-            .dropDuplicates()
-            .withColumn("dist", F.lit(1).cast("long"))
-        )
+        if weight is None:
+            seed = edges.select(
+                F.col(src).alias("src"), F.col(dst).alias("dst")
+            ).dropDuplicates().withColumn("dist", F.lit(1).cast("long"))
+        else:
+            # parallel edges collapse to their cheapest weight up front
+            seed = (
+                edges.select(
+                    F.col(src).alias("src"),
+                    F.col(dst).alias("dst"),
+                    F.col(weight).cast("double").alias("dist"),
+                )
+                .groupBy("src", "dst")
+                .agg(F.min("dist").alias("dist"))
+            )
+        acc, acc_path = _materialize(seed)
         stats = _stats(acc)
         for _ in range(max_iter):
             composed = (

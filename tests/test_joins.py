@@ -378,3 +378,28 @@ def test_pagerank_matches_power_iteration(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9  # stochastic: ranks sum to 1
     # node 2 receives from three nodes -> highest rank
     assert max(got, key=got.get) == 2
+
+
+def test_shortest_path_lengths_weighted(spark):
+    import pytest as _pytest
+
+    from matcha_spark.operators.graph import cleanup_closure, shortest_path_lengths
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 1.0), ("b", "c", 1.0),   # a->b->c costs 2
+            ("a", "c", 5.0),                      # direct edge is pricier
+            ("a", "c", 4.0),                      # parallel edge, cheaper
+            ("c", "d", 0.5),
+        ],
+        "src string, dst string, w double",
+    )
+    out = shortest_path_lengths(edges, weight="w")
+    got = {(r.src, r.dst): r.dist for r in out.collect()}
+    assert got[("a", "c")] == 2.0   # multi-hop beats both direct edges
+    assert got[("a", "d")] == 2.5
+    assert got[("b", "d")] == 1.5
+    cleanup_closure(out)
+    with _pytest.raises(ValueError):
+        bad = spark.createDataFrame([("a", "b", -1.0)], "src string, dst string, w double")
+        shortest_path_lengths(bad, weight="w")
