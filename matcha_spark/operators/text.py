@@ -33,6 +33,7 @@ __all__ = [
     "cdc_chunks",
     "benchmark_contamination",
     "unigram_logloss",
+    "normalize_text",
 ]
 
 # tiny in-query stopword lists for the heuristic scorers
@@ -801,4 +802,35 @@ def unigram_logloss(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
         F.coalesce("logloss", F.lit(0.0)).alias("logloss"),
+    )
+
+
+def normalize_text(
+    docs: DataFrame, form: str = "NFC", text_col: str = "text"
+) -> DataFrame:
+    """Unicode normalization (NFC/NFD/NFKC/NFKD) — the canonical first
+    step of web-corpus cleaning (ligatures, fullwidth forms, combining
+    marks, and lookalike sequences collapse to one representation, so
+    downstream dedup/fingerprinting treats visually-identical text as
+    identical bytes).
+
+    Spark has no normalization builtin, so this is an Arrow-batched
+    ``mapInPandas`` over pandas' vectorized ``.str.normalize`` (ICU-free
+    stdlib NFC/NFKC tables) — a narrow map, embarrassingly parallel;
+    NULL text normalizes to the empty string."""
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    text_col: pdf[text_col].fillna("").str.normalize(form),
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        kernel, schema=f"doc_id long, {text_col} string"
     )

@@ -657,6 +657,16 @@ def emb_semdedup(spark, sf_dir):
     return D.semdedup(emb, threshold=0.4, n_clusters=8)
 
 
+def doc_normalize_nfc(spark, sf_dir):
+    """Unicode NFC normalization; oracle is DuckDB's nfc_normalize over
+    the same rows (identity on this ASCII corpus — the check still
+    hash-gates the Arrow plumbing end-to-end; non-ASCII behavior is
+    pinned by pytest with composed/decomposed/ligature inputs)."""
+    return T.normalize_text(
+        load_tables(spark, sf_dir, "documents")["documents"], form="NFC"
+    )
+
+
 def doc_contamination(spark, sf_dir):
     """Benchmark decontamination: 8-gram overlap of every document
     against a probe set (every 50th document stands in for an eval
@@ -792,6 +802,7 @@ QUERIES = {
     "grouping_sets_priority": R.grouping_sets_priority,
     "cohort_retention": R.cohort_retention,
     # new this round (r07): LLM-pipeline curation — never driver-checked
+    "doc_normalize_nfc": doc_normalize_nfc,
     "doc_contamination": doc_contamination,
     "doc_unigram_logloss": doc_unigram_logloss,
     "doc_dup_ngrams": doc_dup_ngrams,
@@ -956,6 +967,9 @@ ORACLES = {
         JOIN nation ON c_nationkey = n_nationkey
         WHERE o_orderpriority = '1-URGENT'
         GROUP BY 1
+    """,
+    "doc_normalize_nfc": """
+        SELECT doc_id, nfc_normalize(coalesce(text, '')) AS text FROM documents
     """,
     "doc_contamination": """
         WITH ptoks AS (

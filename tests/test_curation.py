@@ -308,3 +308,29 @@ def test_unigram_logloss_ranks_rarity(spark):
     assert abs(rows[2].logloss - round((nll_common + nll_rare) / 2, 4)) < 1e-4
     assert rows[2].logloss > rows[1].logloss  # rare-token doc scores worse
     assert rows[3].n_tokens == 0 and rows[3].logloss == 0.0
+
+
+def test_normalize_text_forms(spark):
+    import unicodedata
+
+    from matcha_spark.operators.text import normalize_text
+
+    decomposed = "Café"          # e + combining acute
+    composed = "Café"
+    ligature = "ﬁle"              # fi ligature + 'le'
+    fullwidth = "Ｈｉ"         # fullwidth 'Hi'
+    docs = spark.createDataFrame(
+        [(1, decomposed), (2, ligature), (3, fullwidth), (4, None)],
+        "doc_id long, text string",
+    )
+    nfc = {r.doc_id: r.text for r in normalize_text(docs, "NFC").collect()}
+    assert nfc[1] == composed            # combining mark composes
+    assert nfc[2] == ligature            # NFC preserves compatibility chars
+    assert nfc[4] == ""                  # NULL -> empty
+    nfkc = {r.doc_id: r.text for r in normalize_text(docs, "NFKC").collect()}
+    assert nfkc[2] == "file"             # ligature decomposes
+    assert nfkc[3] == "Hi"               # fullwidth folds
+    assert nfkc[1] == unicodedata.normalize("NFKC", decomposed)
+    import pytest as _p
+    with _p.raises(ValueError):
+        normalize_text(docs, "NFX")
