@@ -742,6 +742,13 @@ def emb_lsh_topk(spark, sf_dir):
     return S.lsh_bucketed_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
 
 
+def emb_pq_topk(spark, sf_dir):
+    # product-quantization ANN: rows-only (seeded codebooks); pinned by
+    # exhaustive-refine==exact + recall pytests
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return S.pq_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
+
+
 def emb_ivf_topk(spark, sf_dir):
     # IVF coarse-quantizer ANN: rows-only (seeded k-means is Spark-side)
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
@@ -894,6 +901,7 @@ QUERIES = {
     "dedup_near_lsh": dedup_near_lsh,
     "emb_lsh_topk": emb_lsh_topk,
     "emb_ivf_topk": emb_ivf_topk,
+    "emb_pq_topk": emb_pq_topk,
     "emb_dup_pairs_lsh": emb_dup_pairs_lsh,
     "emb_semdedup": emb_semdedup,
     "doc_cdc_chunks": doc_cdc_chunks,

@@ -637,3 +637,30 @@ def test_phash_near_dup_pairs_complete(spark):
         for r in M.phash_near_dup_pairs(media, max_hamming=6, decoder=_grad_decoder).collect()
     }
     assert got == want and len(want) >= 3  # the 3 same-structure groups pair up
+
+
+def test_pq_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where("vec_id < 3")
+    exact = {(r["q_id"], r["n_id"]) for r in S.cosine_topk(emb, q, k=5).collect()}
+    # exhaustive refine: every vector re-ranked exactly -> recall 1.0
+    n = emb.count()
+    full = {
+        (r["q_id"], r["n_id"])
+        for r in S.pq_topk(emb, q, k=5, m=8, nbits=4, refine=n).collect()
+    }
+    assert full == exact
+    # typical config: top-20 ADC candidates re-ranked; quantized scores
+    # are approximate by design but must carry most of the signal
+    approx = {
+        (r["q_id"], r["n_id"])
+        for r in S.pq_topk(emb, q, k=5, m=8, nbits=4, refine=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    with pytest.raises(ValueError):
+        S.pq_topk(emb, emb.where("vec_id < 2"), m=7)
