@@ -43,6 +43,7 @@ __all__ = [
     "jaccard_verify",
     "connected_components",
     "dedup_near_docs",
+    "incremental_dedup_near",
     "dedup_near_docs_lsh",
     "embedding_dup_pairs",
     "embedding_dup_pairs_lsh",
@@ -758,3 +759,132 @@ def semdedup(
     return out.select(
         F.col("id").alias(id_col), "cluster", "keep", "dup_of"
     )
+
+
+def incremental_dedup_near(
+    new_docs: DataFrame,
+    existing_sigs: DataFrame | None = None,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.7,
+    max_bucket_size: int | None = None,
+    text_col: str = "text",
+):
+    """Append-only near-dedup: admit a new batch against an
+    already-accepted corpus WITHOUT touching the corpus text — only its
+    MinHash signature store (``existing_sigs``, the second element of a
+    previous call's return, persistable as parquet between batches).
+
+    Returns ``(decisions, updated_sigs)``:
+
+    - ``decisions``: one row per new doc — ``(doc_id, keep, dup_of)``;
+      ``dup_of`` is the accepted corpus doc (or the kept batch doc)
+      whose cluster shadowed a rejected one, NULL for kept rows.
+    - ``updated_sigs``: ``existing_sigs`` ∪ signatures of the *kept*
+      new docs — feed it to the next batch.
+
+    Duplicate decision: estimated Jaccard from signature agreement
+    (matching components / ``num_hashes``) ≥ ``threshold`` — the
+    store-only incremental recipe (no shingle sets or raw corpus text
+    needed; the estimator is unbiased with σ = √(J(1−J)/k)).  Matching
+    is transitive within the batch (connected components, mirroring
+    :func:`dedup_near_docs`): a new doc chained to a corpus match
+    through other new docs is rejected too.
+
+    Scale shape: banding + bucket join against the union of stores —
+    pairwise work bounded by bucket occupancy exactly as in
+    :func:`minhash_lsh_candidates`; the signature store is ~512 bytes
+    per accepted doc and never rescans accepted text."""
+    sig_new = memo_persist(
+        minhash_signatures(new_docs, num_hashes=num_hashes, n=n)
+        .select("doc_id", *[f"h{i}" for i in range(num_hashes)])
+    )
+    hcols = [f"h{i}" for i in range(num_hashes)]
+    if existing_sigs is None:
+        existing_sigs = sig_new.limit(0)
+    sides = memo_persist(
+        existing_sigs.select("doc_id", *hcols).withColumn("new", F.lit(False))
+        .unionByName(sig_new.withColumn("new", F.lit(True)))
+    )
+
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.hash(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    banded = sides.select("doc_id", "new", F.explode(F.array(*band_cols)).alias("bk"))
+    if max_bucket_size is not None:
+        small = (
+            banded.groupBy("bk")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") <= max_bucket_size)
+            .select("bk")
+        )
+        banded = banded.join(small, "bk")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # at least one side must be from the new batch — accepted
+            # docs were deduped when they were admitted
+            & (F.col("a.new") | F.col("b.new")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    # estimated Jaccard from component agreement
+    sa = sides.select(F.col("doc_id").alias("id_a"), *[F.col(h).alias(f"a_{h}") for h in hcols])
+    sb = sides.select(F.col("doc_id").alias("id_b"), *[F.col(h).alias(f"b_{h}") for h in hcols])
+    agree = sum(
+        F.when(F.col(f"a_{h}") == F.col(f"b_{h}"), 1).otherwise(0) for h in hcols
+    )
+    dups = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(agree / num_hashes >= threshold)
+        .select("id_a", "id_b")
+    )
+    # transitive clusters over every dup edge touching the batch; the
+    # component label (min id) is the keeper — an accepted corpus doc
+    # when one is in the cluster (accepted ids were admitted earlier, so
+    # ties resolve to them via min only when their id is smaller; to
+    # guarantee corpus-wins semantics we anchor components on accepted
+    # ids by mapping them to themselves below)
+    comp = connected_components(dups, src="id_a", dst="id_b")
+    accepted_ids = sides.where(~F.col("new")).select(F.col("doc_id").alias("acc_id"))
+    # cluster → preferred keeper: min accepted id in cluster, else min id
+    comp_acc = (
+        comp.join(accepted_ids, comp.id == accepted_ids.acc_id, "left")
+        .groupBy("component")
+        .agg(F.min("acc_id").alias("acc_keeper"))
+    )
+    decisions = (
+        sig_new.select("doc_id")
+        .join(comp, sig_new.doc_id == comp.id, "left")
+        .join(comp_acc, "component", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.col("acc_keeper"), F.col("component"), F.col("doc_id")
+            ).alias("keeper"),
+        )
+        .select(
+            "doc_id",
+            (F.col("keeper") == F.col("doc_id")).alias("keep"),
+            F.when(F.col("keeper") != F.col("doc_id"), F.col("keeper")).alias("dup_of"),
+        )
+    )
+    kept_sigs = sig_new.join(
+        decisions.where(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+    )
+    updated = existing_sigs.select("doc_id", *hcols).unionByName(kept_sigs)
+    return decisions, updated

@@ -650,6 +650,17 @@ def doc_cdc_chunks(spark, sf_dir):
     )
 
 
+def dedup_incremental(spark, sf_dir):
+    # append-only near-dedup against a signature store: rows-only
+    # (Spark-side minhash); batch semantics pinned by pytest
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    first = docs.where(F.col("doc_id") < 250)
+    batch = docs.where(F.col("doc_id") >= 250)
+    _, sigs = D.incremental_dedup_near(first, None, threshold=0.5)
+    decisions, _ = D.incremental_dedup_near(batch, sigs, threshold=0.5)
+    return decisions
+
+
 def emb_semdedup(spark, sf_dir):
     # SemDeDup semantic prune: rows-only (seeded Spark-side k-means);
     # invariants + planted-dup recall pinned in pytest
@@ -904,6 +915,7 @@ QUERIES = {
     "emb_pq_topk": emb_pq_topk,
     "emb_dup_pairs_lsh": emb_dup_pairs_lsh,
     "emb_semdedup": emb_semdedup,
+    "dedup_incremental": dedup_incremental,
     "doc_cdc_chunks": doc_cdc_chunks,
     "doc_image_phash": doc_image_phash,
     "graph_pagerank_urgent": graph_pagerank_urgent,

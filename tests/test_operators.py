@@ -664,3 +664,48 @@ def test_pq_rejects_indivisible_dim(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     with pytest.raises(ValueError):
         S.pq_topk(emb, emb.where("vec_id < 2"), m=7)
+
+
+def test_incremental_dedup_near_batches(spark):
+    base_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other_text = "one two three four five six seven eight nine ten"
+    b1 = spark.createDataFrame(
+        [
+            (10, base_text),
+            (11, base_text + " lambda"),            # near-dup of 10
+            (12, other_text),
+            (13, "completely different words in this document entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    d1, sigs1 = D.incremental_dedup_near(b1, None, threshold=0.6)
+    dec1 = {r.doc_id: r for r in d1.collect()}
+    assert dec1[10].keep and dec1[12].keep and dec1[13].keep
+    assert not dec1[11].keep and dec1[11].dup_of == 10
+    assert sigs1.count() == 3  # only kept docs enter the store
+
+    b2 = spark.createDataFrame(
+        [
+            (20, base_text),                         # re-submission of accepted 10
+            (21, other_text + " eleven"),            # near-dup of accepted 12
+            (22, "fresh content nothing like anything else around here"),
+            (23, base_text + " lambda"),             # dup of REJECTED 11 == near 10
+        ],
+        "doc_id long, text string",
+    )
+    d2, sigs2 = D.incremental_dedup_near(b2, sigs1, threshold=0.6)
+    dec2 = {r.doc_id: r for r in d2.collect()}
+    assert not dec2[20].keep and dec2[20].dup_of == 10   # corpus wins
+    assert not dec2[21].keep and dec2[21].dup_of == 12
+    assert dec2[22].keep and dec2[22].dup_of is None
+    assert not dec2[23].keep and dec2[23].dup_of == 10   # chained to corpus
+    assert sigs2.count() == 4  # 3 accepted + doc 22
+
+    # all-fresh batch: empty dup-edge set must not break the machinery
+    b3 = spark.createDataFrame(
+        [(30, "nothing here matches the accepted corpus at all honestly")],
+        "doc_id long, text string",
+    )
+    d3, sigs3 = D.incremental_dedup_near(b3, sigs2, threshold=0.6)
+    assert [r.keep for r in d3.collect()] == [True]
+    assert sigs3.count() == 5
