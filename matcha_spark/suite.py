@@ -805,8 +805,10 @@ def dedup_near_emb(spark, sf_dir):
 # Registry ordering contract: the correctness driver checks only the FIRST
 # 50 entries, so the dict is ordered by "rounds since last driver check",
 # descending — entries never (or longest-ago) recorded in a CORRECTNESS_r*
-# file come first, and the 8 rows-only-by-design entries (no ORACLES row;
+# file come first, and the 14 rows-only-by-design entries (no ORACLES row;
 # engine-specific hashes/seeds, pinned by pytests instead) are parked last.
+# r07 audit: all 34 never-checked oracle-backed entries sit inside the
+# window; every entry outside it is either r06-hash-green or rows-only.
 # When adding a new oracle-backed entry, insert it at the top; after each
 # round, rotate entries the driver just verified toward the back.
 QUERIES = {

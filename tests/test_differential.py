@@ -204,3 +204,115 @@ def test_random_bgp_bag_matches_model(spark, seed):
         f"seed={seed}\ndb={db_rows}\npatterns={patterns}\npvars={pvars}\n"
         f"extra={got - want}\nmissing={want - got}"
     )
+
+
+# ---------------------------------------------------------------------------
+# select_agg differential: engine aggregates vs aggregates computed in
+# Python over the model's bag-solution multiset
+# ---------------------------------------------------------------------------
+
+
+def _model_select_agg(group_vars, aggs, patterns, db):
+    from matcha_spark.patterns import find_vars, var_name
+
+    from .model import UNBOUND, model_select_bag
+
+    allv = find_vars(patterns)
+    rows = model_select_bag(allv, patterns, db)
+    gidx = [allv.index(var_name(g)) for g in group_vars]
+    groups: dict[tuple, list[tuple]] = {}
+    for row in rows:
+        groups.setdefault(tuple(row[i] for i in gidx), []).append(row)
+
+    def is_num(v):
+        return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+    out = {}
+    for key, grp in groups.items():
+        rec = {}
+        for name, (op, v) in aggs.items():
+            if v is None:
+                assert op == "count"
+                rec[name] = len(grp)
+                continue
+            vi = allv.index(var_name(v))
+            vals = [r[vi] for r in grp if r[vi] is not UNBOUND]
+            nums = [float(x) for x in vals if is_num(x)]
+            if op == "count":
+                rec[name] = len(vals)
+            elif op == "count_distinct":
+                rec[name] = len({repr(x) for x in vals})
+            elif op == "sum":
+                rec[name] = sum(nums) if nums else None
+            elif op == "avg":
+                rec[name] = sum(nums) / len(nums) if nums else None
+            elif op == "min":
+                rec[name] = min(nums) if nums else None
+            elif op == "max":
+                rec[name] = max(nums) if nums else None
+        out[key] = rec
+    return out
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_select_agg_differential(spark, seed):
+    from matcha_spark import select_agg
+    from matcha_spark.patterns import find_vars
+    from matcha_spark.terms import from_term
+
+    rng = random.Random(4200 + seed)
+    db_rows = _rand_db(rng, rng.randint(6, 18))
+    pats = _rand_patterns(rng)
+    allv = find_vars(pats)
+    if not allv:
+        pytest.skip("no vars drawn")
+    # group on a var from the first required pattern (dodges unbound
+    # group keys — marker semantics are covered by the unit tests)
+    from matcha_spark.patterns import Values, Optional as Opt, is_var, var_name
+
+    req_vars = []
+    for p in pats:
+        if isinstance(p, (Values, Opt)):
+            continue
+        req_vars += [var_name(e) for e in p if is_var(e)]
+    if not req_vars:
+        pytest.skip("no required vars drawn")
+    gvar = req_vars[0]
+    avar = rng.choice(allv)
+    aggs = {
+        "n": ("count", None),
+        "nb": ("count", avar),
+        "nd": ("count_distinct", avar),
+        "s": ("sum", avar),
+        "mn": ("min", avar),
+        "mx": ("max", avar),
+    }
+    db = TriplesDB.from_triples(spark, db_rows)
+    try:
+        got_rows = select_agg([gvar], aggs, pats, db).collect()
+    finally:
+        db.unpersist()
+    want = _model_select_agg([gvar], aggs, pats, db_rows)
+
+    def freeze(v):
+        from .model import _freeze
+
+        return _freeze(v)
+
+    got = {}
+    for r in got_rows:
+        key = (freeze(from_term(r[gvar])),)
+        got[key] = {
+            "n": r["n"], "nb": r["nb"], "nd": r["nd"],
+            "s": r["s"], "mn": r["mn"], "mx": r["mx"],
+        }
+    assert set(got) == set(want), (sorted(got), sorted(want))
+    for k in want:
+        for name in ("n", "nb", "nd"):
+            assert got[k][name] == want[k][name], (seed, k, name, got[k], want[k])
+        for name in ("s", "mn", "mx"):
+            a, b = got[k][name], want[k][name]
+            if b is None:
+                assert a is None, (seed, k, name)
+            else:
+                assert a is not None and abs(a - b) < 1e-9, (seed, k, name, a, b)
