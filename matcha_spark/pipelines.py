@@ -1,0 +1,97 @@
+"""Composed curation pipelines: the individual operators wired the way
+a production corpus build runs them, with a per-document audit trail.
+
+The composition is itself correctness-gated: the suite entry
+``doc_pipeline_curate`` replays the full quality → dedup →
+decontamination cascade as one DuckDB SQL query and hash-compares the
+per-document verdicts — catching stage-ordering and survivor-set bugs
+that per-operator oracles cannot see.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .operators import text as T
+
+__all__ = ["curate_corpus"]
+
+
+def curate_corpus(
+    docs: DataFrame,
+    probes: DataFrame | None = None,
+    min_tokens: int = 5,
+    max_avg_token_len: float = 12.0,
+    max_punct_ratio: float = 0.3,
+    min_stopword_ratio: float = 0.0,
+    contamination_n: int = 8,
+    max_contamination: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Standard curation cascade with an audit verdict per document:
+
+    1. **quality**: Gopher/C4-style signal gate (:func:`text.quality_filter`
+       thresholds);
+    2. **duplicate**: exact keep-first dedup among quality survivors
+       (:func:`text.dedup_exact` semantics — normalized-text md5 groups,
+       min doc_id kept);
+    3. **contaminated**: benchmark n-gram overlap above
+       ``max_contamination`` among remaining docs (skipped when
+       ``probes`` is None).
+
+    Output: ``(doc_id, status)`` for EVERY input document — ``kept`` or
+    the first stage that rejected it (``quality`` / ``duplicate`` /
+    ``contaminated``) — the audit table a pipeline owner reports on.
+
+    Each stage runs only on the previous stage's survivors (a rejected
+    duplicate can't knock out a later doc, and dedup groups form among
+    quality survivors only — the ordering production pipelines use so
+    junk never shadows good copies).  Plan: the signal/gate stages are
+    codegen'd column work; dedup is one hash-groupBy; contamination is
+    a broadcast-probe semi-match — nothing pairwise, nothing collected."""
+    quality_ok = T.quality_filter(
+        docs,
+        min_tokens=min_tokens,
+        max_avg_token_len=max_avg_token_len,
+        max_punct_ratio=max_punct_ratio,
+        min_stopword_ratio=min_stopword_ratio,
+        text_col=text_col,
+    ).select("doc_id")
+    base = docs.select("doc_id", text_col)
+    q_surv = base.join(quality_ok, "doc_id", "left_semi")
+
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    keepers = (
+        q_surv.select("doc_id", F.md5(norm).alias("__fp"))
+        .groupBy("__fp")
+        .agg(F.min("doc_id").alias("keep_id"))
+        .select(F.col("keep_id").alias("doc_id"))
+    )
+    d_surv = q_surv.join(keepers, "doc_id", "left_semi")
+
+    if probes is not None:
+        cont = T.benchmark_contamination(
+            d_surv, probes, n=contamination_n, text_col=text_col
+        )
+        contaminated = cont.where(
+            F.col("contamination") > max_contamination
+        ).select("doc_id")
+    else:
+        contaminated = d_surv.select("doc_id").limit(0)
+
+    status = (
+        docs.select("doc_id")
+        .join(quality_ok.withColumn("__q", F.lit(1)), "doc_id", "left")
+        .join(keepers.withColumn("__k", F.lit(1)), "doc_id", "left")
+        .join(contaminated.withColumn("__c", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("__q").isNull(), "quality")
+            .when(F.col("__k").isNull(), "duplicate")
+            .when(F.col("__c").isNotNull(), "contaminated")
+            .otherwise("kept")
+            .alias("status"),
+        )
+    )
+    return status

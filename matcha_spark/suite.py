@@ -668,6 +668,27 @@ def emb_semdedup(spark, sf_dir):
     return D.semdedup(emb, threshold=0.4, n_clusters=8)
 
 
+def doc_pipeline_curate(spark, sf_dir):
+    """Composed curation cascade (quality → exact-dedup → benchmark
+    decontamination) with a per-document verdict; the oracle replays
+    the WHOLE cascade as one SQL query, catching stage-ordering and
+    survivor-set bugs the per-operator oracles cannot see."""
+    from . import pipelines as P
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    probes = docs.where(F.col("doc_id") % 50 == 0).select("text")
+    return P.curate_corpus(
+        docs,
+        probes,
+        min_tokens=40,
+        max_avg_token_len=12.0,
+        max_punct_ratio=0.1,
+        min_stopword_ratio=0.01,
+        contamination_n=8,
+        max_contamination=0.5,
+    )
+
+
 def doc_normalize_nfc(spark, sf_dir):
     """Unicode NFC normalization; oracle is DuckDB's nfc_normalize over
     the same rows (identity on this ASCII corpus — the check still
@@ -822,6 +843,7 @@ QUERIES = {
     "grouping_sets_priority": R.grouping_sets_priority,
     "cohort_retention": R.cohort_retention,
     # new this round (r07): LLM-pipeline curation — never driver-checked
+    "doc_pipeline_curate": doc_pipeline_curate,
     "doc_normalize_nfc": doc_normalize_nfc,
     "doc_contamination": doc_contamination,
     "doc_unigram_logloss": doc_unigram_logloss,
@@ -989,6 +1011,53 @@ ORACLES = {
         JOIN nation ON c_nationkey = n_nationkey
         WHERE o_orderpriority = '1-URGENT'
         GROUP BY 1
+    """,
+    "doc_pipeline_curate": f"""
+        WITH q AS (
+            SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       len({_TOKS}) AS n_tokens,
+                       round(length(text) / len({_TOKS}), 4) AS avg_token_len,
+                       round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / length(text), 4) AS punct_ratio,
+                       round(len(list_filter({_TOKS}, x -> lower(x) IN ({_EN}))) / len({_TOKS}), 4) AS stopword_ratio
+                FROM documents
+            )
+            WHERE n_tokens >= 40 AND avg_token_len <= 12.0
+              AND punct_ratio <= 0.1 AND stopword_ratio >= 0.01
+        ), keepers AS (
+            SELECT min(doc_id) AS doc_id FROM (
+                SELECT doc_id, md5({_NORM}) AS fp FROM q
+            ) GROUP BY fp
+        ), d_surv AS (
+            SELECT q.* FROM q JOIN keepers USING (doc_id)
+        ), ptoks AS (
+            SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents WHERE doc_id % 50 = 0
+        ), pg AS (
+            SELECT DISTINCT unnest(list_transform(range(len(t) - 7),
+                   i -> array_to_string(t[i + 1 : i + 8], ' '))) AS gram
+            FROM ptoks WHERE len(t) >= 8
+        ), dg AS (
+            SELECT doc_id, unnest(list_transform(range(len(t) - 7),
+                   i -> array_to_string(t[i + 1 : i + 8], ' '))) AS gram
+            FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                  FROM d_surv) WHERE len(t) >= 8
+        ), cont AS (
+            SELECT doc_id FROM (
+                SELECT doc_id, count(*) AS n_grams,
+                       sum(CASE WHEN pg.gram IS NOT NULL THEN 1 ELSE 0 END) AS hit
+                FROM dg LEFT JOIN pg USING (gram) GROUP BY 1
+            ) WHERE n_grams > 0 AND hit * 1.0 / n_grams > 0.5
+        )
+        SELECT d.doc_id,
+               CASE WHEN q.doc_id IS NULL THEN 'quality'
+                    WHEN keepers.doc_id IS NULL THEN 'duplicate'
+                    WHEN cont.doc_id IS NOT NULL THEN 'contaminated'
+                    ELSE 'kept' END AS status
+        FROM documents d
+        LEFT JOIN q ON d.doc_id = q.doc_id
+        LEFT JOIN keepers ON d.doc_id = keepers.doc_id
+        LEFT JOIN cont ON d.doc_id = cont.doc_id
     """,
     "doc_normalize_nfc": """
         SELECT doc_id, nfc_normalize(coalesce(text, '')) AS text FROM documents

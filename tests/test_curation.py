@@ -334,3 +334,38 @@ def test_normalize_text_forms(spark):
     import pytest as _p
     with _p.raises(ValueError):
         normalize_text(docs, "NFX")
+
+
+def test_curate_corpus_stage_order_and_verdicts(spark):
+    """Stage semantics: a duplicate of a quality-rejected doc is NOT a
+    duplicate (dedup groups form among quality survivors only); keep-
+    first picks the min id; contamination applies to remaining docs;
+    every input gets exactly one verdict."""
+    from matcha_spark.pipelines import curate_corpus
+
+    good = ("the cat and the dog sat in the house that is it for a story "
+            "about the animals and their day together in it all") 
+    docs = spark.createDataFrame(
+        [
+            (1, good),                       # kept
+            (2, good),                       # duplicate of 1
+            (3, "x!!"),                      # quality reject
+            (4, "x!!"),                      # ALSO quality reject (not 'duplicate')
+            (5, good + " unique ending of a kept document here now"),  # kept
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.status for r in curate_corpus(
+        docs, None, min_tokens=5, max_punct_ratio=0.3
+    ).collect()}
+    assert out == {1: "kept", 2: "duplicate", 3: "quality", 4: "quality", 5: "kept"}
+
+    # contamination stage: probe overlap above the cap rejects doc 5's dup-free text
+    probes = spark.createDataFrame([(good,)], "text string")
+    out2 = {r.doc_id: r.status for r in curate_corpus(
+        docs, probes, min_tokens=5, max_punct_ratio=0.3,
+        contamination_n=8, max_contamination=0.5,
+    ).collect()}
+    assert out2[1] == "contaminated"     # fully matches the probe
+    assert out2[2] == "duplicate"        # dedup verdict comes first
+    assert out2[3] == "quality"
