@@ -54,8 +54,11 @@ def main() -> None:
         bgp_optional_urgent_orders,
         bgp_path_reach_urgent,
         bgp_path_region_members,
+        doc_contamination,
         doc_image_phash,
         doc_media_features,
+        doc_pipeline_curate,
+        doc_unigram_logloss,
         graph_closure_nations,
         graph_shortest_urgent,
     )
@@ -146,6 +149,12 @@ def main() -> None:
     bench("doc_cdc_chunks", lambda: force(T.cdc_chunks(docs, avg_size=64)))
     bench("emb_semdedup", lambda: force(D.semdedup(emb, threshold=0.4, n_clusters=8)))
     bench("doc_image_phash", lambda: force(doc_image_phash(spark, SF_DIR)))
+    bench("doc_contamination", lambda: force(doc_contamination(spark, SF_DIR)))
+    bench("doc_unigram_logloss", lambda: force(doc_unigram_logloss(spark, SF_DIR)))
+    bench("doc_pipeline_curate", lambda: force(doc_pipeline_curate(spark, SF_DIR)))
+    bench("emb_pq_topk", lambda: force(
+        S.pq_topk(emb, emb.where("vec_id < 5"), k=5)
+    ))
     bench("bgp_agg_customers_by_region", lambda: force(bgp_agg_customers_by_region(spark, SF_DIR)))
     bench("graph_shortest_urgent", lambda: force(graph_shortest_urgent(spark, SF_DIR)), repeat=False)
     # LSH near-dup benched in its design regime (high-cosine dups, tight
