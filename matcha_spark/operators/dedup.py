@@ -44,6 +44,8 @@ __all__ = [
     "connected_components",
     "dedup_near_docs",
     "incremental_dedup_near",
+    "save_signature_store",
+    "load_signature_store",
     "dedup_near_docs_lsh",
     "embedding_dup_pairs",
     "embedding_dup_pairs_lsh",
@@ -888,3 +890,15 @@ def incremental_dedup_near(
     )
     updated = existing_sigs.select("doc_id", *hcols).unionByName(kept_sigs)
     return decisions, updated
+
+
+def save_signature_store(sigs: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Persist an :func:`incremental_dedup_near` signature store as
+    parquet (the between-batch handoff: ~512 bytes/doc, append-only
+    corpus state with no raw text)."""
+    sigs.write.mode(mode).parquet(path)
+
+
+def load_signature_store(spark, path: str) -> DataFrame:
+    """Load a signature store written by :func:`save_signature_store`."""
+    return spark.read.parquet(path)

@@ -339,3 +339,51 @@ def test_huge_int_num_mirror_clamped(spark):
     o = back[0].o
     assert (o["kind"], o["lex"], o["num"]) == ("int", str(huge), 0.0)
     assert from_term(o) == huge
+
+
+def test_read_ntriples_gzip(spark, tmp_path):
+    """Compressed dumps read transparently (spark.read.text handles
+    .gz) — the common shape real RDF exports arrive in."""
+    import gzip
+
+    from matcha_spark.sources.ntriples import read_ntriples
+    from matcha_spark.terms import from_term, kw
+
+    lines = (
+        '<urn:a> <urn:p> "hello" .\n'
+        '<urn:a> <urn:p> <urn:b> .\n'
+        '_:b0 <urn:p> "from blank" .\n'
+    )
+    p = tmp_path / "dump.nt.gz"
+    with gzip.open(p, "wt", encoding="utf-8") as f:
+        f.write(lines)
+    t = read_ntriples(spark, str(p))
+    assert t.count() == 3
+    objs = {from_term(r["o"]) for r in t.collect()}
+    assert "hello" in objs and "from blank" in objs
+
+
+def test_streaming_ntriples_ingestion(spark, tmp_path):
+    """ntlines_to_triples is pure narrow maps, so it runs unchanged on
+    a readStream text source — graph ingestion from a landing directory
+    without a batch rewrite."""
+    from matcha_spark.sources.ntriples import ntlines_to_triples
+
+    src_dir = tmp_path / "landing"
+    src_dir.mkdir()
+    (src_dir / "part1.nt").write_text(
+        '<urn:s1> <urn:p> "one" .\n<urn:s2> <urn:p> "two" .\n'
+    )
+    stream = spark.readStream.format("text").load(str(src_dir))
+    triples = ntlines_to_triples(stream)
+    q = (
+        triples.writeStream.format("memory")
+        .queryName("nt_stream_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM nt_stream_t").collect()
+    assert len(rows) == 2
+    assert {r["o"]["lex"] for r in rows} == {"one", "two"}

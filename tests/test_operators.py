@@ -709,3 +709,22 @@ def test_incremental_dedup_near_batches(spark):
     d3, sigs3 = D.incremental_dedup_near(b3, sigs2, threshold=0.6)
     assert [r.keep for r in d3.collect()] == [True]
     assert sigs3.count() == 5
+
+
+def test_signature_store_roundtrip(spark, tmp_path):
+    """The incremental-dedup handoff survives a parquet round-trip: the
+    reloaded store makes identical decisions."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    _, sigs = D.incremental_dedup_near(docs, None)
+    D.save_signature_store(sigs, str(tmp_path / "store"))
+    loaded = D.load_signature_store(spark, str(tmp_path / "store"))
+    resub = spark.createDataFrame(
+        [(2, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    d, _ = D.incremental_dedup_near(resub, loaded, threshold=0.6)
+    row = d.collect()[0]
+    assert not row.keep and row.dup_of == 1
