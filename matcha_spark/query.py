@@ -194,6 +194,7 @@ def select_agg(
     patterns,
     db=None,
     concat_sep: str = " ",
+    having=None,
 ) -> DataFrame:
     """SPARQL 1.1-style ``GROUP BY`` + aggregates over BGP solutions
     (the reference has no aggregation verb; this is the Spark-native
@@ -219,7 +220,10 @@ def select_agg(
       unlike SPARQL's implementation-defined SAMPLE) returned as a TERM
       struct;
     - ``group_concat`` concatenates the lexical forms sorted
-      canonically (deterministic) with ``concat_sep``.
+      canonically (deterministic) with ``concat_sep``;
+    - ``having`` (SPARQL HAVING) maps the output columns
+      ({name: Column}, group vars and aggregates alike) to a boolean
+      Column applied after aggregation.
 
     Returns a DataFrame: one TERM-struct column per group var plus one
     plain column per aggregate.  Curried when ``db`` is omitted.  Scale
@@ -228,7 +232,7 @@ def select_agg(
     ``collect_list`` inside ``group_concat``."""
     if db is None:
         return lambda db_: select_agg(
-            group_vars, aggs, patterns, db_, concat_sep=concat_sep
+            group_vars, aggs, patterns, db_, concat_sep=concat_sep, having=having
         )
     patterns = _normalize_patterns(patterns)
     gvars = [var_name(v) for v in group_vars]
@@ -289,7 +293,13 @@ def select_agg(
             raise ValueError(f"unknown aggregate op: {op!r}")
         exprs.append(e.alias(out))
     grouped = sols.groupBy(*[col(g).alias(g) for g in gvars]) if gvars else sols.groupBy()
-    return grouped.agg(*exprs)
+    out = grouped.agg(*exprs)
+    if having is not None:
+        # SPARQL HAVING: a predicate over the aggregate output columns
+        # ({name: Column} — group vars and aggregates alike); a plain
+        # post-aggregation filter in the plan
+        out = out.where(having({c: F.col(f"`{c}`") for c in out.columns}))
+    return out
 
 
 def select(*args, db=None, bag_semantics: bool = False):

@@ -618,3 +618,21 @@ def test_bind_errors(spark):
         select(["?v"], [("?s", kw("n"), "?v"),
                         Bind("?v", lambda v: str_col(lex(v["?v"])))], db)
     db.unpersist()
+
+
+def test_select_agg_having(agg_db):
+    from matcha_spark import kw, select_agg
+    from pyspark.sql import functions as _F
+
+    out = select_agg(
+        ["?cat"], {"n": ("count", "?i"), "total": ("sum", "?sz")},
+        [("?i", kw("cat"), "?cat"), ("?i", kw("size"), "?sz")],
+        agg_db,
+        having=lambda c: c["total"] > 9.0,
+    ).collect()
+    assert len(out) == 1 and out[0]["total"] == 12.0  # only c1 survives
+    # curried form carries the having through
+    q = select_agg(["?cat"], {"n": ("count", None)},
+                   [("?i", kw("cat"), "?cat")], having=lambda c: c["n"] >= 4)
+    rows = q(agg_db).collect()
+    assert {r["n"] for r in rows} == {4}
