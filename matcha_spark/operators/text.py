@@ -34,6 +34,7 @@ __all__ = [
     "benchmark_contamination",
     "unigram_logloss",
     "normalize_text",
+    "strip_dup_ngrams",
 ]
 
 # tiny in-query stopword lists for the heuristic scorers
@@ -840,4 +841,79 @@ def normalize_text(
 
     return docs.select("doc_id", text_col).mapInPandas(
         kernel, schema=f"doc_id long, {text_col} string"
+    )
+
+
+def strip_dup_ngrams(
+    docs: DataFrame, n: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicated-n-gram REMOVAL — the dedup step of Lee et al.
+    2022 at word-n-gram granularity (where :func:`dup_ngram_stats` only
+    scores): every token covered by a corpus-duplicated n-gram is
+    removed UNLESS the covering occurrence is that gram's canonical
+    first occurrence (minimum ``(doc_id, start)`` corpus-wide) — each
+    duplicated span survives exactly once in the corpus.
+
+    Output: ``(doc_id, text)`` for every input doc, surviving tokens
+    joined by single spaces (shorter-than-``n`` docs pass through;
+    fully-covered docs come back empty).  Matching is case-insensitive
+    (lowercased grams), removal preserves the original tokens.
+
+    Scale shape: occurrences (one row per gram position) → per-gram
+    count + canonical min(struct(doc, start)) in ONE hash aggregate →
+    join back → explode covered positions → anti-join against the
+    original token positions → per-doc ordered regroup.  Every step is
+    an aggregate/join on gram or doc keys; nothing pairwise, no windows
+    over the corpus."""
+    toks_lc = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks_raw = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select("doc_id", toks_lc.alias("__lc"), toks_raw.alias("__raw"))
+    occ = (
+        base.where(F.size("__lc") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(__lc) - {n}),"
+                    f" i -> struct(i AS start, array_join(slice(__lc, i + 1, {n}), ' ') AS gram))"
+                )
+            ).alias("o"),
+        )
+        .select("doc_id", F.col("o.start").alias("start"), F.col("o.gram").alias("gram"))
+    )
+    canon = occ.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.min(F.struct("doc_id", "start")).alias("first"),
+    )
+    dup_occ = (
+        occ.join(canon, "gram")
+        .where(
+            (F.col("c") > 1)
+            & ~(
+                (F.col("doc_id") == F.col("first.doc_id"))
+                & (F.col("start") == F.col("first.start"))
+            )
+        )
+        .select("doc_id", "start")
+    )
+    covered = dup_occ.select(
+        "doc_id", F.explode(F.expr(f"sequence(start, start + {n} - 1)")).alias("pos")
+    ).distinct()
+    positions = base.select(
+        "doc_id", F.posexplode("__raw").alias("pos", "tok")
+    )
+    kept = positions.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias(text_col)
+    )
+    return (
+        docs.select("doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
     )

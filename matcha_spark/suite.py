@@ -668,6 +668,15 @@ def emb_semdedup(spark, sf_dir):
     return D.semdedup(emb, threshold=0.4, n_clusters=8)
 
 
+def doc_strip_dup_ngrams(spark, sf_dir):
+    """Exact duplicated-5-gram removal (Lee et al.'s dedup step): the
+    oracle replays occurrence ranking, canonical-first selection, span
+    coverage, and the positional rebuild in SQL."""
+    return T.strip_dup_ngrams(
+        load_tables(spark, sf_dir, "documents")["documents"], n=5
+    )
+
+
 def doc_pipeline_curate(spark, sf_dir):
     """Composed curation cascade (quality → exact-dedup → benchmark
     decontamination) with a per-document verdict; the oracle replays
@@ -843,6 +852,7 @@ QUERIES = {
     "grouping_sets_priority": R.grouping_sets_priority,
     "cohort_retention": R.cohort_retention,
     # new this round (r07): LLM-pipeline curation — never driver-checked
+    "doc_strip_dup_ngrams": doc_strip_dup_ngrams,
     "doc_pipeline_curate": doc_pipeline_curate,
     "doc_normalize_nfc": doc_normalize_nfc,
     "doc_contamination": doc_contamination,
@@ -1011,6 +1021,44 @@ ORACLES = {
         JOIN nation ON c_nationkey = n_nationkey
         WHERE o_orderpriority = '1-URGENT'
         GROUP BY 1
+    """,
+    "doc_strip_dup_ngrams": """
+        WITH base AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS raw,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS lc
+            FROM documents
+        ), occg AS (
+            SELECT doc_id, start, array_to_string(lc[start + 1 : start + 5], ' ') AS gram
+            FROM (
+                SELECT doc_id, unnest(range(len(lc) - 4)) AS start, lc
+                FROM base WHERE len(lc) >= 5
+            )
+        ), marked AS (
+            SELECT doc_id, start,
+                   count(*) OVER (PARTITION BY gram) AS c,
+                   row_number() OVER (PARTITION BY gram ORDER BY doc_id, start) AS rn
+            FROM occg
+        ), covered AS (
+            SELECT DISTINCT doc_id, pos FROM (
+                SELECT doc_id, unnest(range(start, start + 5)) AS pos
+                FROM marked WHERE c > 1 AND rn > 1
+            )
+        ), toks AS (
+            SELECT doc_id, pos, raw[pos + 1] AS tok FROM (
+                SELECT doc_id, unnest(range(len(raw))) AS pos, raw FROM base
+            )
+        ), kept AS (
+            SELECT t.doc_id, t.pos, t.tok
+            FROM toks t LEFT JOIN covered c
+              ON t.doc_id = c.doc_id AND t.pos = c.pos
+            WHERE c.pos IS NULL
+        ), rebuilt AS (
+            SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+            FROM kept GROUP BY 1
+        )
+        SELECT d.doc_id, coalesce(r.text, '') AS text
+        FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
     """,
     "doc_pipeline_curate": f"""
         WITH q AS (

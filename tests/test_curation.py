@@ -369,3 +369,32 @@ def test_curate_corpus_stage_order_and_verdicts(spark):
     assert out2[1] == "contaminated"     # fully matches the probe
     assert out2[2] == "duplicate"        # dedup verdict comes first
     assert out2[3] == "quality"
+
+
+def test_strip_dup_ngrams_planted(spark):
+    """The canonical first occurrence of a duplicated 5-gram survives;
+    every other occurrence's span is removed (case-insensitive match,
+    original case preserved); overlapping duplicated spans merge."""
+    from matcha_spark.operators.text import strip_dup_ngrams
+
+    shared = "one two three four five"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} tail a b c d"),           # canonical owner (min doc_id, start)
+            (2, f"intro x {shared.upper()} more words here"),  # dup (case-blind)
+            (3, "nothing duplicated in this doc at all"),
+            (4, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in strip_dup_ngrams(docs, n=5).collect()}
+    assert out[1] == f"{shared} tail a b c d"         # untouched
+    assert out[2] == "intro x more words here"         # span removed, case kept
+    assert out[3] == "nothing duplicated in this doc at all"
+    assert out[4] == "tiny"
+    # a doc that IS the duplicated span comes back empty
+    docs2 = spark.createDataFrame(
+        [(1, shared), (2, shared)], "doc_id long, text string"
+    )
+    out2 = {r.doc_id: r.text for r in strip_dup_ngrams(docs2, n=5).collect()}
+    assert out2[1] == shared and out2[2] == ""
