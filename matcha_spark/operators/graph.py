@@ -378,10 +378,19 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     iters: int = 10,
+    weight: str | None = None,
+    sources: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list: ``(node, rank)`` after
-    ``iters`` synchronous power-iteration rounds with uniform
-    teleportation and dangling-mass redistribution (ranks sum to 1).
+    ``iters`` synchronous power-iteration rounds with teleportation and
+    dangling-mass redistribution (ranks sum to 1).
+
+    ``weight`` names a positive edge-weight column: contributions split
+    proportionally to weight (out-strength-normalized) instead of
+    uniformly over out-edges.  ``sources`` (personalized PageRank) is a
+    one-column DataFrame of node ids: teleportation and dangling mass
+    flow back to the source set uniformly instead of to all nodes —
+    ranks become proximity-to-sources scores (graph-based relevance).
 
     Scale shape: each round is one equi-join (edges ⋈ ranks on src,
     out-degree pre-joined once) + one hash aggregate on dst + one
@@ -392,7 +401,12 @@ def pagerank(
     ``connected_components``' convergence counter."""
     from ..cache import cut_lineage, memo_persist
 
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    wcol = (
+        F.col(weight).cast("double") if weight is not None else F.lit(1.0)
+    )
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), wcol.alias("ew")
+    )
     nodes = memo_persist(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -401,14 +415,27 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.select("node", F.lit(0.0).alias("rank"))
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # contribution edges with the 1/deg weight folded in once
+    out_deg = e.groupBy("src").agg(F.sum("ew").alias("deg"))
+    # contribution edges with the weight/out-strength factor folded in once
     weighted = memo_persist(
         e.join(out_deg, "src").select(
-            "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
+            "src", "dst", (F.col("ew") / F.col("deg")).alias("w")
         )
     )
-    ranks = cut_lineage(nodes.select("node", F.lit(1.0 / n).alias("rank")))
+    if sources is None:
+        teleport = nodes.select("node", F.lit(1.0 / n).alias("t"))
+    else:
+        s = sources.toDF("node").dropDuplicates()
+        n_src = s.count()
+        if n_src == 0:
+            raise ValueError("personalized pagerank needs a non-empty source set")
+        teleport = nodes.join(s, "node", "left_semi").select(
+            "node", F.lit(1.0 / n_src).alias("t")
+        ).unionByName(
+            nodes.join(s, "node", "left_anti").select("node", F.lit(0.0).alias("t"))
+        )
+    teleport = memo_persist(teleport)
+    ranks = cut_lineage(teleport.select("node", F.col("t").alias("rank")))
     for _ in range(iters):
         contribs = (
             weighted.join(ranks, weighted.src == ranks.node)
@@ -422,13 +449,12 @@ def pagerank(
             .collect()[0][0]
             or 0.0
         )
-        base = (1.0 - damping) / n + damping * dangling / n
         ranks = cut_lineage(
-            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            teleport.join(contribs, teleport.node == contribs.dst, "left")
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    (F.lit(1.0 - damping) + F.lit(damping * dangling)) * F.col("t")
                     + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
                 ).alias("rank"),
             )

@@ -403,3 +403,38 @@ def test_shortest_path_lengths_weighted(spark):
     with _pytest.raises(ValueError):
         bad = spark.createDataFrame([("a", "b", -1.0)], "src string, dst string, w double")
         shortest_path_lengths(bad, weight="w")
+
+
+def test_pagerank_weighted_personalized(spark):
+    """Weighted + personalized variants vs the numpy model."""
+    import numpy as np
+
+    from matcha_spark.operators.graph import pagerank
+
+    edge_list = [(0, 1, 3.0), (0, 2, 1.0), (1, 2, 2.0), (2, 0, 1.0), (3, 2, 5.0)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long, w double")
+    srcs = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.rank for r in pagerank(
+        edges, weight="w", sources=srcs, damping=0.85, iters=15
+    ).collect()}
+
+    nodes = sorted({x for s, d, _ in edge_list for x in (s, d)})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    W = np.zeros((n, n))
+    for s, d, w in edge_list:
+        W[idx[d], idx[s]] += w
+    strength = W.sum(axis=0)
+    t = np.zeros(n)
+    t[idx[0]] = 1.0
+    r = t.copy()
+    for _ in range(15):
+        mask = strength > 0
+        contrib = W[:, mask] @ (r[mask] / strength[mask])
+        dangling = r[~mask].sum()
+        r = (1 - 0.85) * t + 0.85 * dangling * t + 0.85 * contrib
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, (v, got[v], r[idx[v]])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # personalization: mass concentrates near the source's neighborhood
+    assert got[0] > got[3]  # node 3 only feeds in, unreachable from 0
