@@ -152,6 +152,7 @@ def main() -> None:
     bench("doc_contamination", lambda: force(doc_contamination(spark, SF_DIR)))
     bench("doc_unigram_logloss", lambda: force(doc_unigram_logloss(spark, SF_DIR)))
     bench("doc_pipeline_curate", lambda: force(doc_pipeline_curate(spark, SF_DIR)))
+    bench("doc_strip_dup_ngrams", lambda: force(T.strip_dup_ngrams(docs, n=5)))
     bench("emb_pq_topk", lambda: force(
         S.pq_topk(emb, emb.where("vec_id < 5"), k=5)
     ))
