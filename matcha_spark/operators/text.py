@@ -35,6 +35,7 @@ __all__ = [
     "unigram_logloss",
     "normalize_text",
     "strip_dup_ngrams",
+    "mixture_sample",
 ]
 
 # tiny in-query stopword lists for the heuristic scorers
@@ -917,3 +918,34 @@ def strip_dup_ngrams(
         .join(rebuilt, "doc_id", "left")
         .select("doc_id", F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
     )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    rates: dict,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic data-mixing sample: per-group keep rates (the
+    training-mixture knob — e.g. ``{"wiki": 1.0, "web": 0.1}`` keeps
+    all wiki and a 10 % web draw).  Groups absent from ``rates`` get
+    ``default_rate``.
+
+    Same engine-portable md5-threshold decision as
+    :func:`sample_hash` — a pure per-row function of (salt, key), so
+    the mixture is stable under repartitioning and re-runs, and draws
+    for different rates are *nested* (the 10 % sample is a subset of
+    the 20 % one: raising a weight only adds documents).  Narrow map,
+    no shuffle; the threshold per group folds into a CASE expression in
+    the scan filter."""
+    for g, r in rates.items():
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for group {g!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    thr = F.lit(rate_threshold_hex(default_rate))
+    for g, r in sorted(rates.items()):
+        thr = F.when(F.col(group_col) == g, F.lit(rate_threshold_hex(r))).otherwise(thr)
+    return docs.where(_hash_hex(F.col(key_col), salt) < thr)

@@ -668,6 +668,17 @@ def emb_semdedup(spark, sf_dir):
     return D.semdedup(emb, threshold=0.4, n_clusters=8)
 
 
+def doc_mixture_sample(spark, sf_dir):
+    """Deterministic data-mixing sample (per-source keep rates); the
+    oracle replays the md5 thresholds computed by rate_threshold_hex
+    (interpolated, not hand-written: 0.5/0.25 are binary-exact but the
+    contract routes every literal through the same function)."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return T.mixture_sample(
+        docs, {"src0": 1.0, "src1": 0.25, "src2": 0.0}, default_rate=0.5
+    )
+
+
 def doc_strip_dup_ngrams(spark, sf_dir):
     """Exact duplicated-5-gram removal (Lee et al.'s dedup step): the
     oracle replays occurrence ranking, canonical-first selection, span
@@ -852,6 +863,7 @@ QUERIES = {
     "grouping_sets_priority": R.grouping_sets_priority,
     "cohort_retention": R.cohort_retention,
     # new this round (r07): LLM-pipeline curation — never driver-checked
+    "doc_mixture_sample": doc_mixture_sample,
     "doc_strip_dup_ngrams": doc_strip_dup_ngrams,
     "doc_pipeline_curate": doc_pipeline_curate,
     "doc_normalize_nfc": doc_normalize_nfc,
@@ -996,6 +1008,19 @@ def _jaccard_pairs_ctes(cap: int, threshold: float) -> str:
             WHERE round(i / (sa.sz + sb.sz - i), 4) >= {threshold}
         )"""
 
+# thresholds routed through rate_threshold_hex so both engines compare
+# against the identical hex literal (see doc_sample_hash's caveat)
+_MIXTURE_ORACLE = f"""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    WHERE md5(CAST(doc_id AS VARCHAR)) <
+          CASE source
+               WHEN 'src0' THEN '{T.rate_threshold_hex(1.0)}'
+               WHEN 'src1' THEN '{T.rate_threshold_hex(0.25)}'
+               WHEN 'src2' THEN '{T.rate_threshold_hex(0.0)}'
+               ELSE '{T.rate_threshold_hex(0.5)}'
+          END
+"""
+
 ORACLES = {
     "bgp_agg_customers_by_region": """
         SELECT r_name AS rname,
@@ -1022,6 +1047,7 @@ ORACLES = {
         WHERE o_orderpriority = '1-URGENT'
         GROUP BY 1
     """,
+    "doc_mixture_sample": _MIXTURE_ORACLE,
     "doc_strip_dup_ngrams": """
         WITH base AS (
             SELECT doc_id,

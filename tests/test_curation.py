@@ -398,3 +398,26 @@ def test_strip_dup_ngrams_planted(spark):
     )
     out2 = {r.doc_id: r.text for r in strip_dup_ngrams(docs2, n=5).collect()}
     assert out2[1] == shared and out2[2] == ""
+
+
+def test_mixture_sample_rates_and_nesting(spark):
+    from matcha_spark.operators.text import mixture_sample, sample_hash
+
+    docs = _docs(spark)
+    out = mixture_sample(docs, {"src0": 1.0, "src1": 0.0}, default_rate=0.5)
+    per = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    sizes = {r["source"]: r["count"] for r in docs.groupBy("source").count().collect()}
+    assert per.get("src0") == sizes["src0"]     # rate 1.0 keeps everything
+    assert "src1" not in per                     # rate 0.0 keeps nothing
+    # nesting: a group's draw at rate r is exactly sample_hash(r) on it
+    want = {r.doc_id for r in sample_hash(docs.where("source = 'src2'"), 0.5).collect()}
+    got = {r.doc_id for r in out.where("source = 'src2'").collect()}
+    assert got == want
+    # raising a rate only ADDS documents (nested draws)
+    bigger = mixture_sample(docs, {"src0": 1.0, "src1": 0.0}, default_rate=0.8)
+    a = {r.doc_id for r in out.collect()}
+    b = {r.doc_id for r in bigger.collect()}
+    assert a <= b
+    import pytest as _p
+    with _p.raises(ValueError):
+        mixture_sample(docs, {"src0": 1.5})
