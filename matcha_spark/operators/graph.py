@@ -1,9 +1,12 @@
-"""Graph traversal operators: transitive closure / property paths.
+"""Graph algorithms over edge lists: transitive closure / property
+paths, all-pairs shortest path lengths (hop counts or weighted), and
+PageRank (uniform / weighted / personalized).
 
 The reference has no property paths (SURVEY §2.5); SPARQL engines offer
 ``pred+`` — here that is :func:`transitive_closure` over an edge list,
 with :func:`predicate_closure` binding it to a :class:`TriplesDB`
-predicate.
+predicate; :func:`shortest_path_lengths` and :func:`pagerank` extend
+the same iterative machinery to distances and centrality.
 
 Scale shape: path-doubling iteration — each round composes the
 accumulated reachability with itself, anti-joins out the already-known
