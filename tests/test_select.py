@@ -636,3 +636,39 @@ def test_select_agg_having(agg_db):
                    [("?i", kw("cat"), "?cat")], having=lambda c: c["n"] >= 4)
     rows = q(agg_db).collect()
     assert {r["n"] for r in rows} == {4}
+
+
+def test_paths_bind_agg_compose(spark):
+    """Integration: property path + BIND + select_agg in one query —
+    the new clause types compose through the same compiler."""
+    from matcha_spark import Bind, kw, select_agg
+    from matcha_spark.patterns import OneOrMore
+    from matcha_spark.functions.termcols import lex, str_col
+
+    # chain: a -> b -> c -> d, plus category tags
+    trips = [
+        (kw("a"), kw("next"), kw("b")),
+        (kw("b"), kw("next"), kw("c")),
+        (kw("c"), kw("next"), kw("d")),
+        (kw("a"), kw("cat"), "start"),
+        (kw("b"), kw("cat"), "mid"),
+        (kw("c"), kw("cat"), "mid"),
+    ]
+    db = TriplesDB.from_triples(spark, trips)
+    out = select_agg(
+        ["?cat"],
+        {"n_reachable": ("count", "?y"), "targets": ("group_concat_distinct", "?y")},
+        [
+            ("?x", OneOrMore(kw("next")), "?y"),
+            ("?x", kw("cat"), "?c"),
+            Bind("?cat", lambda v: str_col(lex(v["?c"]))),
+        ],
+        db,
+        concat_sep=",",
+    ).collect()
+    rows = {r["?cat"]["lex"]: r for r in out}
+    # a reaches b,c,d (3); b reaches c,d; c reaches d -> mid = 2+1
+    assert rows["start"].n_reachable == 3
+    assert rows["start"].targets == "b,c,d"
+    assert rows["mid"].n_reachable == 3 and rows["mid"].targets == "c,d"
+    db.unpersist()
