@@ -48,6 +48,8 @@ __all__ = [
     "q21_waiting_suppliers",
     "grouping_sets_priority",
     "cohort_retention",
+    "events_json_stats",
+    "pivot_priority_by_segment",
 ]
 
 
@@ -1120,3 +1122,53 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: parse the events ``props`` JSON
+    with a typed ``from_json`` (schema'd, vectorized JVM parser — not a
+    per-row Python loads) and aggregate the extracted field per event
+    type.  The JSON parse is a narrow map; the aggregate is one
+    partial+final pass."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    k = F.from_json(F.col("props"), "struct<k:long>")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.sum("k") / F.count("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def pivot_priority_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crosstab via pivot: order counts per market segment × priority.
+    Explicit pivot values keep the plan a single pass (no values-scan
+    job) and give deterministic, oracle-matchable column names; the
+    pivot compiles to one conditional aggregate — exactly the CASE-sum
+    the oracle writes by hand."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    joined = t["orders"].join(
+        t["customer"], F.col("o_custkey") == F.col("c_custkey")
+    )
+    pri = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    out = (
+        joined.groupBy("c_mktsegment")
+        .pivot("o_orderpriority", pri)
+        .count()
+    )
+    renames = {
+        "1-URGENT": "urgent",
+        "2-HIGH": "high",
+        "3-MEDIUM": "medium",
+        "4-NOT SPECIFIED": "notspec",
+        "5-LOW": "low",
+    }
+    return out.select(
+        "c_mktsegment",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(renames[p]) for p in pri],
+    ).orderBy("c_mktsegment")

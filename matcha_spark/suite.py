@@ -862,6 +862,8 @@ QUERIES = {
     "asof_events_orders_forward": R.asof_events_orders_forward,
     "grouping_sets_priority": R.grouping_sets_priority,
     "cohort_retention": R.cohort_retention,
+    "events_json_stats": R.events_json_stats,
+    "pivot_priority_by_segment": R.pivot_priority_by_segment,
     # new this round (r07): LLM-pipeline curation — never driver-checked
     "doc_mixture_sample": doc_mixture_sample,
     "doc_strip_dup_ngrams": doc_strip_dup_ngrams,
@@ -1696,6 +1698,24 @@ ORACLES = {
         UNION ALL
         SELECT 'any', n_name FROM (SELECT n_name FROM cn UNION SELECT n_name FROM sn)
         ORDER BY op, n_name
+    """,
+    "events_json_stats": """
+        SELECT event_type, count(*) AS n,
+               sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+               round(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                     / count(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
+               max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "pivot_priority_by_segment": """
+        SELECT c_mktsegment,
+               sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent,
+               sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS high,
+               sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS medium,
+               sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS notspec,
+               sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS low
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1 ORDER BY 1
     """,
     "grouping_sets_priority": """
         SELECT o_orderpriority, o_orderstatus, count(*) AS n,
