@@ -50,6 +50,7 @@ __all__ = [
     "cohort_retention",
     "events_json_stats",
     "pivot_priority_by_segment",
+    "range_events_clicks",
 ]
 
 
@@ -1172,3 +1173,30 @@ def pivot_priority_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(renames[p]) for p in pri],
     ).orderBy("c_mktsegment")
+
+
+def range_events_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (attribution): click events falling inside
+    the hour before one of the same user's purchases.  The bucketing
+    turns the point-in-interval theta-join into an equi-join on
+    (key, time bucket) + residual filter — see operators/joins.py."""
+    from .operators.joins import range_join
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", F.col("user_id").alias("__key"), "ts"
+    )
+    windows = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("__key"),
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("win_start"),
+        F.col("ts").alias("win_end"),
+    )
+    out = range_join(
+        clicks, windows, on="__key", point="ts",
+        range_start="win_start", range_end="win_end",
+        bucket_width_s=900,
+    )
+    return out.select(
+        "event_id", F.col("__key").alias("user_id"), "purchase_id"
+    ).orderBy("event_id", "purchase_id")

@@ -864,6 +864,7 @@ QUERIES = {
     "cohort_retention": R.cohort_retention,
     "events_json_stats": R.events_json_stats,
     "pivot_priority_by_segment": R.pivot_priority_by_segment,
+    "range_events_clicks": R.range_events_clicks,
     # new this round (r07): LLM-pipeline curation — never driver-checked
     "doc_mixture_sample": doc_mixture_sample,
     "doc_strip_dup_ngrams": doc_strip_dup_ngrams,
@@ -1698,6 +1699,16 @@ ORACLES = {
         UNION ALL
         SELECT 'any', n_name FROM (SELECT n_name FROM cn UNION SELECT n_name FROM sn)
         ORDER BY op, n_name
+    """,
+    "range_events_clicks": """
+        SELECT c.event_id, c.user_id, p.event_id AS purchase_id
+        FROM events c
+        JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND c.ts >= p.ts - INTERVAL 1 HOUR
+         AND c.ts <  p.ts
+        ORDER BY c.event_id, purchase_id
     """,
     "events_json_stats": """
         SELECT event_type, count(*) AS n,
