@@ -51,6 +51,7 @@ __all__ = [
     "events_json_stats",
     "pivot_priority_by_segment",
     "range_events_clicks",
+    "events_value_outliers",
 ]
 
 
@@ -1200,3 +1201,27 @@ def range_events_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", F.col("__key").alias("user_id"), "purchase_id"
     ).orderBy("event_id", "purchase_id")
+
+
+def events_value_outliers(spark: SparkSession, sf_dir: str, z: float = 3.0) -> DataFrame:
+    """Per-type z-score anomaly detection over event values: one
+    grouped aggregate computes each event type's mean/stddev, broadcast
+    back onto the stream; events beyond ``z`` standard deviations are
+    flagged.  Two passes over the log, no window — the standard
+    streaming-adjacent outlier sweep done batch-side."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_pop("value").alias("sigma"),
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .where(F.col("sigma") > 0)
+        .select(
+            "event_id",
+            "event_type",
+            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4).alias("zscore"),
+        )
+        .where(F.abs(F.col("zscore")) > z)
+        .orderBy("event_id")
+    )

@@ -865,6 +865,7 @@ QUERIES = {
     "events_json_stats": R.events_json_stats,
     "pivot_priority_by_segment": R.pivot_priority_by_segment,
     "range_events_clicks": R.range_events_clicks,
+    "events_value_outliers": R.events_value_outliers,
     # new this round (r07): LLM-pipeline curation — never driver-checked
     "doc_mixture_sample": doc_mixture_sample,
     "doc_strip_dup_ngrams": doc_strip_dup_ngrams,
@@ -1699,6 +1700,17 @@ ORACLES = {
         UNION ALL
         SELECT 'any', n_name FROM (SELECT n_name FROM cn UNION SELECT n_name FROM sn)
         ORDER BY op, n_name
+    """,
+    "events_value_outliers": """
+        WITH stats AS (
+            SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
+            FROM events GROUP BY 1
+        )
+        SELECT event_id, e.event_type,
+               round((value - mu) / sigma, 4) AS zscore
+        FROM events e JOIN stats USING (event_type)
+        WHERE sigma > 0 AND abs(round((value - mu) / sigma, 4)) > 3.0
+        ORDER BY event_id
     """,
     "range_events_clicks": """
         SELECT c.event_id, c.user_id, p.event_id AS purchase_id
