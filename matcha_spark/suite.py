@@ -848,8 +848,12 @@ def dedup_near_emb(spark, sf_dir):
 # descending — entries never (or longest-ago) recorded in a CORRECTNESS_r*
 # file come first, and the 14 rows-only-by-design entries (no ORACLES row;
 # engine-specific hashes/seeds, pinned by pytests instead) are parked last.
-# r07 audit: all 34 never-checked oracle-backed entries sit inside the
-# window; every entry outside it is either r06-hash-green or rows-only.
+# r07 closing audit (tools/registry_audit.py): the window is exactly
+# saturated — 36 never-checked oracle-backed entries + 14 previously-
+# green slots; every entry outside it is prior-round hash-green or
+# rows-only.  Adding another oracle-backed entry this round would push
+# a never-checked one out of the window — next round, rotate the 36
+# (by then driver-green) toward the back first.
 # When adding a new oracle-backed entry, insert it at the top; after each
 # round, rotate entries the driver just verified toward the back.
 QUERIES = {
