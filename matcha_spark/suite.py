@@ -1166,7 +1166,7 @@ ORACLES = {
         )
         SELECT d.doc_id,
                coalesce(n_grams, 0) AS n_grams,
-               coalesce(contaminated_grams, 0) AS contaminated_grams,
+               CAST(coalesce(contaminated_grams, 0) AS BIGINT) AS contaminated_grams,
                round(CASE WHEN coalesce(n_grams, 0) = 0 THEN 0.0
                           ELSE contaminated_grams * 1.0 / n_grams END, 6) AS contamination
         FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
@@ -1211,8 +1211,8 @@ ORACLES = {
             FROM pdg JOIN tot USING (gram) GROUP BY 1
         )
         SELECT d.doc_id,
-               coalesce(n_grams, 0) AS n_grams,
-               coalesce(dup_grams, 0) AS dup_grams,
+               CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(coalesce(dup_grams, 0) AS BIGINT) AS dup_grams,
                round(CASE WHEN coalesce(n_grams, 0) = 0 THEN 0.0
                           ELSE dup_grams * 1.0 / n_grams END, 6) AS dup_ratio
         FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
@@ -1283,8 +1283,8 @@ ORACLES = {
     "q12_late_shipments": """
         SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) < 120
                     THEN '60-119' ELSE '120+' END AS delay_bucket,
-               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
           AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -1728,7 +1728,7 @@ ORACLES = {
     """,
     "events_json_stats": """
         SELECT event_type, count(*) AS n,
-               sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                round(sum(CAST(json_extract(props, '$.k') AS BIGINT))
                      / count(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
                max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
@@ -1736,11 +1736,11 @@ ORACLES = {
     """,
     "pivot_priority_by_segment": """
         SELECT c_mktsegment,
-               sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent,
-               sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS high,
-               sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS medium,
-               sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS notspec,
-               sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS low
+               CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+               CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high,
+               CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium,
+               CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS notspec,
+               CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY 1 ORDER BY 1
     """,
