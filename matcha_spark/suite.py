@@ -192,6 +192,85 @@ def bgp_path_reach_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bgp_path_inv_region_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse property path (SPARQL ``^(:nation/:region)``): entities
+    of ASIA reached *from* the region via the inverted two-step path —
+    same answer set as ``bgp_path_region_members``, derived through
+    ``Inv`` (a free column swap in the compiled edge set, no extra
+    shuffle)."""
+    from .patterns import Inv, Seq
+
+    db = _graph(spark, sf_dir)
+    res = select_df(
+        ["?ename"],
+        [
+            ("?r", KW["name"], "ASIA"),
+            ("?r", Inv(Seq(KW["nation"], KW["region"])), "?e"),
+            ("?e", KW["name"], "?ename"),
+        ],
+        db,
+    )
+    return res.select(lex(F.col("`?ename`")).alias("ename"))
+
+
+def bgp_path_zom_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ZeroOrMore`` path (SPARQL ``:region*``): the region-edge
+    closure UNION the zero-length path, which per SPARQL matches every
+    *mentioned node* of the graph with itself.  Oracle replays the
+    reflexive node domain (URIs + name/segment literals) plus the
+    single-hop nation→region edges."""
+    from .patterns import ZeroOrMore
+
+    db = _graph(spark, sf_dir)
+    res = select_df(
+        ["?x", "?y"],
+        [("?x", ZeroOrMore(KW["region"]), "?y")],
+        db,
+    )
+    return res.select(
+        lex(F.col("`?x`")).alias("src"), lex(F.col("`?y`")).alias("dst")
+    )
+
+
+def bgp_path_zoo_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ZeroOrOne`` path (SPARQL ``:nation?``) with a bound subject:
+    each BUILDING customer paired with itself (zero-length) and its
+    nation (one hop).  The identity half of the edge set is pruned by
+    the equi-join with the selective ``mktsegment`` scan."""
+    from .patterns import ZeroOrOne
+
+    db = _graph(spark, sf_dir)
+    res = select_df(
+        ["?c", "?y"],
+        [
+            ("?c", KW["mktsegment"], "BUILDING"),
+            ("?c", ZeroOrOne(KW["nation"]), "?y"),
+        ],
+        db,
+    )
+    return res.select(
+        lex(F.col("`?c`")).alias("src"), lex(F.col("`?y`")).alias("dst")
+    )
+
+
+def bgp_path_negset_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negated property set (SPARQL ``!(:name|:mktsegment)``): every
+    edge whose predicate is neither label — i.e. the structural
+    customer→nation, supplier→nation, nation→region links.  One scan
+    with predicate *inequality* filters, no join."""
+    from .patterns import NegSet
+
+    db = _graph(spark, sf_dir)
+    res = select_df(
+        ["?s", "?o"],
+        [("?s", NegSet(KW["name"], KW["mktsegment"]), "?o")],
+        db,
+    )
+    return res.select(
+        lex(F.col("`?s`")).alias("src"), lex(F.col("`?o`")).alias("dst")
+    )
+
+
 def bgp_bind_segment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL BIND: extend solutions with a computed var (segment
     prefix) — stays a plain codegen projection in the Spark plan."""
@@ -856,6 +935,11 @@ def dedup_near_emb(spark, sf_dir):
 # When adding a new oracle-backed entry, insert it at the top; after each
 # round, rotate entries the driver just verified toward the back.
 QUERIES = {
+    # new this round (r08): path-operator completion — never driver-checked
+    "bgp_path_inv_region_members": bgp_path_inv_region_members,
+    "bgp_path_zom_region": bgp_path_zom_region,
+    "bgp_path_zoo_nation": bgp_path_zoo_nation,
+    "bgp_path_negset_links": bgp_path_negset_links,
     # r07 hash-red on oracle dtype only (now cast to BIGINT) — keep in window
     "q12_late_shipments": R.q12_late_shipments,
     "pivot_priority_by_segment": R.pivot_priority_by_segment,
@@ -1616,6 +1700,50 @@ ORACLES = {
     "bgp_bind_segment_prefix": """
         SELECT c_name AS cname, substr(c_mktsegment, 1, 3) AS seg_prefix
         FROM customer
+    """,
+    "bgp_path_inv_region_members": """
+        SELECT c_name AS ename
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        UNION ALL
+        SELECT s_name AS ename
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+    """,
+    "bgp_path_zom_region": """
+        WITH nodes AS (
+            SELECT 'customer:' || c_custkey AS n FROM customer
+            UNION SELECT 'supplier:' || s_suppkey FROM supplier
+            UNION SELECT 'nation:' || n_nationkey FROM nation
+            UNION SELECT 'region:' || r_regionkey FROM region
+            UNION SELECT c_name FROM customer
+            UNION SELECT s_name FROM supplier
+            UNION SELECT n_name FROM nation
+            UNION SELECT r_name FROM region
+            UNION SELECT c_mktsegment FROM customer
+        )
+        SELECT n AS src, n AS dst FROM nodes
+        UNION
+        SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey FROM nation
+    """,
+    "bgp_path_zoo_nation": """
+        SELECT 'customer:' || c_custkey AS src,
+               'customer:' || c_custkey AS dst
+        FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION
+        SELECT 'customer:' || c_custkey, 'nation:' || c_nationkey
+        FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+    "bgp_path_negset_links": """
+        SELECT 'customer:' || c_custkey AS src,
+               'nation:' || c_nationkey AS dst
+        FROM customer
+        UNION
+        SELECT 'supplier:' || s_suppkey, 'nation:' || s_nationkey FROM supplier
+        UNION
+        SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey FROM nation
     """,
     "graph_shortest_urgent": """
         WITH RECURSIVE edges AS (
