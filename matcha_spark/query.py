@@ -195,6 +195,9 @@ def select_agg(
     db=None,
     concat_sep: str = " ",
     having=None,
+    order_by=None,
+    limit: int | None = None,
+    offset: int | None = None,
 ) -> DataFrame:
     """SPARQL 1.1-style ``GROUP BY`` + aggregates over BGP solutions
     (the reference has no aggregation verb; this is the Spark-native
@@ -223,7 +226,15 @@ def select_agg(
       canonically (deterministic) with ``concat_sep``;
     - ``having`` (SPARQL HAVING) maps the output columns
       ({name: Column}, group vars and aggregates alike) to a boolean
-      Column applied after aggregation.
+      Column applied after aggregation;
+    - ``order_by``/``limit``/``offset`` (SPARQL 1.1 §15 solution
+      modifiers over aggregated solutions): ``order_by`` is a sequence
+      of output column names, ``"-name"`` for descending — TERM-struct
+      columns sort in canonical term order (lexicographic struct
+      order), aggregate columns numerically.  With a ``limit``,
+      Catalyst plans a TakeOrdered (top-k per partition + merge), never
+      a global sort.  ``offset`` without ``order_by`` would be
+      nondeterministic, so it requires one.
 
     Returns a DataFrame: one TERM-struct column per group var plus one
     plain column per aggregate.  Curried when ``db`` is omitted.  Scale
@@ -232,8 +243,18 @@ def select_agg(
     ``collect_list`` inside ``group_concat``."""
     if db is None:
         return lambda db_: select_agg(
-            group_vars, aggs, patterns, db_, concat_sep=concat_sep, having=having
+            group_vars,
+            aggs,
+            patterns,
+            db_,
+            concat_sep=concat_sep,
+            having=having,
+            order_by=order_by,
+            limit=limit,
+            offset=offset,
         )
+    if offset is not None and not order_by:
+        raise ValueError("offset without order_by is nondeterministic")
     patterns = _normalize_patterns(patterns)
     gvars = [var_name(v) for v in group_vars]
     for op, v in aggs.values():
@@ -299,6 +320,18 @@ def select_agg(
         # ({name: Column} — group vars and aggregates alike); a plain
         # post-aggregation filter in the plan
         out = out.where(having({c: F.col(f"`{c}`") for c in out.columns}))
+    if order_by:
+        sort_cols = []
+        for spec in order_by:
+            if spec.startswith("-"):
+                sort_cols.append(F.col(f"`{spec[1:]}`").desc())
+            else:
+                sort_cols.append(F.col(f"`{spec}`").asc())
+        out = out.orderBy(*sort_cols)
+    if offset is not None:
+        out = out.offset(offset)
+    if limit is not None:
+        out = out.limit(limit)
     return out
 
 

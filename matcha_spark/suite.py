@@ -411,6 +411,28 @@ def bgp_agg_urgent_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def bgp_agg_top_urgent_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 solution modifiers over aggregated solutions
+    (ORDER BY ... LIMIT at the verb level, r08): the five nations with
+    the most urgent orders — descending count with the nation name as
+    a deterministic tiebreaker.  The limit plans as a TakeOrdered, not
+    a global sort."""
+    db = _graph(spark, sf_dir, include_orders=True, order_priority="1-URGENT")
+    out = select_agg(
+        ["?nname"],
+        {"n_orders": ("count", "?o")},
+        [
+            ("?o", KW["customer"], "?c"),
+            ("?c", KW["nation"], "?n"),
+            ("?n", KW["name"], "?nname"),
+        ],
+        db,
+        order_by=["-n_orders", "?nname"],
+        limit=5,
+    )
+    return out.select(lex(F.col("`?nname`")).alias("nname"), "n_orders")
+
+
 def bgp_merge_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """merge-dbs set-union semantics: overlapping graphs dedupe."""
     t = load_tables(spark, sf_dir, "region", "nation")
@@ -935,6 +957,8 @@ def dedup_near_emb(spark, sf_dir):
 # When adding a new oracle-backed entry, insert it at the top; after each
 # round, rotate entries the driver just verified toward the back.
 QUERIES = {
+    # new this round (r08): agg solution modifiers — never driver-checked
+    "bgp_agg_top_urgent_nations": bgp_agg_top_urgent_nations,
     # new this round (r08): path-operator completion — never driver-checked
     "bgp_path_inv_region_members": bgp_path_inv_region_members,
     "bgp_path_zom_region": bgp_path_zom_region,
@@ -1131,6 +1155,16 @@ ORACLES = {
         JOIN nation ON c_nationkey = n_nationkey
         WHERE o_orderpriority = '1-URGENT'
         GROUP BY 1
+    """,
+    "bgp_agg_top_urgent_nations": """
+        SELECT n_name AS nname, count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY 1
+        ORDER BY n_orders DESC, nname
+        LIMIT 5
     """,
     "doc_mixture_sample": _MIXTURE_ORACLE,
     "doc_strip_dup_ngrams": """

@@ -638,6 +638,43 @@ def test_select_agg_having(agg_db):
     assert {r["n"] for r in rows} == {4}
 
 
+def test_select_agg_order_limit_offset(agg_db):
+    from matcha_spark import kw, select_agg
+    from matcha_spark.functions.termcols import lex
+    from pyspark.sql import functions as _F
+
+    base = dict(
+        group_vars=["?cat"],
+        aggs={"total": ("sum", "?sz")},
+        patterns=[("?i", kw("cat"), "?cat"), ("?i", kw("size"), "?sz")],
+    )
+    # ORDER BY total DESC LIMIT 1 → the c1 group (sum 2+4+6=12)
+    top = select_agg(**base, db=agg_db, order_by=["-total"], limit=1).select(
+        lex(_F.col("`?cat`")).alias("cat"), "total"
+    ).collect()
+    assert [(r["cat"], r["total"]) for r in top] == [("c1", 12.0)]
+    # OFFSET skips past the first ordered solution
+    second = select_agg(
+        **base, db=agg_db, order_by=["-total"], limit=1, offset=1
+    ).select(lex(_F.col("`?cat`")).alias("cat"), "total").collect()
+    assert [(r["cat"], r["total"]) for r in second] == [("c0", 9.0)]
+    # ascending order by the group var's TERM struct == canonical order
+    asc = select_agg(**base, db=agg_db, order_by=["?cat"]).select(
+        lex(_F.col("`?cat`")).alias("cat")
+    ).collect()
+    assert [r["cat"] for r in asc] == ["c0", "c1"]
+    # offset without order_by is rejected (nondeterministic page)
+    with pytest.raises(ValueError):
+        select_agg(**base, db=agg_db, offset=1)
+    # curried form carries the modifiers through
+    q = select_agg(
+        ["?cat"], {"n": ("count", None)}, [("?i", kw("cat"), "?cat")],
+        order_by=["-n"], limit=1,
+    )
+    rows = q(agg_db).collect()
+    assert len(rows) == 1 and rows[0]["n"] == 4
+
+
 def test_paths_bind_agg_compose(spark):
     """Integration: property path + BIND + select_agg in one query —
     the new clause types compose through the same compiler."""
