@@ -81,10 +81,13 @@ IMAGE_FEATURES_SCHEMA = StructType(
 
 def strict_decode_image(payload: bytes) -> np.ndarray:
     """The real-decoder plug point.  STUB: image codecs are not
-    available in this environment."""
+    available in this environment.  Where Pillow exists, use
+    :func:`matcha_spark.operators.codecs.pillow_decode_image` (or
+    ``codecs.default_image_decoder()``) instead."""
     raise NotImplementedError(
         "image decode requires a codec library (e.g. Pillow); "
-        "inject one via image_features(decoder=...)"
+        "inject one via image_features(decoder=...) — see "
+        "operators.codecs.pillow_decode_image"
     )
 
 
@@ -141,10 +144,13 @@ AUDIO_FEATURES_SCHEMA = StructType(
 
 def strict_decode_audio(payload: bytes) -> np.ndarray:
     """The real audio-decoder plug point.  STUB: audio codecs are not
-    available in this environment."""
+    available in this environment.  Where soundfile exists, use
+    :func:`matcha_spark.operators.codecs.soundfile_decode_audio` (or
+    ``codecs.default_audio_decoder()``) instead."""
     raise NotImplementedError(
         "audio decode requires a codec library (e.g. soundfile/ffmpeg); "
-        "inject one via audio_features(decoder=...)"
+        "inject one via audio_features(decoder=...) — see "
+        "operators.codecs.soundfile_decode_audio"
     )
 
 

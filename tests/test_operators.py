@@ -472,19 +472,19 @@ def test_sign_buckets_shape_and_determinism(spark):
 
 
 def test_image_features_real_codec_plug_point(spark):
-    """Inject a REAL decoder (Pillow) through the pluggable codec seam
-    to prove ``image_features(decoder=...)`` accepts a genuine codec;
-    skips cleanly where Pillow isn't installed (the deterministic fake
-    twins remain the CI path)."""
+    """Run the SHIPPED Pillow integration (operators.codecs) through
+    the pluggable decode seam — proves ``image_features(decoder=
+    pillow_decode_image)`` works out-of-the-box where Pillow exists;
+    skips cleanly where it doesn't (the deterministic fake twins
+    remain the CI path)."""
     PIL = pytest.importorskip("PIL.Image")
     import io
 
-    import numpy as np
-
+    from matcha_spark.operators import codecs
     from matcha_spark.operators.multimodal import image_features
 
-    def pil_decode(payload: bytes) -> np.ndarray:
-        return np.asarray(PIL.open(io.BytesIO(payload)).convert("L"), dtype=np.float64)
+    assert codecs.available()["pillow"] is True
+    assert codecs.default_image_decoder() is codecs.pillow_decode_image
 
     def png_bytes(w, h, val):
         img = PIL.new("L", (w, h), val)
@@ -497,11 +497,37 @@ def test_image_features_real_codec_plug_point(spark):
         (2, "image", png_bytes(2, 2, 255)),
     ]
     media = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
-    out = {r.media_id: r for r in image_features(media, decoder=pil_decode).collect()}
+    out = {
+        r.media_id: r
+        for r in image_features(
+            media, decoder=codecs.pillow_decode_image
+        ).collect()
+    }
     # constant-value images: every row-mean equals the fill value
     assert [round(x) for x in out[1].feature] == [10, 10, 10]
     assert [round(x) for x in out[2].feature] == [255, 255]
     assert out[1].n_bytes > 0 and len(out[1].sha256) == 64
+
+
+def test_codecs_fall_back_to_fakes_without_libs():
+    """The codec registry degrades to the deterministic fakes when the
+    optional libraries are absent — and never raises at import time."""
+    from matcha_spark.operators import codecs, multimodal
+
+    avail = codecs.available()
+    assert set(avail) == {"pillow", "soundfile"}
+    img_dec = codecs.default_image_decoder()
+    if not avail["pillow"]:
+        assert img_dec is multimodal.fake_decode_image
+    aud_dec = codecs.default_audio_decoder()
+    if not avail["soundfile"]:
+        assert aud_dec is multimodal.fake_decode_audio
+    # either way the returned decoder is a working bytes -> ndarray fn
+    # (fake path only — real codecs need real payloads)
+    if not avail["pillow"]:
+        assert img_dec(b"xyz").shape == (8, 8)
+    if not avail["soundfile"]:
+        assert aud_dec(b"xyz").shape == (256,)
 
 
 def test_minhash_bucket_cap_bounds_hot_buckets(spark):
