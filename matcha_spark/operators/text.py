@@ -643,9 +643,15 @@ def cdc_chunks(
         raise ValueError("need 0 < min_size <= avg_size <= max_size")
     rng = np.random.default_rng(seed)
     gear = rng.integers(0, 2**63, size=256, dtype=np.uint64)
-    # boundary when the low bits match: P(boundary) = 1/avg -> mean
-    # chunk ~= avg_size (geometric, clipped by lo/hi)
-    mask = np.uint64(max(1, 1 << max(0, int(np.log2(avg_size)))) - 1)
+    # boundary when the HIGH log2(avg) bits are all zero: P(boundary) =
+    # 1/avg -> mean chunk ~= avg_size (geometric, clipped by lo/hi).
+    # High bits, not low: with the left-shift weighting below, a byte at
+    # window offset k only reaches bits >= k, so a low-bit test would
+    # ignore every byte older than log2(avg) positions — the classic
+    # gear-CDC pitfall; the high bits mix contributions from the whole
+    # window (wrap-around addition of 63-bit gear values).
+    bits = max(0, int(np.log2(avg_size)))
+    high_shift = np.uint64(64 - bits) if bits else None
     shifts = (np.arange(window - 1, -1, -1) % 64).astype(np.uint64)
     weights = (np.uint64(1) << shifts).astype(np.uint64)  # [2^(w-1) ... 2^0]
 
@@ -662,7 +668,8 @@ def cdc_chunks(
             h = (sw * weights).sum(axis=1, dtype=np.uint64)  # wraps mod 2^64
             # h[j] covers bytes j..j+window-1 -> candidate cut AFTER byte
             # j+window-1, i.e. boundary position j+window
-            cand = np.nonzero((h & mask) == mask)[0] + window
+            hits = (h >> high_shift) == 0 if bits else np.ones(len(h), bool)
+            cand = np.nonzero(hits)[0] + window
         else:
             cand = np.empty(0, dtype=np.int64)
         cuts = []

@@ -233,6 +233,51 @@ def test_cdc_chunks_partition_and_resync(spark):
                      for r in rows}
 
 
+def test_cdc_boundary_uses_full_window(spark):
+    """The boundary test reads the HIGH bits of the rolling hash, so
+    every byte of the 16-byte window influences the cut decision — a
+    low-bit test would let only the last log2(avg)=6 bytes matter
+    (bytes shifted left by >= 6 can't reach the low 6 bits).  Pin it:
+    flipping the OLDEST byte of some boundary's window must be able to
+    move that boundary."""
+    import numpy as np
+
+    from matcha_spark.operators.text import cdc_chunks
+
+    window = 16
+    rng = np.random.default_rng(11)
+    moved = 0
+    trials = []
+    for i in range(40):
+        base = "".join(chr(97 + c) for c in rng.integers(0, 26, size=600))
+        trials.append((i, base))
+    docs = spark.createDataFrame(trials, "doc_id long, text string")
+    first_cut = {
+        r.doc_id: r.length
+        for r in cdc_chunks(docs, avg_size=64).collect()
+        if r.chunk_idx == 0
+    }
+    # flip the oldest in-window byte of each doc's first boundary
+    mutated = []
+    for i, base in trials:
+        cut = first_cut[i]
+        if cut >= window and cut < len(base):
+            pos = cut - window  # oldest byte the boundary's window saw
+            flipped = chr(97 + (ord(base[pos]) - 97 + 13) % 26)
+            mutated.append((i, base[:pos] + flipped + base[pos + 1 :]))
+    assert mutated, "no eligible boundaries in the fixture"
+    docs2 = spark.createDataFrame(mutated, "doc_id long, text string")
+    cut2 = {
+        r.doc_id: r.length
+        for r in cdc_chunks(docs2, avg_size=64).collect()
+        if r.chunk_idx == 0
+    }
+    moved = sum(1 for i, _ in mutated if cut2[i] != first_cut[i])
+    # with high-bit testing a window-edge flip usually destroys the
+    # boundary (P(keep) ~= 1/64); with the low-bit bug it NEVER moves
+    assert moved >= len(mutated) // 2, (moved, len(mutated))
+
+
 def test_cdc_chunks_dedup_composition(spark):
     """cdc_chunks → groupBy(chunk_hash) is chunk-level exact dedup: two
     docs sharing a long run of text share chunk hashes in the middle of
