@@ -234,9 +234,29 @@ def shortest_path_lengths(
                 .agg(F.min("dist").alias("dist"))
             )
             new_stats = _stats(merged)
-            if new_stats == stats:
-                _fs_delete(spark, merged_path)
-                break
+            if new_stats[0] == stats[0]:
+                # same pair count; decide convergence STRUCTURALLY —
+                # for weighted graphs the float distance total is not a
+                # fixed-point witness (nondeterministic partial-sum
+                # ordering can perturb the sum bitwise across rounds,
+                # which would burn every remaining round on redundant
+                # join+materialize work).  Unweighted distances are
+                # exact longs, where the total comparison is free and
+                # sound.
+                if weight is None:
+                    converged = new_stats == stats
+                else:
+                    converged = (
+                        merged.alias("m")
+                        .join(acc.alias("a"), ["src", "dst"])
+                        .where(F.col("m.dist") < F.col("a.dist"))
+                        .limit(1)
+                        .count()
+                        == 0
+                    )
+                if converged:
+                    _fs_delete(spark, merged_path)
+                    break
             _fs_delete(spark, acc_path)
             acc, acc_path, stats = merged, merged_path, new_stats
         out = acc.select(
