@@ -316,3 +316,159 @@ def test_select_agg_differential(spark, seed):
                 assert a is None, (seed, k, name)
             else:
                 assert a is not None and abs(a - b) < 1e-9, (seed, k, name, a, b)
+
+
+# ---------------------------------------------------------------------------
+# composition differential (r08): property path → BIND → select_agg in one
+# query, engine vs a pure-Python path-algebra + bag-aggregate model.  The
+# comparison is order-insensitive (dict keyed by group), mirroring the
+# reference's oracle policy (SURVEY §2.4.7).
+# ---------------------------------------------------------------------------
+
+PATH_NODES = [f"n{i}" for i in range(6)]
+PATH_PREDS = ["p", "q", "r"]
+
+
+def _rand_path_db(rng):
+    n = rng.randint(4, 14)
+    return list(
+        {
+            (rng.choice(PATH_NODES), rng.choice(PATH_PREDS), rng.choice(PATH_NODES))
+            for _ in range(n)
+        }
+    )
+
+
+def _rand_path_expr(rng, depth=0):
+    from matcha_spark.patterns import (
+        Alt,
+        Inv,
+        NegSet,
+        OneOrMore,
+        Seq,
+        ZeroOrMore,
+        ZeroOrOne,
+    )
+
+    forms = ["pred", "seq", "alt", "inv", "plus", "star", "opt", "neg"]
+    form = rng.choice(forms) if depth < 2 else "pred"
+    if form == "pred":
+        return rng.choice(PATH_PREDS)
+    if form == "seq":
+        return Seq(*[_rand_path_expr(rng, depth + 1) for _ in range(2)])
+    if form == "alt":
+        return Alt(*[_rand_path_expr(rng, depth + 1) for _ in range(2)])
+    if form == "inv":
+        return Inv(_rand_path_expr(rng, depth + 1))
+    if form == "plus":
+        return OneOrMore(_rand_path_expr(rng, depth + 1))
+    if form == "star":
+        return ZeroOrMore(_rand_path_expr(rng, depth + 1))
+    if form == "opt":
+        return ZeroOrOne(_rand_path_expr(rng, depth + 1))
+    return NegSet(*rng.sample(PATH_PREDS, rng.randint(1, 2)))
+
+
+def _model_path_pairs(path, db_rows):
+    """SPARQL path algebra over a concrete edge list, in plain Python."""
+    from matcha_spark.patterns import (
+        Alt,
+        Inv,
+        NegSet,
+        OneOrMore,
+        Seq,
+        ZeroOrMore,
+        ZeroOrOne,
+    )
+
+    nodes = {s for s, _, _ in db_rows} | {o for _, _, o in db_rows}
+
+    def closure(pairs):
+        out = set(pairs)
+        while True:
+            nxt = out | {(a, d) for a, b in out for c, d in out if b == c}
+            if nxt == out:
+                return out
+            out = nxt
+
+    def ev(p):
+        if isinstance(p, Inv):
+            return {(o, s) for s, o in ev(p.path)}
+        if isinstance(p, Seq):
+            acc = ev(p.steps[0])
+            for step in p.steps[1:]:
+                nxt = ev(step)
+                acc = {(a, d) for a, b in acc for c, d in nxt if b == c}
+            return acc
+        if isinstance(p, Alt):
+            out = set()
+            for b in p.alts:
+                out |= ev(b)
+            return out
+        if isinstance(p, OneOrMore):
+            return closure(ev(p.path))
+        if isinstance(p, ZeroOrMore):
+            return closure(ev(p.path)) | {(n, n) for n in nodes}
+        if isinstance(p, ZeroOrOne):
+            return ev(p.path) | {(n, n) for n in nodes}
+        if isinstance(p, NegSet):
+            return {(s, o) for s, pr, o in db_rows if pr not in p.preds}
+        return {(s, o) for s, pr, o in db_rows if pr == p}
+
+    return ev(path)
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_path_bind_agg_differential(spark, seed):
+    from pyspark.sql import functions as F
+
+    from matcha_spark import Bind, select_agg
+    from matcha_spark.functions.termcols import lex, str_col
+    from matcha_spark.terms import from_term
+
+    rng = random.Random(8800 + seed)
+    db_rows = _rand_path_db(rng)
+    path = _rand_path_expr(rng)
+    extra_pred = rng.choice(PATH_PREDS) if rng.random() < 0.5 else None
+
+    pats = [
+        ("?a", path, "?b"),
+        Bind("?c", lambda v: str_col(F.substring(lex(v["?b"]), 1, 2))),
+    ]
+    if extra_pred is not None:
+        pats.append(("?b", extra_pred, "?d"))
+
+    aggs = {
+        "n": ("count", "?b"),
+        "nd": ("count_distinct", "?b"),
+        "ndc": ("count_distinct", "?c"),
+    }
+
+    # --- model: path pairs -> bind -> optional join -> bag aggregate ---
+    pairs = _model_path_pairs(path, db_rows)
+    rows = [(a, b, b[:2]) for a, b in pairs]
+    if extra_pred is not None:
+        rows = [
+            (a, b, c)
+            for a, b, c in rows
+            for s, pr, o in db_rows
+            if s == b and pr == extra_pred
+        ]
+    want = {}
+    for a, b, c in rows:
+        rec = want.setdefault(a, {"n": 0, "b": set(), "c": set()})
+        rec["n"] += 1
+        rec["b"].add(b)
+        rec["c"].add(c)
+
+    db = TriplesDB.from_triples(spark, db_rows)
+    try:
+        got_rows = select_agg(["?a"], aggs, pats, db).collect()
+    finally:
+        db.unpersist()
+    got = {from_term(r["?a"]): (r["n"], r["nd"], r["ndc"]) for r in got_rows}
+    expect = {a: (rec["n"], len(rec["b"]), len(rec["c"])) for a, rec in want.items()}
+    assert got == expect, (
+        f"seed={seed}\ndb={db_rows}\npath={path!r}\nextra={extra_pred}\n"
+        f"got={got}\nwant={expect}"
+    )
