@@ -35,6 +35,7 @@ __all__ = [
     "unigram_logloss",
     "normalize_text",
     "strip_dup_ngrams",
+    "dedup_paragraphs",
     "mixture_sample",
 ]
 
@@ -924,6 +925,72 @@ def strip_dup_ngrams(
         docs.select("doc_id")
         .join(rebuilt, "doc_id", "left")
         .select("doc_id", F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
+    )
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    text_col: str = "text",
+    sep: str = "\n\n",
+    min_chars: int = 1,
+    hash_paras: bool = True,
+) -> DataFrame:
+    """Corpus-wide paragraph dedup, the C4/Dolma curation step: split
+    each document at ``sep``, keep only the canonical FIRST occurrence
+    (least ``(doc_id, idx)``) of each repeated paragraph anywhere in the
+    corpus, and rebuild documents from their surviving paragraphs in
+    original order.
+
+    Paragraphs shorter than ``min_chars`` after trimming (including the
+    empty strings a ``sep`` run produces) are never dedup candidates —
+    they are kept verbatim, so document structure survives and a corpus
+    with no repeated paragraphs round-trips byte-identically.
+
+    Output: ``(doc_id, text, n_paras, n_kept)`` for every input
+    document — ``n_paras`` the original split count, ``n_kept`` the
+    surviving count.
+
+    Scale shape: one narrow split+explode, one ``row_number`` window
+    partitioned by paragraph key (with ``hash_paras``, an 8-byte
+    ``xxhash64`` shuffle key instead of paragraph text — same exactness
+    contract as :func:`dup_ngram_stats`: a 64-bit collision merges two
+    paragraph groups, it cannot invent duplicates), and one groupBy
+    rebuild.  Never pairwise; the only per-paragraph state is the
+    window's running row number."""
+    from pyspark.sql.window import Window
+
+    split_col = F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+    paras = docs.select(
+        "doc_id", F.posexplode(split_col).alias("idx", "para")
+    )
+    eligible = F.length(F.trim(F.col("para"))) >= min_chars
+    key = F.xxhash64("para") if hash_paras else F.col("para")
+    w = Window.partitionBy(key).orderBy("doc_id", "idx")
+    kept = (
+        paras.where(eligible)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("doc_id", "idx", "para")
+        .unionByName(paras.where(~eligible))
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = docs.select(
+        "doc_id", F.size(split_col).cast("long").alias("n_paras")
+    )
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        "n_paras",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
     )
 
 

@@ -789,6 +789,24 @@ def doc_strip_dup_ngrams(spark, sf_dir):
     )
 
 
+def doc_dedup_paragraphs(spark, sf_dir):
+    """C4-style corpus-wide paragraph dedup (r08): the flat test docs
+    carry no paragraph breaks, so both sides first rebuild each doc as
+    10-token chunks joined by blank lines, then dedup keeps the least
+    ``(doc_id, idx)`` occurrence of every repeated chunk corpus-wide
+    and reassembles survivors in order."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    chunked = docs.select(
+        "doc_id",
+        F.expr(
+            "array_join(transform(sequence(1, size(split(trim(text), '\\\\s+')), 10),"
+            " i -> array_join(slice(split(trim(text), '\\\\s+'), i, 10), ' ')),"
+            " '\\n\\n')"
+        ).alias("text"),
+    )
+    return T.dedup_paragraphs(chunked)
+
+
 def doc_pipeline_curate(spark, sf_dir):
     """Composed curation cascade (quality → exact-dedup → benchmark
     decontamination) with a per-document verdict; the oracle replays
@@ -957,6 +975,8 @@ def dedup_near_emb(spark, sf_dir):
 # When adding a new oracle-backed entry, insert it at the top; after each
 # round, rotate entries the driver just verified toward the back.
 QUERIES = {
+    # new this round (r08): paragraph dedup — never driver-checked
+    "doc_dedup_paragraphs": doc_dedup_paragraphs,
     # new this round (r08): agg solution modifiers — never driver-checked
     "bgp_agg_top_urgent_nations": bgp_agg_top_urgent_nations,
     # new this round (r08): path-operator completion — never driver-checked
@@ -1155,6 +1175,49 @@ ORACLES = {
         JOIN nation ON c_nationkey = n_nationkey
         WHERE o_orderpriority = '1-URGENT'
         GROUP BY 1
+    """,
+    "doc_dedup_paragraphs": """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ), built AS (
+            SELECT doc_id,
+                   array_to_string(list_transform(
+                       range(CAST(ceil(len(t) / 10.0) AS BIGINT)),
+                       i -> array_to_string(t[i * 10 + 1 : i * 10 + 10], ' ')
+                   ), chr(10) || chr(10)) AS text
+            FROM toks
+        ), split AS (
+            SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps
+            FROM built
+        ), paras AS (
+            SELECT doc_id, u.idx AS idx, u.para AS para
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(len(ps)),
+                              i -> {'idx': i, 'para': ps[i + 1]})) AS u
+                FROM split
+            )
+        ), elig AS (
+            SELECT doc_id, idx, para,
+                   row_number() OVER (PARTITION BY para
+                                      ORDER BY doc_id, idx) AS rn
+            FROM paras WHERE length(trim(para)) >= 1
+        ), kept AS (
+            SELECT doc_id, idx, para FROM elig WHERE rn = 1
+            UNION ALL
+            SELECT doc_id, idx, para FROM paras WHERE length(trim(para)) < 1
+        ), agg AS (
+            SELECT doc_id,
+                   string_agg(para, chr(10) || chr(10) ORDER BY idx) AS text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY 1
+        ), tot AS (
+            SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_paras FROM split
+        )
+        SELECT t.doc_id, coalesce(a.text, '') AS text, t.n_paras,
+               CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept
+        FROM tot t LEFT JOIN agg a USING (doc_id)
     """,
     "bgp_agg_top_urgent_nations": """
         SELECT n_name AS nname, count(*) AS n_orders

@@ -233,6 +233,41 @@ def test_cdc_chunks_partition_and_resync(spark):
                      for r in rows}
 
 
+def test_dedup_paragraphs_semantics(spark):
+    """Corpus-wide paragraph dedup: canonical first occurrence (least
+    (doc_id, idx)) survives, later repeats vanish — across AND within
+    documents; short/empty paragraphs are structural and never dedup;
+    a corpus without repeats round-trips byte-identically."""
+    from matcha_spark.operators.text import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\n\nshared para\n\ngamma"),
+            (2, "shared para\n\ndelta\n\nshared para"),  # cross- and self-dup
+            (3, "unique one\n\n\n\nunique two"),  # empty para preserved
+            (4, ""),  # empty doc
+            (5, None),  # null text
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_paragraphs(docs).collect()}
+    assert out[1].text == "alpha beta\n\nshared para\n\ngamma"  # canonical stays
+    assert out[1].n_paras == 3 and out[1].n_kept == 3
+    assert out[2].text == "delta"  # both repeats of the shared para dropped
+    assert out[2].n_paras == 3 and out[2].n_kept == 1
+    assert out[3].text == "unique one\n\n\n\nunique two"  # round-trip w/ empty
+    assert out[3].n_paras == 3 and out[3].n_kept == 3
+    assert out[4].text == "" and out[4].n_paras == 1 and out[4].n_kept == 1
+    assert out[5].text == "" and out[5].n_paras == 1
+    # hash_paras=False (text shuffle key) computes the identical result
+    plain = {r.doc_id: r.text for r in dedup_paragraphs(docs, hash_paras=False).collect()}
+    assert plain == {k: v.text for k, v in out.items()}
+    # min_chars: raise the floor and the short 'delta' para stops being
+    # a dedup candidate but long repeats still collapse
+    out2 = {r.doc_id: r for r in dedup_paragraphs(docs, min_chars=6).collect()}
+    assert out2[2].text == "delta"  # shared para (11 chars) still deduped
+
+
 def test_cdc_boundary_uses_full_window(spark):
     """The boundary test reads the HIGH bits of the rolling hash, so
     every byte of the 16-byte window influences the cut decision — a
