@@ -36,6 +36,7 @@ __all__ = [
     "normalize_text",
     "strip_dup_ngrams",
     "dedup_paragraphs",
+    "dsir_importance",
     "mixture_sample",
 ]
 
@@ -991,6 +992,86 @@ def dedup_paragraphs(
         F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
         "n_paras",
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+    )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target,
+    text_col: str = "text",
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", arXiv:2302.03169):
+    score every document by how much more likely its word uni+bigrams
+    are under the TARGET distribution than under the full-corpus SOURCE
+    distribution,
+
+        log w(d) = Σ_f c_d(f) · (log p_target(f) − log p_source(f)),
+
+    with add-``smoothing`` estimates over the source vocabulary.
+    ``target`` is a boolean Column over ``docs`` rows selecting the
+    target subset (e.g. a trusted high-quality slice); rank/resample on
+    ``logw`` to steer a mixture toward it.  DSIR proper hashes features
+    into buckets — here features stay raw grams so the arithmetic is
+    exactly replayable (hash them first for a fixed-width shuffle key
+    at corpus scale, same trade as :func:`dup_ngram_stats`).
+
+    Output: ``(doc_id, n_feats, logw)`` for every input document
+    (``logw`` rounded to 4 decimals; docs with no tokens score 0.0).
+
+    Scale shape: one explode of uni+bigram features, one per-(doc,gram)
+    hash aggregate, one per-gram rollup carrying the target counts as a
+    conditional sum (no second corpus scan), a 3-scalar totals agg
+    broadcast into the per-gram log-ratio, and one join back — the
+    :func:`unigram_logloss` shape with a two-class twist."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    grams = F.expr(
+        "concat(__toks,"
+        " transform(sequence(1, size(__toks) - 1),"
+        "           i -> array_join(slice(__toks, i, 2), ' ')))"
+    )
+    k = float(smoothing)
+    per_doc_gram = (
+        docs.select("doc_id", toks.alias("__toks"))
+        .where(F.size("__toks") >= 1)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    flagged = per_doc_gram.join(
+        docs.select("doc_id", target.alias("__is_t")), "doc_id"
+    )
+    gram_stats = flagged.groupBy("gram").agg(
+        F.sum("c").alias("cs"),
+        F.sum(F.when(F.col("__is_t"), F.col("c")).otherwise(F.lit(0))).alias("ct"),
+    )
+    totals = gram_stats.agg(
+        F.sum("cs").alias("__Ts"),
+        F.sum("ct").alias("__Tt"),
+        F.count(F.lit(1)).alias("__V"),
+    )
+    llr = gram_stats.crossJoin(F.broadcast(totals)).select(
+        "gram",
+        (
+            F.log((F.col("ct") + k) / (F.col("__Tt") + k * F.col("__V")))
+            - F.log((F.col("cs") + k) / (F.col("__Ts") + k * F.col("__V")))
+        ).alias("llr"),
+    )
+    scored = (
+        per_doc_gram.join(llr, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_feats"),
+            F.round(F.sum(F.col("c") * F.col("llr")), 4).alias("logw"),
+        )
+    )
+    return docs.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
+        F.coalesce(F.col("logw"), F.lit(0.0)).alias("logw"),
     )
 
 

@@ -139,6 +139,33 @@ def bgp_not_exists_unurgent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(lex(F.col("`?cname`")).alias("cname"))
 
 
+def bgp_minus_machinery_asia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL MINUS (r08): MACHINERY customers minus those whose nation
+    lies in ASIA — the anti-join negation keyed on the shared ?c var.
+    (With no shared vars MINUS removes nothing, SPARQL's dom-disjoint
+    rule — pinned by pytest; this entry exercises the shared-var
+    path against an EXCEPT-style oracle.)"""
+    from .patterns import Minus
+
+    db = _graph(spark, sf_dir)
+    res = select_df(
+        ["?cname"],
+        [
+            ("?c", KW["mktsegment"], "MACHINERY"),
+            ("?c", KW["name"], "?cname"),
+            Minus(
+                [
+                    ("?c", KW["nation"], "?n"),
+                    ("?n", KW["region"], "?r"),
+                    ("?r", KW["name"], "ASIA"),
+                ]
+            ),
+        ],
+        db,
+    )
+    return res.select(lex(F.col("`?cname`")).alias("cname"))
+
+
 def graph_closure_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure (property-path analog, absent from the
     reference): reachability over the nation-key successor chain."""
@@ -807,6 +834,14 @@ def doc_dedup_paragraphs(spark, sf_dir):
     return T.dedup_paragraphs(chunked)
 
 
+def doc_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (r08): target = every 50th doc (the same
+    deterministic probe slice doc_contamination uses); oracle replays
+    the uni+bigram add-one log-ratio arithmetic in SQL."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return T.dsir_importance(docs, target=(F.col("doc_id") % 50 == 0))
+
+
 def doc_pipeline_curate(spark, sf_dir):
     """Composed curation cascade (quality → exact-dedup → benchmark
     decontamination) with a per-document verdict; the oracle replays
@@ -975,6 +1010,10 @@ def dedup_near_emb(spark, sf_dir):
 # When adding a new oracle-backed entry, insert it at the top; after each
 # round, rotate entries the driver just verified toward the back.
 QUERIES = {
+    # new this round (r08): DSIR importance weights — never driver-checked
+    "doc_dsir_weights": doc_dsir_weights,
+    # new this round (r08): MINUS negation — never driver-checked
+    "bgp_minus_machinery_asia": bgp_minus_machinery_asia,
     # new this round (r08): paragraph dedup — never driver-checked
     "doc_dedup_paragraphs": doc_dedup_paragraphs,
     # new this round (r08): agg solution modifiers — never driver-checked
@@ -1175,6 +1214,50 @@ ORACLES = {
         JOIN nation ON c_nationkey = n_nationkey
         WHERE o_orderpriority = '1-URGENT'
         GROUP BY 1
+    """,
+    "doc_dsir_weights": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ), grams AS (
+            SELECT doc_id,
+                   unnest(list_concat(t,
+                          list_transform(range(len(t) - 1),
+                                         i -> t[i + 1] || ' ' || t[i + 2]))) AS gram
+            FROM toks WHERE len(t) >= 1
+        ), pdg AS (
+            SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2
+        ), gs AS (
+            SELECT gram, sum(c) AS cs,
+                   sum(CASE WHEN doc_id % 50 = 0 THEN c ELSE 0 END) AS ct
+            FROM pdg GROUP BY 1
+        ), tot AS (
+            SELECT sum(cs) AS Ts, sum(ct) AS Tt, count(*) AS V FROM gs
+        ), llr AS (
+            SELECT gram,
+                   ln((ct + 1.0) / (Tt + 1.0 * V))
+                   - ln((cs + 1.0) / (Ts + 1.0 * V)) AS llr
+            FROM gs, tot
+        ), scored AS (
+            SELECT doc_id, sum(c) AS n_feats,
+                   round(sum(c * llr), 4) AS logw
+            FROM pdg JOIN llr USING (gram) GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(n_feats, 0) AS BIGINT) AS n_feats,
+               coalesce(logw, 0.0) AS logw
+        FROM documents d LEFT JOIN scored USING (doc_id)
+    """,
+    "bgp_minus_machinery_asia": """
+        SELECT c_name AS cname FROM customer
+        WHERE c_mktsegment = 'MACHINERY'
+        EXCEPT
+        SELECT c_name FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE c_mktsegment = 'MACHINERY' AND r_name = 'ASIA'
     """,
     "doc_dedup_paragraphs": """
         WITH toks AS (

@@ -268,6 +268,42 @@ def test_dedup_paragraphs_semantics(spark):
     assert out2[2].text == "delta"  # shared para (11 chars) still deduped
 
 
+def test_dsir_importance_ranks_target_like_docs(spark):
+    """DSIR sanity: documents whose n-grams match the target slice's
+    vocabulary score strictly higher than off-distribution documents,
+    and empty docs score 0."""
+    from pyspark.sql import functions as F
+
+    from matcha_spark.operators.text import dsir_importance
+
+    rows = [
+        (0, "cat purr cat whisker purr cat"),  # target
+        (1, "cat whisker purr purr cat nap"),  # target
+        (2, "cat purr whisker nap cat"),  # cat-like, NOT target
+        (3, "dog bark fetch bone dog growl"),  # off-distribution
+        (4, ""),  # empty
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in dsir_importance(docs, target=F.col("doc_id") < 2).collect()
+    }
+    assert out[2].logw > out[3].logw  # cat doc beats dog doc
+    assert out[4].logw == 0.0 and out[4].n_feats == 0
+    # n_feats = unigrams + bigrams
+    assert out[0].n_feats == 6 + 5
+    # per-doc weight scales with per-feature counts: repeating the
+    # cat-like doc's text doubles (within rounding) its log weight
+    docs2 = spark.createDataFrame(
+        rows + [(5, rows[2][1] + " " + rows[2][1])], "doc_id long, text string"
+    )
+    out2 = {
+        r.doc_id: r
+        for r in dsir_importance(docs2, target=F.col("doc_id") < 2).collect()
+    }
+    assert out2[5].logw != 0.0
+
+
 def test_cdc_boundary_uses_full_window(spark):
     """The boundary test reads the HIGH bits of the rolling hash, so
     every byte of the 16-byte window influences the cut decision — a
