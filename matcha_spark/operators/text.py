@@ -37,6 +37,7 @@ __all__ = [
     "strip_dup_ngrams",
     "dedup_paragraphs",
     "dsir_importance",
+    "token_windows",
     "mixture_sample",
 ]
 
@@ -1072,6 +1073,50 @@ def dsir_importance(
         "doc_id",
         F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
         F.coalesce(F.col("logw"), F.lit(0.0)).alias("logw"),
+    )
+
+
+def token_windows(
+    docs: DataFrame,
+    size: int = 128,
+    stride: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-size sliding token windows — the context-packing step that
+    turns variable-length documents into training examples.  A window
+    starts at every ``stride``-th token position (1, 1+stride, ...;
+    ``stride`` defaults to ``size`` = non-overlapping) and carries up to
+    ``size`` whitespace tokens; tail windows are shorter, documents
+    with no tokens emit none.
+
+    Output: ``(doc_id, win_idx, n_tokens, text)``, ``win_idx`` 0-based
+    per document in position order.
+
+    Scale shape: a pure narrow map — one JVM ``transform`` over start
+    offsets + ``posexplode``; no shuffle at all, so it pipelines into
+    whatever consumes the windows."""
+    if size < 1 or (stride is not None and stride < 1):
+        raise ValueError("size and stride must be >= 1")
+    stride = size if stride is None else stride
+    wins = F.expr(
+        f"transform(sequence(1, size(__toks), {stride}),"
+        f" s -> named_struct("
+        f"   'n', size(slice(__toks, s, {size})),"
+        f"   'text', array_join(slice(__toks, s, {size}), ' ')))"
+    )
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    return (
+        docs.select("doc_id", toks.alias("__toks"))
+        .where(F.size("__toks") >= 1)
+        .select("doc_id", F.posexplode(wins).alias("win_idx", "__w"))
+        .select(
+            "doc_id",
+            F.col("win_idx").cast("long").alias("win_idx"),
+            F.col("__w.n").cast("long").alias("n_tokens"),
+            F.col("__w.text").alias(text_col),
+        )
     )
 
 

@@ -842,6 +842,13 @@ def doc_dsir_weights(spark, sf_dir):
     return T.dsir_importance(docs, target=(F.col("doc_id") % 50 == 0))
 
 
+def doc_token_windows(spark, sf_dir):
+    """Sliding-window context packing (r08): 16-token windows, stride
+    8 (50 % overlap); the plan is a shuffle-free narrow map."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return T.token_windows(docs, size=16, stride=8)
+
+
 def doc_pipeline_curate(spark, sf_dir):
     """Composed curation cascade (quality → exact-dedup → benchmark
     decontamination) with a per-document verdict; the oracle replays
@@ -1010,6 +1017,8 @@ def dedup_near_emb(spark, sf_dir):
 # When adding a new oracle-backed entry, insert it at the top; after each
 # round, rotate entries the driver just verified toward the back.
 QUERIES = {
+    # new this round (r08): context packing — never driver-checked
+    "doc_token_windows": doc_token_windows,
     # new this round (r08): DSIR importance weights — never driver-checked
     "doc_dsir_weights": doc_dsir_weights,
     # new this round (r08): MINUS negation — never driver-checked
@@ -1214,6 +1223,26 @@ ORACLES = {
         JOIN nation ON c_nationkey = n_nationkey
         WHERE o_orderpriority = '1-URGENT'
         GROUP BY 1
+    """,
+    "doc_token_windows": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ), wins AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(CAST(ceil(len(t) / 8.0) AS BIGINT)),
+                       i -> {'win_idx': i,
+                             'n_tokens': len(t[i * 8 + 1 : i * 8 + 16]),
+                             'text': array_to_string(t[i * 8 + 1 : i * 8 + 16], ' ')}
+                   ), recursive := true)
+            FROM toks WHERE len(t) >= 1
+        )
+        SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx,
+               CAST(n_tokens AS BIGINT) AS n_tokens, text
+        FROM wins
     """,
     "doc_dsir_weights": """
         WITH toks AS (

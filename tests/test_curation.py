@@ -304,6 +304,39 @@ def test_dsir_importance_ranks_target_like_docs(spark):
     assert out2[5].logw != 0.0
 
 
+def test_token_windows_packing(spark):
+    """Window starts at every stride-th token, covers up to `size`
+    tokens, tails shorten, empty docs vanish, and the non-overlapping
+    default exactly partitions the token stream."""
+    from matcha_spark.operators.text import token_windows
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = [
+        (r.doc_id, r.win_idx, r.n_tokens, r.text)
+        for r in token_windows(docs, size=3, stride=2)
+        .orderBy("doc_id", "win_idx")
+        .collect()
+    ]
+    assert out == [
+        (1, 0, 3, "a b c"),
+        (1, 1, 3, "c d e"),
+        (1, 2, 3, "e f g"),
+        (1, 3, 1, "g"),
+        (2, 0, 2, "x y"),
+    ]
+    # default stride=size: windows partition the tokens exactly
+    flat = (
+        token_windows(docs, size=3).orderBy("doc_id", "win_idx").collect()
+    )
+    doc1 = " ".join(r.text for r in flat if r.doc_id == 1)
+    assert doc1 == "a b c d e f g"
+    with pytest.raises(ValueError):
+        token_windows(docs, size=0)
+
+
 def test_cdc_boundary_uses_full_window(spark):
     """The boundary test reads the HIGH bits of the rolling hash, so
     every byte of the 16-byte window influences the cut decision — a
