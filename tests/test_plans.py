@@ -407,3 +407,43 @@ def test_unigram_logloss_no_cartesian_one_token_scan(spark):
     assert "CartesianProduct" not in plan
     # token stream memo-persisted: both consumers read the cache
     assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_token_windows_is_shuffle_free(spark):
+    from matcha_spark.operators.text import token_windows
+    from matcha_spark.sources.tpch_graph import load_tables
+
+    docs = load_tables(spark, SF_DIR, "documents")["documents"]
+    plan = _plan(token_windows(docs, size=16, stride=8))
+    # pure narrow map: explode over per-doc offsets, no Exchange at all
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the posexplode
+
+
+def test_dedup_paragraphs_shapes(spark):
+    from matcha_spark.operators.text import dedup_paragraphs
+    from matcha_spark.sources.tpch_graph import load_tables
+
+    docs = load_tables(spark, SF_DIR, "documents")["documents"]
+    plan = _plan(dedup_paragraphs(docs))
+    assert "CartesianProduct" not in plan
+    # canonical-first selection is ONE ranking window over the
+    # paragraph stream, partitioned by the 8-byte hash key
+    assert plan.count("Window") >= 1 and "xxhash64" in plan
+    # no single-partition exchange anywhere in the pipeline
+    assert "SinglePartition" not in plan
+
+
+def test_dsir_importance_shapes(spark):
+    from pyspark.sql import functions as F
+
+    from matcha_spark.operators.text import dsir_importance
+    from matcha_spark.sources.tpch_graph import load_tables
+
+    docs = load_tables(spark, SF_DIR, "documents")["documents"]
+    plan = _plan(dsir_importance(docs, target=F.col("doc_id") % 50 == 0))
+    assert "CartesianProduct" not in plan
+    # the 3-scalar totals row joins in via broadcast, never a shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # per-(doc,gram) and per-gram aggregates both run map-side partials
+    assert plan.count("HashAggregate") >= 4
