@@ -79,6 +79,11 @@ __all__ = [
     "write_ntriples",
     "read_ntriples",
     "ntlines_malformed",
+    "quads_to_nqlines",
+    "nqlines_to_quads",
+    "write_nquads",
+    "read_nquads",
+    "nqlines_malformed",
 ]
 
 _XSD = "http://www.w3.org/2001/XMLSchema#"
@@ -426,4 +431,90 @@ def ntlines_malformed(lines: DataFrame, col: str = "value") -> DataFrame:
     c = F.col(col)
     return lines.where(
         ~F.trim(c).rlike(r"^(#.*)?$") & ~c.rlike(_LINE_RX)
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-Quads (W3C): the 4-term line format.  The reference's row adapter is
+# QUAD-tolerant — a 4-element tuple is accepted and its 4th (graph)
+# element dropped (``src/grafter/matcha/alpha.clj:54-58``); these
+# functions extend that tolerance to the on-disk interchange level:
+# parse keeps the graph label as a nullable ``g`` TERM column (null =
+# default graph, i.e. a plain triple line — every N-Triples file is a
+# valid N-Quads file), and ``read_nquads(drop_graph=True)`` is the
+# file-format analog of the adapter's quad drop.  Same narrow-map,
+# no-shuffle shape as the triple functions.
+# ---------------------------------------------------------------------------
+
+_QLINE_RX = (
+    rf"^\s*({_TERM_RX})\s+({_TERM_RX})\s+({_TERM_RX})"
+    rf"(?:\s+({_TERM_RX}))?\s*\.\s*$"
+)
+
+
+def quads_to_nqlines(db: DataFrame) -> DataFrame:
+    """One N-Quads line per row of an ``(s, p, o, g)`` DataFrame —
+    rows with a null ``g`` render as plain triple lines (default
+    graph), matching the spec.  Narrow map, ready for ``.write.text``."""
+    return db.select(
+        F.concat_ws(
+            " ",
+            _render_iri(F.col("s"), allow_bnode=True),
+            _render_iri(F.col("p")),
+            _render_obj(F.col("o")),
+            F.when(
+                F.col("g").isNotNull(),
+                _render_iri(F.col("g"), allow_bnode=True),
+            ),
+            F.lit("."),
+        ).alias("value")
+    )
+
+
+def nqlines_to_quads(lines: DataFrame, col: str = "value") -> DataFrame:
+    """Parse N-Quads lines into ``(s, p, o, g)`` TERM structs, ``g``
+    null for triple (default-graph) lines.  Blank/comment lines are
+    skipped, malformed lines dropped (audit via
+    :func:`nqlines_malformed`)."""
+    c = F.col(col)
+    parsed = (
+        lines.where(~F.trim(c).rlike(r"^(#.*)?$"))
+        .select(
+            F.regexp_extract(c, _QLINE_RX, 1).alias("ts"),
+            F.regexp_extract(c, _QLINE_RX, 2).alias("tp"),
+            F.regexp_extract(c, _QLINE_RX, 3).alias("to"),
+            F.regexp_extract(c, _QLINE_RX, 4).alias("tg"),
+        )
+        .where((F.col("ts") != "") & (F.col("tp") != "") & (F.col("to") != ""))
+    )
+    return parsed.select(
+        _parse_term(F.col("ts")).alias("s"),
+        _parse_term(F.col("tp")).alias("p"),
+        _parse_term(F.col("to")).alias("o"),
+        F.when(F.col("tg") != "", _parse_term(F.col("tg"))).alias("g"),
+    )
+
+
+def write_nquads(db: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Serialize an ``(s, p, o, g)`` DataFrame to N-Quads text
+    part-files (shared storage on a real cluster)."""
+    quads_to_nqlines(db).write.mode(mode).text(path)
+
+
+def read_nquads(spark: SparkSession, path: str, drop_graph: bool = True) -> DataFrame:
+    """Load an N-Quads file/directory.  With ``drop_graph`` (default)
+    the graph column is discarded — the file-format analog of the
+    reference adapter's quad tolerance (``src:54-58``) — yielding a
+    TriplesDB-ready ``(s, p, o)`` DataFrame; pass ``drop_graph=False``
+    to keep ``g`` for named-graph-aware processing."""
+    quads = nqlines_to_quads(spark.read.text(path))
+    return quads.select("s", "p", "o") if drop_graph else quads
+
+
+def nqlines_malformed(lines: DataFrame, col: str = "value") -> DataFrame:
+    """Audit complement of :func:`nqlines_to_quads` — non-blank,
+    non-comment lines the quad grammar rejects."""
+    c = F.col(col)
+    return lines.where(
+        ~F.trim(c).rlike(r"^(#.*)?$") & ~c.rlike(_QLINE_RX)
     )

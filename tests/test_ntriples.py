@@ -387,3 +387,115 @@ def test_streaming_ntriples_ingestion(spark, tmp_path):
     rows = spark.sql("SELECT * FROM nt_stream_t").collect()
     assert len(rows) == 2
     assert {r["o"]["lex"] for r in rows} == {"one", "two"}
+
+
+# ---------------------------------------------------------------------------
+# N-Quads (r08): 4-term lines, graph column, quad tolerance at the
+# file-format level (reference adapter drops 4th elements, src:54-58)
+# ---------------------------------------------------------------------------
+
+
+def test_nquads_roundtrip_with_default_graph(spark):
+    from matcha_spark.sources.ntriples import nqlines_to_quads, quads_to_nqlines
+    from matcha_spark.terms import TERM_TYPE
+
+    db = _mk_db(spark)
+    # alternate rows into a named graph; leave the rest default-graph
+    quads = db.withColumn(
+        "g",
+        F.when(
+            F.xxhash64("s") % 2 == 0,
+            F.struct(
+                F.lit("uri").alias("kind"),
+                F.lit("urn:g1").alias("lex"),
+                F.lit(0.0).alias("num"),
+                F.lit("").alias("lang"),
+                F.lit("").alias("dt"),
+            ).cast(TERM_TYPE),
+        ),
+    )
+    back = nqlines_to_quads(quads_to_nqlines(quads))
+
+    def key(r):
+        g = r.g["lex"] if r.g is not None else None
+        return (repr(from_term(r.s)), repr(from_term(r.p)), repr(from_term(r.o)), g)
+
+    assert {key(r) for r in back.collect()} == {key(r) for r in quads.collect()}
+    # default-graph rows rendered as plain triple lines (no 4th term)
+    n_default = quads.where(F.col("g").isNull()).count()
+    plain = quads_to_nqlines(quads).where(
+        ~F.col("value").rlike(r"<urn:g1>\s*\.\s*$")
+    )
+    assert plain.count() == n_default
+
+
+def test_read_nquads_quad_tolerance(spark, tmp_path):
+    """drop_graph=True is the file-format analog of the reference's
+    quad-tolerant row adapter: the graph column vanishes and the
+    triples load/query identically."""
+    from matcha_spark import TriplesDB, select
+    from matcha_spark.sources.ntriples import read_nquads, write_nquads
+    from matcha_spark.terms import TERM_TYPE
+
+    db = _mk_db(spark)
+    quads = db.withColumn(
+        "g",
+        F.struct(
+            F.lit("uri").alias("kind"),
+            F.lit("urn:gX").alias("lex"),
+            F.lit(0.0).alias("num"),
+            F.lit("").alias("lang"),
+            F.lit("").alias("dt"),
+        ).cast(TERM_TYPE),
+    )
+    path = str(tmp_path / "graph.nq")
+    write_nquads(quads, path)
+    dropped = read_nquads(spark, path)  # drop_graph default
+    assert dropped.columns == ["s", "p", "o"]
+    assert _decoded_set(dropped) == _decoded_set(db)
+    kept = read_nquads(spark, path, drop_graph=False)
+    assert kept.columns == ["s", "p", "o", "g"]
+    assert kept.where(F.col("g").isNull()).count() == 0
+    # and the dropped form feeds the query engine directly
+    tdb = TriplesDB.from_df(dropped, cache=False)
+    got = select(["?o"], [(URI("urn:s0"), kw(":p"), "?o")], tdb)
+    assert got is not None
+
+
+def test_ntriples_file_is_valid_nquads(spark):
+    """Every N-Triples line parses as an N-Quads default-graph line."""
+    from matcha_spark.sources.ntriples import nqlines_to_quads, triples_to_ntlines
+
+    db = _mk_db(spark)
+    quads = nqlines_to_quads(triples_to_ntlines(db))
+    assert quads.where(F.col("g").isNotNull()).count() == 0
+    assert {
+        (repr(from_term(r.s)), repr(from_term(r.p)), repr(from_term(r.o)))
+        for r in quads.collect()
+    } == _decoded_set(db)
+
+
+def test_nqlines_malformed_audit(spark):
+    from matcha_spark.sources.ntriples import nqlines_malformed, nqlines_to_quads
+
+    lines = spark.createDataFrame(
+        [
+            ("<urn:a> <urn:p> <urn:b> <urn:g> .",),  # quad: ok
+            ("<urn:a> <urn:p> <urn:b> .",),  # triple: ok
+            ("# comment",),
+            ("",),
+            ("<urn:a> <urn:p> .",),  # too few terms
+            ("<urn:a> <urn:p> <urn:b> <urn:g> <urn:x> .",),  # too many
+            ("<urn:a> <urn:p> <urn:b> <urn:g>",),  # missing dot
+        ],
+        "value string",
+    )
+    assert nqlines_to_quads(lines).count() == 2
+    bad = [r.value for r in nqlines_malformed(lines).collect()]
+    assert sorted(bad) == sorted(
+        [
+            "<urn:a> <urn:p> .",
+            "<urn:a> <urn:p> <urn:b> <urn:g> <urn:x> .",
+            "<urn:a> <urn:p> <urn:b> <urn:g>",
+        ]
+    )
