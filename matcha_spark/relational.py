@@ -1126,6 +1126,58 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation, end-to-end (r08): event_type is
+    exactly the low-cardinality hot-key shape that melts a plain
+    groupBy's reducers at 100 TB; ``salted_agg`` partial-aggregates on
+    ``(event_type, salt)`` (deterministic salt from event_id), then
+    finalizes per type — and the oracle proves the two-phase result
+    equals the single-phase GROUP BY."""
+    from .operators.skew import salted_agg
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {"n": "count(*)", "total": "sum(value)", "max_v": "max(value)"},
+        n_salts=16,
+        det_col="event_id",
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("total", 4).alias("total"),
+        F.round("max_v", 4).alias("max_v"),
+    ).orderBy("event_type")
+
+
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (r08): the Markov bigram
+    counts behind funnel/path analytics.  One ranking window per user
+    stream (``lead`` over (ts, event_id) — deterministic tiebreak),
+    one hash aggregate over (from, to), and a per-source-type share via
+    a second, tiny window over the 5×5 matrix."""
+    from pyspark.sql.window import Window
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("event_type").over(w)
+    mat = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", nxt)
+        .where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    share = Window.partitionBy("event_type")
+    return mat.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(share), 6).alias("p_next"),
+    ).orderBy("event_type", "next_type")
+
+
 def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured column handling: parse the events ``props`` JSON
     with a typed ``from_json`` (schema'd, vectorized JVM parser — not a

@@ -1017,6 +1017,10 @@ def dedup_near_emb(spark, sf_dir):
 # When adding a new oracle-backed entry, insert it at the top; after each
 # round, rotate entries the driver just verified toward the back.
 QUERIES = {
+    # new this round (r08): transition matrix — never driver-checked
+    "events_transition_matrix": R.events_transition_matrix,
+    # new this round (r08): skew-salted aggregation — never driver-checked
+    "events_salted_type_stats": R.events_salted_type_stats,
     # new this round (r08): context packing — never driver-checked
     "doc_token_windows": doc_token_windows,
     # new this round (r08): DSIR importance weights — never driver-checked
@@ -1223,6 +1227,26 @@ ORACLES = {
         JOIN nation ON c_nationkey = n_nationkey
         WHERE o_orderpriority = '1-URGENT'
         GROUP BY 1
+    """,
+    "events_transition_matrix": """
+        WITH seq AS (
+            SELECT event_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS next_type
+            FROM events
+        ), mat AS (
+            SELECT event_type, next_type, count(*) AS n
+            FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT event_type, next_type, n,
+               round(n * 1.0 / sum(n) OVER (PARTITION BY event_type), 6) AS p_next
+        FROM mat ORDER BY 1, 2
+    """,
+    "events_salted_type_stats": """
+        SELECT event_type, count(*) AS n,
+               round(sum(value), 4) AS total,
+               round(max(value), 4) AS max_v
+        FROM events GROUP BY 1 ORDER BY 1
     """,
     "doc_token_windows": """
         WITH toks AS (
