@@ -95,6 +95,54 @@ def cosine_topk(
     )
 
 
+def cosine_range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float = 0.8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact radius search: every (query, corpus) pair with cosine ≥
+    ``threshold`` (excluding self) — the fixed-similarity complement of
+    :func:`cosine_topk` (retrieval wants the k best; dedup/clustering
+    wants *everything above a floor*).
+
+    Same kernel economics as ``cosine_topk`` — queries small by
+    contract, broadcast into an Arrow ``mapInPandas`` BLAS matmul — but
+    the threshold filter happens INSIDE the kernel, so only qualifying
+    pairs ever materialize and the plan has no window and **no shuffle
+    at all**: one corpus scan, results pipeline straight out."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select("vec_id", vec_col).collect()
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    thr = float(threshold)
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = np.round((m / norms) @ qn.T, 6)  # (batch, nq)
+            bi, qi = np.nonzero(sims >= thr)
+            qid, nid = q_ids[qi], ids[bi]
+            keep = qid != nid
+            yield pd.DataFrame(
+                {
+                    "q_id": qid[keep],
+                    "n_id": nid[keep],
+                    "cosine": sims[bi, qi][keep],
+                }
+            )
+
+    return corpus.select("vec_id", vec_col).mapInPandas(
+        score, schema="q_id long, n_id long, cosine double"
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]

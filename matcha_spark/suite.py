@@ -949,6 +949,14 @@ def emb_cosine_topk(spark, sf_dir):
     return S.cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
 
 
+def emb_range_search(spark, sf_dir):
+    """Exact cosine radius search (r08): all corpus vectors within
+    cosine ≥ 0.3 of the 5 probe vectors — threshold filtered inside the
+    Arrow kernel, zero-shuffle plan."""
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return S.cosine_range_search(emb, emb.where(F.col("vec_id") < 5), threshold=0.3)
+
+
 def emb_lsh_topk(spark, sf_dir):
     # approximate variant: rows-only check (recall measured in tests)
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
@@ -1017,6 +1025,8 @@ def dedup_near_emb(spark, sf_dir):
 # When adding a new oracle-backed entry, insert it at the top; after each
 # round, rotate entries the driver just verified toward the back.
 QUERIES = {
+    # new this round (r08): cosine radius search — never driver-checked
+    "emb_range_search": emb_range_search,
     # new this round (r08): transition matrix — never driver-checked
     "events_transition_matrix": R.events_transition_matrix,
     # new this round (r08): skew-salted aggregation — never driver-checked
@@ -2520,6 +2530,18 @@ ORACLES = {
         SELECT q_id, n_id, cosine, rank FROM (
             SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank FROM s
         ) WHERE rank <= 5
+    """,
+    "emb_range_search": """
+        WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
+        s AS (
+            SELECT q_id, n_id,
+                   round(list_dot_product(q_vec :: DOUBLE[], n_vec :: DOUBLE[])
+                         / (sqrt(list_dot_product(q_vec :: DOUBLE[], q_vec :: DOUBLE[]))
+                            * sqrt(list_dot_product(n_vec :: DOUBLE[], n_vec :: DOUBLE[]))), 6) AS cosine
+            FROM c, q WHERE n_id != q_id
+        )
+        SELECT q_id, n_id, cosine FROM s WHERE cosine >= 0.3
     """,
     "emb_dup_pairs": """
         WITH s AS (

@@ -111,6 +111,40 @@ def test_cosine_topk_exact(spark):
     assert order == [1, 2, 3]
 
 
+def test_cosine_range_search_exact(spark):
+    """Radius search returns exactly the pairs at or above the floor —
+    no self-pairs — and agrees with a threshold filter over the brute
+    top-k scores."""
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [-1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    res = {
+        (r["q_id"], r["n_id"])
+        for r in S.cosine_range_search(
+            emb, emb.where("vec_id = 0"), threshold=0.5
+        ).collect()
+    }
+    assert res == {(0, 1)}  # cos(0,1)≈0.994; 2 is 0.0; 3 is -1
+    # consistency with the exhaustive scorer at a loose threshold
+    loose = {
+        (r["q_id"], r["n_id"])
+        for r in S.cosine_range_search(
+            emb, emb.where("vec_id < 2"), threshold=-1.0
+        ).collect()
+    }
+    allpairs = {
+        (r["q_id"], r["n_id"])
+        for r in S.cosine_topk(emb, emb.where("vec_id < 2"), k=10).collect()
+    }
+    assert loose == allpairs
+
+
 def test_lsh_recall_vs_bruteforce(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     q = emb.where("vec_id < 3")

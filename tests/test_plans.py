@@ -447,3 +447,18 @@ def test_dsir_importance_shapes(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     # per-(doc,gram) and per-gram aggregates both run map-side partials
     assert plan.count("HashAggregate") >= 4
+
+
+def test_cosine_range_search_is_shuffle_free(spark):
+    from pyspark.sql import functions as F
+
+    from matcha_spark.operators.similarity import cosine_range_search
+    from matcha_spark.sources.tpch_graph import load_tables
+
+    emb = load_tables(spark, SF_DIR, "embeddings")["embeddings"]
+    plan = _plan(
+        cosine_range_search(emb, emb.where(F.col("vec_id") < 3), threshold=0.3)
+    )
+    # threshold filtering happens inside the Arrow kernel: the plan is
+    # scan -> mapInPandas, no Exchange and no Window
+    assert "Exchange" not in plan and "Window" not in plan
