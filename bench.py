@@ -161,6 +161,23 @@ def main() -> None:
     # LSH near-dup benched in its design regime (high-cosine dups, tight
     # buckets); at wide angles the bucket join floods and exact wins
     bench("emb_dup_lsh", lambda: force(D.embedding_dup_pairs_lsh(emb, threshold=0.9)))
+    # r08 additions: curation, packing, skew, paths, radius search
+    from matcha_spark.suite import (
+        bgp_agg_top_urgent_nations,
+        bgp_path_zom_region,
+        doc_dedup_paragraphs,
+        doc_dsir_weights,
+        emb_range_search,
+    )
+
+    bench("doc_dedup_paragraphs", lambda: force(doc_dedup_paragraphs(spark, SF_DIR)))
+    bench("doc_dsir_weights", lambda: force(doc_dsir_weights(spark, SF_DIR)))
+    bench("doc_token_windows", lambda: force(T.token_windows(docs, size=16, stride=8)))
+    bench("emb_range_search", lambda: force(emb_range_search(spark, SF_DIR)))
+    bench("events_salted_type_stats", lambda: force(R.events_salted_type_stats(spark, SF_DIR)))
+    bench("events_transition_matrix", lambda: force(R.events_transition_matrix(spark, SF_DIR)))
+    bench("bgp_path_zom_region", lambda: force(bgp_path_zom_region(spark, SF_DIR)))
+    bench("bgp_agg_top_urgent_nations", lambda: force(bgp_agg_top_urgent_nations(spark, SF_DIR)))
 
     total = round(sum(times.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
