@@ -25,6 +25,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -38,7 +39,9 @@ __all__ = [
     "stream_dedup",
     "stream_enrich",
     "stream_interval_join",
+    "stream_transitions",
     "SESSION_SCHEMA",
+    "TRANSITION_SCHEMA",
 ]
 
 
@@ -244,3 +247,81 @@ def stream_enrich(
         keys = [on] if isinstance(on, str) else list(on)
         dim = dim.select(*keys, *[c for c in dim_cols if c not in keys])
     return events.join(dim, on=on, how=how)
+
+
+TRANSITION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("from_type", StringType()),
+        StructField("to_type", StringType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+# per-user carry-over: timestamp (µs) and type of the last event seen
+_TRANS_STATE_SCHEMA = StructType(
+    [
+        StructField("last_us", LongType()),
+        StructField("last_type", StringType()),
+    ]
+)
+
+
+def _transitions_fn():
+    def fn(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        if state.exists:
+            last_us, last_type = state.get
+        else:
+            last_us, last_type = None, None
+        out_from, out_to, out_ts = [], [], []
+        for ts, etype in zip(rows["ts"], rows["event_type"]):
+            if last_type is not None:
+                out_from.append(last_type)
+                out_to.append(etype)
+                out_ts.append(ts)
+            last_us, last_type = ts.value // 1000, etype
+        state.update((last_us, last_type))
+        if out_from:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out_from),
+                    "from_type": out_from,
+                    "to_type": out_to,
+                    "ts": out_ts,
+                }
+            )
+
+    return fn
+
+
+def stream_transitions(events: DataFrame) -> DataFrame:
+    """Streaming per-user event-type transitions — the incremental twin
+    of ``relational.events_transition_matrix``: each arriving event
+    emits one ``(from_type, to_type)`` edge against the user's previous
+    event, carried in per-key state (one 2-field row per active user —
+    constant-size state, no watermark horizon needed).
+
+    Ordering contract: transitions are exact when each user's events
+    arrive in timestamp order across micro-batches (within a batch they
+    are sorted); cross-batch out-of-order arrivals chain in arrival
+    order, the best any single-pass incremental operator can do without
+    buffering a reorder horizon.  Downstream, aggregate with
+    ``groupBy("from_type", "to_type").count()`` for the live matrix."""
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _transitions_fn(),
+            outputStructType=TRANSITION_SCHEMA,
+            stateStructType=_TRANS_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -265,3 +265,41 @@ def test_stream_enrich_left_keeps_unmatched(spark, stream_dir):
     rows = {r["event_id"]: r["tier"] for r in out.collect()}
     assert rows[4] is None  # user 2 unmatched, row kept
     assert rows[1] == "gold"
+
+
+def test_stream_transitions_equals_batch(spark, stream_dir):
+    """Streaming per-user transition edges (applyInPandasWithState)
+    equal the batch lead-window derivation over the same events."""
+    from pyspark.sql.window import Window
+
+    from matcha_spark.streaming.events import stream_transitions
+
+    src = spark.readStream.schema(EVENTS_SCHEMA).parquet(stream_dir)
+    out = _run_to_memory(spark, stream_transitions(src), "trans_eq", mode="append")
+    got = {
+        (r.user_id, r.from_type, r.to_type, r.ts)
+        for r in out.collect()
+    }
+    batch_df = spark.read.parquet(stream_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = {
+        (r.user_id, r.prev, r.event_type, r.ts)
+        for r in batch_df.withColumn("prev", F.lag("event_type").over(w))
+        .where(F.col("prev").isNotNull())
+        .collect()
+    }
+    assert got == batch  # user 1: click->click, click->view; user 2: none
+    assert len(got) == 2
+    # append a later file and rerun: the new event chains onto the
+    # user's prior last event (per-key carry state; with the file
+    # source splitting into multiple micro-batches this also exercises
+    # the cross-batch state path)
+    extra = spark.createDataFrame(
+        [(5, "2024-01-01 12:00:00", 1, "purchase", 9.0)],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    extra.write.mode("append").parquet(stream_dir)
+    src2 = spark.readStream.schema(EVENTS_SCHEMA).parquet(stream_dir)
+    out2 = _run_to_memory(spark, stream_transitions(src2), "trans_eq2", mode="append")
+    got2 = {(r.user_id, r.from_type, r.to_type) for r in out2.collect()}
+    assert (1, "view", "purchase") in got2 and len(got2) == 3
