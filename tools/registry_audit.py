@@ -30,15 +30,23 @@ def main() -> int:
         glob.glob(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r*.json"))
     )
     seen: dict[str, str] = {}
+    seen_round: dict[str, int] = {}
+    latest_round = 0
     for f in files:
         label = os.path.basename(f)
         try:
             data = json.load(open(f))
         except Exception:
             continue
+        try:
+            rnd = int(label.split("_r")[1].split(".")[0])
+        except (IndexError, ValueError):
+            rnd = 0
+        latest_round = max(latest_round, rnd)
         for name, rec in data.items():
             if isinstance(rec, dict) and rec.get("hash_match"):
                 seen[name] = label
+                seen_round[name] = max(seen_round.get(name, 0), rnd)
     q = list(entrymod.queries())
     oracles = set(entrymod.oracle_sql())
     window = set(q[:WINDOW])
@@ -61,6 +69,26 @@ def main() -> int:
         print("PROBLEM: oracle-backed entries outside the window with NO prior "
               f"hash-green record: {problems}")
         return 1
+    # freshness contract: an entry OUTSIDE the upcoming window will not
+    # be refreshed this round, so its newest record must be at most two
+    # rounds old by the time this round's driver run lands
+    stale_limit = latest_round - 1  # next run is latest_round + 1
+    stale = sorted(
+        (n, seen_round[n])
+        for n in q[WINDOW:]
+        if n in oracles and seen_round.get(n, 0) < stale_limit
+    )
+    if stale:
+        print("PROBLEM: oracle-backed entries outside the window whose newest "
+              f"driver record predates r{stale_limit:02d} (would exceed the "
+              f"two-round freshness limit): {stale}")
+        return 1
+    aged = sorted(n for n in q[WINDOW:] if n in oracles
+                  and seen_round.get(n, 0) == stale_limit)
+    if aged:
+        print(f"note: {len(aged)} outside-window entries at the two-round "
+              f"freshness limit (r{stale_limit:02d} records) — front of the "
+              f"next rotation queue: {aged}")
     print("OK: every oracle-backed entry is window-covered or previously green")
     return 0
 
