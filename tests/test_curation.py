@@ -570,3 +570,42 @@ def test_mixture_sample_rates_and_nesting(spark):
     import pytest as _p
     with _p.raises(ValueError):
         mixture_sample(docs, {"src0": 1.5})
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_dedup_paragraphs_differential(spark, seed):
+    """Randomized differential: dedup_paragraphs vs a direct Python
+    model of canonical-first corpus-wide paragraph dedup."""
+    import random
+
+    from matcha_spark.operators.text import dedup_paragraphs
+
+    rng = random.Random(7700 + seed)
+    vocab = ["aa bb", "cc dd", "ee", "ff gg hh", "x"]
+    docs = []
+    for did in range(rng.randint(2, 6)):
+        paras = [rng.choice(vocab) for _ in range(rng.randint(0, 5))]
+        docs.append((did, "\n\n".join(paras)))
+
+    # model
+    min_chars = 2
+    first = {}
+    for did, text in docs:
+        for idx, p in enumerate(text.split("\n\n")):
+            if len(p.strip()) >= min_chars and p not in first:
+                first[p] = (did, idx)
+    want = {}
+    for did, text in docs:
+        kept = [
+            p
+            for idx, p in enumerate(text.split("\n\n"))
+            if len(p.strip()) < min_chars or first.get(p) == (did, idx)
+        ]
+        want[did] = ("\n\n".join(kept), len(text.split("\n\n")), len(kept))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text, r.n_paras, r.n_kept)
+        for r in dedup_paragraphs(df, min_chars=min_chars).collect()
+    }
+    assert got == want, f"seed={seed}\ndocs={docs}\ngot={got}\nwant={want}"
