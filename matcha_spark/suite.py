@@ -339,6 +339,61 @@ def graph_shortest_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def graph_shortest_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted all-pairs shortest paths (r08): the urgent-order
+    hierarchy with dyadic per-edge costs (exact in binary floating
+    point, so the min-plus sums replay bit-identically in the oracle),
+    plus a customer→region shortcut edge for BUILDING customers that
+    UNDERCUTS the two-hop route (5.0 < 2.25 + 4.5) — the min-plus
+    relaxation must genuinely choose between path costs, and the
+    structural convergence probe (merged.dist < acc.dist) must fire."""
+    from .operators.graph import shortest_path_lengths
+
+    t = load_tables(spark, sf_dir, "orders", "customer", "supplier", "nation")
+    mk = lambda pre, c: F.concat(F.lit(pre), F.col(c).cast("string"))  # noqa: E731
+    edges = (
+        t["orders"]
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            mk("order:", "o_orderkey").alias("src"),
+            mk("customer:", "o_custkey").alias("dst"),
+            F.lit(1.5).alias("w"),
+        )
+        .unionByName(
+            t["customer"].select(
+                mk("customer:", "c_custkey").alias("src"),
+                mk("nation:", "c_nationkey").alias("dst"),
+                F.lit(2.25).alias("w"),
+            )
+        )
+        .unionByName(
+            t["supplier"].select(
+                mk("supplier:", "s_suppkey").alias("src"),
+                mk("nation:", "s_nationkey").alias("dst"),
+                F.lit(2.25).alias("w"),
+            )
+        )
+        .unionByName(
+            t["nation"].select(
+                mk("nation:", "n_nationkey").alias("src"),
+                mk("region:", "n_regionkey").alias("dst"),
+                F.lit(4.5).alias("w"),
+            )
+        )
+        .unionByName(
+            t["customer"]
+            .where(F.col("c_mktsegment") == "BUILDING")
+            .join(t["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+            .select(
+                mk("customer:", "c_custkey").alias("src"),
+                mk("region:", "n_regionkey").alias("dst"),
+                F.lit(5.0).alias("w"),
+            )
+        )
+    )
+    return shortest_path_lengths(edges, src="src", dst="dst", weight="w")
+
+
 def graph_pagerank_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PageRank over the urgent-order hierarchy: rows-only (iterative
     # float ranks); pinned by a numpy power-iteration differential pytest
@@ -1031,6 +1086,8 @@ def dedup_near_emb(spark, sf_dir):
 # When adding a new oracle-backed entry, insert it at the top; after each
 # round, rotate entries the driver just verified toward the back.
 QUERIES = {
+    # new this round (r08): weighted shortest paths — never driver-checked
+    "graph_shortest_weighted": graph_shortest_weighted,
     # new this round (r08): cosine radius search — never driver-checked
     "emb_range_search": emb_range_search,
     # new this round (r08): transition matrix — never driver-checked
@@ -2536,6 +2593,38 @@ ORACLES = {
         SELECT q_id, n_id, cosine, rank FROM (
             SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank FROM s
         ) WHERE rank <= 5
+    """,
+    "graph_shortest_weighted": """
+        WITH RECURSIVE edges AS (
+            SELECT 'order:' || o_orderkey AS src,
+                   'customer:' || o_custkey AS dst,
+                   CAST(1.5 AS DOUBLE) AS w
+            FROM orders WHERE o_orderpriority = '1-URGENT'
+            UNION ALL
+            SELECT 'customer:' || c_custkey, 'nation:' || c_nationkey,
+                   CAST(2.25 AS DOUBLE)
+            FROM customer
+            UNION ALL
+            SELECT 'supplier:' || s_suppkey, 'nation:' || s_nationkey,
+                   CAST(2.25 AS DOUBLE)
+            FROM supplier
+            UNION ALL
+            SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey,
+                   CAST(4.5 AS DOUBLE)
+            FROM nation
+            UNION ALL
+            SELECT 'customer:' || c_custkey, 'region:' || n_regionkey,
+                   CAST(5.0 AS DOUBLE)
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_mktsegment = 'BUILDING'
+        ), walk(src, dst, d) AS (
+            SELECT src, dst, w FROM edges
+            UNION ALL
+            SELECT wk.src, e.dst, wk.d + e.w
+            FROM walk wk JOIN edges e ON wk.dst = e.src
+            WHERE wk.d < 20
+        )
+        SELECT src, dst, min(d) AS dist FROM walk GROUP BY 1, 2
     """,
     "emb_range_search": """
         WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
