@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "token_count",
+    "bpe_pretoken_count",
     "text_quality",
     "lang_id",
     "fingerprint",
@@ -63,6 +64,33 @@ def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         F.size(_tokens(text_col)).alias("n_tokens"),
         F.ceil(F.length(F.col(text_col)) / 4).cast("long").alias("est_bpe_tokens"),
+    )
+
+
+# GPT-2-style pre-tokenizer split, in a deliberately engine-portable
+# form: alternatives are made DISJOINT by first character class (letters
+# absorb apostrophes, so contractions stay with their word), which
+# removes any dependence on alternation-precedence quirks between Java
+# regex (Spark) and RE2 (DuckDB); no lookahead, so RE2 accepts it.
+_BPE_PRETOKEN_RX = r" ?[A-Za-z']+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+def bpe_pretoken_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish token counting via the real pre-tokenizer word split
+    (the regex stage every GPT-2/tiktoken-family tokenizer runs before
+    byte-pair merging): letter runs (with leading space and
+    contractions attached), digit runs, punctuation runs.  Counts
+    pre-tokens — a tight, content-aware token estimate, unlike the
+    chars/4 rule of thumb in :func:`token_count` — plus the character
+    count for ratio features.  Pure codegen narrow map, no shuffle."""
+    toks = F.regexp_extract_all(
+        F.coalesce(F.col(text_col), F.lit("")), F.lit(_BPE_PRETOKEN_RX), F.lit(0)
+    )
+    non_ws = F.filter(toks, lambda x: ~x.rlike(r"^\s+$"))
+    return docs.select(
+        "doc_id",
+        F.size(non_ws).cast("long").alias("n_pretokens"),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("long").alias("n_chars"),
     )
 
 

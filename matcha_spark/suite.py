@@ -897,6 +897,14 @@ def doc_dsir_weights(spark, sf_dir):
     return T.dsir_importance(docs, target=(F.col("doc_id") % 50 == 0))
 
 
+def doc_bpe_pretokens(spark, sf_dir):
+    """BPE pre-tokenizer counts (r08) — regex word-split replayed
+    identically by DuckDB's RE2 (the pattern is alternation-order
+    insensitive by construction)."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return T.bpe_pretoken_count(docs)
+
+
 def doc_token_windows(spark, sf_dir):
     """Sliding-window context packing (r08): 16-token windows, stride
     8 (50 % overlap); the plan is a shuffle-free narrow map."""
@@ -1094,6 +1102,8 @@ QUERIES = {
     "events_transition_matrix": R.events_transition_matrix,
     # new this round (r08): skew-salted aggregation — never driver-checked
     "events_salted_type_stats": R.events_salted_type_stats,
+    # new this round (r08): BPE pre-tokenizer — never driver-checked
+    "doc_bpe_pretokens": doc_bpe_pretokens,
     # new this round (r08): context packing — never driver-checked
     "doc_token_windows": doc_token_windows,
     # new this round (r08): DSIR importance weights — never driver-checked
@@ -1320,6 +1330,15 @@ ORACLES = {
                round(sum(value), 4) AS total,
                round(max(value), 4) AS max_v
         FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "doc_bpe_pretokens": """
+        SELECT doc_id,
+               CAST(len(list_filter(
+                   regexp_extract_all(text, ' ?[A-Za-z'']+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+|\\s+'),
+                   x -> NOT regexp_matches(x, '^\\s+$')
+               )) AS BIGINT) AS n_pretokens,
+               CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars
+        FROM documents
     """,
     "doc_token_windows": """
         WITH toks AS (

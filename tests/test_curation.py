@@ -609,3 +609,29 @@ def test_dedup_paragraphs_differential(spark, seed):
         for r in dedup_paragraphs(df, min_chars=min_chars).collect()
     }
     assert got == want, f"seed={seed}\ndocs={docs}\ngot={got}\nwant={want}"
+
+
+def test_bpe_pretoken_count_segments(spark):
+    """The pre-tokenizer split: leading spaces attach to the following
+    run, contractions stay with their word, digit and punctuation runs
+    split off, whitespace runs don't count."""
+    from matcha_spark.operators.text import bpe_pretoken_count
+
+    docs = spark.createDataFrame(
+        [
+            (1, "don't stop"),  # [don't][ stop] -> 2
+            (2, "abc123!?"),  # [abc][123][!?] -> 3
+            (3, "a  b\t\nc"),  # ws runs absorbed -> 3
+            (4, ""),  # -> 0
+            (5, None),  # -> 0
+            (6, "x+y=2, ok."),  # [x][+][y][=][2][,][ ok][.] -> 8
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_pretokens, r.n_chars) for r in bpe_pretoken_count(docs).collect()}
+    assert out[1] == (2, 10)
+    assert out[2] == (3, 8)
+    assert out[3][0] == 3
+    assert out[4] == (0, 0)
+    assert out[5] == (0, 0)
+    assert out[6][0] == 8
