@@ -31,7 +31,7 @@ from __future__ import annotations
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -107,7 +107,7 @@ def transitive_closure(
     spark = edges.sparkSession
     base = _resolve_work_dir(spark, checkpoint_dir)
 
-    def _materialize(df: DataFrame) -> tuple[DataFrame, str]:
+    def _materialize(df: DataFrame) -> tuple[DataFrame, str, int]:
         # parquet round-trip: a genuine lineage cut with *fresh attribute
         # ids* per round.  localCheckpoint trips Spark's LogicalRDD
         # constraint rewriting when the same piece appears on both sides
@@ -115,30 +115,36 @@ def transitive_closure(
         # plan — which doubles per round and OOMs the driver stringifying
         # it.  Persisting frontiers is also the production shape: at real
         # graph sizes the frontier belongs in storage, not driver memory.
+        # The row count rides along as an observed metric on the SAME
+        # write job — convergence costs zero extra jobs per round (each
+        # saved job is a full scheduling round-trip; they were ~half the
+        # wall time of shallow-graph closures).
+        obs = Observation()
         path = f"{base}/{uuid.uuid4().hex}"
-        df.write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path), path
+        df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(path)
+        return spark.read.parquet(path), path, int(obs.get["n"])
 
     try:
-        acc, acc_path = _materialize(
+        acc, acc_path, n_acc = _materialize(
             edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).dropDuplicates()
         )
-        n_acc = acc.count()
         # path doubling: each round composes the accumulated reachability
         # with itself, so a diameter-d graph converges in ⌈log₂ d⌉ rounds
         # instead of d — rounds (each a shuffle + materialization barrier)
         # are the dominant cost of iterative algorithms on Spark.  One
         # materialization per round: merged = dedup(acc ∪ acc∘acc), with
-        # convergence read off the (free, post-materialization) row count
-        # instead of a separate anti-join + frontier write.
+        # convergence read off the write-observed row count.
         for _ in range(max_iter):
             nxt = (
                 acc.alias("f")
                 .join(acc.alias("n"), F.col("f.dst") == F.col("n.src"))
                 .select(F.col("f.src").alias("src"), F.col("n.dst").alias("dst"))
             )
-            merged, merged_path = _materialize(acc.union(nxt).dropDuplicates())
-            n_merged = merged.count()
+            merged, merged_path, n_merged = _materialize(
+                acc.union(nxt).dropDuplicates()
+            )
             if n_merged == n_acc:
                 _fs_delete(spark, merged_path)
                 break
@@ -184,16 +190,16 @@ def shortest_path_lengths(
     spark = edges.sparkSession
     base = _resolve_work_dir(spark, checkpoint_dir)
 
-    def _materialize(df: DataFrame) -> tuple[DataFrame, str]:
+    def _materialize(df: DataFrame) -> tuple[DataFrame, str, tuple]:
+        # convergence stats (row count + distance total) ride the write
+        # job as observed metrics — no separate aggregation job per round
+        obs = Observation()
         path = f"{base}/{uuid.uuid4().hex}"
-        df.write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path), path
-
-    def _stats(df: DataFrame):
-        r = df.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("dist").alias("total")
-        ).collect()[0]
-        return r["n"], r["total"]
+        df.observe(
+            obs, F.count(F.lit(1)).alias("n"), F.sum("dist").alias("total")
+        ).write.mode("overwrite").parquet(path)
+        got = obs.get
+        return spark.read.parquet(path), path, (int(got["n"]), got["total"])
 
     if weight is not None:
         neg = edges.where(F.col(weight) < 0).limit(1).count()
@@ -216,8 +222,7 @@ def shortest_path_lengths(
                 .groupBy("src", "dst")
                 .agg(F.min("dist").alias("dist"))
             )
-        acc, acc_path = _materialize(seed)
-        stats = _stats(acc)
+        acc, acc_path, stats = _materialize(seed)
         for _ in range(max_iter):
             composed = (
                 acc.alias("f")
@@ -228,12 +233,11 @@ def shortest_path_lengths(
                     (F.col("f.dist") + F.col("n.dist")).alias("dist"),
                 )
             )
-            merged, merged_path = _materialize(
+            merged, merged_path, new_stats = _materialize(
                 acc.unionByName(composed)
                 .groupBy("src", "dst")
                 .agg(F.min("dist").alias("dist"))
             )
-            new_stats = _stats(merged)
             if new_stats[0] == stats[0]:
                 # same pair count; decide convergence STRUCTURALLY —
                 # for weighted graphs the float distance total is not a
