@@ -27,7 +27,7 @@ Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..cache import cut_lineage, memo_persist
@@ -412,29 +412,35 @@ def connected_components(
     sym = cut_lineage(
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     )
-    labels = cut_lineage(
+
+    def cut_with_sum(lab) -> tuple[DataFrame, int]:
+        # min-propagation only ever lowers labels, so the label sum
+        # strictly decreases until convergence.  The sum rides the
+        # checkpoint materialization as an observed metric (fires for
+        # both localCheckpoint and reliable checkpoint) — one job per
+        # round instead of checkpoint + aggregate.  Decimal: an int64
+        # sum would overflow at corpus-scale node-id magnitudes.
+        obs = Observation()
+        out = cut_lineage(
+            lab.observe(
+                obs,
+                F.sum(F.col("component").cast("decimal(38,0)")).alias("s"),
+            )
+        )
+        return out, int(obs.get["s"] or 0)
+
+    labels, prev_sum = cut_with_sum(
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
     )
-
-    def label_sum(lab) -> int:
-        # min-propagation only ever lowers labels, so the label sum
-        # strictly decreases until convergence — a one-aggregate check
-        # with no join (decimal: an int64 sum would overflow at corpus
-        # scale node-id magnitudes)
-        row = lab.agg(F.sum(F.col("component").cast("decimal(38,0)"))).first()
-        return int(row[0] or 0)
-
-    prev_sum = label_sum(labels)
     for _ in range(max_iter):
         nb = sym.join(labels, sym.dst == labels.id).select(
             F.col("src").alias("id"), F.col("component")
         )
-        labels = cut_lineage(
+        labels, cur_sum = cut_with_sum(
             labels.union(nb).groupBy("id").agg(F.min("component").alias("component"))
         )
-        cur_sum = label_sum(labels)
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
