@@ -499,3 +499,34 @@ def test_nqlines_malformed_audit(spark):
             "<urn:a> <urn:p> <urn:b> <urn:g>",
         ]
     )
+
+
+def test_fuzz_roundtrip_nasty_strings(spark):
+    """Seeded fuzz: 200 adversarial strings (escape chars, quote/
+    backslash runs, control chars, reserved-prefix collisions, fake
+    lang-tag/datatype suffixes, unicode) round-trip losslessly through
+    render→parse in every triple position."""
+    import random
+
+    from matcha_spark.sources.ntriples import ntlines_to_triples, triples_to_ntlines
+
+    rng = random.Random(1234)
+    atoms = [
+        '"', "\\", "\n", "\r", "\t", "\x01", "\x7f", " ", ".",
+        "<", ">", "@", "^^", "_:", "#", "é", "∀", "𝄞", "\\n", '\\"',
+        "urn:matcha:", "urn:matcha:str:", "x", "'", "%", "%41",
+        '"@en', '"^^<urn:x>', "\\\\", "a b", "",
+    ]
+    values = ["".join(rng.choice(atoms) for _ in range(rng.randint(0, 8)))
+              for _ in range(200)]
+    triples = []
+    for i, v in enumerate(values):
+        triples.append((to_term(URI(f"urn:f{i}")), to_term(kw(":p")), to_term(v)))
+        triples.append((to_term(v), to_term(kw(":q")), to_term(i)))
+    db = spark.createDataFrame(triples, TRIPLE_SCHEMA)
+    back = ntlines_to_triples(triples_to_ntlines(db))
+    assert _decoded_set(back) == _decoded_set(db)
+    # and every rendered line is grammatical (no malformed fallout)
+    from matcha_spark.sources.ntriples import ntlines_malformed
+
+    assert ntlines_malformed(triples_to_ntlines(db)).count() == 0
