@@ -493,6 +493,34 @@ def bgp_agg_urgent_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def bgp_bind_term_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 scalar function library (r08, ``functions.termfns``):
+    STRLEN / UCASE∘SUBSTR in BIND plus a STRENDS filter, all codegen
+    over TERM structs — replayed by plain SQL string functions."""
+    from .functions.termfns import t_strends, t_strlen, t_substr, t_ucase
+    from .patterns import Bind, Filter
+
+    db = _graph(spark, sf_dir)
+    res = select_df(
+        ["?cname", "?len", "?up3"],
+        [
+            ("?c", KW["mktsegment"], "AUTOMOBILE"),
+            ("?c", KW["name"], "?cname"),
+            Bind("?len", lambda v: t_strlen(v["?cname"])),
+            Bind("?up3", lambda v: t_ucase(t_substr(v["?cname"], 1, 3))),
+            Filter(lambda v: t_strends(v["?cname"], "1")),
+        ],
+        db,
+    )
+    from .functions.termcols import lex_as
+
+    return res.select(
+        lex(F.col("`?cname`")).alias("cname"),
+        lex_as(F.col("`?len`"), "bigint").alias("name_len"),
+        lex(F.col("`?up3`")).alias("prefix3"),
+    )
+
+
 def bgp_agg_top_urgent_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL 1.1 solution modifiers over aggregated solutions
     (ORDER BY ... LIMIT at the verb level, r08): the five nations with
@@ -1102,6 +1130,8 @@ QUERIES = {
     "events_transition_matrix": R.events_transition_matrix,
     # new this round (r08): skew-salted aggregation — never driver-checked
     "events_salted_type_stats": R.events_salted_type_stats,
+    # new this round (r08): term scalar functions — never driver-checked
+    "bgp_bind_term_functions": bgp_bind_term_functions,
     # new this round (r08): BPE pre-tokenizer — never driver-checked
     "doc_bpe_pretokens": doc_bpe_pretokens,
     # new this round (r08): context packing — never driver-checked
@@ -1446,6 +1476,13 @@ ORACLES = {
         SELECT t.doc_id, coalesce(a.text, '') AS text, t.n_paras,
                CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept
         FROM tot t LEFT JOIN agg a USING (doc_id)
+    """,
+    "bgp_bind_term_functions": """
+        SELECT c_name AS cname,
+               CAST(length(c_name) AS BIGINT) AS name_len,
+               upper(substr(c_name, 1, 3)) AS prefix3
+        FROM customer
+        WHERE c_mktsegment = 'AUTOMOBILE' AND c_name LIKE '%1'
     """,
     "bgp_agg_top_urgent_nations": """
         SELECT n_name AS nname, count(*) AS n_orders
