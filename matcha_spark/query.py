@@ -207,7 +207,13 @@ def select_agg(
     ``aggs`` maps output column name → ``(op, var)`` with ``op`` one of
     ``count`` (``var=None`` → COUNT(*)), ``count_distinct``, ``sum``,
     ``avg``, ``min``, ``max``, ``sample``, ``group_concat``,
-    ``group_concat_distinct``.
+    ``group_concat_distinct`` — or ``("expr", fn)``, the custom-
+    aggregate escape hatch: ``fn`` receives a var→TERM-Column accessor
+    and returns ANY Spark aggregate Column over the solution multiset
+    (e.g. ``lambda v: F.sum(F.length(v("?name")["lex"]))``, or a
+    ``percentile_approx``/sketch aggregate) — the UDAF surface without
+    leaving codegen; compose with ``functions.termfns`` for term-aware
+    pieces.
 
     Semantics (SPARQL 1.1 §11, divergences documented):
 
@@ -258,6 +264,10 @@ def select_agg(
     patterns = _normalize_patterns(patterns)
     gvars = [var_name(v) for v in group_vars]
     for op, v in aggs.values():
+        if op == "expr":
+            if not callable(v):
+                raise ValueError("('expr', fn) needs a callable")
+            continue
         if v is not None and var_name(v) not in find_vars(patterns):
             raise ValueError(f"aggregated var {v!r} not bound by any pattern")
     # aggregate over COMPLETE solutions (every pattern var projected):
@@ -289,6 +299,9 @@ def select_agg(
 
     exprs = []
     for out, (op, v) in aggs.items():
+        if op == "expr":
+            exprs.append(v(lambda var: col(var_name(var))).alias(out))
+            continue
         vn = var_name(v) if v is not None else None
         if op == "count":
             e = F.count(F.when(bound(vn), F.lit(1))) if vn else F.count(F.lit(1))

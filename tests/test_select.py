@@ -709,3 +709,40 @@ def test_paths_bind_agg_compose(spark):
     assert rows["start"].targets == "b,c,d"
     assert rows["mid"].n_reachable == 3 and rows["mid"].targets == "c,d"
     db.unpersist()
+
+
+def test_select_agg_custom_expr_aggregate(agg_db):
+    """('expr', fn) escape hatch: arbitrary Spark aggregate Columns
+    over the solution multiset — the UDAF surface."""
+    from matcha_spark import kw, select_agg
+    from matcha_spark.functions.termcols import lex
+    from pyspark.sql import functions as _F
+
+    out = select_agg(
+        ["?cat"],
+        {
+            "n": ("count", None),
+            "lex_chars": (
+                "expr",
+                lambda v: _F.sum(_F.length(v("?i")["lex"])),
+            ),
+            "p50_size": (
+                "expr",
+                lambda v: _F.percentile_approx(v("?sz")["num"], 0.5),
+            ),
+        },
+        [("?i", kw("cat"), "?cat"), ("?i", kw("size"), "?sz")],
+        agg_db,
+    )
+    rows = {r["cat"]: r for r in out.select(
+        lex(_F.col("`?cat`")).alias("cat"), "n", "lex_chars", "p50_size"
+    ).collect()}
+    # c0 items: item0/2/4 (kw lex 'item0' etc, 5 chars each)
+    assert rows["c0"]["n"] == 3 and rows["c0"]["lex_chars"] == 15
+    assert rows["c0"]["p50_size"] == 3.0  # sizes 1,3,5
+    assert rows["c1"]["p50_size"] == 4.0  # sizes 2,4,6
+    # bad op shape raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        select_agg(["?cat"], {"x": ("expr", 42)}, [("?i", kw("cat"), "?cat")], agg_db)
