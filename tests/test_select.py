@@ -715,6 +715,7 @@ def test_select_agg_custom_expr_aggregate(agg_db):
     """('expr', fn) escape hatch: arbitrary Spark aggregate Columns
     over the solution multiset — the UDAF surface."""
     from matcha_spark import kw, select_agg
+    from matcha_spark.functions import termfns as _T
     from matcha_spark.functions.termcols import lex
     from pyspark.sql import functions as _F
 
@@ -726,9 +727,11 @@ def test_select_agg_custom_expr_aggregate(agg_db):
                 "expr",
                 lambda v: _F.sum(_F.length(v("?i")["lex"])),
             ),
+            # term-aware numeric access: t_num NULLs non-numeric kinds
+            # (raw v("?sz")["num"] would count their 0.0 mirrors)
             "p50_size": (
                 "expr",
-                lambda v: _F.percentile_approx(v("?sz")["num"], 0.5),
+                lambda v: _F.percentile_approx(_T.t_num(v("?sz")), 0.5),
             ),
         },
         [("?i", kw("cat"), "?cat"), ("?i", kw("size"), "?sz")],
