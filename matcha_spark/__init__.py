@@ -41,6 +41,7 @@ from .query import (
     construct,
     construct_1,
     construct_db,
+    explain_query,
     select,
     select_1,
     select_agg,
@@ -72,6 +73,7 @@ __all__ = [
     "select_1",
     "select_agg",
     "select_df",
+    "explain_query",
     "ask",
     "construct",
     "construct_1",

@@ -185,6 +185,22 @@ def select_df(project_vars, patterns, db, bag_semantics: bool = False) -> DataFr
     return _solve_projected(db, patterns, pvars, bag=bag_semantics)
 
 
+def explain_query(patterns, db, mode: str = "formatted") -> str:
+    """The physical plan Spark will run for a BGP query, WITHOUT
+    executing it — the developer surface for the plan-audit loop this
+    repo's own ``tests/test_plans.py`` codifies (check pushdown, join
+    strategy, exchange count before scaling a query up).
+
+    ``mode``: ``simple`` | ``extended`` | ``codegen`` | ``cost`` |
+    ``formatted`` (Spark's explain modes)."""
+    pats = _normalize_patterns(patterns)
+    df = _solve_projected(db, pats, find_vars(pats))
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        mode
+    )
+    return df._jdf.queryExecution().explainString(jmode)
+
+
 _AGG_NUMERIC_KINDS = ("int", "double")
 
 

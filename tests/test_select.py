@@ -749,3 +749,15 @@ def test_select_agg_custom_expr_aggregate(agg_db):
 
     with _pytest.raises(ValueError):
         select_agg(["?cat"], {"x": ("expr", 42)}, [("?i", kw("cat"), "?cat")], agg_db)
+
+
+def test_explain_query_modes(friends_db):
+    from matcha_spark import explain_query
+
+    pats = [(rick, FOAF_KNOWS, "?p"), ("?p", RDFS_LABEL, "?name")]
+    plan = explain_query(pats, friends_db)
+    assert "Physical Plan" in plan and "Join" in plan
+    simple = explain_query(pats, friends_db, mode="simple")
+    assert "InMemoryTableScan" in simple or "Scan" in simple
+    with pytest.raises(Exception):
+        explain_query(pats, friends_db, mode="not-a-mode")
