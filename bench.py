@@ -164,10 +164,14 @@ def main() -> None:
     # r08 additions: curation, packing, skew, paths, radius search
     from matcha_spark.suite import (
         bgp_agg_top_urgent_nations,
+        bgp_bind_term_functions,
+        bgp_minus_machinery_asia,
         bgp_path_zom_region,
+        doc_bpe_pretokens,
         doc_dedup_paragraphs,
         doc_dsir_weights,
         emb_range_search,
+        graph_shortest_weighted,
     )
 
     bench("doc_dedup_paragraphs", lambda: force(doc_dedup_paragraphs(spark, SF_DIR)))
@@ -178,6 +182,10 @@ def main() -> None:
     bench("events_transition_matrix", lambda: force(R.events_transition_matrix(spark, SF_DIR)))
     bench("bgp_path_zom_region", lambda: force(bgp_path_zom_region(spark, SF_DIR)))
     bench("bgp_agg_top_urgent_nations", lambda: force(bgp_agg_top_urgent_nations(spark, SF_DIR)))
+    bench("bgp_minus_machinery_asia", lambda: force(bgp_minus_machinery_asia(spark, SF_DIR)))
+    bench("bgp_bind_term_functions", lambda: force(bgp_bind_term_functions(spark, SF_DIR)))
+    bench("doc_bpe_pretokens", lambda: force(doc_bpe_pretokens(spark, SF_DIR)))
+    bench("graph_shortest_weighted", lambda: force(graph_shortest_weighted(spark, SF_DIR)), repeat=False)
 
     total = round(sum(times.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
