@@ -129,6 +129,64 @@ class TriplesDB:
             .parquet(path)
         )
 
+    @staticmethod
+    def append_to_store(
+        spark: SparkSession, path: str, new_triples, *, dedup: bool = True
+    ) -> dict:
+        """Incrementally append triples to a :meth:`save`'d store WITHOUT
+        rescanning it — the 100 TB alternative to ``merge_dbs`` + full
+        re-save (whose dedup shuffles the whole store for every delta):
+
+        1. the delta is bucketed with the store's predicate hash and
+           deduped internally;
+        2. only the buckets the delta lands in are read back (the filter
+           is a partition-column predicate → source-level pruning; a
+           delta touching 3 of 64 buckets reads 3/64ths of the store);
+        3. a left-anti join drops rows the store already holds (set
+           semantics preserved, ``src:94-122``'s dedup contract at the
+           storage layer);
+        4. survivors append as new files in their partitions — existing
+           files are never rewritten.
+
+        ``new_triples``: a TriplesDB, a TERM-struct DataFrame, or a raw
+        triple seq.  Returns ``{"appended": n}`` (count observed on the
+        append write itself, no extra job).  With ``dedup=False`` the
+        store scan and anti-join are skipped entirely — for deltas known
+        disjoint (e.g. partitioned ingest by day) this is a pure narrow
+        write."""
+        from pyspark.sql import Observation
+
+        store = spark.read.parquet(path)
+        if "p_bucket" not in store.columns:
+            raise ValueError(f"{path!r} is not a save()'d p_bucketed store")
+        new_db = ensure_db(new_triples, spark)
+        delta = (
+            new_db.df.select("s", "p", "o")
+            .dropDuplicates()
+            .withColumn(
+                "p_bucket", F.pmod(F.xxhash64("p"), F.lit(_N_PRED_BUCKETS))
+            )
+        )
+        if dedup:
+            # tiny driver round-trip: ≤ _N_PRED_BUCKETS bucket ids
+            buckets = [
+                r[0] for r in delta.select("p_bucket").distinct().collect()
+            ]
+            if not buckets:
+                return {"appended": 0}
+            existing = store.where(F.col("p_bucket").isin(buckets)).select(
+                "s", "p", "o"
+            )
+            delta = delta.join(existing, ["s", "p", "o"], "left_anti")
+        obs = Observation()
+        (
+            delta.observe(obs, F.count(F.lit(1)).alias("n"))
+            .write.partitionBy("p_bucket")
+            .mode("append")
+            .parquet(path)
+        )
+        return {"appended": int(obs.get["n"])}
+
     @classmethod
     def load(cls, spark: SparkSession, path: str, *, cache: bool = False) -> "TriplesDB":
         raw = spark.read.parquet(path)

@@ -187,3 +187,79 @@ def test_float_terms_join_across_boundary(spark):
     got = sorted(select(["?o"], [("?s", 0.0, "?o")], db))
     assert got == sorted(vals)
     db.unpersist()
+
+
+def test_append_to_store_incremental(spark, tmp_path):
+    """Incremental append: dedups against ONLY the touched predicate
+    buckets (partition-pruned scan), preserves set semantics, and never
+    rewrites existing files."""
+    import os
+
+    from matcha_spark import TriplesDB, kw
+
+    path = str(tmp_path / "store")
+    base = [(kw(f"s{i}"), kw("p"), i) for i in range(10)] + [
+        (kw("x"), kw("q"), "v")
+    ]
+    TriplesDB.from_triples(spark, base).save(path)
+
+    def files():
+        out = []
+        for root, _dirs, fs in os.walk(path):
+            out += [os.path.join(root, f) for f in fs if f.endswith(".parquet")]
+        return set(out)
+
+    before = files()
+    # delta: 2 duplicates of existing rows + 3 genuinely new
+    delta = [
+        (kw("s1"), kw("p"), 1),  # dup
+        (kw("x"), kw("q"), "v"),  # dup
+        (kw("s10"), kw("p"), 10),
+        (kw("s11"), kw("p"), 11),
+        (kw("y"), kw("r"), 2.5),
+    ]
+    res = TriplesDB.append_to_store(spark, path, delta)
+    assert res == {"appended": 3}
+    assert before <= files()  # old files untouched, new ones added
+    got = TriplesDB.load(spark, path)
+    from matcha_spark import select
+
+    assert len(select(["?s"], [("?s", kw("p"), "?o")], got)) == 12
+    assert select(["?o"], [(kw("y"), kw("r"), "?o")], got) == [2.5]
+    # idempotent: re-appending the same delta adds nothing
+    assert TriplesDB.append_to_store(spark, path, delta) == {"appended": 0}
+    # empty delta short-circuits
+    assert TriplesDB.append_to_store(spark, path, []) == {"appended": 0}
+    # dedup=False skips the store scan entirely (disjoint-delta fast path)
+    res2 = TriplesDB.append_to_store(
+        spark, path, [(kw("z"), kw("zz"), 1)], dedup=False
+    )
+    assert res2 == {"appended": 1}
+    # guard: an unbucketed parquet dir is rejected
+    flat = str(tmp_path / "flat")
+    TriplesDB.from_triples(spark, base).df.write.parquet(flat)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        TriplesDB.append_to_store(spark, flat, delta)
+
+
+def test_append_store_scan_is_partition_pruned(spark, tmp_path):
+    """The anti-join's store scan must carry a PartitionFilters entry on
+    p_bucket — the delta reads only the buckets it touches."""
+    from pyspark.sql import functions as F
+
+    from matcha_spark import TriplesDB, kw
+
+    path = str(tmp_path / "store2")
+    TriplesDB.from_triples(
+        spark, [(kw(f"s{i}"), kw(f"p{i}"), i) for i in range(20)]
+    ).save(path)
+    plan = (
+        spark.read.parquet(path)
+        .where(F.col("p_bucket").isin([3, 7]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "p_bucket" in plan.split("PartitionFilters")[1][:120]
