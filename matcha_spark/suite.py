@@ -1113,12 +1113,13 @@ def dedup_near_emb(spark, sf_dir):
 # artifact (now fixed with CAST...AS BIGINT) stay in the window per the
 # verdict's ask; the 40 entries whose newest driver record is r06 are pulled
 # forward.  New r08 entries insert at the top.  r08 closing state: the
-# window holds the 17 new entries + the 5 dtype-fixed + 28 of the r06-stale
-# block; the 12 r06-stale entries the new additions displaced (tail of the
-# stale block, doc_corpus_stats .. doc_frame_sample) keep their r06-green
-# records (exactly two rounds old — the contract's limit) and are front of
-# the r09 rotation queue; ALL 102 oracle-backed entries were re-verified
-# value-level against HEAD this round (tools/check_oracle.py, 0 failures).
+# window holds the 15 new entries + the 5 dtype-fixed + 30 of the r06-stale
+# block; the 10 r06-stale entries the new additions displaced keep their
+# r06-green records (exactly two rounds old — the contract's limit,
+# enforced by tools/registry_audit.py's freshness check) and are front of
+# the r09 rotation queue; ALL 105 oracle-backed entries were re-verified
+# value-level against HEAD this round (tools/check_oracle.py, 0 failures
+# at sf0.01; the pre-termfns 102 also at sf0.1).
 # When adding a new oracle-backed entry, insert it at the top; after each
 # round, rotate entries the driver just verified toward the back.
 QUERIES = {
