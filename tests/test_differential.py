@@ -472,3 +472,31 @@ def test_path_bind_agg_differential(spark, seed):
         f"seed={seed}\ndb={db_rows}\npath={path!r}\nextra={extra_pred}\n"
         f"got={got}\nwant={expect}"
     )
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_path_bound_endpoint_differential(spark, seed):
+    """Paths with a CONSTANT subject or object (ground endpoints filter
+    the compiled edge set rather than projecting it) — engine vs the
+    Python path algebra."""
+    from matcha_spark import select
+    from matcha_spark.terms import from_term
+
+    rng = random.Random(9900 + seed)
+    db_rows = _rand_path_db(rng)
+    path = _rand_path_expr(rng)
+    pairs = _model_path_pairs(path, db_rows)
+    nodes = sorted({s for s, _, _ in db_rows} | {o for _, _, o in db_rows})
+    anchor = rng.choice(nodes)
+    if rng.random() < 0.5:
+        # ground subject
+        got = select(["?y"], [(anchor, path, "?y")], TriplesDB.from_triples(spark, db_rows))
+        want = sorted(b for a, b in pairs if a == anchor)
+    else:
+        got = select(["?x"], [("?x", path, anchor)], TriplesDB.from_triples(spark, db_rows))
+        want = sorted(a for a, b in pairs if b == anchor)
+    got_list = sorted(str(g) for g in (got or []))
+    assert got_list == want, (
+        f"seed={seed}\ndb={db_rows}\npath={path!r}\nanchor={anchor}\n"
+        f"got={got_list}\nwant={want}"
+    )
