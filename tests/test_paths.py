@@ -182,3 +182,43 @@ def test_path_inside_optional(db):
     # the name leaf; a and c keep unbound markers (optional never drops)
     assert {(s, r) for s, r in got if not isinstance(r, Unbound)} == {(B, "bee")}
     assert {s for s, _ in got} == {A, B, C}
+
+
+def test_path_inside_optional_and_negation(spark):
+    """Path patterns compose inside OPTIONAL and NOT EXISTS blocks —
+    clause types recurse through the same compiler."""
+    from matcha_spark import NotExists, Optional, TriplesDB, kw, select
+    from matcha_spark.patterns import OneOrMore, Seq
+
+    db = TriplesDB.from_triples(
+        spark,
+        [
+            (kw("a"), kw("next"), kw("b")),
+            (kw("b"), kw("next"), kw("c")),
+            (kw("a"), kw("tag"), "root"),
+            (kw("c"), kw("tag"), "leaf"),
+            (kw("x"), kw("tag"), "isolated"),
+        ],
+    )
+    # OPTIONAL path: every tagged node, plus its closure-reachable end
+    res = select(
+        ["?n", "?reach"],
+        [
+            ("?n", kw("tag"), "?t"),
+            Optional([("?n", OneOrMore(kw("next")), "?reach")]),
+        ],
+        db,
+    )
+    got = {(str(a), str(b)) for a, b in res}
+    assert (":a", ":b") in got and (":a", ":c") in got
+    assert any(a == ":x" for a, _ in got)  # isolated keeps an unbound reach
+    # NOT EXISTS over a path: tagged nodes with NO two-step successor
+    res2 = select(
+        ["?n"],
+        [
+            ("?n", kw("tag"), "?t"),
+            NotExists([("?n", Seq(kw("next"), kw("next")), "?y")]),
+        ],
+        db,
+    )
+    assert sorted(str(n) for n in res2) == [":c", ":x"]
