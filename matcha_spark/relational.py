@@ -1178,6 +1178,33 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "next_type")
 
 
+def events_salted_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replicate-and-salt equi-join end-to-end (r08): events (the
+    skew-prone fact side, deterministic salt from event_id) against the
+    customer segment dim exploded ×8 — the manual fallback for skewed
+    keys a broadcast can't fix and AQE's sort-merge splitter misses —
+    then rolled up per (segment, event type).  The oracle proves the
+    salted join ≡ the plain join."""
+    from .operators.skew import salted_join
+
+    t = load_tables(spark, sf_dir, "events", "customer")
+    dim = t["customer"].select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    j = salted_join(
+        t["events"].select("event_id", "user_id", "event_type"),
+        dim,
+        on=["user_id"],
+        n_salts=8,
+        det_col="event_id",
+    )
+    return (
+        j.groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("c_mktsegment", "event_type")
+    )
+
+
 def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured column handling: parse the events ``props`` JSON
     with a typed ``from_json`` (schema'd, vectorized JVM parser — not a

@@ -1129,6 +1129,8 @@ QUERIES = {
     "emb_range_search": emb_range_search,
     # new this round (r08): transition matrix — never driver-checked
     "events_transition_matrix": R.events_transition_matrix,
+    # new this round (r08): skew-salted join — never driver-checked
+    "events_salted_enrich": R.events_salted_enrich,
     # new this round (r08): skew-salted aggregation — never driver-checked
     "events_salted_type_stats": R.events_salted_type_stats,
     # new this round (r08): term scalar functions — never driver-checked
@@ -1355,6 +1357,11 @@ ORACLES = {
         SELECT event_type, next_type, n,
                round(n * 1.0 / sum(n) OVER (PARTITION BY event_type), 6) AS p_next
         FROM mat ORDER BY 1, 2
+    """,
+    "events_salted_enrich": """
+        SELECT c_mktsegment, event_type, count(*) AS n
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "events_salted_type_stats": """
         SELECT event_type, count(*) AS n,
