@@ -39,6 +39,7 @@ __all__ = [
     "dedup_paragraphs",
     "dsir_importance",
     "token_windows",
+    "strip_html",
     "mixture_sample",
 ]
 
@@ -1146,6 +1147,40 @@ def token_windows(
             F.col("__w.text").alias(text_col),
         )
     )
+
+
+_HTML_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+]
+
+
+def strip_html(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Markup→text extraction, the first step of every web-corpus
+    pipeline: drop ``<script>``/``<style>`` blocks and HTML comments
+    wholesale, strip remaining tags to spaces, decode the six common
+    entities, collapse whitespace.  A deliberately regex-level
+    extractor (the trafilatura/jusText class of DOM-aware main-content
+    extraction plugs in through the same one-column contract).
+
+    Every pattern is backreference- and lookaround-free, so the exact
+    transformation replays on RE2-based engines (DuckDB oracle).  Pure
+    codegen narrow map — no shuffle, no Python."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    # paired container blocks whose CONTENT must vanish too
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    # any remaining tag becomes a word boundary
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return docs.select("doc_id", c.alias(text_col))
 
 
 def mixture_sample(

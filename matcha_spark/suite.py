@@ -940,6 +940,29 @@ def doc_token_windows(spark, sf_dir):
     return T.token_windows(docs, size=16, stride=8)
 
 
+def doc_strip_html(spark, sf_dir):
+    """HTML extraction round-trip (r08): both sides wrap the flat doc
+    text in deterministic markup (tags, bold spans, a script block, an
+    entity), then the engine strips it; the oracle is the
+    whitespace-normalized ORIGINAL text — stripping must reconstruct it
+    exactly, which exercises every rule (block drop, tag→space,
+    entity decode, collapse) at once."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    html = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><body><p class='x'>"),
+            F.replace(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(" the "),
+                F.lit(" <b>the</b> "),
+            ),
+            F.lit("</p>&nbsp;<script>var x = '<p>';</script><!-- c --></body></html>"),
+        ).alias("text"),
+    )
+    return T.strip_html(html)
+
+
 def doc_pipeline_curate(spark, sf_dir):
     """Composed curation cascade (quality → exact-dedup → benchmark
     decontamination) with a per-document verdict; the oracle replays
@@ -1143,6 +1166,8 @@ QUERIES = {
     "doc_dsir_weights": doc_dsir_weights,
     # new this round (r08): MINUS negation — never driver-checked
     "bgp_minus_machinery_asia": bgp_minus_machinery_asia,
+    # new this round (r08): HTML extraction — never driver-checked
+    "doc_strip_html": doc_strip_html,
     # new this round (r08): paragraph dedup — never driver-checked
     "doc_dedup_paragraphs": doc_dedup_paragraphs,
     # new this round (r08): agg solution modifiers — never driver-checked
@@ -1441,6 +1466,11 @@ ORACLES = {
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         WHERE c_mktsegment = 'MACHINERY' AND r_name = 'ASIA'
+    """,
+    "doc_strip_html": """
+        SELECT doc_id,
+               trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')) AS text
+        FROM documents
     """,
     "doc_dedup_paragraphs": """
         WITH toks AS (

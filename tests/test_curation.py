@@ -635,3 +635,35 @@ def test_bpe_pretoken_count_segments(spark):
     assert out[4] == (0, 0)
     assert out[5] == (0, 0)
     assert out[6][0] == 8
+
+
+def test_strip_html_rules(spark):
+    """Each stripping rule individually: block-content drop, tag->space
+    word boundary, entity decode, comment removal, whitespace collapse,
+    and plain text passing through untouched."""
+    from matcha_spark.operators.text import strip_html
+
+    docs = spark.createDataFrame(
+        [
+            (1, "<p>hello <b>world</b></p>"),
+            (2, "a<script type='x'>var q = \"<p>\";</script>b"),
+            (3, "x<style>.c { color: red }</style>y"),
+            (4, "<!-- note -->kept"),
+            (5, "fish &amp; chips &lt;3 &quot;ok&quot;&nbsp;&#39;y&#39;"),
+            (6, "no markup at all"),
+            (7, "spaced   <div>   out </div>  "),
+            (8, None),
+            (9, "<a href='u'>link</a>text"),  # tag becomes a boundary
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in strip_html(docs).collect()}
+    assert out[1] == "hello world"
+    assert out[2] == "a b"
+    assert out[3] == "x y"
+    assert out[4] == "kept"
+    assert out[5] == "fish & chips <3 \"ok\" 'y'"
+    assert out[6] == "no markup at all"
+    assert out[7] == "spaced out"
+    assert out[8] == ""
+    assert out[9] == "link text"
