@@ -185,6 +185,9 @@ def main() -> None:
     bench("bgp_minus_machinery_asia", lambda: force(bgp_minus_machinery_asia(spark, SF_DIR)))
     bench("bgp_bind_term_functions", lambda: force(bgp_bind_term_functions(spark, SF_DIR)))
     bench("doc_bpe_pretokens", lambda: force(doc_bpe_pretokens(spark, SF_DIR)))
+    from matcha_spark.suite import doc_strip_html
+
+    bench("doc_strip_html", lambda: force(doc_strip_html(spark, SF_DIR)))
     bench("graph_shortest_weighted", lambda: force(graph_shortest_weighted(spark, SF_DIR)), repeat=False)
 
     total = round(sum(times.values()), 3)
