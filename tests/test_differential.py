@@ -500,3 +500,76 @@ def test_path_bound_endpoint_differential(spark, seed):
         f"seed={seed}\ndb={db_rows}\npath={path!r}\nanchor={anchor}\n"
         f"got={got_list}\nwant={want}"
     )
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_select_agg_concat_sample_differential(spark, seed):
+    """group_concat (canonically sorted lexical join) and sample
+    (canonical-least bound term) vs the Python model — the order-
+    sensitive aggregates the numeric differential battery skips."""
+    from matcha_spark import select_agg
+    from matcha_spark.patterns import find_vars, is_var, var_name
+    from matcha_spark.patterns import Optional as Opt
+    from matcha_spark.patterns import Values
+    from matcha_spark.terms import from_term, sort_key, to_term
+
+    from .model import UNBOUND, model_select_bag
+
+    rng = random.Random(6600 + seed)
+    db_rows = _rand_db(rng, rng.randint(6, 18))
+    pats = _rand_patterns(rng)
+    allv = find_vars(pats)
+    req_vars = []
+    for p in pats:
+        if isinstance(p, (Values, Opt)):
+            continue
+        req_vars += [var_name(e) for e in p if is_var(e)]
+    if not req_vars:
+        pytest.skip("no required vars drawn")
+    gvar, avar = req_vars[0], rng.choice(allv)
+
+    got_rows = None
+    db = TriplesDB.from_triples(spark, db_rows)
+    try:
+        got_rows = select_agg(
+            [gvar],
+            {"gc": ("group_concat", avar), "sp": ("sample", avar)},
+            pats,
+            db,
+            concat_sep="|",
+        ).collect()
+    finally:
+        db.unpersist()
+
+    def lexish(v):
+        # mirror of select_agg's lexish: doubles via num, else term lex
+        k, lx, num, _lang, _dt = to_term(v)
+        return str(num) if k == "double" else lx
+
+    rows = model_select_bag(allv, pats, db_rows)
+    gi, ai = allv.index(gvar), allv.index(avar)
+    want = {}
+    for row in rows:
+        rec = want.setdefault(_freeze_key(row[gi]), {"vals": []})
+        if row[ai] is not UNBOUND:
+            rec["vals"].append(row[ai])
+    for rec in want.values():
+        vals = rec["vals"]
+        rec["gc"] = "|".join(sorted(lexish(v) for v in vals))
+        rec["sp"] = min(vals, key=sort_key) if vals else None
+
+    got = {}
+    for r in got_rows:
+        key = _freeze_key(from_term(r[gvar]))
+        sp = from_term(r["sp"]) if r["sp"] is not None else None
+        got[key] = {"gc": r["gc"] or "", "sp": sp}
+    assert set(got) == set(want), (sorted(map(repr, got)), sorted(map(repr, want)))
+    for k in want:
+        assert got[k]["gc"] == want[k]["gc"], (seed, k, got[k], want[k])
+        assert repr(got[k]["sp"]) == repr(want[k]["sp"]), (seed, k, got[k], want[k])
+
+
+def _freeze_key(v):
+    from .model import _freeze
+
+    return _freeze(v)
