@@ -462,3 +462,20 @@ def test_cosine_range_search_is_shuffle_free(spark):
     # threshold filtering happens inside the Arrow kernel: the plan is
     # scan -> mapInPandas, no Exchange and no Window
     assert "Exchange" not in plan and "Window" not in plan
+
+
+def test_select_agg_order_limit_plans_take_ordered(spark):
+    """select_agg(order_by=..., limit=k) must plan a TakeOrdered
+    (per-partition top-k + merge), never a global sort."""
+    from matcha_spark import TriplesDB, kw, select_agg
+
+    db = TriplesDB.from_triples(
+        spark, [(kw(f"s{i}"), kw("cat"), f"c{i % 5}") for i in range(50)]
+    )
+    out = select_agg(
+        ["?c"], {"n": ("count", None)}, [("?s", kw("cat"), "?c")], db,
+        order_by=["-n"], limit=3,
+    )
+    plan = _plan(out)
+    assert "TakeOrderedAndProject" in plan
+    db.unpersist()
