@@ -222,3 +222,35 @@ def test_path_inside_optional_and_negation(spark):
         db,
     )
     assert sorted(str(n) for n in res2) == [":c", ":x"]
+
+
+def test_construct_and_agg_over_paths(spark):
+    """Paths feed the OTHER verbs too: construct templates over a
+    closure, and select_agg grouping path endpoints."""
+    from matcha_spark import TriplesDB, construct, kw, select_agg
+    from matcha_spark.patterns import OneOrMore
+
+    db = TriplesDB.from_triples(
+        spark,
+        [
+            (kw("a"), kw("next"), kw("b")),
+            (kw("b"), kw("next"), kw("c")),
+            (kw("c"), kw("next"), kw("d")),
+        ],
+    )
+    # CONSTRUCT a reachability edge per closure pair
+    out = construct(
+        ("?x", kw("reaches"), "?y"),
+        [("?x", OneOrMore(kw("next")), "?y")],
+        db,
+    )
+    assert len(out) == 6  # a->{b,c,d}, b->{c,d}, c->{d}
+    # aggregate: out-reach count per source node
+    agg = select_agg(
+        ["?x"],
+        {"n": ("count", "?y")},
+        [("?x", OneOrMore(kw("next")), "?y")],
+        db,
+    ).collect()
+    got = {r["?x"]["lex"]: r["n"] for r in agg}
+    assert got == {"a": 3, "b": 2, "c": 1}
