@@ -254,11 +254,17 @@ def banded_hamming_pairs(
         w = base + (1 if i < extra else 0)
         offsets.append((off, w))
         off += w
+    def _mask(w: int) -> int:
+        # signed-64 representation (w=64 → all-ones → -1; lit() would
+        # otherwise overflow a JVM long for w >= 64)
+        m = (1 << w) - 1
+        return m - (1 << 64) if m >= (1 << 63) else m
+
     band_cols = [
         F.struct(
             F.lit(i).alias("band"),
             F.shiftright(F.col(sig_col), o)
-            .bitwiseAND(F.lit((1 << w) - 1).cast("long"))
+            .bitwiseAND(F.lit(_mask(w)).cast("long"))
             .alias("bits"),
         )
         for i, (o, w) in enumerate(offsets)

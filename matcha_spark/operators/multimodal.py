@@ -54,6 +54,7 @@ __all__ = [
     "frame_sample",
     "image_phash",
     "phash_near_dup_pairs",
+    "video_near_dup_pairs",
 ]
 
 # canonical media-table schema: opaque payload + typed metadata
@@ -336,4 +337,78 @@ def phash_near_dup_pairs(
     sig = memo_persist(image_phash(media, decoder=decoder, hash_size=hash_size))
     return banded_hamming_pairs(
         sig, id_col="media_id", sig_col="phash", max_hamming=max_hamming
+    )
+
+
+def video_near_dup_pairs(
+    media: DataFrame,
+    every_ms: int = 1000,
+    frame_bytes: int = 4096,
+    max_hamming: int = 6,
+    min_shared_frames: int = 2,
+    decoder: Callable[[bytes], "np.ndarray"] = fake_decode_image,
+    hash_size: int = 8,
+) -> DataFrame:
+    """Video near-duplicate pairs by frame-signature overlap — the
+    standard video-dedup shape (sample frames → perceptual-hash each →
+    match frames across videos → count agreements):
+
+    1. :func:`frame_sample` picks one frame per ``every_ms``;
+    2. each frame's byte range is sliced columnarly from the payload
+       (the demuxer plug-point: deterministic ``frame_bytes`` strides
+       here; a real container parser slots into the same column);
+       tail ranges past the payload are dropped, not zero-padded —
+       empty slices would spuriously match across videos;
+    3. :func:`image_phash` signs every frame (one Arrow pass);
+    4. :func:`~matcha_spark.operators.dedup.banded_hamming_pairs`
+       finds frame pairs within ``max_hamming`` (pigeonhole banding,
+       never all-pairs), cross-video pairs roll up per video pair.
+
+    Output: ``(vid_a < vid_b, shared_frames)`` for pairs with at least
+    ``min_shared_frames`` matching frame pairs (a frame matching two
+    frames of the other video contributes twice — agreement mass, not
+    distinct-frame count).  Scale: everything pairwise is bounded by
+    the Hamming bands; the frame explosion is |videos|·(duration/step).
+    """
+    from .dedup import banded_hamming_pairs
+
+    frames = frame_sample(media, every_ms=every_ms)
+    sliced = (
+        frames.join(
+            media.select("media_id", "payload"), "media_id"
+        )
+        .where(
+            F.length(F.col("payload"))
+            >= (F.col("frame_idx") + 1) * F.lit(frame_bytes)
+        )
+        .select(
+            (F.col("media_id") * F.lit(1_000_000) + F.col("frame_idx")).alias(
+                "media_id_frame"
+            ),
+            F.lit("image").alias("kind"),
+            F.expr(
+                f"substring(payload, frame_idx * {frame_bytes} + 1, {frame_bytes})"
+            ).alias("payload"),
+        )
+        .select(F.col("media_id_frame").alias("media_id"), "kind", "payload")
+    )
+    sig = image_phash(sliced, decoder=decoder, hash_size=hash_size)
+    pairs = banded_hamming_pairs(
+        sig, id_col="media_id", sig_col="phash", max_hamming=max_hamming
+    )
+    vids = (
+        pairs.select(
+            F.expr("id_a div 1000000").alias("va"),
+            F.expr("id_b div 1000000").alias("vb"),
+        )
+        .where(F.col("va") != F.col("vb"))
+        .select(
+            F.least("va", "vb").alias("vid_a"),
+            F.greatest("va", "vb").alias("vid_b"),
+        )
+    )
+    return (
+        vids.groupBy("vid_a", "vid_b")
+        .agg(F.count(F.lit(1)).alias("shared_frames"))
+        .where(F.col("shared_frames") >= min_shared_frames)
     )

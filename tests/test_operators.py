@@ -788,3 +788,50 @@ def test_signature_store_roundtrip(spark, tmp_path):
     d, _ = D.incremental_dedup_near(resub, loaded, threshold=0.6)
     row = d.collect()[0]
     assert not row.keep and row.dup_of == 1
+
+
+def test_video_near_dup_pairs_planted(spark):
+    """Frame-overlap video dedup: an exact re-upload matches on every
+    frame; a video sharing only a prefix matches on those frames; an
+    unrelated video matches nothing; tail ranges past the payload never
+    hash (no empty-slice false positives)."""
+    import os
+
+    from matcha_spark.operators.multimodal import video_near_dup_pairs
+
+    K = 256  # frame_bytes for the test
+    base = os.urandom(K * 4)  # 4 full frames
+    prefix_shared = base[: K * 2] + os.urandom(K * 2)
+    rows = [
+        (1, "video", None, None, None, 3000, bytearray(base)),
+        (2, "video", None, None, None, 3000, bytearray(base)),  # re-upload
+        (3, "video", None, None, None, 3000, bytearray(prefix_shared)),
+        (4, "video", None, None, None, 3000, bytearray(os.urandom(K * 4))),
+        (5, "video", None, None, None, 500, bytearray(os.urandom(64))),  # short
+        (6, "image", None, None, None, None, bytearray(base)),  # not a video
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, format string, width int, height int, "
+        "duration_ms long, payload binary",
+    )
+    out = {
+        (r.vid_a, r.vid_b): r.shared_frames
+        for r in video_near_dup_pairs(
+            media, every_ms=1000, frame_bytes=K, max_hamming=0,
+            min_shared_frames=1,
+        ).collect()
+    }
+    # 3000ms @ 1000ms -> frame_idx 0..3, payload holds exactly 4 frames
+    assert out[(1, 2)] == 4
+    assert out[(1, 3)] == 2 and out[(2, 3)] == 2
+    assert not any(4 in p or 5 in p or 6 in p for p in out)
+    # threshold prunes the weak prefix match
+    strict = {
+        (r.vid_a, r.vid_b)
+        for r in video_near_dup_pairs(
+            media, every_ms=1000, frame_bytes=K, max_hamming=0,
+            min_shared_frames=3,
+        ).collect()
+    }
+    assert strict == {(1, 2)}
