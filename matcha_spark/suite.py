@@ -750,6 +750,34 @@ def doc_image_phash(spark, sf_dir):
     return MM.image_phash(media)
 
 
+def doc_video_near_dup(spark, sf_dir):
+    """Video near-dup pairs over synthesized 'videos' (r08): each doc's
+    UTF-8 bytes act as the container payload, duration set so frames
+    tile it; every 10th doc is re-uploaded under a shifted id, so the
+    expected output is exactly those planted pairs with full frame
+    agreement.  Rows-only (per-frame pHash has no SQL twin); the
+    pairing math is pinned by the planted pytest."""
+    from .operators import multimodal as MM
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    base = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit("fake").alias("format"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(3000).cast("long").alias("duration_ms"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    dups = base.where(F.col("media_id") % 10 == 0).withColumn(
+        "media_id", F.col("media_id") + 1_000_000
+    )
+    return MM.video_near_dup_pairs(
+        base.unionByName(dups), every_ms=1000, frame_bytes=32,
+        max_hamming=0, min_shared_frames=2,
+    )
+
+
 def doc_audio_features(spark, sf_dir):
     """Audio twin of :func:`doc_media_features`: payloads through the
     Arrow-batched ``audio_features`` kernel (fake sha256-waveform
@@ -1286,6 +1314,7 @@ QUERIES = {
     "dedup_incremental": dedup_incremental,
     "doc_cdc_chunks": doc_cdc_chunks,
     "doc_image_phash": doc_image_phash,
+    "doc_video_near_dup": doc_video_near_dup,
     "graph_pagerank_urgent": graph_pagerank_urgent,
 }
 
