@@ -601,6 +601,56 @@ def events_funnel(
     return out.orderBy("step_idx")
 
 
+def events_funnel_windowed(
+    spark: SparkSession,
+    sf_dir: str,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    within_s: int = 3600,
+) -> DataFrame:
+    """Conversion-window funnel (r08): like :func:`events_funnel`, but
+    every later stage must land within ``within_s`` seconds of the
+    user's FUNNEL ENTRY (their first step-1 event) — the product-
+    analytics definition of an n-step conversion rate.  Same scale
+    shape (k−1 equi-joins on user_id, per-stage memo), with the entry
+    anchor ``t0`` carried through each stage."""
+    from .cache import memo_persist
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    horizon = F.col("t0") + F.expr(f"INTERVAL {int(within_s)} SECONDS")
+    stage = memo_persist(
+        ev.where(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+        .withColumn("t0", F.col("t"))
+    )
+    counts = [(1, steps[0], stage)]
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = memo_persist(
+            ev.where(F.col("event_type") == step)
+            .join(
+                stage.select(
+                    "user_id", F.col("t").alias("prev_t"), "t0"
+                ),
+                "user_id",
+            )
+            .where((F.col("ts") > F.col("prev_t")) & (F.col("ts") <= horizon))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"), F.min("t0").alias("t0"))
+        )
+        counts.append((i, step, nxt))
+        stage = nxt
+    parts = [
+        df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i).alias("step_idx"), F.lit(s).alias("step"), "n_users"
+        )
+        for i, s, df in counts
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("step_idx")
+
+
 # ---------------------------------------------------------------------------
 # TPC-H completion (q8–q21, schema-adapted)
 #

@@ -1178,6 +1178,8 @@ QUERIES = {
     "graph_shortest_weighted": graph_shortest_weighted,
     # new this round (r08): cosine radius search — never driver-checked
     "emb_range_search": emb_range_search,
+    # new this round (r08): windowed funnel — never driver-checked
+    "events_funnel_windowed": R.events_funnel_windowed,
     # new this round (r08): transition matrix — never driver-checked
     "events_transition_matrix": R.events_transition_matrix,
     # new this round (r08): skew-salted join — never driver-checked
@@ -1397,6 +1399,30 @@ ORACLES = {
         JOIN nation ON c_nationkey = n_nationkey
         WHERE o_orderpriority = '1-URGENT'
         GROUP BY 1
+    """,
+    "events_funnel_windowed": """
+        WITH s1 AS (
+            SELECT user_id, min(ts) AS t0 FROM events
+            WHERE event_type = 'view' GROUP BY 1
+        ), s2 AS (
+            SELECT e.user_id, min(e.ts) AS t, min(s1.t0) AS t0
+            FROM events e JOIN s1 USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > s1.t0
+              AND e.ts <= s1.t0 + INTERVAL 3600 SECOND
+            GROUP BY 1
+        ), s3 AS (
+            SELECT e.user_id, min(e.ts) AS t
+            FROM events e JOIN s2 USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t
+              AND e.ts <= s2.t0 + INTERVAL 3600 SECOND
+            GROUP BY 1
+        )
+        SELECT 1 AS step_idx, 'view' AS step,
+               (SELECT count(*) FROM s1) AS n_users
+        UNION ALL
+        SELECT 2, 'click', (SELECT count(*) FROM s2)
+        UNION ALL
+        SELECT 3, 'purchase', (SELECT count(*) FROM s3)
     """,
     "events_transition_matrix": """
         WITH seq AS (
