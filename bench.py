@@ -185,9 +185,11 @@ def main() -> None:
     bench("bgp_minus_machinery_asia", lambda: force(bgp_minus_machinery_asia(spark, SF_DIR)))
     bench("bgp_bind_term_functions", lambda: force(bgp_bind_term_functions(spark, SF_DIR)))
     bench("doc_bpe_pretokens", lambda: force(doc_bpe_pretokens(spark, SF_DIR)))
-    from matcha_spark.suite import doc_strip_html
+    from matcha_spark.suite import doc_strip_html, doc_video_near_dup
 
     bench("doc_strip_html", lambda: force(doc_strip_html(spark, SF_DIR)))
+    bench("events_funnel_windowed", lambda: force(R.events_funnel_windowed(spark, SF_DIR)))
+    bench("doc_video_near_dup", lambda: force(doc_video_near_dup(spark, SF_DIR)), repeat=False)
     bench("graph_shortest_weighted", lambda: force(graph_shortest_weighted(spark, SF_DIR)), repeat=False)
 
     total = round(sum(times.values()), 3)

@@ -772,8 +772,14 @@ def doc_video_near_dup(spark, sf_dir):
     dups = base.where(F.col("media_id") % 10 == 0).withColumn(
         "media_id", F.col("media_id") + 1_000_000
     )
+    # frame_bytes sized to ~20 tokens of the small test vocabulary:
+    # median docs (~300 chars) still carry the >=2 full frames the
+    # threshold needs, while slices stay specific enough that organic
+    # cross-doc frame collisions are rare (tiny slices would alias
+    # constantly and flood the equality join — the hot-bucket failure
+    # mode the dedup operators guard against)
     return MM.video_near_dup_pairs(
-        base.unionByName(dups), every_ms=1000, frame_bytes=32,
+        base.unionByName(dups), every_ms=1000, frame_bytes=128,
         max_hamming=0, min_shared_frames=2,
     )
 
