@@ -55,6 +55,8 @@ __all__ = [
     "image_phash",
     "phash_near_dup_pairs",
     "video_near_dup_pairs",
+    "audio_fingerprint",
+    "audio_near_dup_pairs",
 ]
 
 # canonical media-table schema: opaque payload + typed metadata
@@ -411,4 +413,96 @@ def video_near_dup_pairs(
         vids.groupBy("vid_a", "vid_b")
         .agg(F.count(F.lit(1)).alias("shared_frames"))
         .where(F.col("shared_frames") >= min_shared_frames)
+    )
+
+
+def audio_fingerprint(
+    media: DataFrame,
+    decoder: Callable[[bytes], "np.ndarray"] = fake_decode_audio,
+    window: int = 64,
+    stride: int = 32,
+    n_bands: int = 16,
+) -> DataFrame:
+    """Chromaprint-style audio sub-fingerprints: decode the clip to a
+    waveform, frame it into ``window``-sample windows every ``stride``
+    samples, take per-window spectral band energies (|rfft|² folded
+    into ``n_bands`` bands), and sign the energy DIFFERENCES between
+    adjacent bands AND adjacent windows — the classic Haitsma–Kalker
+    bit derivation, robust to volume scaling (differences kill gain)
+    and mild noise.  One ``(media_id, win_idx, fp)`` row per window,
+    ``fp`` a 64-bit packing of the difference signs.
+
+    Arrow-batched ``mapInPandas`` over audio rows only; numpy rfft per
+    window batch, no Python per-sample loops."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, fps = [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                wave = decoder(bytes(payload) if payload is not None else b"")
+                wave = np.asarray(wave, dtype=np.float64)
+                if len(wave) < window + stride:
+                    continue
+                n_wins = 1 + (len(wave) - window) // stride
+                frames = np.lib.stride_tricks.sliding_window_view(
+                    wave, window
+                )[::stride][:n_wins]
+                spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+                # fold bins into n_bands coarse bands
+                usable = (spec.shape[1] // n_bands) * n_bands
+                bands = spec[:, :usable].reshape(len(frames), n_bands, -1).sum(axis=2)
+                # Haitsma-Kalker bit: E(w,b)-E(w,b+1) - (E(w-1,b)-E(w-1,b+1)) > 0
+                d_band = bands[:, :-1] - bands[:, 1:]
+                d_time = d_band[1:] - d_band[:-1]
+                bits = d_time > 0  # (n_wins-1, n_bands-1)
+                for wi in range(bits.shape[0]):
+                    h = 0
+                    for bit in bits[wi]:
+                        h = (h << 1) | int(bit)
+                    ids.append(media_id)
+                    idxs.append(wi)
+                    fps.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "win_idx": pd.Series(idxs, dtype="int32"),
+                    "fp": pd.Series(fps, dtype="int64"),
+                }
+            )
+
+    auds = media.where(F.col("kind") == "audio").select("media_id", "payload")
+    return auds.mapInPandas(run, schema="media_id long, win_idx int, fp long")
+
+
+def audio_near_dup_pairs(
+    media: DataFrame,
+    decoder: Callable[[bytes], "np.ndarray"] = fake_decode_audio,
+    min_shared_windows: int = 4,
+    window: int = 64,
+    stride: int = 32,
+) -> DataFrame:
+    """Audio near-duplicate pairs by sub-fingerprint overlap (the audio
+    analog of :func:`video_near_dup_pairs`): clips sharing at least
+    ``min_shared_windows`` exact window fingerprints pair up, counted
+    by one equi-join on ``fp`` + rollup — never an all-pairs product.
+    A hot-fingerprint guard (silence/DC windows collapse to one value
+    at corpus scale) drops any fp shared by more than 1024 windows
+    before the join, mirroring the LSH bucket cap."""
+    fps = audio_fingerprint(media, decoder=decoder, window=window, stride=stride)
+    hot = fps.groupBy("fp").count().where(F.col("count") > 1024).select("fp")
+    pruned = fps.join(hot, "fp", "left_anti")
+    a, b = pruned.alias("a"), pruned.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("aud_a"),
+            F.col("b.media_id").alias("aud_b"),
+        )
+        .groupBy("aud_a", "aud_b")
+        .agg(F.count(F.lit(1)).alias("shared_windows"))
+        .where(F.col("shared_windows") >= min_shared_windows)
     )

@@ -784,6 +784,35 @@ def doc_video_near_dup(spark, sf_dir):
     )
 
 
+def doc_audio_near_dup(spark, sf_dir):
+    """Audio near-dup pairs over synthesized clips (r08): each doc's
+    UTF-8 bytes ARE the waveform (raw-byte decoder), every 10th doc
+    re-uploaded under a shifted id.  Rows-only (spectral fingerprints
+    have no SQL twin); pinned by the planted pytest."""
+    import numpy as np
+
+    from .operators import multimodal as MM
+
+    def raw_decode(payload: bytes) -> "np.ndarray":
+        return (
+            np.frombuffer(payload, dtype=np.uint8).astype(np.float64) / 128.0
+            - 1.0
+        )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    base = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    dups = base.where(F.col("media_id") % 10 == 0).withColumn(
+        "media_id", F.col("media_id") + 1_000_000
+    )
+    return MM.audio_near_dup_pairs(
+        base.unionByName(dups), decoder=raw_decode, min_shared_windows=4
+    )
+
+
 def doc_audio_features(spark, sf_dir):
     """Audio twin of :func:`doc_media_features`: payloads through the
     Arrow-batched ``audio_features`` kernel (fake sha256-waveform
@@ -1323,6 +1352,7 @@ QUERIES = {
     "doc_cdc_chunks": doc_cdc_chunks,
     "doc_image_phash": doc_image_phash,
     "doc_video_near_dup": doc_video_near_dup,
+    "doc_audio_near_dup": doc_audio_near_dup,
     "graph_pagerank_urgent": graph_pagerank_urgent,
 }
 

@@ -835,3 +835,55 @@ def test_video_near_dup_pairs_planted(spark):
         ).collect()
     }
     assert strict == {(1, 2)}
+
+
+def test_audio_near_dup_pairs_planted(spark):
+    """Audio fingerprint overlap: an exact re-upload shares every
+    window; clips sharing a prefix segment share its windows; unrelated
+    clips don't pair.  A raw-byte decoder makes waveform overlap
+    controllable."""
+    import os
+
+    import numpy as np
+
+    from matcha_spark.operators.multimodal import (
+        audio_fingerprint,
+        audio_near_dup_pairs,
+    )
+
+    def raw_decode(payload: bytes) -> np.ndarray:
+        return np.frombuffer(payload, dtype=np.uint8).astype(np.float64) / 128.0 - 1.0
+
+    rng = np.random.default_rng(5)
+    seg1 = rng.integers(0, 256, 512, dtype=np.uint8).tobytes()
+    seg2 = rng.integers(0, 256, 512, dtype=np.uint8).tobytes()
+    seg3 = rng.integers(0, 256, 512, dtype=np.uint8).tobytes()
+    rows = [
+        (1, "audio", bytearray(seg1 + seg2)),
+        (2, "audio", bytearray(seg1 + seg2)),  # exact re-upload
+        (3, "audio", bytearray(seg1 + seg3)),  # shares the first segment
+        (4, "audio", bytearray(seg3 + seg3)),  # shares seg3 with clip 3 only
+        (5, "audio", bytearray(os.urandom(40))),  # too short to window
+        (6, "video", bytearray(seg1)),  # not audio
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    fps = audio_fingerprint(media, decoder=raw_decode)
+    per = {r[0]: r[1] for r in fps.groupBy("media_id").count().collect()}
+    # 1024 samples, window 64 stride 32 -> 31 windows -> 30 bit rows
+    assert per[1] == 30 and per[2] == 30
+    assert 5 not in per and 6 not in per
+    out = {
+        (r.aud_a, r.aud_b): r.shared_windows
+        for r in audio_near_dup_pairs(
+            media, decoder=raw_decode, min_shared_windows=4
+        ).collect()
+    }
+    assert out[(1, 2)] == 30  # identical: every window agrees
+    # prefix sharers: ~15 aligned seg1 windows minus the boundary ones
+    assert out.get((1, 3), 0) >= 10 and out.get((2, 3), 0) >= 10
+    # clip 4 shares ONLY seg3 — pairs with 3, never with 1/2
+    assert out.get((3, 4), 0) >= 10
+    assert (1, 4) not in out and (2, 4) not in out
+    assert not any(5 in p or 6 in p for p in out)
