@@ -479,3 +479,14 @@ def test_select_agg_order_limit_plans_take_ordered(spark):
     plan = _plan(out)
     assert "TakeOrderedAndProject" in plan
     db.unpersist()
+
+
+def test_media_near_dup_no_cartesian(spark):
+    """Video and audio near-dup pipelines stay equi-join shaped — no
+    CartesianProduct and no nested-loop join anywhere in the plans."""
+    from matcha_spark.suite import doc_audio_near_dup, doc_video_near_dup
+
+    for fn in (doc_video_near_dup, doc_audio_near_dup):
+        plan = _plan(fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
