@@ -190,6 +190,9 @@ def main() -> None:
     bench("doc_strip_html", lambda: force(doc_strip_html(spark, SF_DIR)))
     bench("events_funnel_windowed", lambda: force(R.events_funnel_windowed(spark, SF_DIR)))
     bench("doc_video_near_dup", lambda: force(doc_video_near_dup(spark, SF_DIR)), repeat=False)
+    from matcha_spark.suite import doc_audio_near_dup
+
+    bench("doc_audio_near_dup", lambda: force(doc_audio_near_dup(spark, SF_DIR)), repeat=False)
     bench("graph_shortest_weighted", lambda: force(graph_shortest_weighted(spark, SF_DIR)), repeat=False)
 
     total = round(sum(times.values()), 3)
