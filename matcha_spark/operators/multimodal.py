@@ -342,6 +342,30 @@ def phash_near_dup_pairs(
     )
 
 
+def fixed_stride_slicer(frames: DataFrame, frame_bytes: int) -> DataFrame:
+    """Default demuxer stand-in for :func:`video_near_dup_pairs`: frame
+    ``i`` is the byte range ``payload[i*frame_bytes : (i+1)*frame_bytes]``,
+    sliced columnarly (codegen ``substring``, no Python).  Tail ranges
+    past the payload are dropped, not zero-padded — empty slices would
+    spuriously match across videos.
+
+    The injection-point contract (a real container demuxer slots in
+    here, mirroring the ``decoder=`` seam in :mod:`.codecs`): input has
+    ``(media_id, frame_idx, payload)`` with ``payload`` the FULL video
+    bytes; output is one row per decodable frame with ``payload``
+    replaced by that frame's bytes (same three columns)."""
+    return frames.where(
+        F.length(F.col("payload"))
+        >= (F.col("frame_idx") + 1) * F.lit(frame_bytes)
+    ).select(
+        "media_id",
+        "frame_idx",
+        F.expr(
+            f"substring(payload, frame_idx * {frame_bytes} + 1, {frame_bytes})"
+        ).alias("payload"),
+    )
+
+
 def video_near_dup_pairs(
     media: DataFrame,
     every_ms: int = 1000,
@@ -350,17 +374,18 @@ def video_near_dup_pairs(
     min_shared_frames: int = 2,
     decoder: Callable[[bytes], "np.ndarray"] = fake_decode_image,
     hash_size: int = 8,
+    frame_slicer: Callable[[DataFrame, int], DataFrame] = fixed_stride_slicer,
 ) -> DataFrame:
     """Video near-duplicate pairs by frame-signature overlap — the
     standard video-dedup shape (sample frames → perceptual-hash each →
     match frames across videos → count agreements):
 
     1. :func:`frame_sample` picks one frame per ``every_ms``;
-    2. each frame's byte range is sliced columnarly from the payload
-       (the demuxer plug-point: deterministic ``frame_bytes`` strides
-       here; a real container parser slots into the same column);
-       tail ranges past the payload are dropped, not zero-padded —
-       empty slices would spuriously match across videos;
+    2. ``frame_slicer`` (the demuxer plug-point, injected like
+       ``decoder=``) turns each sampled ``(media_id, frame_idx,
+       full-payload)`` row into that frame's bytes — default
+       :func:`fixed_stride_slicer` takes deterministic ``frame_bytes``
+       strides; a real container parser slots into the same seam;
     3. :func:`image_phash` signs every frame (one Arrow pass);
     4. :func:`~matcha_spark.operators.dedup.banded_hamming_pairs`
        finds frame pairs within ``max_hamming`` (pigeonhole banding,
@@ -375,24 +400,27 @@ def video_near_dup_pairs(
     from .dedup import banded_hamming_pairs
 
     frames = frame_sample(media, every_ms=every_ms)
-    sliced = (
-        frames.join(
-            media.select("media_id", "payload"), "media_id"
-        )
-        .where(
-            F.length(F.col("payload"))
-            >= (F.col("frame_idx") + 1) * F.lit(frame_bytes)
-        )
-        .select(
-            (F.col("media_id") * F.lit(1_000_000) + F.col("frame_idx")).alias(
-                "media_id_frame"
-            ),
-            F.lit("image").alias("kind"),
-            F.expr(
-                f"substring(payload, frame_idx * {frame_bytes} + 1, {frame_bytes})"
-            ).alias("payload"),
-        )
-        .select(F.col("media_id_frame").alias("media_id"), "kind", "payload")
+    frame_rows = frame_slicer(
+        frames.join(media.select("media_id", "payload"), "media_id"),
+        frame_bytes,
+    )
+    # packed frame key: media_id * 1e6 + frame_idx.  Guard the packing
+    # invariant AT RUNTIME — a frame_idx >= 1e6 (long video / tiny
+    # every_ms) or a negative media_id would silently alias frames into
+    # the wrong video on the `div 1000000` decode below, corrupting
+    # pair counts; better a loud per-row error than wrong output
+    key = F.expr(
+        "CASE WHEN frame_idx >= 0 AND frame_idx < 1000000 AND media_id >= 0 "
+        "THEN media_id * 1000000 + frame_idx "
+        "ELSE raise_error(concat('video_near_dup_pairs: frame key out of "
+        "packing range (media_id=', media_id, ', frame_idx=', frame_idx, "
+        "'); need 0 <= frame_idx < 1e6 and media_id >= 0 — raise every_ms "
+        "or remap media ids')) END"
+    )
+    sliced = frame_rows.select(
+        key.cast("long").alias("media_id"),
+        F.lit("image").alias("kind"),
+        "payload",
     )
     sig = image_phash(sliced, decoder=decoder, hash_size=hash_size)
     pairs = banded_hamming_pairs(

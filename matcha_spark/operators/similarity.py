@@ -117,7 +117,12 @@ def cosine_range_search(
     qrows = queries.select("vec_id", vec_col).collect()
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
-    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    # zero-norm guard on the QUERY side too (a zero query would make
+    # every similarity NaN and silently match nothing) — mirrors the
+    # corpus-side guard below and cosine_topk's handling
+    qnorm = np.linalg.norm(qm, axis=1, keepdims=True)
+    qnorm[qnorm == 0] = 1.0
+    qn = qm / qnorm
     thr = float(threshold)
 
     def score(batches):

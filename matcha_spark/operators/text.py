@@ -1058,10 +1058,15 @@ def dsir_importance(
     toks = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
     )
+    # bigrams ONLY when >= 2 tokens: sequence(1, 0) would step BACKWARD
+    # ([1, 0]) and slice(_, 0, 2) throws at runtime — mirror the DuckDB
+    # twin's range(len - 1), which is simply empty for 1-token docs
     grams = F.expr(
         "concat(__toks,"
-        " transform(sequence(1, size(__toks) - 1),"
-        "           i -> array_join(slice(__toks, i, 2), ' ')))"
+        " CASE WHEN size(__toks) >= 2"
+        "      THEN transform(sequence(1, size(__toks) - 1),"
+        "                     i -> array_join(slice(__toks, i, 2), ' '))"
+        "      ELSE CAST(array() AS array<string>) END)"
     )
     k = float(smoothing)
     per_doc_gram = (
@@ -1149,13 +1154,16 @@ def token_windows(
     )
 
 
+# &amp; is decoded LAST (standard entity-decode ordering): decoding it
+# first would double-decode escaped entities, turning 'x &amp;lt; y'
+# into 'x < y' instead of the correct 'x &lt; y'
 _HTML_ENTITIES = [
     ("&nbsp;", " "),
-    ("&amp;", "&"),
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
     ("&#39;", "'"),
+    ("&amp;", "&"),
 ]
 
 

@@ -446,9 +446,15 @@ def ntlines_malformed(lines: DataFrame, col: str = "value") -> DataFrame:
 # no-shuffle shape as the triple functions.
 # ---------------------------------------------------------------------------
 
+# graph labels are IRIs / blank nodes ONLY (W3C N-Quads grammar:
+# graphLabel ::= IRIREF | BLANK_NODE_LABEL) — a literal in the 4th
+# position must fall through to nqlines_malformed, not parse
+_GRAPH_RX = (
+    r'(?:<[^>]*>|_:[A-Za-z0-9_](?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?)'
+)
 _QLINE_RX = (
     rf"^\s*({_TERM_RX})\s+({_TERM_RX})\s+({_TERM_RX})"
-    rf"(?:\s+({_TERM_RX}))?\s*\.\s*$"
+    rf"(?:\s+({_GRAPH_RX}))?\s*\.\s*$"
 )
 
 

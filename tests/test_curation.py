@@ -304,6 +304,28 @@ def test_dsir_importance_ranks_target_like_docs(spark):
     assert out2[5].logw != 0.0
 
 
+def test_dsir_importance_one_token_doc(spark):
+    """Regression (r09 advice): a 1-token document must not crash the
+    bigram expr (sequence(1, 0) steps BACKWARD in Spark, and
+    slice(_, 0, 2) then throws) — it contributes its unigram only,
+    matching the DuckDB twin's empty range(len - 1)."""
+    from pyspark.sql import functions as F
+
+    from matcha_spark.operators.text import dsir_importance
+
+    docs = spark.createDataFrame(
+        [(0, "solo"), (1, "cat purr cat"), (2, "  word  ")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dsir_importance(docs, target=F.col("doc_id") == 1).collect()
+    }
+    assert out[0].n_feats == 1  # one unigram, zero bigrams
+    assert out[2].n_feats == 1  # whitespace-padded single token too
+    assert out[1].n_feats == 3 + 2
+
+
 def test_token_windows_packing(spark):
     """Window starts at every stride-th token, covers up to `size`
     tokens, tails shorten, empty docs vanish, and the non-overlapping
@@ -654,6 +676,9 @@ def test_strip_html_rules(spark):
             (7, "spaced   <div>   out </div>  "),
             (8, None),
             (9, "<a href='u'>link</a>text"),  # tag becomes a boundary
+            # regression (r09 advice): escaped entities must NOT
+            # double-decode — &amp; is replaced LAST
+            (10, "x &amp;lt; y &amp;amp; z"),
         ],
         "doc_id long, text string",
     )
@@ -667,3 +692,4 @@ def test_strip_html_rules(spark):
     assert out[7] == "spaced out"
     assert out[8] == ""
     assert out[9] == "link text"
+    assert out[10] == "x &lt; y &amp; z"

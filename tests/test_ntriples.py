@@ -487,16 +487,21 @@ def test_nqlines_malformed_audit(spark):
             ("<urn:a> <urn:p> .",),  # too few terms
             ("<urn:a> <urn:p> <urn:b> <urn:g> <urn:x> .",),  # too many
             ("<urn:a> <urn:p> <urn:b> <urn:g>",),  # missing dot
+            # regression (r09 advice): the W3C grammar restricts graph
+            # labels to IRIs/bnodes — a literal there is MALFORMED
+            ('<urn:a> <urn:p> <urn:b> "g" .',),
+            ("<urn:a> <urn:p> <urn:b> _:g .",),  # bnode graph: ok
         ],
         "value string",
     )
-    assert nqlines_to_quads(lines).count() == 2
+    assert nqlines_to_quads(lines).count() == 3
     bad = [r.value for r in nqlines_malformed(lines).collect()]
     assert sorted(bad) == sorted(
         [
             "<urn:a> <urn:p> .",
             "<urn:a> <urn:p> <urn:b> <urn:g> <urn:x> .",
             "<urn:a> <urn:p> <urn:b> <urn:g>",
+            '<urn:a> <urn:p> <urn:b> "g" .',
         ]
     )
 

@@ -145,6 +145,26 @@ def test_cosine_range_search_exact(spark):
     assert loose == allpairs
 
 
+def test_cosine_range_search_zero_query(spark):
+    """Regression (r09 advice): a zero-norm QUERY vector must not
+    poison the batch with NaN similarities — it simply matches nothing,
+    while other queries in the same call keep their matches (same guard
+    cosine_topk applies corpus-side)."""
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    qs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (9, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    res = {
+        (r["q_id"], r["n_id"])
+        for r in S.cosine_range_search(emb, qs, threshold=0.5).collect()
+    }
+    assert res == {(0, 1)}  # zero query contributes nothing, no NaNs
+
+
 def test_lsh_recall_vs_bruteforce(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     q = emb.where("vec_id < 3")
@@ -835,6 +855,86 @@ def test_video_near_dup_pairs_planted(spark):
         ).collect()
     }
     assert strict == {(1, 2)}
+
+
+def test_video_near_dup_frame_key_guard(spark):
+    """Regression (r09 advice): the packed frame key (media_id * 1e6 +
+    frame_idx) must FAIL LOUDLY instead of silently aliasing frames
+    when frame_idx >= 1e6 or media_id < 0."""
+    import os
+
+    import pytest
+
+    from matcha_spark.operators.multimodal import video_near_dup_pairs
+
+    # 1-byte frames + a 1.2 MB payload: frame_idx reaches past 1e6 with
+    # the frames still INSIDE the payload (the slicer would keep them)
+    media = spark.createDataFrame(
+        [(1, "video", None, None, None, 2_000_000,
+          bytearray(os.urandom(1_200_000)))],
+        "media_id long, kind string, format string, width int, height int, "
+        "duration_ms long, payload binary",
+    )
+    with pytest.raises(Exception, match="packing range"):
+        video_near_dup_pairs(media, every_ms=1, frame_bytes=1).collect()
+    K = 64
+    neg = spark.createDataFrame(
+        [(-1, "video", None, None, None, 3000, bytearray(os.urandom(K * 4)))],
+        "media_id long, kind string, format string, width int, height int, "
+        "duration_ms long, payload binary",
+    )
+    with pytest.raises(Exception, match="packing range"):
+        video_near_dup_pairs(neg, every_ms=1000, frame_bytes=K).collect()
+
+
+def test_video_near_dup_custom_frame_slicer(spark):
+    """The frame_slicer= seam (r09): injecting a demuxer that slices
+    from a header offset changes which videos pair, proving the slicer
+    output (not the fixed-stride default) feeds the hash join; the
+    default path is untouched."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from matcha_spark.operators.multimodal import video_near_dup_pairs
+
+    K = 256
+    HDR = 16
+    frames = os.urandom(K * 3)
+    # same frame payloads behind DIFFERENT header bytes: the default
+    # stride slicer sees different frame 0 (header included) so videos
+    # only match from frame 1 on; a header-aware slicer aligns them all
+    v1 = os.urandom(HDR) + frames
+    v2 = os.urandom(HDR) + frames
+    media = spark.createDataFrame(
+        [
+            (1, "video", None, None, None, 2500, bytearray(v1)),
+            (2, "video", None, None, None, 2500, bytearray(v2)),
+        ],
+        "media_id long, kind string, format string, width int, height int, "
+        "duration_ms long, payload binary",
+    )
+
+    def header_slicer(df, frame_bytes):
+        return df.where(
+            F.length("payload") >= HDR + (F.col("frame_idx") + 1) * frame_bytes
+        ).select(
+            "media_id",
+            "frame_idx",
+            F.expr(
+                f"substring(payload, {HDR} + frame_idx * {frame_bytes} + 1, "
+                f"{frame_bytes})"
+            ).alias("payload"),
+        )
+
+    custom = {
+        (r.vid_a, r.vid_b): r.shared_frames
+        for r in video_near_dup_pairs(
+            media, every_ms=1000, frame_bytes=K, max_hamming=0,
+            min_shared_frames=1, frame_slicer=header_slicer,
+        ).collect()
+    }
+    assert custom[(1, 2)] == 3  # all three frames align behind the header
 
 
 def test_audio_near_dup_pairs_planted(spark):
