@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "transitive_closure",
+    "seeded_reachability",
     "shortest_path_lengths",
     "pagerank",
     "predicate_closure",
@@ -88,6 +89,88 @@ def _resolve_work_dir(spark: SparkSession, checkpoint_dir: str | None) -> str:
                 )
             base = tempfile.mkdtemp(prefix="matcha_closure_")
     return f"{base.rstrip('/')}/closure_{uuid.uuid4().hex}"
+
+
+def seeded_reachability(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 100,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Every node reachable in ≥ 1 hop FROM any seed node — the
+    ground-endpoint complement of :func:`transitive_closure`: when a
+    query grounds one end of a closure (``order:1 pred+ ?x``),
+    materializing the FULL all-pairs closure and then filtering is
+    O(V²) pairs of wasted work; frontier expansion from the seed is
+    O(reachable ∪ incident edges) per round.  The trade is rounds:
+    semi-naive BFS runs *diameter* rounds where path doubling runs
+    ⌈log₂ d⌉ — but each seeded round touches only frontier-incident
+    edges, which at 100 TB wins whenever the reachable set is any
+    meaningful fraction smaller than the graph (and real graphs have
+    small diameters).
+
+    ``seeds``: one-column DataFrame ``n`` (same type as ``src``/``dst``
+    — tiny by contract, broadcast into the first hop).  Returns a
+    one-column DataFrame ``n`` of reached nodes (union over seeds, the
+    seeds themselves only if they sit on a cycle).  Same shared-storage
+    ``checkpoint_dir`` contract and :func:`cleanup_closure` handle as
+    ``transitive_closure``; the round directory is named
+    ``seeded_reach_*`` so plan audits (``explain_query``) can tell a
+    seeded evaluation from an all-pairs one by its scan path."""
+    spark = edges.sparkSession
+    base = _resolve_work_dir(spark, checkpoint_dir)
+    head, _, tail = base.rpartition("/closure_")
+    base = f"{head}/seeded_reach_{tail}"
+
+    def _materialize(df: DataFrame) -> tuple[DataFrame, str, int]:
+        # same write-observed parquet round-trip as transitive_closure:
+        # genuine lineage cut + convergence count on one job
+        obs = Observation()
+        path = f"{base}/{uuid.uuid4().hex}"
+        df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(path)
+        return spark.read.parquet(path), path, int(obs.get["n"])
+
+    try:
+        # materialize the (possibly composite — Seq/Alt join trees) edge
+        # set ONCE; every round re-reads parquet instead of re-running
+        # the path-compilation joins
+        e, _, n_edges = _materialize(
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .dropDuplicates()
+        )
+        frontier, _, n_front = _materialize(
+            e.join(F.broadcast(seeds), e["src"] == seeds["n"], "leftsemi")
+            .select(F.col("dst").alias("n"))
+            .dropDuplicates()
+        )
+        known_frames = [frontier]
+        if n_front and n_edges:
+            for _ in range(max_iter):
+                known = known_frames[0]
+                for kf in known_frames[1:]:
+                    known = known.unionByName(kf)
+                nxt = (
+                    e.join(frontier, e["src"] == frontier["n"], "leftsemi")
+                    .select(F.col("dst").alias("n"))
+                    .dropDuplicates()
+                    .join(known, "n", "left_anti")
+                )
+                frontier, _, n_new = _materialize(nxt)
+                if n_new == 0:
+                    break
+                known_frames.append(frontier)
+        out = known_frames[0]
+        for kf in known_frames[1:]:
+            out = out.unionByName(kf)
+        out._matcha_closure_path = base  # type: ignore[attr-defined]
+        return out
+    except BaseException:
+        _fs_delete(spark, base)
+        raise
 
 
 def transitive_closure(

@@ -133,17 +133,76 @@ def _path_est(path, stats, total: float) -> float:
     return float(stats.get((k[0], k[1]), total))
 
 
+def _seeded_path_df(db: TriplesDB, s_item, path, o_item) -> DataFrame | None:
+    """Ground-endpoint closure → seeded evaluation (r09): for a
+    top-level ``OneOrMore``/``ZeroOrMore`` (through any ``Inv``
+    wrappers) whose subject or object is GROUND, evaluate reachability
+    *from the seed* (``operators.graph.seeded_reachability``) instead
+    of materializing the full all-pairs closure and filtering — the
+    all-pairs form is O(V²) pairs where the seeded form is
+    O(reachable).  Returns the restricted ``(s, o)`` pair DataFrame
+    (semantically ``path_edges(db, path)`` filtered on the ground
+    endpoint), or None when the pattern isn't seedable (both ends
+    variables, or a non-closure top-level form — those keep the
+    compositional ``path_edges`` evaluation).
+
+    Semantics parity (pinned by the ground-endpoint differential seeds,
+    commit 57f47ca): ``ZeroOrMore``'s zero-length pair appears only if
+    the seed is a *mentioned node* (``graph_nodes``), exactly like the
+    all-pairs identity union; OneOrMore includes the seed itself only
+    via a genuine cycle — which is precisely what BFS from the seed
+    yields."""
+    from ..operators.graph import graph_nodes, path_edges, seeded_reachability
+
+    swap = False
+    inner = path
+    while isinstance(inner, Inv):
+        inner = inner.path
+        swap = not swap
+    if not isinstance(inner, (OneOrMore, ZeroOrMore)):
+        return None
+    s_it, o_it = (o_item, s_item) if swap else (s_item, o_item)
+    s_ground = not is_var(s_it)
+    o_ground = not is_var(o_it)
+    if not (s_ground or o_ground):
+        return None
+    spark = db.df.sparkSession
+    edges = path_edges(db, inner.path)
+    seed_lit = term_lit(const_value(s_it if s_ground else o_it))
+    seeds = spark.range(1).select(seed_lit.alias("n"))
+    e = (
+        edges
+        if s_ground
+        else edges.select(F.col("o").alias("s"), F.col("s").alias("o"))
+    )
+    reach = seeded_reachability(e, seeds, src="s", dst="o")
+    if isinstance(inner, ZeroOrMore):
+        # zero-length pair: the seed matches itself iff it is mentioned
+        ident = seeds.join(graph_nodes(db), "n", "leftsemi")
+        reach = reach.unionByName(ident).dropDuplicates()
+    if s_ground:
+        pairs = reach.select(seed_lit.alias("s"), F.col("n").alias("o"))
+    else:
+        pairs = reach.select(F.col("n").alias("s"), seed_lit.alias("o"))
+    if swap:
+        pairs = pairs.select(F.col("o").alias("s"), F.col("s").alias("o"))
+    return pairs
+
+
 def _scan_path_pattern(db: TriplesDB, pattern, stats, total: float) -> _Scan:
     """Property-path pattern → scan over its compiled edge set (see
     ``operators.graph.path_edges``).  Subject/object positions behave
     exactly like a plain pattern: constants filter, vars project, a
     repeated var becomes an intra-row equality.  Closure forms
     materialize eagerly at compile time (path-doubling rounds under the
-    session checkpoint dir — set one on a cluster)."""
+    session checkpoint dir — set one on a cluster); ground-endpoint
+    closures take the seeded-frontier path instead
+    (:func:`_seeded_path_df`)."""
     from ..operators.graph import path_edges
 
     s_item, path, o_item = pattern
-    df = path_edges(db, path)
+    seeded = _seeded_path_df(db, s_item, path, o_item)
+    df = seeded if seeded is not None else path_edges(db, path)
     conds = []
     first_pos_of_var: dict[str, str] = {}
     aliases: list = []
@@ -157,7 +216,14 @@ def _scan_path_pattern(db: TriplesDB, pattern, stats, total: float) -> _Scan:
                 aliases.append(F.col(pos).alias(v))
         else:
             conds.append(F.col(pos) == term_lit(const_value(item)))
-    est = _path_est(path, stats, total) / (10.0 ** len(conds))
+    # seeded evaluation already restricted the pair set to the ground
+    # endpoint's reachable cone — estimate like a 1-ground plain scan
+    # instead of the deliberately huge closure estimate, so the join
+    # tree orders (and may broadcast) it sensibly
+    base_est = (
+        float(total) if seeded is not None else _path_est(path, stats, total)
+    )
+    est = base_est / (10.0 ** len(conds))
     for c in conds:
         df = df.where(c)
     vars_ = list(first_pos_of_var)

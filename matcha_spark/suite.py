@@ -219,6 +219,33 @@ def bgp_path_reach_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bgp_path_from_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ground-endpoint closure (r09): every entity that REACHES
+    ``region:1`` through the urgent-order hierarchy — same edge union
+    as ``bgp_path_reach_urgent``, but with the object GROUND the
+    compiler takes the seeded-frontier evaluation
+    (``operators.graph.seeded_reachability``, O(reachable) work)
+    instead of materializing the all-pairs closure and filtering
+    (O(V²) pairs).  Oracle is the recursive CTE seeded at the same
+    node, walking edges backwards."""
+    from .patterns import Alt, OneOrMore
+    from .terms import URI
+
+    db = _graph(spark, sf_dir, include_orders=True, order_priority="1-URGENT")
+    res = select_df(
+        ["?x"],
+        [
+            (
+                "?x",
+                OneOrMore(Alt(KW["customer"], KW["nation"], KW["region"])),
+                URI("region:1"),
+            )
+        ],
+        db,
+    )
+    return res.select(lex(F.col("`?x`")).alias("src"))
+
+
 def bgp_path_inv_region_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverse property path (SPARQL ``^(:nation/:region)``): entities
     of ASIA reached *from* the region via the inverted two-step path —
@@ -1209,6 +1236,8 @@ def dedup_near_emb(spark, sf_dir):
 # When adding a new oracle-backed entry, insert it at the top; after each
 # round, rotate entries the driver just verified toward the back.
 QUERIES = {
+    # new this round (r09): seeded ground-endpoint closure — never checked
+    "bgp_path_from_seed": bgp_path_from_seed,
     # new this round (r08): weighted shortest paths — never driver-checked
     "graph_shortest_weighted": graph_shortest_weighted,
     # new this round (r08): cosine radius search — never driver-checked
@@ -2254,6 +2283,23 @@ ORACLES = {
             WHERE w.d < 6
         )
         SELECT src, dst, min(d) AS dist FROM walk GROUP BY 1, 2
+    """,
+    "bgp_path_from_seed": """
+        WITH RECURSIVE edges AS (
+            SELECT 'order:' || o_orderkey AS src, 'customer:' || o_custkey AS dst
+            FROM orders WHERE o_orderpriority = '1-URGENT'
+            UNION ALL
+            SELECT 'customer:' || c_custkey, 'nation:' || c_nationkey FROM customer
+            UNION ALL
+            SELECT 'supplier:' || s_suppkey, 'nation:' || s_nationkey FROM supplier
+            UNION ALL
+            SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey FROM nation
+        ), reach(src) AS (
+            SELECT src FROM edges WHERE dst = 'region:1'
+            UNION
+            SELECT e.src FROM reach r JOIN edges e ON e.dst = r.src
+        )
+        SELECT src FROM reach
     """,
     "bgp_path_reach_urgent": """
         WITH RECURSIVE edges AS (

@@ -116,6 +116,52 @@ def test_ground_endpoints_and_bgp_join(db):
     assert select(["?v"], [(D, OneOrMore(KNOWS), A), (B, NAME, "?v")], db) is None
 
 
+def test_ground_endpoint_closures_are_seeded(db):
+    """r09: a closure with a ground endpoint must take the
+    seeded-frontier evaluation (O(reachable)), not the all-pairs
+    closure + filter (O(V²)) — visible in the plan as a
+    ``seeded_reach_*`` scan path; var-var closures keep all-pairs."""
+    from matcha_spark.query import explain_query
+
+    plan = explain_query([(A, OneOrMore(KNOWS), "?x")], db)
+    assert "seeded_reach_" in plan
+    # ground OBJECT seeds from the reversed edge set
+    plan = explain_query([("?s", OneOrMore(KNOWS), D)], db)
+    assert "seeded_reach_" in plan
+    # an Inv wrapper unwraps onto the opposite endpoint
+    plan = explain_query([("?s", Inv(OneOrMore(KNOWS)), A)], db)
+    assert "seeded_reach_" in plan
+    # both ends variable: compositional all-pairs, NOT seeded
+    plan = explain_query([("?s", OneOrMore(KNOWS), "?o")], db)
+    assert "seeded_reach_" not in plan
+
+
+def test_ground_endpoint_seeded_semantics(db):
+    """Seeded results must be indistinguishable from the all-pairs
+    form across every closure flavor and endpoint side."""
+    # OneOrMore, ground subject: forward cone (cycle re-reaches :a)
+    rows = select(["?x"], [(A, OneOrMore(KNOWS), "?x")], db)
+    assert set(rows) == {B, C, D, A}
+    # ZeroOrMore, ground subject: cone ∪ the zero-length self-pair
+    rows = select(["?x"], [(A, ZeroOrMore(KNOWS), "?x")], db)
+    assert set(rows) == {A, B, C, D}
+    # ZeroOrMore, ground object: ancestors ∪ self
+    rows = select(["?s"], [("?s", ZeroOrMore(KNOWS), D)], db)
+    assert set(rows) == {A, B, C, D}
+    # dead-end seed: :x has no outgoing knows edges -> only itself (p*)
+    rows = select(["?o"], [(X, ZeroOrMore(KNOWS), "?o")], db)
+    assert set(rows) == {X}
+    assert select(["?o"], [(X, OneOrMore(KNOWS), "?o")], db) is None
+    # unmentioned seed: no identity pair for p* either
+    assert select(["?o"], [(kw(":ghost"), ZeroOrMore(KNOWS), "?o")], db) is None
+    # Inv(OneOrMore) ground object == forward cone from that node
+    rows = select(["?s"], [("?s", Inv(OneOrMore(KNOWS)), A)], db)
+    assert set(rows) == {B, C, D, A}
+    # seeded closure of a COMPOSITE inner path (knows/knows from :a)
+    rows = select(["?x"], [(A, OneOrMore(Seq(KNOWS, KNOWS)), "?x")], db)
+    assert set(rows) == {C, A, B, D}
+
+
 def test_repeated_var_on_cycle(db):
     # (?x knows+ ?x) — exactly the cycle members
     rows = select(["?x"], [("?x", OneOrMore(KNOWS), "?x")], db)
