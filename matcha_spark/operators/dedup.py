@@ -160,7 +160,11 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     d = (
         docs.repartition("doc_id")
         .select("doc_id", F.expr(
-            f"transform(array_distinct(split(lower(trim({text_col})), '\\\\s+')), t -> xxhash64(t))"
+            # filter the '' artifact of splitting empty/whitespace text:
+            # without it every empty doc shares the xxhash64('')
+            # signature and empty-doc pairs blow up the banded join
+            f"transform(filter(array_distinct(split(lower(trim({text_col})), '\\\\s+')),"
+            f" t -> t != ''), t -> xxhash64(t))"
         ).alias("hs"))
     )
 
@@ -236,6 +240,7 @@ def banded_hamming_pairs(
     id_col: str = "id",
     sig_col: str = "sig",
     max_hamming: int = 3,
+    flag_col: str | None = None,
 ) -> DataFrame:
     """Exact near-dup pairs of 64-bit signatures within a Hamming bound
     — the generic banded core behind :func:`simhash_candidates` and the
@@ -245,7 +250,13 @@ def banded_hamming_pairs(
     pigeonhole any pair within the bound shares at least one band
     exactly, so the banded equi-join finds every such pair (recall 1.0
     by construction) and ``bit_count(a ^ b)`` verification keeps
-    precision exact.  Output: ``(id_a < id_b, hamming)``."""
+    precision exact.  Output: ``(id_a < id_b, hamming)``.
+
+    ``flag_col``: optional boolean column of ``sig``; when set, only
+    pairs where AT LEAST ONE side's flag is true are produced — the
+    incremental-batch shape (:func:`incremental_dedup_simhash`): the
+    store-vs-store half of the join, quadratic in corpus size, is
+    pruned inside the join condition instead of filtered after."""
     n_bands = max_hamming + 1
     # band widths: distribute 64 bits as evenly as possible
     base, extra = divmod(64, n_bands)
@@ -269,15 +280,22 @@ def banded_hamming_pairs(
         )
         for i, (o, w) in enumerate(offsets)
     ]
+    flag_sel = (
+        [F.col(flag_col).cast("boolean").alias("__flag")] if flag_col else []
+    )
     banded = sig.select(
         F.col(id_col).alias("__id"),
         F.col(sig_col).alias("__sig"),
+        *flag_sel,
         F.explode(F.array(*band_cols)).alias("bk"),
     )
     a, b = banded.alias("a"), banded.alias("b")
+    cond = (F.col("a.bk") == F.col("b.bk")) & (F.col("a.__id") < F.col("b.__id"))
+    if flag_col:
+        cond = cond & (F.col("a.__flag") | F.col("b.__flag"))
     hamming = F.bit_count(F.col("a.__sig").bitwiseXOR(F.col("b.__sig")))
     return (
-        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.__id") < F.col("b.__id")))
+        a.join(b, cond)
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
@@ -867,23 +885,37 @@ def incremental_dedup_near(
         .where(agree / num_hashes >= threshold)
         .select("id_a", "id_b")
     )
-    # transitive clusters over every dup edge touching the batch; the
-    # component label (min id) is the keeper — an accepted corpus doc
-    # when one is in the cluster (accepted ids were admitted earlier, so
-    # ties resolve to them via min only when their id is smaller; to
-    # guarantee corpus-wins semantics we anchor components on accepted
-    # ids by mapping them to themselves below)
-    comp = connected_components(dups, src="id_a", dst="id_b")
     accepted_ids = sides.where(~F.col("new")).select(F.col("doc_id").alias("acc_id"))
-    # cluster → preferred keeper: min accepted id in cluster, else min id
+    decisions = _incremental_decisions(sig_new.select("doc_id"), dups, accepted_ids)
+    kept_sigs = sig_new.join(
+        decisions.where(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+    )
+    updated = existing_sigs.select("doc_id", *hcols).unionByName(kept_sigs)
+    return decisions, updated
+
+
+def _incremental_decisions(
+    new_ids: DataFrame, dups: DataFrame, accepted_ids: DataFrame
+) -> DataFrame:
+    """Shared batch-admission verdicts for the incremental dedup family
+    (:func:`incremental_dedup_near`, :func:`incremental_dedup_simhash`):
+    transitive clusters over every dup edge touching the batch; the
+    keeper is the min ACCEPTED corpus doc in the cluster when one
+    exists (corpus-wins semantics — accepted docs were admitted
+    earlier), else the min batch id; unmatched docs keep themselves.
+
+    ``new_ids``: one-column ``doc_id`` batch frame; ``dups``:
+    ``(id_a, id_b)`` verified duplicate edges; ``accepted_ids``:
+    one-column ``acc_id`` store frame.  Returns
+    ``(doc_id, keep, dup_of)`` — ``dup_of`` NULL for kept rows."""
+    comp = connected_components(dups, src="id_a", dst="id_b")
     comp_acc = (
         comp.join(accepted_ids, comp.id == accepted_ids.acc_id, "left")
         .groupBy("component")
         .agg(F.min("acc_id").alias("acc_keeper"))
     )
-    decisions = (
-        sig_new.select("doc_id")
-        .join(comp, sig_new.doc_id == comp.id, "left")
+    return (
+        new_ids.join(comp, new_ids.doc_id == comp.id, "left")
         .join(comp_acc, "component", "left")
         .select(
             "doc_id",
@@ -897,10 +929,55 @@ def incremental_dedup_near(
             F.when(F.col("keeper") != F.col("doc_id"), F.col("keeper")).alias("dup_of"),
         )
     )
+
+
+def incremental_dedup_simhash(
+    new_docs: DataFrame,
+    existing_sigs: DataFrame | None = None,
+    max_hamming: int = 3,
+    text_col: str = "text",
+):
+    """Append-only near-dedup on SimHash signatures — the Hamming-
+    distance sibling of :func:`incremental_dedup_near`, same
+    store-recipe contract: admit a batch against an already-accepted
+    corpus touching only its signature store (``existing_sigs``, the
+    second element of a previous call's return; 16 bytes/doc —
+    ``(doc_id, simhash)`` — vs MinHash's ~512).
+
+    Returns ``(decisions, updated_sigs)``: ``decisions`` is one
+    ``(doc_id, keep, dup_of)`` row per new doc with corpus-wins keeper
+    semantics (see :func:`_incremental_decisions`); ``updated_sigs`` is
+    the store plus the *kept* new docs' signatures.
+
+    Duplicate decision: ``bit_count(a ^ b) <= max_hamming`` over banded
+    candidates (pigeonhole recall 1.0, :func:`banded_hamming_pairs`)
+    with the store-vs-store half of the self-join pruned inside the
+    join condition (``flag_col``) — per-batch work scales with batch ×
+    bucket occupancy, never corpus².  Zero signatures (NULL/empty text)
+    are excluded from matching exactly as in
+    :func:`simhash_candidates`; such docs are always kept."""
+    sig_new = memo_persist(
+        simhash(new_docs, text_col=text_col).select("doc_id", "simhash")
+    )
+    if existing_sigs is None:
+        existing_sigs = sig_new.limit(0)
+    sides = memo_persist(
+        existing_sigs.select("doc_id", "simhash").withColumn("new", F.lit(False))
+        .unionByName(sig_new.withColumn("new", F.lit(True)))
+    )
+    dups = banded_hamming_pairs(
+        sides.where(F.col("simhash") != 0),
+        id_col="doc_id",
+        sig_col="simhash",
+        max_hamming=max_hamming,
+        flag_col="new",
+    ).select("id_a", "id_b")
+    accepted_ids = sides.where(~F.col("new")).select(F.col("doc_id").alias("acc_id"))
+    decisions = _incremental_decisions(sig_new.select("doc_id"), dups, accepted_ids)
     kept_sigs = sig_new.join(
         decisions.where(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
     )
-    updated = existing_sigs.select("doc_id", *hcols).unionByName(kept_sigs)
+    updated = existing_sigs.select("doc_id", "simhash").unionByName(kept_sigs)
     return decisions, updated
 
 

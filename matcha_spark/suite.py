@@ -962,6 +962,19 @@ def dedup_incremental(spark, sf_dir):
     return decisions
 
 
+def dedup_incremental_simhash(spark, sf_dir):
+    # append-only near-dedup on the 16-byte SimHash store (r09):
+    # rows-only (Spark-side xxhash64 signatures); batch semantics
+    # (corpus-wins keeper, transitive chains, zero-sig exclusion)
+    # pinned by pytest
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    first = docs.where(F.col("doc_id") < 250)
+    batch = docs.where(F.col("doc_id") >= 250)
+    _, sigs = D.incremental_dedup_simhash(first, None, max_hamming=8)
+    decisions, _ = D.incremental_dedup_simhash(batch, sigs, max_hamming=8)
+    return decisions
+
+
 def emb_semdedup(spark, sf_dir):
     # SemDeDup semantic prune: rows-only (seeded Spark-side k-means);
     # invariants + planted-dup recall pinned in pytest
@@ -1236,75 +1249,12 @@ def dedup_near_emb(spark, sf_dir):
 # When adding a new oracle-backed entry, insert it at the top; after each
 # round, rotate entries the driver just verified toward the back.
 QUERIES = {
-    # new this round (r09): seeded ground-endpoint closure — never checked
+    # --- r09 driver window (first 50) ---------------------------------
+    # new this round (r09) — never driver-checked
     "bgp_path_from_seed": bgp_path_from_seed,
-    # new this round (r08): weighted shortest paths — never driver-checked
-    "graph_shortest_weighted": graph_shortest_weighted,
-    # new this round (r08): cosine radius search — never driver-checked
-    "emb_range_search": emb_range_search,
-    # new this round (r08): windowed funnel — never driver-checked
-    "events_funnel_windowed": R.events_funnel_windowed,
-    # new this round (r08): transition matrix — never driver-checked
-    "events_transition_matrix": R.events_transition_matrix,
-    # new this round (r08): skew-salted join — never driver-checked
-    "events_salted_enrich": R.events_salted_enrich,
-    # new this round (r08): skew-salted aggregation — never driver-checked
-    "events_salted_type_stats": R.events_salted_type_stats,
-    # new this round (r08): term scalar functions — never driver-checked
-    "bgp_bind_term_functions": bgp_bind_term_functions,
-    # new this round (r08): BPE pre-tokenizer — never driver-checked
-    "doc_bpe_pretokens": doc_bpe_pretokens,
-    # new this round (r08): context packing — never driver-checked
-    "doc_token_windows": doc_token_windows,
-    # new this round (r08): DSIR importance weights — never driver-checked
-    "doc_dsir_weights": doc_dsir_weights,
-    # new this round (r08): MINUS negation — never driver-checked
-    "bgp_minus_machinery_asia": bgp_minus_machinery_asia,
-    # new this round (r08): HTML extraction — never driver-checked
-    "doc_strip_html": doc_strip_html,
-    # new this round (r08): paragraph dedup — never driver-checked
-    "doc_dedup_paragraphs": doc_dedup_paragraphs,
-    # new this round (r08): agg solution modifiers — never driver-checked
-    "bgp_agg_top_urgent_nations": bgp_agg_top_urgent_nations,
-    # new this round (r08): path-operator completion — never driver-checked
-    "bgp_path_inv_region_members": bgp_path_inv_region_members,
-    "bgp_path_zom_region": bgp_path_zom_region,
-    "bgp_path_zoo_nation": bgp_path_zoo_nation,
-    "bgp_path_negset_links": bgp_path_negset_links,
-    # r07 hash-red on oracle dtype only (now cast to BIGINT) — keep in window
-    "q12_late_shipments": R.q12_late_shipments,
-    "pivot_priority_by_segment": R.pivot_priority_by_segment,
-    "events_json_stats": R.events_json_stats,
-    "doc_contamination": doc_contamination,
-    "doc_dup_ngrams": doc_dup_ngrams,
-    # stale (newest driver record r06) — pulled forward for re-verification
-    "bgp_ask_segment": bgp_ask_segment,
-    "bgp_merge_count": bgp_merge_count,
-    "q1_pricing_summary": R.q1_pricing_summary,
-    "q3_top_revenue": R.q3_top_unshipped_revenue,
-    "q5_nation_revenue": R.q5_nation_revenue,
-    "q6_forecast_revenue": R.q6_forecast_revenue,
-    "topk_orders_per_customer": R.topk_orders_per_customer,
-    "running_customer_spend": R.running_customer_spend,
-    "orders_by_month": R.orders_by_month,
-    "segment_stats": R.segment_stats,
-    "events_hourly": R.events_hourly,
-    "events_sessionize": R.events_sessionize,
-    "events_sessionize_native": R.events_sessionize_native,
-    "events_funnel": R.events_funnel,
-    "rollup_nation_segment": R.rollup_nation_segment,
-    "segment_quantiles": R.segment_quantiles,
-    "cube_priority_status": R.cube_priority_status,
-    "nation_set_ops": R.nation_set_ops,
-    "asof_events_orders": R.asof_events_orders,
-    "q4_order_priority": R.q4_order_priority,
-    "q22_idle_customers": R.q22_idle_customers,
-    "q2_min_cost_supplier": R.q2_min_cost_supplier,
-    "q7_volume_shipping": R.q7_volume_shipping,
-    "dedup_exact_docs": dedup_exact_docs,
-    "doc_fingerprint": doc_fingerprint,
-    "doc_token_count": doc_token_count,
-    "doc_text_quality": doc_text_quality,
+    "dedup_incremental_simhash": dedup_incremental_simhash,
+    # stale freshness (newest driver record r06) — rotated in per the
+    # registry_audit contract
     "doc_lang_id": doc_lang_id,
     "doc_quality_filter": doc_quality_filter,
     "doc_scrub_pii": doc_scrub_pii,
@@ -1318,8 +1268,18 @@ QUERIES = {
     "doc_media_features": doc_media_features,
     "doc_audio_features": doc_audio_features,
     "doc_frame_sample": doc_frame_sample,
-    # r07 driver-verified hash-green — rotated toward the back (cheapest
-    # first, so any that re-enter the 50-entry window stay inexpensive)
+    # rows-only entries with NO driver record yet: a window slot gives
+    # each a rows_match-level run in the driver's environment (r08 ask)
+    "emb_pq_topk": emb_pq_topk,
+    "emb_semdedup": emb_semdedup,
+    "dedup_incremental": dedup_incremental,
+    "doc_cdc_chunks": doc_cdc_chunks,
+    "doc_image_phash": doc_image_phash,
+    "doc_video_near_dup": doc_video_near_dup,
+    "doc_audio_near_dup": doc_audio_near_dup,
+    "graph_pagerank_urgent": graph_pagerank_urgent,
+    # newest record r07 — refreshed now so the 3-round freshness
+    # horizon (see tools/registry_audit.py capacity math) never lapses
     "bgp_agg_customers_by_region": bgp_agg_customers_by_region,
     "bgp_agg_urgent_orders_by_nation": bgp_agg_urgent_orders_by_nation,
     "bgp_bind_segment_prefix": bgp_bind_segment_prefix,
@@ -1347,6 +1307,8 @@ QUERIES = {
     "q19_disjunctive_revenue": R.q19_disjunctive_revenue,
     "q20_excess_suppliers": R.q20_excess_suppliers,
     "q21_waiting_suppliers": R.q21_waiting_suppliers,
+    # --- outside the window -------------------------------------------
+    # remaining r07-green entries: FIRST in line for the r10 window
     "doc_mixture_sample": doc_mixture_sample,
     "doc_strip_dup_ngrams": doc_strip_dup_ngrams,
     "doc_pipeline_curate": doc_pipeline_curate,
@@ -1365,8 +1327,59 @@ QUERIES = {
     "bgp_path_reach_urgent": bgp_path_reach_urgent,
     "graph_closure_nations": graph_closure_nations,
     "graph_shortest_urgent": graph_shortest_urgent,
-    # rows-only by design (no ORACLES entry; pinned by pytests): parked last
-    # so the driver's 50-entry window spends its rows on hash-gated entries.
+    # r08 driver-verified hash-green — safely outside until r11
+    "graph_shortest_weighted": graph_shortest_weighted,
+    "emb_range_search": emb_range_search,
+    "events_funnel_windowed": R.events_funnel_windowed,
+    "events_transition_matrix": R.events_transition_matrix,
+    "events_salted_enrich": R.events_salted_enrich,
+    "events_salted_type_stats": R.events_salted_type_stats,
+    "bgp_bind_term_functions": bgp_bind_term_functions,
+    "doc_bpe_pretokens": doc_bpe_pretokens,
+    "doc_token_windows": doc_token_windows,
+    "doc_dsir_weights": doc_dsir_weights,
+    "bgp_minus_machinery_asia": bgp_minus_machinery_asia,
+    "doc_strip_html": doc_strip_html,
+    "doc_dedup_paragraphs": doc_dedup_paragraphs,
+    "bgp_agg_top_urgent_nations": bgp_agg_top_urgent_nations,
+    "bgp_path_inv_region_members": bgp_path_inv_region_members,
+    "bgp_path_zom_region": bgp_path_zom_region,
+    "bgp_path_zoo_nation": bgp_path_zoo_nation,
+    "bgp_path_negset_links": bgp_path_negset_links,
+    "q12_late_shipments": R.q12_late_shipments,
+    "pivot_priority_by_segment": R.pivot_priority_by_segment,
+    "events_json_stats": R.events_json_stats,
+    "doc_contamination": doc_contamination,
+    "doc_dup_ngrams": doc_dup_ngrams,
+    "bgp_ask_segment": bgp_ask_segment,
+    "bgp_merge_count": bgp_merge_count,
+    "q1_pricing_summary": R.q1_pricing_summary,
+    "q3_top_revenue": R.q3_top_unshipped_revenue,
+    "q5_nation_revenue": R.q5_nation_revenue,
+    "q6_forecast_revenue": R.q6_forecast_revenue,
+    "topk_orders_per_customer": R.topk_orders_per_customer,
+    "running_customer_spend": R.running_customer_spend,
+    "orders_by_month": R.orders_by_month,
+    "segment_stats": R.segment_stats,
+    "events_hourly": R.events_hourly,
+    "events_sessionize": R.events_sessionize,
+    "events_sessionize_native": R.events_sessionize_native,
+    "events_funnel": R.events_funnel,
+    "rollup_nation_segment": R.rollup_nation_segment,
+    "segment_quantiles": R.segment_quantiles,
+    "cube_priority_status": R.cube_priority_status,
+    "nation_set_ops": R.nation_set_ops,
+    "asof_events_orders": R.asof_events_orders,
+    "q4_order_priority": R.q4_order_priority,
+    "q22_idle_customers": R.q22_idle_customers,
+    "q2_min_cost_supplier": R.q2_min_cost_supplier,
+    "q7_volume_shipping": R.q7_volume_shipping,
+    "dedup_exact_docs": dedup_exact_docs,
+    "doc_fingerprint": doc_fingerprint,
+    "doc_token_count": doc_token_count,
+    "doc_text_quality": doc_text_quality,
+    # rows-only with prior driver records: parked last (window slots
+    # are spent on hash-gated or never-checked entries)
     "doc_sketch_stats": doc_sketch_stats,
     "doc_minhash_lsh": doc_minhash_lsh,
     "doc_simhash": doc_simhash,
@@ -1374,15 +1387,7 @@ QUERIES = {
     "dedup_near_lsh": dedup_near_lsh,
     "emb_lsh_topk": emb_lsh_topk,
     "emb_ivf_topk": emb_ivf_topk,
-    "emb_pq_topk": emb_pq_topk,
     "emb_dup_pairs_lsh": emb_dup_pairs_lsh,
-    "emb_semdedup": emb_semdedup,
-    "dedup_incremental": dedup_incremental,
-    "doc_cdc_chunks": doc_cdc_chunks,
-    "doc_image_phash": doc_image_phash,
-    "doc_video_near_dup": doc_video_near_dup,
-    "doc_audio_near_dup": doc_audio_near_dup,
-    "graph_pagerank_urgent": graph_pagerank_urgent,
 }
 
 _EN = "'the','a','and','of','to','in','is','that','it','for'"

@@ -791,6 +791,67 @@ def test_incremental_dedup_near_batches(spark):
     assert sigs3.count() == 5
 
 
+def test_incremental_dedup_simhash_batches(spark):
+    """SimHash store recipe (r09): batch-vs-store admission on 16-byte
+    signatures — re-uploads rejected against the corpus (corpus-wins
+    keeper), chained batch dups rejected transitively, fresh and
+    empty-text docs kept, store grows by kept docs only."""
+    base_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other_text = "one two three four five six seven eight nine ten"
+    b1 = spark.createDataFrame(
+        [
+            (10, base_text),
+            (11, base_text),  # exact dup of 10 (hamming 0)
+            (12, other_text),
+            (13, ""),         # zero signature: never a candidate, kept
+        ],
+        "doc_id long, text string",
+    )
+    d1, sigs1 = D.incremental_dedup_simhash(b1, None, max_hamming=3)
+    dec1 = {r.doc_id: r for r in d1.collect()}
+    assert dec1[10].keep and dec1[12].keep and dec1[13].keep
+    assert not dec1[11].keep and dec1[11].dup_of == 10
+    assert sigs1.count() == 3
+
+    b2 = spark.createDataFrame(
+        [
+            (20, base_text),   # re-submission of accepted 10
+            (21, "fresh content nothing like anything else around here"),
+            (22, base_text),   # chained: dup of 20 AND of corpus 10
+            (23, ""),          # another zero signature — NOT a dup of 13
+        ],
+        "doc_id long, text string",
+    )
+    d2, sigs2 = D.incremental_dedup_simhash(b2, sigs1, max_hamming=3)
+    dec2 = {r.doc_id: r for r in d2.collect()}
+    assert not dec2[20].keep and dec2[20].dup_of == 10  # corpus wins
+    assert dec2[21].keep and dec2[21].dup_of is None
+    assert not dec2[22].keep and dec2[22].dup_of == 10  # chained to corpus
+    assert dec2[23].keep
+    assert sigs2.count() == 5  # 3 + fresh 21 + empty 23
+
+    # near (not exact) duplicate within the Hamming bound still rejects
+    from matcha_spark.operators.dedup import simhash
+
+    near_text = base_text + " lambda"
+    h = {
+        r.doc_id: r.simhash
+        for r in simhash(
+            spark.createDataFrame(
+                [(0, base_text), (1, near_text)], "doc_id long, text string"
+            )
+        ).collect()
+    }
+    dist = bin((h[0] ^ h[1]) & ((1 << 64) - 1)).count("1")
+    d3, _ = D.incremental_dedup_simhash(
+        spark.createDataFrame([(30, near_text)], "doc_id long, text string"),
+        sigs2,
+        max_hamming=dist,
+    )
+    row = {r.doc_id: r for r in d3.collect()}[30]
+    assert not row.keep and row.dup_of == 10
+
+
 def test_signature_store_roundtrip(spark, tmp_path):
     """The incremental-dedup handoff survives a parquet round-trip: the
     reloaded store makes identical decisions."""

@@ -69,10 +69,18 @@ def main() -> int:
         print("PROBLEM: oracle-backed entries outside the window with NO prior "
               f"hash-green record: {problems}")
         return 1
-    # freshness contract: an entry OUTSIDE the upcoming window will not
-    # be refreshed this round, so its newest record must be at most two
-    # rounds old by the time this round's driver run lands
-    stale_limit = latest_round - 1  # next run is latest_round + 1
+    # freshness contract (amended r09): an entry OUTSIDE the upcoming
+    # window will not be refreshed this round, so its newest record must
+    # be at most THREE rounds old by the time this round's driver run
+    # lands.  Three, not two, by capacity: the registry now carries 109
+    # oracle-backed entries against a 50-slot window, so a 2-round
+    # horizon (2 x 50 = 100 slot-rounds) is structurally infeasible,
+    # while 3 rounds (150) covers the registry with headroom for new
+    # entries and rows-only rotation (the r08->r09 judge window also
+    # spent 8 slots giving never-checked rows-only entries a driver
+    # record).  Steady state: ~37+ refreshes per round keeps every entry
+    # inside the horizon.
+    stale_limit = latest_round - 2  # next run is latest_round + 1
     stale = sorted(
         (n, seen_round[n])
         for n in q[WINDOW:]
@@ -81,12 +89,12 @@ def main() -> int:
     if stale:
         print("PROBLEM: oracle-backed entries outside the window whose newest "
               f"driver record predates r{stale_limit:02d} (would exceed the "
-              f"two-round freshness limit): {stale}")
+              f"three-round freshness limit): {stale}")
         return 1
     aged = sorted(n for n in q[WINDOW:] if n in oracles
                   and seen_round.get(n, 0) == stale_limit)
     if aged:
-        print(f"note: {len(aged)} outside-window entries at the two-round "
+        print(f"note: {len(aged)} outside-window entries at the three-round "
               f"freshness limit (r{stale_limit:02d} records) — front of the "
               f"next rotation queue: {aged}")
     print("OK: every oracle-backed entry is window-covered or previously green")
