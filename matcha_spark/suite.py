@@ -29,6 +29,16 @@ _GRAPH_CACHE: dict = {}
 _GRAPH_CACHE_MAX = 8
 
 
+def clear_graph_cache() -> None:
+    """Unpersist and drop every cached derived graph — the suite-level
+    analog of :func:`matcha_spark.cache.clear_memo`.  Bench cold mode
+    calls both before each timed run so per-query numbers stop
+    depending on which earlier entries happened to warm (or evict)
+    which cache slots."""
+    while _GRAPH_CACHE:
+        _GRAPH_CACHE.popitem()[1].unpersist()
+
+
 def _graph(spark, sf_dir, **kw):
     key = (sf_dir, tuple(sorted(kw.items())))
     if key not in _GRAPH_CACHE:
