@@ -502,6 +502,72 @@ def test_path_bound_endpoint_differential(spark, seed):
     )
 
 
+@pytest.mark.parametrize("seed", range(12))
+def test_path_bind_agg_modifiers_differential(spark, seed):
+    """r09: the r08 additions interact — select_agg's solution
+    modifiers (HAVING / ORDER BY / LIMIT / OFFSET) over property-path +
+    Bind patterns, engine vs the Python path algebra with an identical
+    deterministic total order.  Order-SENSITIVE comparison: the whole
+    point of the modifiers is the final row order and cut."""
+    from pyspark.sql import functions as F
+
+    from matcha_spark import Bind, select_agg
+    from matcha_spark.functions.termcols import lex, str_col
+    from matcha_spark.terms import from_term
+
+    rng = random.Random(7700 + seed)
+    db_rows = _rand_path_db(rng)
+    path = _rand_path_expr(rng)
+
+    pats = [
+        ("?a", path, "?b"),
+        Bind("?c", lambda v: str_col(F.substring(lex(v["?b"]), 1, 2))),
+    ]
+    aggs = {"n": ("count", "?b"), "ndc": ("count_distinct", "?c")}
+    with_having = rng.random() < 0.5
+    limit = rng.choice([None, 1, 2, 3, 4])
+    offset = rng.choice([None, 1, 2]) if rng.random() < 0.4 else None
+    having = (lambda c: c["n"] >= 2) if with_having else None
+
+    # --- model: path pairs -> bind -> bag aggregate -> modifiers ---
+    pairs = _model_path_pairs(path, db_rows)
+    want = {}
+    for a, b in pairs:
+        rec = want.setdefault(a, {"n": 0, "c": set()})
+        rec["n"] += 1
+        rec["c"].add(b[:2])
+    rows = [(a, rec["n"], len(rec["c"])) for a, rec in want.items()]
+    if with_having:
+        rows = [r for r in rows if r[1] >= 2]
+    # order_by=["-n", "?a"]: count desc, group term lex asc (total order
+    # — ?a is unique per group, so ties break fully on both sides)
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    if offset is not None:
+        rows = rows[offset:]
+    if limit is not None:
+        rows = rows[:limit]
+
+    db = TriplesDB.from_triples(spark, db_rows)
+    try:
+        got_rows = select_agg(
+            ["?a"],
+            aggs,
+            pats,
+            db,
+            having=having,
+            order_by=["-n", "?a"],
+            limit=limit,
+            offset=offset,
+        ).collect()
+    finally:
+        db.unpersist()
+    got = [(from_term(r["?a"]), r["n"], r["ndc"]) for r in got_rows]
+    assert got == rows, (
+        f"seed={seed}\ndb={db_rows}\npath={path!r}\nhaving={with_having} "
+        f"limit={limit} offset={offset}\ngot={got}\nwant={rows}"
+    )
+
+
 @pytest.mark.parametrize("seed", range(10))
 def test_select_agg_concat_sample_differential(spark, seed):
     """group_concat (canonically sorted lexical join) and sample
