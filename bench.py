@@ -232,6 +232,17 @@ def main() -> None:
 
     bench("doc_audio_near_dup", lambda: force(doc_audio_near_dup(spark, SF_DIR)), repeat=False)
     bench("graph_shortest_weighted", lambda: force(graph_shortest_weighted(spark, SF_DIR)), repeat=False)
+    # r09 additions: seeded ground-endpoint evaluation (O(reachable)
+    # frontier BFS vs the all-pairs closures above) + SimHash store dedup
+    from matcha_spark.suite import (
+        bgp_path_from_seed,
+        dedup_incremental_simhash,
+        graph_distances_from_seed,
+    )
+
+    bench("bgp_path_from_seed", lambda: force(bgp_path_from_seed(spark, SF_DIR)), repeat=False)
+    bench("graph_distances_from_seed", lambda: force(graph_distances_from_seed(spark, SF_DIR)), repeat=False)
+    bench("dedup_incremental_simhash", lambda: force(dedup_incremental_simhash(spark, SF_DIR)))
 
     total = round(sum(times.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "transitive_closure",
     "seeded_reachability",
+    "seeded_shortest_paths",
     "shortest_path_lengths",
     "pagerank",
     "predicate_closure",
@@ -242,6 +243,110 @@ def transitive_closure(
         # otherwise accumulate orphaned closure_* dirs on shared storage
         out._matcha_closure_path = base  # type: ignore[attr-defined]
         return out
+    except BaseException:
+        _fs_delete(spark, base)
+        raise
+
+
+def seeded_shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    max_iter: int = 100,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Shortest distances FROM any seed node — the ground-endpoint
+    complement of :func:`shortest_path_lengths`, exactly as
+    :func:`seeded_reachability` complements :func:`transitive_closure`:
+    when a query needs distances from ONE node, the all-pairs min-plus
+    closure computes O(V²) pairs to keep |seeds| rows of them.
+
+    Semi-naive label-correcting relaxation: the frontier holds only the
+    nodes whose distance IMPROVED last round, each round relaxes just
+    frontier-incident edges, and the loop converges when no distance
+    improves (guaranteed for the required non-negative weights).
+    Unweighted (``weight=None``) this is plain BFS — rounds = depth of
+    the shortest-path tree.
+
+    ``seeds``: one-column ``n`` DataFrame (tiny by contract, broadcast
+    into the first hop).  Returns ``(n, dist)`` — min over seeds, ≥ 1
+    hop (a seed appears with its cycle length only if it sits on a
+    cycle), hop counts as longs / summed weights as doubles.  Same
+    shared-storage ``checkpoint_dir`` and :func:`cleanup_closure`
+    contract as the all-pairs form; round dirs are ``seeded_dist_*``
+    for plan audits."""
+    spark = edges.sparkSession
+    base = _resolve_work_dir(spark, checkpoint_dir)
+    head, _, tail = base.rpartition("/closure_")
+    base = f"{head}/seeded_dist_{tail}"
+
+    def _materialize(df: DataFrame) -> tuple[DataFrame, str, int]:
+        obs = Observation()
+        path = f"{base}/{uuid.uuid4().hex}"
+        df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(path)
+        return spark.read.parquet(path), path, int(obs.get["n"])
+
+    if weight is not None:
+        neg = edges.where(F.col(weight) < 0).limit(1).count()
+        if neg:
+            _fs_delete(spark, base)
+            raise ValueError("seeded_shortest_paths requires non-negative weights")
+    try:
+        if weight is None:
+            e = (
+                edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+                .dropDuplicates()
+                .withColumn("w", F.lit(1).cast("long"))
+            )
+        else:
+            e = (
+                edges.select(
+                    F.col(src).alias("src"),
+                    F.col(dst).alias("dst"),
+                    F.col(weight).cast("double").alias("w"),
+                )
+                .groupBy("src", "dst")
+                .agg(F.min("w").alias("w"))
+            )
+        e, _, n_edges = _materialize(e)
+        frontier, _, n_front = _materialize(
+            e.join(F.broadcast(seeds), e["src"] == seeds["n"], "inner")
+            .groupBy(F.col("dst").alias("n"))
+            .agg(F.min("w").alias("dist"))
+        )
+        known, known_path, _ = _materialize(frontier)
+        if n_front and n_edges:
+            for _ in range(max_iter):
+                cand = (
+                    frontier.join(e, frontier["n"] == e["src"], "inner")
+                    .groupBy(F.col("dst").alias("n"))
+                    .agg(F.min(frontier["dist"] + e["w"]).alias("dist"))
+                )
+                improved = (
+                    cand.alias("c")
+                    .join(known.alias("k"), "n", "left")
+                    .where(
+                        F.col("k.dist").isNull()
+                        | (F.col("c.dist") < F.col("k.dist"))
+                    )
+                    .select("n", F.col("c.dist").alias("dist"))
+                )
+                frontier, _, n_new = _materialize(improved)
+                if n_new == 0:
+                    break
+                merged, merged_path, _ = _materialize(
+                    known.unionByName(frontier)
+                    .groupBy("n")
+                    .agg(F.min("dist").alias("dist"))
+                )
+                _fs_delete(spark, known_path)
+                known, known_path = merged, merged_path
+        known._matcha_closure_path = base  # type: ignore[attr-defined]
+        return known
     except BaseException:
         _fs_delete(spark, base)
         raise

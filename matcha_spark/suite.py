@@ -256,6 +256,26 @@ def bgp_path_from_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(lex(F.col("`?x`")).alias("src"))
 
 
+def graph_distances_from_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded single-source shortest distances (r09): hop counts TO
+    ``region:1`` over the urgent-order hierarchy — the reversed-edge
+    seeded BFS (``operators.graph.seeded_shortest_paths``), O(reachable)
+    work where the all-pairs min-plus closure computes O(V²) pairs to
+    keep one source row.  Oracle: bounded recursive-CTE walk from the
+    same node with a min rollup (the reversed graph is a tree — each
+    entity has one parent — so the walk visits each node once)."""
+    from .operators.graph import path_edges, seeded_shortest_paths
+    from .patterns import Alt
+    from .terms import URI, term_lit as _tl
+
+    db = _graph(spark, sf_dir, include_orders=True, order_priority="1-URGENT")
+    edges = path_edges(db, Alt(KW["customer"], KW["nation"], KW["region"]))
+    rev = edges.select(F.col("o").alias("s"), F.col("s").alias("o"))
+    seeds = spark.range(1).select(_tl(URI("region:1")).alias("n"))
+    out = seeded_shortest_paths(rev, seeds, src="s", dst="o")
+    return out.select(lex(F.col("n")).alias("src"), "dist")
+
+
 def bgp_path_inv_region_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverse property path (SPARQL ``^(:nation/:region)``): entities
     of ASIA reached *from* the region via the inverted two-step path —
@@ -1262,6 +1282,7 @@ QUERIES = {
     # --- r09 driver window (first 50) ---------------------------------
     # new this round (r09) — never driver-checked
     "bgp_path_from_seed": bgp_path_from_seed,
+    "graph_distances_from_seed": graph_distances_from_seed,
     "dedup_incremental_simhash": dedup_incremental_simhash,
     # stale freshness (newest driver record r06) — rotated in per the
     # registry_audit contract
@@ -2298,6 +2319,24 @@ ORACLES = {
             WHERE w.d < 6
         )
         SELECT src, dst, min(d) AS dist FROM walk GROUP BY 1, 2
+    """,
+    "graph_distances_from_seed": """
+        WITH RECURSIVE edges AS (
+            SELECT 'order:' || o_orderkey AS src, 'customer:' || o_custkey AS dst
+            FROM orders WHERE o_orderpriority = '1-URGENT'
+            UNION ALL
+            SELECT 'customer:' || c_custkey, 'nation:' || c_nationkey FROM customer
+            UNION ALL
+            SELECT 'supplier:' || s_suppkey, 'nation:' || s_nationkey FROM supplier
+            UNION ALL
+            SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey FROM nation
+        ), walk(n, d) AS (
+            SELECT src, 1 FROM edges WHERE dst = 'region:1'
+            UNION ALL
+            SELECT e.src, w.d + 1 FROM walk w JOIN edges e ON e.dst = w.n
+            WHERE w.d < 8
+        )
+        SELECT n AS src, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY 1
     """,
     "bgp_path_from_seed": """
         WITH RECURSIVE edges AS (

@@ -348,6 +348,70 @@ def test_shortest_path_lengths_chain_diamond_cycle(spark):
     cleanup_closure(out)
 
 
+def test_seeded_shortest_paths_matches_all_pairs(spark):
+    """r09: seeded single-source distances == the all-pairs min-plus
+    closure restricted to the seed row, on chain+diamond+cycle and
+    weighted graphs; multi-seed takes the min over seeds; unreachable
+    seeds yield nothing."""
+    from matcha_spark.operators.graph import (
+        cleanup_closure,
+        seeded_shortest_paths,
+        shortest_path_lengths,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"),
+            ("x", "y"), ("y", "x"),
+        ],
+        "src string, dst string",
+    )
+    allp = shortest_path_lengths(edges)
+    want = {r.dst: r.dist for r in allp.where("src = 'a'").collect()}
+    seeds = spark.createDataFrame([("a",)], "n string")
+    out = seeded_shortest_paths(edges, seeds)
+    got = {r.n: r.dist for r in out.collect()}
+    assert got == want == {"b": 1, "c": 1, "d": 2}
+    cleanup_closure(out)
+
+    # cycle seed reaches itself with the cycle length
+    outx = seeded_shortest_paths(edges, spark.createDataFrame([("x",)], "n string"))
+    assert {r.n: r.dist for r in outx.collect()} == {"y": 1, "x": 2}
+    cleanup_closure(outx)
+
+    # multi-seed: min over seeds ('a' reaches d in 2, 'c' in 1)
+    outm = seeded_shortest_paths(
+        edges, spark.createDataFrame([("a",), ("c",)], "n string")
+    )
+    assert {r.n: r.dist for r in outm.collect()} == {"b": 1, "c": 1, "d": 1}
+    cleanup_closure(outm)
+
+    # dead-end seed: empty result
+    outd = seeded_shortest_paths(edges, spark.createDataFrame([("d",)], "n string"))
+    assert outd.count() == 0
+    cleanup_closure(allp)
+
+    # weighted: label correction must REVISIT a node when a longer-hop
+    # but cheaper route arrives later (a->c direct 5.0 vs a->b->c 2.0)
+    wedges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("a", "c", 5.0), ("c", "d", 0.5)],
+        "src string, dst string, w double",
+    )
+    outw = seeded_shortest_paths(
+        wedges, spark.createDataFrame([("a",)], "n string"), weight="w"
+    )
+    assert {r.n: r.dist for r in outw.collect()} == {"b": 1.0, "c": 2.0, "d": 2.5}
+    cleanup_closure(outw)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        seeded_shortest_paths(
+            spark.createDataFrame([("a", "b", -1.0)], "src string, dst string, w double"),
+            spark.createDataFrame([("a",)], "n string"),
+            weight="w",
+        )
+
+
 def test_pagerank_matches_power_iteration(spark):
     """Differential vs a dense numpy power iteration with identical
     damping/iteration/dangling semantics."""
