@@ -99,6 +99,7 @@ def seeded_reachability(
     dst: str = "dst",
     max_iter: int = 100,
     checkpoint_dir: str | None = None,
+    keep_root: bool = False,
 ) -> DataFrame:
     """Every node reachable in ≥ 1 hop FROM any seed node — the
     ground-endpoint complement of :func:`transitive_closure`: when a
@@ -115,7 +116,12 @@ def seeded_reachability(
     ``seeds``: one-column DataFrame ``n`` (same type as ``src``/``dst``
     — tiny by contract, broadcast into the first hop).  Returns a
     one-column DataFrame ``n`` of reached nodes (union over seeds, the
-    seeds themselves only if they sit on a cycle).  Same shared-storage
+    seeds themselves only if they sit on a cycle).  With
+    ``keep_root=True`` each row carries its originating seed instead —
+    ``(root, n)`` pairs, one per (seed, reached-node) — the provenance
+    form the path compiler needs to thread a seed set through composite
+    path expressions (per-root work is Σ per-root reachable sets, still
+    bounded by the all-pairs closure from above).  Same shared-storage
     ``checkpoint_dir`` contract and :func:`cleanup_closure` handle as
     ``transitive_closure``; the round directory is named
     ``seeded_reach_*`` so plan audits (``explain_query``) can tell a
@@ -135,6 +141,7 @@ def seeded_reachability(
         ).parquet(path)
         return spark.read.parquet(path), path, int(obs.get["n"])
 
+    keycols = ["root", "n"] if keep_root else ["n"]
     try:
         # materialize the (possibly composite — Seq/Alt join trees) edge
         # set ONCE; every round re-reads parquet instead of re-running
@@ -143,23 +150,26 @@ def seeded_reachability(
             edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
             .dropDuplicates()
         )
-        frontier, _, n_front = _materialize(
-            e.join(F.broadcast(seeds), e["src"] == seeds["n"], "leftsemi")
-            .select(F.col("dst").alias("n"))
-            .dropDuplicates()
-        )
+        first = e.join(F.broadcast(seeds), e["src"] == seeds["n"], "inner")
+        if keep_root:
+            first = first.select(
+                seeds["n"].alias("root"), F.col("dst").alias("n")
+            )
+        else:
+            first = first.select(F.col("dst").alias("n"))
+        frontier, _, n_front = _materialize(first.dropDuplicates())
         known_frames = [frontier]
         if n_front and n_edges:
             for _ in range(max_iter):
                 known = known_frames[0]
                 for kf in known_frames[1:]:
                     known = known.unionByName(kf)
-                nxt = (
-                    e.join(frontier, e["src"] == frontier["n"], "leftsemi")
-                    .select(F.col("dst").alias("n"))
-                    .dropDuplicates()
-                    .join(known, "n", "left_anti")
-                )
+                step = e.join(frontier, e["src"] == frontier["n"], "inner")
+                if keep_root:
+                    step = step.select("root", F.col("dst").alias("n"))
+                else:
+                    step = step.select(F.col("dst").alias("n"))
+                nxt = step.dropDuplicates().join(known, keycols, "left_anti")
                 frontier, _, n_new = _materialize(nxt)
                 if n_new == 0:
                     break

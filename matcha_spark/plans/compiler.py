@@ -133,60 +133,148 @@ def _path_est(path, stats, total: float) -> float:
     return float(stats.get((k[0], k[1]), total))
 
 
-def _seeded_path_df(db: TriplesDB, s_item, path, o_item) -> DataFrame | None:
-    """Ground-endpoint closure → seeded evaluation (r09): for a
-    top-level ``OneOrMore``/``ZeroOrMore`` (through any ``Inv``
-    wrappers) whose subject or object is GROUND, evaluate reachability
-    *from the seed* (``operators.graph.seeded_reachability``) instead
-    of materializing the full all-pairs closure and filtering — the
-    all-pairs form is O(V²) pairs where the seeded form is
-    O(reachable).  Returns the restricted ``(s, o)`` pair DataFrame
-    (semantically ``path_edges(db, path)`` filtered on the ground
-    endpoint), or None when the pattern isn't seedable (both ends
-    variables, or a non-closure top-level form — those keep the
-    compositional ``path_edges`` evaluation).
+def _contains_closure(path) -> bool:
+    """Does the path expression contain a transitive closure anywhere?
+    Only closures justify seeded evaluation: for closure-free paths
+    (Seq/Alt/Inv/ZeroOrOne/NegSet compositions) the endpoint equality
+    is an ordinary filter Catalyst pushes through the join/union tree
+    to the base scans, but a closure materializes EAGERLY at compile
+    time — before the filter exists — so the restriction must be pushed
+    into the evaluation by hand."""
+    if isinstance(path, Inv):
+        return _contains_closure(path.path)
+    if isinstance(path, Seq):
+        return any(_contains_closure(s) for s in path.steps)
+    if isinstance(path, Alt):
+        return any(_contains_closure(a) for a in path.alts)
+    if isinstance(path, (OneOrMore, ZeroOrMore)):
+        return True
+    if isinstance(path, ZeroOrOne):
+        return _contains_closure(path.path)
+    return False
 
-    Semantics parity (pinned by the ground-endpoint differential seeds,
-    commit 57f47ca): ``ZeroOrMore``'s zero-length pair appears only if
-    the seed is a *mentioned node* (``graph_nodes``), exactly like the
-    all-pairs identity union; OneOrMore includes the seed itself only
-    via a genuine cycle — which is precisely what BFS from the seed
-    yields."""
+
+def _reach_via_path(db: TriplesDB, path, seeds: DataFrame, forward: bool) -> DataFrame:
+    """Seed-bounded path evaluation with provenance: ``(root, x)``
+    pairs where ``root ∈ seeds`` and ``root path x`` (forward) or
+    ``x path root`` (backward).  The seed set threads through every
+    path operator, so closures ANYWHERE in the expression evaluate as
+    frontier reachability from the midpoints that actually occur
+    (``seeded_reachability(keep_root=True)``) instead of as all-pairs
+    materializations:
+
+    - predicate / NegSet: the seed join lands next to the pushdown
+      predicate filter on one triple scan;
+    - ``Inv``: same evaluation, direction flipped;
+    - ``Seq``: steps chain left-to-right (forward) or right-to-left
+      (backward); each step's seed set is the previous step's frontier
+      (distinct midpoints), and provenance joins the chain back up;
+    - ``Alt``: union of branch evaluations;
+    - ``OneOrMore``/``ZeroOrMore``: provenance BFS over the inner edge
+      set (a nested closure INSIDE the inner path still materializes
+      all-pairs via ``path_edges`` — the inner edge *relation* is what
+      BFS walks; rare, and still bounded by the old cost);
+    - ``ZeroOrOne``/``ZeroOrMore`` zero-length: each seed pairs with
+      itself iff it is a mentioned node (``graph_nodes``), matching the
+      all-pairs identity union exactly."""
     from ..operators.graph import graph_nodes, path_edges, seeded_reachability
 
-    swap = False
-    inner = path
-    while isinstance(inner, Inv):
-        inner = inner.path
-        swap = not swap
-    if not isinstance(inner, (OneOrMore, ZeroOrMore)):
-        return None
-    s_it, o_it = (o_item, s_item) if swap else (s_item, o_item)
-    s_ground = not is_var(s_it)
-    o_ground = not is_var(o_it)
-    if not (s_ground or o_ground):
+    spark = db.df.sparkSession
+
+    def ident_pairs() -> DataFrame:
+        mentioned = seeds.join(graph_nodes(db), "n", "leftsemi")
+        return mentioned.select(F.col("n").alias("root"), F.col("n").alias("x"))
+
+    def scan_pairs(df: DataFrame) -> DataFrame:
+        # one-hop relation (s, o) joined against the seed set on the
+        # anchored side; broadcast — seeds are small by construction
+        anchor, other = ("s", "o") if forward else ("o", "s")
+        return (
+            df.join(F.broadcast(seeds), df[anchor] == seeds["n"], "inner")
+            .select(seeds["n"].alias("root"), df[other].alias("x"))
+            .dropDuplicates()
+        )
+
+    if isinstance(path, Inv):
+        return _reach_via_path(
+            db,
+            path.path,
+            seeds,
+            not forward,
+        )
+    if isinstance(path, Seq):
+        steps = path.steps if forward else tuple(reversed(path.steps))
+        acc = _reach_via_path(db, steps[0], seeds, forward)
+        for st in steps[1:]:
+            mids = acc.select(F.col("x").alias("n")).dropDuplicates()
+            nxt = _reach_via_path(db, st, mids, forward)
+            acc = (
+                acc.select("root", F.col("x").alias("__mid"))
+                .join(nxt.select(F.col("root").alias("__mid"), "x"), "__mid")
+                .select("root", "x")
+                .dropDuplicates()
+            )
+        return acc
+    if isinstance(path, Alt):
+        branches = [_reach_via_path(db, b, seeds, forward) for b in path.alts]
+        acc = branches[0]
+        for b in branches[1:]:
+            acc = acc.unionByName(b)
+        return acc.dropDuplicates() if len(branches) > 1 else acc
+    if isinstance(path, (OneOrMore, ZeroOrMore)):
+        edges = path_edges(db, path.path)
+        e = (
+            edges
+            if forward
+            else edges.select(F.col("o").alias("s"), F.col("s").alias("o"))
+        )
+        reach = seeded_reachability(e, seeds, src="s", dst="o", keep_root=True)
+        out = reach.select("root", F.col("n").alias("x"))
+        if isinstance(path, ZeroOrMore):
+            out = out.unionByName(ident_pairs()).dropDuplicates()
+        return out
+    if isinstance(path, ZeroOrOne):
+        base = _reach_via_path(db, path.path, seeds, forward)
+        return base.unionByName(ident_pairs()).dropDuplicates()
+    if isinstance(path, NegSet):
+        cond = F.lit(True)
+        for pred in path.preds:
+            cond = cond & (F.col("p") != term_lit(pred))
+        return scan_pairs(db.df.where(cond).select("s", "o"))
+    if isinstance(path, PathExpr):
+        raise TypeError(f"unknown path form: {type(path).__name__}")
+    # base case: predicate constant
+    return scan_pairs(db.df.where(F.col("p") == term_lit(path)).select("s", "o"))
+
+
+def _seeded_path_df(db: TriplesDB, s_item, path, o_item) -> DataFrame | None:
+    """Ground-endpoint path → seeded evaluation (r09): when a pattern
+    grounds its subject or object AND the path contains a closure
+    anywhere, evaluate the path *from the seed*
+    (:func:`_reach_via_path`) instead of materializing all-pairs
+    closures and filtering — the all-pairs form is O(V²) pairs where
+    the seeded form is O(reachable from the one anchor).  Returns the
+    restricted ``(s, o)`` pair DataFrame (semantically
+    ``path_edges(db, path)`` filtered on the ground endpoint), or None
+    when the pattern isn't seedable (both ends variables — nothing to
+    seed from) or not worth seeding (closure-free paths: Catalyst
+    already pushes the endpoint filter through the join tree to the
+    base scans).
+
+    Semantics parity is pinned by the ground-endpoint differential
+    seeds (random path expressions × random anchors vs the Python path
+    algebra) plus the pytest battery."""
+    s_ground = not is_var(s_item)
+    o_ground = not is_var(o_item)
+    if not (s_ground or o_ground) or not _contains_closure(path):
         return None
     spark = db.df.sparkSession
-    edges = path_edges(db, inner.path)
-    seed_lit = term_lit(const_value(s_it if s_ground else o_it))
+    seed_lit = term_lit(const_value(s_item if s_ground else o_item))
     seeds = spark.range(1).select(seed_lit.alias("n"))
-    e = (
-        edges
-        if s_ground
-        else edges.select(F.col("o").alias("s"), F.col("s").alias("o"))
-    )
-    reach = seeded_reachability(e, seeds, src="s", dst="o")
-    if isinstance(inner, ZeroOrMore):
-        # zero-length pair: the seed matches itself iff it is mentioned
-        ident = seeds.join(graph_nodes(db), "n", "leftsemi")
-        reach = reach.unionByName(ident).dropDuplicates()
+    reach = _reach_via_path(db, path, seeds, forward=s_ground)
     if s_ground:
-        pairs = reach.select(seed_lit.alias("s"), F.col("n").alias("o"))
-    else:
-        pairs = reach.select(F.col("n").alias("s"), seed_lit.alias("o"))
-    if swap:
-        pairs = pairs.select(F.col("o").alias("s"), F.col("s").alias("o"))
-    return pairs
+        return reach.select(seed_lit.alias("s"), F.col("x").alias("o"))
+    return reach.select(F.col("x").alias("s"), seed_lit.alias("o"))
 
 
 def _scan_path_pattern(db: TriplesDB, pattern, stats, total: float) -> _Scan:

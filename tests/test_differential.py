@@ -474,7 +474,7 @@ def test_path_bind_agg_differential(spark, seed):
     )
 
 
-@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("seed", range(16))
 def test_path_bound_endpoint_differential(spark, seed):
     """Paths with a CONSTANT subject or object (ground endpoints filter
     the compiled edge set rather than projecting it) — engine vs the

@@ -131,8 +131,16 @@ def test_ground_endpoint_closures_are_seeded(db):
     # an Inv wrapper unwraps onto the opposite endpoint
     plan = explain_query([("?s", Inv(OneOrMore(KNOWS)), A)], db)
     assert "seeded_reach_" in plan
+    # closures NESTED in composite paths seed too (r09 generalization):
+    # the seed set threads through the Seq into the closure
+    plan = explain_query([(A, Seq(KNOWS, OneOrMore(KNOWS)), "?x")], db)
+    assert "seeded_reach_" in plan
     # both ends variable: compositional all-pairs, NOT seeded
     plan = explain_query([("?s", OneOrMore(KNOWS), "?o")], db)
+    assert "seeded_reach_" not in plan
+    # closure-free path with a ground endpoint: Catalyst pushes the
+    # filter itself — no seeded machinery (and no parquet rounds)
+    plan = explain_query([(A, Seq(KNOWS, KNOWS), "?x")], db)
     assert "seeded_reach_" not in plan
 
 
@@ -160,6 +168,18 @@ def test_ground_endpoint_seeded_semantics(db):
     # seeded closure of a COMPOSITE inner path (knows/knows from :a)
     rows = select(["?x"], [(A, OneOrMore(Seq(KNOWS, KNOWS)), "?x")], db)
     assert set(rows) == {C, A, B, D}
+    # closure NESTED inside a Seq: seed threads through the first hop
+    rows = select(["?x"], [(A, Seq(KNOWS, OneOrMore(KNOWS)), "?x")], db)
+    assert set(rows) == {A, B, C, D}
+    # nested closure, ground OBJECT: who reaches :d via knows then knows+?
+    rows = select(["?x"], [("?x", Seq(KNOWS, OneOrMore(KNOWS)), D)], db)
+    assert set(rows) == {A, B, C}
+    # Alt of (closure | plain) with ground subject
+    rows = select(["?x"], [(A, Alt(OneOrMore(KNOWS), LIKES), "?x")], db)
+    assert set(rows) == {B, C, D, A, X}
+    # ZeroOrOne over a closure, ground subject: cone ∪ self
+    rows = select(["?x"], [(A, ZeroOrOne(OneOrMore(KNOWS)), "?x")], db)
+    assert set(rows) == {A, B, C, D}
 
 
 def test_repeated_var_on_cycle(db):
