@@ -243,6 +243,9 @@ def main() -> None:
     bench("bgp_path_from_seed", lambda: force(bgp_path_from_seed(spark, SF_DIR)), repeat=False)
     bench("graph_distances_from_seed", lambda: force(graph_distances_from_seed(spark, SF_DIR)), repeat=False)
     bench("dedup_incremental_simhash", lambda: force(dedup_incremental_simhash(spark, SF_DIR)))
+    from matcha_spark.suite import doc_chunk_packing
+
+    bench("doc_chunk_packing", lambda: force(doc_chunk_packing(spark, SF_DIR)))
 
     total = round(sum(times.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -1154,6 +1154,95 @@ def token_windows(
     )
 
 
+def chunk_packing(
+    docs: DataFrame,
+    budget: int = 2048,
+    text_col: str = "text",
+    num_parts: int | None = None,
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: lay every document's
+    whitespace-token stream end-to-end in ``doc_id`` order and cut the
+    concatenation into fixed ``budget``-token training chunks —
+    documents straddle chunk boundaries (the standard pretraining
+    packing; contrast :func:`token_windows`, which windows WITHIN each
+    document).  Zero-token documents occupy no space and emit nothing.
+
+    Output: one row per (chunk, document) incidence —
+    ``(chunk_id, doc_id, tok_start, tok_end)`` with ``[tok_start,
+    tok_end)`` the in-document token slice that lands in that chunk.
+    Deterministic: a pure function of the corpus, independent of
+    partitioning.
+
+    Scale shape — the global token-offset prefix sum is the crux: a
+    naive ``sum() over (order by doc_id)`` window collapses the whole
+    corpus into ONE task.  Instead, the classic two-phase distributed
+    scan: range-partition by ``doc_id``, per-partition token totals
+    (one row per partition) collect to the driver and come back as
+    broadcast base offsets, and the running sum is a partition-LOCAL
+    window — every phase parallel, driver traffic = num_partitions
+    rows.  The span explosion is then a narrow map."""
+    from pyspark.sql import Window
+
+    from ..cache import cut_lineage
+
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    spark = docs.sparkSession
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    d = docs.select("doc_id", F.size(toks).alias("n")).where(F.col("n") > 0)
+    parts = num_parts or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # materialize AFTER the range partitioning: repartitionByRange
+    # samples boundaries, so recomputing the frame between the totals
+    # pass and the main pass could re-draw them — the lineage cut pins
+    # one assignment for both
+    d = cut_lineage(
+        d.repartitionByRange(parts, "doc_id").withColumn(
+            "__pid", F.spark_partition_id()
+        )
+    )
+    totals = d.groupBy("__pid").agg(F.sum("n").alias("t")).collect()
+    acc, base = 0, []
+    for row in sorted(totals, key=lambda r: r["__pid"]):
+        base.append((row["__pid"], acc))
+        acc += row["t"]
+    base_df = spark.createDataFrame(base or [(0, 0)], "__pid int, __base long")
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.col("__base") + F.coalesce(F.sum("n").over(w), F.lit(0))
+    b = int(budget)
+    spans = d.join(F.broadcast(base_df), "__pid").select(
+        "doc_id", "n", off.alias("__off")
+    )
+    return (
+        spans.select(
+            "doc_id",
+            "n",
+            "__off",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("__off") / b),
+                    F.floor((F.col("__off") + F.col("n") - 1) / b),
+                )
+            ).alias("chunk_id"),
+        )
+        .select(
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            "doc_id",
+            F.greatest(F.lit(0), F.col("chunk_id") * b - F.col("__off"))
+            .cast("long")
+            .alias("tok_start"),
+            F.least(F.col("n"), (F.col("chunk_id") + 1) * b - F.col("__off"))
+            .cast("long")
+            .alias("tok_end"),
+        )
+    )
+
+
 # &amp; is decoded LAST (standard entity-decode ordering): decoding it
 # first would double-decode escaped entities, turning 'x &amp;lt; y'
 # into 'x < y' instead of the correct 'x &lt; y'

@@ -1073,6 +1073,18 @@ def doc_token_windows(spark, sf_dir):
     return T.token_windows(docs, size=16, stride=8)
 
 
+def doc_chunk_packing(spark, sf_dir):
+    """Concat-and-chunk sequence packing (r09): the corpus token stream
+    in doc_id order cut into 64-token training chunks, docs straddling
+    boundaries.  The Spark side computes the global token-offset prefix
+    sum as a two-phase distributed scan (range partition → per-
+    partition totals broadcast back → partition-local window) — never a
+    single-task global window; the oracle replays it with one ordered
+    window, which DuckDB can afford at oracle scale."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return T.chunk_packing(docs, budget=64)
+
+
 def doc_strip_html(spark, sf_dir):
     """HTML extraction round-trip (r08): both sides wrap the flat doc
     text in deterministic markup (tags, bold spans, a script block, an
@@ -1283,6 +1295,7 @@ QUERIES = {
     # new this round (r09) — never driver-checked
     "bgp_path_from_seed": bgp_path_from_seed,
     "graph_distances_from_seed": graph_distances_from_seed,
+    "doc_chunk_packing": doc_chunk_packing,
     "dedup_incremental_simhash": dedup_incremental_simhash,
     # stale freshness (newest driver record r06) — rotated in per the
     # registry_audit contract
@@ -1622,6 +1635,28 @@ ORACLES = {
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         WHERE c_mktsegment = 'MACHINERY' AND r_name = 'ASIA'
+    """,
+    "doc_chunk_packing": """
+        WITH toks AS (
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                   x -> x <> '')) AS n
+            FROM documents
+        ), pos AS (
+            SELECT doc_id, n,
+                   CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS off
+            FROM toks WHERE n > 0
+        ), spans AS (
+            SELECT doc_id, n, off,
+                   unnest(range(off // 64, (off + n - 1) // 64 + 1)) AS chunk_id
+            FROM pos
+        )
+        SELECT CAST(chunk_id AS BIGINT) AS chunk_id, doc_id,
+               CAST(greatest(0, chunk_id * 64 - off) AS BIGINT) AS tok_start,
+               CAST(least(n, (chunk_id + 1) * 64 - off) AS BIGINT) AS tok_end
+        FROM spans
     """,
     "doc_strip_html": """
         SELECT doc_id,

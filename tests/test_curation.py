@@ -659,6 +659,59 @@ def test_bpe_pretoken_count_segments(spark):
     assert out[6][0] == 8
 
 
+def test_chunk_packing_concat_and_chunk(spark):
+    """r09 concat-and-chunk packing vs a brute-force Python model:
+    chunk budgets exact (all but the last chunk full), per-doc slices
+    tile [0, n), straddling docs split correctly, zero-token docs
+    vanish, and the output is independent of the partition count (the
+    two-phase prefix sum is partitioning-invariant)."""
+    from matcha_spark.operators.text import chunk_packing
+
+    rows = [
+        (1, "a b c d e"),        # 5 tokens
+        (2, ""),                  # zero tokens: no space
+        (3, "f g h"),            # 3
+        (4, "i"),                # 1
+        (5, None),                # zero
+        (6, " ".join("x" * 1 for _ in range(9))),  # 9
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    B = 4
+    got = {
+        (r.chunk_id, r.doc_id): (r.tok_start, r.tok_end)
+        for r in chunk_packing(docs, budget=B).collect()
+    }
+    # model: concat 5+3+1+9 = 18 tokens -> chunks of 4: [0,4) [4,8) ...
+    sizes = {1: 5, 3: 3, 4: 1, 6: 9}
+    off, want = 0, {}
+    for doc in sorted(sizes):
+        n = sizes[doc]
+        for c in range(off // B, (off + n - 1) // B + 1):
+            want[(c, doc)] = (max(0, c * B - off), min(n, (c + 1) * B - off))
+        off += n
+    assert got == want
+    # every chunk but the last carries exactly B tokens
+    per_chunk = {}
+    for (c, _d), (s, e) in got.items():
+        per_chunk[c] = per_chunk.get(c, 0) + (e - s)
+    last = max(per_chunk)
+    assert all(v == B for c, v in per_chunk.items() if c != last)
+    assert per_chunk[last] == 18 - B * last
+    # per-doc slices tile the doc exactly
+    for doc, n in sizes.items():
+        slices = sorted(v for (c, d), v in got.items() if d == doc)
+        assert slices[0][0] == 0 and slices[-1][1] == n
+        for (s1, e1), (s2, e2) in zip(slices, slices[1:]):
+            assert e1 == s2
+    # partition-count invariance
+    for parts in (1, 3, 7):
+        alt = {
+            (r.chunk_id, r.doc_id): (r.tok_start, r.tok_end)
+            for r in chunk_packing(docs, budget=B, num_parts=parts).collect()
+        }
+        assert alt == got
+
+
 def test_strip_html_rules(spark):
     """Each stripping rule individually: block-content drop, tag->space
     word boundary, entity decode, comment removal, whitespace collapse,
