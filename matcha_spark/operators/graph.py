@@ -100,6 +100,7 @@ def seeded_reachability(
     max_iter: int = 100,
     checkpoint_dir: str | None = None,
     keep_root: bool = False,
+    materialize_edges: bool = True,
 ) -> DataFrame:
     """Every node reachable in ≥ 1 hop FROM any seed node — the
     ground-endpoint complement of :func:`transitive_closure`: when a
@@ -143,13 +144,22 @@ def seeded_reachability(
 
     keycols = ["root", "n"] if keep_root else ["n"]
     try:
-        # materialize the (possibly composite — Seq/Alt join trees) edge
-        # set ONCE; every round re-reads parquet instead of re-running
-        # the path-compilation joins
-        e, _, n_edges = _materialize(
-            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-            .dropDuplicates()
-        )
+        # edge-set handling (``materialize_edges``): a composite edge
+        # relation (Seq/Alt join trees) is written ONCE so every round
+        # re-reads parquet instead of re-running its joins; but when the
+        # relation is a plain filtered scan of an already-cached triple
+        # store, the write is a full-corpus materialization that buys
+        # nothing — the caller passes False and each round re-runs the
+        # cheap scan instead (rounds × cache-read beats 1 × corpus-write
+        # + rounds × read)
+        e_lazy = edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst")
+        ).dropDuplicates()
+        if materialize_edges:
+            e, _, n_edges = _materialize(e_lazy)
+        else:
+            e, n_edges = e_lazy, 1  # unknown count; empty sets just
+            # produce an empty first frontier and skip the loop
         first = e.join(F.broadcast(seeds), e["src"] == seeds["n"], "inner")
         if keep_root:
             first = first.select(
@@ -266,6 +276,7 @@ def seeded_shortest_paths(
     weight: str | None = None,
     max_iter: int = 100,
     checkpoint_dir: str | None = None,
+    materialize_edges: bool = True,
 ) -> DataFrame:
     """Shortest distances FROM any seed node — the ground-endpoint
     complement of :func:`shortest_path_lengths`, exactly as
@@ -322,7 +333,13 @@ def seeded_shortest_paths(
                 .groupBy("src", "dst")
                 .agg(F.min("w").alias("w"))
             )
-        e, _, n_edges = _materialize(e)
+        if materialize_edges:
+            e, _, n_edges = _materialize(e)
+        else:
+            # plain-scan edge relations: re-running the cheap cached
+            # scan per round beats one full-corpus parquet write (see
+            # seeded_reachability)
+            n_edges = 1
         frontier, _, n_front = _materialize(
             e.join(F.broadcast(seeds), e["src"] == seeds["n"], "inner")
             .groupBy(F.col("dst").alias("n"))

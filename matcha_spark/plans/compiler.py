@@ -154,6 +154,23 @@ def _contains_closure(path) -> bool:
     return False
 
 
+def _simple_edge_relation(path) -> bool:
+    """Is the compiled edge relation of ``path`` a plain (union of)
+    filtered scan(s) of the cached triple store — no joins, no nested
+    closures?  Decides whether a seeded BFS should re-run the relation
+    per round (cache-read, cheap) or materialize it once (composite
+    join trees)."""
+    if isinstance(path, Inv):
+        return _simple_edge_relation(path.path)
+    if isinstance(path, Alt):
+        return all(_simple_edge_relation(a) for a in path.alts)
+    if isinstance(path, NegSet):
+        return True
+    if isinstance(path, PathExpr):
+        return False  # Seq / closures / ZeroOrOne (graph_nodes union)
+    return True  # predicate constant
+
+
 def _reach_via_path(db: TriplesDB, path, seeds: DataFrame, forward: bool) -> DataFrame:
     """Seed-bounded path evaluation with provenance: ``(root, x)``
     pairs where ``root ∈ seeds`` and ``root path x`` (forward) or
@@ -228,7 +245,19 @@ def _reach_via_path(db: TriplesDB, path, seeds: DataFrame, forward: bool) -> Dat
             if forward
             else edges.select(F.col("o").alias("s"), F.col("s").alias("o"))
         )
-        reach = seeded_reachability(e, seeds, src="s", dst="o", keep_root=True)
+        reach = seeded_reachability(
+            e,
+            seeds,
+            src="s",
+            dst="o",
+            keep_root=True,
+            # plain-scan edge relations (predicate / Alt / NegSet over
+            # the CACHED triple store) re-run per BFS round instead of
+            # paying a full-corpus parquet write up front; composite
+            # relations (Seq join trees, nested closures) still
+            # materialize once
+            materialize_edges=not _simple_edge_relation(path.path),
+        )
         out = reach.select("root", F.col("n").alias("x"))
         if isinstance(path, ZeroOrMore):
             out = out.unionByName(ident_pairs()).dropDuplicates()
