@@ -172,17 +172,51 @@ def _normalize_patterns(patterns) -> list:
 # ---------------------------------------------------------------------------
 
 
-def select_df(project_vars, patterns, db, bag_semantics: bool = False) -> DataFrame:
+def select_df(
+    project_vars,
+    patterns,
+    db,
+    bag_semantics: bool = False,
+    order_by=None,
+    limit: int | None = None,
+    offset: int | None = None,
+) -> DataFrame:
     """DataFrame-returning select: one TERM-struct column per projected
     var.  The scale path — no driver collection, composable with any
     further DataFrame transformation.
 
     ``bag_semantics=True`` emits one row per derivation (multiset
     parity with the reference's ``run*`` enumeration) instead of the
-    default canonical set semantics."""
+    default canonical set semantics.
+
+    ``order_by``/``limit``/``offset`` (r09 — SPARQL 1.1 §15 solution
+    modifiers on PLAIN selects, mirroring :func:`select_agg`'s):
+    ``order_by`` is a sequence of projected var names, ``"-?v"`` for
+    descending; TERM columns sort in canonical term order
+    (lexicographic struct order).  With a ``limit`` Catalyst plans a
+    TakeOrdered (top-k per partition + merge), never a global sort;
+    ``offset`` without ``order_by`` would be nondeterministic and
+    raises."""
+    if offset is not None and not order_by:
+        raise ValueError("offset without order_by is nondeterministic")
     patterns = _normalize_patterns(patterns)
     pvars = [var_name(v) for v in project_vars] if project_vars else find_vars(patterns)
-    return _solve_projected(db, patterns, pvars, bag=bag_semantics)
+    out = _solve_projected(db, patterns, pvars, bag=bag_semantics)
+    if order_by:
+        sort_cols = []
+        for spec in order_by:
+            desc = spec.startswith("-")
+            vn = var_name(spec[1:] if desc else spec)
+            if vn not in pvars:
+                raise ValueError(f"order_by var {spec!r} is not projected")
+            c = F.col(f"`{vn}`")
+            sort_cols.append(c.desc() if desc else c.asc())
+        out = out.orderBy(*sort_cols)
+    if offset is not None:
+        out = out.offset(offset)
+    if limit is not None:
+        out = out.limit(limit)
+    return out
 
 
 def explain_query(patterns, db, mode: str = "formatted") -> str:

@@ -110,6 +110,29 @@ def bgp_optional_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bgp_select_top_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solution modifiers on a PLAIN select (r09): EUROPE customers by
+    name descending, rows 4-15 — ORDER BY + OFFSET + LIMIT at the
+    select-verb level (mirrors select_agg's modifiers; Catalyst plans a
+    TakeOrdered, not a global sort)."""
+    db = _graph(spark, sf_dir)
+    res = select_df(
+        ["?cname"],
+        [
+            ("?c", KW["mktsegment"], "?seg"),
+            ("?c", KW["nation"], "?n"),
+            ("?n", KW["region"], "?r"),
+            ("?r", KW["name"], "EUROPE"),
+            ("?c", KW["name"], "?cname"),
+        ],
+        db,
+        order_by=["-?cname"],
+        offset=3,
+        limit=12,
+    )
+    return res.select(lex(F.col("`?cname`")).alias("cname"))
+
+
 def bgp_filter_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FILTER over bound vars (extension absent from the reference):
     EUROPE customers whose name sorts above a cutoff."""
@@ -1298,6 +1321,7 @@ QUERIES = {
     "bgp_path_from_seed": bgp_path_from_seed,
     "graph_distances_from_seed": graph_distances_from_seed,
     "doc_chunk_packing": doc_chunk_packing,
+    "bgp_select_top_names": bgp_select_top_names,
     "dedup_incremental_simhash": dedup_incremental_simhash,
     # stale freshness (newest driver record r06) — rotated in per the
     # registry_audit contract
@@ -1637,6 +1661,13 @@ ORACLES = {
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         WHERE c_mktsegment = 'MACHINERY' AND r_name = 'ASIA'
+    """,
+    "bgp_select_top_names": """
+        SELECT c_name AS cname FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+        ORDER BY c_name DESC LIMIT 12 OFFSET 3
     """,
     "doc_chunk_packing": """
         WITH toks AS (

@@ -48,6 +48,45 @@ def test_names_rick_knows(friends_db):
     assert set(res) == {"Martin", "Katie"}
 
 
+def test_select_df_solution_modifiers(friends_db):
+    """r09: ORDER BY / LIMIT / OFFSET on plain select_df — canonical
+    term order per column, desc flips, offset needs an order, and a
+    limit plans TakeOrdered."""
+    import pytest as _pytest
+
+    from matcha_spark.query import select_df
+    from matcha_spark.terms import from_term
+
+    pats = [("?p", RDFS_LABEL, "?name")]
+    names = [
+        from_term(r["?name"])
+        for r in select_df(
+            ["?name"], pats, friends_db, order_by=["?name"]
+        ).collect()
+    ]
+    assert names == sorted(names) and len(names) >= 3
+    desc = [
+        from_term(r["?name"])
+        for r in select_df(
+            ["?name"], pats, friends_db, order_by=["-?name"]
+        ).collect()
+    ]
+    assert desc == list(reversed(names))
+    top2 = select_df(
+        ["?name"], pats, friends_db, order_by=["-?name"], limit=2
+    )
+    assert [from_term(r["?name"]) for r in top2.collect()] == desc[:2]
+    assert "TakeOrdered" in top2._jdf.queryExecution().executedPlan().toString()
+    paged = select_df(
+        ["?name"], pats, friends_db, order_by=["?name"], offset=1, limit=2
+    ).collect()
+    assert [from_term(r["?name"]) for r in paged] == names[1:3]
+    with _pytest.raises(ValueError):
+        select_df(["?name"], pats, friends_db, offset=1)
+    with _pytest.raises(ValueError):
+        select_df(["?name"], pats, friends_db, order_by=["?absent"])
+
+
 def test_friend_of_friend_chain(friends_db):
     # test:75-81: 3-pattern chain
     res = select(
