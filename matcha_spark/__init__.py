@@ -27,6 +27,7 @@ from .patterns import (
     Literal,
     Minus,
     NotExists,
+    SubSelect,
     Optional,
     Values,
     Var,
@@ -88,6 +89,7 @@ __all__ = [
     "Filter",
     "NotExists",
     "Minus",
+    "SubSelect",
     "Var",
     "Literal",
     "find_vars",

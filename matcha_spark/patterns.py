@@ -35,6 +35,7 @@ __all__ = [
     "Bind",
     "NotExists",
     "Minus",
+    "SubSelect",
     "PathExpr",
     "Seq",
     "Alt",
@@ -169,6 +170,48 @@ class Minus:
             object.__setattr__(self, "patterns", tuple(patterns[0]))
         else:
             object.__setattr__(self, "patterns", tuple(patterns))
+
+
+@dataclass(frozen=True)
+class SubSelect:
+    """SPARQL 1.1 §12 subquery: a nested SELECT used as a group graph
+    pattern.  Joins into the outer BGP on its PROJECTED vars only —
+    inner non-projected vars are invisible outside (projection
+    scoping) — and its own solution modifiers apply BEFORE the join,
+    which is the point: top-k-then-join, or aggregate-then-compare.
+
+    Plain flavor: ``SubSelect(["?c"], pats, order_by=["?c"], limit=5)``.
+    Aggregate flavor: ``aggs`` maps NEW var names to
+    :func:`~matcha_spark.query.select_agg` specs and ``vars`` are the
+    group vars — ``SubSelect(["?n"], pats, aggs={"?cnt": ("count",
+    "?o")})`` exposes ``?n`` and ``?cnt`` to the outer query; aggregate
+    values join in as typed TERM vars (long→int, double→double,
+    string→str).  Solutions are set-semantics like every verb here
+    (the engine's data-level dedup convention; SURVEY §2.4)."""
+
+    vars: tuple
+    patterns: tuple
+    aggs: Any = None
+    order_by: Any = None
+    limit: int | None = None
+    offset: int | None = None
+
+    def __init__(self, vars, patterns, aggs=None, order_by=None,
+                 limit=None, offset=None):
+        object.__setattr__(self, "vars", tuple(vars))
+        object.__setattr__(self, "patterns", tuple(patterns))
+        object.__setattr__(self, "aggs", dict(aggs) if aggs else None)
+        object.__setattr__(
+            self, "order_by", tuple(order_by) if order_by else None
+        )
+        object.__setattr__(self, "limit", limit)
+        object.__setattr__(self, "offset", offset)
+
+    def visible_vars(self) -> list:
+        out = [var_name(v) for v in self.vars]
+        if self.aggs:
+            out += [var_name(k) for k in self.aggs]
+        return out
 
 
 class PathExpr:
@@ -315,6 +358,12 @@ def find_vars(patterns: Iterable[Any]) -> list[str]:
         if isinstance(item, Bind):
             visit(item.var)  # BIND introduces its target var
             return
+        if isinstance(item, SubSelect):
+            # a subquery exposes exactly its projected + aggregate vars
+            # (projection scoping hides the rest)
+            for v in item.visible_vars():
+                visit("?" + v if not str(v).startswith("?") else v)
+            return
         if isinstance(item, (Filter, NotExists, Minus)):
             # filters bind nothing; negation-block vars are scoped to the
             # block (SPARQL: NOT EXISTS/MINUS vars are not projected out)
@@ -353,7 +402,7 @@ def validate_patterns(patterns: Sequence[Any]) -> None:
             return
         if isinstance(item, (Filter, Bind)):
             return  # callability / var-ness enforced at construction
-        if isinstance(item, (Optional, NotExists, Minus)):
+        if isinstance(item, (Optional, NotExists, Minus, SubSelect)):
             for p in item.patterns:
                 visit(p)
             return

@@ -48,6 +48,7 @@ from ..patterns import (
     Optional,
     PathExpr,
     Seq,
+    SubSelect,
     Values,
     ZeroOrMore,
     ZeroOrOne,
@@ -92,7 +93,9 @@ def _split_clauses(patterns: Sequence[Any]):
     ``src:193-203`` — order-invariance among optionals is a tested
     semantic, ``test:689-716``).  Filters and negation blocks apply to
     the required+values solutions, before optionals."""
-    triples, values, optionals, filters, binds, negations = [], [], [], [], [], []
+    triples, values, optionals, filters, binds, negations, subqueries = (
+        [], [], [], [], [], [], []
+    )
     for p in patterns:
         if isinstance(p, Optional):
             optionals.append(p)
@@ -104,12 +107,14 @@ def _split_clauses(patterns: Sequence[Any]):
             binds.append(p)
         elif isinstance(p, (NotExists, Minus)):
             negations.append(p)
+        elif isinstance(p, SubSelect):
+            subqueries.append(p)
         else:
             row = list(p)
             if len(row) == 4:
                 row = row[:3]  # quad tolerance (src:54-58)
             triples.append(tuple(row))
-    return triples, values, optionals, filters, binds, negations
+    return triples, values, optionals, filters, binds, negations, subqueries
 
 
 def _path_est(path, stats, total: float) -> float:
@@ -526,6 +531,60 @@ def _join_optional_branch(req_df, req_vars, block: Solutions) -> DataFrame:
     return out
 
 
+def _compile_subselect(
+    db: TriplesDB, sq: SubSelect, spark: SparkSession
+) -> tuple[DataFrame, list[str]]:
+    """SubSelect → (solutions DataFrame, visible var names).  Plain
+    flavor delegates to ``select_df`` (projection scoping + modifiers);
+    aggregate flavor to ``select_agg``, whose plain-typed aggregate
+    columns are lifted back into TERM structs (long→int, double→double,
+    string→str — the ``termcols`` encodings, so they equi-join and
+    FILTER like any var) under the ``aggs`` keys' var names."""
+    from ..functions.termcols import double_col, int_col, str_col
+    from ..query import select_agg, select_df
+
+    pats = list(sq.patterns)
+    if not sq.aggs:
+        out = select_df(
+            list(sq.vars),
+            pats,
+            db,
+            order_by=list(sq.order_by) if sq.order_by else None,
+            limit=sq.limit,
+            offset=sq.offset,
+        )
+        return out, [var_name(v) for v in sq.vars]
+    aggs = {str(k): v for k, v in sq.aggs.items()}
+    out = select_agg(
+        list(sq.vars),
+        aggs,
+        pats,
+        db,
+        order_by=list(sq.order_by) if sq.order_by else None,
+        limit=sq.limit,
+        offset=sq.offset,
+    )
+    cols = [F.col(f"`{var_name(v)}`").alias(var_name(v)) for v in sq.vars]
+    names = [var_name(v) for v in sq.vars]
+    for key in aggs:
+        vn = var_name(key)
+        c = F.col(f"`{key}`")
+        dt = dict(out.dtypes)[key]
+        if dt in ("bigint", "int", "smallint", "tinyint"):
+            term = int_col(c)
+        elif dt in ("double", "float") or dt.startswith("decimal"):
+            term = double_col(c.cast("double"))
+        elif dt == "string":
+            term = str_col(c)
+        else:
+            raise ValueError(
+                f"subquery aggregate {key!r} has unsupported type {dt!r}"
+            )
+        cols.append(term.alias(vn))
+        names.append(vn)
+    return out.select(*cols), names
+
+
 def solve(db: TriplesDB, patterns: Sequence[Any], spark: SparkSession | None = None) -> Solutions:
     """Compile a full pattern list to its raw solution DataFrame.
 
@@ -536,7 +595,15 @@ def solve(db: TriplesDB, patterns: Sequence[Any], spark: SparkSession | None = N
     """
     spark = spark or SparkSession.getActiveSession()
     validate_patterns(patterns)
-    triples, values_clauses, optionals, filters, binds, negations = _split_clauses(patterns)
+    (
+        triples,
+        values_clauses,
+        optionals,
+        filters,
+        binds,
+        negations,
+        subqueries,
+    ) = _split_clauses(patterns)
 
     required = _compile_required(db, triples, spark)
     if required is None:
@@ -544,6 +611,21 @@ def solve(db: TriplesDB, patterns: Sequence[Any], spark: SparkSession | None = N
     else:
         df, vars_ = required
     df, vars_ = _apply_values(df, vars_, values_clauses, spark)
+
+    # subqueries join like additional solution relations: on shared
+    # projected vars (SPARQL solution-mapping join), cartesian when
+    # disjoint; their own modifiers already applied INSIDE
+    for sq in subqueries:
+        sdf, svars = _compile_subselect(db, sq, spark)
+        if df is None:
+            df, vars_ = sdf, svars
+        else:
+            shared = [v for v in svars if v in vars_]
+            if shared:
+                df = df.join(sdf, on=shared, how="inner")
+            else:
+                df = df.crossJoin(sdf)
+            vars_ = list(vars_) + [v for v in svars if v not in vars_]
 
     if (filters or binds or negations) and df is None:
         raise ValueError("FILTER / BIND / NOT EXISTS / MINUS require required patterns")
@@ -577,7 +659,7 @@ def solve(db: TriplesDB, patterns: Sequence[Any], spark: SparkSession | None = N
             df = df.join(sub.df.limit(1), F.lit(True), "left_anti")
         # uncorrelated MINUS removes nothing (SPARQL dom-disjoint rule)
 
-    has_required = bool(triples or values_clauses)
+    has_required = bool(triples or values_clauses or subqueries)
     required_vars = list(vars_)
 
     if not optionals:

@@ -133,6 +133,34 @@ def bgp_select_top_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(lex(F.col("`?cname`")).alias("cname"))
 
 
+def bgp_subquery_busy_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 §12 subquery (r09): per-nation urgent-order counts
+    computed in a nested aggregate SELECT (projection scoping hides
+    ?o/?c), joined out to the nation name and FILTERed on the typed
+    aggregate var in the outer query; oracle is the nested-SELECT
+    relational twin."""
+    from .patterns import Filter, SubSelect
+
+    db = _graph(spark, sf_dir, include_orders=True, order_priority="1-URGENT")
+    res = select_df(
+        ["?nname", "?cnt"],
+        [
+            SubSelect(
+                ["?n"],
+                [("?o", KW["customer"], "?c"), ("?c", KW["nation"], "?n")],
+                aggs={"?cnt": ("count", "?o")},
+            ),
+            ("?n", KW["name"], "?nname"),
+            Filter(lambda v: v["?cnt"]["num"] >= 50),
+        ],
+        db,
+    )
+    return res.select(
+        lex(F.col("`?nname`")).alias("nname"),
+        F.col("`?cnt`")["num"].cast("long").alias("cnt"),
+    )
+
+
 def bgp_filter_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FILTER over bound vars (extension absent from the reference):
     EUROPE customers whose name sorts above a cutoff."""
@@ -1322,6 +1350,7 @@ QUERIES = {
     "graph_distances_from_seed": graph_distances_from_seed,
     "doc_chunk_packing": doc_chunk_packing,
     "bgp_select_top_names": bgp_select_top_names,
+    "bgp_subquery_busy_nations": bgp_subquery_busy_nations,
     "dedup_incremental_simhash": dedup_incremental_simhash,
     # stale freshness (newest driver record r06) — rotated in per the
     # registry_audit contract
@@ -1661,6 +1690,15 @@ ORACLES = {
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         WHERE c_mktsegment = 'MACHINERY' AND r_name = 'ASIA'
+    """,
+    "bgp_subquery_busy_nations": """
+        SELECT n_name AS nname, CAST(cnt AS BIGINT) AS cnt FROM (
+            SELECT c_nationkey AS nk, count(*) AS cnt
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE o_orderpriority = '1-URGENT'
+            GROUP BY 1
+        ) JOIN nation ON nk = n_nationkey
+        WHERE cnt >= 50
     """,
     "bgp_select_top_names": """
         SELECT c_name AS cname FROM customer

@@ -800,3 +800,78 @@ def test_explain_query_modes(friends_db):
     assert "InMemoryTableScan" in simple or "Scan" in simple
     with pytest.raises(Exception):
         explain_query(pats, friends_db, mode="not-a-mode")
+
+
+def test_subselect_plain_and_agg(friends_db):
+    """r09 SPARQL 1.1 subqueries: modifiers apply INSIDE (top-k then
+    join), aggregate subqueries expose typed agg vars the outer query
+    can FILTER on, projection scoping hides inner non-projected vars,
+    and a disjoint subquery is a solution-mapping cartesian."""
+    from pyspark.sql import functions as F
+
+    from matcha_spark import select
+    from matcha_spark.functions.termcols import lex
+    from matcha_spark.patterns import Filter, SubSelect
+
+    # plain: the alphabetically-first 2 labelled people, then join out
+    # to their names — LIMIT is inside, so exactly 2 rows survive
+    rows = select(
+        ["?name"],
+        [
+            SubSelect(
+                ["?p"],
+                [("?p", RDFS_LABEL, "?name")],
+                order_by=["?p"],
+                limit=2,
+            ),
+            ("?p", RDFS_LABEL, "?name"),
+        ],
+        friends_db,
+    )
+    assert rows is not None and len(rows) == 2
+
+    # aggregate: knows-count per person, FILTERed in the outer query
+    rows = select(
+        ["?name", "?cnt"],
+        [
+            SubSelect(
+                ["?p"],
+                [("?p", FOAF_KNOWS, "?q")],
+                aggs={"?cnt": ("count", "?q")},
+            ),
+            ("?p", RDFS_LABEL, "?name"),
+            Filter(lambda v: v["?cnt"]["num"] >= 2),
+        ],
+        friends_db,
+    )
+    got = {(n, c) for n, c in rows}
+    assert got == {("Rick", 2)}  # rick knows martin + katie
+
+    # projection scoping: the subquery's ?name is NOT projected, so the
+    # outer ?name binds independently (no accidental correlation)
+    rows = select(
+        ["?p"],
+        [
+            SubSelect(["?p"], [("?p", RDFS_LABEL, "?name")]),
+            ("?p", FOAF_KNOWS, "?q"),
+        ],
+        friends_db,
+    )
+    assert rows is not None and len(rows) >= 1
+
+    # disjoint vars: cartesian of solution mappings
+    rows = select(
+        ["?name", "?total"],
+        [
+            ("?p", RDFS_LABEL, "?name"),
+            SubSelect(
+                [],
+                [("?a", FOAF_KNOWS, "?b")],
+                aggs={"?total": ("count", "?b")},
+            ),
+        ],
+        friends_db,
+    )
+    names = {n for n, _t in rows}
+    totals = {t for _n, t in rows}
+    assert len(names) >= 3 and len(totals) == 1
