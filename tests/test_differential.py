@@ -639,3 +639,60 @@ def _freeze_key(v):
     from .model import _freeze
 
     return _freeze(v)
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_subselect_agg_differential(spark, seed):
+    """r09 subqueries: a random aggregate SubSelect joined with a random
+    outer pattern, engine vs the Python bag-aggregate model (the
+    subquery aggregates the inner bag-solution multiset; the join is a
+    solution-mapping join on the group var)."""
+    from matcha_spark import SubSelect, TriplesDB, select
+    from matcha_spark.patterns import find_vars
+    from matcha_spark.terms import from_term
+
+    from .model import model_select_bag
+
+    rng = random.Random(5500 + seed)
+    db_rows = _rand_db(rng, rng.randint(4, 12))
+    inner, allv = [], []
+    for _ in range(20):  # redraw until the subquery has 2+ vars
+        inner = [
+            _rand_pattern(rng, allow_var=0.8)
+            for _ in range(rng.randint(1, 2))
+        ]
+        allv = find_vars(inner)
+        if len(allv) >= 2:
+            break
+    else:
+        pytest.skip("no 2-var draw in 20 tries")
+    gvar, avar = allv[0], allv[-1]
+    outer_pred = rng.choice(PREDS)
+    sub = SubSelect([gvar], inner, aggs={"?cnt": ("count", avar)})
+    pats = [sub, (gvar, outer_pred, "?z")]
+
+    # model: inner bag solutions -> per-group count of bound avar ->
+    # join on gvar against the outer pattern's scan
+    rows = model_select_bag(allv, inner, db_rows)
+    gi, ai = allv.index(gvar), allv.index(avar)
+    counts = {}
+    for row in rows:
+        if row[ai] is not UNBOUND:
+            counts[_freeze_key(row[gi])] = counts.get(_freeze_key(row[gi]), 0) + 1
+    want = set()
+    for s, p, o in db_rows:
+        if p == outer_pred and _freeze_key(s) in counts:
+            want.add((_freeze_key(s), counts[_freeze_key(s)], _freeze_key(o)))
+
+    db = TriplesDB.from_triples(spark, db_rows)
+    try:
+        got_rows = select([gvar, "?cnt", "?z"], pats, db) or []
+    finally:
+        db.unpersist()
+    got = {
+        (_freeze_key(g), c, _freeze_key(z)) for g, c, z in got_rows
+    }
+    assert got == want, (
+        f"seed={seed}\ndb={db_rows}\ninner={inner}\nouter={outer_pred}\n"
+        f"got={got}\nwant={want}"
+    )
