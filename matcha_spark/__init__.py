@@ -25,6 +25,7 @@ from .patterns import (
     Bind,
     Filter,
     Literal,
+    Exists,
     Minus,
     NotExists,
     SubSelect,
@@ -88,6 +89,7 @@ __all__ = [
     "Bind",
     "Filter",
     "NotExists",
+    "Exists",
     "Minus",
     "SubSelect",
     "Var",

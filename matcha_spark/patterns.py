@@ -34,6 +34,7 @@ __all__ = [
     "Filter",
     "Bind",
     "NotExists",
+    "Exists",
     "Minus",
     "SubSelect",
     "PathExpr",
@@ -147,6 +148,23 @@ class NotExists:
     has at least one compatible solution (anti-join on shared vars; a
     block sharing no vars empties the result iff it matches at all).
     Spark-native extension (SURVEY §2.5: negation absent in reference)."""
+
+    patterns: Sequence[Any]
+
+    def __init__(self, *patterns):
+        if len(patterns) == 1 and isinstance(patterns[0], list):
+            object.__setattr__(self, "patterns", tuple(patterns[0]))
+        else:
+            object.__setattr__(self, "patterns", tuple(patterns))
+
+
+@dataclass(frozen=True)
+class Exists:
+    """SPARQL ``FILTER EXISTS``: keep solutions for which the block has
+    at least one compatible solution — the positive (semi-join) twin of
+    :class:`NotExists`; a block sharing no vars keeps everything iff it
+    matches at all.  Same var scoping: block vars are not projected
+    out."""
 
     patterns: Sequence[Any]
 
@@ -364,7 +382,7 @@ def find_vars(patterns: Iterable[Any]) -> list[str]:
             for v in item.visible_vars():
                 visit("?" + v if not str(v).startswith("?") else v)
             return
-        if isinstance(item, (Filter, NotExists, Minus)):
+        if isinstance(item, (Filter, NotExists, Exists, Minus)):
             # filters bind nothing; negation-block vars are scoped to the
             # block (SPARQL: NOT EXISTS/MINUS vars are not projected out)
             return
@@ -402,7 +420,7 @@ def validate_patterns(patterns: Sequence[Any]) -> None:
             return
         if isinstance(item, (Filter, Bind)):
             return  # callability / var-ness enforced at construction
-        if isinstance(item, (Optional, NotExists, Minus, SubSelect)):
+        if isinstance(item, (Optional, NotExists, Exists, Minus, SubSelect)):
             for p in item.patterns:
                 visit(p)
             return

@@ -39,6 +39,7 @@ from ..db import TriplesDB
 from ..patterns import (
     Alt,
     Bind,
+    Exists,
     Filter,
     Inv,
     Minus,
@@ -105,7 +106,7 @@ def _split_clauses(patterns: Sequence[Any]):
             filters.append(p)
         elif isinstance(p, Bind):
             binds.append(p)
-        elif isinstance(p, (NotExists, Minus)):
+        elif isinstance(p, (NotExists, Exists, Minus)):
             negations.append(p)
         elif isinstance(p, SubSelect):
             subqueries.append(p)
@@ -648,15 +649,16 @@ def solve(db: TriplesDB, patterns: Sequence[Any], spark: SparkSession | None = N
     for neg in negations:
         sub = solve(db, list(neg.patterns), spark)
         shared = [v for v in sub.vars if v in vars_]
+        how = "left_semi" if isinstance(neg, Exists) else "left_anti"
         if shared:
             df = df.join(
-                sub.df.select(*shared).dropDuplicates(), on=shared, how="left_anti"
+                sub.df.select(*shared).dropDuplicates(), on=shared, how=how
             )
-        elif isinstance(neg, NotExists):
-            # uncorrelated NOT EXISTS: block matching at all empties the
-            # result — expressed as an anti-join against a 1-row probe so
-            # nothing collects to the driver
-            df = df.join(sub.df.limit(1), F.lit(True), "left_anti")
+        elif isinstance(neg, (NotExists, Exists)):
+            # uncorrelated EXISTS/NOT EXISTS: the block matching at all
+            # keeps/empties the whole result — a semi/anti-join against a
+            # 1-row probe, nothing collects to the driver
+            df = df.join(sub.df.limit(1), F.lit(True), how)
         # uncorrelated MINUS removes nothing (SPARQL dom-disjoint rule)
 
     has_required = bool(triples or values_clauses or subqueries)

@@ -161,6 +161,25 @@ def bgp_subquery_busy_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bgp_exists_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER EXISTS (r09): AUTOMOBILE customers that have at least one
+    1-URGENT order — the positive semi-join twin of
+    bgp_not_exists_unurgent; oracle is the relational EXISTS."""
+    from .patterns import Exists
+
+    db = _graph(spark, sf_dir, include_orders=True, order_priority="1-URGENT")
+    res = select_df(
+        ["?cname"],
+        [
+            ("?c", KW["mktsegment"], "AUTOMOBILE"),
+            ("?c", KW["name"], "?cname"),
+            Exists([("?o", KW["customer"], "?c")]),
+        ],
+        db,
+    )
+    return res.select(lex(F.col("`?cname`")).alias("cname"))
+
+
 def bgp_filter_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FILTER over bound vars (extension absent from the reference):
     EUROPE customers whose name sorts above a cutoff."""
@@ -1351,6 +1370,7 @@ QUERIES = {
     "doc_chunk_packing": doc_chunk_packing,
     "bgp_select_top_names": bgp_select_top_names,
     "bgp_subquery_busy_nations": bgp_subquery_busy_nations,
+    "bgp_exists_repeat_customers": bgp_exists_repeat_customers,
     "dedup_incremental_simhash": dedup_incremental_simhash,
     # stale freshness (newest driver record r06) — rotated in per the
     # registry_audit contract
@@ -1690,6 +1710,13 @@ ORACLES = {
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         WHERE c_mktsegment = 'MACHINERY' AND r_name = 'ASIA'
+    """,
+    "bgp_exists_repeat_customers": """
+        SELECT c_name AS cname FROM customer
+        WHERE c_mktsegment = 'AUTOMOBILE'
+          AND EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
     """,
     "bgp_subquery_busy_nations": """
         SELECT n_name AS nname, CAST(cnt AS BIGINT) AS cnt FROM (

@@ -875,3 +875,35 @@ def test_subselect_plain_and_agg(friends_db):
     names = {n for n, _t in rows}
     totals = {t for _n, t in rows}
     assert len(names) >= 3 and len(totals) == 1
+
+
+def test_exists_positive_filter(friends_db):
+    """r09 FILTER EXISTS: the semi-join twin of NotExists — keeps
+    solutions whose block matches; uncorrelated blocks keep everything
+    or nothing."""
+    from matcha_spark import Exists, select
+
+    # people with at least one knows-edge, by name
+    rows = select(
+        ["?name"],
+        [("?p", RDFS_LABEL, "?name"), Exists([("?p", FOAF_KNOWS, "?q")])],
+        friends_db,
+    )
+    assert set(rows) == {"Rick", "Katie"}
+    # uncorrelated, matching: keeps all labelled people
+    all_rows = select(
+        ["?name"],
+        [("?p", RDFS_LABEL, "?name"), Exists([("?a", FOAF_KNOWS, "?b")])],
+        friends_db,
+    )
+    base = select(["?name"], [("?p", RDFS_LABEL, "?name")], friends_db)
+    assert set(all_rows) == set(base)
+    # uncorrelated, non-matching: empties
+    assert (
+        select(
+            ["?name"],
+            [("?p", RDFS_LABEL, "?name"), Exists([("?a", kw_not_matching(), "?b")])],
+            friends_db,
+        )
+        is None
+    )
