@@ -490,3 +490,45 @@ def test_media_near_dup_no_cartesian(spark):
         plan = _plan(fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, fn.__name__
         assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+
+
+def test_exists_plans_semi_join(spark):
+    """FILTER EXISTS compiles to a semi-join (never an inner join that
+    would duplicate solutions, never a nested loop)."""
+    from matcha_spark.suite import bgp_exists_repeat_customers
+
+    plan = _plan(bgp_exists_repeat_customers(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan or "LeftSemi" in plan
+
+
+def test_subquery_agg_is_partial(spark):
+    """An aggregate subquery keeps map-side partial aggregation and
+    joins the outer BGP with a hash join, not a nested loop."""
+    from matcha_spark.suite import bgp_subquery_busy_nations
+
+    plan = _plan(bgp_subquery_busy_nations(spark, SF_DIR))
+    assert "partial_count" in plan  # map-side combine inside the subquery
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_select_modifier_limit_is_take_ordered(spark):
+    """ORDER BY + LIMIT on a plain select plans TakeOrdered (top-k per
+    partition + merge), not a global Sort."""
+    from matcha_spark.suite import bgp_select_top_names
+
+    plan = _plan(bgp_select_top_names(spark, SF_DIR))
+    assert "TakeOrdered" in plan
+
+
+def test_chunk_packing_no_single_partition_window(spark):
+    """The packing prefix sum must stay distributed: the window runs
+    partition-local (partitioned by __pid), never as an empty-partition
+    global window, and no SinglePartition exchange feeds it."""
+    from matcha_spark.operators.text import chunk_packing
+    from matcha_spark.sources.tpch_graph import load_tables
+
+    docs = load_tables(spark, SF_DIR, "documents")["documents"]
+    plan = _plan(chunk_packing(docs, budget=64))
+    assert "__pid" in plan.split("Window")[1][:400]  # partition spec present
+    assert "SinglePartition" not in plan
