@@ -246,6 +246,15 @@ def main() -> None:
     from matcha_spark.suite import doc_chunk_packing
 
     bench("doc_chunk_packing", lambda: force(doc_chunk_packing(spark, SF_DIR)))
+    from matcha_spark.suite import (
+        bgp_exists_repeat_customers,
+        bgp_select_top_names,
+        bgp_subquery_busy_nations,
+    )
+
+    bench("bgp_select_top_names", lambda: force(bgp_select_top_names(spark, SF_DIR)))
+    bench("bgp_subquery_busy_nations", lambda: force(bgp_subquery_busy_nations(spark, SF_DIR)))
+    bench("bgp_exists_repeat_customers", lambda: force(bgp_exists_repeat_customers(spark, SF_DIR)))
 
     total = round(sum(times.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -29,6 +29,7 @@ from .patterns import (
     Minus,
     NotExists,
     SubSelect,
+    ValuesRows,
     Optional,
     Values,
     Var,
@@ -92,6 +93,7 @@ __all__ = [
     "Exists",
     "Minus",
     "SubSelect",
+    "ValuesRows",
     "Var",
     "Literal",
     "find_vars",

@@ -30,6 +30,7 @@ __all__ = [
     "Var",
     "Literal",
     "Values",
+    "ValuesRows",
     "Optional",
     "Filter",
     "Bind",
@@ -79,6 +80,33 @@ class Values:
 
     var: Any
     coll: Any
+
+
+@dataclass(frozen=True)
+class ValuesRows:
+    """SPARQL 1.1 inline data over a var TUPLE: ``VALUES (?a ?b) {
+    (1 "x") (2 UNDEF) }`` — rows are tuples aligned with ``vars``;
+    ``None`` means UNDEF (that var is unconstrained for the row).
+
+    Joins the solutions as a solution-mapping join: each row keeps the
+    solutions that agree on its DEFINED vars.  Vars not bound by the
+    required patterns must be defined in EVERY row (they join in as new
+    columns); UNDEF is only meaningful for pattern-bound vars — a
+    constraint-only use, which is the SPARQL-practical one (parameter
+    tables, partial filters).  Single-var :class:`Values` keeps the
+    reference's membero semantics; this is the tuple generalization."""
+
+    vars: tuple
+    rows: tuple
+
+    def __init__(self, vars, rows):
+        object.__setattr__(self, "vars", tuple(vars))
+        object.__setattr__(
+            self, "rows", tuple(tuple(r) for r in (rows or []))
+        )
+        for r in self.rows:
+            if len(r) != len(self.vars):
+                raise InvalidValuesError(r)
 
 
 @dataclass(frozen=True)
@@ -369,6 +397,10 @@ def find_vars(patterns: Iterable[Any]) -> list[str]:
         if isinstance(item, Values):
             visit(item.var)
             return
+        if isinstance(item, ValuesRows):
+            for v in item.vars:
+                visit(v)
+            return
         if isinstance(item, Optional):
             for p in item.patterns:
                 visit(p)
@@ -418,8 +450,8 @@ def validate_patterns(patterns: Sequence[Any]) -> None:
             if not (rhs is None or isinstance(rhs, (list, tuple, set, frozenset))):
                 bad_values.append(rhs)
             return
-        if isinstance(item, (Filter, Bind)):
-            return  # callability / var-ness enforced at construction
+        if isinstance(item, (Filter, Bind, ValuesRows)):
+            return  # callability / shape enforced at construction
         if isinstance(item, (Optional, NotExists, Exists, Minus, SubSelect)):
             for p in item.patterns:
                 visit(p)

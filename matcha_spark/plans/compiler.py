@@ -51,6 +51,7 @@ from ..patterns import (
     Seq,
     SubSelect,
     Values,
+    ValuesRows,
     ZeroOrMore,
     ZeroOrOne,
     const_value,
@@ -100,7 +101,7 @@ def _split_clauses(patterns: Sequence[Any]):
     for p in patterns:
         if isinstance(p, Optional):
             optionals.append(p)
-        elif isinstance(p, Values):
+        elif isinstance(p, (Values, ValuesRows)):
             values.append(p)
         elif isinstance(p, Filter):
             filters.append(p)
@@ -478,11 +479,74 @@ def _values_df(spark: SparkSession, var: str, coll) -> DataFrame:
     return spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
 
 
+def _apply_values_rows(df, vars_, vr, spark):
+    """SPARQL inline data (``ValuesRows``): group rows by their
+    defined-var mask; each group keeps the solutions agreeing on its
+    defined ∩ bound vars (broadcast equi-join) and contributes any
+    always-defined new vars as columns; groups union.  UNDEF rows with
+    no defined vars keep every solution."""
+    vnames = [var_name(v) for v in vr.vars]
+    new_vars = [v for v in vnames if v not in vars_]
+    for r in vr.rows:
+        for v, x in zip(vnames, r):
+            if v in new_vars and x is None:
+                raise ValueError(
+                    f"VALUES var {v!r} is not bound by any pattern, so "
+                    "UNDEF rows cannot bind it — define it in every row"
+                )
+    if df is None and new_vars != vnames:
+        raise ValueError("ValuesRows without required patterns must define all vars")
+    if not vr.rows:
+        # empty inline data: no solutions (same as Values None/empty)
+        if df is None:
+            return _values_df(spark, vnames[0], []), [vnames[0]]
+        return df.limit(0), vars_
+    groups: dict[tuple, list] = {}
+    for r in vr.rows:
+        groups.setdefault(tuple(x is not None for x in r), []).append(r)
+    out_vars = list(vars_) + new_vars
+    branches = []
+    for mask, rows in groups.items():
+        defined = [v for v, m in zip(vnames, mask) if m]
+        schema = StructType(
+            [StructField(v, TERM_TYPE, nullable=False) for v in defined]
+        )
+        data = [
+            tuple(to_term(x) for x, m in zip(r, mask) if m) for r in rows
+        ]
+        vdf = F.broadcast(spark.createDataFrame(data, schema))
+        if df is None:
+            branches.append(vdf.select(*out_vars))
+            continue
+        shared = [v for v in defined if v in vars_]
+        if shared:
+            b = df.join(vdf, on=shared, how="inner")
+        elif defined:
+            b = df.crossJoin(vdf)
+        else:
+            # all-UNDEF row(s): unconstrained — keep every solution
+            b = df
+            if new_vars:  # unreachable (guarded above), defensive
+                raise ValueError("UNDEF cannot bind a new var")
+        branches.append(b.select(*out_vars))
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    # distinct rows across mask groups can admit the same solution twice
+    # — the engine's set semantics dedups downstream, but dedup here so
+    # bag_semantics callers see SPARQL's per-row-join multiset only once
+    # per (solution, matching-row-group) as documented
+    return (out.dropDuplicates() if len(branches) > 1 else out), out_vars
+
+
 def _apply_values(df, vars_, values_clauses, spark):
     """``membero`` semantics: inner join against the literal collection —
     duplicates in a sequence duplicate solutions; None/empty yields no
     solutions (reference ``src:175-176``, ``src:215-228``)."""
     for vc in values_clauses:
+        if isinstance(vc, ValuesRows):
+            df, vars_ = _apply_values_rows(df, vars_, vc, spark)
+            continue
         v = var_name(vc.var)
         coll = list(vc.coll) if isinstance(vc.coll, (set, frozenset)) else vc.coll
         vdf = F.broadcast(_values_df(spark, v, coll))

@@ -180,6 +180,32 @@ def bgp_exists_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(lex(F.col("`?cname`")).alias("cname"))
 
 
+def bgp_values_rows_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-var inline data (r09, SPARQL VALUES (?a ?b) { ... }):
+    customers matching the (region, segment) tuples jointly, with an
+    UNDEF row admitting every AFRICA segment; oracle is the OR-of-
+    conjunctions the mask-grouped joins implement."""
+    from .patterns import ValuesRows
+
+    db = _graph(spark, sf_dir)
+    res = select_df(
+        ["?cname"],
+        [
+            ("?c", KW["mktsegment"], "?seg"),
+            ("?c", KW["nation"], "?n"),
+            ("?n", KW["region"], "?r"),
+            ("?r", KW["name"], "?rname"),
+            ("?c", KW["name"], "?cname"),
+            ValuesRows(
+                ("?rname", "?seg"),
+                [("EUROPE", "BUILDING"), ("ASIA", "MACHINERY"), ("AFRICA", None)],
+            ),
+        ],
+        db,
+    )
+    return res.select(lex(F.col("`?cname`")).alias("cname"))
+
+
 def bgp_filter_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FILTER over bound vars (extension absent from the reference):
     EUROPE customers whose name sorts above a cutoff."""
@@ -1371,6 +1397,7 @@ QUERIES = {
     "bgp_select_top_names": bgp_select_top_names,
     "bgp_subquery_busy_nations": bgp_subquery_busy_nations,
     "bgp_exists_repeat_customers": bgp_exists_repeat_customers,
+    "bgp_values_rows_pairs": bgp_values_rows_pairs,
     "dedup_incremental_simhash": dedup_incremental_simhash,
     # stale freshness (newest driver record r06) — rotated in per the
     # registry_audit contract
@@ -1710,6 +1737,14 @@ ORACLES = {
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         WHERE c_mktsegment = 'MACHINERY' AND r_name = 'ASIA'
+    """,
+    "bgp_values_rows_pairs": """
+        SELECT c_name AS cname FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE (r_name = 'EUROPE' AND c_mktsegment = 'BUILDING')
+           OR (r_name = 'ASIA' AND c_mktsegment = 'MACHINERY')
+           OR r_name = 'AFRICA'
     """,
     "bgp_exists_repeat_customers": """
         SELECT c_name AS cname FROM customer

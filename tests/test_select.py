@@ -907,3 +907,49 @@ def test_exists_positive_filter(friends_db):
         )
         is None
     )
+
+
+def test_values_rows_inline_data(friends_db):
+    """r09 multi-var VALUES: tuple rows constrain jointly; UNDEF (None)
+    leaves a pattern-bound var unconstrained for that row; new vars
+    defined in every row bind as columns; empty data yields nothing."""
+    from matcha_spark import ValuesRows, select
+    from matcha_spark.errors import InvalidValuesError
+
+    pats = [("?p", FOAF_KNOWS, "?q"), ("?q", RDFS_LABEL, "?name")]
+    # joint constraint: only the (rick -> Martin) combination survives
+    rows = select(
+        ["?name"],
+        pats + [ValuesRows(("?p", "?name"), [(rick, "Martin"), (julie, "Katie")])],
+        friends_db,
+    )
+    assert rows == ["Martin"]
+    # UNDEF on ?name: the rick row admits all of rick's friends
+    rows = select(
+        ["?name"],
+        pats + [ValuesRows(("?p", "?name"), [(rick, None), (julie, "Katie")])],
+        friends_db,
+    )
+    assert set(rows) == {"Martin", "Katie"}
+    # new var defined in every row binds as a column (cartesian tags)
+    rows = select(
+        ["?name", "?tag"],
+        [(rick, RDFS_LABEL, "?name"), ValuesRows(("?tag",), [(1,), (2,)])],
+        friends_db,
+    )
+    assert as_set(rows) == {("Rick", 1), ("Rick", 2)}
+    # UNDEF cannot bind a var no pattern binds
+    with pytest.raises(ValueError):
+        select(
+            ["?name", "?tag"],
+            [(rick, RDFS_LABEL, "?name"), ValuesRows(("?tag",), [(1,), (None,)])],
+            friends_db,
+        )
+    # empty inline data: no solutions
+    assert (
+        select(["?name"], pats + [ValuesRows(("?name",), [])], friends_db)
+        is None
+    )
+    # ragged row raises at construction
+    with pytest.raises(InvalidValuesError):
+        ValuesRows(("?a", "?b"), [(1,)])
