@@ -206,6 +206,33 @@ def bgp_values_rows_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(lex(F.col("`?cname`")).alias("cname"))
 
 
+def graph_components_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components oracle entry (r09): undirected min-label
+    propagation over per-region nation chains (lead() successor edges
+    within each region) — every region collapses to one component
+    labeled by its smallest nation key.  Oracle replays the undirected
+    reachability closure with a recursive CTE and takes the min
+    reachable id per node."""
+    from pyspark.sql import Window
+
+    from .operators.dedup import connected_components
+
+    n = load_tables(spark, sf_dir, "nation")["nation"]
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    edges = (
+        n.select(
+            F.col("n_nationkey").alias("src"),
+            F.lead("n_nationkey").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+    )
+    comp = connected_components(edges, src="src", dst="dst")
+    return comp.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 def bgp_filter_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FILTER over bound vars (extension absent from the reference):
     EUROPE customers whose name sorts above a cutoff."""
@@ -1398,6 +1425,7 @@ QUERIES = {
     "bgp_subquery_busy_nations": bgp_subquery_busy_nations,
     "bgp_exists_repeat_customers": bgp_exists_repeat_customers,
     "bgp_values_rows_pairs": bgp_values_rows_pairs,
+    "graph_components_nations": graph_components_nations,
     "dedup_incremental_simhash": dedup_incremental_simhash,
     # stale freshness (newest driver record r06) — rotated in per the
     # registry_audit contract
@@ -1737,6 +1765,27 @@ ORACLES = {
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         WHERE c_mktsegment = 'MACHINERY' AND r_name = 'ASIA'
+    """,
+    "graph_components_nations": """
+        WITH RECURSIVE e AS (
+            SELECT n_nationkey AS src,
+                   lead(n_nationkey) OVER (PARTITION BY n_regionkey
+                                           ORDER BY n_nationkey) AS dst
+            FROM nation
+        ), ed AS (
+            SELECT src, dst FROM e WHERE dst IS NOT NULL
+        ), und AS (
+            SELECT src, dst FROM ed UNION SELECT dst, src FROM ed
+        ), reach(a, b) AS (
+            SELECT src, dst FROM und
+            UNION
+            SELECT r.a, u.dst FROM reach r JOIN und u ON u.src = r.b
+        ), nodes AS (
+            SELECT DISTINCT src AS n FROM und
+        )
+        SELECT CAST(n AS BIGINT) AS id,
+               CAST(least(n, min(b)) AS BIGINT) AS component
+        FROM nodes JOIN reach ON a = n GROUP BY n
     """,
     "bgp_values_rows_pairs": """
         SELECT c_name AS cname FROM customer
