@@ -1210,6 +1210,33 @@ def doc_chunk_packing(spark, sf_dir):
     return T.chunk_packing(docs, budget=64)
 
 
+def doc_pipeline_pack(spark, sf_dir):
+    """End-to-end pretraining prep (r09): the curation cascade's KEPT
+    documents flow straight into concat-and-chunk packing — quality →
+    dedup → decontamination → 64-token training chunks in one composed
+    plan; the oracle replays the whole thing (cascade + ordered-window
+    packing) as one SQL query, catching cross-stage bugs (a wrongly
+    kept doc shifts every later chunk boundary)."""
+    from . import pipelines as P
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    probes = docs.where(F.col("doc_id") % 50 == 0).select("text")
+    verdict = P.curate_corpus(
+        docs,
+        probes,
+        min_tokens=40,
+        max_avg_token_len=12.0,
+        max_punct_ratio=0.1,
+        min_stopword_ratio=0.01,
+        contamination_n=8,
+        max_contamination=0.5,
+    )
+    kept = docs.join(
+        verdict.where(F.col("status") == "kept").select("doc_id"), "doc_id"
+    )
+    return T.chunk_packing(kept, budget=64)
+
+
 def doc_strip_html(spark, sf_dir):
     """HTML extraction round-trip (r08): both sides wrap the flat doc
     text in deterministic markup (tags, bold spans, a script block, an
@@ -1426,6 +1453,7 @@ QUERIES = {
     "bgp_exists_repeat_customers": bgp_exists_repeat_customers,
     "bgp_values_rows_pairs": bgp_values_rows_pairs,
     "graph_components_nations": graph_components_nations,
+    "doc_pipeline_pack": doc_pipeline_pack,
     "dedup_incremental_simhash": dedup_incremental_simhash,
     # stale freshness (newest driver record r06) — rotated in per the
     # registry_audit contract
@@ -1990,6 +2018,67 @@ ORACLES = {
         LEFT JOIN q ON d.doc_id = q.doc_id
         LEFT JOIN keepers ON d.doc_id = keepers.doc_id
         LEFT JOIN cont ON d.doc_id = cont.doc_id
+    """,
+    "doc_pipeline_pack": f"""
+        WITH q AS (
+            SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       len({_TOKS}) AS n_tokens,
+                       round(length(text) / len({_TOKS}), 4) AS avg_token_len,
+                       round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / length(text), 4) AS punct_ratio,
+                       round(len(list_filter({_TOKS}, x -> lower(x) IN ({_EN}))) / len({_TOKS}), 4) AS stopword_ratio
+                FROM documents
+            )
+            WHERE n_tokens >= 40 AND avg_token_len <= 12.0
+              AND punct_ratio <= 0.1 AND stopword_ratio >= 0.01
+        ), keepers AS (
+            SELECT min(doc_id) AS doc_id FROM (
+                SELECT doc_id, md5({_NORM}) AS fp FROM q
+            ) GROUP BY fp
+        ), d_surv AS (
+            SELECT q.* FROM q JOIN keepers USING (doc_id)
+        ), ptoks AS (
+            SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents WHERE doc_id % 50 = 0
+        ), pg AS (
+            SELECT DISTINCT unnest(list_transform(range(len(t) - 7),
+                   i -> array_to_string(t[i + 1 : i + 8], ' '))) AS gram
+            FROM ptoks WHERE len(t) >= 8
+        ), dg AS (
+            SELECT doc_id, unnest(list_transform(range(len(t) - 7),
+                   i -> array_to_string(t[i + 1 : i + 8], ' '))) AS gram
+            FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                  FROM d_surv) WHERE len(t) >= 8
+        ), cont AS (
+            SELECT doc_id FROM (
+                SELECT doc_id, count(*) AS n_grams,
+                       sum(CASE WHEN pg.gram IS NOT NULL THEN 1 ELSE 0 END) AS hit
+                FROM dg LEFT JOIN pg USING (gram) GROUP BY 1
+            ) WHERE n_grams > 0 AND hit * 1.0 / n_grams > 0.5
+        ), kept AS (
+            SELECT d_surv.doc_id, d_surv.text FROM d_surv
+            LEFT JOIN cont ON d_surv.doc_id = cont.doc_id
+            WHERE cont.doc_id IS NULL
+        ), ktoks AS (
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                   x -> x <> '')) AS n
+            FROM kept
+        ), pos AS (
+            SELECT doc_id, n,
+                   CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS off
+            FROM ktoks WHERE n > 0
+        ), spans AS (
+            SELECT doc_id, n, off,
+                   unnest(range(off // 64, (off + n - 1) // 64 + 1)) AS chunk_id
+            FROM pos
+        )
+        SELECT CAST(chunk_id AS BIGINT) AS chunk_id, doc_id,
+               CAST(greatest(0, chunk_id * 64 - off) AS BIGINT) AS tok_start,
+               CAST(least(n, (chunk_id + 1) * 64 - off) AS BIGINT) AS tok_end
+        FROM spans
     """,
     "doc_normalize_nfc": """
         SELECT doc_id, nfc_normalize(coalesce(text, '')) AS text FROM documents
