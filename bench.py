@@ -68,10 +68,13 @@ def main() -> None:
     # cache mode (r09): per-query numbers must not depend on suite
     # composition — which earlier entries warmed or evicted the 32-entry
     # memo LRU / 8-entry graph cache by the time this one runs.
-    #   warm (default): each entry gets its own untimed warming run
-    #     (repeat entries) or a graph-cache pre-warm (single-shot
-    #     closure entries, whose iteration cost is the measurement);
-    #     timed runs then start from a self-warmed state.
+    #   warm (default): before each entry, OTHER entries' leftover memo
+    #     frames are dropped (their memory pressure can evict this
+    #     entry's warm blocks mid-measurement), then the entry gets its
+    #     own untimed warming run (repeat entries) or a graph-cache
+    #     pre-warm (iterative closure entries, whose per-call iteration
+    #     cost IS the measurement — they repeat too, min-of-N, since
+    #     nothing is reused between calls).
     #   cold: every cache is cleared before each timed run — each entry
     #     pays its full build cost, every time.
     mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "warm")
@@ -98,6 +101,14 @@ def main() -> None:
         if prewarm == "auto":
             prewarm = "self" if repeat else "graphs"
         if mode == "warm":
+            # drop OTHER entries' leftover memo frames first: executor
+            # memory pressure from dozens of earlier persisted frames
+            # can evict this entry's just-warmed blocks mid-measurement
+            # (the r08→r09 outlier mechanism).  The graph cache stays —
+            # "index once, query many" is the measured contract.
+            from matcha_spark.cache import clear_memo
+
+            clear_memo()
             if prewarm == "self":
                 fn()
             elif prewarm == "graphs":
@@ -157,10 +168,12 @@ def main() -> None:
     bench("bgp_customers_in_region", lambda: force(bgp_customers_in_region(spark, SF_DIR)))
     bench("bgp_optional_urgent_orders", lambda: force(bgp_optional_urgent_orders(spark, SF_DIR)))
     bench("bgp_path_region_members", lambda: force(bgp_path_region_members(spark, SF_DIR)))
-    # closure entries materialize path-doubling rounds: timed once (their
-    # cost is the iteration, not plan reuse)
-    bench("bgp_path_reach_urgent", lambda: force(bgp_path_reach_urgent(spark, SF_DIR)), repeat=False)
-    bench("graph_closure_nations", lambda: force(graph_closure_nations(spark, SF_DIR)), repeat=False)
+    # closure entries materialize path-doubling rounds EVERY call (no
+    # result reuse across runs), so min-of-N is honest — and these
+    # multi-job iterative entries are the jitter-prone ones, so the
+    # repetition is what makes their numbers comparable across rounds
+    bench("bgp_path_reach_urgent", lambda: force(bgp_path_reach_urgent(spark, SF_DIR)), prewarm="graphs")
+    bench("graph_closure_nations", lambda: force(graph_closure_nations(spark, SF_DIR)), prewarm="graphs")
     bench("asof_events_orders", lambda: force(R.asof_events_orders(spark, SF_DIR)))
     bench("asof_events_orders_forward", lambda: force(R.asof_events_orders_forward(spark, SF_DIR)))
     bench("rollup_nation_segment", lambda: force(R.rollup_nation_segment(spark, SF_DIR)))
@@ -195,7 +208,7 @@ def main() -> None:
         S.pq_topk(emb, emb.where("vec_id < 5"), k=5)
     ))
     bench("bgp_agg_customers_by_region", lambda: force(bgp_agg_customers_by_region(spark, SF_DIR)))
-    bench("graph_shortest_urgent", lambda: force(graph_shortest_urgent(spark, SF_DIR)), repeat=False)
+    bench("graph_shortest_urgent", lambda: force(graph_shortest_urgent(spark, SF_DIR)), prewarm="graphs")
     # LSH near-dup benched in its design regime (high-cosine dups, tight
     # buckets); at wide angles the bucket join floods and exact wins
     bench("emb_dup_lsh", lambda: force(D.embedding_dup_pairs_lsh(emb, threshold=0.9)))
@@ -231,7 +244,7 @@ def main() -> None:
     from matcha_spark.suite import doc_audio_near_dup
 
     bench("doc_audio_near_dup", lambda: force(doc_audio_near_dup(spark, SF_DIR)), repeat=False)
-    bench("graph_shortest_weighted", lambda: force(graph_shortest_weighted(spark, SF_DIR)), repeat=False)
+    bench("graph_shortest_weighted", lambda: force(graph_shortest_weighted(spark, SF_DIR)), prewarm="graphs")
     # r09 additions: seeded ground-endpoint evaluation (O(reachable)
     # frontier BFS vs the all-pairs closures above) + SimHash store dedup
     from matcha_spark.suite import (
@@ -240,8 +253,8 @@ def main() -> None:
         graph_distances_from_seed,
     )
 
-    bench("bgp_path_from_seed", lambda: force(bgp_path_from_seed(spark, SF_DIR)), repeat=False)
-    bench("graph_distances_from_seed", lambda: force(graph_distances_from_seed(spark, SF_DIR)), repeat=False)
+    bench("bgp_path_from_seed", lambda: force(bgp_path_from_seed(spark, SF_DIR)), prewarm="graphs")
+    bench("graph_distances_from_seed", lambda: force(graph_distances_from_seed(spark, SF_DIR)), prewarm="graphs")
     bench("dedup_incremental_simhash", lambda: force(dedup_incremental_simhash(spark, SF_DIR)))
     from matcha_spark.suite import doc_chunk_packing
 

@@ -956,11 +956,13 @@ def incremental_dedup_simhash(
     bucket occupancy, never corpus².  Zero signatures (NULL/empty text)
     are excluded from matching exactly as in
     :func:`simhash_candidates`; such docs are always kept."""
-    sig_new = memo_persist(
-        simhash(new_docs, text_col=text_col).select("doc_id", "simhash")
-    )
+    sig_new = simhash(new_docs, text_col=text_col).select("doc_id", "simhash")
     if existing_sigs is None:
         existing_sigs = sig_new.limit(0)
+    # ONE persisted frame per call: every downstream piece (candidates,
+    # batch ids, accepted ids, kept signatures) slices `sides`, so
+    # memoizing sig_new separately would only add an eager count job —
+    # per-batch wall time here is job-count-bound, not data-bound
     sides = memo_persist(
         existing_sigs.select("doc_id", "simhash").withColumn("new", F.lit(False))
         .unionByName(sig_new.withColumn("new", F.lit(True)))
@@ -973,8 +975,10 @@ def incremental_dedup_simhash(
         flag_col="new",
     ).select("id_a", "id_b")
     accepted_ids = sides.where(~F.col("new")).select(F.col("doc_id").alias("acc_id"))
-    decisions = _incremental_decisions(sig_new.select("doc_id"), dups, accepted_ids)
-    kept_sigs = sig_new.join(
+    decisions = _incremental_decisions(
+        sides.where(F.col("new")).select("doc_id"), dups, accepted_ids
+    )
+    kept_sigs = sides.where(F.col("new")).select("doc_id", "simhash").join(
         decisions.where(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
     )
     updated = existing_sigs.select("doc_id", "simhash").unionByName(kept_sigs)
