@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from itertools import product
 
-from matcha_spark.patterns import Optional, Values, is_var, var_name
+from matcha_spark.patterns import Exists, Minus, NotExists, Optional, Values, find_vars, is_var, var_name
 
 UNBOUND = "<unbound>"
 
@@ -34,9 +34,14 @@ def _match(triple, pattern, binding):
 def _solve(db, patterns, binding):
     """All bindings extending ``binding`` that satisfy ``patterns``
     (conde semantics for optionals, reference src:193-203)."""
-    triples = [p for p in patterns if not isinstance(p, (Optional, Values))]
+    triples = [
+        p
+        for p in patterns
+        if not isinstance(p, (Optional, Values, NotExists, Exists, Minus))
+    ]
     values = [p for p in patterns if isinstance(p, Values)]
     optionals = [p for p in patterns if isinstance(p, Optional)]
+    negations = [p for p in patterns if isinstance(p, (NotExists, Exists, Minus))]
 
     bindings = [dict(binding)]
     for pat in triples:
@@ -51,6 +56,27 @@ def _solve(db, patterns, binding):
             else:
                 out.extend({**b, v: x} for x in coll)
         bindings = out
+    for neg in negations:
+        # engine semantics: the block solves independently, then a
+        # semi/anti-join on (block vars ∩ bound vars); an uncorrelated
+        # NOT EXISTS / EXISTS gates on whether the block matches at all,
+        # an uncorrelated MINUS removes nothing (dom-disjoint rule)
+        block_sols = _solve(db, list(neg.patterns), {})
+        bvars = set(find_vars(list(neg.patterns)))
+
+        def keep(b):
+            shared = [v for v in bvars if v in b]
+            if shared:
+                matched = any(
+                    all(bs.get(v) == b[v] for v in shared) for bs in block_sols
+                )
+            elif isinstance(neg, Minus):
+                return True
+            else:
+                matched = bool(block_sols)
+            return matched if isinstance(neg, Exists) else not matched
+
+        bindings = [b for b in bindings if keep(b)]
 
     if not optionals:
         return bindings
@@ -73,7 +99,11 @@ def model_select(pvars, patterns, db):
     sols = _solve(db, patterns, {})
 
     def mandatory():
-        req = [p for p in patterns if not isinstance(p, Optional)]
+        req = [
+            p
+            for p in patterns
+            if not isinstance(p, (Optional, NotExists, Exists, Minus))
+        ]
         out = set()
         for p in req:
             if isinstance(p, Values):
@@ -163,7 +193,11 @@ def model_select_bag(pvars, patterns, db):
     pvars = [var_name(v) for v in pvars]
     sols = _solve(db, patterns, {})
 
-    req = [p for p in patterns if not isinstance(p, Optional)]
+    req = [
+        p
+        for p in patterns
+        if not isinstance(p, (Optional, NotExists, Exists, Minus))
+    ]
     mand = set()
     for p in req:
         if isinstance(p, Values):

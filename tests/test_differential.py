@@ -696,3 +696,41 @@ def test_subselect_agg_differential(spark, seed):
         f"seed={seed}\ndb={db_rows}\ninner={inner}\nouter={outer_pred}\n"
         f"got={got}\nwant={want}"
     )
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_negation_differential(spark, seed):
+    """r09: random NOT EXISTS / EXISTS / MINUS blocks (correlated and
+    uncorrelated) over random BGPs + Values + Optionals, engine vs the
+    Python model extended with the same semi/anti-join semantics."""
+    from matcha_spark import Exists, Minus, NotExists
+    from matcha_spark.patterns import find_vars
+
+    from .model import model_select
+
+    rng = random.Random(3300 + seed)
+    db_rows = _rand_db(rng, rng.randint(3, 12))
+    patterns = _rand_patterns(rng)
+    kinds = [NotExists, Exists, Minus]
+    for _ in range(rng.randint(1, 2)):
+        block = [_rand_pattern(rng) for _ in range(rng.randint(1, 2))]
+        patterns.append(rng.choice(kinds)(block))
+    allv = find_vars(patterns)
+    if not allv:
+        pytest.skip("no vars generated")
+    rng.shuffle(allv)
+    pvars = allv[: rng.randint(1, len(allv))]
+
+    expected = _blind(model_select(pvars, patterns, db_rows))
+    db = TriplesDB.from_triples(spark, db_rows)
+    try:
+        got = select(pvars, patterns, db)
+    finally:
+        db.unpersist()
+    got_rows = set()
+    if got is not None:
+        for r in got if len(pvars) > 1 else [(g,) for g in got]:
+            got_rows.add(r if isinstance(r, tuple) else (r,))
+    assert _blind(got_rows) == expected, (
+        f"seed={seed}\ndb={db_rows}\npatterns={patterns}\npvars={pvars}"
+    )
