@@ -48,6 +48,7 @@ from .query import (
     select,
     select_1,
     select_agg,
+    describe,
     select_df,
 )
 from .session import get_spark
@@ -76,6 +77,7 @@ __all__ = [
     "select_1",
     "select_agg",
     "select_df",
+    "describe",
     "explain_query",
     "ask",
     "construct",

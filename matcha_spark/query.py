@@ -47,6 +47,7 @@ __all__ = [
     "select",
     "select_1",
     "select_df",
+    "describe",
     "select_agg",
     "ask",
     "construct",
@@ -216,6 +217,30 @@ def select_df(
         out = out.offset(offset)
     if limit is not None:
         out = out.limit(limit)
+    return out
+
+
+def describe(node, db, incoming: bool = True) -> DataFrame:
+    """SPARQL ``DESCRIBE``-lite: the sub-graph about ``node`` — every
+    triple whose subject is the node, plus (``incoming=True``, the
+    default) every triple pointing AT it.  SPARQL §16.4 leaves the
+    description shape service-defined; this is the symmetric
+    one-hop form (the classic CBD without bnode chasing — the engine's
+    bnodes are plain terms, so there is nothing to chase).
+
+    Returns the raw ``(s, p, o)`` TERM DataFrame — a graph, directly
+    composable with :func:`construct_db` output, ``merge_dbs``, and the
+    N-Triples writers.  Scale shape: one or two pushdown-filtered scans
+    of the (cached) triple store and a union; no joins, no driver
+    collection."""
+    from .terms import term_lit
+
+    d = ensure_db(db)
+    t = term_lit(node)
+    out = d.df.where(F.col("s") == t)
+    if incoming:
+        # a self-loop triple matches both scans — dedup the union
+        out = out.unionByName(d.df.where(F.col("o") == t)).dropDuplicates()
     return out
 
 

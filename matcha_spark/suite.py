@@ -233,6 +233,23 @@ def graph_components_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bgp_describe_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE-lite (r09): the symmetric one-hop sub-graph about
+    nation:3 — its name/region triples plus every customer/supplier
+    edge pointing at it — rendered as lexical rows; oracle unions the
+    relational projections for the same node."""
+    from .query import describe
+    from .terms import URI
+
+    db = _graph(spark, sf_dir)
+    g = describe(URI("nation:3"), db)
+    return g.select(
+        lex(F.col("s")).alias("s"),
+        lex(F.col("p")).alias("p"),
+        lex(F.col("o")).alias("o"),
+    )
+
+
 def bgp_filter_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FILTER over bound vars (extension absent from the reference):
     EUROPE customers whose name sorts above a cutoff."""
@@ -1453,6 +1470,7 @@ QUERIES = {
     "bgp_exists_repeat_customers": bgp_exists_repeat_customers,
     "bgp_values_rows_pairs": bgp_values_rows_pairs,
     "graph_components_nations": graph_components_nations,
+    "bgp_describe_nation": bgp_describe_nation,
     "doc_pipeline_pack": doc_pipeline_pack,
     "dedup_incremental_simhash": dedup_incremental_simhash,
     # stale freshness (newest driver record r06) — rotated in per the
@@ -1793,6 +1811,19 @@ ORACLES = {
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         WHERE c_mktsegment = 'MACHINERY' AND r_name = 'ASIA'
+    """,
+    "bgp_describe_nation": """
+        SELECT 'nation:3' AS s, 'name' AS p, n_name AS o
+        FROM nation WHERE n_nationkey = 3
+        UNION ALL
+        SELECT 'nation:3', 'region', 'region:' || n_regionkey
+        FROM nation WHERE n_nationkey = 3
+        UNION ALL
+        SELECT 'customer:' || c_custkey, 'nation', 'nation:3'
+        FROM customer WHERE c_nationkey = 3
+        UNION ALL
+        SELECT 'supplier:' || s_suppkey, 'nation', 'nation:3'
+        FROM supplier WHERE s_nationkey = 3
     """,
     "graph_components_nations": """
         WITH RECURSIVE e AS (

@@ -953,3 +953,27 @@ def test_values_rows_inline_data(friends_db):
     # ragged row raises at construction
     with pytest.raises(InvalidValuesError):
         ValuesRows(("?a", "?b"), [(1,)])
+
+
+def test_describe_one_hop_graph(friends_db):
+    """r09 DESCRIBE-lite: the symmetric one-hop sub-graph about a node
+    — outgoing triples plus (default) incoming ones; incoming=False
+    keeps the classic subject-only shape; the output is a graph frame
+    (TERM s/p/o) that round-trips through select."""
+    from matcha_spark import describe, select
+    from matcha_spark.terms import from_term
+
+    g = describe(katie, friends_db)
+    got = {
+        (from_term(r.s), from_term(r.p), from_term(r.o)) for r in g.collect()
+    }
+    want = {t for t in friends if t[0] == katie or t[2] == katie}
+    assert got == want and len(got) >= 2  # label + knows edges
+    out_only = describe(katie, friends_db, incoming=False)
+    got_out = {
+        (from_term(r.s), from_term(r.p), from_term(r.o))
+        for r in out_only.collect()
+    }
+    assert got_out == {t for t in friends if t[0] == katie}
+    # composable as a db: query the described sub-graph directly
+    assert select(["?n"], [(katie, RDFS_LABEL, "?n")], g) == ["Katie"]
