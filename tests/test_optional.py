@@ -313,3 +313,64 @@ def test_optional_regroup_no_single_partition_exchange(spark):
     assert "SinglePartition" not in plan, plan
     assert df.count() == 10
     db.unpersist()
+
+
+def test_subselect_inside_optional(spark):
+    """r09 pattern classes recurse through Optional blocks: an
+    aggregate SubSelect inside OPTIONAL contributes its vars to
+    matching solutions and leaves them unbound elsewhere."""
+    from matcha_spark import Optional, SubSelect, TriplesDB, Unbound, select, kw
+
+    K, L = kw("knows"), kw("label")
+    db = TriplesDB.from_triples(
+        spark,
+        [
+            (kw("a"), K, kw("b")),
+            (kw("a"), K, kw("c")),
+            (kw("b"), K, kw("c")),
+            (kw("a"), L, "A"),
+            (kw("b"), L, "B"),
+            (kw("d"), L, "D"),  # no knows edges
+        ],
+    )
+    rows = select(
+        ["?name", "?cnt"],
+        [
+            ("?p", L, "?name"),
+            Optional(
+                [SubSelect(["?p"], [("?p", K, "?q")], aggs={"?cnt": ("count", "?q")})]
+            ),
+        ],
+        db,
+    )
+    got = {(n, c if not isinstance(c, Unbound) else None) for n, c in rows}
+    assert got == {("A", 2), ("B", 1), ("D", None)}
+    db.unpersist()
+
+
+def test_values_rows_inside_optional(spark):
+    """ValuesRows inside an Optional block constrains only the branch
+    it lives in (solutions failing it keep the required part)."""
+    from matcha_spark import Optional, TriplesDB, Unbound, ValuesRows, select, kw
+
+    L, T = kw("label"), kw("tag")
+    db = TriplesDB.from_triples(
+        spark,
+        [
+            (kw("x"), L, "X"),
+            (kw("y"), L, "Y"),
+            (kw("x"), T, 1),
+            (kw("y"), T, 9),
+        ],
+    )
+    rows = select(
+        ["?name", "?t"],
+        [
+            ("?e", L, "?name"),
+            Optional([("?e", T, "?t"), ValuesRows(("?t",), [(1,), (2,)])]),
+        ],
+        db,
+    )
+    got = {(n, t if not isinstance(t, Unbound) else None) for n, t in rows}
+    assert got == {("X", 1), ("Y", None)}
+    db.unpersist()
