@@ -76,14 +76,18 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     return d.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
-def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 3) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 64, n: int = 3, text_col: str = "text"
+) -> DataFrame:
     """Per-doc MinHash signature: each shingle string is xxhash64'd ONCE,
     then the ``num_hashes`` family members re-hash that single 8-byte
     value with a per-function salt — fixed-width hashing instead of 64
     string re-hashes per shingle (and no long-arithmetic overflow, which
     ANSI mode would reject).  One groupBy(doc_id); linear in total
     shingle count."""
-    sh = shingles(docs, n=n).select("doc_id", F.xxhash64("shingle").alias("h"))
+    sh = shingles(docs, n=n, text_col=text_col).select(
+        "doc_id", F.xxhash64("shingle").alias("h")
+    )
     mins = [
         F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -241,10 +245,19 @@ def banded_hamming_pairs(
     sig_col: str = "sig",
     max_hamming: int = 3,
     flag_col: str | None = None,
+    dedup_pairs: bool = True,
 ) -> DataFrame:
     """Exact near-dup pairs of 64-bit signatures within a Hamming bound
     — the generic banded core behind :func:`simhash_candidates` and the
     multimodal pHash pairs.
+
+    ``dedup_pairs=False`` skips the final pair-level ``distinct``: a
+    pair then appears once PER shared band (≤ ``max_hamming + 1``
+    copies, more through hot buckets).  Only for consumers whose first
+    step is an aggregation that absorbs duplicates — the component
+    contraction in :func:`incremental_dedup_simhash` — where the
+    distinct's full shuffle of the candidate set is pure overhead.
+    Anything that materializes or counts pairs needs the default.
 
     The signature splits into ``max_hamming + 1`` contiguous bands; by
     pigeonhole any pair within the bound shares at least one band
@@ -294,7 +307,7 @@ def banded_hamming_pairs(
     if flag_col:
         cond = cond & (F.col("a.__flag") | F.col("b.__flag"))
     hamming = F.bit_count(F.col("a.__sig").bitwiseXOR(F.col("b.__sig")))
-    return (
+    pairs = (
         a.join(b, cond)
         .select(
             F.col("a.__id").alias("id_a"),
@@ -302,8 +315,8 @@ def banded_hamming_pairs(
             hamming.alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
-        .distinct()
     )
+    return pairs.distinct() if dedup_pairs else pairs
 
 
 def _capped_shingles(docs: DataFrame, n: int, max_doc_freq: int | None) -> DataFrame:
@@ -416,59 +429,159 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 30,
+    small_cutoff: int = 200_000,
 ) -> DataFrame:
-    """Connected components by iterative min-label propagation (the
-    GraphX-free pattern): every node starts labeled with itself; each
-    round a node takes the min of its own and its neighbors' labels;
-    converged when no label changes.  Rounds needed = graph diameter —
-    small for near-dup graphs (clusters are clique-ish) — and each round
-    is one equi-join + one groupBy.  Each round's labels are
-    materialized with lineage cut (``cut_lineage``: a reliable
-    checkpoint when the session has a checkpoint dir, else
-    localCheckpoint) so plans don't grow exponentially.
+    """Connected components by iterative min-label edge CONTRACTION
+    (the GraphX-free pattern, r10 rewrite): each round every node
+    adopts ``min(self, min neighbor)`` and the edge set is rewritten
+    onto the new labels (``(lab(u), lab(v))``, self-loops dropped,
+    distinct) — so dense near-dup clusters (clique-ish by
+    construction) collapse to a single super-node in one round and
+    every later round runs over a strictly smaller contracted edge
+    set.  The r09 formulation instead rescanned the FULL edge list
+    every round (diameter rounds x full-edge shuffle — 6 x 2.8M-row
+    joins and 37 Spark jobs on the sf0.1 simhash graph); contraction
+    shrinks the same graph 2.85M → 10k → 0 edges in two distributed
+    rounds.  At cluster scale the round cost tracks the *contracted*
+    graph, not the input graph.
 
-    Returns ``(id, component)`` where component = min node id reachable.
+    Once the observed contracted edge count drops to ``small_cutoff``
+    (a few MB — the convergence-scalar class of driver transfer, known
+    BEFORE collecting because the count rides each round's
+    materialization job as an ``Observation``), the tail is finished
+    with a driver-side union-find and broadcast back as one mapping
+    join.  This bounds the serialized round count — geometric shrink
+    makes the first rounds cheap and the cutoff absorbs the long-tail
+    rounds (adversarial chain graphs included) that would otherwise
+    each pay scheduler latency; that per-round latency is exactly what
+    caps streaming dedup throughput (one admission per micro-batch).
+    Set ``small_cutoff=0`` to stay fully distributed.
+
+    Per distributed round: one groupBy over the current edges (min
+    neighbor), one double-join edge rewrite + distinct; intermediates
+    are materialized with lineage cut (``cut_lineage``: reliable
+    checkpoint when the session has a checkpoint dir, else
+    localCheckpoint) so plans don't nest across rounds.  The
+    original-id → super-node mapping composes lazily across rounds
+    (each hop joins a checkpointed label frame; depth = rounds, small)
+    and is cut once before returning, so multi-consumer callers
+    (keeper join + per-component aggregate) don't re-run the chain.
+
+    Returns ``(id, component)`` where component = min node id
+    reachable, one row per node appearing in ``edges``.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    # materialize once: every propagation round rescans the edge list,
-    # which may otherwise carry an arbitrarily expensive upstream lineage
-    # (LSH candidate generation, Jaccard verification, ...)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
+        F.col("src") != F.col("dst")
+    )
+    # materialize once: the input may carry an arbitrarily expensive
+    # upstream lineage (LSH candidate generation, Jaccard verify, ...)
+    obs0 = Observation()
     sym = cut_lineage(
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .observe(obs0, F.count(F.lit(1)).alias("m"))
     )
-
-    def cut_with_sum(lab) -> tuple[DataFrame, int]:
-        # min-propagation only ever lowers labels, so the label sum
-        # strictly decreases until convergence.  The sum rides the
-        # checkpoint materialization as an observed metric (fires for
-        # both localCheckpoint and reliable checkpoint) — one job per
-        # round instead of checkpoint + aggregate.  Decimal: an int64
-        # sum would overflow at corpus-scale node-id magnitudes.
-        obs = Observation()
-        out = cut_lineage(
-            lab.observe(
-                obs,
-                F.sum(F.col("component").cast("decimal(38,0)")).alias("s"),
-            )
-        )
-        return out, int(obs.get["s"] or 0)
-
-    labels, prev_sum = cut_with_sum(
+    full = (
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
     )
-    for _ in range(max_iter):
-        nb = sym.join(labels, sym.dst == labels.id).select(
-            F.col("src").alias("id"), F.col("component")
-        )
-        labels, cur_sum = cut_with_sum(
-            labels.union(nb).groupBy("id").agg(F.min("component").alias("component"))
-        )
-        if cur_sum == prev_sum:
+    m = int(obs0.get["m"] or 0)
+    if m == 0:
+        # no (non-loop) edges: nothing to merge — also the streaming
+        # fast path (most micro-batches carry no duplicates), exiting
+        # before any per-round jobs launch
+        return full
+    cur = sym
+    for rnd in range(max_iter):
+        if m <= small_cutoff:
+            lab = _union_find_lab(cur)
+            full = _apply_lab(full, F.broadcast(lab))
             break
-        prev_sum = cur_sum
-    return labels
+        # every endpoint of the symmetric edge set gets a row, so the
+        # rewrite joins below are total (inner joins lose nothing)
+        lab = cut_lineage(
+            cur.groupBy("src")
+            .agg(F.min("dst").alias("mn"))
+            .select(
+                F.col("src").alias("node"),
+                F.least("src", "mn").alias("lab"),
+            )
+        )
+        full = _apply_lab(full, lab)
+        if (rnd + 1) % 8 == 0:
+            # bound the lazy mapping-composition depth for adversarial
+            # (long-chain) graphs
+            full = cut_lineage(full)
+        la = lab.select(F.col("node").alias("sa"), F.col("lab").alias("ra"))
+        lb = lab.select(F.col("node").alias("sb"), F.col("lab").alias("rb"))
+        obs = Observation()
+        cur = cut_lineage(
+            cur.join(la, cur["src"] == F.col("sa"))
+            .join(lb, cur["dst"] == F.col("sb"))
+            .select(F.col("ra").alias("src"), F.col("rb").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .observe(obs, F.count(F.lit(1)).alias("m"))
+        )
+        m = int(obs.get["m"] or 0)
+        if m == 0:
+            break
+    # materialize the composed mapping once: callers consume the
+    # labeling more than once (keeper join + per-component aggregate)
+    # and must not re-run the join chain per consumer
+    return cut_lineage(full)
+
+
+def _apply_lab(full: DataFrame, lab: DataFrame) -> DataFrame:
+    """Compose one contraction round's super-node relabeling
+    ``(node, lab)`` onto the id → component mapping."""
+    merged = full.join(lab, full["component"] == lab["node"], "left")
+    return merged.select(
+        full["id"],
+        F.coalesce(lab["lab"], full["component"]).alias("component"),
+    )
+
+
+def _union_find_lab(cur: DataFrame) -> DataFrame:
+    """Driver-side finish for :func:`connected_components`: union-find
+    over a small (observed ≤ ``small_cutoff``) contracted edge set,
+    returned as a ``(node, lab)`` mapping frame with lab = min node of
+    the component (union keeps the min id as root, so ``find`` IS the
+    min label)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    # one collect, not toLocalIterator: the caller only enters here
+    # after OBSERVING the edge count ≤ small_cutoff (a few MB), and the
+    # iterator's per-partition round trips would serialize into exactly
+    # the scheduler latency this fast path exists to remove
+    for row in cur.collect():
+        a, b = row[0], row[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # attach the larger root under the smaller: the root of
+            # every tree stays the component's min id
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+
+    node_type = cur.schema["src"].dataType
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField("node", node_type), StructField("lab", node_type)]
+    )
+    rows = [(n, find(n)) for n in parent]
+    return cur.sparkSession.createDataFrame(rows, schema)
 
 
 def _keep_map(docs: DataFrame, comp: DataFrame) -> DataFrame:
@@ -829,7 +942,7 @@ def incremental_dedup_near(
     :func:`minhash_lsh_candidates`; the signature store is ~512 bytes
     per accepted doc and never rescans accepted text."""
     sig_new = memo_persist(
-        minhash_signatures(new_docs, num_hashes=num_hashes, n=n)
+        minhash_signatures(new_docs, num_hashes=num_hashes, n=n, text_col=text_col)
         .select("doc_id", *[f"h{i}" for i in range(num_hashes)])
     )
     hcols = [f"h{i}" for i in range(num_hashes)]
@@ -886,7 +999,8 @@ def incremental_dedup_near(
         .select("id_a", "id_b")
     )
     accepted_ids = sides.where(~F.col("new")).select(F.col("doc_id").alias("acc_id"))
-    decisions = _incremental_decisions(sig_new.select("doc_id"), dups, accepted_ids)
+    comp = connected_components(dups, src="id_a", dst="id_b")
+    decisions = _incremental_decisions(sig_new.select("doc_id"), comp, accepted_ids)
     kept_sigs = sig_new.join(
         decisions.where(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
     )
@@ -895,7 +1009,7 @@ def incremental_dedup_near(
 
 
 def _incremental_decisions(
-    new_ids: DataFrame, dups: DataFrame, accepted_ids: DataFrame
+    new_ids: DataFrame, comp: DataFrame, accepted_ids: DataFrame
 ) -> DataFrame:
     """Shared batch-admission verdicts for the incremental dedup family
     (:func:`incremental_dedup_near`, :func:`incremental_dedup_simhash`):
@@ -904,11 +1018,12 @@ def _incremental_decisions(
     exists (corpus-wins semantics — accepted docs were admitted
     earlier), else the min batch id; unmatched docs keep themselves.
 
-    ``new_ids``: one-column ``doc_id`` batch frame; ``dups``:
-    ``(id_a, id_b)`` verified duplicate edges; ``accepted_ids``:
-    one-column ``acc_id`` store frame.  Returns
-    ``(doc_id, keep, dup_of)`` — ``dup_of`` NULL for kept rows."""
-    comp = connected_components(dups, src="id_a", dst="id_b")
+    ``new_ids``: one-column ``doc_id`` batch frame; ``comp``: a
+    ``(id, component)`` labeling of the duplicate graph (component =
+    min member, :func:`connected_components`' contract — how the
+    caller computes it is its business); ``accepted_ids``: one-column
+    ``acc_id`` store frame.  Returns ``(doc_id, keep, dup_of)`` —
+    ``dup_of`` NULL for kept rows."""
     comp_acc = (
         comp.join(accepted_ids, comp.id == accepted_ids.acc_id, "left")
         .groupBy("component")
@@ -955,7 +1070,21 @@ def incremental_dedup_simhash(
     join condition (``flag_col``) — per-batch work scales with batch ×
     bucket occupancy, never corpus².  Zero signatures (NULL/empty text)
     are excluded from matching exactly as in
-    :func:`simhash_candidates`; such docs are always kept."""
+    :func:`simhash_candidates`; such docs are always kept.
+
+    Clustering shape (r10): the candidate pairs skip the pair-level
+    ``distinct`` (``dedup_pairs=False`` — a full shuffle of the
+    candidate set whose only consumer aggregates anyway) and one
+    min-label contraction round runs DIRECTLY over the raw banded
+    output: each node's label = min(self, min candidate neighbor) via
+    one aggregation (duplicate pairs are free under ``min``), then the
+    pairs are relabeled and distinct'd AFTER contraction — map-side
+    partial distinct collapses the dense near-dup clusters before the
+    shuffle (sf0.1/max_hamming=8: 1.4M distinct doc pairs → 10k
+    label pairs), and only that contracted remainder goes to
+    :func:`connected_components`.  Per admission that removes the
+    pair-distinct shuffle, the symmetric-edge checkpoint, and the
+    full-width first contraction round the generic path would pay."""
     sig_new = simhash(new_docs, text_col=text_col).select("doc_id", "simhash")
     if existing_sigs is None:
         existing_sigs = sig_new.limit(0)
@@ -967,16 +1096,49 @@ def incremental_dedup_simhash(
         existing_sigs.select("doc_id", "simhash").withColumn("new", F.lit(False))
         .unionByName(sig_new.withColumn("new", F.lit(True)))
     )
-    dups = banded_hamming_pairs(
+    raw = banded_hamming_pairs(
         sides.where(F.col("simhash") != 0),
         id_col="doc_id",
         sig_col="simhash",
         max_hamming=max_hamming,
         flag_col="new",
+        dedup_pairs=False,
     ).select("id_a", "id_b")
+    # contraction round over the raw pairs: min over both directions in
+    # ONE scan (explode, not a union of two projections — a union would
+    # execute the banded join once per branch)
+    both = raw.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+                F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    lab = cut_lineage(
+        both.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select(F.col("src").alias("node"), F.least("src", "mn").alias("lab"))
+    )
+    la = lab.select(F.col("node").alias("sa"), F.col("lab").alias("ra"))
+    lb = lab.select(F.col("node").alias("sb"), F.col("lab").alias("rb"))
+    contracted = (
+        raw.join(la, raw["id_a"] == F.col("sa"))
+        .join(lb, raw["id_b"] == F.col("sb"))
+        .select(F.col("ra").alias("id_a"), F.col("rb").alias("id_b"))
+        .where(F.col("id_a") != F.col("id_b"))
+        .distinct()
+    )
+    comp0 = connected_components(contracted, src="id_a", dst="id_b")
+    comp = cut_lineage(
+        lab.join(comp0, lab["lab"] == comp0["id"], "left").select(
+            lab["node"].alias("id"),
+            F.coalesce(comp0["component"], lab["lab"]).alias("component"),
+        )
+    )
     accepted_ids = sides.where(~F.col("new")).select(F.col("doc_id").alias("acc_id"))
     decisions = _incremental_decisions(
-        sides.where(F.col("new")).select("doc_id"), dups, accepted_ids
+        sides.where(F.col("new")).select("doc_id"), comp, accepted_ids
     )
     kept_sigs = sides.where(F.col("new")).select("doc_id", "simhash").join(
         decisions.where(F.col("keep")).select("doc_id"), "doc_id", "left_semi"

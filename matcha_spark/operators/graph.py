@@ -101,6 +101,7 @@ def seeded_reachability(
     checkpoint_dir: str | None = None,
     keep_root: bool = False,
     materialize_edges: bool = True,
+    broadcast_seeds: bool = True,
 ) -> DataFrame:
     """Every node reachable in ≥ 1 hop FROM any seed node — the
     ground-endpoint complement of :func:`transitive_closure`: when a
@@ -114,8 +115,14 @@ def seeded_reachability(
     meaningful fraction smaller than the graph (and real graphs have
     small diameters).
 
-    ``seeds``: one-column DataFrame ``n`` (same type as ``src``/``dst``
-    — tiny by contract, broadcast into the first hop).  Returns a
+    ``seeds``: one-column DataFrame ``n`` (same type as ``src``/``dst``).
+    ``broadcast_seeds`` hints the first-hop join: True (default) for
+    the ground-constant case — a literal handful of rows — but callers
+    seeding from a COMPUTED frontier (a Seq chain's midpoints, a prior
+    pattern's solution set) must pass False and let AQE pick the join
+    strategy: force-broadcasting an unbounded frontier risks
+    driver/executor OOM at exactly the scale this operator exists to
+    win (ADVICE r10).  Returns a
     one-column DataFrame ``n`` of reached nodes (union over seeds, the
     seeds themselves only if they sit on a cycle).  With
     ``keep_root=True`` each row carries its originating seed instead —
@@ -160,7 +167,8 @@ def seeded_reachability(
         else:
             e, n_edges = e_lazy, 1  # unknown count; empty sets just
             # produce an empty first frontier and skip the loop
-        first = e.join(F.broadcast(seeds), e["src"] == seeds["n"], "inner")
+        seed_side = F.broadcast(seeds) if broadcast_seeds else seeds
+        first = e.join(seed_side, e["src"] == seeds["n"], "inner")
         if keep_root:
             first = first.select(
                 seeds["n"].alias("root"), F.col("dst").alias("n")

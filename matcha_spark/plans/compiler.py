@@ -178,7 +178,9 @@ def _simple_edge_relation(path) -> bool:
     return True  # predicate constant
 
 
-def _reach_via_path(db: TriplesDB, path, seeds: DataFrame, forward: bool) -> DataFrame:
+def _reach_via_path(
+    db: TriplesDB, path, seeds: DataFrame, forward: bool, seeds_small: bool = True
+) -> DataFrame:
     """Seed-bounded path evaluation with provenance: ``(root, x)``
     pairs where ``root ∈ seeds`` and ``root path x`` (forward) or
     ``x path root`` (backward).  The seed set threads through every
@@ -200,7 +202,14 @@ def _reach_via_path(db: TriplesDB, path, seeds: DataFrame, forward: bool) -> Dat
       BFS walks; rare, and still bounded by the old cost);
     - ``ZeroOrOne``/``ZeroOrMore`` zero-length: each seed pairs with
       itself iff it is a mentioned node (``graph_nodes``), matching the
-      all-pairs identity union exactly."""
+      all-pairs identity union exactly.
+
+    ``seeds_small``: True only when ``seeds`` is the literal ground
+    anchor (a 1-row frame) — then the seed side of each join is
+    broadcast-hinted.  Recursive Seq steps pass False: their seed set
+    is the PREVIOUS step's frontier, unbounded by contract, and
+    force-broadcasting it would OOM at exactly the scale seeded paths
+    exist to win (ADVICE r10) — those joins are left to AQE."""
     from ..operators.graph import graph_nodes, path_edges, seeded_reachability
 
     spark = db.df.sparkSession
@@ -211,10 +220,12 @@ def _reach_via_path(db: TriplesDB, path, seeds: DataFrame, forward: bool) -> Dat
 
     def scan_pairs(df: DataFrame) -> DataFrame:
         # one-hop relation (s, o) joined against the seed set on the
-        # anchored side; broadcast — seeds are small by construction
+        # anchored side; broadcast-hint only the ground-literal seed —
+        # computed frontiers are unbounded, AQE picks their strategy
         anchor, other = ("s", "o") if forward else ("o", "s")
+        seed_side = F.broadcast(seeds) if seeds_small else seeds
         return (
-            df.join(F.broadcast(seeds), df[anchor] == seeds["n"], "inner")
+            df.join(seed_side, df[anchor] == seeds["n"], "inner")
             .select(seeds["n"].alias("root"), df[other].alias("x"))
             .dropDuplicates()
         )
@@ -225,13 +236,14 @@ def _reach_via_path(db: TriplesDB, path, seeds: DataFrame, forward: bool) -> Dat
             path.path,
             seeds,
             not forward,
+            seeds_small,
         )
     if isinstance(path, Seq):
         steps = path.steps if forward else tuple(reversed(path.steps))
-        acc = _reach_via_path(db, steps[0], seeds, forward)
+        acc = _reach_via_path(db, steps[0], seeds, forward, seeds_small)
         for st in steps[1:]:
             mids = acc.select(F.col("x").alias("n")).dropDuplicates()
-            nxt = _reach_via_path(db, st, mids, forward)
+            nxt = _reach_via_path(db, st, mids, forward, seeds_small=False)
             acc = (
                 acc.select("root", F.col("x").alias("__mid"))
                 .join(nxt.select(F.col("root").alias("__mid"), "x"), "__mid")
@@ -240,7 +252,9 @@ def _reach_via_path(db: TriplesDB, path, seeds: DataFrame, forward: bool) -> Dat
             )
         return acc
     if isinstance(path, Alt):
-        branches = [_reach_via_path(db, b, seeds, forward) for b in path.alts]
+        branches = [
+            _reach_via_path(db, b, seeds, forward, seeds_small) for b in path.alts
+        ]
         acc = branches[0]
         for b in branches[1:]:
             acc = acc.unionByName(b)
@@ -264,13 +278,14 @@ def _reach_via_path(db: TriplesDB, path, seeds: DataFrame, forward: bool) -> Dat
             # relations (Seq join trees, nested closures) still
             # materialize once
             materialize_edges=not _simple_edge_relation(path.path),
+            broadcast_seeds=seeds_small,
         )
         out = reach.select("root", F.col("n").alias("x"))
         if isinstance(path, ZeroOrMore):
             out = out.unionByName(ident_pairs()).dropDuplicates()
         return out
     if isinstance(path, ZeroOrOne):
-        base = _reach_via_path(db, path.path, seeds, forward)
+        base = _reach_via_path(db, path.path, seeds, forward, seeds_small)
         return base.unionByName(ident_pairs()).dropDuplicates()
     if isinstance(path, NegSet):
         cond = F.lit(True)

@@ -55,28 +55,48 @@ def stream_incremental_dedup(
     ledger under ``store_path`` — a replayed micro-batch (same epoch
     id) recomputes decisions (deterministic: signatures are pure
     functions of the text) but does NOT append its signatures twice.
+
+    Store health: missing store/ledger paths are detected explicitly
+    (first batch); any OTHER read error propagates and fails the
+    micro-batch so Spark retries — treating a transient storage error
+    as "empty store" would admit the batch undeduped AND append its
+    signatures on top of the real store.  ``compact_every`` bounds the
+    store's small-file count: each micro-batch appends one parquet
+    file-set, so after N batches the per-batch store scan reads N
+    file groups; when the ledger says N batches have landed and N is
+    a multiple of ``compact_every``, the store is rewritten in one
+    pass (to a scratch dir, then swapped in — the guarded rename
+    keeps a crashed compaction from destroying signatures).
     """
     from ..operators.dedup import incremental_dedup_near, incremental_dedup_simhash
 
     if method not in ("simhash", "minhash"):
         raise ValueError(f"method must be simhash|minhash, got {method!r}")
+    compact_every = int(dedup_kwargs.pop("compact_every", 16))
 
     sig_dir = os.path.join(store_path, "sigs")
     ledger_dir = os.path.join(store_path, "_batches")
 
+    def _read_if_exists(spark, path: str) -> DataFrame | None:
+        # explicit existence probe through the session's Hadoop FS (works
+        # for any scheme the cluster mounts), NOT a bare except around
+        # read.parquet: only "not there yet" may mean "empty store" —
+        # genuine read errors must fail the micro-batch so Spark retries
+        jvm = spark._jvm
+        jsc = spark._jsc
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return None
+        return spark.read.parquet(path)
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
-            existing = spark.read.parquet(sig_dir)
-        except Exception:
-            existing = None
-        try:
-            done = {
-                r.batch_id
-                for r in spark.read.parquet(ledger_dir).collect()
-            }
-        except Exception:
-            done = set()
+        existing = _read_if_exists(spark, sig_dir)
+        ledger = _read_if_exists(spark, ledger_dir)
+        done = (
+            {r.batch_id for r in ledger.collect()} if ledger is not None else set()
+        )
         if method == "simhash":
             decisions, _ = incremental_dedup_simhash(
                 batch_df, existing, **dedup_kwargs
@@ -87,36 +107,70 @@ def stream_incremental_dedup(
             )
         # the updated store returned by the operator is existing ∪ kept;
         # append ONLY the kept-batch delta so the parquet dir stays
-        # append-only (replay-guarded below)
+        # append-only (replay-guarded below).  The delta signatures are
+        # recomputed with the SAME column kwargs the operator used —
+        # a text_col override must reach both, or the store silently
+        # fills with signatures of the wrong column.
+        text_col = dedup_kwargs.get("text_col", "text")
         if method == "simhash":
             from ..operators.dedup import simhash
 
-            sig_new = simhash(batch_df)
-            kept = sig_new.join(
-                decisions.where(F.col("keep")).select("doc_id"),
-                "doc_id",
-                "left_semi",
-            )
+            sig_new = simhash(batch_df, text_col=text_col)
         else:
             from ..operators.dedup import minhash_signatures
 
             nh = dedup_kwargs.get("num_hashes", 64)
             sig_new = minhash_signatures(
-                batch_df, num_hashes=nh, n=dedup_kwargs.get("n", 3)
+                batch_df,
+                num_hashes=nh,
+                n=dedup_kwargs.get("n", 3),
+                text_col=text_col,
             ).select("doc_id", *[f"h{i}" for i in range(nh)])
-            kept = sig_new.join(
-                decisions.where(F.col("keep")).select("doc_id"),
-                "doc_id",
-                "left_semi",
-            )
+        kept = sig_new.join(
+            decisions.where(F.col("keep")).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
         decisions_sink(decisions, batch_id)
         if batch_id not in done:
             kept.write.mode("append").parquet(sig_dir)
             spark.createDataFrame(
                 [(int(batch_id),)], "batch_id long"
             ).write.mode("append").parquet(ledger_dir)
+            if compact_every and (len(done) + 1) % compact_every == 0:
+                _compact_store(spark, sig_dir)
 
     writer = docs_stream.writeStream.foreachBatch(handle).outputMode("update")
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.trigger(availableNow=True).start()
+
+
+def _compact_store(spark, sig_dir: str) -> None:
+    """Rewrite the append-only signature store as one compact parquet
+    file-set (micro-batch appends accumulate one file group per batch;
+    unbounded, the per-batch store scan's file-listing and footer reads
+    come to dominate).  Crash-safe order: write the compacted copy to a
+    scratch dir, swap the live dir away, rename the copy in, then drop
+    the old data — a failure at any step leaves a complete store on
+    disk (either the original or the compacted one; a leftover scratch
+    or backup dir is garbage, never truth)."""
+    jvm = spark._jvm
+    jsc = spark._jsc
+    live = jvm.org.apache.hadoop.fs.Path(sig_dir)
+    tmp = jvm.org.apache.hadoop.fs.Path(sig_dir + "._compact")
+    old = jvm.org.apache.hadoop.fs.Path(sig_dir + "._old")
+    fs = live.getFileSystem(jsc.hadoopConfiguration())
+    if fs.exists(tmp):
+        fs.delete(tmp, True)
+    if fs.exists(old):
+        fs.delete(old, True)
+    n = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 8, 1)
+    spark.read.parquet(sig_dir).repartition(n).write.parquet(str(tmp))
+    if not fs.rename(live, old):
+        raise IOError(f"compaction: could not move {sig_dir} aside")
+    if not fs.rename(tmp, live):
+        # put the original back; the next compaction retries
+        fs.rename(old, live)
+        raise IOError(f"compaction: could not swap in {tmp}")
+    fs.delete(old, True)

@@ -363,3 +363,111 @@ def test_stream_incremental_dedup_two_batches(spark):
     n_led = ledger.count()
     assert n_led >= 1
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_dedup_text_col_override(spark):
+    """ADVICE r10 regression: a non-default ``text_col`` must reach the
+    store-delta signature recompute, not just the decision operator —
+    the store otherwise fills with signatures of the wrong column (or
+    the job fails outright when no ``text`` column exists)."""
+    import os
+
+    from matcha_spark.streaming.dedup import stream_incremental_dedup
+
+    base = tempfile.mkdtemp(prefix="mdedup_tc_")
+    src_dir = os.path.join(base, "src")
+    store = os.path.join(base, "store")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src_dir)
+    schema = "doc_id long, body string"  # deliberately no `text` column
+    decisions = {}
+
+    def sink(df, batch_id):
+        for r in df.collect():
+            decisions[r.doc_id] = (r.keep, r.dup_of)
+
+    def run():
+        src = spark.readStream.schema(schema).parquet(src_dir)
+        q = stream_incremental_dedup(
+            src, store, sink, method="simhash", checkpoint_dir=ckpt,
+            max_hamming=3, text_col="body",
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], schema
+    ).write.mode("append").parquet(src_dir)
+    run()
+    assert decisions == {1: (True, None)}
+    # the re-upload dedupes ONLY if batch-1's stored signature was
+    # computed from `body` — the bug stored garbage (or crashed)
+    spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon")], schema
+    ).write.mode("append").parquet(src_dir)
+    decisions.clear()
+    run()
+    assert decisions == {10: (False, 1)}
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_dedup_store_compaction(spark):
+    """r10 store compaction: 20 one-doc micro-batches
+    (maxFilesPerTrigger=1) with compact_every=4 keep the signature
+    store's parquet file count bounded instead of one file-set per
+    batch, and the decisions + final store contents are identical to
+    what an uncompacted run produces."""
+    import glob as g
+    import os
+
+    from matcha_spark.operators.dedup import load_signature_store
+    from matcha_spark.streaming.dedup import stream_incremental_dedup
+
+    texts = [
+        f"unique words document number {i} with filler {i * 7}" for i in range(18)
+    ]
+    texts += [texts[0], texts[5]]  # two re-uploads → rejected
+
+    def drive(compact_every):
+        base = tempfile.mkdtemp(prefix="mdedup_cmp_")
+        src_dir = os.path.join(base, "src")
+        store = os.path.join(base, "store")
+        ckpt = os.path.join(base, "ckpt")
+        os.makedirs(src_dir)
+        schema = "doc_id long, text string"
+        for i, t in enumerate(texts):
+            spark.createDataFrame([(i, t)], schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src_dir)
+        decisions = {}
+
+        def sink(df, batch_id):
+            for r in df.collect():
+                decisions[r.doc_id] = (r.keep, r.dup_of)
+
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = stream_incremental_dedup(
+            src, store, sink, method="simhash", checkpoint_dir=ckpt,
+            max_hamming=3, compact_every=compact_every,
+        )
+        q.awaitTermination(600)
+        sig_dir = os.path.join(store, "sigs")
+        files = len(g.glob(os.path.join(sig_dir, "*.parquet")))
+        sigs = {
+            (r.doc_id, r.simhash)
+            for r in load_signature_store(spark, sig_dir).collect()
+        }
+        shutil.rmtree(base, ignore_errors=True)
+        return decisions, sigs, files
+
+    dec_c, sigs_c, files_c = drive(compact_every=4)
+    dec_u, sigs_u, files_u = drive(compact_every=0)
+    assert dec_c == dec_u and sigs_c == sigs_u
+    assert dec_c[18] == (False, 0) and dec_c[19] == (False, 5)
+    assert sum(1 for k, d in dec_c.items() if d[0]) == 18
+    # uncompacted: ≥1 file per kept-appending batch; compacted: bounded
+    assert files_u >= 17
+    assert files_c <= 8
