@@ -455,13 +455,51 @@ def _join_solutions(left_df: DataFrame, left_vars: list[str], scan: _Scan) -> tu
     return out, left_vars + [v for v in scan.vars if v not in left_vars]
 
 
+# a var-endpoint closure pattern is seeded from the already-computed
+# solution set only when some prior pattern bounds that var's values at
+# or below this estimate — seeding from a huge frontier can EXCEED the
+# all-pairs closure (per-root provenance is Σ per-root reachable sets,
+# capped by |roots|·V, where all-pairs caps at V²)
+SEEDED_FRONTIER_EST = 10_000.0
+
+
 def _compile_required(db: TriplesDB, triples, spark: SparkSession) -> tuple[DataFrame, list[str]] | None:
-    """Greedy selectivity-ordered join tree over the pattern scans."""
+    """Greedy selectivity-ordered join tree over the pattern scans.
+
+    Closure-bearing path patterns whose endpoints are BOTH variables
+    are deferred to the END of the tree (r10): a closure anywhere else
+    in the tree materializes all-pairs at compile time, but when a
+    selective prior pattern (``var_est`` ≤ :data:`SEEDED_FRONTIER_EST`)
+    already bounds one endpoint var, the closure evaluates as seeded
+    frontier reachability from the computed solution set's distinct
+    anchor values (:func:`_reach_via_path` — O(Σ reachable from
+    anchors)) instead.  Inner joins commute, so deferral never changes
+    semantics; with no usable anchor the deferred pattern falls back to
+    the all-pairs scan exactly as before."""
     if not triples:
         return None
     stats = db.predicate_stats()
     total = float(db.total_triples())
-    scans = [_scan_pattern(db, t, stats, total) for t in triples]
+    deferred_idx = {
+        i
+        for i, t in enumerate(triples)
+        if isinstance(t[1], PathExpr)
+        and _contains_closure(t[1])
+        and is_var(t[0])
+        and is_var(t[2])
+    }
+    if len(deferred_idx) == len(triples):
+        # nothing to seed from — compile everything the classic way
+        deferred_idx = set()
+    normal = [t for i, t in enumerate(triples) if i not in deferred_idx]
+    deferred = [t for i, t in enumerate(triples) if i in deferred_idx]
+    scans = [_scan_pattern(db, t, stats, total) for t in normal]
+    # per-var selectivity floor: the cheapest scan binding a var bounds
+    # its distinct-value count — the seeding gate for deferred closures
+    var_est: dict[str, float] = {}
+    for sc in scans:
+        for v in sc.vars:
+            var_est[v] = min(var_est.get(v, float("inf")), sc.est)
     scans.sort(key=lambda s: s.est)
     first = scans.pop(0)
     df, vars_ = first.df, list(first.vars)
@@ -480,12 +518,54 @@ def _compile_required(db: TriplesDB, triples, spark: SparkSession) -> tuple[Data
             idx = 0
         sc = scans.pop(idx)
         df, vars_ = _join_solutions(df, vars_, sc)
+    for t in deferred:
+        df, vars_ = _join_deferred_closure(db, t, df, vars_, var_est, stats, total)
     if "__seed" in df.columns:
         df = df.drop("__seed")
     skey_cols = [c for c in df.columns if c.startswith("__skey__")]
     if skey_cols:
         df = df.drop(*skey_cols)
     return df, vars_
+
+
+def _join_deferred_closure(
+    db: TriplesDB, pattern, df, vars_, var_est, stats, total
+):
+    """Join one deferred var-endpoint closure pattern onto the computed
+    solution set — seeded from whichever endpoint var has the smaller
+    (eligible) estimate, walking forward when the subject anchors and
+    backward when the object does.  The computed frontier is UNBOUNDED
+    by contract, so it is never broadcast-hinted (``seeds_small=False``
+    — AQE picks the join strategy)."""
+    s_item, path, o_item = pattern
+    sv, ov = var_name(s_item), var_name(o_item)
+    cands = sorted(
+        (var_est[v], side, fwd, v)
+        for side, (v, fwd) in enumerate(((sv, True), (ov, False)))
+        if v in vars_ and var_est.get(v, float("inf")) <= SEEDED_FRONTIER_EST
+    )
+    if not cands:
+        # no selective anchor: all-pairs scan, classic join
+        sc = _scan_path_pattern(db, pattern, stats, total)
+        return _join_solutions(df, vars_, sc)
+    _, _, fwd, anchor = cands[0]
+    seeds = df.select(F.col(anchor).alias("n")).dropDuplicates()
+    reach = _reach_via_path(db, path, seeds, forward=fwd, seeds_small=False)
+    if sv == ov:
+        # repeated var: the pattern keeps anchors that reach themselves
+        pair = (
+            reach.where(F.col("x") == F.col("root"))
+            .select(F.col("root").alias(anchor))
+            .dropDuplicates()
+        )
+        return df.join(pair, on=[anchor], how="inner"), vars_
+    other = ov if fwd else sv
+    pair = reach.select(
+        F.col("root").alias(anchor), F.col("x").alias(other)
+    ).dropDuplicates()
+    on = [anchor] + ([other] if other in vars_ else [])
+    out = df.join(pair, on=on, how="inner")
+    return out, vars_ + ([other] if other not in vars_ else [])
 
 
 def _values_df(spark: SparkSession, var: str, coll) -> DataFrame:
@@ -690,11 +770,16 @@ def solve(db: TriplesDB, patterns: Sequence[Any], spark: SparkSession | None = N
         df, vars_ = None, []
     else:
         df, vars_ = required
-    df, vars_ = _apply_values(df, vars_, values_clauses, spark)
 
     # subqueries join like additional solution relations: on shared
     # projected vars (SPARQL solution-mapping join), cartesian when
-    # disjoint; their own modifiers already applied INSIDE
+    # disjoint; their own modifiers already applied INSIDE.  They join
+    # BEFORE the VALUES clauses (ADVICE r10): solution-mapping joins
+    # commute, but ValuesRows' bound-var bookkeeping must see
+    # subquery-projected vars as bound — applied first, a VALUES over a
+    # var bound only by a subquery mis-classified it as new (UNDEF rows
+    # rejected; defined rows took a cross-join instead of a constraint
+    # join)
     for sq in subqueries:
         sdf, svars = _compile_subselect(db, sq, spark)
         if df is None:
@@ -706,6 +791,7 @@ def solve(db: TriplesDB, patterns: Sequence[Any], spark: SparkSession | None = N
             else:
                 df = df.crossJoin(sdf)
             vars_ = list(vars_) + [v for v in svars if v not in vars_]
+    df, vars_ = _apply_values(df, vars_, values_clauses, spark)
 
     if (filters or binds or negations) and df is None:
         raise ValueError("FILTER / BIND / NOT EXISTS / MINUS require required patterns")

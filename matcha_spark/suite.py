@@ -396,6 +396,34 @@ def bgp_path_from_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(lex(F.col("`?x`")).alias("src"))
 
 
+def bgp_path_from_selective_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded closure from a selective VAR anchor (r10): the closure's
+    object endpoint is a variable — but it is bound by a selective
+    name pattern, so the compiler defers the closure to the end of the
+    join tree and evaluates it as frontier reachability seeded from
+    the computed anchor set (``explain_query`` shows a
+    ``seeded_reach_*`` scan) instead of materializing the all-pairs
+    closure and filtering (``plans/compiler._join_deferred_closure``).
+    Semantically identical to ``bgp_path_from_seed`` with the seed
+    delivered by a pattern instead of a literal."""
+    from .patterns import Alt, OneOrMore
+
+    db = _graph(spark, sf_dir, include_orders=True, order_priority="1-URGENT")
+    res = select_df(
+        ["?x"],
+        [
+            ("?r", KW["name"], "AMERICA"),
+            (
+                "?x",
+                OneOrMore(Alt(KW["customer"], KW["nation"], KW["region"])),
+                "?r",
+            ),
+        ],
+        db,
+    )
+    return res.select(lex(F.col("`?x`")).alias("src"))
+
+
 def graph_distances_from_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded single-source shortest distances (r09): hop counts TO
     ``region:1`` over the urgent-order hierarchy — the reversed-edge
@@ -1154,6 +1182,162 @@ def emb_semdedup(spark, sf_dir):
     return D.semdedup(emb, threshold=0.4, n_clusters=8)
 
 
+# ---------------------------------------------------------------------------
+# derived-invariant twins (r10): the rows-only operators' hashes are
+# engine-specific, but several of them have SQL-expressible *invariants* —
+# these entries turn each invariant into a hash-checkable oracle row so the
+# driver finally verifies something about the rows-only family
+# ---------------------------------------------------------------------------
+
+
+def doc_cdc_tiling(spark, sf_dir):
+    """Derived-invariant twin of ``doc_cdc_chunks``: the seeded gear
+    hash makes chunk BOUNDARIES engine-specific, but whatever the
+    boundaries are, the chunks must tile each document exactly —
+    chunk 0 starts at byte 0, every later chunk starts where the
+    previous ended, and the lengths sum to the document's UTF-8 byte
+    length.  The oracle only needs ``strlen(text)``; any boundary,
+    offset, or length bug breaks the tiling and the hash."""
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    ch = T.cdc_chunks(docs, avg_size=64)
+    w = Window.partitionBy("doc_id").orderBy("chunk_idx")
+    contig = F.coalesce(
+        F.lag(F.col("start") + F.col("length")).over(w), F.lit(0)
+    ) == F.col("start")
+    return (
+        ch.withColumn("__contig", contig)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("length").cast("bigint").alias("n_bytes"),
+            (F.min(F.col("__contig").cast("int")) == 1).alias("tiled"),
+        )
+    )
+
+
+def emb_semdedup_planted(spark, sf_dir):
+    """Derived-invariant twin of ``emb_semdedup``: union the corpus
+    with an exact copy of every vector (id + 100000) and prune at
+    threshold 0.99.  Identical vectors always land in the same k-means
+    cell (identical distances → identical argmin), so whatever the
+    seeded clustering does, the greedy ascending-id prune MUST keep
+    every original and drop every copy with ``dup_of`` = its original
+    — while no organic pair comes near 0.99 cosine (the synthetic
+    embeddings max out around 0.5).  Exactly reproducible in SQL."""
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    base = emb.select("vec_id", "embedding")
+    copies = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    out = D.semdedup(base.unionByName(copies), threshold=0.99, n_clusters=8)
+    # `cluster` is the seeded quantizer's cell id — engine-specific,
+    # projected away; keep/dup_of are the invariant surface
+    return out.select("vec_id", "keep", "dup_of")
+
+
+def emb_pq_exhaustive(spark, sf_dir):
+    """Derived-invariant twin of ``emb_pq_topk``: with ``refine`` large
+    enough that k·refine covers the corpus, ADC candidate generation
+    is exhaustive and the exact-cosine re-rank must reproduce the
+    exact top-k — the same oracle SQL as ``emb_cosine_topk``,
+    independent of the seeded codebooks."""
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return S.pq_topk(emb, emb.where(F.col("vec_id") < 5), k=5, refine=1000)
+
+
+def emb_ivf_exhaustive(spark, sf_dir):
+    """Derived-invariant twin of ``emb_ivf_topk``: probing every cell
+    (``n_probe == n_centroids``) makes IVF exact regardless of where
+    the seeded coarse quantizer put the cell boundaries — the exact
+    top-k oracle again."""
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return S.ivf_topk(
+        emb, emb.where(F.col("vec_id") < 5), k=5, n_centroids=16, n_probe=16
+    )
+
+
+def _admission_soundness(decisions, kept_prior, kept_now, store_ids, updated_ids):
+    """Shared invariant surface for the incremental-dedup twins: one
+    row per batch doc asserting the decision is well-formed —
+    ``keep`` XOR ``dup_of`` set, never self-dup, ``dup_of`` points at
+    a doc that is itself kept (store or batch keeper) — plus a
+    store-growth bit (updated store == prior store ∪ kept batch)
+    attached as a broadcast scalar."""
+    # every frame below derives from the same decisions/sigs lineage —
+    # qualify the self-joins explicitly
+    d = decisions.alias("d")
+    k = (
+        kept_prior.unionByName(kept_now)
+        .withColumnRenamed("doc_id", "k_id")
+        .alias("k")
+    )
+    sound = (
+        (F.col("d.keep") & F.col("d.dup_of").isNull())
+        | (
+            (~F.col("d.keep"))
+            & F.col("d.dup_of").isNotNull()
+            & (F.col("d.dup_of") != F.col("d.doc_id"))
+            & F.col("k.k_id").isNotNull()
+        )
+    )
+    per_doc = d.join(k, F.col("d.dup_of") == F.col("k.k_id"), "left").select(
+        F.col("d.doc_id").alias("doc_id"), sound.alias("sound")
+    )
+    expect = (
+        store_ids.unionByName(kept_now)
+        .withColumnRenamed("doc_id", "e_id")
+        .alias("e")
+    )
+    u = updated_ids.withColumnRenamed("doc_id", "u_id").alias("u")
+    drift = (
+        u.join(expect, F.col("u.u_id") == F.col("e.e_id"), "full_outer")
+        .where(F.col("u.u_id").isNull() | F.col("e.e_id").isNull())
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select((F.col("__n") == 0).alias("store_ok"))
+    )
+    return per_doc.crossJoin(F.broadcast(drift))
+
+
+def dedup_incremental_sound(spark, sf_dir):
+    """Derived-invariant twin of ``dedup_incremental`` (MinHash store):
+    the estimator's hash values are engine-specific, but every
+    admission must be structurally sound — exactly one decision per
+    batch doc, ``dup_of`` only on rejections and always pointing at a
+    kept doc, and the updated store must be exactly prior ∪ kept.
+    The oracle is the all-true table over the batch ids."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    first = docs.where(F.col("doc_id") < 250)
+    batch = docs.where(F.col("doc_id") >= 250)
+    dec1, sigs = D.incremental_dedup_near(first, None, threshold=0.5)
+    dec2, updated = D.incremental_dedup_near(batch, sigs, threshold=0.5)
+    return _admission_soundness(
+        dec2,
+        dec1.where(F.col("keep")).select("doc_id"),
+        dec2.where(F.col("keep")).select("doc_id"),
+        sigs.select("doc_id"),
+        updated.select("doc_id"),
+    )
+
+
+def dedup_incremental_simhash_sound(spark, sf_dir):
+    """Derived-invariant twin of ``dedup_incremental_simhash`` — the
+    same structural soundness surface over the 16-byte SimHash store
+    (see :func:`dedup_incremental_sound`)."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    first = docs.where(F.col("doc_id") < 250)
+    batch = docs.where(F.col("doc_id") >= 250)
+    dec1, sigs = D.incremental_dedup_simhash(first, None, max_hamming=8)
+    dec2, updated = D.incremental_dedup_simhash(batch, sigs, max_hamming=8)
+    return _admission_soundness(
+        dec2,
+        dec1.where(F.col("keep")).select("doc_id"),
+        dec2.where(F.col("keep")).select("doc_id"),
+        sigs.select("doc_id"),
+        updated.select("doc_id"),
+    )
+
+
 def doc_mixture_sample(spark, sf_dir):
     """Deterministic data-mixing sample (per-source keep rates); the
     oracle replays the md5 thresholds computed by rate_threshold_hex
@@ -1460,64 +1644,39 @@ def dedup_near_emb(spark, sf_dir):
 # When adding a new oracle-backed entry, insert it at the top; after each
 # round, rotate entries the driver just verified toward the back.
 QUERIES = {
-    # --- r09 driver window (first 50) ---------------------------------
-    # new this round (r09) — never driver-checked
-    "bgp_path_from_seed": bgp_path_from_seed,
-    "graph_distances_from_seed": graph_distances_from_seed,
-    "doc_chunk_packing": doc_chunk_packing,
-    "bgp_select_top_names": bgp_select_top_names,
-    "bgp_subquery_busy_nations": bgp_subquery_busy_nations,
-    "bgp_exists_repeat_customers": bgp_exists_repeat_customers,
-    "bgp_values_rows_pairs": bgp_values_rows_pairs,
-    "graph_components_nations": graph_components_nations,
-    "bgp_describe_nation": bgp_describe_nation,
-    "doc_pipeline_pack": doc_pipeline_pack,
-    "dedup_incremental_simhash": dedup_incremental_simhash,
-    # stale freshness (newest driver record r06) — rotated in per the
-    # registry_audit contract
-    "doc_lang_id": doc_lang_id,
-    "doc_quality_filter": doc_quality_filter,
-    "doc_scrub_pii": doc_scrub_pii,
-    "doc_strip_boilerplate": doc_strip_boilerplate,
-    "doc_corpus_stats": doc_corpus_stats,
-    "doc_sample_hash": doc_sample_hash,
-    "orders_sample_consistent": orders_sample_consistent,
-    "doc_tfidf_top": doc_tfidf_top,
-    "doc_bm25_search": doc_bm25_search,
-    "doc_repetition": doc_repetition,
-    "doc_media_features": doc_media_features,
-    "doc_audio_features": doc_audio_features,
-    "doc_frame_sample": doc_frame_sample,
-    # rows-only entries with NO driver record yet: a window slot gives
-    # each a rows_match-level run in the driver's environment (r08 ask)
-    "emb_pq_topk": emb_pq_topk,
-    "emb_semdedup": emb_semdedup,
-    "dedup_incremental": dedup_incremental,
-    "doc_cdc_chunks": doc_cdc_chunks,
-    "doc_image_phash": doc_image_phash,
-    "doc_video_near_dup": doc_video_near_dup,
-    "doc_audio_near_dup": doc_audio_near_dup,
-    "graph_pagerank_urgent": graph_pagerank_urgent,
-    # newest record r07 — refreshed now so the 3-round freshness
-    # horizon (see tools/registry_audit.py capacity math) never lapses
-    "bgp_agg_customers_by_region": bgp_agg_customers_by_region,
-    "bgp_agg_urgent_orders_by_nation": bgp_agg_urgent_orders_by_nation,
-    "bgp_bind_segment_prefix": bgp_bind_segment_prefix,
-    "bgp_nations_values": bgp_nations_values,
-    "bgp_customers_in_region": bgp_customers_in_region,
-    "bgp_optional_urgent_orders": bgp_optional_urgent_orders,
-    "bgp_construct_region_graph": bgp_construct_region_graph,
-    "bgp_filter_customer_names": bgp_filter_customer_names,
-    "bgp_not_exists_unurgent": bgp_not_exists_unurgent,
-    "grouping_sets_priority": R.grouping_sets_priority,
-    "cohort_retention": R.cohort_retention,
-    "range_events_clicks": R.range_events_clicks,
-    "events_value_outliers": R.events_value_outliers,
-    "asof_events_orders_forward": R.asof_events_orders_forward,
-    "q8_market_share": R.q8_market_share,
-    "q9_product_profit": R.q9_product_profit,
-    "q10_returned_items": R.q10_returned_items,
-    "q11_part_value": R.q11_part_value_concentration,
+    # --- r10 driver window (first 50): ALL oracle-backed --------------
+    # (the r09 experiment proved the driver records `no_oracle` for
+    # rows-only entries — window slots now go exclusively to
+    # hash-checkable entries; rows-only entries park at the end with
+    # their pytest twins and the new derived-invariant twins here)
+    # new this round (r10) — never driver-checked
+    "doc_cdc_tiling": doc_cdc_tiling,
+    "emb_semdedup_planted": emb_semdedup_planted,
+    "emb_pq_exhaustive": emb_pq_exhaustive,
+    "emb_ivf_exhaustive": emb_ivf_exhaustive,
+    "dedup_incremental_sound": dedup_incremental_sound,
+    "dedup_incremental_simhash_sound": dedup_incremental_simhash_sound,
+    "bgp_path_from_selective_var": bgp_path_from_selective_var,
+    # newest driver record r07 — the 27 entries registry_audit flagged
+    # at the three-round freshness limit (front of the queue)
+    "bgp_path_reach_urgent": bgp_path_reach_urgent,
+    "bgp_path_region_members": bgp_path_region_members,
+    "dedup_near_docs": dedup_near_docs,
+    "dedup_near_emb": dedup_near_emb,
+    "doc_mixture_sample": doc_mixture_sample,
+    "doc_ngram_jaccard": doc_ngram_jaccard,
+    "doc_normalize_nfc": doc_normalize_nfc,
+    "doc_nt_roundtrip": doc_nt_roundtrip,
+    "doc_pipeline_curate": doc_pipeline_curate,
+    "doc_resize_pixels": doc_resize_pixels,
+    "doc_stratified_sample": doc_stratified_sample,
+    "doc_strip_dup_ngrams": doc_strip_dup_ngrams,
+    "doc_unigram_logloss": doc_unigram_logloss,
+    "emb_cosine_topk": emb_cosine_topk,
+    "emb_dup_pairs": emb_dup_pairs,
+    "emb_l2_norms": emb_l2_norms,
+    "graph_closure_nations": graph_closure_nations,
+    "graph_shortest_urgent": graph_shortest_urgent,
     "q13_customer_distribution": R.q13_customer_distribution,
     "q14_promo_revenue": R.q14_promo_revenue,
     "q15_top_supplier": R.q15_top_supplier,
@@ -1527,27 +1686,9 @@ QUERIES = {
     "q19_disjunctive_revenue": R.q19_disjunctive_revenue,
     "q20_excess_suppliers": R.q20_excess_suppliers,
     "q21_waiting_suppliers": R.q21_waiting_suppliers,
-    # --- outside the window -------------------------------------------
-    # remaining r07-green entries: FIRST in line for the r10 window
-    "doc_mixture_sample": doc_mixture_sample,
-    "doc_strip_dup_ngrams": doc_strip_dup_ngrams,
-    "doc_pipeline_curate": doc_pipeline_curate,
-    "doc_normalize_nfc": doc_normalize_nfc,
-    "doc_unigram_logloss": doc_unigram_logloss,
-    "doc_resize_pixels": doc_resize_pixels,
-    "doc_ngram_jaccard": doc_ngram_jaccard,
-    "dedup_near_docs": dedup_near_docs,
-    "emb_l2_norms": emb_l2_norms,
-    "emb_cosine_topk": emb_cosine_topk,
-    "emb_dup_pairs": emb_dup_pairs,
-    "dedup_near_emb": dedup_near_emb,
-    "doc_nt_roundtrip": doc_nt_roundtrip,
-    "doc_stratified_sample": doc_stratified_sample,
-    "bgp_path_region_members": bgp_path_region_members,
-    "bgp_path_reach_urgent": bgp_path_reach_urgent,
-    "graph_closure_nations": graph_closure_nations,
-    "graph_shortest_urgent": graph_shortest_urgent,
-    # r08 driver-verified hash-green — safely outside until r11
+    # newest record r08 — 16 of the 50 r08-window entries refresh now;
+    # the rest hit the registry_audit warning tier after this round and
+    # lead the r11 rotation
     "graph_shortest_weighted": graph_shortest_weighted,
     "emb_range_search": emb_range_search,
     "events_funnel_windowed": R.events_funnel_windowed,
@@ -1564,6 +1705,9 @@ QUERIES = {
     "bgp_agg_top_urgent_nations": bgp_agg_top_urgent_nations,
     "bgp_path_inv_region_members": bgp_path_inv_region_members,
     "bgp_path_zom_region": bgp_path_zom_region,
+    # --- outside the window -------------------------------------------
+    # r08-recorded remainder: two rounds stale after this run — FIRST
+    # in line for the r11 window
     "bgp_path_zoo_nation": bgp_path_zoo_nation,
     "bgp_path_negset_links": bgp_path_negset_links,
     "q12_late_shipments": R.q12_late_shipments,
@@ -1598,8 +1742,59 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "doc_token_count": doc_token_count,
     "doc_text_quality": doc_text_quality,
-    # rows-only with prior driver records: parked last (window slots
-    # are spent on hash-gated or never-checked entries)
+    # r09 driver-verified hash-green — safely outside until r12
+    "bgp_path_from_seed": bgp_path_from_seed,
+    "graph_distances_from_seed": graph_distances_from_seed,
+    "doc_chunk_packing": doc_chunk_packing,
+    "bgp_select_top_names": bgp_select_top_names,
+    "bgp_subquery_busy_nations": bgp_subquery_busy_nations,
+    "bgp_exists_repeat_customers": bgp_exists_repeat_customers,
+    "bgp_values_rows_pairs": bgp_values_rows_pairs,
+    "graph_components_nations": graph_components_nations,
+    "bgp_describe_nation": bgp_describe_nation,
+    "doc_pipeline_pack": doc_pipeline_pack,
+    "doc_lang_id": doc_lang_id,
+    "doc_quality_filter": doc_quality_filter,
+    "doc_scrub_pii": doc_scrub_pii,
+    "doc_strip_boilerplate": doc_strip_boilerplate,
+    "doc_corpus_stats": doc_corpus_stats,
+    "doc_sample_hash": doc_sample_hash,
+    "orders_sample_consistent": orders_sample_consistent,
+    "doc_tfidf_top": doc_tfidf_top,
+    "doc_bm25_search": doc_bm25_search,
+    "doc_repetition": doc_repetition,
+    "doc_media_features": doc_media_features,
+    "doc_audio_features": doc_audio_features,
+    "doc_frame_sample": doc_frame_sample,
+    "bgp_agg_customers_by_region": bgp_agg_customers_by_region,
+    "bgp_agg_urgent_orders_by_nation": bgp_agg_urgent_orders_by_nation,
+    "bgp_bind_segment_prefix": bgp_bind_segment_prefix,
+    "bgp_nations_values": bgp_nations_values,
+    "bgp_customers_in_region": bgp_customers_in_region,
+    "bgp_optional_urgent_orders": bgp_optional_urgent_orders,
+    "bgp_construct_region_graph": bgp_construct_region_graph,
+    "bgp_filter_customer_names": bgp_filter_customer_names,
+    "bgp_not_exists_unurgent": bgp_not_exists_unurgent,
+    "grouping_sets_priority": R.grouping_sets_priority,
+    "cohort_retention": R.cohort_retention,
+    "range_events_clicks": R.range_events_clicks,
+    "events_value_outliers": R.events_value_outliers,
+    "asof_events_orders_forward": R.asof_events_orders_forward,
+    "q8_market_share": R.q8_market_share,
+    "q9_product_profit": R.q9_product_profit,
+    "q10_returned_items": R.q10_returned_items,
+    "q11_part_value": R.q11_part_value_concentration,
+    # rows-only by design (no oracle; pytest-pinned, with
+    # derived-invariant twins in the window above): parked last
+    "dedup_incremental_simhash": dedup_incremental_simhash,
+    "emb_pq_topk": emb_pq_topk,
+    "emb_semdedup": emb_semdedup,
+    "dedup_incremental": dedup_incremental,
+    "doc_cdc_chunks": doc_cdc_chunks,
+    "doc_image_phash": doc_image_phash,
+    "doc_video_near_dup": doc_video_near_dup,
+    "doc_audio_near_dup": doc_audio_near_dup,
+    "graph_pagerank_urgent": graph_pagerank_urgent,
     "doc_sketch_stats": doc_sketch_stats,
     "doc_minhash_lsh": doc_minhash_lsh,
     "doc_simhash": doc_simhash,
@@ -2692,6 +2887,26 @@ ORACLES = {
         )
         SELECT src FROM reach
     """,
+    "bgp_path_from_selective_var": """
+        WITH RECURSIVE edges AS (
+            SELECT 'order:' || o_orderkey AS src, 'customer:' || o_custkey AS dst
+            FROM orders WHERE o_orderpriority = '1-URGENT'
+            UNION ALL
+            SELECT 'customer:' || c_custkey, 'nation:' || c_nationkey FROM customer
+            UNION ALL
+            SELECT 'supplier:' || s_suppkey, 'nation:' || s_nationkey FROM supplier
+            UNION ALL
+            SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey FROM nation
+        ), seedr AS (
+            SELECT 'region:' || r_regionkey AS node FROM region
+            WHERE r_name = 'AMERICA'
+        ), reach(src) AS (
+            SELECT e.src FROM edges e JOIN seedr s ON e.dst = s.node
+            UNION
+            SELECT e.src FROM reach r JOIN edges e ON e.dst = r.src
+        )
+        SELECT src FROM reach
+    """,
     "bgp_path_reach_urgent": """
         WITH RECURSIVE edges AS (
             SELECT 'order:' || o_orderkey AS src, 'customer:' || o_custkey AS dst
@@ -3202,6 +3417,30 @@ ORACLES = {
                round(sqrt(list_dot_product(embedding :: DOUBLE[], embedding :: DOUBLE[])), 4) AS l2_norm
         FROM embeddings
     """,
+    # --- derived-invariant twins (r10) ---------------------------------
+    "doc_cdc_tiling": """
+        SELECT doc_id,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               CAST(1 AS BOOLEAN) AS tiled
+        FROM documents
+    """,
+    "emb_semdedup_planted": """
+        SELECT vec_id, CAST(1 AS BOOLEAN) AS keep,
+               CAST(NULL AS BIGINT) AS dup_of
+        FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000, CAST(0 AS BOOLEAN), vec_id FROM embeddings
+    """,
+    "dedup_incremental_sound": """
+        SELECT doc_id, CAST(1 AS BOOLEAN) AS sound,
+               CAST(1 AS BOOLEAN) AS store_ok
+        FROM documents WHERE doc_id >= 250
+    """,
+    "dedup_incremental_simhash_sound": """
+        SELECT doc_id, CAST(1 AS BOOLEAN) AS sound,
+               CAST(1 AS BOOLEAN) AS store_ok
+        FROM documents WHERE doc_id >= 250
+    """,
     "emb_cosine_topk": """
         WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
         c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
@@ -3299,3 +3538,9 @@ ORACLES = {
     # Spark-specific hashing / seeded projections — no SQL oracle
     # (driver records rows-only checks)
 }
+
+# the exhaustive ANN twins must reproduce the EXACT top-k — their oracle
+# is literally the exact-cosine oracle (seeded codebooks / coarse cells
+# cannot change an exhaustive result, which is the invariant)
+ORACLES["emb_pq_exhaustive"] = ORACLES["emb_cosine_topk"]
+ORACLES["emb_ivf_exhaustive"] = ORACLES["emb_cosine_topk"]

@@ -502,6 +502,50 @@ def test_path_bound_endpoint_differential(spark, seed):
     )
 
 
+@pytest.mark.parametrize("seed", range(14))
+def test_path_selective_var_anchor_differential(spark, seed):
+    """r10: a var-endpoint closure anchored by a selective prior
+    pattern takes the deferred seeded evaluation
+    (``_join_deferred_closure``); results must equal the all-pairs
+    path algebra joined with the anchor pattern, on both endpoint
+    sides, over random graphs and random anchors."""
+    from matcha_spark import select
+    from matcha_spark.patterns import OneOrMore, ZeroOrMore
+
+    rng = random.Random(6600 + seed)
+    db_rows = _rand_path_db(rng)
+    inner = _rand_path_expr(rng, depth=1)
+    path = OneOrMore(inner) if rng.random() < 0.5 else ZeroOrMore(inner)
+    pairs = _model_path_pairs(path, db_rows)
+    nodes = sorted({s for s, _, _ in db_rows} | {o for _, _, o in db_rows})
+    ap = rng.choice(PATH_PREDS)
+    anchor_obj = rng.choice(nodes)
+    anchors = {s for s, p, o in db_rows if p == ap and o == anchor_obj}
+    db = TriplesDB.from_triples(spark, db_rows)
+    try:
+        if rng.random() < 0.5:
+            got = select(
+                ["?x", "?m"],
+                [("?m", ap, anchor_obj), ("?x", path, "?m")],
+                db,
+            )
+            want = sorted((str(a), str(b)) for a, b in pairs if b in anchors)
+        else:
+            got = select(
+                ["?m", "?y"],
+                [("?m", ap, anchor_obj), ("?m", path, "?y")],
+                db,
+            )
+            want = sorted((str(a), str(b)) for a, b in pairs if a in anchors)
+        got_list = sorted((str(x), str(y)) for x, y in (got or []))
+    finally:
+        db.unpersist()
+    assert got_list == want, (
+        f"seed={seed}\ndb={db_rows}\npath={path!r}\n"
+        f"anchor=({ap}, {anchor_obj})\ngot={got_list}\nwant={want}"
+    )
+
+
 @pytest.mark.parametrize("seed", range(12))
 def test_path_bind_agg_modifiers_differential(spark, seed):
     """r09: the r08 additions interact — select_agg's solution

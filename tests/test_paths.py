@@ -188,6 +188,60 @@ def test_repeated_var_on_cycle(db):
     assert set(rows) == {A, B, C}
 
 
+def test_selective_var_anchor_seeds_closure(db):
+    """r10: a var-endpoint closure whose endpoint var is bound by a
+    selective prior pattern defers to the end of the join tree and
+    evaluates seeded from the computed anchor set
+    (``_join_deferred_closure``) — visible as a ``seeded_reach_*``
+    scan; an un-anchored var-var closure stays all-pairs."""
+    from matcha_spark.query import explain_query
+
+    # object endpoint anchored via the name pattern → seeded backward
+    plan = explain_query(
+        [("?n", NAME, "bee"), ("?s", OneOrMore(KNOWS), "?n")], db
+    )
+    assert "seeded_reach_" in plan
+    # subject endpoint anchored → seeded forward
+    plan = explain_query(
+        [("?s", LIKES, X), ("?s", OneOrMore(KNOWS), "?x")], db
+    )
+    assert "seeded_reach_" in plan
+    # no anchor pattern: classic all-pairs
+    plan = explain_query([("?s", OneOrMore(KNOWS), "?o")], db)
+    assert "seeded_reach_" not in plan
+
+
+def test_selective_var_anchor_semantics(db):
+    # who reaches the node named "bee" (= :b)?  :b itself re-reaches
+    # through the b→c→a→b cycle
+    rows = select(
+        ["?s"], [("?n", NAME, "bee"), ("?s", OneOrMore(KNOWS), "?n")], db
+    )
+    assert set(rows) == {A, B, C}
+    # subject-side anchor: ?s = :a (likes :x), forward cone
+    rows = select(
+        ["?x"], [("?s", LIKES, X), ("?s", OneOrMore(KNOWS), "?x")], db
+    )
+    assert set(rows) == {A, B, C, D}
+    # BOTH endpoints bound: seeded pair set joins on both columns
+    rows = select(
+        ["?s"],
+        [("?s", LIKES, X), ("?n", NAME, "bee"), ("?s", OneOrMore(KNOWS), "?n")],
+        db,
+    )
+    assert rows == [A]
+    # ZeroOrMore through an anchored var keeps the identity pair
+    rows = select(
+        ["?s"], [("?n", NAME, "bee"), ("?s", ZeroOrMore(KNOWS), "?n")], db
+    )
+    assert set(rows) == {A, B, C}
+    # anchor set empty → no solutions, and no crash
+    assert (
+        select(["?s"], [("?n", NAME, "nope"), ("?s", OneOrMore(KNOWS), "?n")], db)
+        is None
+    )
+
+
 def test_nested_composition(db):
     # (^likes)/knows+ : from :x back to :a, then anywhere the closure goes
     got = _pairs(db, Seq(Inv(LIKES), OneOrMore(KNOWS)))

@@ -877,6 +877,36 @@ def test_subselect_plain_and_agg(friends_db):
     assert len(names) >= 3 and len(totals) == 1
 
 
+def test_values_rows_over_subquery_bound_var(friends_db):
+    """ADVICE r10: VALUES applies AFTER subquery joins, so a var bound
+    only by a SubSelect counts as bound — UNDEF rows are legal for it
+    and fully-defined rows CONSTRAIN instead of cross-joining."""
+    from matcha_spark.patterns import SubSelect, ValuesRows
+
+    sq = SubSelect(["?p"], [("?p", FOAF_KNOWS, "?q")])
+    base = select(["?p"], [sq], friends_db)
+    assert base is not None
+
+    # all-UNDEF row: unconstrained — identical to the bare subquery
+    rows = select(["?p"], [sq, ValuesRows(["?p"], [(None,)])], friends_db)
+    assert sorted(map(str, rows)) == sorted(map(str, base))
+
+    # defined row: a constraint join on the subquery-projected var
+    rows = select(["?p"], [sq, ValuesRows(["?p"], [(rick,)])], friends_db)
+    assert rows == [rick]
+
+    # mixed tuple: ?q genuinely new (defined in every row), ?p
+    # subquery-bound with an UNDEF — the UNDEF must not be rejected
+    rows = select(
+        ["?p", "?x"],
+        [sq, ValuesRows(["?p", "?x"], [(None, 1), (rick, 2)])],
+        friends_db,
+    )
+    got = {(str(p), x) for p, x in rows}
+    assert (str(rick), 1) in got and (str(rick), 2) in got
+    assert (str(katie), 1) in got and (str(katie), 2) not in got
+
+
 def test_exists_positive_filter(friends_db):
     """r09 FILTER EXISTS: the semi-join twin of NotExists — keeps
     solutions whose block matches; uncorrelated blocks keep everything

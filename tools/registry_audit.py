@@ -91,12 +91,22 @@ def main() -> int:
               f"driver record predates r{stale_limit:02d} (would exceed the "
               f"three-round freshness limit): {stale}")
         return 1
+    # ADVICE r10: the original two-round freshness bound stays as a
+    # WARNING tier — the hard gate above allows three rounds only by
+    # window-capacity arithmetic, and anything that old should be at
+    # the very front of the rotation, loudly
     aged = sorted(n for n in q[WINDOW:] if n in oracles
                   and seen_round.get(n, 0) == stale_limit)
     if aged:
-        print(f"note: {len(aged)} outside-window entries at the three-round "
-              f"freshness limit (r{stale_limit:02d} records) — front of the "
-              f"next rotation queue: {aged}")
+        print(f"WARNING: {len(aged)} outside-window entries at the "
+              f"three-round freshness limit (r{stale_limit:02d} records) — "
+              f"they MUST rotate into the next window: {aged}")
+    two_round = sorted(n for n in q[WINDOW:] if n in oracles
+                       and seen_round.get(n, 0) == stale_limit + 1)
+    if two_round:
+        print(f"note: {len(two_round)} outside-window entries will be two "
+              f"rounds stale after the upcoming run (r{stale_limit + 1:02d} "
+              f"records) — next rotation queue: {two_round}")
     print("OK: every oracle-backed entry is window-covered or previously green")
     return 0
 
