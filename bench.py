@@ -254,6 +254,11 @@ def main() -> None:
     )
 
     bench("bgp_path_from_seed", lambda: force(bgp_path_from_seed(spark, SF_DIR)), prewarm="graphs")
+    # r10: same reachability cone, but the seed arrives via a selective
+    # name pattern — exercises the deferred seeded-closure join path
+    from matcha_spark.suite import bgp_path_from_selective_var
+
+    bench("bgp_path_from_selective_var", lambda: force(bgp_path_from_selective_var(spark, SF_DIR)), prewarm="graphs")
     bench("graph_distances_from_seed", lambda: force(graph_distances_from_seed(spark, SF_DIR)), prewarm="graphs")
     bench("dedup_incremental_simhash", lambda: force(dedup_incremental_simhash(spark, SF_DIR)))
     from matcha_spark.suite import doc_chunk_packing

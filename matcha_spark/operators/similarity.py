@@ -35,6 +35,30 @@ __all__ = [
 ]
 
 
+# the exact/IVF/PQ operators collect the QUERY side to the driver
+# (shipped into Arrow kernels / broadcast probe tables) — fine for the
+# "score a batch of probes against the corpus" shape they implement,
+# silent-death OOM for a caller who passes a corpus-sized query set.
+# Enforced (r10, verdict ask #7): the collect probes one row past this
+# cap and raises with the distributed alternative instead
+MAX_QUERY_ROWS = 65_536
+
+
+def _collect_query_rows(queries: DataFrame, vec_col: str, caller: str) -> list:
+    """Bounded driver-side collect of an ANN query set: a ``limit``
+    probe (no count job) one past :data:`MAX_QUERY_ROWS`, raising
+    before anything large materializes on the driver."""
+    rows = queries.select("vec_id", vec_col).limit(MAX_QUERY_ROWS + 1).collect()
+    if len(rows) > MAX_QUERY_ROWS:
+        raise ValueError(
+            f"{caller}: query set exceeds MAX_QUERY_ROWS ({MAX_QUERY_ROWS}) "
+            "— this operator collects the query side to the driver by "
+            "contract; for corpus-scale query sets use lsh_bucketed_topk "
+            "(bucketed join, both sides stay distributed)"
+        )
+    return rows
+
+
 def _dot(a: str, b: str):
     return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x AS double) * cast(y AS double)), 0D, (acc, v) -> acc + v)")
 
@@ -64,7 +88,7 @@ def cosine_topk(
     import numpy as np
     import pandas as pd
 
-    qrows = queries.select("vec_id", vec_col).collect()
+    qrows = _collect_query_rows(queries, vec_col, "cosine_topk")
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
@@ -114,7 +138,7 @@ def cosine_range_search(
     import numpy as np
     import pandas as pd
 
-    qrows = queries.select("vec_id", vec_col).collect()
+    qrows = _collect_query_rows(queries, vec_col, "cosine_range_search")
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     # zero-norm guard on the QUERY side too (a zero query would make
@@ -392,7 +416,7 @@ def ivf_topk(
         n[n == 0] = 1.0
         return m / n
 
-    qrows = queries.select("vec_id", vec_col).collect()
+    qrows = _collect_query_rows(queries, vec_col, "ivf_topk")
     q_ids = [r[0] for r in qrows]
     qm = _normalize(np.array([list(r[1]) for r in qrows], dtype=np.float64))
     probe = np.argsort(-(qm @ cents.T), axis=1)[:, : min(n_probe, len(cents))]
@@ -509,7 +533,7 @@ def pq_topk(
         encode, schema="n_id long, code array<int>, n_vec array<float>"
     )
 
-    qrows = queries.select("vec_id", vec_col).collect()
+    qrows = _collect_query_rows(queries, vec_col, "pq_topk")
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     qm = _normalize(np.array([list(r[1]) for r in qrows], dtype=np.float64))
     # ADC tables: luts[q, j, c] = <query_sub_j, centroid_c>

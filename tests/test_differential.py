@@ -778,3 +778,149 @@ def test_negation_differential(spark, seed):
     assert _blind(got_rows) == expected, (
         f"seed={seed}\ndb={db_rows}\npatterns={patterns}\npvars={pvars}"
     )
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_subselect_path_negation_differential(spark, seed):
+    """r10 (verdict ask #8): the r09 features interact — an aggregate
+    SubSelect whose inner pattern is a random property path, joined to
+    an outer scan and pruned by an Exists/NotExists whose block is
+    ITSELF a path pattern.  Engine vs the Python path algebra composed
+    by hand."""
+    from matcha_spark import SubSelect, select
+    from matcha_spark.patterns import Exists, NotExists
+
+    rng = random.Random(3100 + seed)
+    db_rows = _rand_path_db(rng)
+    path_in = _rand_path_expr(rng)
+    path_neg = _rand_path_expr(rng)
+    ex_cls = NotExists if rng.random() < 0.5 else Exists
+    ap = rng.choice(PATH_PREDS)
+
+    sub = SubSelect(
+        ["?a"], [("?a", path_in, "?b")], aggs={"?cnt": ("count", "?b")}
+    )
+    pats = [sub, ("?a", ap, "?c"), ex_cls([("?c", path_neg, "?d")])]
+
+    # model: path pairs (set semantics) -> per-subject count -> join on
+    # the outer scan -> semi/anti on the negation path's source set
+    pairs_in = _model_path_pairs(path_in, db_rows)
+    counts = {}
+    for a, _b in pairs_in:
+        counts[a] = counts.get(a, 0) + 1
+    neg_srcs = {a for a, _b in _model_path_pairs(path_neg, db_rows)}
+    want = set()
+    for s, p, o in db_rows:
+        if p == ap and s in counts:
+            hit = o in neg_srcs
+            if (hit and ex_cls is Exists) or (not hit and ex_cls is NotExists):
+                want.add((str(s), counts[s], str(o)))
+
+    db = TriplesDB.from_triples(spark, db_rows)
+    try:
+        got_rows = select(["?a", "?cnt", "?c"], pats, db) or []
+    finally:
+        db.unpersist()
+    got = {(str(a), c, str(cc)) for a, c, cc in got_rows}
+    assert got == want, (
+        f"seed={seed}\ndb={db_rows}\npath_in={path_in!r}\n"
+        f"path_neg={path_neg!r}\nneg={ex_cls.__name__} ap={ap}\n"
+        f"got={got}\nwant={want}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_values_rows_undef_optional_differential(spark, seed):
+    """r10 (verdict ask #8): ValuesRows with UNDEF rows over a
+    pattern-bound var composes with Optional regroup — engine vs the
+    Python model's regrouped rows with the inline-data join applied by
+    hand (UNDEF rows admit every solution; each row contributes its
+    always-defined new-var value)."""
+    from matcha_spark.patterns import Optional as Opt
+    from matcha_spark.patterns import ValuesRows
+
+    rng = random.Random(2400 + seed)
+    db_rows = _rand_path_db(rng)
+    p1, p2 = rng.choice(PATH_PREDS), rng.choice(PATH_PREDS)
+    pats_base = [("?s", p1, "?o"), Opt([("?o", p2, "?t")])]
+    subjects = sorted({s for s, p, _o in db_rows if p == p1})
+    if not subjects:
+        pytest.skip("no p1 edges drawn")
+    vr_rows = []
+    for _ in range(rng.randint(1, 4)):
+        sval = None if rng.random() < 0.4 else rng.choice(subjects)
+        vr_rows.append((sval, rng.randint(0, 3)))
+    pats = pats_base + [ValuesRows(["?s", "?x"], vr_rows)]
+
+    model_rows = model_select(["?s", "?o", "?t"], pats_base, db_rows)
+    want = set()
+    for s, o, t in model_rows:
+        for sval, xval in vr_rows:
+            if sval is None or sval == s:
+                want.add((str(s), str(o), None if t is UNBOUND else str(t), xval))
+
+    db = TriplesDB.from_triples(spark, db_rows)
+    try:
+        got_rows = select(["?s", "?o", "?t", "?x"], pats, db) or []
+    finally:
+        db.unpersist()
+    got = {
+        (
+            str(s),
+            str(o),
+            None if isinstance(t, Unbound) or t is None else str(t),
+            x,
+        )
+        for s, o, t, x in got_rows
+    }
+    assert got == want, (
+        f"seed={seed}\ndb={db_rows}\np1={p1} p2={p2}\nrows={vr_rows}\n"
+        f"got={got}\nwant={want}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_seeded_path_modifiers_differential(spark, seed):
+    """r10 (verdict ask #8): deferred selective-var seeded closures
+    under solution modifiers — ORDER BY / LIMIT / OFFSET over the
+    seeded pair join must produce exactly the all-pairs algebra's
+    ordered-and-cut rows."""
+    from matcha_spark import select_df
+    from matcha_spark.patterns import OneOrMore, ZeroOrMore
+    from matcha_spark.terms import from_term
+
+    rng = random.Random(1700 + seed)
+    db_rows = _rand_path_db(rng)
+    inner = _rand_path_expr(rng, depth=1)
+    path = OneOrMore(inner) if rng.random() < 0.5 else ZeroOrMore(inner)
+    ap = rng.choice(PATH_PREDS)
+    nodes = sorted({s for s, _, _ in db_rows} | {o for _, _, o in db_rows})
+    anchor_obj = rng.choice(nodes)
+    anchors = {s for s, p, o in db_rows if p == ap and o == anchor_obj}
+    rows = sorted(
+        (a, b) for a, b in _model_path_pairs(path, db_rows) if a in anchors
+    )
+    limit = rng.choice([None, 1, 2, 4])
+    offset = rng.choice([None, 1, 2])
+    want = rows[(offset or 0):]
+    if limit is not None:
+        want = want[:limit]
+
+    db = TriplesDB.from_triples(spark, db_rows)
+    try:
+        got_rows = select_df(
+            ["?m", "?y"],
+            [("?m", ap, anchor_obj), ("?m", path, "?y")],
+            db,
+            order_by=["?m", "?y"],
+            limit=limit,
+            offset=offset,
+        ).collect()
+    finally:
+        db.unpersist()
+    got = [(from_term(r["?m"]), from_term(r["?y"])) for r in got_rows]
+    assert got == want, (
+        f"seed={seed}\ndb={db_rows}\npath={path!r}\n"
+        f"anchor=({ap}, {anchor_obj}) limit={limit} offset={offset}\n"
+        f"got={got}\nwant={want}"
+    )

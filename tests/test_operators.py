@@ -111,6 +111,28 @@ def test_cosine_topk_exact(spark):
     assert order == [1, 2, 3]
 
 
+def test_ann_query_side_guard(spark, monkeypatch):
+    """r10 (verdict ask #7): the exact/IVF/PQ operators collect the
+    query side to the driver by contract — a corpus-sized query set
+    must raise with a pointer at the distributed alternative, not OOM
+    the driver silently."""
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    monkeypatch.setattr(S, "MAX_QUERY_ROWS", 3)
+    for fn in (
+        lambda: S.cosine_topk(emb, emb, k=2),
+        lambda: S.cosine_range_search(emb, emb, threshold=0.5),
+        lambda: S.ivf_topk(emb, emb, k=2, n_centroids=2),
+        lambda: S.pq_topk(emb, emb, k=2, m=2, nbits=2),
+    ):
+        with pytest.raises(ValueError, match="lsh_bucketed_topk"):
+            fn()
+    # at or below the cap: unchanged behavior
+    assert S.cosine_topk(emb, emb.where("vec_id < 3"), k=1).count() == 3
+
+
 def test_cosine_range_search_exact(spark):
     """Radius search returns exactly the pairs at or above the floor —
     no self-pairs — and agrees with a threshold filter over the brute
