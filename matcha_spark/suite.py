@@ -1320,6 +1320,92 @@ def dedup_incremental_sound(spark, sf_dir):
     )
 
 
+def doc_image_phash_stable(spark, sf_dir):
+    """Derived-invariant twin of ``doc_image_phash``: the DCT kernel is
+    deterministic, so the same payload hashed in two separate Arrow
+    kernel invocations (originals vs re-uploaded copies at id+100000)
+    must produce the same signature — the stability the rows-only
+    entry can only claim."""
+    from .operators import multimodal as MM
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    copies = media.withColumn("media_id", F.col("media_id") + 100000)
+    sig = MM.image_phash(media.unionByName(copies))
+    a = sig.where(F.col("media_id") < 100000).select(
+        F.col("media_id").alias("doc_id"), F.col("phash").alias("pa")
+    )
+    b = sig.where(F.col("media_id") >= 100000).select(
+        (F.col("media_id") - 100000).alias("doc_id"), F.col("phash").alias("pb")
+    )
+    return a.join(b, "doc_id").select(
+        "doc_id", (F.col("pa") == F.col("pb")).alias("stable")
+    )
+
+
+def doc_video_near_dup_planted(spark, sf_dir):
+    """Derived-invariant twin of ``doc_video_near_dup``: per-frame
+    pHash values are engine-specific, but a re-uploaded identical
+    payload MUST pair with its original whenever it carries the ≥ 2
+    full 128-byte frames the threshold needs (identical bytes →
+    identical frame signatures → hamming 0; extra intra-payload frame
+    collisions only add agreement).  The planted-id filter
+    (vid_b = vid_a + 1e6) is exact: only copies live in that id
+    range."""
+    out = doc_video_near_dup(spark, sf_dir)
+    return out.where(
+        F.col("vid_b") == F.col("vid_a") + 1_000_000
+    ).select("vid_a", "vid_b")
+
+
+def doc_audio_near_dup_planted(spark, sf_dir):
+    """Derived-invariant twin of ``doc_audio_near_dup``: same planted
+    shape over Haitsma–Kalker window fingerprints — an identical
+    payload shares all its window fps with the original, so every
+    planted copy long enough for ≥ 5 windows (≥ 4 shared fps at
+    window=64/stride=32 → ≥ 192 bytes) must pair up."""
+    out = doc_audio_near_dup(spark, sf_dir)
+    return out.where(
+        F.col("aud_b") == F.col("aud_a") + 1_000_000
+    ).select("aud_a", "aud_b")
+
+
+def graph_pagerank_mass(spark, sf_dir):
+    """Derived-invariant twin of ``graph_pagerank_urgent``: the
+    iterative float ranks are engine-specific, but teleportation +
+    dangling-mass redistribution conserve total mass — after any
+    number of rounds the ranks sum to exactly 1 over exactly the
+    graph's node set, both SQL-checkable."""
+    from .operators.graph import pagerank, path_edges
+    from .patterns import Alt
+
+    db = _graph(spark, sf_dir, include_orders=True, order_priority="1-URGENT")
+    edges = path_edges(db, Alt(KW["customer"], KW["nation"], KW["region"]))
+    out = pagerank(edges, src="s", dst="o", iters=6)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.round(F.sum("rank"), 6).alias("mass"),
+    )
+
+
+def doc_minhash_planted(spark, sf_dir):
+    """Derived-invariant twin of ``doc_minhash_lsh``: xxhash64 values
+    are Spark-specific, but identical texts get identical signatures,
+    hence identical band buckets — every re-uploaded copy (id+100000)
+    with enough text to shingle (≥ 3 tokens) MUST appear among the
+    LSH candidates paired with its original."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    copies = docs.withColumn("doc_id", F.col("doc_id") + 100000)
+    cand = D.minhash_lsh_candidates(docs.unionByName(copies))
+    return cand.where(F.col("doc_b") == F.col("doc_a") + 100000).select(
+        "doc_a", "doc_b"
+    )
+
+
 def dedup_incremental_simhash_sound(spark, sf_dir):
     """Derived-invariant twin of ``dedup_incremental_simhash`` — the
     same structural soundness surface over the 16-byte SimHash store
@@ -1657,6 +1743,11 @@ QUERIES = {
     "dedup_incremental_sound": dedup_incremental_sound,
     "dedup_incremental_simhash_sound": dedup_incremental_simhash_sound,
     "bgp_path_from_selective_var": bgp_path_from_selective_var,
+    "doc_image_phash_stable": doc_image_phash_stable,
+    "doc_video_near_dup_planted": doc_video_near_dup_planted,
+    "doc_audio_near_dup_planted": doc_audio_near_dup_planted,
+    "graph_pagerank_mass": graph_pagerank_mass,
+    "doc_minhash_planted": doc_minhash_planted,
     # newest driver record r07 — the 27 entries registry_audit flagged
     # at the three-round freshness limit (front of the queue)
     "bgp_path_reach_urgent": bgp_path_reach_urgent,
@@ -1699,15 +1790,15 @@ QUERIES = {
     "doc_bpe_pretokens": doc_bpe_pretokens,
     "doc_token_windows": doc_token_windows,
     "doc_dsir_weights": doc_dsir_weights,
-    "bgp_minus_machinery_asia": bgp_minus_machinery_asia,
     "doc_strip_html": doc_strip_html,
+    # --- outside the window -------------------------------------------
+    # r08-recorded remainder: two rounds stale after this run — FIRST
+    # in line for the r11 window
+    "bgp_minus_machinery_asia": bgp_minus_machinery_asia,
     "doc_dedup_paragraphs": doc_dedup_paragraphs,
     "bgp_agg_top_urgent_nations": bgp_agg_top_urgent_nations,
     "bgp_path_inv_region_members": bgp_path_inv_region_members,
     "bgp_path_zom_region": bgp_path_zom_region,
-    # --- outside the window -------------------------------------------
-    # r08-recorded remainder: two rounds stale after this run — FIRST
-    # in line for the r11 window
     "bgp_path_zoo_nation": bgp_path_zoo_nation,
     "bgp_path_negset_links": bgp_path_negset_links,
     "q12_late_shipments": R.q12_late_shipments,
@@ -3440,6 +3531,46 @@ ORACLES = {
         SELECT doc_id, CAST(1 AS BOOLEAN) AS sound,
                CAST(1 AS BOOLEAN) AS store_ok
         FROM documents WHERE doc_id >= 250
+    """,
+    "doc_image_phash_stable": """
+        SELECT doc_id, CAST(1 AS BOOLEAN) AS stable FROM documents
+    """,
+    "doc_video_near_dup_planted": """
+        -- a planted copy pairs with its original iff it carries >= 2
+        -- full 128-byte frames (see the entry docstring)
+        SELECT doc_id AS vid_a, doc_id + 1000000 AS vid_b
+        FROM documents
+        WHERE doc_id % 10 = 0 AND strlen(text) >= 256
+    """,
+    "doc_audio_near_dup_planted": """
+        -- >= 5 fingerprint windows (window 64 / stride 32 over the
+        -- byte-waveform => >= 192 bytes) gives the >= 4 shared fps the
+        -- threshold needs
+        SELECT doc_id AS aud_a, doc_id + 1000000 AS aud_b
+        FROM documents
+        WHERE doc_id % 10 = 0 AND strlen(text) >= 192
+    """,
+    "graph_pagerank_mass": """
+        WITH e AS (
+            SELECT 'order:' || o_orderkey AS s, 'customer:' || o_custkey AS o
+            FROM orders WHERE o_orderpriority = '1-URGENT'
+            UNION ALL
+            SELECT 'customer:' || c_custkey, 'nation:' || c_nationkey FROM customer
+            UNION ALL
+            SELECT 'supplier:' || s_suppkey, 'nation:' || s_nationkey FROM supplier
+            UNION ALL
+            SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey FROM nation
+        ), n AS (
+            SELECT s AS x FROM e UNION SELECT o AS x FROM e
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(1.0 AS DOUBLE) AS mass
+        FROM n
+    """,
+    "doc_minhash_planted": """
+        SELECT doc_id AS doc_a, doc_id + 100000 AS doc_b
+        FROM documents
+        WHERE len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 3
     """,
     "emb_cosine_topk": """
         WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),

@@ -289,6 +289,113 @@ def test_connected_components(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def _py_components(edges):
+    """Reference union-find over an edge list (min id = root)."""
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return {n: find(n) for n in parent}
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_connected_components_differential(spark, seed):
+    """r10 contraction rewrite: random graphs — dense blobs, long
+    chains (the contraction-unfriendly shape), duplicate and reversed
+    edges, self-loops — vs a Python union-find.  Runs both the
+    distributed rounds and the driver-finish path (small_cutoff=0
+    forces every round distributed)."""
+    import random as _r
+
+    rng = _r.Random(4400 + seed)
+    n = rng.randint(2, 40)
+    edges = []
+    if rng.random() < 0.4:  # long chain segment
+        base = rng.randint(0, 1000)
+        edges += [(base + i, base + i + 1) for i in range(rng.randint(5, 25))]
+    edges += [
+        (rng.randint(0, n), rng.randint(0, n))
+        for _ in range(rng.randint(1, 60))
+    ]
+    if rng.random() < 0.5:  # duplicates + reversals
+        edges += [(b, a) for a, b in rng.sample(edges, min(5, len(edges)))]
+    want = _py_components([(a, b) for a, b in edges if a != b])
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    cutoff = 0 if seed % 2 else 200_000
+    got = {
+        r["id"]: r["component"]
+        for r in D.connected_components(df, small_cutoff=cutoff).collect()
+    }
+    assert got == want, f"seed={seed} cutoff={cutoff}\nedges={edges}"
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_incremental_simhash_decisions_differential(spark, seed):
+    """r10 admission restructure (contraction-before-distinct): the
+    engine's two-batch decisions must equal a brute-force Python model
+    computed over the ENGINE's own signatures — store-vs-store pairs
+    pruned, zero signatures excluded, transitive clusters, corpus-wins
+    min-keeper."""
+    import random as _r
+
+    rng = _r.Random(5200 + seed)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+
+    def mk(i):
+        if rng.random() < 0.1:
+            return (i, None)
+        base = [rng.choice(words) for _ in range(rng.randint(3, 8))]
+        return (i, " ".join(base))
+
+    rows = [mk(i) for i in range(rng.randint(8, 24))]
+    cut = rng.randint(2, len(rows) - 2)
+    mh = rng.choice([3, 8, 16])
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    first = docs.where(F.col("doc_id") < cut)
+    batch = docs.where(F.col("doc_id") >= cut)
+    dec1, sigs = D.incremental_dedup_simhash(first, None, max_hamming=mh)
+    dec2, _ = D.incremental_dedup_simhash(batch, sigs, max_hamming=mh)
+
+    store = {r["doc_id"]: r["simhash"] for r in sigs.collect()}
+    bsig = {
+        r["doc_id"]: r["simhash"]
+        for r in D.simhash(batch).select("doc_id", "simhash").collect()
+    }
+    # model: pairs among store ∪ batch with ≥1 batch side, nonzero sigs
+    sides = {**store, **bsig}
+    edges = []
+    ids = sorted(sides)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if a in store and b in store:
+                continue
+            if sides[a] == 0 or sides[b] == 0:
+                continue
+            if bin((sides[a] ^ sides[b]) & ((1 << 64) - 1)).count("1") <= mh:
+                edges.append((a, b))
+    comp = _py_components(edges)
+    want = {}
+    for d in bsig:
+        members = [m for m, c in comp.items() if c == comp.get(d, d)] or [d]
+        acc = [m for m in members if m in store]
+        keeper = min(acc) if acc else min(m for m in members if m in bsig)
+        want[d] = (keeper == d, None if keeper == d else keeper)
+    got = {r["doc_id"]: (r["keep"], r["dup_of"]) for r in dec2.collect()}
+    assert got == want, f"seed={seed} mh={mh}\nrows={rows}\ncut={cut}"
+
+
 def test_dedup_near_docs_keep_mapping(docs):
     res = {r["doc_id"]: r["keep_doc_id"] for r in D.dedup_near_docs(docs, threshold=0.5).collect()}
     d0 = docs.orderBy("doc_id").first()["doc_id"]
