@@ -264,6 +264,9 @@ def main() -> None:
     from matcha_spark.suite import doc_chunk_packing
 
     bench("doc_chunk_packing", lambda: force(doc_chunk_packing(spark, SF_DIR)))
+    # r10: deterministic global shuffle — same two-phase distributed
+    # rank shape as chunk_packing's prefix sum
+    bench("doc_corpus_shuffle", lambda: force(T.corpus_shuffle(docs)))
     from matcha_spark.suite import (
         bgp_exists_repeat_customers,
         bgp_select_top_names,

@@ -13,6 +13,10 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "token_count",
+    "corpus_shuffle",
+    "split_assign",
+    "epoch_upsample",
+    "length_batches",
     "bpe_pretoken_count",
     "text_quality",
     "lang_id",
@@ -1309,3 +1313,170 @@ def mixture_sample(
     for g, r in sorted(rates.items()):
         thr = F.when(F.col(group_col) == g, F.lit(rate_threshold_hex(r))).otherwise(thr)
     return docs.where(_hash_hex(F.col(key_col), salt) < thr)
+
+
+def corpus_shuffle(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    salt: str = "",
+    num_parts: int | None = None,
+) -> DataFrame:
+    """Deterministic global corpus shuffle (r10): every row gets its
+    0-based position in the ``md5(salt || key)`` total order — the
+    canonical "shuffle once, stream forever" primitive for training
+    data loaders (a position is a pure function of the corpus and the
+    salt, so resumable readers and re-runs agree; a new salt is a new
+    epoch-level permutation).
+
+    Scale shape: global ranking is the same trap as
+    :func:`chunk_packing`'s prefix sum — ``row_number() over (order by
+    hash)`` plans a SinglePartition exchange.  Two-phase instead:
+    range-partition on the hash, per-partition COUNTS (one row per
+    partition) come back as broadcast base offsets, position =
+    base + partition-local row_number.  Ties (128-bit md5 collisions)
+    break on the key, so the order is total either way."""
+    from pyspark.sql import Window
+
+    from ..cache import cut_lineage
+
+    spark = docs.sparkSession
+    d = docs.select(
+        key_col, _hash_hex(F.col(key_col), salt).alias("__h")
+    )
+    parts = num_parts or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # materialize AFTER range partitioning (boundary sampling must not
+    # re-draw between the counts pass and the ranking pass)
+    d = cut_lineage(
+        d.repartitionByRange(parts, "__h", key_col).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+    )
+    totals = d.groupBy("__pid").agg(F.count(F.lit(1)).alias("t")).collect()
+    acc, base = 0, []
+    for row in sorted(totals, key=lambda r: r["__pid"]):
+        base.append((row["__pid"], acc))
+        acc += row["t"]
+    base_df = spark.createDataFrame(base or [(0, 0)], "__pid int, __base long")
+    w = Window.partitionBy("__pid").orderBy("__h", key_col)
+    return d.join(F.broadcast(base_df), "__pid").select(
+        key_col,
+        (F.col("__base") + F.row_number().over(w) - 1).alias("shuffle_pos"),
+    )
+
+
+def split_assign(
+    docs: DataFrame,
+    splits: dict | None = None,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic train/val/test assignment (r10): the md5 draw of
+    :func:`sample_hash` cut into cumulative bands — e.g. ``{"train":
+    0.9, "val": 0.05, "test": 0.05}`` sends a row to train iff its
+    draw < 0.9, val iff < 0.95, else test.  Pure per-row function of
+    (salt, key): splits are disjoint, exhaustive, stable under
+    repartitioning, and CONSISTENT ACROSS TABLES sharing the key (the
+    property that keeps a document and its embeddings in the same
+    split).  Narrow map, no shuffle.
+
+    Bands are allocated in the dict's insertion order; rates must sum
+    to 1 (within float tolerance) — the last band absorbs the
+    remainder so every row lands somewhere."""
+    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    if len(splits) < 2:
+        raise ValueError("need at least two splits")
+    rates = list(splits.values())
+    if any(r < 0 for r in rates) or abs(sum(rates) - 1.0) > 1e-9:
+        raise ValueError(f"split rates must be >= 0 and sum to 1, got {splits}")
+    names = list(splits)
+    draw = _hash_hex(F.col(key_col), salt)
+    expr = F.lit(names[-1])  # last band absorbs the remainder
+    cum = 0.0
+    bands = []
+    for name, r in zip(names[:-1], rates[:-1]):
+        cum += r
+        bands.append((name, rate_threshold_hex(cum)))
+    for name, thr in reversed(bands):
+        expr = F.when(draw < F.lit(thr), F.lit(name)).otherwise(expr)
+    return docs.select("*", expr.alias("split"))
+
+
+def epoch_upsample(
+    docs: DataFrame,
+    weights: dict,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    default_weight: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """Fractional epoch upsampling (r10): the >1.0 half of the data-
+    mixing knob :func:`mixture_sample` can't express — weight 2.5 for a
+    source replicates every row twice and gives it a deterministic 50 %
+    draw at a third copy, so the epoch-level token budget hits the
+    target mixture exactly in expectation and reproducibly per row
+    (same md5-threshold decision; weight 0.4 degenerates to plain
+    sub-sampling).  Output: input columns + ``copy_idx``
+    (0..n_copies-1); rows drawn to zero copies disappear.
+
+    Narrow map + a ``sequence`` explode — no shuffle; at 100 TB the
+    blow-up factor is the weight itself, applied evenly across
+    partitions."""
+    for g, wt in weights.items():
+        if wt < 0:
+            raise ValueError(f"weight for group {g!r} must be >= 0, got {wt}")
+    if default_weight < 0:
+        raise ValueError(f"default_weight must be >= 0, got {default_weight}")
+
+    def frac_thr(wt: float) -> str:
+        return rate_threshold_hex(wt - int(wt))
+
+    wcol = F.lit(float(default_weight))
+    for g, wt in sorted(weights.items()):
+        wcol = F.when(F.col(group_col) == g, F.lit(float(wt))).otherwise(wcol)
+    thr = F.lit(frac_thr(default_weight))
+    for g, wt in sorted(weights.items()):
+        thr = F.when(F.col(group_col) == g, F.lit(frac_thr(wt))).otherwise(thr)
+    extra = F.when(_hash_hex(F.col(key_col), salt) < thr, 1).otherwise(0)
+    n = (F.floor(wcol) + extra).cast("int")
+    return (
+        docs.withColumn("__n", n)
+        .where(F.col("__n") > 0)
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
+        .drop("__n")
+    )
+
+
+def length_batches(
+    docs: DataFrame,
+    bucket_width: int = 64,
+    batch_size: int = 32,
+    text_col: str = "text",
+) -> DataFrame:
+    """Length-bucketed batch assembly (r10): group documents of similar
+    token length and deal each bucket into fixed-size batches — the
+    padding-minimizing batching every sequence-model training loader
+    performs.  Output: ``(doc_id, n_tokens, bucket, batch_id)`` with
+    ``bucket = n_tokens div bucket_width`` and ``batch_id`` dealt by
+    ``doc_id`` order within the bucket (deterministic, partitioning-
+    independent).
+
+    Scale shape: the per-bucket ranking windows partition by
+    ``bucket`` — parallel across buckets, and a length histogram is
+    naturally banded so no single window task sees the whole corpus
+    (contrast a global ORDER BY length).  A corpus where EVERY doc has
+    the same length degenerates to one bucket — shrink
+    ``bucket_width`` or pre-salt if that's your data."""
+    from pyspark.sql import Window
+
+    if bucket_width < 1 or batch_size < 1:
+        raise ValueError("bucket_width and batch_size must be >= 1")
+    d = docs.select(
+        "doc_id", F.size(_tokens(text_col)).alias("n_tokens")
+    ).withColumn(
+        "bucket", (F.col("n_tokens") / bucket_width).cast("int")
+    )
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    return d.withColumn(
+        "batch_id",
+        F.floor((F.row_number().over(w) - 1) / batch_size).cast("int"),
+    )

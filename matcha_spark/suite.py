@@ -1406,6 +1406,45 @@ def doc_minhash_planted(spark, sf_dir):
     )
 
 
+def doc_corpus_shuffle(spark, sf_dir):
+    """Deterministic global corpus shuffle (r10): 0-based position in
+    the md5 total order via the two-phase distributed rank (range
+    partition → per-partition counts → broadcast bases → local
+    row_number) — never a single-task global window.  The oracle
+    affords the one-window replay at sf0.01."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return T.corpus_shuffle(docs)
+
+
+def doc_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment (r10): cumulative
+    md5-threshold bands, disjoint + exhaustive + repartition-stable;
+    thresholds routed through rate_threshold_hex on both engines."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return T.split_assign(docs).select("doc_id", "split")
+
+
+def doc_epoch_upsample(spark, sf_dir):
+    """Fractional epoch upsampling (r10): weight 2.5 → two copies plus
+    a deterministic 50 % third; 0.4 → sub-sample; 0.0 → drop.  The
+    oracle replays floor + md5-threshold + range explode."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    out = T.epoch_upsample(
+        docs, {"src0": 2.5, "src1": 0.4, "src2": 0.0}, default_weight=1.0
+    )
+    return out.select(
+        "doc_id", "source", F.col("copy_idx").cast("bigint").alias("copy_idx")
+    )
+
+
+def doc_length_batches(spark, sf_dir):
+    """Length-bucketed batch assembly (r10): token-length buckets dealt
+    into fixed-size batches by doc_id order — per-bucket windows, no
+    global sort."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return T.length_batches(docs, bucket_width=16, batch_size=8)
+
+
 def dedup_incremental_simhash_sound(spark, sf_dir):
     """Derived-invariant twin of ``dedup_incremental_simhash`` — the
     same structural soundness surface over the 16-byte SimHash store
@@ -1748,6 +1787,11 @@ QUERIES = {
     "doc_audio_near_dup_planted": doc_audio_near_dup_planted,
     "graph_pagerank_mass": graph_pagerank_mass,
     "doc_minhash_planted": doc_minhash_planted,
+    # new r10 training-pipeline operators
+    "doc_corpus_shuffle": doc_corpus_shuffle,
+    "doc_split_assign": doc_split_assign,
+    "doc_epoch_upsample": doc_epoch_upsample,
+    "doc_length_batches": doc_length_batches,
     # newest driver record r07 — the 27 entries registry_audit flagged
     # at the three-round freshness limit (front of the queue)
     "bgp_path_reach_urgent": bgp_path_reach_urgent,
@@ -1785,15 +1829,15 @@ QUERIES = {
     "events_funnel_windowed": R.events_funnel_windowed,
     "events_transition_matrix": R.events_transition_matrix,
     "events_salted_enrich": R.events_salted_enrich,
-    "events_salted_type_stats": R.events_salted_type_stats,
-    "bgp_bind_term_functions": bgp_bind_term_functions,
     "doc_bpe_pretokens": doc_bpe_pretokens,
-    "doc_token_windows": doc_token_windows,
-    "doc_dsir_weights": doc_dsir_weights,
     "doc_strip_html": doc_strip_html,
     # --- outside the window -------------------------------------------
     # r08-recorded remainder: two rounds stale after this run — FIRST
     # in line for the r11 window
+    "events_salted_type_stats": R.events_salted_type_stats,
+    "bgp_bind_term_functions": bgp_bind_term_functions,
+    "doc_token_windows": doc_token_windows,
+    "doc_dsir_weights": doc_dsir_weights,
     "bgp_minus_machinery_asia": bgp_minus_machinery_asia,
     "doc_dedup_paragraphs": doc_dedup_paragraphs,
     "bgp_agg_top_urgent_nations": bgp_agg_top_urgent_nations,
@@ -3572,6 +3616,27 @@ ORACLES = {
         FROM documents
         WHERE len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 3
     """,
+    "doc_corpus_shuffle": """
+        SELECT doc_id,
+               CAST(row_number() OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+                    AS BIGINT) AS shuffle_pos
+        FROM documents
+    """,
+    "doc_length_batches": """
+        WITH d AS (
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT)
+                       AS n_tokens
+            FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               CAST(FLOOR(n_tokens / 16) AS INT) AS bucket,
+               CAST(FLOOR((row_number() OVER (
+                   PARTITION BY CAST(FLOOR(n_tokens / 16) AS INT)
+                   ORDER BY doc_id) - 1) / 8) AS INT) AS batch_id
+        FROM d
+    """,
     "emb_cosine_topk": """
         WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
         c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
@@ -3675,3 +3740,32 @@ ORACLES = {
 # cannot change an exhaustive result, which is the invariant)
 ORACLES["emb_pq_exhaustive"] = ORACLES["emb_cosine_topk"]
 ORACLES["emb_ivf_exhaustive"] = ORACLES["emb_cosine_topk"]
+
+# thresholds routed through rate_threshold_hex so both engines compare
+# the identical hex literals (the doc_mixture_sample convention)
+ORACLES["doc_split_assign"] = f"""
+    SELECT doc_id,
+           CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{T.rate_threshold_hex(0.9)}'
+                    THEN 'train'
+                WHEN md5(CAST(doc_id AS VARCHAR)) < '{T.rate_threshold_hex(0.95)}'
+                    THEN 'val'
+                ELSE 'test'
+           END AS split
+    FROM documents
+"""
+ORACLES["doc_epoch_upsample"] = f"""
+    SELECT doc_id, source, unnest(range(n)) AS copy_idx FROM (
+        SELECT doc_id, source,
+               CAST(CASE source WHEN 'src0' THEN 2 ELSE CASE source
+                         WHEN 'src1' THEN 0 WHEN 'src2' THEN 0 ELSE 1 END END
+                    + CASE WHEN md5(CAST(doc_id AS VARCHAR)) <
+                             CASE source
+                                  WHEN 'src0' THEN '{T.rate_threshold_hex(0.5)}'
+                                  WHEN 'src1' THEN '{T.rate_threshold_hex(0.4)}'
+                                  WHEN 'src2' THEN '{T.rate_threshold_hex(0.0)}'
+                                  ELSE '{T.rate_threshold_hex(0.0)}'
+                             END
+                           THEN 1 ELSE 0 END AS BIGINT) AS n
+        FROM documents
+    )
+"""

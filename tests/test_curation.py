@@ -746,3 +746,105 @@ def test_strip_html_rules(spark):
     assert out[8] == ""
     assert out[9] == "link text"
     assert out[10] == "x &lt; y &amp; z"
+
+
+def test_corpus_shuffle_total_order_and_partition_invariance(spark):
+    """r10: shuffle positions are a bijection onto 0..n-1, follow the
+    md5 order exactly, and do not depend on the input partitioning
+    (the property df.sample-style per-partition RNG lacks)."""
+    from matcha_spark.operators.text import corpus_shuffle
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(97)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.shuffle_pos for r in corpus_shuffle(docs).collect()}
+    assert sorted(out.values()) == list(range(97))
+    # md5 order replicated driver-side
+    import hashlib
+
+    want_order = sorted(out, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    assert [i for i, _ in sorted(out.items(), key=lambda kv: kv[1])] == want_order
+    # partitioning-independent (different range boundaries, same result)
+    out2 = {
+        r.doc_id: r.shuffle_pos
+        for r in corpus_shuffle(docs.repartition(7), num_parts=3).collect()
+    }
+    assert out2 == out
+    # a different salt is a different permutation
+    out3 = {r.doc_id: r.shuffle_pos for r in corpus_shuffle(docs, salt="ep1").collect()}
+    assert out3 != out and sorted(out3.values()) == list(range(97))
+
+
+def test_split_assign_disjoint_exhaustive_consistent(spark):
+    """r10: every row lands in exactly one split, rates roughly hold,
+    assignment is a pure key function (consistent across tables), and
+    bad rate specs raise."""
+    import pytest as _pt
+
+    from matcha_spark.operators.text import split_assign
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(400)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.split for r in split_assign(docs).collect()}
+    assert len(out) == 400 and set(out.values()) <= {"train", "val", "test"}
+    n_train = sum(1 for v in out.values() if v == "train")
+    assert 320 <= n_train <= 395  # 0.9 of 400, wide tolerance
+    # same keys in a different "table" get the same assignment
+    other = spark.createDataFrame(
+        [(i, i * 2) for i in range(400)], "doc_id long, v long"
+    )
+    out2 = {r.doc_id: r.split for r in split_assign(other).collect()}
+    assert out2 == out
+    with _pt.raises(ValueError):
+        split_assign(docs, {"a": 0.5, "b": 0.2})  # doesn't sum to 1
+    with _pt.raises(ValueError):
+        split_assign(docs, {"only": 1.0})
+
+
+def test_epoch_upsample_copies(spark):
+    """r10: integer weights replicate exactly; fractional weights add
+    the extra copy for precisely the md5-draw subset; weight 0 drops;
+    copy_idx is dense 0..n-1 per kept doc."""
+    from matcha_spark.operators.text import epoch_upsample, sample_hash
+
+    rows = [(i, f"t {i}", ["a", "b", "c"][i % 3]) for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = epoch_upsample(
+        docs, {"a": 2.0, "b": 1.5, "c": 0.0}, default_weight=1.0
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.copy_idx)
+    a_ids = {i for i, _, s in rows if s == "a"}
+    b_ids = {i for i, _, s in rows if s == "b"}
+    c_ids = {i for i, _, s in rows if s == "c"}
+    assert all(sorted(by_doc[i]) == [0, 1] for i in a_ids)
+    assert not (c_ids & set(by_doc))
+    # the b docs with a third... second copy are exactly sample_hash(0.5)
+    drawn = {r.doc_id for r in sample_hash(docs.where("source = 'b'"), 0.5).collect()}
+    for i in b_ids:
+        assert sorted(by_doc[i]) == ([0, 1] if i in drawn else [0])
+
+
+def test_length_batches_bounds(spark):
+    """r10: batches are dealt within a bucket — every batch holds at
+    most batch_size docs, ids are dense from 0 per bucket, and bucket
+    = n_tokens div width."""
+    from matcha_spark.operators.text import length_batches
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (1 + i % 37))) for i in range(150)],
+        "doc_id long, text string",
+    )
+    out = length_batches(docs, bucket_width=8, batch_size=4).collect()
+    assert len(out) == 150
+    sizes = {}
+    for r in out:
+        assert r.bucket == r.n_tokens // 8
+        sizes.setdefault((r.bucket, r.batch_id), 0)
+        sizes[(r.bucket, r.batch_id)] += 1
+    assert all(n <= 4 for n in sizes.values())
+    for b in {k[0] for k in sizes}:
+        ids = sorted(k[1] for k in sizes if k[0] == b)
+        assert ids == list(range(len(ids)))
