@@ -1406,6 +1406,52 @@ def doc_minhash_planted(spark, sf_dir):
     )
 
 
+def doc_simhash_planted(spark, sf_dir):
+    """Derived-invariant twin of ``doc_simhash_pairs``: identical
+    texts get identical 64-bit signatures, and the pigeonhole banding
+    guarantees recall 1.0 at hamming 0 — so every re-uploaded copy
+    (id+100000) MUST appear among the candidates paired with its
+    original at hamming exactly 0.  (The planted-id filter is exact:
+    only copies live in that id range.)"""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    copies = docs.withColumn("doc_id", F.col("doc_id") + 100000)
+    cand = D.simhash_candidates(docs.unionByName(copies), max_hamming=3)
+    return cand.where(F.col("doc_b") == F.col("doc_a") + 100000).select(
+        "doc_a", "doc_b", "hamming"
+    )
+
+
+def doc_sketch_tolerance(spark, sf_dir):
+    """Derived-invariant twin of ``doc_sketch_stats``: HLL++/GK sketch
+    internals are engine-specific, but their published error bounds
+    are checkable against the exact twin computed in the SAME plan —
+    approx distinct within 5·rsd of the true distinct count, approx
+    quantiles within one bucket of the exact percentile.  The oracle
+    is the all-true row."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    sk = T.corpus_sketch_stats(docs)
+    ex = T.corpus_stats(docs)
+    exq = docs.agg(
+        *[
+            F.expr(
+                f"percentile(size(split(trim(text), '\\\\s+')), {q})"
+            ).alias(f"x{int(q * 100)}")
+            for q in (0.5, 0.9, 0.99)
+        ]
+    )
+    j = sk.crossJoin(ex).crossJoin(exq)
+    close = lambda a, b, tol: (F.abs(F.col(a) - F.col(b)) <= tol)
+    return j.select(
+        (
+            F.abs(F.col("approx_unique_docs") - F.col("n_unique_docs"))
+            <= 0.1 * F.col("n_unique_docs") + 1
+        ).alias("unique_ok"),
+        close("p50_tokens", "x50", F.col("x50") * 0.05 + 2).alias("p50_ok"),
+        close("p90_tokens", "x90", F.col("x90") * 0.05 + 2).alias("p90_ok"),
+        close("p99_tokens", "x99", F.col("x99") * 0.05 + 2).alias("p99_ok"),
+    )
+
+
 def doc_corpus_shuffle(spark, sf_dir):
     """Deterministic global corpus shuffle (r10): 0-based position in
     the md5 total order via the two-phase distributed rank (range
@@ -1787,6 +1833,8 @@ QUERIES = {
     "doc_audio_near_dup_planted": doc_audio_near_dup_planted,
     "graph_pagerank_mass": graph_pagerank_mass,
     "doc_minhash_planted": doc_minhash_planted,
+    "doc_simhash_planted": doc_simhash_planted,
+    "doc_sketch_tolerance": doc_sketch_tolerance,
     # new r10 training-pipeline operators
     "doc_corpus_shuffle": doc_corpus_shuffle,
     "doc_split_assign": doc_split_assign,
@@ -1828,12 +1876,12 @@ QUERIES = {
     "emb_range_search": emb_range_search,
     "events_funnel_windowed": R.events_funnel_windowed,
     "events_transition_matrix": R.events_transition_matrix,
-    "events_salted_enrich": R.events_salted_enrich,
-    "doc_bpe_pretokens": doc_bpe_pretokens,
     "doc_strip_html": doc_strip_html,
     # --- outside the window -------------------------------------------
     # r08-recorded remainder: two rounds stale after this run — FIRST
     # in line for the r11 window
+    "events_salted_enrich": R.events_salted_enrich,
+    "doc_bpe_pretokens": doc_bpe_pretokens,
     "events_salted_type_stats": R.events_salted_type_stats,
     "bgp_bind_term_functions": bgp_bind_term_functions,
     "doc_token_windows": doc_token_windows,
@@ -3615,6 +3663,18 @@ ORACLES = {
         SELECT doc_id AS doc_a, doc_id + 100000 AS doc_b
         FROM documents
         WHERE len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 3
+    """,
+    "doc_simhash_planted": """
+        SELECT doc_id AS doc_a, doc_id + 100000 AS doc_b,
+               CAST(0 AS INTEGER) AS hamming
+        FROM documents
+        WHERE trim(text) != ''
+    """,
+    "doc_sketch_tolerance": """
+        SELECT CAST(1 AS BOOLEAN) AS unique_ok,
+               CAST(1 AS BOOLEAN) AS p50_ok,
+               CAST(1 AS BOOLEAN) AS p90_ok,
+               CAST(1 AS BOOLEAN) AS p99_ok
     """,
     "doc_corpus_shuffle": """
         SELECT doc_id,
