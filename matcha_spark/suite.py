@@ -1406,6 +1406,49 @@ def doc_minhash_planted(spark, sf_dir):
     )
 
 
+def emb_lsh_planted(spark, sf_dir):
+    """Derived-invariant twin of ``emb_lsh_topk``: LSH recall is
+    probabilistic in general, but an EXACT duplicate of the query
+    hashes to the query's bucket in every table — so with the probe
+    vectors' identical copies planted into the corpus (id+100000),
+    top-1 for every query must be its copy at cosine 1.0, regardless
+    of the seeded hyperplanes."""
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    q = emb.where(F.col("vec_id") < 25).select("vec_id", "embedding")
+    copies = q.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    corpus = emb.select("vec_id", "embedding").unionByName(copies)
+    return S.lsh_bucketed_topk(corpus, q, k=1)
+
+
+def emb_dup_pairs_lsh_planted(spark, sf_dir):
+    """Derived-invariant twin of ``emb_dup_pairs_lsh``: every planted
+    identical vector shares all sign buckets with its original, so the
+    (original, copy) pair MUST be produced at cosine 1.0 — the
+    guaranteed-recall slice of an otherwise probabilistic operator."""
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    base = emb.select("vec_id", "embedding")
+    copies = base.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    out = D.embedding_dup_pairs_lsh(base.unionByName(copies), threshold=0.99)
+    return out.where(F.col("id_b") == F.col("id_a") + 100000).select(
+        "id_a", "id_b", "cosine"
+    )
+
+
+def dedup_near_lsh_planted(spark, sf_dir):
+    """Derived-invariant twin of ``dedup_near_lsh``: at Jaccard
+    threshold 1.0 the verified clusters are exactly the
+    identical-shingle-set groups — i.e. the normalized-token-list
+    groups among docs with ≥ 3 tokens (identical docs are guaranteed
+    candidates: identical signatures share every band).  The keep-map
+    over planted copies is therefore fully SQL-predictable: a copy
+    keeps the min original of its normalized group; a <3-token copy
+    never enters the shingle pipeline and keeps itself."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    copies = docs.withColumn("doc_id", F.col("doc_id") + 100000)
+    out = D.dedup_near_docs_lsh(docs.unionByName(copies), threshold=1.0)
+    return out.where(F.col("doc_id") >= 100000)
+
+
 def doc_simhash_planted(spark, sf_dir):
     """Derived-invariant twin of ``doc_simhash_pairs``: identical
     texts get identical 64-bit signatures, and the pigeonhole banding
@@ -1835,6 +1878,9 @@ QUERIES = {
     "doc_minhash_planted": doc_minhash_planted,
     "doc_simhash_planted": doc_simhash_planted,
     "doc_sketch_tolerance": doc_sketch_tolerance,
+    "emb_lsh_planted": emb_lsh_planted,
+    "emb_dup_pairs_lsh_planted": emb_dup_pairs_lsh_planted,
+    "dedup_near_lsh_planted": dedup_near_lsh_planted,
     # new r10 training-pipeline operators
     "doc_corpus_shuffle": doc_corpus_shuffle,
     "doc_split_assign": doc_split_assign,
@@ -1873,13 +1919,13 @@ QUERIES = {
     # the rest hit the registry_audit warning tier after this round and
     # lead the r11 rotation
     "graph_shortest_weighted": graph_shortest_weighted,
-    "emb_range_search": emb_range_search,
-    "events_funnel_windowed": R.events_funnel_windowed,
-    "events_transition_matrix": R.events_transition_matrix,
     "doc_strip_html": doc_strip_html,
     # --- outside the window -------------------------------------------
     # r08-recorded remainder: two rounds stale after this run — FIRST
     # in line for the r11 window
+    "emb_range_search": emb_range_search,
+    "events_funnel_windowed": R.events_funnel_windowed,
+    "events_transition_matrix": R.events_transition_matrix,
     "events_salted_enrich": R.events_salted_enrich,
     "doc_bpe_pretokens": doc_bpe_pretokens,
     "events_salted_type_stats": R.events_salted_type_stats,
@@ -3669,6 +3715,34 @@ ORACLES = {
                CAST(0 AS INTEGER) AS hamming
         FROM documents
         WHERE trim(text) != ''
+    """,
+    "emb_lsh_planted": """
+        SELECT vec_id AS q_id, vec_id + 100000 AS n_id,
+               CAST(1.0 AS DOUBLE) AS cosine, CAST(1 AS INTEGER) AS rank
+        FROM embeddings WHERE vec_id < 25
+    """,
+    "emb_dup_pairs_lsh_planted": """
+        SELECT vec_id AS id_a, vec_id + 100000 AS id_b,
+               CAST(1.0 AS DOUBLE) AS cosine
+        FROM embeddings
+    """,
+    "dedup_near_lsh_planted": """
+        WITH t AS (
+            SELECT doc_id,
+                   array_to_string(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'), ' '
+                   ) AS norm,
+                   len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                       AS ntok
+            FROM documents
+        )
+        SELECT t.doc_id + 100000 AS doc_id,
+               CASE WHEN t.ntok >= 3
+                    THEN (SELECT min(t2.doc_id) FROM t t2
+                          WHERE t2.norm = t.norm AND t2.ntok >= 3)
+                    ELSE t.doc_id + 100000
+               END AS keep_doc_id
+        FROM t
     """,
     "doc_sketch_tolerance": """
         SELECT CAST(1 AS BOOLEAN) AS unique_ok,
