@@ -285,10 +285,14 @@ def seeded_shortest_paths(
     max_iter: int = 100,
     checkpoint_dir: str | None = None,
     materialize_edges: bool = True,
+    broadcast_seeds: bool = True,
 ) -> DataFrame:
     """Shortest distances FROM any seed node — the ground-endpoint
     complement of :func:`shortest_path_lengths`, exactly as
-    :func:`seeded_reachability` complements :func:`transitive_closure`:
+    :func:`seeded_reachability` complements :func:`transitive_closure`
+    (same ``broadcast_seeds`` contract too: default True for the
+    literal ground-constant case; pass False when seeding from an
+    unbounded computed frontier and let AQE pick the join strategy):
     when a query needs distances from ONE node, the all-pairs min-plus
     closure computes O(V²) pairs to keep |seeds| rows of them.
 
@@ -348,8 +352,9 @@ def seeded_shortest_paths(
             # scan per round beats one full-corpus parquet write (see
             # seeded_reachability)
             n_edges = 1
+        seed_side = F.broadcast(seeds) if broadcast_seeds else seeds
         frontier, _, n_front = _materialize(
-            e.join(F.broadcast(seeds), e["src"] == seeds["n"], "inner")
+            e.join(seed_side, e["src"] == seeds["n"], "inner")
             .groupBy(F.col("dst").alias("n"))
             .agg(F.min("w").alias("dist"))
         )
