@@ -512,10 +512,24 @@ def test_path_selective_var_anchor_differential(spark, seed):
     from matcha_spark import select
     from matcha_spark.patterns import OneOrMore, ZeroOrMore
 
+    from matcha_spark.patterns import Alt, Inv, Seq
+
     rng = random.Random(6600 + seed)
     db_rows = _rand_path_db(rng)
     inner = _rand_path_expr(rng, depth=1)
-    path = OneOrMore(inner) if rng.random() < 0.5 else ZeroOrMore(inner)
+    clo = OneOrMore(inner) if rng.random() < 0.5 else ZeroOrMore(inner)
+    # the closure may sit anywhere in a composite top-level path — the
+    # deferral triggers on _contains_closure, and the seeded evaluation
+    # must thread the computed anchor set through Seq/Alt/Inv too
+    path = rng.choice(
+        [
+            clo,
+            clo,
+            Seq(rng.choice(PATH_PREDS), clo),
+            Alt(clo, rng.choice(PATH_PREDS)),
+            Inv(clo),
+        ]
+    )
     pairs = _model_path_pairs(path, db_rows)
     nodes = sorted({s for s, _, _ in db_rows} | {o for _, _, o in db_rows})
     ap = rng.choice(PATH_PREDS)

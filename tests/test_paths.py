@@ -240,6 +240,14 @@ def test_selective_var_anchor_semantics(db):
         select(["?s"], [("?n", NAME, "nope"), ("?s", OneOrMore(KNOWS), "?n")], db)
         is None
     )
+    # Inv-wrapped closure defers too and flips the walk direction:
+    # ?s ^(knows+) ?n ⟺ ?n knows+ ?s — everything :b reaches
+    rows = select(
+        ["?s"],
+        [("?n", NAME, "bee"), ("?s", Inv(OneOrMore(KNOWS)), "?n")],
+        db,
+    )
+    assert set(rows) == {A, B, C, D}
 
 
 def test_nested_composition(db):
