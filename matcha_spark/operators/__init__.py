@@ -16,3 +16,4 @@ from .graph import predicate_closure, transitive_closure
 from .similarity import cosine_topk, ivf_topk, l2_norms, lsh_bucketed_topk
 from .skew import salted_agg, salted_join
 from .text import dedup_exact, fingerprint, lang_id, text_quality, token_count
+from .demux import mp4_frame_slicer, parse_mp4_samples

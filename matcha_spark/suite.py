@@ -1449,6 +1449,63 @@ def dedup_near_lsh_planted(spark, sf_dir):
     return out.where(F.col("doc_id") >= 100000)
 
 
+def doc_mp4_demux(spark, sf_dir):
+    """Real MP4 demuxing end-to-end (r10): each document's UTF-8 bytes
+    are packed into a genuine ISO BMFF container (``write_mp4``:
+    ftyp + mdat + moov/trak/stbl, samples of ≤ 64 bytes split across
+    two chunk runs), frame-sampled, and sliced back through the real
+    sample-table parser (``mp4_frame_slicer`` — the production
+    ``frame_slicer=`` seam).  The oracle needs only byte arithmetic:
+    the demuxed frame count and reassembled byte total per doc must be
+    ceil(len/64) and len."""
+    import pandas as pd
+
+    from .operators.demux import mp4_frame_slicer, write_mp4
+    from .operators.multimodal import frame_sample
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+
+    def build(batches):
+        for pdf in batches:
+            payloads, durs = [], []
+            for t in pdf["text"]:
+                b = (t or "").encode("utf-8")
+                samples = [b[i : i + 64] for i in range(0, len(b), 64)]
+                # split across two chunk runs so the stsc expansion is
+                # exercised, not just the trivial one-chunk layout
+                half = max(len(samples) // 2, 1)
+                chunks = (
+                    [half, len(samples) - half]
+                    if len(samples) > half
+                    else [len(samples)]
+                )
+                payloads.append(write_mp4(samples, chunks=chunks))
+                durs.append((len(samples) - 1) * 1000)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "video",
+                    "format": "mp4",
+                    "duration_ms": pd.Series(durs, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        build,
+        schema="media_id long, kind string, format string,"
+        " duration_ms long, payload binary",
+    )
+    frames = frame_sample(media, every_ms=1000)
+    sliced = mp4_frame_slicer(
+        frames.join(media.select("media_id", "payload"), "media_id"), 0
+    )
+    return sliced.groupBy(F.col("media_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.length("payload")).alias("n_bytes"),
+    )
+
+
 def doc_simhash_planted(spark, sf_dir):
     """Derived-invariant twin of ``doc_simhash_pairs``: identical
     texts get identical 64-bit signatures, and the pigeonhole banding
@@ -1876,6 +1933,7 @@ QUERIES = {
     "doc_audio_near_dup_planted": doc_audio_near_dup_planted,
     "graph_pagerank_mass": graph_pagerank_mass,
     "doc_minhash_planted": doc_minhash_planted,
+    "doc_mp4_demux": doc_mp4_demux,
     "doc_simhash_planted": doc_simhash_planted,
     "doc_sketch_tolerance": doc_sketch_tolerance,
     "emb_lsh_planted": emb_lsh_planted,
@@ -1918,11 +1976,11 @@ QUERIES = {
     # newest record r08 — 16 of the 50 r08-window entries refresh now;
     # the rest hit the registry_audit warning tier after this round and
     # lead the r11 rotation
-    "graph_shortest_weighted": graph_shortest_weighted,
     "doc_strip_html": doc_strip_html,
     # --- outside the window -------------------------------------------
     # r08-recorded remainder: two rounds stale after this run — FIRST
     # in line for the r11 window
+    "graph_shortest_weighted": graph_shortest_weighted,
     "emb_range_search": emb_range_search,
     "events_funnel_windowed": R.events_funnel_windowed,
     "events_transition_matrix": R.events_transition_matrix,
@@ -3709,6 +3767,12 @@ ORACLES = {
         SELECT doc_id AS doc_a, doc_id + 100000 AS doc_b
         FROM documents
         WHERE len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 3
+    """,
+    "doc_mp4_demux": """
+        SELECT doc_id,
+               CAST(ceil(strlen(text) / 64.0) AS BIGINT) AS n_frames,
+               CAST(strlen(text) AS BIGINT) AS n_bytes
+        FROM documents
     """,
     "doc_simhash_planted": """
         SELECT doc_id AS doc_a, doc_id + 100000 AS doc_b,
