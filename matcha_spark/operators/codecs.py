@@ -103,3 +103,90 @@ def default_audio_decoder() -> Callable[[bytes], np.ndarray]:
     from .multimodal import fake_decode_audio
 
     return fake_decode_audio
+
+
+def wav_decode_audio(payload: bytes) -> np.ndarray:
+    """Pure-struct RIFF/WAVE PCM decoder (r10) — like the MP4 demuxer,
+    this needs NO media libraries: the WAV container is public-spec
+    structure (RIFF chunks; ``fmt `` carries the sample format, ``data``
+    the frames), and PCM samples decode with one ``np.frombuffer``.
+    Supports integer PCM (8-bit unsigned, 16/32-bit signed) and IEEE
+    float (format 3, 32/64-bit); multi-channel input is averaged to
+    mono; integers normalize to [-1, 1).  Compressed formats raise with
+    a pointer at the soundfile-gated decoder — this is the real decode
+    path for the overwhelmingly common uncompressed case, not a fake.
+    """
+    import struct
+
+    buf = bytes(payload)
+    if len(buf) < 12 or buf[0:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("wav: not a RIFF/WAVE payload")
+    fmt = None
+    data = None
+    off = 12
+    while off + 8 <= len(buf):
+        cid, size = struct.unpack_from("<4sI", buf, off)
+        body = buf[off + 8 : off + 8 + size]
+        if len(body) < size:
+            raise ValueError("wav: truncated chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        off += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("wav: missing fmt/data chunk")
+    audio_format, channels, _rate = struct.unpack_from("<HHI", fmt, 0)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if audio_format == 0xFFFE and len(fmt) >= 26:
+        # WAVE_FORMAT_EXTENSIBLE: the real format is the GUID's first word
+        audio_format = struct.unpack_from("<H", fmt, 24)[0]
+    if audio_format == 1:
+        if bits == 8:
+            wave = np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+            wave = (wave - 128.0) / 128.0
+        elif bits == 16:
+            wave = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+        elif bits == 32:
+            wave = (
+                np.frombuffer(data, dtype="<i4").astype(np.float64) / 2147483648.0
+            )
+        else:
+            raise ValueError(f"wav: unsupported PCM bit depth {bits}")
+    elif audio_format == 3:
+        dt = "<f4" if bits == 32 else "<f8" if bits == 64 else None
+        if dt is None:
+            raise ValueError(f"wav: unsupported float bit depth {bits}")
+        wave = np.frombuffer(data, dtype=dt).astype(np.float64)
+    else:
+        raise ValueError(
+            f"wav: compressed/unknown format {audio_format} — use "
+            "soundfile_decode_audio (optional libsndfile) for non-PCM"
+        )
+    if channels > 1:
+        n = (len(wave) // channels) * channels
+        wave = wave[:n].reshape(-1, channels).mean(axis=1)
+    return wave
+
+
+def write_wav(
+    wave: "np.ndarray", sample_rate: int = 16000, bits: int = 16
+) -> bytes:
+    """Mono PCM WAV writer — the structural inverse of
+    :func:`wav_decode_audio` for round-trips (16-bit signed: values in
+    [-1, 1) quantize to int16; exact k/32768 inputs round-trip
+    bit-exactly)."""
+    import struct
+
+    if bits != 16:
+        raise ValueError("write_wav: only 16-bit PCM supported")
+    w = np.asarray(wave, dtype=np.float64)
+    pcm = np.clip(np.round(w * 32768.0), -32768, 32767).astype("<i2")
+    data = pcm.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks

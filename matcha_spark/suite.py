@@ -1506,6 +1506,42 @@ def doc_mp4_demux(spark, sf_dir):
     )
 
 
+def doc_wav_features(spark, sf_dir):
+    """Real WAV decode end-to-end (r10): each document's ASCII bytes
+    become an int16 PCM waveform ((byte−128)/128, exact in 16-bit),
+    packed into a genuine RIFF/WAVE container (``write_wav``), then
+    decoded back through the pure-struct PCM decoder
+    (``wav_decode_audio`` — the real decode path, no media libraries)
+    and feature-extracted.  The oracle re-derives sample count, RMS
+    and zero-crossings from the characters alone."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators.codecs import wav_decode_audio, write_wav
+    from .operators.multimodal import audio_features
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                b = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
+                payloads.append(write_wav((b.astype(np.float64) - 128) / 128))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "audio",
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        build, schema="media_id long, kind string, payload binary"
+    )
+    return audio_features(media, decoder=wav_decode_audio)
+
+
 def doc_simhash_planted(spark, sf_dir):
     """Derived-invariant twin of ``doc_simhash_pairs``: identical
     texts get identical 64-bit signatures, and the pigeonhole banding
@@ -1934,6 +1970,7 @@ QUERIES = {
     "graph_pagerank_mass": graph_pagerank_mass,
     "doc_minhash_planted": doc_minhash_planted,
     "doc_mp4_demux": doc_mp4_demux,
+    "doc_wav_features": doc_wav_features,
     "doc_simhash_planted": doc_simhash_planted,
     "doc_sketch_tolerance": doc_sketch_tolerance,
     "emb_lsh_planted": emb_lsh_planted,
@@ -1976,10 +2013,10 @@ QUERIES = {
     # newest record r08 — 16 of the 50 r08-window entries refresh now;
     # the rest hit the registry_audit warning tier after this round and
     # lead the r11 rotation
-    "doc_strip_html": doc_strip_html,
     # --- outside the window -------------------------------------------
     # r08-recorded remainder: two rounds stale after this run — FIRST
     # in line for the r11 window
+    "doc_strip_html": doc_strip_html,
     "graph_shortest_weighted": graph_shortest_weighted,
     "emb_range_search": emb_range_search,
     "events_funnel_windowed": R.events_funnel_windowed,
@@ -3773,6 +3810,26 @@ ORACLES = {
                CAST(ceil(strlen(text) / 64.0) AS BIGINT) AS n_frames,
                CAST(strlen(text) AS BIGINT) AS n_bytes
         FROM documents
+    """,
+    "doc_wav_features": """
+        -- the corpus is pure ASCII (strlen == length for every doc),
+        -- so the byte waveform re-derives from the characters
+        WITH b AS (
+            SELECT doc_id AS media_id,
+                   list_transform(range(strlen(text)),
+                                  j -> ord(substr(text, j + 1, 1))) AS bs
+            FROM documents
+        )
+        SELECT media_id,
+               CAST(len(bs) AS BIGINT) AS n_samples,
+               CAST(sqrt(list_sum(list_transform(bs,
+                        v -> ((v - 128) / 128.0) * ((v - 128) / 128.0)))
+                        / len(bs)) AS FLOAT) AS rms,
+               CAST(list_sum(list_transform(range(len(bs) - 1),
+                        j -> CASE WHEN (bs[j + 1] < 128) <> (bs[j + 2] < 128)
+                                  THEN 1 ELSE 0 END)) AS BIGINT)
+                   AS zero_crossings
+        FROM b
     """,
     "doc_simhash_planted": """
         SELECT doc_id AS doc_a, doc_id + 100000 AS doc_b,

@@ -182,3 +182,46 @@ def test_write_mp4_roundtrip():
         assert [mp4[o : o + s] for o, s in ranges] == SAMPLES
     with pytest.raises(ValueError):
         write_mp4(SAMPLES, chunks=[1, 1])  # doesn't cover all samples
+
+
+def test_wav_decode_variants():
+    """Pure-struct RIFF/WAVE decoder: 16-bit round-trip, 8-bit unsigned,
+    float32, stereo-to-mono averaging, extra chunks, and the
+    compressed-format refusal."""
+    import numpy as np
+
+    from matcha_spark.operators.codecs import wav_decode_audio, write_wav
+
+    w = (np.arange(-64, 64, dtype=np.float64)) / 128.0
+    assert np.array_equal(wav_decode_audio(write_wav(w)), w)
+
+    def riff(fmt_body: bytes, data: bytes, extra: bytes = b"") -> bytes:
+        chunks = (
+            b"WAVE"
+            + extra
+            + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+    # 8-bit unsigned PCM
+    fmt8 = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    out = wav_decode_audio(riff(fmt8, bytes([0, 128, 255])))
+    assert np.allclose(out, [(0 - 128) / 128, 0.0, (255 - 128) / 128])
+    # float32 (format 3), plus a junk chunk before fmt
+    fmtf = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    vals = np.array([0.25, -0.5], dtype="<f4")
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # odd size: padded
+    out = wav_decode_audio(riff(fmtf, vals.tobytes(), extra=junk))
+    assert np.allclose(out, vals.astype(np.float64))
+    # stereo 16-bit averages to mono
+    fmt2 = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    pcm = np.array([8192, -8192, 16384, 0], dtype="<i2")  # L R L R
+    out = wav_decode_audio(riff(fmt2, pcm.tobytes()))
+    assert np.allclose(out, [0.0, 0.25])
+    # compressed format refused with a pointer at the optional decoder
+    fmtc = struct.pack("<HHIIHH", 85, 1, 8000, 8000, 1, 0)  # MP3-in-WAV
+    with pytest.raises(ValueError, match="soundfile"):
+        wav_decode_audio(riff(fmtc, b"\x00\x00"))
+    with pytest.raises(ValueError):
+        wav_decode_audio(b"RIFFxxxxNOPE")
