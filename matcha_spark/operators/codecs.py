@@ -190,3 +190,123 @@ def write_wav(
         + b"data" + struct.pack("<I", len(data)) + data
     )
     return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def png_decode_image(payload: bytes) -> np.ndarray:
+    """Pure-struct PNG decoder (r10) — stdlib ``zlib`` only: walks the
+    chunk stream (IHDR/IDAT/IEND, CRC-carrying but CRCs not re-verified
+    — corrupt streams fail structurally instead), inflates the IDAT
+    concatenation, and inverts the per-scanline filters (None/Sub/Up/
+    Average/Paeth, PNG spec §9) for 8-bit greyscale, grey+alpha, RGB
+    and RGBA, non-interlaced.  Colour converts to Rec.601 luma; alpha
+    is ignored.  Returns the 2-D float64 grey array the multimodal
+    decoder seam expects.
+
+    Honesty note on speed: the Sub/Average/Paeth inversions carry a
+    per-pixel left-dependency, implemented as plain loops — correct
+    and library-free, not fast.  Filter-0/Up scanlines (what
+    :func:`write_png` and many encoders emit) invert vectorized; for
+    throughput-critical real corpora plug Pillow in through the same
+    ``decoder=`` seam (:func:`pillow_decode_image`)."""
+    import struct
+    import zlib
+
+    buf = bytes(payload)
+    if buf[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("png: bad signature")
+    off, ihdr, idat = 8, None, []
+    while off + 8 <= len(buf):
+        ln, ctype = struct.unpack_from(">I4s", buf, off)
+        data = buf[off + 8 : off + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("png: truncated chunk")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        off += 12 + ln  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("png: missing IHDR/IDAT")
+    w, h, depth, ctype_, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"png: unsupported parameters (depth={depth}, interlace="
+            f"{interlace}) — use pillow_decode_image for the long tail"
+        )
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype_)
+    if channels is None:
+        raise ValueError(f"png: unsupported colour type {ctype_}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("png: inflated data shorter than the image")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        pos += 1
+        cur = np.frombuffer(raw, np.uint8, stride, pos).astype(np.int32)
+        pos += stride
+        if ft == 0:
+            rec = cur
+        elif ft == 2:  # Up
+            rec = (cur + prev) & 255
+        elif ft == 1:  # Sub
+            rec = cur.copy()
+            for i in range(channels, stride):
+                rec[i] = (rec[i] + rec[i - channels]) & 255
+        elif ft == 3:  # Average
+            rec = cur.copy()
+            for i in range(stride):
+                a = rec[i - channels] if i >= channels else 0
+                rec[i] = (rec[i] + ((a + prev[i]) >> 1)) & 255
+        elif ft == 4:  # Paeth
+            rec = cur.copy()
+            for i in range(stride):
+                a = rec[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                rec[i] = (rec[i] + pred) & 255
+        else:
+            raise ValueError(f"png: unknown filter type {ft}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    arr = out.reshape(h, w, channels).astype(np.float64)
+    if ctype_ == 0:
+        return arr[:, :, 0]
+    if ctype_ == 4:
+        return arr[:, :, 0]
+    return 0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
+
+
+def write_png(gray: "np.ndarray") -> bytes:
+    """Minimal greyscale PNG writer (8-bit, filter 0, one IDAT) — the
+    structural inverse of :func:`png_decode_image` for library-free
+    round-trips."""
+    import struct
+    import zlib
+
+    a = np.asarray(gray)
+    if a.ndim != 2:
+        raise ValueError("write_png: need a 2-D greyscale array")
+    a = np.clip(np.round(a), 0, 255).astype(np.uint8)
+    h, w = a.shape
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    scan = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )

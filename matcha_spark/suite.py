@@ -1542,6 +1542,50 @@ def doc_wav_features(spark, sf_dir):
     return audio_features(media, decoder=wav_decode_audio)
 
 
+def doc_png_features(spark, sf_dir):
+    """Real PNG decode end-to-end (r10): each document's first 64 ASCII
+    bytes (tiled) become an 8×8 greyscale image, written as a genuine
+    PNG (``write_png``: zlib + CRC chunks), decoded back through the
+    pure-struct decoder (``png_decode_image`` — stdlib zlib, no
+    Pillow), and feature-extracted; row means explode to (pos, feat)
+    rows the oracle re-derives from the characters alone (sums of ≤ 8
+    bytes divide by 8 exactly in every float width)."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators.codecs import png_decode_image, write_png
+    from .operators.multimodal import image_features
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                b = np.frombuffer((t or " ").encode("utf-8"), dtype=np.uint8)
+                tiled = b[np.arange(64) % len(b)].reshape(8, 8)
+                payloads.append(write_png(tiled))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        build, schema="media_id long, kind string, payload binary"
+    )
+    out = image_features(media, decoder=png_decode_image)
+    return out.select(
+        "media_id", F.posexplode("feature").alias("pos", "feat")
+    ).select(
+        "media_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("feat").cast("double").alias("feat"),
+    )
+
+
 def doc_simhash_planted(spark, sf_dir):
     """Derived-invariant twin of ``doc_simhash_pairs``: identical
     texts get identical 64-bit signatures, and the pigeonhole banding
@@ -2127,7 +2171,19 @@ QUERIES = {
     "emb_lsh_topk": emb_lsh_topk,
     "emb_ivf_topk": emb_ivf_topk,
     "emb_dup_pairs_lsh": emb_dup_pairs_lsh,
+    # oracle HELD BACK one round (ORACLE_HOLDBACK): the r10 window is
+    # exactly full (23 never-checked + 27 must-rotate r07 entries), so
+    # this entry runs rows-only for the driver now and its oracle
+    # publishes with the r11 rotation — check_oracle verifies it
+    # locally either way
+    "doc_png_features": doc_png_features,
 }
+
+# entries whose ORACLES row exists (and is verified locally by
+# tools/check_oracle.py) but is withheld from the driver's oracle_sql()
+# until a correctness-window slot frees up — see the window-capacity
+# comment above doc_png_features
+ORACLE_HOLDBACK = {"doc_png_features"}
 
 _EN = "'the','a','and','of','to','in','is','that','it','for'"
 _ES = "'el','la','de','que','y','en','un','es','no','por'"
@@ -3810,6 +3866,17 @@ ORACLES = {
                CAST(ceil(strlen(text) / 64.0) AS BIGINT) AS n_frames,
                CAST(strlen(text) AS BIGINT) AS n_bytes
         FROM documents
+    """,
+    "doc_png_features": """
+        WITH b AS (
+            SELECT doc_id AS media_id,
+                   list_transform(range(64),
+                       j -> ord(substr(text, (j % strlen(text)) + 1, 1))) AS bs
+            FROM documents
+        )
+        SELECT media_id, i AS pos,
+               list_sum(bs[8 * i + 1 : 8 * i + 8]) / 8.0 AS feat
+        FROM b, range(8) t(i)
     """,
     "doc_wav_features": """
         -- the corpus is pure ASCII (strlen == length for every doc),

@@ -225,3 +225,77 @@ def test_wav_decode_variants():
         wav_decode_audio(riff(fmtc, b"\x00\x00"))
     with pytest.raises(ValueError):
         wav_decode_audio(b"RIFFxxxxNOPE")
+
+
+def test_png_decode_roundtrip_and_filters():
+    """Pure-struct PNG decoder: writer round-trip, independent
+    forward-filter encodings of all five filter types inverted
+    correctly, RGB-to-luma, and the refusal paths."""
+    import zlib
+
+    import numpy as np
+
+    from matcha_spark.operators.codecs import png_decode_image, write_png
+
+    g = (np.arange(64).reshape(8, 8) * 3) % 256
+    assert np.array_equal(png_decode_image(write_png(g)), g.astype(np.float64))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    def encode(img, filters, channels=1, color_type=0):
+        h, w = img.shape[0], img.shape[1]
+        flat = img.reshape(h, w * channels).astype(np.int32)
+        rows, prev = [], np.zeros(w * channels, np.int32)
+        for y, ft in zip(range(h), filters):
+            cur = flat[y]
+            if ft == 0:
+                enc = cur.copy()
+            elif ft == 1:
+                enc = cur.copy()
+                enc[channels:] = (cur[channels:] - cur[:-channels]) & 255
+            elif ft == 2:
+                enc = (cur - prev) & 255
+            elif ft == 3:
+                enc = cur.copy()
+                for i in range(w * channels):
+                    a = cur[i - channels] if i >= channels else 0
+                    enc[i] = (cur[i] - ((a + prev[i]) >> 1)) & 255
+            else:
+                enc = cur.copy()
+                for i in range(w * channels):
+                    a = cur[i - channels] if i >= channels else 0
+                    b = prev[i]
+                    c = prev[i - channels] if i >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    enc[i] = (cur[i] - pred) & 255
+            rows.append(bytes([ft]) + bytes(enc.astype(np.uint8)))
+            prev = cur
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+            + chunk(b"IEND", b"")
+        )
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (5, 7)).astype(np.uint8)
+    out = png_decode_image(encode(img, [0, 1, 2, 3, 4]))
+    assert np.array_equal(out, img.astype(np.float64))
+
+    rgb = rng.randint(0, 256, (3, 4, 3)).astype(np.uint8)
+    out = png_decode_image(encode(rgb, [4, 2, 1], channels=3, color_type=2))
+    luma = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    assert np.allclose(out, luma)
+
+    with pytest.raises(ValueError):
+        png_decode_image(b"not a png")
+    interlaced = bytearray(write_png(g))
+    # IHDR body starts at 16; interlace flag is its last byte
+    interlaced[16 + 12] = 1
+    with pytest.raises(ValueError, match="pillow"):
+        png_decode_image(bytes(interlaced))

@@ -56,7 +56,10 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
     queries = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    # the FULL oracle dict, including window-capacity holdbacks the
+    # driver-facing oracle_sql() withholds — local verification must
+    # cover everything that has an oracle
+    from matcha_spark.suite import ORACLES as oracles
     failures = []
     for name, fn in queries.items():
         if only and name not in only:
