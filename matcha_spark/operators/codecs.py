@@ -310,3 +310,44 @@ def write_png(gray: "np.ndarray") -> bytes:
         + chunk(b"IDAT", zlib.compress(scan))
         + chunk(b"IEND", b"")
     )
+
+
+def sniff_decode_image(payload: bytes) -> np.ndarray:
+    """Magic-byte routing image decoder (r10): PNG goes through the
+    library-free :func:`png_decode_image`; every other format needs
+    Pillow.  Deliberately never falls back to the deterministic fake —
+    silently hashing fake pixels for real data would corrupt features;
+    absence of a decoder should fail loudly."""
+    buf = bytes(payload or b"")
+    if buf[:8] == b"\x89PNG\r\n\x1a\n":
+        try:
+            return png_decode_image(buf)
+        except ValueError:
+            if _try_import("PIL") is None:
+                raise
+    if _try_import("PIL") is None:
+        raise ValueError(
+            "sniff_decode_image: format needs Pillow (pip install pillow) "
+            "— only 8-bit non-interlaced PNG decodes library-free"
+        )
+    return pillow_decode_image(buf)
+
+
+def sniff_decode_audio(payload: bytes) -> np.ndarray:
+    """Magic-byte routing audio decoder (r10): PCM RIFF/WAVE goes
+    through the library-free :func:`wav_decode_audio`; compressed WAV
+    and every other container need soundfile.  Same no-silent-fake
+    policy as :func:`sniff_decode_image`."""
+    buf = bytes(payload or b"")
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+        try:
+            return wav_decode_audio(buf)
+        except ValueError:
+            if _try_import("soundfile") is None:
+                raise
+    if _try_import("soundfile") is None:
+        raise ValueError(
+            "sniff_decode_audio: format needs soundfile (pip install "
+            "soundfile) — only PCM WAV decodes library-free"
+        )
+    return soundfile_decode_audio(buf)

@@ -299,3 +299,25 @@ def test_png_decode_roundtrip_and_filters():
     interlaced[16 + 12] = 1
     with pytest.raises(ValueError, match="pillow"):
         png_decode_image(bytes(interlaced))
+
+
+def test_sniff_decoders_route_and_refuse():
+    """Magic-byte routers: PNG/WAV hit the library-free paths; unknown
+    formats fail loudly (never the silent fake) when the optional
+    libraries are absent."""
+    import numpy as np
+
+    from matcha_spark.operators import codecs as C
+
+    g = np.arange(16).reshape(4, 4).astype(np.uint8)
+    assert np.array_equal(C.sniff_decode_image(C.write_png(g)), g.astype(float))
+    w = np.array([0.25, -0.5, 0.0])
+    assert np.allclose(
+        C.sniff_decode_audio(C.write_wav(w)), np.round(w * 32768) / 32768
+    )
+    if not C.available()["pillow"]:
+        with pytest.raises((ValueError, ImportError)):
+            C.sniff_decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+    if not C.available()["soundfile"]:
+        with pytest.raises((ValueError, ImportError)):
+            C.sniff_decode_audio(b"fLaC....")
