@@ -1586,6 +1586,27 @@ def doc_png_features(spark, sf_dir):
     )
 
 
+def doc_bpe_roundtrip(spark, sf_dir):
+    """BPE tokenizer train + encode end-to-end (r10): merges learned
+    from the corpus's distributed word counts (driver-side on the
+    bounded vocabulary, Sennrich-style incremental pair statistics),
+    the corpus encoded with them, and the token stream REBUILT — BPE
+    segmentation is lossless, so the concatenated pieces with ``</w>``
+    markers replaced by spaces must reproduce the normalized text
+    exactly.  The oracle only needs the normalization."""
+    from .operators.bpe import END, bpe_encode, bpe_train, bpe_word_counts
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    merges = bpe_train(bpe_word_counts(docs), num_merges=200, min_freq=2)
+    enc = bpe_encode(docs, merges)
+    rebuilt = F.trim(
+        F.replace(F.array_join("tokens", ""), F.lit(END), F.lit(" "))
+    )
+    return enc.select("doc_id", rebuilt.alias("rebuilt"), "n_tokens").select(
+        "doc_id", "rebuilt"
+    )
+
+
 def doc_simhash_planted(spark, sf_dir):
     """Derived-invariant twin of ``doc_simhash_pairs``: identical
     texts get identical 64-bit signatures, and the pigeonhole banding
@@ -2171,19 +2192,20 @@ QUERIES = {
     "emb_lsh_topk": emb_lsh_topk,
     "emb_ivf_topk": emb_ivf_topk,
     "emb_dup_pairs_lsh": emb_dup_pairs_lsh,
-    # oracle HELD BACK one round (ORACLE_HOLDBACK): the r10 window is
-    # exactly full (23 never-checked + 27 must-rotate r07 entries), so
-    # this entry runs rows-only for the driver now and its oracle
-    # publishes with the r11 rotation — check_oracle verifies it
-    # locally either way
+    # oracles HELD BACK (ORACLE_HOLDBACK): the r10 window is exactly
+    # full (23 never-checked + 27 must-rotate r07 entries), so these
+    # entries run rows-only for the driver now and their oracles
+    # publish when the rotation frees slots — check_oracle verifies
+    # them locally either way
     "doc_png_features": doc_png_features,
+    "doc_bpe_roundtrip": doc_bpe_roundtrip,
 }
 
 # entries whose ORACLES row exists (and is verified locally by
 # tools/check_oracle.py) but is withheld from the driver's oracle_sql()
 # until a correctness-window slot frees up — see the window-capacity
 # comment above doc_png_features
-ORACLE_HOLDBACK = {"doc_png_features"}
+ORACLE_HOLDBACK = {"doc_png_features", "doc_bpe_roundtrip"}
 
 _EN = "'the','a','and','of','to','in','is','that','it','for'"
 _ES = "'el','la','de','que','y','en','un','es','no','por'"
@@ -3865,6 +3887,13 @@ ORACLES = {
         SELECT doc_id,
                CAST(ceil(strlen(text) / 64.0) AS BIGINT) AS n_frames,
                CAST(strlen(text) AS BIGINT) AS n_bytes
+        FROM documents
+    """,
+    "doc_bpe_roundtrip": """
+        SELECT doc_id,
+               array_to_string(
+                   regexp_split_to_array(lower(trim(text)), '\\s+'), ' '
+               ) AS rebuilt
         FROM documents
     """,
     "doc_png_features": """

@@ -1,0 +1,62 @@
+"""BPE tokenizer training/encoding (r10): hand-computed merge
+sequences, determinism, greedy-encode behavior, and the lossless
+reconstruction invariant the suite oracle checks."""
+
+import pytest
+
+from matcha_spark.operators.bpe import (
+    END,
+    _encode_word,
+    bpe_encode,
+    bpe_train,
+    bpe_word_counts,
+)
+
+
+def test_train_hand_computed(spark):
+    wc = spark.createDataFrame(
+        [("abab", 10), ("ab", 3)], "word string, count long"
+    )
+    merges = bpe_train(wc, num_merges=10, min_freq=1)
+    # (a,b) 23 > (b,a) 10, (b,</w>) 13; then (ab,</w>) 13 > (ab,ab) 10;
+    # then (ab, ab</w>) 10; nothing else reaches min_freq meaningfully
+    assert merges[:3] == [("a", "b"), ("ab", END), ("ab", "ab" + END)]
+
+
+def test_train_min_freq_and_determinism(spark):
+    rows = [(w, n) for w, n in [("lowest", 5), ("newest", 7), ("low", 4)]]
+    wc = spark.createDataFrame(rows, "word string, count long")
+    m1 = bpe_train(wc, num_merges=50, min_freq=2)
+    m2 = bpe_train(wc.repartition(5), num_merges=50, min_freq=2)
+    assert m1 == m2 and len(m1) > 0
+    # a high floor stops early
+    assert len(bpe_train(wc, num_merges=50, min_freq=100)) == 0
+
+
+def test_encode_word_greedy():
+    merges = [("a", "b"), ("ab", END), ("ab", "ab" + END)]
+    ranks = {m: i for i, m in enumerate(merges)}
+    assert _encode_word("abab", ranks) == ["abab" + END]
+    assert _encode_word("ab", ranks) == ["ab" + END]
+    # unseen characters stay as single symbols
+    assert _encode_word("abc", ranks) == ["ab", "c", END]
+
+
+def test_encode_reconstruction_invariant(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "The cat sat  ON the mat"),
+            (2, "a cat and a dog and a cat"),
+            (3, "completely unseen wordforms zzz"),
+        ],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(bpe_word_counts(docs), num_merges=30, min_freq=1)
+    out = {r.doc_id: list(r.tokens) for r in bpe_encode(docs, merges).collect()}
+    for did, text in [(1, "the cat sat on the mat"),
+                      (2, "a cat and a dog and a cat"),
+                      (3, "completely unseen wordforms zzz")]:
+        rebuilt = "".join(out[did]).replace(END, " ").strip()
+        assert rebuilt == text, (did, out[did])
+        # every word ends with exactly one end-of-word marker
+        assert "".join(out[did]).count(END) == len(text.split())
