@@ -154,18 +154,28 @@ def bpe_encode(
 
     Arrow ``mapInPandas`` with a per-batch word→pieces memo: the greedy
     merge loop runs once per distinct word per batch (Zipf does the
-    rest); the merge-rank dict broadcasts inside the closure."""
+    rest); the merge-rank dict broadcasts inside the closure.
+
+    Word splitting happens IN SPARK with the exact expression
+    :func:`bpe_word_counts` trains on — a Python-side ``str.split()``
+    would disagree on Unicode whitespace/case edges (Java ``\\s`` is
+    ASCII-only, Python's is not; r10 review finding), silently
+    desynchronizing the encoder's vocabulary view from the trained
+    merges."""
     import pandas as pd
 
     ranks = {tuple(m): i for i, m in enumerate(merges)}
+    words_col = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
 
     def run(batches):
         for pdf in batches:
             memo: dict[str, list[str]] = {}
             ids, toks, ns = [], [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+            for doc_id, words in zip(pdf["doc_id"], pdf["__words"]):
                 pieces: list[str] = []
-                for w in (text or "").lower().split():
+                for w in words if words is not None else []:
                     enc = memo.get(w)
                     if enc is None:
                         enc = _encode_word(w, ranks)
@@ -178,6 +188,6 @@ def bpe_encode(
                 {"doc_id": ids, "tokens": toks, "n_tokens": ns}
             )
 
-    return docs.select("doc_id", text_col).mapInPandas(
+    return docs.select("doc_id", words_col.alias("__words")).mapInPandas(
         run, schema="doc_id long, tokens array<string>, n_tokens long"
     )

@@ -322,7 +322,10 @@ def sniff_decode_image(payload: bytes) -> np.ndarray:
     if buf[:8] == b"\x89PNG\r\n\x1a\n":
         try:
             return png_decode_image(buf)
-        except ValueError:
+        except Exception:
+            # ANY struct-decoder failure (ValueError, zlib.error,
+            # struct.error) falls through to the capable library when
+            # one exists; only re-raise when nothing else can try
             if _try_import("PIL") is None:
                 raise
     if _try_import("PIL") is None:
@@ -342,7 +345,9 @@ def sniff_decode_audio(payload: bytes) -> np.ndarray:
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         try:
             return wav_decode_audio(buf)
-        except ValueError:
+        except Exception:
+            # same breadth as the image router: struct.error from a
+            # short fmt chunk must not bypass an installed soundfile
             if _try_import("soundfile") is None:
                 raise
     if _try_import("soundfile") is None:

@@ -470,15 +470,23 @@ def connected_components(
     Returns ``(id, component)`` where component = min node id
     reachable, one row per node appearing in ``edges``.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
-        F.col("src") != F.col("dst")
-    )
+    # self-loops stay IN the symmetric frame: they merge nothing (a
+    # node's min over a self-neighbor is itself) and the rewrite drops
+    # them, but filtering them out BEFORE the node frame is built would
+    # drop self-loop-only nodes from the output, breaking the one-row-
+    # per-mentioned-node contract (r10 review finding)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     # materialize once: the input may carry an arbitrarily expensive
     # upstream lineage (LSH candidate generation, Jaccard verify, ...)
     obs0 = Observation()
     sym = cut_lineage(
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .observe(obs0, F.count(F.lit(1)).alias("m"))
+        .observe(
+            obs0,
+            F.sum(
+                F.when(F.col("src") != F.col("dst"), 1).otherwise(0)
+            ).alias("m"),
+        )
     )
     full = (
         sym.select(F.col("src").alias("id"))
@@ -1122,7 +1130,12 @@ def incremental_dedup_simhash(
     )
     la = lab.select(F.col("node").alias("sa"), F.col("lab").alias("ra"))
     lb = lab.select(F.col("node").alias("sb"), F.col("lab").alias("rb"))
-    contracted = (
+    # materialized HERE, not lazily inside connected_components: CC's
+    # symmetric union references its input twice (both union branches),
+    # which would re-execute the banded join once per branch — cutting
+    # the tiny contracted pair set first caps the expensive join at two
+    # total evaluations per admission (lab + this) (r10 review finding)
+    contracted = cut_lineage(
         raw.join(la, raw["id_a"] == F.col("sa"))
         .join(lb, raw["id_b"] == F.col("sb"))
         .select(F.col("ra").alias("id_a"), F.col("rb").alias("id_b"))

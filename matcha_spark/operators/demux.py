@@ -136,6 +136,10 @@ def parse_mp4_samples(payload: bytes, handler: bytes = b"vide") -> list[tuple[in
     p = _full_box_body(buf, zs)
     fixed_size, n_samples = struct.unpack_from(">II", buf, p)
     if fixed_size:
+        # sanity-bound the count BEFORE materializing: a tiny hostile
+        # container claiming 2^32 samples must not allocate gigabytes
+        if fixed_size * n_samples > end:
+            raise ValueError("mp4: stsz claims more sample bytes than payload")
         sizes = [fixed_size] * n_samples
     else:
         if p + 8 + 4 * n_samples > ze:
@@ -171,7 +175,13 @@ def parse_mp4_samples(payload: bytes, handler: bytes = b"vide") -> list[tuple[in
     # expand: entry i covers chunks [first_i, first_{i+1})
     out: list[tuple[int, int]] = []
     si = 0
+    prev_first = 0
     for i, (first, per_chunk) in enumerate(ents):
+        # first_chunk is 1-based and strictly increasing per spec; a
+        # malformed 0 would Python-wrap chunk_offsets[-1] silently
+        if first < 1 or first <= prev_first:
+            raise ValueError("mp4: stsc first_chunk not positive-increasing")
+        prev_first = first
         last = ents[i + 1][0] - 1 if i + 1 < len(ents) else n_chunks
         for c in range(first, last + 1):
             if c - 1 >= n_chunks or si >= n_samples:
@@ -254,7 +264,9 @@ def write_mp4(samples: list, chunks: list | None = None) -> bytes:
     ``samples``.  ``chunks`` optionally splits the samples across
     several mdat chunk runs (default: one chunk)."""
     samples = [bytes(s) for s in samples]
-    chunks = list(chunks) if chunks else [len(samples)]
+    # zero samples is a VALID trak (empty doc → empty container): no
+    # chunks, empty tables — the parser returns [] for it
+    chunks = list(chunks) if chunks else ([len(samples)] if samples else [])
     if sum(chunks) != len(samples) or any(c < 1 for c in chunks):
         raise ValueError("chunks must be positive and sum to len(samples)")
 

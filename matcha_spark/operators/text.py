@@ -1391,11 +1391,18 @@ def split_assign(
     names = list(splits)
     draw = _hash_hex(F.col(key_col), salt)
     expr = F.lit(names[-1])  # last band absorbs the remainder
-    cum = 0.0
+    # cumulative boundaries accumulate as exact fractions of the rates'
+    # decimal representations: float accumulation (0.9 + 0.05 =
+    # 0.9500000000000001) would shift a band threshold off
+    # rate_threshold_hex(0.95) and silently disagree with any oracle or
+    # reader computing the nominal cumulative rate (r10 review finding)
+    from fractions import Fraction
+
+    cum = Fraction(0)
     bands = []
     for name, r in zip(names[:-1], rates[:-1]):
-        cum += r
-        bands.append((name, rate_threshold_hex(cum)))
+        cum += Fraction(str(r))
+        bands.append((name, rate_threshold_hex(float(cum))))
     for name, thr in reversed(bands):
         expr = F.when(draw < F.lit(thr), F.lit(name)).otherwise(expr)
     return docs.select("*", expr.alias("split"))

@@ -92,6 +92,7 @@ def stream_incremental_dedup(
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _recover_store(spark, sig_dir)
         existing = _read_if_exists(spark, sig_dir)
         ledger = _read_if_exists(spark, ledger_dir)
         done = (
@@ -146,6 +147,38 @@ def stream_incremental_dedup(
     return writer.trigger(availableNow=True).start()
 
 
+def _fs_paths(spark, sig_dir: str):
+    jvm = spark._jvm
+    jsc = spark._jsc
+    live = jvm.org.apache.hadoop.fs.Path(sig_dir)
+    tmp = jvm.org.apache.hadoop.fs.Path(sig_dir + "._compact")
+    old = jvm.org.apache.hadoop.fs.Path(sig_dir + "._old")
+    fs = live.getFileSystem(jsc.hadoopConfiguration())
+    return fs, live, tmp, old
+
+
+def _recover_store(spark, sig_dir: str) -> None:
+    """Heal a compaction interrupted between its two renames (r10
+    review finding): if the live sigs dir is MISSING but a backup
+    (``._old``) or completed scratch copy (``._compact``) exists, the
+    crash window left the store aside — rename a complete copy back in
+    BEFORE any read treats the missing dir as an empty store (which
+    would admit the batch undeduped and let the next compaction delete
+    the only real data).  Prefers the backup (always the original,
+    known-complete); the scratch copy is only trusted when no backup
+    exists (the crash happened after the old data was already
+    dropped... which the ordering below never does — defensive).  With
+    a live dir present, leftover scratch/backup dirs are garbage."""
+    fs, live, tmp, old = _fs_paths(spark, sig_dir)
+    if not fs.exists(live):
+        if fs.exists(old):
+            if not fs.rename(old, live):
+                raise IOError(f"store recovery: could not restore {sig_dir}")
+        elif fs.exists(tmp):
+            if not fs.rename(tmp, live):
+                raise IOError(f"store recovery: could not restore {sig_dir}")
+
+
 def _compact_store(spark, sig_dir: str) -> None:
     """Rewrite the append-only signature store as one compact parquet
     file-set (micro-batch appends accumulate one file group per batch;
@@ -153,14 +186,9 @@ def _compact_store(spark, sig_dir: str) -> None:
     come to dominate).  Crash-safe order: write the compacted copy to a
     scratch dir, swap the live dir away, rename the copy in, then drop
     the old data — a failure at any step leaves a complete store on
-    disk (either the original or the compacted one; a leftover scratch
-    or backup dir is garbage, never truth)."""
-    jvm = spark._jvm
-    jsc = spark._jsc
-    live = jvm.org.apache.hadoop.fs.Path(sig_dir)
-    tmp = jvm.org.apache.hadoop.fs.Path(sig_dir + "._compact")
-    old = jvm.org.apache.hadoop.fs.Path(sig_dir + "._old")
-    fs = live.getFileSystem(jsc.hadoopConfiguration())
+    disk, and :func:`_recover_store` (run before every batch's store
+    read) renames it back if a crash landed between the two renames."""
+    fs, live, tmp, old = _fs_paths(spark, sig_dir)
     if fs.exists(tmp):
         fs.delete(tmp, True)
     if fs.exists(old):

@@ -1474,13 +1474,16 @@ def doc_mp4_demux(spark, sf_dir):
                 # split across two chunk runs so the stsc expansion is
                 # exercised, not just the trivial one-chunk layout
                 half = max(len(samples) // 2, 1)
-                chunks = (
-                    [half, len(samples) - half]
-                    if len(samples) > half
-                    else [len(samples)]
-                )
+                if not samples:
+                    chunks = []
+                elif len(samples) > half:
+                    chunks = [half, len(samples) - half]
+                else:
+                    chunks = [len(samples)]
                 payloads.append(write_mp4(samples, chunks=chunks))
-                durs.append((len(samples) - 1) * 1000)
+                # empty doc → zero-sample container; clamp so
+                # frame_sample's sequence() never sees a negative end
+                durs.append(max(len(samples) - 1, 0) * 1000)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["doc_id"],
@@ -3884,10 +3887,12 @@ ORACLES = {
         WHERE len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 3
     """,
     "doc_mp4_demux": """
+        -- empty docs produce a zero-sample container: no frame rows on
+        -- the Spark side, so none here either
         SELECT doc_id,
                CAST(ceil(strlen(text) / 64.0) AS BIGINT) AS n_frames,
                CAST(strlen(text) AS BIGINT) AS n_bytes
-        FROM documents
+        FROM documents WHERE strlen(text) > 0
     """,
     "doc_bpe_roundtrip": """
         SELECT doc_id,

@@ -60,3 +60,18 @@ def test_encode_reconstruction_invariant(spark):
         assert rebuilt == text, (did, out[did])
         # every word ends with exactly one end-of-word marker
         assert "".join(out[did]).count(END) == len(text.split())
+
+
+def test_encode_split_matches_training_split(spark):
+    """r10 review finding: encoding must tokenize with the SAME
+    (Spark-side, ASCII-\\s) split the trainer counts with — a
+    non-breaking space is NOT a separator for either side."""
+    docs = spark.createDataFrame(
+        [(1, "foo bar foo bar baz")], "doc_id long, text string"
+    )
+    wc = {r.word: r["count"] for r in bpe_word_counts(docs).collect()}
+    assert wc == {"foo bar": 2, "baz": 1}
+    merges = bpe_train(bpe_word_counts(docs), num_merges=40, min_freq=1)
+    out = bpe_encode(docs, merges).collect()[0]
+    rebuilt = "".join(out.tokens).replace(END, " ").strip()
+    assert rebuilt == "foo bar foo bar baz"

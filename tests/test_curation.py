@@ -848,3 +848,20 @@ def test_length_batches_bounds(spark):
     for b in {k[0] for k in sizes}:
         ids = sorted(k[1] for k in sizes if k[0] == b)
         assert ids == list(range(len(ids)))
+
+
+def test_split_assign_thresholds_exact(spark):
+    """r10 review finding: cumulative band boundaries must equal the
+    nominal cumulative rates exactly — float accumulation would put
+    0.9+0.05 a ULP past 0.95 and disagree with any oracle written
+    against the nominal literal."""
+    from matcha_spark.operators.text import rate_threshold_hex, split_assign
+
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(50)], "doc_id long, text string"
+    )
+    plan = split_assign(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert rate_threshold_hex(0.95) in plan
+    assert rate_threshold_hex(0.9 + 0.05) not in plan or (
+        rate_threshold_hex(0.9 + 0.05) == rate_threshold_hex(0.95)
+    )

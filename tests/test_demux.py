@@ -321,3 +321,34 @@ def test_sniff_decoders_route_and_refuse():
     if not C.available()["soundfile"]:
         with pytest.raises((ValueError, ImportError)):
             C.sniff_decode_audio(b"fLaC....")
+
+
+def test_parse_mp4_hostile_inputs():
+    """r10 review findings: a zero-based stsc first_chunk must raise
+    (not wrap to the last chunk's offset), a fixed-size stsz claiming
+    more bytes than the payload must raise before allocating, and a
+    zero-sample container parses to []."""
+    import numpy as np
+
+    from matcha_spark.operators.demux import parse_mp4_samples, write_mp4
+
+    good = write_mp4(SAMPLES, chunks=[2, 2])
+
+    # corrupt the stsc first_chunk of the first entry to 0
+    k = good.find(b"stsc")
+    bad = bytearray(good)
+    # FullBox(4) + entry_count(4) then first_chunk(4)
+    bad[k + 4 + 4 + 4 : k + 4 + 4 + 8] = struct.pack(">I", 0)
+    with pytest.raises(ValueError, match="first_chunk"):
+        parse_mp4_samples(bytes(bad))
+
+    # fixed-size stsz with a hostile sample_count
+    hostile = build_mp4([b"12345678"] * 2, fixed_size=8)
+    k = hostile.find(b"stsz")
+    bad = bytearray(hostile)
+    bad[k + 4 + 8 : k + 4 + 12] = struct.pack(">I", 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="more sample bytes"):
+        parse_mp4_samples(bytes(bad))
+
+    # empty trak round-trips to zero samples
+    assert parse_mp4_samples(write_mp4([])) == []

@@ -287,6 +287,15 @@ def test_connected_components(spark):
     )
     comp = {r["id"]: r["component"] for r in D.connected_components(edges).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    # a self-loop-only node is MENTIONED and must keep its row
+    # (r10 review finding: the contraction rewrite briefly dropped it)
+    edges2 = spark.createDataFrame(
+        [(1, 2), (99, 99)], "doc_a long, doc_b long"
+    )
+    comp2 = {
+        r["id"]: r["component"] for r in D.connected_components(edges2).collect()
+    }
+    assert comp2 == {1: 1, 2: 1, 99: 99}
 
 
 def _py_components(edges):
@@ -331,7 +340,9 @@ def test_connected_components_differential(spark, seed):
     ]
     if rng.random() < 0.5:  # duplicates + reversals
         edges += [(b, a) for a, b in rng.sample(edges, min(5, len(edges)))]
-    want = _py_components([(a, b) for a, b in edges if a != b])
+    # self-loops included: a self-loop-only node keeps a self-mapping
+    # row in both the engine and the union-find
+    want = _py_components(edges)
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
     cutoff = 0 if seed % 2 else 200_000
     got = {

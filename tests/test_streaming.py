@@ -471,3 +471,57 @@ def test_stream_dedup_store_compaction(spark):
     # uncompacted: ≥1 file per kept-appending batch; compacted: bounded
     assert files_u >= 17
     assert files_c <= 8
+
+
+def test_stream_dedup_compaction_crash_recovery(spark):
+    """r10 review finding: a crash BETWEEN compaction's two renames
+    leaves the live sigs dir missing with the complete store parked at
+    `sigs._old` — the next batch must restore it instead of treating
+    the store as empty (which would admit duplicates and later delete
+    the only real data)."""
+    import os
+
+    from matcha_spark.operators.dedup import load_signature_store
+    from matcha_spark.streaming.dedup import stream_incremental_dedup
+
+    base = tempfile.mkdtemp(prefix="mdedup_rec_")
+    src_dir = os.path.join(base, "src")
+    store = os.path.join(base, "store")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src_dir)
+    schema = "doc_id long, text string"
+    decisions = {}
+
+    def sink(df, batch_id):
+        for r in df.collect():
+            decisions[r.doc_id] = (r.keep, r.dup_of)
+
+    def run():
+        src = spark.readStream.schema(schema).parquet(src_dir)
+        q = stream_incremental_dedup(
+            src, store, sink, method="simhash", checkpoint_dir=ckpt,
+            max_hamming=3,
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], schema
+    ).write.mode("append").parquet(src_dir)
+    run()
+    assert decisions == {1: (True, None)}
+
+    # simulate the crash window: live dir renamed aside, no swap-in
+    sig_dir = os.path.join(store, "sigs")
+    os.rename(sig_dir, sig_dir + "._old")
+    assert not os.path.exists(sig_dir)
+
+    spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon")], schema
+    ).write.mode("append").parquet(src_dir)
+    decisions.clear()
+    run()
+    # with recovery, the re-upload is rejected against the RESTORED store
+    assert decisions == {10: (False, 1)}
+    assert not os.path.exists(sig_dir + "._old")
+    assert load_signature_store(spark, sig_dir).count() == 1
+    shutil.rmtree(base, ignore_errors=True)
