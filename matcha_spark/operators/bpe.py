@@ -26,7 +26,7 @@ from collections import Counter, defaultdict
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bpe_word_counts", "bpe_train", "bpe_encode"]
+__all__ = ["bpe_word_counts", "bpe_train", "bpe_encode", "bpe_vocab", "bpe_encode_ids"]
 
 END = "</w>"
 
@@ -190,4 +190,79 @@ def bpe_encode(
 
     return docs.select("doc_id", words_col.alias("__words")).mapInPandas(
         run, schema="doc_id long, tokens array<string>, n_tokens long"
+    )
+
+
+def bpe_vocab(merges: list[tuple[str, str]], word_counts: DataFrame) -> DataFrame:
+    """Deterministic ``(token, id)`` vocabulary for a merge list: ids
+    0.. over the sorted base alphabet (every character seen in the
+    vocabulary words, plus ``</w>``), then one id per merge in LEARNED
+    ORDER — the convention GPT-2-family vocabularies use, and stable
+    across runs because both the alphabet (sorted) and the merges
+    (deterministic training) are."""
+    alpha = set([END])
+    for r in word_counts.select("word").collect():
+        alpha.update(r["word"])
+    tokens = sorted(alpha) + [a + b for a, b in merges]
+    spark = word_counts.sparkSession
+    return spark.createDataFrame(
+        [(t, i) for i, t in enumerate(tokens)], "token string, id long"
+    )
+
+
+def bpe_encode_ids(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """ID-form encoding — what a training loop actually consumes:
+    :func:`bpe_encode`'s pieces mapped through the vocabulary,
+    ``(doc_id, ids array<long>, n_tokens, n_unk)``.  Characters absent
+    from the vocabulary (never seen at training time) count in
+    ``n_unk`` and are dropped from ``ids`` — the caller decides the
+    unk policy (common choices: reserve an id, or filter docs on
+    ``n_unk > 0``).  The vocab ships as a plain dict inside the Arrow
+    kernel (vocabularies are ≤ a few hundred thousand entries by
+    construction — alphabet + one token per merge)."""
+    import pandas as pd
+
+    vmap = {r["token"]: int(r["id"]) for r in vocab.collect()}
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    words_col = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+
+    def run(batches):
+        for pdf in batches:
+            memo: dict[str, list] = {}
+            out_ids, out_tok, out_n, out_unk = [], [], [], []
+            for doc_id, words in zip(pdf["doc_id"], pdf["__words"]):
+                ids: list[int] = []
+                unk = 0
+                for w in words if words is not None else []:
+                    enc = memo.get(w)
+                    if enc is None:
+                        enc = [vmap.get(p) for p in _encode_word(w, ranks)]
+                        memo[w] = enc
+                    for v in enc:
+                        if v is None:
+                            unk += 1
+                        else:
+                            ids.append(v)
+                out_ids.append(doc_id)
+                out_tok.append(ids)
+                out_n.append(len(ids))
+                out_unk.append(unk)
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_ids,
+                    "ids": out_tok,
+                    "n_tokens": out_n,
+                    "n_unk": out_unk,
+                }
+            )
+
+    return docs.select("doc_id", words_col.alias("__words")).mapInPandas(
+        run, schema="doc_id long, ids array<long>, n_tokens long, n_unk long"
     )

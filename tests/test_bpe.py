@@ -75,3 +75,26 @@ def test_encode_split_matches_training_split(spark):
     out = bpe_encode(docs, merges).collect()[0]
     rebuilt = "".join(out.tokens).replace(END, " ").strip()
     assert rebuilt == "foo bar foo bar baz"
+
+
+def test_vocab_and_id_encoding_roundtrip(spark):
+    """ids decode back to the exact token pieces through the vocab, and
+    unseen characters count as unks instead of crashing."""
+    docs = spark.createDataFrame(
+        [(1, "ab abab ab"), (2, "abq")], "doc_id long, text string"
+    )
+    from matcha_spark.operators.bpe import bpe_encode_ids, bpe_vocab
+
+    wc = bpe_word_counts(docs.where("doc_id = 1"))  # train WITHOUT 'q'
+    merges = bpe_train(wc, num_merges=10, min_freq=1)
+    vocab = bpe_vocab(merges, wc)
+    inv = {r.id: r.token for r in vocab.collect()}
+    assert len(inv) == len(set(inv.values()))  # ids are a bijection
+    out = {r.doc_id: r for r in bpe_encode_ids(docs, merges, vocab).collect()}
+    # doc 1: fully in-vocab; decoding ids rebuilds the text
+    toks = [inv[i] for i in out[1].ids]
+    assert "".join(toks).replace(END, " ").strip() == "ab abab ab"
+    assert out[1].n_unk == 0 and out[1].n_tokens == len(out[1].ids)
+    # doc 2: 'q' was never seen at training time -> one unk, rest kept
+    assert out[2].n_unk == 1
+    assert "".join(inv[i] for i in out[2].ids).replace(END, " ").strip() == "ab"
