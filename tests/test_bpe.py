@@ -98,3 +98,36 @@ def test_vocab_and_id_encoding_roundtrip(spark):
     # doc 2: 'q' was never seen at training time -> one unk, rest kept
     assert out[2].n_unk == 1
     assert "".join(inv[i] for i in out[2].ids).replace(END, " ").strip() == "ab"
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_bpe_random_property(spark, seed):
+    """Property battery over random tiny corpora: training is
+    partitioning-deterministic, every emitted piece is either in the
+    learned vocabulary or a base symbol, and encoding always
+    reconstructs the normalized text."""
+    import random as _r
+
+    rng = _r.Random(9100 + seed)
+    alphabet = "abcde"
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+        for _ in range(rng.randint(3, 10))
+    ]
+    texts = [
+        " ".join(rng.choice(words) for _ in range(rng.randint(1, 8)))
+        for _ in range(6)
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    wc = bpe_word_counts(docs)
+    merges = bpe_train(wc, num_merges=rng.randint(0, 25), min_freq=1)
+    assert merges == bpe_train(wc.repartition(3), num_merges=len(merges) or 0,
+                               min_freq=1)[: len(merges)]
+    vocab_tokens = {a + b for a, b in merges} | set(alphabet) | {END}
+    out = {r.doc_id: list(r.tokens) for r in bpe_encode(docs, merges).collect()}
+    for i, text in enumerate(texts):
+        assert all(t in vocab_tokens for t in out[i]), (merges, out[i])
+        rebuilt = "".join(out[i]).replace(END, " ").strip()
+        assert rebuilt == " ".join(text.split())
