@@ -1610,6 +1610,37 @@ def doc_bpe_roundtrip(spark, sf_dir):
     )
 
 
+def doc_bpe_pack(spark, sf_dir):
+    """Tokenize → pack to context length, end-to-end (r11): byte-level
+    BPE id encoding with a reserved ``<|endoftext|>`` injected at every
+    document boundary, the concatenated id stream cut into 128-token
+    training chunks by the two-phase distributed prefix sum
+    (``operators/bpe.py:bpe_pack`` — never a single-task global
+    window).  ``num_merges=0`` keeps the id stream SQL-derivable so the
+    oracle can check BOTH invariants the r10 verdict asked for — total
+    token counts (``id_sum`` is a content checksum: printable-ASCII
+    corpus ⇒ byte-symbol id = ord(char) − 33, end-of-word 256,
+    endoftext 257) and exact chunk tiling (every chunk 128 tokens but
+    the last, ids in corpus order); merge learning itself is covered by
+    ``doc_bpe_roundtrip`` and the byte-level property battery."""
+    from .operators.bpe import bpe_encode_ids, bpe_pack, bpe_vocab, bpe_word_counts
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    wc = bpe_word_counts(docs)
+    vocab = bpe_vocab([], wc, byte_level=True, specials=("<|endoftext|>",))
+    enc = bpe_encode_ids(
+        docs, [], vocab, byte_level=True, append_special="<|endoftext|>"
+    )
+    packed = bpe_pack(enc, ctx_len=128)
+    return packed.select(
+        "chunk_id",
+        "n_tokens",
+        F.aggregate(
+            "ids", F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("id_sum"),
+    )
+
+
 def doc_simhash_planted(spark, sf_dir):
     """Derived-invariant twin of ``doc_simhash_pairs``: identical
     texts get identical 64-bit signatures, and the pigeonhole banding
@@ -2019,6 +2050,9 @@ def dedup_near_emb(spark, sf_dir):
 # When adding a new oracle-backed entry, insert it at the top; after each
 # round, rotate entries the driver just verified toward the back.
 QUERIES = {
+    # new this round (r11) — never driver-checked; final window
+    # composition happens at round close
+    "doc_bpe_pack": doc_bpe_pack,
     # --- r10 driver window (first 50): ALL oracle-backed --------------
     # (the r09 experiment proved the driver records `no_oracle` for
     # rows-only entries — window slots now go exclusively to
@@ -4124,4 +4158,42 @@ ORACLES["doc_epoch_upsample"] = f"""
                            THEN 1 ELSE 0 END AS BIGINT) AS n
         FROM documents
     )
+"""
+
+# doc_bpe_pack (r11): the id stream re-derives in SQL because
+# num_merges=0 and the corpus is printable ASCII — per word, one id per
+# character (sorted byte alphabet puts chr(33)..chr(126) at ids 0..93,
+# so id = ord(char) - 33) plus the end-of-word marker (id 256, first
+# token after the 256 byte symbols), and id 257 (<|endoftext|>) closing
+# every document; chunking is a row_number over the doc_id-ordered
+# stream (the single ordered window is oracle-scale-affordable)
+ORACLES["doc_bpe_pack"] = r"""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(trim(coalesce(text,''))), '\s+'),
+                           x -> x <> '') AS ws
+        FROM documents
+    ), t AS (
+        SELECT doc_id,
+               flatten(list_transform(ws, w ->
+                   list_append(
+                       list_transform(range(strlen(w)),
+                                      j -> ord(substr(w, j+1, 1)) - 33),
+                       256)
+               )) || [257] AS ids
+        FROM d
+    ), u AS (
+        SELECT doc_id,
+               unnest(list_transform(range(len(ids)),
+                                     j -> {'pos': j, 'id': ids[j+1]})) AS s
+        FROM t
+    ), g AS (
+        SELECT row_number() OVER (ORDER BY doc_id, s.pos) - 1 AS rn,
+               s.id AS id
+        FROM u
+    )
+    SELECT rn // 128 AS chunk_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(id) AS BIGINT) AS id_sum
+    FROM g GROUP BY 1
 """

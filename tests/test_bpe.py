@@ -131,3 +131,215 @@ def test_bpe_random_property(spark, seed):
         assert all(t in vocab_tokens for t in out[i]), (merges, out[i])
         rebuilt = "".join(out[i]).replace(END, " ").strip()
         assert rebuilt == " ".join(text.split())
+
+
+# --------------------------------------------------------------------------
+# r11: byte-level mode, bounded vocab, special tokens, packing
+# --------------------------------------------------------------------------
+
+from matcha_spark.operators.bpe import (  # noqa: E402
+    BYTE_END,
+    bpe_decode_tokens,
+    bpe_encode_ids,
+    bpe_pack,
+    bpe_vocab,
+    byte_alphabet,
+)
+
+
+def test_byte_alphabet_shape():
+    a = byte_alphabet()
+    assert len(a) == 256 and len(set(a)) == 256
+    assert all(len(c) == 1 for c in a)
+    assert BYTE_END not in a  # marker is outside the byte alphabet
+
+
+def test_byte_level_roundtrip_never_unks(spark):
+    """Byte-level mode encodes EVERY input — including characters never
+    seen in training — with zero unks, and decodes losslessly."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "café naïve €100"),  # multi-byte UTF-8
+            (3, "text with a literal </w> marker inside"),
+        ],
+        "doc_id long, text string",
+    )
+    train = docs.where("doc_id = 1")  # vocab trained WITHOUT docs 2-3
+    wc = bpe_word_counts(train)
+    merges = bpe_train(wc, num_merges=20, min_freq=1, byte_level=True)
+    vocab = bpe_vocab(merges, wc, byte_level=True)
+    out = {
+        r.doc_id: r
+        for r in bpe_encode_ids(
+            docs, merges, vocab, byte_level=True
+        ).collect()
+    }
+    inv = {r.id: r.token for r in vocab.collect()}
+    for did, norm in [
+        (1, "the cat sat"),
+        (2, "café naïve €100"),
+        (3, "text with a literal </w> marker inside"),
+    ]:
+        assert out[did].n_unk == 0
+        toks = [inv[i] for i in out[did].ids]
+        assert bpe_decode_tokens(toks, byte_level=True) == norm, did
+
+
+def test_word_level_marker_caveat_vs_byte_level(spark):
+    """The documented word-level caveat: literal '</w>' in text breaks
+    the replace-with-space rebuild; byte-level does not."""
+    docs = spark.createDataFrame(
+        [(1, "a</w>b c")], "doc_id long, text string"
+    )
+    out = bpe_encode(docs, [], text_col="text").collect()[0]
+    assert bpe_decode_tokens(list(out.tokens)) != "a</w>b c"  # word-level: lossy
+    wc = bpe_word_counts(docs)
+    merges = bpe_train(wc, num_merges=5, min_freq=1, byte_level=True)
+    vocab = bpe_vocab(merges, wc, byte_level=True)
+    r = bpe_encode_ids(docs, merges, vocab, byte_level=True).collect()[0]
+    inv = {x.id: x.token for x in vocab.collect()}
+    assert bpe_decode_tokens([inv[i] for i in r.ids], byte_level=True) == "a</w>b c"
+
+
+def test_vocab_bounded_collect_matches_old_path(spark):
+    """r10 verdict ask: the distributed-alphabet vocab must equal the
+    old unbounded-collect derivation on the same corpus."""
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    wc = bpe_word_counts(docs)
+    merges = bpe_train(wc, num_merges=15, min_freq=1)
+    vocab = {(r.token, r.id) for r in bpe_vocab(merges, wc).collect()}
+    # old path, replayed literally
+    alpha = {END}
+    for r in wc.select("word").collect():
+        alpha.update(r["word"])
+    tokens = sorted(alpha) + [a + b for a, b in merges]
+    assert vocab == {(t, i) for i, t in enumerate(tokens)}
+
+
+def test_vocab_alphabet_respects_max_words(spark):
+    """The alphabet derives from the top-max_words slice training sees,
+    not from the full word table."""
+    wc = spark.createDataFrame(
+        [("aa", 100), ("zz", 1)], "word string, count long"
+    )
+    toks = {r.token for r in bpe_vocab([], wc, max_words=1).collect()}
+    assert toks == {"a", END}  # 'z' never reaches the driver
+
+
+def test_specials_and_unk_id(spark):
+    docs = spark.createDataFrame(
+        [(1, "ab ab"), (2, "aq")], "doc_id long, text string"
+    )
+    wc = bpe_word_counts(docs.where("doc_id = 1"))
+    merges = bpe_train(wc, num_merges=5, min_freq=1)
+    vocab = bpe_vocab(merges, wc, specials=("<|endoftext|>", "<|unk|>"))
+    vmap = {r.token: r.id for r in vocab.collect()}
+    # specials take the last ids, in caller order
+    n = vocab.count()
+    assert vmap["<|endoftext|>"] == n - 2 and vmap["<|unk|>"] == n - 1
+    out = {
+        r.doc_id: r
+        for r in bpe_encode_ids(
+            docs,
+            merges,
+            vocab,
+            append_special="<|endoftext|>",
+            unk_id=vmap["<|unk|>"],
+        ).collect()
+    }
+    assert out[1].ids[-1] == vmap["<|endoftext|>"]
+    assert out[1].n_unk == 0 and out[1].n_tokens == len(out[1].ids)
+    # 'q' unseen -> mapped to the reserved unk id, not dropped
+    assert out[2].n_unk == 1 and vmap["<|unk|>"] in out[2].ids
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        bpe_encode_ids(docs, merges, vocab, append_special="<|nope|>")
+
+
+def test_bpe_pack_tiling_and_content(spark):
+    """Packed chunks tile the concatenated id stream exactly: all
+    chunks ctx_len long except possibly the last, order preserved,
+    content equal to the doc_id-ordered concatenation — and the result
+    is partitioning-independent."""
+    import random
+
+    rng = random.Random(1107)
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(rng.choice("ab abc q xyz".split())
+                         for _ in range(rng.randint(0, 9))))
+            for i in range(20)
+        ],
+        "doc_id long, text string",
+    )
+    wc = bpe_word_counts(docs)
+    merges = bpe_train(wc, num_merges=8, min_freq=1, byte_level=True)
+    vocab = bpe_vocab(merges, wc, byte_level=True, specials=("<|endoftext|>",))
+    enc = bpe_encode_ids(
+        docs, merges, vocab, byte_level=True, append_special="<|endoftext|>"
+    )
+    stream = []
+    for r in sorted(enc.collect(), key=lambda r: r.doc_id):
+        stream.extend(r.ids)
+    for ctx in (1, 7, 64, 10_000):
+        chunks = sorted(
+            bpe_pack(enc, ctx_len=ctx, num_parts=5).collect(),
+            key=lambda r: r.chunk_id,
+        )
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        got = [i for c in chunks for i in c.ids]
+        assert got == stream, ctx
+        assert all(c.n_tokens == ctx for c in chunks[:-1])
+        assert 0 < chunks[-1].n_tokens <= ctx
+    # partitioning-independence
+    alt = sorted(
+        bpe_pack(enc.repartition(13), ctx_len=7, num_parts=3).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert [i for c in alt for i in c.ids] == stream
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_bpe_byte_level_random_property(spark, seed):
+    """Byte-level property battery: training deterministic under
+    repartitioning, zero unks always, decode reconstructs the
+    normalized text for arbitrary (including non-ASCII) corpora."""
+    import random as _r
+
+    rng = _r.Random(1100 + seed)
+    alphabet = "abé中!"
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 5)))
+        for _ in range(rng.randint(3, 8))
+    ]
+    texts = [
+        " ".join(rng.choice(words) for _ in range(rng.randint(1, 7)))
+        for _ in range(5)
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    wc = bpe_word_counts(docs)
+    merges = bpe_train(wc, num_merges=rng.randint(0, 20), min_freq=1,
+                       byte_level=True)
+    assert merges == bpe_train(
+        wc.repartition(3), num_merges=len(merges) or 0, min_freq=1,
+        byte_level=True,
+    )[: len(merges)]
+    vocab = bpe_vocab(merges, wc, byte_level=True)
+    inv = {r.id: r.token for r in vocab.collect()}
+    out = {
+        r.doc_id: r
+        for r in bpe_encode_ids(docs, merges, vocab, byte_level=True).collect()
+    }
+    for i, text in enumerate(texts):
+        assert out[i].n_unk == 0
+        norm = " ".join(text.lower().split())
+        assert bpe_decode_tokens(
+            [inv[j] for j in out[i].ids], byte_level=True
+        ) == norm
