@@ -1320,6 +1320,61 @@ def dedup_incremental_sound(spark, sf_dir):
     )
 
 
+def emb_semdedup_incremental(spark, sf_dir):
+    """Store-based incremental SemDeDup (r11, verdict ask #5): admit
+    the second half of the embeddings table against a store built from
+    the first half — rows-only (cell assignments and greedy shadowing
+    ride the seeded quantizer); the derived-invariant twin
+    ``emb_semdedup_incremental_sound`` carries the hash-checkable
+    contract."""
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    first = emb.where(F.col("vec_id") < 250)
+    batch = emb.where(F.col("vec_id") >= 250)
+    _, store = D.incremental_semdedup(first, None, threshold=0.95, n_clusters=8)
+    dec2, _ = D.incremental_semdedup(batch, store, threshold=0.95, n_clusters=8)
+    return dec2
+
+
+def emb_semdedup_incremental_sound(spark, sf_dir):
+    """Derived-invariant twin of ``emb_semdedup_incremental``: batch 2
+    is the organic second half PLUS an exact copy of every first-half
+    vector (id + 100000).  Structural soundness mirrors
+    ``dedup_incremental_sound`` (keep XOR dup_of, dup_of → a kept
+    vector, store grows by exactly the kept batch).  The planted bit is
+    engine-independent: a copy is identical to its original, the pinned
+    float32 centroid matrix assigns identical vectors to identical
+    cells, and at threshold 0.99 either the original is in the store
+    (cos = 1.0 → rejected) or whatever kept vector shadowed the
+    original at admission time shadows the copy equally — so EVERY copy
+    must be rejected, while no organic pair approaches 0.99 (synthetic
+    corpus maxes out near 0.5, the ``emb_semdedup_planted``
+    argument)."""
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    first = emb.select("vec_id", "embedding").where(F.col("vec_id") < 250)
+    organic = emb.select("vec_id", "embedding").where(F.col("vec_id") >= 250)
+    copies = first.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    batch = organic.unionByName(copies)
+    dec1, store1 = D.incremental_semdedup(first, None, threshold=0.99, n_clusters=8)
+    dec2, store2 = D.incremental_semdedup(batch, store1, threshold=0.99, n_clusters=8)
+    as_doc = lambda df: df.withColumnRenamed("vec_id", "doc_id")  # noqa: E731
+    base = _admission_soundness(
+        as_doc(dec2),
+        as_doc(dec1.where(F.col("keep")).select("vec_id")),
+        as_doc(dec2.where(F.col("keep")).select("vec_id")),
+        as_doc(store1.where(~F.col("centroid")).select("vec_id")),
+        as_doc(store2.where(~F.col("centroid")).select("vec_id")),
+    )
+    flags = dec2.select(
+        F.col("vec_id").alias("doc_id"),
+        F.when(F.col("vec_id") >= 100000, ~F.col("keep"))
+        .otherwise(F.lit(True))
+        .alias("copy_rejected"),
+    )
+    return base.join(flags, "doc_id")
+
+
 def doc_image_phash_stable(spark, sf_dir):
     """Derived-invariant twin of ``doc_image_phash``: the DCT kernel is
     deterministic, so the same payload hashed in two separate Arrow
@@ -2053,6 +2108,7 @@ QUERIES = {
     # new this round (r11) — never driver-checked; final window
     # composition happens at round close
     "doc_bpe_pack": doc_bpe_pack,
+    "emb_semdedup_incremental_sound": emb_semdedup_incremental_sound,
     # --- r10 driver window (first 50): ALL oracle-backed --------------
     # (the r09 experiment proved the driver records `no_oracle` for
     # rows-only entries — window slots now go exclusively to
@@ -2229,6 +2285,7 @@ QUERIES = {
     "emb_lsh_topk": emb_lsh_topk,
     "emb_ivf_topk": emb_ivf_topk,
     "emb_dup_pairs_lsh": emb_dup_pairs_lsh,
+    "emb_semdedup_incremental": emb_semdedup_incremental,
     # oracles HELD BACK (ORACLE_HOLDBACK): the r10 window is exactly
     # full (23 never-checked + 27 must-rotate r07 entries), so these
     # entries run rows-only for the driver now and their oracles
@@ -4196,4 +4253,18 @@ ORACLES["doc_bpe_pack"] = r"""
            CAST(count(*) AS BIGINT) AS n_tokens,
            CAST(sum(id) AS BIGINT) AS id_sum
     FROM g GROUP BY 1
+"""
+
+# emb_semdedup_incremental_sound (r11): structural soundness + planted
+# copy rejection are all-true over batch-2 ids (organic second half +
+# one copy per first-half vector)
+ORACLES["emb_semdedup_incremental_sound"] = """
+    SELECT vec_id AS doc_id, CAST(1 AS BOOLEAN) AS sound,
+           CAST(1 AS BOOLEAN) AS store_ok,
+           CAST(1 AS BOOLEAN) AS copy_rejected
+    FROM embeddings WHERE vec_id >= 250
+    UNION ALL
+    SELECT vec_id + 100000, CAST(1 AS BOOLEAN), CAST(1 AS BOOLEAN),
+           CAST(1 AS BOOLEAN)
+    FROM embeddings WHERE vec_id < 250
 """

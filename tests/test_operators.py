@@ -298,6 +298,23 @@ def test_connected_components(spark):
     assert comp2 == {1: 1, 2: 1, 99: 99}
 
 
+def test_connected_components_unconverged_raises(spark):
+    """r10 advice: with small_cutoff=0, a chain longer than max_iter
+    can contract must RAISE, never return a silently-partial labeling
+    (wrong components would corrupt incremental-dedup admissions)."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(chain, max_iter=1, small_cutoff=0)
+    # the same graph converges fine when the driver finish is allowed
+    comp = {
+        r["id"]: r["component"]
+        for r in D.connected_components(chain, max_iter=1).collect()
+    }
+    assert set(comp.values()) == {0}
+
+
 def _py_components(edges):
     """Reference union-find over an edge list (min id = root)."""
     parent = {}
@@ -1188,3 +1205,58 @@ def test_audio_near_dup_pairs_planted(spark):
     assert out.get((3, 4), 0) >= 10
     assert (1, 4) not in out and (2, 4) not in out
     assert not any(5 in p or 6 in p for p in out)
+
+
+def test_incremental_semdedup_batches(spark):
+    """r11: store-based SemDeDup — two-batch admission with pinned
+    centroids, corpus-wins dup_of, store round-trip through parquet,
+    and a dup-free batch."""
+    import math
+    import tempfile
+
+    def vec(theta):
+        return [float(math.cos(theta)), float(math.sin(theta)), 0.0, 0.0]
+
+    # batch 1: two well-separated directions plus a near-copy of the
+    # first (cos ~ 0.9995) that must be pruned inside the batch
+    b1 = spark.createDataFrame(
+        [(1, vec(0.0)), (2, vec(1.5)), (3, vec(0.03))],
+        "vec_id long, embedding array<float>",
+    )
+    d1, store1 = D.incremental_semdedup(b1, None, threshold=0.99, n_clusters=2)
+    dec1 = {r.vec_id: r for r in d1.collect()}
+    assert dec1[1].keep and dec1[2].keep
+    assert not dec1[3].keep and dec1[3].dup_of == 1
+    assert store1.where("centroid").count() == 2
+    assert {r.vec_id for r in store1.where("NOT centroid").collect()} == {1, 2}
+
+    # batch 2: an exact copy of 1 (corpus wins), a fresh direction, and
+    # a near-copy of the fresh one (batch-internal greedy, lower id wins)
+    b2 = spark.createDataFrame(
+        [(10, vec(0.0)), (11, vec(3.0)), (12, vec(3.02))],
+        "vec_id long, embedding array<float>",
+    )
+    d2, store2 = D.incremental_semdedup(b2, store1, threshold=0.99, n_clusters=2)
+    dec2 = {r.vec_id: r for r in d2.collect()}
+    assert not dec2[10].keep and dec2[10].dup_of == 1
+    assert dec2[11].keep and dec2[11].dup_of is None
+    assert not dec2[12].keep and dec2[12].dup_of == 11
+    assert {r.vec_id for r in store2.where("NOT centroid").collect()} == {1, 2, 11}
+    # centroids unchanged across batches (pinned quantizer)
+    c1 = {r.cell: list(r.embedding) for r in store1.where("centroid").collect()}
+    c2 = {r.cell: list(r.embedding) for r in store2.where("centroid").collect()}
+    assert c1 == c2
+
+    # store survives the parquet round-trip the handoff uses
+    with tempfile.TemporaryDirectory() as tmp:
+        D.save_signature_store(store2, f"{tmp}/store")
+        loaded = D.load_signature_store(spark, f"{tmp}/store")
+        b3 = spark.createDataFrame(
+            [(20, vec(0.001)), (21, vec(-1.5))],
+            "vec_id long, embedding array<float>",
+        )
+        d3, store3 = D.incremental_semdedup(b3, loaded, threshold=0.99, n_clusters=2)
+        dec3 = {r.vec_id: r for r in d3.collect()}
+        assert not dec3[20].keep and dec3[20].dup_of == 1
+        assert dec3[21].keep
+        assert store3.where("NOT centroid").count() == 4
