@@ -1458,32 +1458,65 @@ def length_batches(
     bucket_width: int = 64,
     batch_size: int = 32,
     text_col: str = "text",
+    max_bucket_rows: int = 1_000_000,
 ) -> DataFrame:
-    """Length-bucketed batch assembly (r10): group documents of similar
-    token length and deal each bucket into fixed-size batches — the
-    padding-minimizing batching every sequence-model training loader
-    performs.  Output: ``(doc_id, n_tokens, bucket, batch_id)`` with
-    ``bucket = n_tokens div bucket_width`` and ``batch_id`` dealt by
-    ``doc_id`` order within the bucket (deterministic, partitioning-
-    independent).
+    """Length-bucketed batch assembly (r10, salted r11): group
+    documents of similar token length and deal each bucket into
+    fixed-size batches — the padding-minimizing batching every
+    sequence-model training loader performs.  Output: ``(doc_id,
+    n_tokens, bucket, batch_id)`` with ``bucket = n_tokens div
+    bucket_width`` and ``batch_id`` dealt by ``doc_id`` order within
+    the bucket (deterministic, partitioning-independent).
 
     Scale shape: the per-bucket ranking windows partition by
-    ``bucket`` — parallel across buckets, and a length histogram is
-    naturally banded so no single window task sees the whole corpus
-    (contrast a global ORDER BY length).  A corpus where EVERY doc has
-    the same length degenerates to one bucket — shrink
-    ``bucket_width`` or pre-salt if that's your data."""
+    ``bucket`` — parallel across buckets when the length histogram is
+    banded.  The r10 degenerate case (a uniform-length corpus → ONE
+    bucket → one window task holding the whole corpus) is closed by
+    salted sub-buckets: any bucket whose row count exceeds
+    ``max_bucket_rows`` is dealt across ``ceil(count /
+    max_bucket_rows)`` sub-buckets by a deterministic hash of the doc
+    id, the ranking window partitions by ``(bucket, sub)``, and batch
+    ids interleave as ``local_batch * n_sub + sub`` — still unique and
+    deterministic within the bucket, independent of partitioning (the
+    sub-bucket count is a pure function of the bucket's size, the salt
+    a pure function of the doc id).  Trade: a salted bucket can carry
+    up to ``n_sub`` short final batches instead of one; every batch
+    still holds ≤ ``batch_size`` docs of the same bucket.  The bucket
+    histogram rides a broadcast join — no driver collect."""
     from pyspark.sql import Window
 
     if bucket_width < 1 or batch_size < 1:
         raise ValueError("bucket_width and batch_size must be >= 1")
+    if max_bucket_rows < 1:
+        raise ValueError("max_bucket_rows must be >= 1")
     d = docs.select(
         "doc_id", F.size(_tokens(text_col)).alias("n_tokens")
     ).withColumn(
         "bucket", (F.col("n_tokens") / bucket_width).cast("int")
     )
-    w = Window.partitionBy("bucket").orderBy("doc_id")
-    return d.withColumn(
-        "batch_id",
-        F.floor((F.row_number().over(w) - 1) / batch_size).cast("int"),
+    big = (
+        d.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > max_bucket_rows)
+        .select(
+            "bucket",
+            F.ceil(F.col("__n") / max_bucket_rows).cast("int").alias("__nsub"),
+        )
+    )
+    d = d.join(F.broadcast(big), "bucket", "left").withColumn(
+        "__sub",
+        F.when(F.col("__nsub").isNull(), F.lit(0)).otherwise(
+            F.pmod(F.xxhash64("doc_id"), F.col("__nsub")).cast("int")
+        ),
+    )
+    w = Window.partitionBy("bucket", "__sub").orderBy("doc_id")
+    local = F.floor((F.row_number().over(w) - 1) / batch_size)
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "bucket",
+        F.when(F.col("__nsub").isNull(), local)
+        .otherwise(local * F.col("__nsub") + F.col("__sub"))
+        .cast("int")
+        .alias("batch_id"),
     )

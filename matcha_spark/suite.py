@@ -1417,6 +1417,76 @@ def doc_video_near_dup_planted(spark, sf_dir):
     ).select("vid_a", "vid_b")
 
 
+def doc_video_pipeline(spark, sf_dir):
+    """End-to-end video near-dup with ZERO injected seams (r11,
+    verdict ask #7): every stage is the production code path — each
+    document's bytes tile into 8×8 greyscale frames encoded as REAL
+    PNGs (``codecs.write_png``), packed into a REAL ISO BMFF container
+    (``demux.write_mp4``); the pipeline then demuxes with the real
+    sample-table parser (``mp4_frame_slicer``), decodes each sample
+    with the pure-struct PNG decoder (``png_decode_image``), pHashes
+    every frame, and rolls banded-Hamming frame matches up to video
+    pairs.  Every 10th doc is re-uploaded under id+1e6; an identical
+    container yields identical PNGs → identical pHashes → hamming 0 on
+    every frame, so each planted copy carrying ≥ 2 frames (strlen ≥ 65
+    → ceil(len/64) ≥ 2) MUST pair with its original.  The planted-id
+    filter makes the output exact (organic tile collisions between
+    different docs cannot produce ``vid_b = vid_a + 1e6``)."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators import multimodal as MM
+    from .operators.codecs import png_decode_image, write_png
+    from .operators.demux import mp4_frame_slicer, write_mp4
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+
+    def build(batches):
+        for pdf in batches:
+            ids, durs, payloads = [], [], []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                b = (t or "").encode("utf-8")
+                samples = []
+                for i in range(0, len(b), 64):
+                    tile = np.zeros(64, dtype=np.uint8)
+                    piece = np.frombuffer(b[i : i + 64], dtype=np.uint8)
+                    tile[: len(piece)] = piece
+                    samples.append(write_png(tile.reshape(8, 8)))
+                ids.append(doc_id)
+                durs.append(max(len(samples) - 1, 0) * 1000)
+                payloads.append(write_mp4(samples))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "kind": "video",
+                    "format": "mp4",
+                    "duration_ms": pd.Series(durs, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        build,
+        schema="media_id long, kind string, format string,"
+        " duration_ms long, payload binary",
+    )
+    dups = media.where(F.col("media_id") % 10 == 0).withColumn(
+        "media_id", F.col("media_id") + 1_000_000
+    )
+    pairs = MM.video_near_dup_pairs(
+        media.unionByName(dups),
+        every_ms=1000,
+        frame_bytes=0,  # real samples, uncapped
+        max_hamming=0,
+        min_shared_frames=2,
+        decoder=png_decode_image,
+        frame_slicer=mp4_frame_slicer,
+    )
+    return pairs.where(
+        F.col("vid_b") == F.col("vid_a") + 1_000_000
+    ).select("vid_a", "vid_b")
+
+
 def doc_audio_near_dup_planted(spark, sf_dir):
     """Derived-invariant twin of ``doc_audio_near_dup``: same planted
     shape over Haitsma–Kalker window fingerprints — an identical
@@ -2109,6 +2179,7 @@ QUERIES = {
     # composition happens at round close
     "doc_bpe_pack": doc_bpe_pack,
     "emb_semdedup_incremental_sound": emb_semdedup_incremental_sound,
+    "doc_video_pipeline": doc_video_pipeline,
     # --- r10 driver window (first 50): ALL oracle-backed --------------
     # (the r09 experiment proved the driver records `no_oracle` for
     # rows-only entries — window slots now go exclusively to
@@ -4267,4 +4338,12 @@ ORACLES["emb_semdedup_incremental_sound"] = """
     SELECT vec_id + 100000, CAST(1 AS BOOLEAN), CAST(1 AS BOOLEAN),
            CAST(1 AS BOOLEAN)
     FROM embeddings WHERE vec_id < 250
+"""
+
+# doc_video_pipeline (r11): a planted copy pairs with its original iff
+# its container carries >= 2 PNG frames (64 text bytes per frame)
+ORACLES["doc_video_pipeline"] = """
+    SELECT doc_id AS vid_a, doc_id + 1000000 AS vid_b
+    FROM documents
+    WHERE doc_id % 10 = 0 AND strlen(text) >= 65
 """

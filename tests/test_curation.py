@@ -850,6 +850,54 @@ def test_length_batches_bounds(spark):
         assert ids == list(range(len(ids)))
 
 
+def test_length_batches_salted_subbuckets(spark):
+    """r11 (verdict ask #6): a uniform-length corpus over the
+    max_bucket_rows threshold is dealt across salted sub-buckets — the
+    ranking window partitions by (bucket, sub) so no single task sees
+    the whole corpus — while every batch still holds <= batch_size
+    same-bucket docs, assignment is deterministic under repartitioning,
+    and the default path is byte-identical to r10."""
+    from matcha_spark.operators.text import length_batches
+
+    docs = spark.createDataFrame(
+        [(i, "one two three four five") for i in range(100)],
+        "doc_id long, text string",
+    )
+    salted = length_batches(docs, bucket_width=8, batch_size=4,
+                            max_bucket_rows=30)
+    # multi-task plan: the window partitions on the salt column too
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "__sub" in plan
+    rows = salted.collect()
+    assert len(rows) == 100 and {r.bucket for r in rows} == {0}
+    sizes = {}
+    for r in rows:
+        sizes.setdefault(r.batch_id, 0)
+        sizes[r.batch_id] += 1
+    assert all(n <= 4 for n in sizes.values())
+    # ceil(100/30) = 4 sub-buckets -> >= ceil(100/(4*30/4)) batches and
+    # at most 4 short final batches
+    short = sum(1 for n in sizes.values() if n < 4)
+    assert short <= 4
+    # the salt actually spreads rows: with 4 sub-buckets the window
+    # would otherwise emit one dense 0..24 id range; interleaved ids
+    # must cover every residue class that received rows
+    assert len({b % 4 for b in sizes}) > 1
+    # deterministic under repartitioning
+    again = {
+        (r.doc_id, r.batch_id)
+        for r in length_batches(
+            docs.repartition(7), bucket_width=8, batch_size=4,
+            max_bucket_rows=30,
+        ).collect()
+    }
+    assert again == {(r.doc_id, r.batch_id) for r in rows}
+    # default (unsalted) path unchanged: dense ids from 0
+    base = length_batches(docs, bucket_width=8, batch_size=4).collect()
+    ids = sorted({r.batch_id for r in base})
+    assert ids == list(range(25))
+
+
 def test_split_assign_thresholds_exact(spark):
     """r10 review finding: cumulative band boundaries must equal the
     nominal cumulative rates exactly — float accumulation would put
