@@ -64,7 +64,15 @@ def main() -> None:
     )
 
     times: dict[str, float] = {}
+    spread: dict[str, dict] = {}
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # isolation mode (r11, verdict ask #4): SPARK_GRAFT_BENCH_ONLY=a,b
+    # runs just the named entries in an otherwise-idle session — the
+    # tool for attributing a driver-suite delta to the entry itself vs
+    # the suite-composition jitter class (memo/graph-cache pressure from
+    # the other ~70 entries) without hand-built forensics scripts
+    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    only = {s.strip() for s in only_env.split(",") if s.strip()} or None
     # cache mode (r09): per-query numbers must not depend on suite
     # composition — which earlier entries warmed or evicted the 32-entry
     # memo LRU / 8-entry graph cache by the time this one runs.
@@ -98,6 +106,8 @@ def main() -> None:
         # prewarm (warm mode only): "self" = one untimed fn() run,
         # "graphs" = graph caches only, "none" = measure truly cold
         # (the graph_build entries — their point is the cold build)
+        if only is not None and name not in only:
+            return
         if prewarm == "auto":
             prewarm = "self" if repeat else "graphs"
         if mode == "warm":
@@ -113,15 +123,26 @@ def main() -> None:
                 fn()
             elif prewarm == "graphs":
                 prewarm_graphs()
-        best = None
+        dts = []
         for _ in range(runs if repeat else 1):
             if mode == "cold":
                 clear_caches()
             t0 = time.time()
             fn()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 3)
+            dts.append(time.time() - t0)
+        dts.sort()
+        times[name] = round(dts[0], 3)
+        mid = (
+            dts[len(dts) // 2]
+            if len(dts) % 2
+            else (dts[len(dts) // 2 - 1] + dts[len(dts) // 2]) / 2
+        )
+        spread[name] = {
+            "min": round(dts[0], 3),
+            "median": round(mid, 3),
+            "max": round(dts[-1], 3),
+            "n": len(dts),
+        }
 
     # warm the session first: JVM startup + first-job scheduling + first
     # parquet footer read cost ~5s and belong to the harness, not to
@@ -276,6 +297,22 @@ def main() -> None:
     bench("bgp_select_top_names", lambda: force(bgp_select_top_names(spark, SF_DIR)))
     bench("bgp_subquery_busy_nations", lambda: force(bgp_subquery_busy_nations(spark, SF_DIR)))
     bench("bgp_exists_repeat_customers", lambda: force(bgp_exists_repeat_customers(spark, SF_DIR)))
+    # r11 additions: tokenizer packing, incremental embedding dedup,
+    # zero-seam video pipeline, salted length batching
+    from matcha_spark.suite import (
+        doc_bpe_pack,
+        doc_video_pipeline,
+        emb_semdedup_incremental,
+    )
+
+    bench("doc_bpe_pack", lambda: force(doc_bpe_pack(spark, SF_DIR)))
+    bench("emb_semdedup_incremental", lambda: force(emb_semdedup_incremental(spark, SF_DIR)))
+    # repeat=True: the untimed warming run synthesizes + memoizes the
+    # PNG-in-MP4 corpus (a real pipeline READS containers, it doesn't
+    # encode them); the timed runs measure the actual dedup path —
+    # demux -> PNG decode -> pHash -> banded pairs
+    bench("doc_video_pipeline", lambda: force(doc_video_pipeline(spark, SF_DIR)))
+    bench("doc_length_batches", lambda: force(T.length_batches(docs, bucket_width=16, batch_size=8)))
 
     total = round(sum(times.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -286,8 +323,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "spread": spread,
                 "mode": mode,
                 "runs": runs,
+                "only": sorted(only) if only is not None else None,
                 "sf": float(sf),
             }
         )

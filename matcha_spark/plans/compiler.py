@@ -457,10 +457,36 @@ def _join_solutions(left_df: DataFrame, left_vars: list[str], scan: _Scan) -> tu
 
 # a var-endpoint closure pattern is seeded from the already-computed
 # solution set only when some prior pattern bounds that var's values at
-# or below this estimate — seeding from a huge frontier can EXCEED the
-# all-pairs closure (per-root provenance is Σ per-root reachable sets,
-# capped by |roots|·V, where all-pairs caps at V²)
+# or below the seeding limit — seeding from a huge frontier can EXCEED
+# the all-pairs closure (per-root provenance is Σ per-root reachable
+# sets, capped by |roots|·V, where all-pairs caps at V²).  r11 (verdict
+# ask #8): the limit is RELATIVE, max(absolute floor, the closure's own
+# estimated edge-set size from predicate_stats) — an anchor estimate of
+# 10,001 over a 100k-edge graph is still far below the all-pairs cone
+# and must seed, not silently fall back to all-pairs; the absolute
+# floor only catches stats-starved stores where the edge estimate
+# degenerates.
 SEEDED_FRONTIER_EST = 10_000.0
+
+
+def _closure_edge_est(path, stats, total: float) -> float:
+    """Estimate of a closure pattern's underlying EDGE set — i.e.
+    :func:`_path_est` with the deliberate ×100 closure bloat unwrapped.
+    The bloat exists so all-pairs closures sort to the end of the join
+    tree and never broadcast; for the *seeding gate* it would be
+    self-defeating (every anchor estimate would pass), so the gate
+    compares the anchor count against the graph the closure actually
+    walks: |roots| ≤ |edges| keeps the seeded union of per-root cones
+    within a constant factor of the all-pairs work."""
+    if isinstance(path, Inv):
+        return _closure_edge_est(path.path, stats, total)
+    if isinstance(path, Seq):
+        return max(_closure_edge_est(s, stats, total) for s in path.steps)
+    if isinstance(path, Alt):
+        return sum(_closure_edge_est(a, stats, total) for a in path.alts)
+    if isinstance(path, (OneOrMore, ZeroOrMore, ZeroOrOne)):
+        return _closure_edge_est(path.path, stats, total)
+    return _path_est(path, stats, total)
 
 
 def _compile_required(db: TriplesDB, triples, spark: SparkSession) -> tuple[DataFrame, list[str]] | None:
@@ -539,10 +565,11 @@ def _join_deferred_closure(
     — AQE picks the join strategy)."""
     s_item, path, o_item = pattern
     sv, ov = var_name(s_item), var_name(o_item)
+    limit = max(SEEDED_FRONTIER_EST, _closure_edge_est(path, stats, total))
     cands = sorted(
         (var_est[v], side, fwd, v)
         for side, (v, fwd) in enumerate(((sv, True), (ov, False)))
-        if v in vars_ and var_est.get(v, float("inf")) <= SEEDED_FRONTIER_EST
+        if v in vars_ and var_est.get(v, float("inf")) <= limit
     )
     if not cands:
         # no selective anchor: all-pairs scan, classic join

@@ -1428,18 +1428,20 @@ def doc_video_pipeline(spark, sf_dir):
     every frame, and rolls banded-Hamming frame matches up to video
     pairs.  Every 10th doc is re-uploaded under id+1e6; an identical
     container yields identical PNGs → identical pHashes → hamming 0 on
-    every frame, so each planted copy carrying ≥ 2 frames (strlen ≥ 65
-    → ceil(len/64) ≥ 2) MUST pair with its original.  The planted-id
+    every frame, so each planted copy carrying ≥ 2 frames (strlen ≥ 129
+    → ceil(len/128) ≥ 2) MUST pair with its original.  The planted-id
     filter makes the output exact (organic tile collisions between
     different docs cannot produce ``vid_b = vid_a + 1e6``)."""
     import numpy as np
     import pandas as pd
 
+    from .cache import memo_persist
     from .operators import multimodal as MM
     from .operators.codecs import png_decode_image, write_png
     from .operators.demux import mp4_frame_slicer, write_mp4
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
+    tile_bytes = 128  # one 8x16 PNG frame per 128 text bytes
 
     def build(batches):
         for pdf in batches:
@@ -1447,11 +1449,11 @@ def doc_video_pipeline(spark, sf_dir):
             for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
                 b = (t or "").encode("utf-8")
                 samples = []
-                for i in range(0, len(b), 64):
-                    tile = np.zeros(64, dtype=np.uint8)
-                    piece = np.frombuffer(b[i : i + 64], dtype=np.uint8)
+                for i in range(0, len(b), tile_bytes):
+                    tile = np.zeros(tile_bytes, dtype=np.uint8)
+                    piece = np.frombuffer(b[i : i + tile_bytes], dtype=np.uint8)
                     tile[: len(piece)] = piece
-                    samples.append(write_png(tile.reshape(8, 8)))
+                    samples.append(write_png(tile.reshape(8, tile_bytes // 8)))
                 ids.append(doc_id)
                 durs.append(max(len(samples) - 1, 0) * 1000)
                 payloads.append(write_mp4(samples))
@@ -1465,10 +1467,19 @@ def doc_video_pipeline(spark, sf_dir):
                 }
             )
 
-    media = docs.select("doc_id", "text").mapInPandas(
-        build,
-        schema="media_id long, kind string, format string,"
-        " duration_ms long, payload binary",
+    # persist the synthesized containers: the near-dup plan consumes
+    # media three ways (frame sampling, the payload join behind the
+    # slicer, and the dup union) — without the memo the PNG-encode
+    # build kernel runs once per consumer.  Repartition first: the
+    # documents parquet is a single split at bench scale, which would
+    # serialize the encode kernel onto one core
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    media = memo_persist(
+        docs.select("doc_id", "text").repartition(parts).mapInPandas(
+            build,
+            schema="media_id long, kind string, format string,"
+            " duration_ms long, payload binary",
+        )
     )
     dups = media.where(F.col("media_id") % 10 == 0).withColumn(
         "media_id", F.col("media_id") + 1_000_000
@@ -4345,5 +4356,5 @@ ORACLES["emb_semdedup_incremental_sound"] = """
 ORACLES["doc_video_pipeline"] = """
     SELECT doc_id AS vid_a, doc_id + 1000000 AS vid_b
     FROM documents
-    WHERE doc_id % 10 = 0 AND strlen(text) >= 65
+    WHERE doc_id % 10 = 0 AND strlen(text) >= 129
 """

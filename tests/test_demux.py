@@ -352,3 +352,19 @@ def test_parse_mp4_hostile_inputs():
 
     # empty trak round-trips to zero samples
     assert parse_mp4_samples(write_mp4([])) == []
+
+
+def test_doc_video_pipeline_planted(spark):
+    """r11 zero-seam pipeline entry: planted copies (and only they)
+    pair with their originals, exactly the >= 2-frame population."""
+    from matcha_spark.suite import doc_video_pipeline, load_tables
+
+    sf = "/root/testdata/sf0.001"
+    got = {(r.vid_a, r.vid_b) for r in doc_video_pipeline(spark, sf).collect()}
+    docs = load_tables(spark, sf, "documents")["documents"].collect()
+    want = {
+        (r.doc_id, r.doc_id + 1_000_000)
+        for r in docs
+        if r.doc_id % 10 == 0 and len((r.text or "").encode()) >= 129
+    }
+    assert got == want and got

@@ -502,6 +502,44 @@ def test_path_bound_endpoint_differential(spark, seed):
     )
 
 
+@pytest.mark.parametrize("seed", range(8))
+def test_path_relative_gate_differential(spark, seed, monkeypatch):
+    """r11 (verdict ask #8): with the absolute seeding floor zeroed,
+    the RELATIVE gate (anchor estimate vs the closure's edge-set
+    estimate) alone decides — every anchored case must still seed and
+    the results must match the all-pairs model, proving the gate never
+    changes semantics, only the evaluation strategy."""
+    from matcha_spark import select
+    from matcha_spark.patterns import OneOrMore, ZeroOrMore
+    from matcha_spark.plans import compiler as C
+
+    monkeypatch.setattr(C, "SEEDED_FRONTIER_EST", 0.0)
+    rng = random.Random(7700 + seed)
+    db_rows = _rand_path_db(rng)
+    inner = _rand_path_expr(rng, depth=1)
+    path = OneOrMore(inner) if rng.random() < 0.5 else ZeroOrMore(inner)
+    pairs = _model_path_pairs(path, db_rows)
+    nodes = sorted({s for s, _, _ in db_rows} | {o for _, _, o in db_rows})
+    ap = rng.choice(PATH_PREDS)
+    anchor_obj = rng.choice(nodes)
+    anchors = {s for s, p, o in db_rows if p == ap and o == anchor_obj}
+    db = TriplesDB.from_triples(spark, db_rows)
+    try:
+        got = select(
+            ["?m", "?y"],
+            [("?m", ap, anchor_obj), ("?m", path, "?y")],
+            db,
+        )
+        want = sorted((str(a), str(b)) for a, b in pairs if a in anchors)
+        got_list = sorted((str(x), str(y)) for x, y in (got or []))
+    finally:
+        db.unpersist()
+    assert got_list == want, (
+        f"seed={seed}\ndb={db_rows}\npath={path!r}\n"
+        f"anchor=({ap}, {anchor_obj})\ngot={got_list}\nwant={want}"
+    )
+
+
 @pytest.mark.parametrize("seed", range(14))
 def test_path_selective_var_anchor_differential(spark, seed):
     """r10: a var-endpoint closure anchored by a selective prior

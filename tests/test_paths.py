@@ -211,6 +211,29 @@ def test_selective_var_anchor_seeds_closure(db):
     assert "seeded_reach_" not in plan
 
 
+def test_relative_seeding_gate(db, monkeypatch):
+    """r11 (verdict ask #8): the seeding gate is RELATIVE — an anchor
+    whose estimate exceeds the absolute floor still seeds as long as
+    it is within the closure's own edge-set estimate.  Zeroing the
+    floor models the flagged scenario (anchor est 10,001 vs a much
+    larger graph) at unit scale: under the old absolute gate no
+    anchor would ever pass; under the relative gate the selective
+    anchor (est ≤ knows-edge count) must still seed."""
+    from matcha_spark.plans import compiler as C
+    from matcha_spark.query import explain_query
+
+    monkeypatch.setattr(C, "SEEDED_FRONTIER_EST", 0.0)
+    plan = explain_query(
+        [("?n", NAME, "bee"), ("?s", OneOrMore(KNOWS), "?n")], db
+    )
+    assert "seeded_reach_" in plan
+    # and the seeded result is still correct
+    rows = select(
+        ["?s"], [("?n", NAME, "bee"), ("?s", OneOrMore(KNOWS), "?n")], db
+    )
+    assert set(rows) == {A, B, C}
+
+
 def test_selective_var_anchor_semantics(db):
     # who reaches the node named "bee" (= :b)?  :b itself re-reaches
     # through the b→c→a→b cycle
