@@ -2171,32 +2171,127 @@ def dedup_near_emb(spark, sf_dir):
 # descending — entries never (or longest-ago) recorded in a CORRECTNESS_r*
 # file come first, and the rows-only-by-design entries (no ORACLES row;
 # engine-specific hashes/seeds, pinned by pytests instead) are parked last.
-# r08 rotation: the 45 entries the r07 driver just hash-greened move to the
-# back; the 5 entries that were hash-red in r07 on the DuckDB-HUGEINT dtype
-# artifact (now fixed with CAST...AS BIGINT) stay in the window per the
-# verdict's ask; the 40 entries whose newest driver record is r06 are pulled
-# forward.  New r08 entries insert at the top.  r08 closing state: the
-# window holds the 15 new entries + the 5 dtype-fixed + 30 of the r06-stale
-# block; the 10 r06-stale entries the new additions displaced keep their
-# r06-green records (exactly two rounds old — the contract's limit,
-# enforced by tools/registry_audit.py's freshness check) and are front of
-# the r09 rotation queue; ALL 105 oracle-backed entries were re-verified
-# value-level against HEAD this round (tools/check_oracle.py, 0 failures
-# at sf0.01; the pre-termfns 102 also at sf0.1).
-# When adding a new oracle-backed entry, insert it at the top; after each
-# round, rotate entries the driver just verified toward the back.
+# r11 capacity surgery (verdict ask #1): the oracle-backed count had
+# exactly saturated the 50-slot x 3-round freshness horizon (141 =
+# 50+41+50), leaving NO slot for the two held-back oracles or any new
+# entry.  Remedy: five genuinely redundant oracle entries are RETIRED —
+# their operators stay implemented, benched, and pinned to a still-
+# oracle-backed sibling by tests/test_joins.py::test_retired_entry_equivalences
+# (+ the cited pytests):
+#   events_sessionize        -> events_sessionize_native (same gap
+#                               semantics, session multiset equal)
+#   events_funnel_windowed   -> events_funnel (within=inf equivalence)
+#   events_salted_type_stats -> events_salted_enrich oracle + the
+#                               salted_agg_matches_plain pytest
+#   doc_dup_ngrams           -> doc_strip_dup_ngrams (consumes the same
+#                               dup-gram table) + dup_ngram_stats pytests
+#   doc_token_count          -> doc_text_quality (n_tokens column equal)
+# Closing state: 141 oracle-backed entries (45 r08-survivors + 5
+# never-checked in the r11 window, 41 r09, 50 r10) against 150
+# slot-rounds = 9 free slot-rounds of steady-state headroom; the
+# ORACLE_HOLDBACK mechanism is EMPTY and registry_audit.py now fails
+# if a holdback ever persists past one round.  Rotation plan (also
+# printed by tools/registry_audit.py): r12 window = the 41 r09-recorded
+# entries + up to 9 new/early-r10; r13 = the remaining r10 block.
+# When adding a new oracle-backed entry, insert it at the top; after
+# each round, rotate entries the driver just verified toward the back.
 QUERIES = {
-    # new this round (r11) — never driver-checked; final window
-    # composition happens at round close
+    # --- r11 driver window (first 50): 5 never-checked (3 new + 2 promoted holdbacks) ---
     "doc_bpe_pack": doc_bpe_pack,
     "emb_semdedup_incremental_sound": emb_semdedup_incremental_sound,
     "doc_video_pipeline": doc_video_pipeline,
-    # --- r10 driver window (first 50): ALL oracle-backed --------------
-    # (the r09 experiment proved the driver records `no_oracle` for
-    # rows-only entries — window slots now go exclusively to
-    # hash-checkable entries; rows-only entries park at the end with
-    # their pytest twins and the new derived-invariant twins here)
-    # new this round (r10) — never driver-checked
+    "doc_png_features": doc_png_features,
+    "doc_bpe_roundtrip": doc_bpe_roundtrip,
+    # --- r11 window, contd: the 45 surviving r08-stale entries (5 retired, see note above) ---
+    "asof_events_orders": R.asof_events_orders,
+    "bgp_agg_top_urgent_nations": bgp_agg_top_urgent_nations,
+    "bgp_ask_segment": bgp_ask_segment,
+    "bgp_bind_term_functions": bgp_bind_term_functions,
+    "bgp_merge_count": bgp_merge_count,
+    "bgp_minus_machinery_asia": bgp_minus_machinery_asia,
+    "bgp_path_inv_region_members": bgp_path_inv_region_members,
+    "bgp_path_negset_links": bgp_path_negset_links,
+    "bgp_path_zom_region": bgp_path_zom_region,
+    "bgp_path_zoo_nation": bgp_path_zoo_nation,
+    "cube_priority_status": R.cube_priority_status,
+    "dedup_exact_docs": dedup_exact_docs,
+    "doc_bpe_pretokens": doc_bpe_pretokens,
+    "doc_contamination": doc_contamination,
+    "doc_dedup_paragraphs": doc_dedup_paragraphs,
+    "doc_dsir_weights": doc_dsir_weights,
+    "doc_fingerprint": doc_fingerprint,
+    "doc_strip_html": doc_strip_html,
+    "doc_text_quality": doc_text_quality,
+    "doc_token_windows": doc_token_windows,
+    "emb_range_search": emb_range_search,
+    "events_funnel": R.events_funnel,
+    "events_hourly": R.events_hourly,
+    "events_json_stats": R.events_json_stats,
+    "events_salted_enrich": R.events_salted_enrich,
+    "events_sessionize_native": R.events_sessionize_native,
+    "events_transition_matrix": R.events_transition_matrix,
+    "graph_shortest_weighted": graph_shortest_weighted,
+    "nation_set_ops": R.nation_set_ops,
+    "orders_by_month": R.orders_by_month,
+    "pivot_priority_by_segment": R.pivot_priority_by_segment,
+    "q12_late_shipments": R.q12_late_shipments,
+    "q1_pricing_summary": R.q1_pricing_summary,
+    "q22_idle_customers": R.q22_idle_customers,
+    "q2_min_cost_supplier": R.q2_min_cost_supplier,
+    "q3_top_revenue": R.q3_top_unshipped_revenue,
+    "q4_order_priority": R.q4_order_priority,
+    "q5_nation_revenue": R.q5_nation_revenue,
+    "q6_forecast_revenue": R.q6_forecast_revenue,
+    "q7_volume_shipping": R.q7_volume_shipping,
+    "rollup_nation_segment": R.rollup_nation_segment,
+    "running_customer_spend": R.running_customer_spend,
+    "segment_quantiles": R.segment_quantiles,
+    "segment_stats": R.segment_stats,
+    "topk_orders_per_customer": R.topk_orders_per_customer,
+    # --- outside the window ------------------------------------------
+    # --- newest record r09 — the r12 must-rotate set (41; 9 slots free for new entries / early r10 refreshes) ---
+    "asof_events_orders_forward": R.asof_events_orders_forward,
+    "bgp_agg_customers_by_region": bgp_agg_customers_by_region,
+    "bgp_agg_urgent_orders_by_nation": bgp_agg_urgent_orders_by_nation,
+    "bgp_bind_segment_prefix": bgp_bind_segment_prefix,
+    "bgp_construct_region_graph": bgp_construct_region_graph,
+    "bgp_customers_in_region": bgp_customers_in_region,
+    "bgp_describe_nation": bgp_describe_nation,
+    "bgp_exists_repeat_customers": bgp_exists_repeat_customers,
+    "bgp_filter_customer_names": bgp_filter_customer_names,
+    "bgp_nations_values": bgp_nations_values,
+    "bgp_not_exists_unurgent": bgp_not_exists_unurgent,
+    "bgp_optional_urgent_orders": bgp_optional_urgent_orders,
+    "bgp_path_from_seed": bgp_path_from_seed,
+    "bgp_select_top_names": bgp_select_top_names,
+    "bgp_subquery_busy_nations": bgp_subquery_busy_nations,
+    "bgp_values_rows_pairs": bgp_values_rows_pairs,
+    "cohort_retention": R.cohort_retention,
+    "doc_audio_features": doc_audio_features,
+    "doc_bm25_search": doc_bm25_search,
+    "doc_chunk_packing": doc_chunk_packing,
+    "doc_corpus_stats": doc_corpus_stats,
+    "doc_frame_sample": doc_frame_sample,
+    "doc_lang_id": doc_lang_id,
+    "doc_media_features": doc_media_features,
+    "doc_pipeline_pack": doc_pipeline_pack,
+    "doc_quality_filter": doc_quality_filter,
+    "doc_repetition": doc_repetition,
+    "doc_sample_hash": doc_sample_hash,
+    "doc_scrub_pii": doc_scrub_pii,
+    "doc_strip_boilerplate": doc_strip_boilerplate,
+    "doc_tfidf_top": doc_tfidf_top,
+    "events_value_outliers": R.events_value_outliers,
+    "graph_components_nations": graph_components_nations,
+    "graph_distances_from_seed": graph_distances_from_seed,
+    "grouping_sets_priority": R.grouping_sets_priority,
+    "orders_sample_consistent": orders_sample_consistent,
+    "q10_returned_items": R.q10_returned_items,
+    "q11_part_value": R.q11_part_value_concentration,
+    "q8_market_share": R.q8_market_share,
+    "q9_product_profit": R.q9_product_profit,
+    "range_events_clicks": R.range_events_clicks,
+    # --- newest record r10 — the r13 rotation set ---
     "doc_cdc_tiling": doc_cdc_tiling,
     "emb_semdedup_planted": emb_semdedup_planted,
     "emb_pq_exhaustive": emb_pq_exhaustive,
@@ -2216,13 +2311,10 @@ QUERIES = {
     "emb_lsh_planted": emb_lsh_planted,
     "emb_dup_pairs_lsh_planted": emb_dup_pairs_lsh_planted,
     "dedup_near_lsh_planted": dedup_near_lsh_planted,
-    # new r10 training-pipeline operators
     "doc_corpus_shuffle": doc_corpus_shuffle,
     "doc_split_assign": doc_split_assign,
     "doc_epoch_upsample": doc_epoch_upsample,
     "doc_length_batches": doc_length_batches,
-    # newest driver record r07 — the 27 entries registry_audit flagged
-    # at the three-round freshness limit (front of the queue)
     "bgp_path_reach_urgent": bgp_path_reach_urgent,
     "bgp_path_region_members": bgp_path_region_members,
     "dedup_near_docs": dedup_near_docs,
@@ -2250,106 +2342,7 @@ QUERIES = {
     "q19_disjunctive_revenue": R.q19_disjunctive_revenue,
     "q20_excess_suppliers": R.q20_excess_suppliers,
     "q21_waiting_suppliers": R.q21_waiting_suppliers,
-    # newest record r08 — 16 of the 50 r08-window entries refresh now;
-    # the rest hit the registry_audit warning tier after this round and
-    # lead the r11 rotation
-    # --- outside the window -------------------------------------------
-    # r08-recorded remainder: two rounds stale after this run — FIRST
-    # in line for the r11 window
-    "doc_strip_html": doc_strip_html,
-    "graph_shortest_weighted": graph_shortest_weighted,
-    "emb_range_search": emb_range_search,
-    "events_funnel_windowed": R.events_funnel_windowed,
-    "events_transition_matrix": R.events_transition_matrix,
-    "events_salted_enrich": R.events_salted_enrich,
-    "doc_bpe_pretokens": doc_bpe_pretokens,
-    "events_salted_type_stats": R.events_salted_type_stats,
-    "bgp_bind_term_functions": bgp_bind_term_functions,
-    "doc_token_windows": doc_token_windows,
-    "doc_dsir_weights": doc_dsir_weights,
-    "bgp_minus_machinery_asia": bgp_minus_machinery_asia,
-    "doc_dedup_paragraphs": doc_dedup_paragraphs,
-    "bgp_agg_top_urgent_nations": bgp_agg_top_urgent_nations,
-    "bgp_path_inv_region_members": bgp_path_inv_region_members,
-    "bgp_path_zom_region": bgp_path_zom_region,
-    "bgp_path_zoo_nation": bgp_path_zoo_nation,
-    "bgp_path_negset_links": bgp_path_negset_links,
-    "q12_late_shipments": R.q12_late_shipments,
-    "pivot_priority_by_segment": R.pivot_priority_by_segment,
-    "events_json_stats": R.events_json_stats,
-    "doc_contamination": doc_contamination,
-    "doc_dup_ngrams": doc_dup_ngrams,
-    "bgp_ask_segment": bgp_ask_segment,
-    "bgp_merge_count": bgp_merge_count,
-    "q1_pricing_summary": R.q1_pricing_summary,
-    "q3_top_revenue": R.q3_top_unshipped_revenue,
-    "q5_nation_revenue": R.q5_nation_revenue,
-    "q6_forecast_revenue": R.q6_forecast_revenue,
-    "topk_orders_per_customer": R.topk_orders_per_customer,
-    "running_customer_spend": R.running_customer_spend,
-    "orders_by_month": R.orders_by_month,
-    "segment_stats": R.segment_stats,
-    "events_hourly": R.events_hourly,
-    "events_sessionize": R.events_sessionize,
-    "events_sessionize_native": R.events_sessionize_native,
-    "events_funnel": R.events_funnel,
-    "rollup_nation_segment": R.rollup_nation_segment,
-    "segment_quantiles": R.segment_quantiles,
-    "cube_priority_status": R.cube_priority_status,
-    "nation_set_ops": R.nation_set_ops,
-    "asof_events_orders": R.asof_events_orders,
-    "q4_order_priority": R.q4_order_priority,
-    "q22_idle_customers": R.q22_idle_customers,
-    "q2_min_cost_supplier": R.q2_min_cost_supplier,
-    "q7_volume_shipping": R.q7_volume_shipping,
-    "dedup_exact_docs": dedup_exact_docs,
-    "doc_fingerprint": doc_fingerprint,
-    "doc_token_count": doc_token_count,
-    "doc_text_quality": doc_text_quality,
-    # r09 driver-verified hash-green — safely outside until r12
-    "bgp_path_from_seed": bgp_path_from_seed,
-    "graph_distances_from_seed": graph_distances_from_seed,
-    "doc_chunk_packing": doc_chunk_packing,
-    "bgp_select_top_names": bgp_select_top_names,
-    "bgp_subquery_busy_nations": bgp_subquery_busy_nations,
-    "bgp_exists_repeat_customers": bgp_exists_repeat_customers,
-    "bgp_values_rows_pairs": bgp_values_rows_pairs,
-    "graph_components_nations": graph_components_nations,
-    "bgp_describe_nation": bgp_describe_nation,
-    "doc_pipeline_pack": doc_pipeline_pack,
-    "doc_lang_id": doc_lang_id,
-    "doc_quality_filter": doc_quality_filter,
-    "doc_scrub_pii": doc_scrub_pii,
-    "doc_strip_boilerplate": doc_strip_boilerplate,
-    "doc_corpus_stats": doc_corpus_stats,
-    "doc_sample_hash": doc_sample_hash,
-    "orders_sample_consistent": orders_sample_consistent,
-    "doc_tfidf_top": doc_tfidf_top,
-    "doc_bm25_search": doc_bm25_search,
-    "doc_repetition": doc_repetition,
-    "doc_media_features": doc_media_features,
-    "doc_audio_features": doc_audio_features,
-    "doc_frame_sample": doc_frame_sample,
-    "bgp_agg_customers_by_region": bgp_agg_customers_by_region,
-    "bgp_agg_urgent_orders_by_nation": bgp_agg_urgent_orders_by_nation,
-    "bgp_bind_segment_prefix": bgp_bind_segment_prefix,
-    "bgp_nations_values": bgp_nations_values,
-    "bgp_customers_in_region": bgp_customers_in_region,
-    "bgp_optional_urgent_orders": bgp_optional_urgent_orders,
-    "bgp_construct_region_graph": bgp_construct_region_graph,
-    "bgp_filter_customer_names": bgp_filter_customer_names,
-    "bgp_not_exists_unurgent": bgp_not_exists_unurgent,
-    "grouping_sets_priority": R.grouping_sets_priority,
-    "cohort_retention": R.cohort_retention,
-    "range_events_clicks": R.range_events_clicks,
-    "events_value_outliers": R.events_value_outliers,
-    "asof_events_orders_forward": R.asof_events_orders_forward,
-    "q8_market_share": R.q8_market_share,
-    "q9_product_profit": R.q9_product_profit,
-    "q10_returned_items": R.q10_returned_items,
-    "q11_part_value": R.q11_part_value_concentration,
-    # rows-only by design (no oracle; pytest-pinned, with
-    # derived-invariant twins in the window above): parked last
+    # --- rows-only by design (no oracle; pytest-pinned, with derived-invariant twins recorded above): parked last ---
     "dedup_incremental_simhash": dedup_incremental_simhash,
     "emb_pq_topk": emb_pq_topk,
     "emb_semdedup": emb_semdedup,
@@ -2368,20 +2361,17 @@ QUERIES = {
     "emb_ivf_topk": emb_ivf_topk,
     "emb_dup_pairs_lsh": emb_dup_pairs_lsh,
     "emb_semdedup_incremental": emb_semdedup_incremental,
-    # oracles HELD BACK (ORACLE_HOLDBACK): the r10 window is exactly
-    # full (23 never-checked + 27 must-rotate r07 entries), so these
-    # entries run rows-only for the driver now and their oracles
-    # publish when the rotation frees slots — check_oracle verifies
-    # them locally either way
-    "doc_png_features": doc_png_features,
-    "doc_bpe_roundtrip": doc_bpe_roundtrip,
 }
 
 # entries whose ORACLES row exists (and is verified locally by
 # tools/check_oracle.py) but is withheld from the driver's oracle_sql()
-# until a correctness-window slot frees up — see the window-capacity
-# comment above doc_png_features
-ORACLE_HOLDBACK = {"doc_png_features", "doc_bpe_roundtrip"}
+# until a correctness-window slot frees up.  EMPTY since r11: the two
+# r10 holdbacks are promoted into the window, and tools/registry_audit.py
+# (r10 advice) now treats any holdback as oracle-backed — warning the
+# round it appears and FAILING if it persists into a second round
+# (ORACLE_HOLDBACK_SINCE records the round each holdback was declared).
+ORACLE_HOLDBACK: set[str] = set()
+ORACLE_HOLDBACK_SINCE: dict[str, int] = {}
 
 _EN = "'the','a','and','of','to','in','is','that','it','for'"
 _ES = "'el','la','de','que','y','en','un','es','no','por'"
@@ -2463,30 +2453,6 @@ ORACLES = {
         WHERE o_orderpriority = '1-URGENT'
         GROUP BY 1
     """,
-    "events_funnel_windowed": """
-        WITH s1 AS (
-            SELECT user_id, min(ts) AS t0 FROM events
-            WHERE event_type = 'view' GROUP BY 1
-        ), s2 AS (
-            SELECT e.user_id, min(e.ts) AS t, min(s1.t0) AS t0
-            FROM events e JOIN s1 USING (user_id)
-            WHERE e.event_type = 'click' AND e.ts > s1.t0
-              AND e.ts <= s1.t0 + INTERVAL 3600 SECOND
-            GROUP BY 1
-        ), s3 AS (
-            SELECT e.user_id, min(e.ts) AS t
-            FROM events e JOIN s2 USING (user_id)
-            WHERE e.event_type = 'purchase' AND e.ts > s2.t
-              AND e.ts <= s2.t0 + INTERVAL 3600 SECOND
-            GROUP BY 1
-        )
-        SELECT 1 AS step_idx, 'view' AS step,
-               (SELECT count(*) FROM s1) AS n_users
-        UNION ALL
-        SELECT 2, 'click', (SELECT count(*) FROM s2)
-        UNION ALL
-        SELECT 3, 'purchase', (SELECT count(*) FROM s3)
-    """,
     "events_transition_matrix": """
         WITH seq AS (
             SELECT event_type,
@@ -2505,12 +2471,6 @@ ORACLES = {
         SELECT c_mktsegment, event_type, count(*) AS n
         FROM events JOIN customer ON user_id = c_custkey
         GROUP BY 1, 2 ORDER BY 1, 2
-    """,
-    "events_salted_type_stats": """
-        SELECT event_type, count(*) AS n,
-               round(sum(value), 4) AS total,
-               round(max(value), 4) AS max_v
-        FROM events GROUP BY 1 ORDER BY 1
     """,
     "doc_bpe_pretokens": """
         SELECT doc_id,
@@ -2935,31 +2895,6 @@ ORACLES = {
                coalesce(logloss, 0.0) AS logloss
         FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
     """,
-    "doc_dup_ngrams": """
-        WITH toks AS (
-            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
-            FROM documents
-        ), grams AS (
-            SELECT doc_id,
-                   unnest(list_transform(range(len(t) - 4),
-                          i -> array_to_string(t[i + 1 : i + 5], ' '))) AS gram
-            FROM toks WHERE len(t) >= 5
-        ), pdg AS (
-            SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2
-        ), tot AS (
-            SELECT gram, sum(c) AS total FROM pdg GROUP BY 1
-        ), per_doc AS (
-            SELECT doc_id, sum(c) AS n_grams,
-                   sum(CASE WHEN total > 1 THEN c ELSE 0 END) AS dup_grams
-            FROM pdg JOIN tot USING (gram) GROUP BY 1
-        )
-        SELECT d.doc_id,
-               CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
-               CAST(coalesce(dup_grams, 0) AS BIGINT) AS dup_grams,
-               round(CASE WHEN coalesce(n_grams, 0) = 0 THEN 0.0
-                          ELSE dup_grams * 1.0 / n_grams END, 6) AS dup_ratio
-        FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
-    """,
     "q8_market_share": """
         WITH vols AS (
             SELECT year(o_orderdate) AS o_year,
@@ -3287,28 +3222,6 @@ ORACLES = {
                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         FROM events
         GROUP BY 1, 2 ORDER BY 1, 2
-    """,
-    "events_sessionize": """
-        WITH marked AS (
-            SELECT user_id, event_id, value,
-                   CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
-                             - lag(CAST(floor(epoch(ts)) AS BIGINT))
-                               OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
-                        THEN 1
-                        WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                        THEN 1
-                        ELSE 0 END AS new_sess,
-                   ts
-            FROM events
-        ), sess AS (
-            SELECT user_id, value,
-                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
-            FROM marked
-        )
-        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events,
-               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
-        FROM sess GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "events_sessionize_native": """
         WITH e AS (
@@ -3670,12 +3583,6 @@ ORACLES = {
     """,
     "doc_fingerprint": f"""
         SELECT doc_id, md5({_NORM}) AS fp FROM documents
-    """,
-    "doc_token_count": f"""
-        SELECT doc_id,
-               len({_TOKS}) AS n_tokens,
-               CAST(ceil(length(text) / 4) AS BIGINT) AS est_bpe_tokens
-        FROM documents
     """,
     "doc_text_quality": f"""
         SELECT doc_id,

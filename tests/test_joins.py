@@ -502,3 +502,42 @@ def test_pagerank_weighted_personalized(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
     # personalization: mass concentrates near the source's neighborhood
     assert got[0] > got[3]  # node 3 only feeds in, unreachable from 0
+
+
+def test_retired_entry_equivalences(spark):
+    """r11 registry consolidation: the suite entries retired to free
+    oracle-window capacity stay pinned to their still-oracle-backed
+    siblings — the semantics they checked remain covered.
+
+    - events_funnel_windowed(within=∞) ≡ events_funnel
+    - events_sessionize ≡ events_sessionize_native on the session
+      multiset (ids differ: ordinal vs start-time key)
+    - token_count ≡ text_quality.n_tokens
+    (events_salted_type_stats → salted_agg_matches_plain above;
+    doc_dup_ngrams → dup_ngram_stats pytests + strip_dup_ngrams's
+    oracle, which consumes the same dup-gram table.)"""
+    from matcha_spark import relational as R
+    from matcha_spark.operators.text import text_quality, token_count
+
+    sf = "/root/testdata/sf0.001"
+    plain = [tuple(r) for r in R.events_funnel(spark, sf).collect()]
+    wide = [
+        tuple(r)
+        for r in R.events_funnel_windowed(spark, sf, within_s=10**9).collect()
+    ]
+    assert plain == wide and len(plain) == 3
+
+    base = sorted(
+        (r.user_id, r.n_events, round(r.session_value, 6))
+        for r in R.events_sessionize(spark, sf).collect()
+    )
+    native = sorted(
+        (r.user_id, r.n_events, round(r.session_value, 6))
+        for r in R.events_sessionize_native(spark, sf).collect()
+    )
+    assert base == native and base
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    tc = {r.doc_id: r.n_tokens for r in token_count(docs).collect()}
+    tq = {r.doc_id: r.n_tokens for r in text_quality(docs).collect()}
+    assert tc == tq

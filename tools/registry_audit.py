@@ -49,10 +49,31 @@ def main() -> int:
                 seen_round[name] = max(seen_round.get(name, 0), rnd)
     q = list(entrymod.queries())
     oracles = set(entrymod.oracle_sql())
+    # r10 advice: held-back oracles are oracle-backed entries hiding
+    # from the driver — the audit must see them, or they silently
+    # escape the window-coverage and freshness contracts forever
+    from matcha_spark.suite import ORACLE_HOLDBACK, ORACLE_HOLDBACK_SINCE
+
+    oracles |= set(ORACLE_HOLDBACK)
     window = set(q[:WINDOW])
 
     problems = []
-    print(f"registry: {len(q)} entries ({len(oracles)} oracle-backed), window={WINDOW}")
+    print(f"registry: {len(q)} entries ({len(oracles)} oracle-backed incl. "
+          f"{len(ORACLE_HOLDBACK)} held back), window={WINDOW}")
+    for hb in sorted(ORACLE_HOLDBACK):
+        since = ORACLE_HOLDBACK_SINCE.get(hb)
+        if since is None:
+            print(f"PROBLEM: holdback {hb!r} has no ORACLE_HOLDBACK_SINCE "
+                  "round — declare when it was held back")
+            return 1
+        if since <= latest_round and hb not in seen:
+            print(f"PROBLEM: holdback {hb!r} (declared r{since:02d}) has "
+                  f"persisted into a later round (latest driver round "
+                  f"r{latest_round:02d}) with no hash-green record — publish "
+                  "its oracle with this rotation")
+            return 1
+        print(f"WARNING: {hb!r} holds back its oracle (declared "
+              f"r{since:02d}) — it MUST publish with the next rotation")
     for name in q:
         in_win = name in window
         if name not in oracles:
@@ -107,6 +128,39 @@ def main() -> int:
         print(f"note: {len(two_round)} outside-window entries will be two "
               f"rounds stale after the upcoming run (r{stale_limit + 1:02d} "
               f"records) — next rotation queue: {two_round}")
+    # --- capacity + rotation plan (r11, verdict ask #1) ---------------
+    # the freshness horizon affords 3 x WINDOW slot-rounds; everything
+    # beyond the oracle-backed count is headroom for new entries.  The
+    # plan below is the schedule the ordering contract implies: each
+    # upcoming round's window = that round's must-rotate set, padded
+    # with the stalest early refreshes.
+    n_oracle = sum(1 for n in q if n in oracles)
+    headroom = 3 * WINDOW - n_oracle
+    if headroom < 0:
+        print(f"PROBLEM: {n_oracle} oracle-backed entries exceed the "
+              f"{3 * WINDOW}-slot-round freshness horizon — retire/merge "
+              "entries before adding more")
+        return 1
+    nxt = latest_round + 1
+    must2 = sorted(n for n in q if n in oracles
+                   and seen_round.get(n, 0) == stale_limit + 1
+                   and n not in window)
+    must3 = sorted(n for n in q if n in oracles
+                   and seen_round.get(n, 0) == stale_limit + 2
+                   and n not in window and n not in must2)
+    print(f"capacity: {n_oracle} oracle-backed vs {3 * WINDOW} slot-rounds "
+          f"-> {headroom} free slot-rounds of headroom")
+    if headroom < 5:
+        print(f"WARNING: headroom {headroom} < 5 — retire/merge before the "
+              "next batch of oracle-backed entries")
+    print(f"rotation plan: r{nxt + 1:02d} window = {len(must2)} must-rotate "
+          f"(r{stale_limit + 1:02d}-recorded) + {WINDOW - len(must2)} free; "
+          f"r{nxt + 2:02d} window = {len(must3)} must-rotate "
+          f"(r{stale_limit + 2:02d}-recorded) + {WINDOW - len(must3)} free")
+    if len(must2) > WINDOW or len(must3) > WINDOW:
+        print("PROBLEM: a future must-rotate set exceeds the window — the "
+              "schedule is infeasible; retire entries or refresh early")
+        return 1
     print("OK: every oracle-backed entry is window-covered or previously green")
     return 0
 
