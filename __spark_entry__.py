@@ -39,5 +39,8 @@ def oracle_sql() -> dict[str, str]:
     # oracle-backed entry OUTSIDE the window with no prior record would
     # break the registry audit, so its oracle publishes with the next
     # rotation instead — tools/check_oracle.py still verifies it
-    # locally from suite.ORACLES)
+    # locally from suite.ORACLES).  EMPTY since r11 — and
+    # tools/registry_audit.py now fails if a holdback persists past the
+    # round it was declared, so the mechanism can never silently shelve
+    # an entry again.
     return {k: v for k, v in ORACLES.items() if k not in ORACLE_HOLDBACK}
