@@ -1181,11 +1181,18 @@ def incremental_semdedup(
     vec_col: str = "embedding",
     seed: int = 42,
     sample_size: int = 4096,
+    with_delta: bool = False,
 ):
     """Append-only semantic dedup for embeddings — the store-based
     SemDeDup the r10 verdict asked for (What's missing #4): admit a new
     embedding batch against an already-accepted corpus without
     re-running batch :func:`semdedup` over everything.
+
+    ``with_delta=True`` returns a third frame: exactly the rows this
+    call ADDED to the store (kept batch vectors, plus the centroid rows
+    when the store was just created) — what an append-only persisted
+    store needs to write per batch (the streaming integration; an
+    ``updated EXCEPT store`` anti-join would rescan the whole store).
 
     The store (second element of a previous call's return, parquet-
     persistable via :func:`save_signature_store`) is ONE frame holding
@@ -1221,6 +1228,7 @@ def incremental_semdedup(
 
     spark = new_emb.sparkSession
     store_schema = "vec_id long, cell int, embedding array<float>, centroid boolean"
+    fresh_store = store is None
     if store is None:
         cents = train_kmeans_centroids(
             new_emb, n_clusters, vec_col=vec_col, id_col=id_col,
@@ -1307,7 +1315,11 @@ def incremental_semdedup(
         F.col("vec").alias("embedding"),
         F.lit(False).alias("centroid"),
     )
-    return decisions, store.unionByName(kept_rows)
+    updated = store.unionByName(kept_rows)
+    if with_delta:
+        delta = store.unionByName(kept_rows) if fresh_store else kept_rows
+        return decisions, updated, delta
+    return decisions, updated
 
 
 def save_signature_store(sigs: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -68,10 +68,16 @@ def stream_incremental_dedup(
     pass (to a scratch dir, then swapped in — the guarded rename
     keeps a crashed compaction from destroying signatures).
     """
-    from ..operators.dedup import incremental_dedup_near, incremental_dedup_simhash
+    from ..operators.dedup import (
+        incremental_dedup_near,
+        incremental_dedup_simhash,
+        incremental_semdedup,
+    )
 
-    if method not in ("simhash", "minhash"):
-        raise ValueError(f"method must be simhash|minhash, got {method!r}")
+    if method not in ("simhash", "minhash", "semdedup"):
+        raise ValueError(
+            f"method must be simhash|minhash|semdedup, got {method!r}"
+        )
     compact_every = int(dedup_kwargs.pop("compact_every", 16))
 
     sig_dir = os.path.join(store_path, "sigs")
@@ -98,9 +104,17 @@ def stream_incremental_dedup(
         done = (
             {r.batch_id for r in ledger.collect()} if ledger is not None else set()
         )
+        delta = None
         if method == "simhash":
             decisions, _ = incremental_dedup_simhash(
                 batch_df, existing, **dedup_kwargs
+            )
+        elif method == "semdedup":
+            # embeddings: the operator hands back the exact store delta
+            # (kept vectors + first-batch centroid rows) — signatures
+            # below are a text-method concept
+            decisions, _, delta = incremental_semdedup(
+                batch_df, existing, with_delta=True, **dedup_kwargs
             )
         else:
             decisions, _ = incremental_dedup_near(
@@ -113,25 +127,28 @@ def stream_incremental_dedup(
         # a text_col override must reach both, or the store silently
         # fills with signatures of the wrong column.
         text_col = dedup_kwargs.get("text_col", "text")
-        if method == "simhash":
-            from ..operators.dedup import simhash
-
-            sig_new = simhash(batch_df, text_col=text_col)
+        if method == "semdedup":
+            kept = delta
         else:
-            from ..operators.dedup import minhash_signatures
+            if method == "simhash":
+                from ..operators.dedup import simhash
 
-            nh = dedup_kwargs.get("num_hashes", 64)
-            sig_new = minhash_signatures(
-                batch_df,
-                num_hashes=nh,
-                n=dedup_kwargs.get("n", 3),
-                text_col=text_col,
-            ).select("doc_id", *[f"h{i}" for i in range(nh)])
-        kept = sig_new.join(
-            decisions.where(F.col("keep")).select("doc_id"),
-            "doc_id",
-            "left_semi",
-        )
+                sig_new = simhash(batch_df, text_col=text_col)
+            else:
+                from ..operators.dedup import minhash_signatures
+
+                nh = dedup_kwargs.get("num_hashes", 64)
+                sig_new = minhash_signatures(
+                    batch_df,
+                    num_hashes=nh,
+                    n=dedup_kwargs.get("n", 3),
+                    text_col=text_col,
+                ).select("doc_id", *[f"h{i}" for i in range(nh)])
+            kept = sig_new.join(
+                decisions.where(F.col("keep")).select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
         decisions_sink(decisions, batch_id)
         if batch_id not in done:
             kept.write.mode("append").parquet(sig_dir)

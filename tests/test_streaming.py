@@ -525,3 +525,60 @@ def test_stream_dedup_compaction_crash_recovery(spark):
     assert not os.path.exists(sig_dir + "._old")
     assert load_signature_store(spark, sig_dir).count() == 1
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_incremental_semdedup_two_batches(spark):
+    """r11: the streaming wrapper's embedding method — batch 2's exact
+    re-upload is rejected against the persisted vector store, the
+    store grows by kept vectors only (plus the pinned centroid rows
+    the first batch trains), and decisions key by vec_id."""
+    import math
+    import os
+
+    from matcha_spark.operators.dedup import load_signature_store
+    from matcha_spark.streaming.dedup import stream_incremental_dedup
+
+    base = tempfile.mkdtemp(prefix="msemdedup_stream_")
+    src_dir = os.path.join(base, "src")
+    store = os.path.join(base, "store")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src_dir)
+    schema = "vec_id long, embedding array<float>"
+
+    def vec(theta):
+        return [float(math.cos(theta)), float(math.sin(theta)), 0.0, 0.0]
+
+    spark.createDataFrame(
+        [(1, vec(0.0)), (2, vec(1.5))], schema
+    ).write.mode("append").parquet(src_dir)
+    decisions = {}
+
+    def sink(df, batch_id):
+        for r in df.collect():
+            decisions[r.vec_id] = (r.keep, r.dup_of)
+
+    def run():
+        src = spark.readStream.schema(schema).parquet(src_dir)
+        q = stream_incremental_dedup(
+            src, store, sink, method="semdedup", checkpoint_dir=ckpt,
+            threshold=0.99, n_clusters=2,
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert decisions == {1: (True, None), 2: (True, None)}
+    st = load_signature_store(spark, os.path.join(store, "sigs"))
+    assert st.where("centroid").count() == 2
+    assert {r.vec_id for r in st.where("NOT centroid").collect()} == {1, 2}
+
+    spark.createDataFrame(
+        [(10, vec(0.0)), (11, vec(3.0))], schema
+    ).write.mode("append").parquet(src_dir)
+    decisions.clear()
+    run()
+    assert decisions[10] == (False, 1)  # store wins
+    assert decisions[11] == (True, None)
+    st = load_signature_store(spark, os.path.join(store, "sigs"))
+    assert {r.vec_id for r in st.where("NOT centroid").collect()} == {1, 2, 11}
+    assert st.where("centroid").count() == 2  # centroids written once
+    shutil.rmtree(base, ignore_errors=True)
