@@ -19,6 +19,14 @@ imports are guarded, nothing here is a hard dependency:
   fake (explicit opt-in call, never a silent default of the operators
   themselves).
 
+Library-free pure-struct codecs (no optional dependency at all):
+:func:`png_decode_image` / :func:`write_png` (8-bit non-interlaced
+PNG), :func:`wav_decode_audio` / :func:`write_wav` (PCM RIFF/WAVE),
+and — r11 — :func:`jpeg_decode_image` / :func:`write_jpeg` (baseline
+sequential JPEG per ITU-T T.81, greyscale or YCbCr-luma, restart
+markers included).  :func:`sniff_decode_image` routes by magic bytes
+across all of them before falling back to Pillow.
+
 Executor-side note: the decoder callable is pickled into the
 ``mapInPandas`` kernel, so the codec library must be importable on the
 *executors*, not just the driver.  The lazy in-function imports below
@@ -328,10 +336,18 @@ def sniff_decode_image(payload: bytes) -> np.ndarray:
             # one exists; only re-raise when nothing else can try
             if _try_import("PIL") is None:
                 raise
+    if buf[:2] == b"\xFF\xD8":
+        try:
+            return jpeg_decode_image(buf)
+        except Exception:
+            # progressive / arithmetic / 12-bit fall through to Pillow
+            if _try_import("PIL") is None:
+                raise
     if _try_import("PIL") is None:
         raise ValueError(
             "sniff_decode_image: format needs Pillow (pip install pillow) "
-            "— only 8-bit non-interlaced PNG decodes library-free"
+            "— only 8-bit non-interlaced PNG and baseline JPEG decode "
+            "library-free"
         )
     return pillow_decode_image(buf)
 
@@ -356,3 +372,450 @@ def sniff_decode_audio(payload: bytes) -> np.ndarray:
             "soundfile) — only PCM WAV decodes library-free"
         )
     return soundfile_decode_audio(buf)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (r11) — pure-struct, stdlib-only, per ITU-T T.81
+# ---------------------------------------------------------------------------
+
+# Annex K.1 luminance quantization table (zig-zag order applied later)
+_JPEG_QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.float64).reshape(8, 8)
+
+# Annex K.3 standard Huffman tables: (BITS counts per code length 1..16,
+# HUFFVAL symbol list)
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+
+def _dct_mat() -> "np.ndarray":
+    n = np.arange(8)
+    m = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16)
+    m[0] *= 1 / np.sqrt(2)
+    return m * 0.5  # orthonormal scale folded in
+
+
+def _huff_encode_table(bits, vals):
+    """BITS/HUFFVAL → {symbol: (code, length)} per T.81 Annex C."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(bits, vals):
+    """BITS/HUFFVAL → {(length, code): symbol}."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.n -= 8
+
+    def align(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # 1-fill per spec
+
+    def raw(self, data: bytes) -> None:
+        assert self.n == 0, "raw() requires byte alignment"
+        self.buf += data
+
+    def flush(self) -> bytes:
+        self.align()
+        return bytes(self.buf)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: value → (size, size-bit code)."""
+    if v == 0:
+        return 0, 0
+    a, size = abs(v), 0
+    while a:
+        a >>= 1
+        size += 1
+    code = v if v > 0 else v + (1 << size) - 1
+    return size, code
+
+
+def write_jpeg(
+    gray: "np.ndarray",
+    quality: int = 90,
+    color: bool = False,
+    restart_every: int = 0,
+) -> bytes:
+    """Minimal baseline JPEG encoder (ITU-T T.81 sequential DCT, 8-bit,
+    Annex K tables): greyscale single-component by default;
+    ``color=True`` wraps the same luma in a YCbCr 4:4:4 frame with
+    constant neutral chroma (Cb = Cr = 128 → all-zero chroma blocks) so
+    the 3-component decode path can be exercised without a colour
+    source.  The structural inverse of :func:`jpeg_decode_image` —
+    lossy by nature (quantization), so round-trips are near-equal, not
+    bit-equal.  ``restart_every`` emits a DRI segment and RSTn markers
+    every N MCUs (DC prediction reset + byte-aligned marker — the
+    error-resilience feature real encoders use on big images), giving
+    the decoder's restart path a genuine producer."""
+    import struct
+
+    a = np.asarray(gray, dtype=np.float64)
+    if a.ndim != 2:
+        raise ValueError("write_jpeg: need a 2-D greyscale array")
+    a = np.clip(np.round(a), 0, 255)
+    h, w = a.shape
+    q = max(1, min(100, int(quality)))
+    scale = 5000 / q if q < 50 else 200 - 2 * q
+    qt = np.clip(np.floor((_JPEG_QUANT_LUMA * scale + 50) / 100), 1, 255)
+
+    # pad to 8x8 blocks by edge replication
+    H, W = -(-h // 8) * 8, -(-w // 8) * 8
+    pad = np.empty((H, W))
+    pad[:h, :w] = a
+    pad[h:, :w] = a[-1:, :]
+    pad[:h, w:] = pad[:h, w - 1 : w]
+    pad[h:, w:] = pad[h - 1, w - 1]
+
+    m = _dct_mat()
+    dc_tab = _huff_encode_table(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_tab = _huff_encode_table(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    bw = _BitWriter()
+    prev_dc = 0
+    # with color=True the chroma blocks are all-zero: DC diff 0 + EOB
+    dc0_code = dc_tab[0]
+    eob = ac_tab[0x00]
+    ri = max(0, int(restart_every))
+    mcu = 0
+    for by in range(0, H, 8):
+        for bx in range(0, W, 8):
+            if ri and mcu and mcu % ri == 0:
+                bw.align()
+                bw.raw(bytes([0xFF, 0xD0 + (mcu // ri - 1) % 8]))
+                prev_dc = 0
+            mcu += 1
+            blk = pad[by : by + 8, bx : bx + 8] - 128.0
+            coef = m @ blk @ m.T
+            qz = np.round(coef / qt).astype(np.int64).ravel()[_ZIGZAG]
+            diff = int(qz[0]) - prev_dc
+            prev_dc = int(qz[0])
+            size, code = _magnitude(diff)
+            hc, hl = dc_tab[size]
+            bw.put(hc, hl)
+            if size:
+                bw.put(code, size)
+            run = 0
+            last = 63
+            while last > 0 and qz[last] == 0:
+                last -= 1
+            for i in range(1, last + 1):
+                v = int(qz[i])
+                if v == 0:
+                    run += 1
+                    if run == 16:
+                        hc, hl = ac_tab[0xF0]  # ZRL
+                        bw.put(hc, hl)
+                        run = 0
+                    continue
+                size, code = _magnitude(v)
+                hc, hl = ac_tab[(run << 4) | size]
+                bw.put(hc, hl)
+                bw.put(code, size)
+                run = 0
+            if last < 63:
+                bw.put(*eob)
+            if color:
+                for _ in range(2):  # Cb, Cr: zero block each
+                    bw.put(*dc0_code)
+                    bw.put(*eob)
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    zz_qt = bytes(int(qt.ravel()[_ZIGZAG][i]) for i in range(64))
+    out = [b"\xFF\xD8"]  # SOI
+    out.append(seg(0xFFDB, b"\x00" + zz_qt))  # DQT, table 0, 8-bit
+    if ri:
+        out.append(seg(0xFFDD, struct.pack(">H", ri)))  # DRI
+    ncomp = 3 if color else 1
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += struct.pack(">BBB", cid, 0x11, 0)  # h1v1, quant table 0
+    out.append(seg(0xFFC0, sof))  # SOF0 baseline
+    out.append(seg(0xFFC4, b"\x00" + bytes(_DC_LUMA_BITS) + bytes(_DC_LUMA_VALS)))
+    out.append(seg(0xFFC4, b"\x10" + bytes(_AC_LUMA_BITS) + bytes(_AC_LUMA_VALS)))
+    sos = struct.pack(">B", ncomp)
+    for cid in range(1, ncomp + 1):
+        sos += struct.pack(">BB", cid, 0x00)  # DC table 0, AC table 0
+    sos += b"\x00\x3F\x00"
+    out.append(seg(0xFFDA, sos))
+    out.append(scan)
+    out.append(b"\xFF\xD9")  # EOI
+    return b"".join(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        while self.n <= 24:
+            if self.pos >= len(self.d):
+                self.acc = (self.acc << 8) | 0xFF  # pad past EOI
+                self.n += 8
+                continue
+            b = self.d[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.d[self.pos] if self.pos < len(self.d) else 0
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    # a real marker (RSTn handled by the caller before
+                    # reading on); pad — the scan is over
+                    self.pos -= 1
+                    self.acc = (self.acc << 8) | 0xFF
+                    self.n += 8
+                    continue
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict) -> int:
+        code, ln = 0, 0
+        for _ in range(16):
+            code = (code << 1) | self.bit()
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("jpeg: invalid Huffman code")
+
+    def align_and_expect_rst(self, k: int) -> None:
+        self.acc = 0
+        self.n = 0
+        if self.pos + 1 < len(self.d) and self.d[self.pos] == 0xFF:
+            m = self.d[self.pos + 1]
+            if 0xD0 <= m <= 0xD7:
+                if (m - 0xD0) != k % 8:
+                    raise ValueError("jpeg: restart marker out of sequence")
+                self.pos += 2
+                return
+        raise ValueError("jpeg: expected restart marker")
+
+
+def _extend(code: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return code if code >= (1 << (size - 1)) else code - (1 << size) + 1
+
+
+def jpeg_decode_image(payload: bytes) -> np.ndarray:
+    """Pure-struct baseline JPEG decoder (ITU-T T.81, stdlib + numpy
+    only): marker walk (DQT/DHT/SOF0/DRI/SOS), Huffman entropy decode
+    with byte-unstuffing and restart markers, dequantize + orthonormal
+    IDCT.  Supports 8-bit baseline sequential, greyscale or
+    YCbCr — LUMA ONLY on colour images: chroma blocks are entropy-
+    decoded (the stream cannot be advanced otherwise) but skip the
+    IDCT, and the returned array is the full-resolution Y plane, which
+    is exactly what the pHash/feature operators consume.  Progressive
+    (SOF2), arithmetic coding, and 12-bit inputs raise with a pointer
+    at Pillow.
+
+    Honesty note on speed: the Huffman bit reader is a Python loop —
+    correct and library-free, not fast; for throughput-critical real
+    corpora plug Pillow in through the same ``decoder=`` seam."""
+    import struct
+
+    buf = bytes(payload)
+    if buf[:2] != b"\xFF\xD8":
+        raise ValueError("jpeg: bad SOI")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart = 0
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError("jpeg: marker expected")
+        marker = buf[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7 or marker == 0xFF:
+            pos += 2  # standalone markers / fill bytes carry no length
+            continue
+        (ln,) = struct.unpack_from(">H", buf, pos + 2)
+        body = buf[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:  # DQT (possibly several tables)
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 0x0F
+                o += 1
+                if pq == 0:
+                    tbl = np.frombuffer(body, np.uint8, 64, o).astype(np.float64)
+                    o += 64
+                else:
+                    tbl = np.frombuffer(body, ">u2", 64, o).astype(np.float64)
+                    o += 128
+                full = np.empty(64)
+                full[_ZIGZAG] = tbl
+                qt[tq] = full.reshape(8, 8)
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 0x0F
+                bits = list(body[o + 1 : o + 17])
+                nv = sum(bits)
+                vals = list(body[o + 17 : o + 17 + nv])
+                o += 17 + nv
+                (huff_dc if tc == 0 else huff_ac)[th] = _huff_decode_table(
+                    bits, vals
+                )
+        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError("jpeg: only 8-bit baseline (use Pillow)")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq_ = struct.unpack_from(">BBB", body, 6 + 3 * i)
+                comps.append((cid, hv >> 4, hv & 0x0F, tq_))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError("jpeg: non-baseline frame (use Pillow)")
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            if frame is None:
+                raise ValueError("jpeg: SOS before SOF")
+            ns = body[0]
+            sel = []
+            for i in range(ns):
+                cs, tt = struct.unpack_from(">BB", body, 1 + 2 * i)
+                sel.append((cs, tt >> 4, tt & 0x0F))
+            h, w, comps = frame
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            m = _dct_mat()
+            # luma = component with the max sampling factors (or the
+            # only one); its plane is emitted
+            luma_idx = next(
+                i for i, c in enumerate(comps) if c[1] == hmax and c[2] == vmax
+            )
+            ly, lx = comps[luma_idx][2], comps[luma_idx][1]
+            plane = np.zeros((mcuy * ly * 8, mcux * lx * 8))
+            br = _BitReader(buf[pos:])
+            prev = [0] * len(comps)
+            mcu_count = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart and mcu_count and mcu_count % restart == 0:
+                        br.align_and_expect_rst(mcu_count // restart - 1)
+                        prev = [0] * len(comps)
+                    for ci, (cid, ch, cv, ctq) in enumerate(comps):
+                        _, tdc, tac = next(s for s in sel if s[0] == cid)
+                        for v in range(cv):
+                            for u in range(ch):
+                                size = br.huff(huff_dc[tdc])
+                                diff = _extend(br.bits(size), size)
+                                prev[ci] += diff
+                                zz = np.zeros(64)
+                                zz[0] = prev[ci]
+                                k = 1
+                                while k < 64:
+                                    rs = br.huff(huff_ac[tac])
+                                    if rs == 0x00:  # EOB
+                                        break
+                                    if rs == 0xF0:  # ZRL
+                                        k += 16
+                                        continue
+                                    k += rs >> 4
+                                    if k > 63:
+                                        raise ValueError("jpeg: AC overrun")
+                                    zz[k] = _extend(br.bits(rs & 0x0F), rs & 0x0F)
+                                    k += 1
+                                if ci != luma_idx:
+                                    continue  # chroma: advance only
+                                coef = np.empty(64)
+                                coef[_ZIGZAG] = zz
+                                blk = (
+                                    m.T @ (coef.reshape(8, 8) * qt[ctq]) @ m
+                                ) + 128.0
+                                y0 = (my * cv + v) * 8
+                                x0 = (mx * ch + u) * 8
+                                plane[y0 : y0 + 8, x0 : x0 + 8] = blk
+                    mcu_count += 1
+            return np.clip(plane[:h, :w], 0, 255)
+        # APPn / COM / others: skipped via the generic length walk
+    raise ValueError("jpeg: no scan data")

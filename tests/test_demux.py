@@ -368,3 +368,100 @@ def test_doc_video_pipeline_planted(spark):
         if r.doc_id % 10 == 0 and len((r.text or "").encode()) >= 129
     }
     assert got == want and got
+
+
+# ---------------------------------------------------------------------------
+# r11: baseline JPEG codec
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_roundtrip_greyscale():
+    """Encoder/decoder round-trip: shape preserved, error bounded by
+    quantization (tight on smooth content, bounded on noise)."""
+    import numpy as np
+
+    from matcha_spark.operators.codecs import jpeg_decode_image, write_jpeg
+
+    rng = np.random.default_rng(11)
+    for shape in [(8, 8), (16, 24), (17, 9), (64, 40)]:
+        a = rng.integers(0, 256, shape).astype(float)
+        out = jpeg_decode_image(write_jpeg(a, quality=95))
+        assert out.shape == shape
+        assert np.abs(out - a).max() <= 16  # noise: bounded by quant
+    # smooth gradient: near-exact at high quality
+    y, x = np.mgrid[0:32, 0:32]
+    g = (y * 4 + x * 2).astype(float) % 256
+    out = jpeg_decode_image(write_jpeg(g, quality=95))
+    assert np.abs(out - g).mean() < 3
+
+
+def test_jpeg_color_luma_and_restarts():
+    """The YCbCr path decodes the same luma as greyscale (neutral
+    chroma blocks advance the entropy stream but skip the IDCT), and
+    restart intervals change the byte stream, not the pixels."""
+    import numpy as np
+
+    from matcha_spark.operators.codecs import jpeg_decode_image, write_jpeg
+
+    rng = np.random.default_rng(12)
+    a = rng.integers(0, 256, (24, 40)).astype(float)
+    base = jpeg_decode_image(write_jpeg(a, quality=90))
+    for ri in (1, 2, 7):
+        assert np.allclose(
+            jpeg_decode_image(write_jpeg(a, quality=90, restart_every=ri)), base
+        )
+        assert np.allclose(
+            jpeg_decode_image(
+                write_jpeg(a, quality=90, color=True, restart_every=ri)
+            ),
+            base,
+        )
+    # determinism: identical input -> identical container bytes
+    assert write_jpeg(a, 90, True, 3) == write_jpeg(a, 90, True, 3)
+
+
+def test_jpeg_error_paths_and_sniff():
+    import numpy as np
+    import pytest
+
+    from matcha_spark.operators.codecs import (
+        jpeg_decode_image,
+        sniff_decode_image,
+        write_jpeg,
+    )
+
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg_decode_image(b"not a jpeg")
+    # a progressive frame marker (SOF2) must raise, not mis-decode
+    a = np.zeros((8, 8))
+    buf = bytearray(write_jpeg(a))
+    i = buf.find(b"\xFF\xC0")
+    buf[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="non-baseline"):
+        jpeg_decode_image(bytes(buf))
+    # magic-byte routing reaches the struct decoder
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (16, 16)).astype(float)
+    out = sniff_decode_image(write_jpeg(img, quality=95))
+    assert out.shape == (16, 16)
+
+
+def test_jpeg_in_mp4_video_pipeline():
+    """MJPEG-style composition: JPEG samples inside a real MP4 demux
+    through the same seams the PNG pipeline uses — identical containers
+    produce identical pHashes."""
+    import numpy as np
+
+    from matcha_spark.operators.codecs import sniff_decode_image, write_jpeg
+    from matcha_spark.operators.demux import parse_mp4_samples, write_mp4
+
+    rng = np.random.default_rng(14)
+    frames = [
+        write_jpeg(rng.integers(0, 256, (8, 8)).astype(float)) for _ in range(4)
+    ]
+    container = write_mp4(frames, chunks=[2, 2])
+    samples = parse_mp4_samples(container)
+    assert len(samples) == 4
+    for (off, size), f in zip(samples, frames):
+        assert container[off : off + size] == f
+        assert sniff_decode_image(container[off : off + size]).shape == (8, 8)

@@ -87,6 +87,22 @@ def main() -> None:
     )
     report["one_admission"] = {"jobs": jobs, "sec": dt}
 
+    # r11: the embedding store path — one admission against a warm
+    # vector store (the per-micro-batch floor of the semdedup method)
+    emb = load_tables(spark, SF_DIR, "embeddings")["embeddings"]
+    efirst = emb.where(F.col("vec_id") < 250)
+    ebatch = emb.where(F.col("vec_id") >= 250)
+    clear_memo()
+    _, estore = D.incremental_semdedup(efirst, None, threshold=0.95, n_clusters=8)
+    estore = memo_persist(estore)
+    _, jobs, dt = count_jobs(
+        "semdedup_admission",
+        lambda: force(
+            D.incremental_semdedup(ebatch, estore, threshold=0.95, n_clusters=8)[0]
+        ),
+    )
+    report["semdedup_admission"] = {"jobs": jobs, "sec": dt}
+
     print(json.dumps(report))
     spark.stop()
 
