@@ -219,10 +219,10 @@ def test_relative_seeding_gate(db, monkeypatch):
     larger graph) at unit scale: under the old absolute gate no
     anchor would ever pass; under the relative gate the selective
     anchor (est ≤ knows-edge count) must still seed."""
-    from matcha_spark.plans import compiler as C
+    from matcha_spark.plans import compiler as _compiler
     from matcha_spark.query import explain_query
 
-    monkeypatch.setattr(C, "SEEDED_FRONTIER_EST", 0.0)
+    monkeypatch.setattr(_compiler, "SEEDED_FRONTIER_EST", 0.0)
     plan = explain_query(
         [("?n", NAME, "bee"), ("?s", OneOrMore(KNOWS), "?n")], db
     )
