@@ -1498,6 +1498,80 @@ def doc_video_pipeline(spark, sf_dir):
     ).select("vid_a", "vid_b")
 
 
+def doc_video_mjpeg(spark, sf_dir):
+    """MJPEG sibling of ``doc_video_pipeline`` (r11): identical
+    composition — real MP4 demux, magic-byte-routed pure-struct decode,
+    pHash, banded pairs — but the samples are baseline JPEGs
+    (``codecs.write_jpeg`` / ``jpeg_decode_image``), the codec real
+    video corpora actually carry.  JPEG is lossy but DETERMINISTIC:
+    identical text → identical container bytes → identical decoded
+    pixels → hamming 0, so the planted-pair argument of the PNG entry
+    holds unchanged.  Rows-only THIS round purely by window-capacity
+    discipline (the r11 window is exactly full); its oracle — the same
+    `strlen >= 129` planted-pair SQL as ``doc_video_pipeline`` — is
+    slated for one of r12's 9 free slots."""
+    import numpy as np
+    import pandas as pd
+
+    from .cache import memo_persist
+    from .operators import multimodal as MM
+    from .operators.codecs import sniff_decode_image, write_jpeg
+    from .operators.demux import mp4_frame_slicer, write_mp4
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    tile_bytes = 128
+
+    def build(batches):
+        for pdf in batches:
+            ids, durs, payloads = [], [], []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                b = (t or "").encode("utf-8")
+                samples = []
+                for i in range(0, len(b), tile_bytes):
+                    tile = np.zeros(tile_bytes, dtype=np.uint8)
+                    piece = np.frombuffer(b[i : i + tile_bytes], dtype=np.uint8)
+                    tile[: len(piece)] = piece
+                    samples.append(
+                        write_jpeg(tile.reshape(8, tile_bytes // 8).astype(float))
+                    )
+                ids.append(doc_id)
+                durs.append(max(len(samples) - 1, 0) * 1000)
+                payloads.append(write_mp4(samples))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "kind": "video",
+                    "format": "mjpeg",
+                    "duration_ms": pd.Series(durs, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    media = memo_persist(
+        docs.select("doc_id", "text").repartition(parts).mapInPandas(
+            build,
+            schema="media_id long, kind string, format string,"
+            " duration_ms long, payload binary",
+        )
+    )
+    dups = media.where(F.col("media_id") % 10 == 0).withColumn(
+        "media_id", F.col("media_id") + 1_000_000
+    )
+    pairs = MM.video_near_dup_pairs(
+        media.unionByName(dups),
+        every_ms=1000,
+        frame_bytes=0,
+        max_hamming=0,
+        min_shared_frames=2,
+        decoder=sniff_decode_image,
+        frame_slicer=mp4_frame_slicer,
+    )
+    return pairs.where(
+        F.col("vid_b") == F.col("vid_a") + 1_000_000
+    ).select("vid_a", "vid_b")
+
+
 def doc_audio_near_dup_planted(spark, sf_dir):
     """Derived-invariant twin of ``doc_audio_near_dup``: same planted
     shape over Haitsma–Kalker window fingerprints — an identical
@@ -2361,6 +2435,7 @@ QUERIES = {
     "emb_ivf_topk": emb_ivf_topk,
     "emb_dup_pairs_lsh": emb_dup_pairs_lsh,
     "emb_semdedup_incremental": emb_semdedup_incremental,
+    "doc_video_mjpeg": doc_video_mjpeg,
 }
 
 # entries whose ORACLES row exists (and is verified locally by

@@ -465,3 +465,16 @@ def test_jpeg_in_mp4_video_pipeline():
     for (off, size), f in zip(samples, frames):
         assert container[off : off + size] == f
         assert sniff_decode_image(container[off : off + size]).shape == (8, 8)
+
+
+def test_doc_video_mjpeg_matches_png_pipeline(spark):
+    """The MJPEG and PNG zero-seam pipelines must find the identical
+    planted-pair set — the codec changes, the dedup semantics do not."""
+    from matcha_spark.suite import doc_video_mjpeg, doc_video_pipeline
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted((r.vid_a, r.vid_b) for r in doc_video_mjpeg(spark, sf).collect())
+    b = sorted(
+        (r.vid_a, r.vid_b) for r in doc_video_pipeline(spark, sf).collect()
+    )
+    assert a == b and a
