@@ -312,6 +312,9 @@ def main() -> None:
     # encode them); the timed runs measure the actual dedup path —
     # demux -> PNG decode -> pHash -> banded pairs
     bench("doc_video_pipeline", lambda: force(doc_video_pipeline(spark, SF_DIR)))
+    from matcha_spark.suite import doc_video_mjpeg
+
+    bench("doc_video_mjpeg", lambda: force(doc_video_mjpeg(spark, SF_DIR)))
     bench("doc_length_batches", lambda: force(T.length_batches(docs, bucket_width=16, batch_size=8)))
 
     total = round(sum(times.values()), 3)
