@@ -847,6 +847,41 @@ def dedup_near_embeddings(
     )
 
 
+def _subcell_split(
+    df: DataFrame, vec_col: str, max_cell_rows: int | None
+) -> tuple[DataFrame, list]:
+    """Bounded-memory guard for the per-cell SemDeDup kernels (r11):
+    any cell whose row count exceeds ``max_cell_rows`` is dealt across
+    ``ceil(count / max_cell_rows)`` sub-cells by a hash of the VECTOR
+    CONTENT, and the prune groups by ``(cell, sub)``.  Content-hashing
+    (not id-hashing) keeps exact-duplicate detection sound — identical
+    vectors always share a sub-cell — while near-dups split across
+    sub-cells may be missed, which is the SAME trade SemDeDup already
+    makes at cell boundaries (equivalent to running with more
+    clusters).  The histogram rides a broadcast join; no driver
+    collect.  Returns (df with ``__sub``, group columns)."""
+    if not max_cell_rows:
+        return df.withColumn("__sub", F.lit(0)), ["cell"]
+    big = (
+        df.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > int(max_cell_rows))
+        .select(
+            "cell",
+            F.ceil(F.col("__n") / int(max_cell_rows))
+            .cast("int")
+            .alias("__nsub"),
+        )
+    )
+    out = df.join(F.broadcast(big), "cell", "left").withColumn(
+        "__sub",
+        F.when(F.col("__nsub").isNull(), F.lit(0)).otherwise(
+            F.pmod(F.xxhash64(F.col(vec_col)), F.col("__nsub")).cast("int")
+        ),
+    ).drop("__nsub")
+    return out, ["cell", "__sub"]
+
+
 def semdedup(
     emb: DataFrame,
     threshold: float = 0.95,
@@ -855,6 +890,7 @@ def semdedup(
     vec_col: str = "embedding",
     seed: int = 42,
     sample_size: int = 4096,
+    max_cell_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings with a sample-trained k-means
@@ -876,7 +912,12 @@ def semdedup(
     ``n_clusters`` must scale with corpus size to keep cells
     executor-sized, exactly as in the paper.  The greedy scan is one
     BLAS matmul per cluster plus an O(kept) masked pass — no Python
-    per-pair work."""
+    per-pair work.  ``max_cell_rows`` (r11) bounds the worst case when
+    the quantizer lands a mega-cell anyway (skewed corpora): oversized
+    cells deal into content-hashed sub-cells (:func:`_subcell_split`)
+    so no kernel invocation ever exceeds the cap — exact duplicates
+    still always share a sub-cell; non-identical near-dups may split,
+    the same miss class as cell boundaries."""
     import numpy as np
     import pandas as pd
 
@@ -918,7 +959,8 @@ def semdedup(
             }
         )
 
-    out = assigned.groupBy("cell").applyInPandas(
+    split, group_cols = _subcell_split(assigned, "vec", max_cell_rows)
+    out = split.groupBy(*group_cols).applyInPandas(
         prune, schema="id long, cluster int, keep boolean, dup_of long"
     )
     return out.select(
@@ -1182,6 +1224,7 @@ def incremental_semdedup(
     seed: int = 42,
     sample_size: int = 4096,
     with_delta: bool = False,
+    max_cell_rows: int | None = None,
 ):
     """Append-only semantic dedup for embeddings — the store-based
     SemDeDup the r10 verdict asked for (What's missing #4): admit a new
@@ -1261,6 +1304,7 @@ def incremental_semdedup(
         F.lit(False).alias("new"),
     )
     both = members.unionByName(assigned.withColumn("new", F.lit(True)))
+    both, group_cols = _subcell_split(both, "vec", max_cell_rows)
 
     th = float(threshold)
 
@@ -1301,7 +1345,7 @@ def incremental_semdedup(
         )
 
     decisions = memo_persist(
-        both.groupBy("cell")
+        both.groupBy(*group_cols)
         .applyInPandas(admit, schema="id long, keep boolean, dup_of long")
         .select(F.col("id").alias(id_col), "keep", "dup_of")
     )

@@ -1260,3 +1260,45 @@ def test_incremental_semdedup_batches(spark):
         assert not dec3[20].keep and dec3[20].dup_of == 1
         assert dec3[21].keep
         assert store3.where("NOT centroid").count() == 4
+
+
+def test_semdedup_max_cell_rows_guard(spark):
+    """r11: the bounded-memory sub-cell guard — exact copies are still
+    pruned (content-hash salting puts identical vectors in the same
+    sub-cell) and the prune groups by (cell, sub)."""
+    import math
+
+    def vec(theta):
+        return [float(math.cos(theta)), float(math.sin(theta))]
+
+    rows = [(i, vec(0.1 * i)) for i in range(40)]
+    rows += [(100 + i, vec(0.1 * i)) for i in range(40)]  # exact copies
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = D.semdedup(emb, threshold=0.9999, n_clusters=2, max_cell_rows=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__sub" in plan
+    got = {r.vec_id: r for r in out.collect()}
+    assert len(got) == 80
+    for i in range(40):
+        # identical pair: exactly one of (i, 100+i) survives, and the
+        # dropped one points at the kept one
+        a, b = got[i], got[100 + i]
+        assert a.keep and not b.keep and b.dup_of == i
+    # cap off -> behavior unchanged vs capped on exact-dup structure
+    base = {r.vec_id: r.keep for r in D.semdedup(
+        emb, threshold=0.9999, n_clusters=2).collect()}
+    assert base == {r: got[r].keep for r in got}
+
+    # incremental variant honors the same guard
+    first = emb.where("vec_id < 100")
+    batch = emb.where("vec_id >= 100").select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    d1, store = D.incremental_semdedup(
+        first, None, threshold=0.9999, n_clusters=2, max_cell_rows=10
+    )
+    d2, _ = D.incremental_semdedup(
+        batch, store, threshold=0.9999, n_clusters=2, max_cell_rows=10
+    )
+    dec = {r.vec_id: r for r in d2.collect()}
+    assert all(not dec[1100 + i].keep for i in range(40))
