@@ -316,6 +316,7 @@ def main() -> None:
 
     bench("doc_video_mjpeg", lambda: force(doc_video_mjpeg(spark, SF_DIR)))
     bench("doc_length_batches", lambda: force(T.length_batches(docs, bucket_width=16, batch_size=8)))
+    bench("doc_bigram_logloss", lambda: force(T.bigram_logloss(docs)))
 
     total = round(sum(times.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -38,6 +38,7 @@ __all__ = [
     "cdc_chunks",
     "benchmark_contamination",
     "unigram_logloss",
+    "bigram_logloss",
     "normalize_text",
     "strip_dup_ngrams",
     "dedup_paragraphs",
@@ -849,6 +850,83 @@ def unigram_logloss(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.count(F.lit(1)).alias("n_tokens"),
             F.round(F.sum("nll") / F.count(F.lit(1)), 4).alias("logloss"),
         )
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("logloss", F.lit(0.0)).alias("logloss"),
+    )
+
+
+BOS = "\ue001"  # document-start sentinel for bigram_logloss (private-use
+# codepoint — cannot appear in whitespace-split tokens of sane corpora;
+# a corpus that does contain it would fold those tokens into the
+# boundary statistics)
+
+
+def bigram_logloss(
+    docs: DataFrame, alpha: float = 0.4, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-trained INTERPOLATED BIGRAM language-model quality score —
+    the KenLM/CCNet-style perplexity filter one order up from
+    :func:`unigram_logloss`: per document, the mean negative log
+    probability of its tokens under
+
+        p(w | h) = α · c(h, w) / c(h)  +  (1 − α) · c(w) / T
+
+    with a document-start sentinel so the first token scores against a
+    genuine boundary distribution.  Repetitive/templated text scores
+    LOW (its bigrams are corpus-frequent), rare-token soup scores HIGH,
+    and — unlike the unigram score — shuffled word salad of common
+    words also scores high, which is the class the unigram filter
+    cannot see.
+
+    Output: ``(doc_id, n_tokens, logloss)`` (natural log, 4dp).
+
+    Scale shape: bigrams derive INSIDE the token array (``transform``
+    over indices — a narrow map, never a positional self-join), then
+    one aggregate each for bigram counts, history counts, and the
+    total; scoring is two token-keyed equi-joins (the same class as
+    the unigram op) and a per-doc rollup.  Deterministic to 4dp (the
+    unigram op's reordering argument)."""
+    if not (0.0 <= alpha <= 1.0):
+        raise ValueError("alpha must be in [0, 1]")
+    from .. import cache as _cache
+
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    with_bos = F.concat(F.array(F.lit(BOS)), toks)
+    big = F.expr(
+        "transform(sequence(1, size(__t) - 1), "
+        "i -> struct(__t[i - 1] AS w1, __t[i] AS w2))"
+    )
+    pairs = _cache.memo_persist(
+        docs.select("doc_id", with_bos.alias("__t"))
+        .where(F.size("__t") > 1)
+        .select("doc_id", F.explode(big).alias("b"))
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1h = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1h"))
+    # unigram term over REAL tokens only (the sentinel is a history,
+    # never a predicted word)
+    uni = pairs.groupBy("w2").agg(F.count(F.lit(1)).alias("cu"))
+    total = uni.agg(F.sum("cu").alias("t"))
+    p = (
+        F.lit(float(alpha)) * F.col("c2") / F.col("c1h")
+        + (1.0 - float(alpha)) * F.col("cu") / F.col("t")
+    )
+    scored = (
+        pairs.join(c2, ["w1", "w2"])
+        .join(c1h, "w1")
+        .join(uni, "w2")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", (-F.log(p)).alias("nll"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.sum("nll") / F.count(F.lit(1)), 4).alias("logloss"),
     )
     return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
         "doc_id",

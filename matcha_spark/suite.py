@@ -1572,6 +1572,16 @@ def doc_video_mjpeg(spark, sf_dir):
     ).select("vid_a", "vid_b")
 
 
+def doc_bigram_logloss(spark, sf_dir):
+    """Interpolated bigram LM quality score (r11): the KenLM/CCNet-
+    style perplexity filter one order above ``doc_unigram_logloss`` —
+    catches shuffled-common-word salad the unigram score cannot see.
+    Oracle HELD BACK this round (declared r11, window full; promotes
+    with an r12 free slot — registry_audit enforces it)."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return T.bigram_logloss(docs, alpha=0.4)
+
+
 def doc_audio_near_dup_planted(spark, sf_dir):
     """Derived-invariant twin of ``doc_audio_near_dup``: same planted
     shape over Haitsma–Kalker window fingerprints — an identical
@@ -2436,6 +2446,7 @@ QUERIES = {
     "emb_dup_pairs_lsh": emb_dup_pairs_lsh,
     "emb_semdedup_incremental": emb_semdedup_incremental,
     "doc_video_mjpeg": doc_video_mjpeg,
+    "doc_bigram_logloss": doc_bigram_logloss,
 }
 
 # entries whose ORACLES row exists (and is verified locally by
@@ -2445,8 +2456,11 @@ QUERIES = {
 # (r10 advice) now treats any holdback as oracle-backed — warning the
 # round it appears and FAILING if it persists into a second round
 # (ORACLE_HOLDBACK_SINCE records the round each holdback was declared).
-ORACLE_HOLDBACK: set[str] = set()
-ORACLE_HOLDBACK_SINCE: dict[str, int] = {}
+ORACLE_HOLDBACK: set[str] = {"doc_video_mjpeg", "doc_bigram_logloss"}
+ORACLE_HOLDBACK_SINCE: dict[str, int] = {
+    "doc_video_mjpeg": 11,
+    "doc_bigram_logloss": 11,
+}
 
 _EN = "'the','a','and','of','to','in','is','that','it','for'"
 _ES = "'el','la','de','que','y','en','un','es','no','por'"
@@ -4339,4 +4353,44 @@ ORACLES["doc_video_pipeline"] = """
     SELECT doc_id AS vid_a, doc_id + 1000000 AS vid_b
     FROM documents
     WHERE doc_id % 10 = 0 AND strlen(text) >= 129
+"""
+
+
+# held-back r11 oracles (declared ORACLE_HOLDBACK_SINCE=11; verified
+# locally by tools/check_oracle.py, published with an r12 free slot —
+# registry_audit fails if they persist past r11 unpublished)
+ORACLES["doc_video_mjpeg"] = ORACLES["doc_video_pipeline"]
+ORACLES["doc_bigram_logloss"] = r"""
+    WITH d AS (
+        SELECT doc_id,
+               [chr(57345)] || list_filter(
+                   regexp_split_to_array(lower(trim(coalesce(text, ''))),
+                                         '\s+'),
+                   x -> x <> '') AS ws
+        FROM documents
+    ), pp AS (
+        SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(ws)),
+                                         i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS s
+            FROM d WHERE len(ws) > 1
+        )
+    ), c2 AS (SELECT w1, w2, count(*) AS c2 FROM pp GROUP BY 1, 2),
+       c1 AS (SELECT w1, count(*) AS c1h FROM pp GROUP BY 1),
+       cu AS (SELECT w2, count(*) AS cu FROM pp GROUP BY 1),
+       t  AS (SELECT count(*) AS t FROM pp),
+       sc AS (
+        SELECT pp.doc_id,
+               -ln(0.4 * c2.c2 / c1.c1h + (1 - 0.4) * cu.cu / t.t) AS nll
+        FROM pp JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+                JOIN cu USING (w2) CROSS JOIN t
+       ), agg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               round(sum(nll) / count(*), 4) AS logloss
+        FROM sc GROUP BY 1
+       )
+    SELECT documents.doc_id,
+           coalesce(agg.n_tokens, 0) AS n_tokens,
+           coalesce(agg.logloss, 0.0) AS logloss
+    FROM documents LEFT JOIN agg ON documents.doc_id = agg.doc_id
 """

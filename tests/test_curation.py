@@ -913,3 +913,48 @@ def test_split_assign_thresholds_exact(spark):
     assert rate_threshold_hex(0.9 + 0.05) not in plan or (
         rate_threshold_hex(0.9 + 0.05) == rate_threshold_hex(0.95)
     )
+
+
+def test_bigram_logloss_hand_model(spark):
+    """r11: interpolated bigram LM vs a literal Python replay, plus the
+    two behaviors that motivate the op — repeated common bigrams score
+    lower than the same words shuffled, and empty docs come back 0."""
+    import math
+    from collections import Counter
+
+    from matcha_spark.operators.text import BOS, bigram_logloss
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cat sat on the mat",
+        3: "mat the on sat cat the",   # same words, scrambled
+        4: "",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_logloss(docs, alpha=0.4).collect()}
+
+    # literal replay
+    pairs = []
+    for t in texts.values():
+        ws = [BOS] + t.lower().split()
+        pairs += list(zip(ws, ws[1:]))
+    c2 = Counter(pairs)
+    c1 = Counter(w1 for w1, _ in pairs)
+    cu = Counter(w2 for _, w2 in pairs)
+    T = sum(cu.values())
+
+    def score(t):
+        ws = [BOS] + t.lower().split()
+        ps = list(zip(ws, ws[1:]))
+        if not ps:
+            return 0, 0.0
+        nll = [
+            -math.log(0.4 * c2[p] / c1[p[0]] + 0.6 * cu[p[1]] / T) for p in ps
+        ]
+        return len(ps), round(sum(nll) / len(ps), 4)
+
+    for did, t in texts.items():
+        n, ll = score(t)
+        assert (out[did].n_tokens, out[did].logloss) == (n, ll), did
+    # the scrambled doc's bigrams are corpus-rare -> higher loss
+    assert out[3].logloss > out[1].logloss

@@ -66,11 +66,13 @@ def main() -> int:
             print(f"PROBLEM: holdback {hb!r} has no ORACLE_HOLDBACK_SINCE "
                   "round — declare when it was held back")
             return 1
-        if since <= latest_round and hb not in seen:
+        if since < latest_round and hb not in seen:
+            # a FULL driver round has passed since declaration and the
+            # oracle still is not published — the r10-advice failure tier
             print(f"PROBLEM: holdback {hb!r} (declared r{since:02d}) has "
-                  f"persisted into a later round (latest driver round "
-                  f"r{latest_round:02d}) with no hash-green record — publish "
-                  "its oracle with this rotation")
+                  f"persisted past its declaration round (latest driver "
+                  f"round r{latest_round:02d}) with no hash-green record — "
+                  "publish its oracle with this rotation")
             return 1
         print(f"WARNING: {hb!r} holds back its oracle (declared "
               f"r{since:02d}) — it MUST publish with the next rotation")
@@ -81,6 +83,12 @@ def main() -> int:
                 print(f"  note: rows-only entry {name!r} occupies a window slot")
             continue
         if not in_win and name not in seen:
+            if (name in ORACLE_HOLDBACK
+                    and ORACLE_HOLDBACK_SINCE.get(name, 0) > latest_round):
+                # declared THIS round: the oracle is unpublished by
+                # definition, so no prior record is expected — the
+                # holdback warn/fail tier above owns its lifecycle
+                continue
             problems.append(name)
     never = [n for n in q[:WINDOW] if n in oracles and n not in seen]
     prev_green = [n for n in q[:WINDOW] if n in oracles and n in seen]
@@ -102,10 +110,16 @@ def main() -> int:
     # record).  Steady state: ~37+ refreshes per round keeps every entry
     # inside the horizon.
     stale_limit = latest_round - 2  # next run is latest_round + 1
+
+    def fresh_holdback(n: str) -> bool:
+        return (n in ORACLE_HOLDBACK
+                and ORACLE_HOLDBACK_SINCE.get(n, 0) > latest_round)
+
     stale = sorted(
-        (n, seen_round[n])
+        (n, seen_round.get(n, 0))
         for n in q[WINDOW:]
         if n in oracles and seen_round.get(n, 0) < stale_limit
+        and not fresh_holdback(n)
     )
     if stale:
         print("PROBLEM: oracle-backed entries outside the window whose newest "
