@@ -917,13 +917,17 @@ def bigram_logloss(
         F.lit(float(alpha)) * F.col("c2") / F.col("c1h")
         + (1.0 - float(alpha)) * F.col("cu") / F.col("t")
     )
-    scored = (
-        pairs.join(c2, ["w1", "w2"])
-        .join(c1h, "w1")
+    # score each DISTINCT bigram once, then join back to the stream
+    # once — the per-occurrence table shuffles a single time instead of
+    # riding through three successive count joins (the count tables are
+    # a fraction of the occurrence table under Zipf)
+    probs = (
+        c2.join(c1h, "w1")
         .join(uni, "w2")
         .crossJoin(F.broadcast(total))
-        .select("doc_id", (-F.log(p)).alias("nll"))
+        .select("w1", "w2", (-F.log(p)).alias("nll"))
     )
+    scored = pairs.join(probs, ["w1", "w2"]).select("doc_id", "nll")
     per_doc = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.sum("nll") / F.count(F.lit(1)), 4).alias("logloss"),
