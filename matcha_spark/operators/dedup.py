@@ -1002,7 +1002,12 @@ def incremental_dedup_near(
     Scale shape: banding + bucket join against the union of stores —
     pairwise work bounded by bucket occupancy exactly as in
     :func:`minhash_lsh_candidates`; the signature store is ~512 bytes
-    per accepted doc and never rescans accepted text."""
+    per accepted doc and never rescans accepted text.
+
+    Contract (whole incremental family): doc ids are globally unique
+    across batches — re-submitting an already-admitted ID (not just
+    identical text under a fresh id) is undefined; the store is
+    append-only keyed by id."""
     sig_new = memo_persist(
         minhash_signatures(new_docs, num_hashes=num_hashes, n=n, text_col=text_col)
         .select("doc_id", *[f"h{i}" for i in range(num_hashes)])
@@ -1262,7 +1267,11 @@ def incremental_semdedup(
     Scale shape: per batch, one Arrow assignment pass + one cogrouped
     per-cell kernel whose matmuls are (batch∩cell) × (kept∩cell) —
     never corpus×corpus; the only driver traffic is the centroid matrix
-    (n_clusters × dim floats, KBs)."""
+    (n_clusters × dim floats, KBs).
+
+    Contract (whole incremental family): vector ids are globally
+    unique across batches — re-submitting an already-admitted ID is
+    undefined (the store is append-only keyed by id)."""
     import numpy as np
 
     import pandas as pd

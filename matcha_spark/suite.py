@@ -1506,10 +1506,11 @@ def doc_video_mjpeg(spark, sf_dir):
     video corpora actually carry.  JPEG is lossy but DETERMINISTIC:
     identical text → identical container bytes → identical decoded
     pixels → hamming 0, so the planted-pair argument of the PNG entry
-    holds unchanged.  Rows-only THIS round purely by window-capacity
-    discipline (the r11 window is exactly full); its oracle — the same
-    `strlen >= 129` planted-pair SQL as ``doc_video_pipeline`` — is
-    slated for one of r12's 9 free slots."""
+    holds unchanged.  Oracle HELD BACK this round (declared
+    ORACLE_HOLDBACK_SINCE=11; the r11 window is exactly full) — the
+    same `strlen >= 129` planted-pair SQL as ``doc_video_pipeline``,
+    verified locally by check_oracle and promoted with an r12 free
+    slot; registry_audit fails if it slips."""
     import numpy as np
     import pandas as pd
 
