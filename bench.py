@@ -317,6 +317,9 @@ def main() -> None:
     bench("doc_video_mjpeg", lambda: force(doc_video_mjpeg(spark, SF_DIR)))
     bench("doc_length_batches", lambda: force(T.length_batches(docs, bucket_width=16, batch_size=8)))
     bench("doc_bigram_logloss", lambda: force(T.bigram_logloss(docs)))
+    from matcha_spark.suite import graph_triangles_parts
+
+    bench("graph_triangles_parts", lambda: force(graph_triangles_parts(spark, SF_DIR)))
 
     total = round(sum(times.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]

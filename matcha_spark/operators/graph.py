@@ -44,6 +44,7 @@ __all__ = [
     "cleanup_closure",
     "path_edges",
     "graph_nodes",
+    "triangle_counts",
 ]
 
 
@@ -715,3 +716,88 @@ def pagerank(
             )
         )
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficient over
+    an UNDIRECTED graph given as a (possibly directed / duplicated /
+    self-looped) edge list: ``(node, degree, triangles, lcc)`` with
+    ``lcc = 2·triangles / (degree·(degree−1))`` (0 where degree < 2).
+
+    The classic distributed recipe (node-iterator with the
+    degree-ordering trick, e.g. Suri & Vassilvitskii 2011, "Counting
+    triangles and the curse of the last reducer"): canonicalize each
+    undirected edge once (``a < b``), orient every edge from the
+    LOWER-(degree, id) endpoint to the higher, build wedges by joining
+    oriented out-edges on their pivot, and close each wedge with one
+    hash join against the canonical edge set.  The orientation bounds
+    every node's out-degree by O(√m) on any graph, so the wedge join —
+    the only super-linear step — generates O(m^{3/2}) rows worst-case
+    instead of Σ deg² (the "last reducer" hub blowup); all three steps
+    are shuffle-partitioned equi-joins, nothing collects.
+
+    Exactly SQL-expressible (same joins in DuckDB), so a suite entry
+    can hash-check it end-to-end."""
+    from ..cache import memo_persist
+
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates()
+    )
+    e = memo_persist(e)
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient edges low→high by (degree, id); broadcast-join degrees if
+    # small is Catalyst's call — both sides shuffle on the node key
+    da = deg.select(F.col("n").alias("a"), F.col("deg").alias("da"))
+    db_ = deg.select(F.col("n").alias("b"), F.col("deg").alias("db"))
+    lo_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        e.join(da, "a")
+        .join(db_, "b")
+        .select(
+            F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        )
+    )
+    w1 = oriented.select(F.col("lo").alias("p"), F.col("hi").alias("x"))
+    w2 = oriented.select(F.col("lo").alias("p"), F.col("hi").alias("y"))
+    wedges = w1.join(w2, "p").where(F.col("x") < F.col("y"))
+    closed = wedges.join(
+        e,
+        (F.col("x") == F.col("a")) & (F.col("y") == F.col("b")),
+        "inner",
+    ).select("p", "x", "y")
+    per_node = (
+        closed.select(F.col("p").alias("n"))
+        .unionAll(closed.select(F.col("x").alias("n")))
+        .unionAll(closed.select(F.col("y").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    tri = F.coalesce("triangles", F.lit(0))
+    lcc = F.when(
+        F.col("deg") >= 2,
+        F.round(2.0 * tri / (F.col("deg") * (F.col("deg") - 1)), 4),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(per_node, "n", "left")
+        .select(
+            F.col("n").alias("node"),
+            F.col("deg").alias("degree"),
+            tri.alias("triangles"),
+            lcc.alias("lcc"),
+        )
+    )

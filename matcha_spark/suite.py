@@ -1583,6 +1583,29 @@ def doc_bigram_logloss(spark, sf_dir):
     return T.bigram_logloss(docs, alpha=0.4)
 
 
+def graph_triangles_parts(spark, sf_dir):
+    """Triangle counts + local clustering coefficient (r11) over the
+    co-order part graph (a deterministic 10% order slice — the graph
+    is dense enough that the full-corpus wedge set is a stress test,
+    not a bench entry): parts appearing in the same order are linked,
+    and ``operators/graph.py:triangle_counts`` runs the degree-ordered
+    node-iterator (wedge join bounded O(m^1.5), never Σdeg²).  Oracle
+    HELD BACK (declared r11; promotes with an r12 free slot)."""
+    from .operators.graph import triangle_counts
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"].where(
+        F.col("l_orderkey") % 10 == 0
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return triangle_counts(edges)
+
+
 def doc_audio_near_dup_planted(spark, sf_dir):
     """Derived-invariant twin of ``doc_audio_near_dup``: same planted
     shape over Haitsma–Kalker window fingerprints — an identical
@@ -2448,6 +2471,7 @@ QUERIES = {
     "emb_semdedup_incremental": emb_semdedup_incremental,
     "doc_video_mjpeg": doc_video_mjpeg,
     "doc_bigram_logloss": doc_bigram_logloss,
+    "graph_triangles_parts": graph_triangles_parts,
 }
 
 # entries whose ORACLES row exists (and is verified locally by
@@ -2457,10 +2481,15 @@ QUERIES = {
 # (r10 advice) now treats any holdback as oracle-backed — warning the
 # round it appears and FAILING if it persists into a second round
 # (ORACLE_HOLDBACK_SINCE records the round each holdback was declared).
-ORACLE_HOLDBACK: set[str] = {"doc_video_mjpeg", "doc_bigram_logloss"}
+ORACLE_HOLDBACK: set[str] = {
+    "doc_video_mjpeg",
+    "doc_bigram_logloss",
+    "graph_triangles_parts",
+}
 ORACLE_HOLDBACK_SINCE: dict[str, int] = {
     "doc_video_mjpeg": 11,
     "doc_bigram_logloss": 11,
+    "graph_triangles_parts": 11,
 }
 
 _EN = "'the','a','and','of','to','in','is','that','it','for'"
@@ -4394,4 +4423,40 @@ ORACLES["doc_bigram_logloss"] = r"""
            coalesce(agg.n_tokens, 0) AS n_tokens,
            coalesce(agg.logloss, 0.0) AS logloss
     FROM documents LEFT JOIN agg ON documents.doc_id = agg.doc_id
+"""
+
+
+ORACLES["graph_triangles_parts"] = """
+    WITH e AS (
+        SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+               greatest(a.l_partkey, b.l_partkey) AS b
+        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey <> b.l_partkey
+          AND a.l_orderkey % 10 = 0
+    ), deg AS (
+        SELECT n, count(*) AS deg FROM (
+            SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e
+        ) GROUP BY 1
+    ), tri AS (
+        SELECT t.n, count(*) AS triangles FROM (
+            SELECT e1.a AS x FROM e e1
+                JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+                JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+            UNION ALL
+            SELECT e1.b FROM e e1
+                JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+                JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+            UNION ALL
+            SELECT e2.b FROM e e1
+                JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+                JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+        ) t(n) GROUP BY 1
+    )
+    SELECT deg.n AS node, CAST(deg.deg AS BIGINT) AS degree,
+           CAST(coalesce(tri.triangles, 0) AS BIGINT) AS triangles,
+           CASE WHEN deg.deg >= 2
+                THEN round(2.0 * coalesce(tri.triangles, 0)
+                           / (deg.deg * (deg.deg - 1)), 4)
+                ELSE 0.0 END AS lcc
+    FROM deg LEFT JOIN tri ON deg.n = tri.n
 """

@@ -1302,3 +1302,69 @@ def test_semdedup_max_cell_rows_guard(spark):
     )
     dec = {r.vec_id: r for r in d2.collect()}
     assert all(not dec[1100 + i].keep for i in range(40))
+
+
+def test_triangle_counts(spark):
+    """r11: degree-ordered node-iterator triangle counting vs a literal
+    Python enumeration — directed duplicates, reversals, and self-loops
+    in the input must not change the undirected answer."""
+    import itertools
+
+    from matcha_spark.operators.graph import triangle_counts
+
+    # K4 on {0,1,2,3} plus a pendant (4), an isolated-ish pair (5,6),
+    # and a path 7-8-9 (node 8: degree 2, ZERO triangles — the case
+    # where lcc must be a genuine 0.0, not a NULL from the left join;
+    # regression for the bug the sf0.01 oracle caught);
+    # noise: duplicates, reversed copies, self-loop
+    base = list(itertools.combinations(range(4), 2)) + [
+        (3, 4), (5, 6), (7, 8), (8, 9),
+    ]
+    edges = base + [(b, a) for a, b in base] + [(0, 1), (2, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r for r in triangle_counts(df).collect()}
+
+    # literal enumeration
+    und = {frozenset(e) for e in base}
+    nodes = {n for e in und for n in e}
+    tri = {n: 0 for n in nodes}
+    for c in itertools.combinations(sorted(nodes), 3):
+        if all(frozenset(p) in und for p in itertools.combinations(c, 2)):
+            for n in c:
+                tri[n] += 1
+    deg = {n: sum(1 for e in und if n in e) for n in nodes}
+    assert set(got) == nodes
+    for n in nodes:
+        assert got[n].degree == deg[n], n
+        assert got[n].triangles == tri[n], n
+        want_lcc = (
+            round(2 * tri[n] / (deg[n] * (deg[n] - 1)), 4) if deg[n] >= 2 else 0.0
+        )
+        assert got[n].lcc == want_lcc, n
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_triangle_counts_random_differential(spark, seed):
+    import itertools
+    import random as _r
+
+    from matcha_spark.operators.graph import triangle_counts
+
+    rng = _r.Random(1180 + seed)
+    n = rng.randint(4, 14)
+    edges = [
+        (rng.randint(0, n), rng.randint(0, n))
+        for _ in range(rng.randint(3, 40))
+    ]
+    und = {frozenset(e) for e in edges if e[0] != e[1]}
+    nodes = {x for e in und for x in e}
+    if not nodes:
+        return
+    tri = {x: 0 for x in nodes}
+    for c in itertools.combinations(sorted(nodes), 3):
+        if all(frozenset(p) in und for p in itertools.combinations(c, 2)):
+            for x in c:
+                tri[x] += 1
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.triangles for r in triangle_counts(df).collect()}
+    assert got == tri, f"seed={seed} edges={edges}"
