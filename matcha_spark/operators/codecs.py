@@ -697,6 +697,17 @@ def jpeg_decode_image(payload: bytes) -> np.ndarray:
     buf = bytes(payload)
     if buf[:2] != b"\xFF\xD8":
         raise ValueError("jpeg: bad SOI")
+    try:
+        return _jpeg_decode(buf)
+    except (IndexError, KeyError, struct.error) as e:
+        # short reads inside a truncated/corrupt stream surface as
+        # container errors, not raw index faults (fuzz finding)
+        raise ValueError(f"jpeg: truncated or corrupt stream ({e})") from e
+
+
+def _jpeg_decode(buf: bytes) -> np.ndarray:
+    import struct
+
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}

@@ -478,3 +478,32 @@ def test_doc_video_mjpeg_matches_png_pipeline(spark):
         (r.vid_a, r.vid_b) for r in doc_video_pipeline(spark, sf).collect()
     )
     assert a == b and a
+
+
+def test_jpeg_truncation_fuzz():
+    """Every prefix truncation and random single-byte corruption of a
+    valid stream terminates promptly with ValueError (or decodes, for
+    cuts past the scan data) — never a raw IndexError/KeyError or a
+    hang (fuzz finding: short reads inside the scan surfaced as list
+    index faults before the wrapper)."""
+    import numpy as np
+
+    from matcha_spark.operators.codecs import jpeg_decode_image, write_jpeg
+
+    rng = np.random.default_rng(77)
+    buf = write_jpeg(
+        rng.integers(0, 256, (16, 24)).astype(float), color=True,
+        restart_every=2,
+    )
+    for cut in range(len(buf)):
+        try:
+            jpeg_decode_image(buf[:cut])
+        except ValueError:
+            pass
+    for _ in range(200):
+        b = bytearray(buf)
+        b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+        try:
+            jpeg_decode_image(bytes(b))
+        except ValueError:
+            pass
