@@ -699,9 +699,10 @@ def jpeg_decode_image(payload: bytes) -> np.ndarray:
         raise ValueError("jpeg: bad SOI")
     try:
         return _jpeg_decode(buf)
-    except (IndexError, KeyError, struct.error) as e:
-        # short reads inside a truncated/corrupt stream surface as
-        # container errors, not raw index faults (fuzz finding)
+    except (IndexError, KeyError, StopIteration, struct.error) as e:
+        # short reads / mangled component ids inside a truncated or
+        # corrupt stream surface as container errors, not raw index
+        # faults or StopIteration (fuzz findings)
         raise ValueError(f"jpeg: truncated or corrupt stream ({e})") from e
 
 
