@@ -320,6 +320,9 @@ def main() -> None:
     from matcha_spark.suite import graph_triangles_parts
 
     bench("graph_triangles_parts", lambda: force(graph_triangles_parts(spark, SF_DIR)))
+    from matcha_spark.suite import graph_kcore_sound
+
+    bench("graph_kcore_sound", lambda: force(graph_kcore_sound(spark, SF_DIR)))
 
     total = round(sum(times.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]

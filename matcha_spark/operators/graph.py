@@ -45,6 +45,7 @@ __all__ = [
     "path_edges",
     "graph_nodes",
     "triangle_counts",
+    "coreness",
 ]
 
 
@@ -800,4 +801,84 @@ def triangle_counts(
             tri.alias("triangles"),
             lcc.alias("lcc"),
         )
+    )
+
+
+def coreness(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """K-core decomposition over an undirected edge list: ``(node,
+    core)`` where ``core`` is the largest k such that the node belongs
+    to the k-core (the maximal subgraph of minimum degree k) — the
+    classic graph-curation signal (peel low-core noise, keep the dense
+    backbone).
+
+    Algorithm: the h-index fixpoint (Lü et al. 2016, "The H-index of a
+    network node and its relation to degree and coreness", Nature
+    Communications 7:10168 — public result): start from degrees and
+    repeatedly set ``c(v) ← H-index of its neighbors' current values``
+    (the largest h with ≥ h neighbors valued ≥ h); the sequence is
+    monotone non-increasing, bounded by coreness from below, and
+    converges to EXACTLY the coreness of every node.  Unlike the
+    sequential peel (inherently serial in k), every round is one
+    edge⋈values join + one per-node aggregate — shuffle-partitioned on
+    the node key, driver traffic one convergence scalar per round (an
+    ``Observation`` riding the materialization, like
+    :func:`connected_components`).
+
+    The per-node H-index computes from a sorted neighbor-value array
+    (``sort_array`` descending + one ``aggregate`` scan) — per-node
+    memory is its degree; hub rows carry O(deg) values, the same bound
+    as any neighborhood aggregate.  ``max_iter`` is a safety rail: the
+    fixpoint provably converges (typically in O(log n)-ish rounds on
+    real graphs); exhausting it raises instead of returning a
+    not-yet-converged labeling."""
+    from ..cache import cut_lineage
+
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .dropDuplicates()
+    )
+    sym = cut_lineage(
+        e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    )
+    cur = sym.groupBy("a").agg(F.count(F.lit(1)).alias("c")).select(
+        F.col("a").alias("n"), F.col("c")
+    )
+    h_expr = F.expr(
+        "aggregate(sort_array(collect_vals, false), 0, "
+        "(h, v) -> CASE WHEN v >= h + 1 THEN h + 1 ELSE h END)"
+    )
+    for _ in range(int(max_iter)):
+        vals = sym.join(
+            cur.select(F.col("n").alias("b"), F.col("c").alias("cb")), "b"
+        ).select(F.col("a"), F.col("cb"))
+        obs = Observation()
+        nxt = cut_lineage(
+            vals.groupBy("a")
+            .agg(F.collect_list("cb").alias("collect_vals"))
+            .select(F.col("a").alias("n"), h_expr.alias("c"))
+            .join(
+                cur.select(F.col("n"), F.col("c").alias("prev")), "n"
+            )
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("c") != F.col("prev"), 1).otherwise(0)
+                ).alias("changed"),
+            )
+            .select("n", "c")
+        )
+        changed = int(obs.get["changed"] or 0)
+        cur = nxt
+        if changed == 0:
+            return cur.select(F.col("n").alias("node"), F.col("c").alias("core"))
+    raise RuntimeError(
+        f"coreness did not converge in max_iter={max_iter} h-index "
+        "rounds; raise max_iter"
     )

@@ -1606,6 +1606,55 @@ def graph_triangles_parts(spark, sf_dir):
     return triangle_counts(edges)
 
 
+def graph_kcore_sound(spark, sf_dir):
+    """Derived-invariant twin for k-core decomposition (r11): coreness
+    itself is an iterative fixpoint (no closed-form SQL), but any
+    correct assignment must satisfy, per node, ``core <= degree`` and
+    ``#{neighbors with core' >= core} >= core`` — both checkable in
+    one plan over the same sliced co-order part graph
+    ``graph_triangles_parts`` uses.  (Soundness half only: maximality
+    is pinned by the sequential-peel differential pytests.)  Oracle
+    HELD BACK (declared r11; all-true over the graph's node set)."""
+    from .operators.graph import coreness
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"].where(
+        F.col("l_orderkey") % 10 == 0
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    e = (
+        a.join(b, "l_orderkey")
+        .where(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .dropDuplicates()
+    )
+    core = coreness(e)
+    sym = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ca = core.select(F.col("node").alias("src"), F.col("core").alias("ca"))
+    cb = core.select(F.col("node").alias("dst"), F.col("core").alias("cb"))
+    per = (
+        sym.join(ca, "src")
+        .join(cb, "dst")
+        .groupBy("src")
+        .agg(
+            F.first("ca").alias("core"),
+            F.count(F.lit(1)).alias("deg"),
+            F.sum(F.when(F.col("cb") >= F.col("ca"), 1).otherwise(0)).alias(
+                "supp"
+            ),
+        )
+    )
+    return per.select(
+        F.col("src").alias("node"),
+        (
+            (F.col("core") <= F.col("deg"))
+            & (F.col("supp") >= F.col("core"))
+        ).alias("sound"),
+    )
+
+
 def doc_audio_near_dup_planted(spark, sf_dir):
     """Derived-invariant twin of ``doc_audio_near_dup``: same planted
     shape over Haitsma–Kalker window fingerprints — an identical
@@ -2472,6 +2521,7 @@ QUERIES = {
     "doc_video_mjpeg": doc_video_mjpeg,
     "doc_bigram_logloss": doc_bigram_logloss,
     "graph_triangles_parts": graph_triangles_parts,
+    "graph_kcore_sound": graph_kcore_sound,
 }
 
 # entries whose ORACLES row exists (and is verified locally by
@@ -2485,11 +2535,13 @@ ORACLE_HOLDBACK: set[str] = {
     "doc_video_mjpeg",
     "doc_bigram_logloss",
     "graph_triangles_parts",
+    "graph_kcore_sound",
 }
 ORACLE_HOLDBACK_SINCE: dict[str, int] = {
     "doc_video_mjpeg": 11,
     "doc_bigram_logloss": 11,
     "graph_triangles_parts": 11,
+    "graph_kcore_sound": 11,
 }
 
 _EN = "'the','a','and','of','to','in','is','that','it','for'"
@@ -4459,4 +4511,13 @@ ORACLES["graph_triangles_parts"] = """
                            / (deg.deg * (deg.deg - 1)), 4)
                 ELSE 0.0 END AS lcc
     FROM deg LEFT JOIN tri ON deg.n = tri.n
+"""
+
+
+ORACLES["graph_kcore_sound"] = """
+    SELECT DISTINCT p AS node, CAST(1 AS BOOLEAN) AS sound FROM (
+        SELECT a.l_partkey AS p
+        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey <> b.l_partkey AND a.l_orderkey % 10 = 0
+    )
 """

@@ -1368,3 +1368,79 @@ def test_triangle_counts_random_differential(spark, seed):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r.node: r.triangles for r in triangle_counts(df).collect()}
     assert got == tri, f"seed={seed} edges={edges}"
+
+
+def _py_coreness(edges):
+    """Reference sequential peel."""
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    core = {}
+    deg = {n: len(v) for n, v in adj.items()}
+    alive = set(adj)
+    k = 0
+    while alive:
+        k_level = min(deg[n] for n in alive)
+        k = max(k, k_level)
+        peel = [n for n in alive if deg[n] <= k]
+        while peel:
+            n = peel.pop()
+            if n not in alive:
+                continue
+            core[n] = k
+            alive.discard(n)
+            for m in adj[n]:
+                if m in alive:
+                    deg[m] -= 1
+                    if deg[m] <= k:
+                        peel.append(m)
+    return core
+
+
+def test_coreness_planted(spark):
+    """K5 (core 4) bridged to a triangle (core 2) with a pendant chain
+    (core 1); directed duplicates and self-loops are noise."""
+    import itertools
+
+    from matcha_spark.operators.graph import coreness
+
+    k5 = list(itertools.combinations(range(5), 2))
+    tri = [(10, 11), (11, 12), (10, 12)]
+    chain = [(4, 10), (12, 20), (20, 21)]
+    edges = k5 + tri + chain + [(1, 0), (3, 3)]
+    got = {
+        r.node: r.core
+        for r in coreness(
+            spark.createDataFrame(edges, "src long, dst long")
+        ).collect()
+    }
+    want = _py_coreness(edges)
+    assert got == want
+    assert got[0] == 4 and got[10] == 2 and got[21] == 1
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_coreness_random_differential(spark, seed):
+    import random as _r
+
+    from matcha_spark.operators.graph import coreness
+
+    rng = _r.Random(2200 + seed)
+    n = rng.randint(3, 16)
+    edges = [
+        (rng.randint(0, n), rng.randint(0, n))
+        for _ in range(rng.randint(2, 50))
+    ]
+    want = _py_coreness(edges)
+    if not want:
+        return
+    got = {
+        r.node: r.core
+        for r in coreness(
+            spark.createDataFrame(edges, "src long, dst long")
+        ).collect()
+    }
+    assert got == want, f"seed={seed} edges={edges}"
