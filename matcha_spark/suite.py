@@ -2343,13 +2343,15 @@ def dedup_near_emb(spark, sf_dir):
 #   doc_dup_ngrams           -> doc_strip_dup_ngrams (consumes the same
 #                               dup-gram table) + dup_ngram_stats pytests
 #   doc_token_count          -> doc_text_quality (n_tokens column equal)
-# Closing state: 141 oracle-backed entries (45 r08-survivors + 5
-# never-checked in the r11 window, 41 r09, 50 r10) against 150
-# slot-rounds = 9 free slot-rounds of steady-state headroom; the
-# ORACLE_HOLDBACK mechanism is EMPTY and registry_audit.py now fails
-# if a holdback ever persists past one round.  Rotation plan (also
-# printed by tools/registry_audit.py): r12 window = the 41 r09-recorded
-# entries + up to 9 new/early-r10; r13 = the remaining r10 block.
+# Closing state: 145 oracle-backed entries — 141 published (45
+# r08-survivors + 5 never-checked in the r11 window, 41 r09, 50 r10)
+# plus 4 late-r11 holdbacks (bigram LM, MJPEG pipeline, triangles,
+# k-core; see ORACLE_HOLDBACK below) — against 150 slot-rounds = 5
+# free slot-rounds of steady-state headroom; registry_audit.py warns
+# on each holdback now and FAILS if one persists past one round.
+# Rotation plan (also printed by tools/registry_audit.py): r12 window
+# = the 41 r09-recorded entries + the 4 promoted holdbacks + 5 free;
+# r13 = the remaining r10 block (exactly 50).
 # When adding a new oracle-backed entry, insert it at the top; after
 # each round, rotate entries the driver just verified toward the back.
 QUERIES = {
@@ -2526,11 +2528,13 @@ QUERIES = {
 
 # entries whose ORACLES row exists (and is verified locally by
 # tools/check_oracle.py) but is withheld from the driver's oracle_sql()
-# until a correctness-window slot frees up.  EMPTY since r11: the two
-# r10 holdbacks are promoted into the window, and tools/registry_audit.py
-# (r10 advice) now treats any holdback as oracle-backed — warning the
-# round it appears and FAILING if it persists into a second round
-# (ORACLE_HOLDBACK_SINCE records the round each holdback was declared).
+# until a correctness-window slot frees up.  The two r10 holdbacks are
+# promoted into the (exactly-full) r11 window; the four entries below
+# were added late in r11 and take the first free r12 slots.
+# tools/registry_audit.py (r10 advice) treats any holdback as
+# oracle-backed — warning the round it appears and FAILING if it
+# persists into a second round (ORACLE_HOLDBACK_SINCE records the
+# round each holdback was declared).
 ORACLE_HOLDBACK: set[str] = {
     "doc_video_mjpeg",
     "doc_bigram_logloss",
