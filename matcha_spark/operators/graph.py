@@ -804,6 +804,97 @@ def triangle_counts(
     )
 
 
+def triangle_count_global(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    p: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Global triangle count with an optional DOULION sparsification —
+    the 100 TB scale path for :func:`triangle_counts`.  Returns one row
+    ``(triangles_est, triangles_sampled, edges_kept, edges_total, p)``.
+
+    With ``p=1`` this is the exact count (identical wedge recipe to
+    :func:`triangle_counts`; equals ``sum(triangles)/3`` of that
+    output — pinned by pytest).  With ``p<1`` each canonical edge is
+    kept independently with probability p BEFORE the wedge join
+    (Tsourakakis, Kang, Miller & Faloutsos, KDD 2009, "DOULION:
+    counting triangles in massive graphs with a coin"): a triangle
+    survives iff all three edges survive (probability p³), so
+    ``sampled/p³`` is an unbiased estimator of the true count, while
+    the wedge join — the only super-linear step — shrinks by ~p² and
+    the closing join probe by ~p.  At 100 TB, p=0.1 buys ~100× off the
+    dominant stage for a few percent relative error on non-degenerate
+    graphs (variance bounds in the paper).
+
+    Sampling is a pure hash of (edge, seed) — ``xxhash64`` threshold,
+    no RNG state — so the estimate is deterministic per seed and
+    partition-invariant, the same admission-style determinism as
+    ``sample_by_hash`` (operators/text.py); averaging a handful of
+    seeds tightens the estimate without re-reading the input (the
+    canonical edge set is memo-persisted)."""
+    from ..cache import memo_persist
+
+    if not (0.0 < p <= 1.0):
+        raise ValueError(f"p must be in (0, 1], got {p}")
+    e_all = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates()
+    )
+    e_all = memo_persist(e_all)
+    if p < 1.0:
+        # keep edge iff hash(a,b,seed) lands under p — the unsigned
+        # 64-bit hash mapped into [0,1) via its low 53 bits (exact in
+        # a double; no modulo bias at these thresholds)
+        u = F.pmod(F.xxhash64("a", "b", F.lit(int(seed))), F.lit(2**53)) / F.lit(
+            float(2**53)
+        )
+        e = memo_persist(e_all.where(u < F.lit(float(p))))
+    else:
+        e = e_all
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("deg").alias("da"))
+    db_ = deg.select(F.col("n").alias("b"), F.col("deg").alias("db"))
+    lo_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        e.join(da, "a")
+        .join(db_, "b")
+        .select(
+            F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        )
+    )
+    w1 = oriented.select(F.col("lo").alias("p_"), F.col("hi").alias("x"))
+    w2 = oriented.select(F.col("lo").alias("p_"), F.col("hi").alias("y"))
+    wedges = w1.join(w2, "p_").where(F.col("x") < F.col("y"))
+    closed = wedges.join(
+        e, (F.col("x") == F.col("a")) & (F.col("y") == F.col("b")), "inner"
+    )
+    n_total = e_all.count()
+    n_kept = n_total if p == 1.0 else e.count()
+    return closed.agg(
+        F.round(F.count(F.lit(1)) / F.lit(float(p) ** 3), 2).alias(
+            "triangles_est"
+        ),
+        F.count(F.lit(1)).alias("triangles_sampled"),
+        F.lit(int(n_kept)).alias("edges_kept"),
+        F.lit(int(n_total)).alias("edges_total"),
+        F.lit(float(p)).alias("p"),
+    )
+
+
 def coreness(
     edges: DataFrame,
     src: str = "src",

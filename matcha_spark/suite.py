@@ -1589,8 +1589,13 @@ def graph_triangles_parts(spark, sf_dir):
     is dense enough that the full-corpus wedge set is a stress test,
     not a bench entry): parts appearing in the same order are linked,
     and ``operators/graph.py:triangle_counts`` runs the degree-ordered
-    node-iterator (wedge join bounded O(m^1.5), never Σdeg²).  Oracle
-    HELD BACK (declared r11; promotes with an r12 free slot)."""
+    node-iterator (wedge join bounded O(m^1.5), never Σdeg²).  The
+    100 TB path for the GLOBAL count is
+    ``graph.triangle_count_global(p=...)`` — DOULION edge
+    sparsification (unbiased ``sampled/p³`` estimator, wedge join cut
+    ~p², deterministic per seed; pinned by
+    ``test_triangle_count_global_*``).  Oracle HELD BACK (declared
+    r11; promotes with an r12 free slot)."""
     from .operators.graph import triangle_counts
 
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"].where(

@@ -1370,6 +1370,53 @@ def test_triangle_counts_random_differential(spark, seed):
     assert got == tri, f"seed={seed} edges={edges}"
 
 
+def test_triangle_count_global_exact(spark):
+    """r11: p=1 is the exact global count — equals the per-node
+    operator's sum/3 (every triangle is counted at all three
+    corners) and reports the true canonical edge totals."""
+    import itertools
+
+    from matcha_spark.operators.graph import triangle_count_global, triangle_counts
+
+    base = list(itertools.combinations(range(4), 2)) + [
+        (3, 4), (5, 6), (7, 8), (8, 9),
+    ]
+    edges = base + [(b, a) for a, b in base] + [(0, 1), (2, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = triangle_count_global(df).collect()[0]
+    assert row.triangles_est == 4.0  # K4 holds exactly 4 triangles
+    assert row.triangles_sampled == 4
+    assert row.edges_kept == row.edges_total == len(base)
+    assert row.p == 1.0
+    per_node = triangle_counts(df).agg(F.sum("triangles")).collect()[0][0]
+    assert per_node == 3 * row.triangles_sampled
+
+
+def test_triangle_count_global_doulion(spark):
+    """r11: DOULION sparsified estimate — deterministic per seed
+    (hash-threshold sampling, no RNG state), unbiased enough that a
+    small seed-average lands near truth on K12 (220 triangles), and
+    the kept-edge count reflects the sparsification."""
+    import itertools
+
+    from matcha_spark.operators.graph import triangle_count_global
+
+    edges = list(itertools.combinations(range(12), 2))  # K12: 66 edges
+    df = spark.createDataFrame(edges, "src long, dst long")
+    truth = 220.0  # C(12,3)
+
+    ests = []
+    for seed in range(6):
+        r1 = triangle_count_global(df, p=0.7, seed=seed).collect()[0]
+        r2 = triangle_count_global(df, p=0.7, seed=seed).collect()[0]
+        assert r1 == r2, f"seed {seed} not deterministic"
+        assert r1.edges_total == 66 and 0 < r1.edges_kept < 66
+        assert r1.triangles_est == round(r1.triangles_sampled / 0.7**3, 2)
+        ests.append(r1.triangles_est)
+    mean = sum(ests) / len(ests)
+    assert abs(mean - truth) / truth < 0.25, ests
+
+
 def _py_coreness(edges):
     """Reference sequential peel."""
     adj = {}
