@@ -1397,6 +1397,59 @@ def mixture_sample(
     return docs.where(_hash_hex(F.col(key_col), salt) < thr)
 
 
+def temperature_mixture_rates(
+    docs: DataFrame,
+    alpha: float,
+    group_col: str = "source",
+) -> dict:
+    """Per-group keep rates for TEMPERATURE-smoothed mixing (the
+    multilingual-pretraining knob, e.g. XLM-R / mT5: sample groups
+    proportional to their natural share q_l raised to ``alpha``).
+    Realized as per-doc keep rates: the target share is
+    ``q_l^alpha / Σ q_m^alpha``; dividing by the group size gives
+    ``r_l ∝ n_l^(alpha-1)``, rescaled so ``max r = 1.0`` — the
+    smallest (most-upweighted) group is kept whole and larger groups
+    are down-sampled toward it, the single-epoch form that needs no
+    duplication.  ``alpha=1`` keeps the natural distribution (all
+    rates 1); ``alpha=0`` equalizes expected group counts.  Groups
+    above rate 1 can't happen by construction; to UP-sample instead
+    of down-sample, feed ``{g: r/min(rates.values())}`` ratios to
+    :func:`epoch_upsample`.
+
+    One distributed groupBy; the collect is one row per group
+    (sources/languages — bounded by construction)."""
+    if alpha < 0.0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    counts = {
+        r[0]: r[1]
+        for r in docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not counts:
+        return {}
+    raw = {g: float(n) ** (alpha - 1.0) for g, n in counts.items() if n > 0}
+    mx = max(raw.values())
+    return {g: v / mx for g, v in sorted(raw.items(), key=lambda kv: str(kv[0]))}
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    alpha: float,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """:func:`temperature_mixture_rates` composed with
+    :func:`mixture_sample` — one call from corpus to
+    temperature-balanced corpus, inheriting the md5-threshold
+    determinism (nested draws across alphas: lowering alpha only
+    removes majority-group documents, never reshuffles the kept
+    set)."""
+    rates = temperature_mixture_rates(docs, alpha, group_col=group_col)
+    return mixture_sample(
+        docs, rates, group_col=group_col, key_col=key_col, salt=salt
+    )
+
+
 def corpus_shuffle(
     docs: DataFrame,
     key_col: str = "doc_id",

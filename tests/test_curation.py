@@ -594,6 +594,50 @@ def test_mixture_sample_rates_and_nesting(spark):
         mixture_sample(docs, {"src0": 1.5})
 
 
+def test_temperature_mixture(spark):
+    """r11: temperature-smoothed rates — exact n^(alpha-1)/max formula,
+    alpha=1 keeps everything, alpha=0 equalizes expected counts, the
+    composed sampler is literally mixture_sample(rates), and lowering
+    alpha only removes majority-group documents (nested draws)."""
+    from matcha_spark.operators.text import (
+        mixture_sample,
+        temperature_mixture,
+        temperature_mixture_rates,
+    )
+
+    rows = (
+        [(i, "big", "t") for i in range(80)]
+        + [(1000 + i, "mid", "t") for i in range(20)]
+        + [(2000 + i, "small", "t") for i in range(5)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    r1 = temperature_mixture_rates(docs, 1.0)
+    assert r1 == {"big": 1.0, "mid": 1.0, "small": 1.0}
+    r0 = temperature_mixture_rates(docs, 0.0)
+    # alpha=0: r ∝ 1/n, rescaled so the smallest group's rate is 1
+    assert r0 == {"big": 5 / 80, "mid": 5 / 20, "small": 1.0}
+    rh = temperature_mixture_rates(docs, 0.5)
+    assert rh["small"] == 1.0
+    assert abs(rh["big"] - (80 / 5) ** -0.5) < 1e-12
+    assert abs(rh["mid"] - (20 / 5) ** -0.5) < 1e-12
+
+    # the convenience wrapper IS mixture_sample over those rates
+    got = {r.doc_id for r in temperature_mixture(docs, 0.5).collect()}
+    want = {r.doc_id for r in mixture_sample(docs, rh).collect()}
+    assert got == want
+    # lowering alpha only removes (majority-group) documents
+    lower = {r.doc_id for r in temperature_mixture(docs, 0.25).collect()}
+    assert lower <= got
+    assert {d for d in got if d >= 2000} == {d for d in lower if d >= 2000}
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        temperature_mixture_rates(docs, -0.1)
+    assert temperature_mixture_rates(docs.where("doc_id < 0"), 0.5) == {}
+
+
 @pytest.mark.parametrize("seed", range(6))
 def test_dedup_paragraphs_differential(spark, seed):
     """Randomized differential: dedup_paragraphs vs a direct Python
