@@ -1,0 +1,214 @@
+"""Raw-corpus ingestion sources — JSONL, whole-file text, and the
+streaming JSONL variant.
+
+Every suite entry reads pre-built parquet, but real corpora arrive as
+JSONL (the lingua franca of pretraining data: one ``{"text": ...}``
+object per line) or as directories of plain-text files.  These sources
+land either shape in the ``documents``-table schema the operator
+families consume (``doc_id``, ``text``, ``source``, + caller extras),
+with malformed input QUARANTINED distributively instead of failing the
+job or being silently dropped.
+
+Scale design: the JSONL reader deliberately does NOT use
+``spark.read.json``'s corrupt-record column — filtering on that
+internal column is disallowed over raw file scans unless the whole
+frame is cached first (a non-starter at corpus scale).  Instead the
+file is scanned as TEXT LINES (splittable, pruned to one string
+column) and parsed with ``from_json`` carrying an explicit
+corrupt-record slot in its schema: good rows and quarantine rows are
+both narrow, stateless projections of the same line scan — no cache,
+no driver traffic, and the parse inlines into whole-stage codegen.
+The same projection runs unchanged on ``readStream`` (streaming
+JSONL → the streaming dedup/admission family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "read_jsonl_documents",
+    "jsonl_quarantine",
+    "read_text_documents",
+    "stream_jsonl_documents",
+]
+
+_CORRUPT = "__corrupt"
+
+
+def _doc_schema_ddl(
+    text_field: str,
+    id_field: str | None,
+    source_field: str | None,
+    extra_fields: dict[str, str] | None,
+) -> str:
+    """DDL schema string for ``from_json``: the caller's fields plus the
+    corrupt-record slot (malformed lines land there verbatim)."""
+    seen = {text_field}
+    parts = [f"`{text_field}` string"]
+    for f_ in (id_field, source_field):
+        if f_ and f_ not in seen:
+            seen.add(f_)
+            parts.append(f"`{f_}` string")
+    for name, typ in (extra_fields or {}).items():
+        if name not in seen:
+            seen.add(name)
+            parts.append(f"`{name}` {typ}")
+    parts.append(f"`{_CORRUPT}` string")
+    return ", ".join(parts)
+
+
+def _parse_lines(
+    lines: DataFrame,
+    text_field: str,
+    id_field: str | None,
+    source_field: str | None,
+    extra_fields: dict[str, str] | None,
+) -> DataFrame:
+    """(value, __file, __d) for every non-blank line — the shared scan
+    projection under both the good-row and quarantine views."""
+    ddl = _doc_schema_ddl(text_field, id_field, source_field, extra_fields)
+    return lines.where(F.trim("value") != "").select(
+        "value",
+        F.input_file_name().alias("__file"),
+        F.from_json(
+            "value", ddl, {"columnNameOfCorruptRecord": _CORRUPT}
+        ).alias("__d"),
+    )
+
+
+def _good_rows(
+    parsed: DataFrame,
+    text_field: str,
+    id_field: str | None,
+    source_field: str | None,
+    extra_fields: dict[str, str] | None,
+) -> DataFrame:
+    ok = parsed.where(
+        F.col(f"__d.{_CORRUPT}").isNull()
+        & F.col(f"__d.{text_field}").isNotNull()
+    )
+    doc_id = (
+        F.col(f"__d.{id_field}")
+        if id_field
+        # content-addressed fallback: identical records collapse to one
+        # id (dedup-friendly); a record differing only in metadata gets
+        # a distinct id because the WHOLE line is hashed
+        else F.md5("value")
+    )
+    source = (
+        F.col(f"__d.{source_field}")
+        if source_field
+        else F.element_at(F.split("__file", "/"), -1)
+    )
+    cols = [
+        doc_id.alias("doc_id"),
+        F.col(f"__d.{text_field}").alias("text"),
+        source.alias("source"),
+    ]
+    for name in extra_fields or {}:
+        if name not in (text_field, id_field, source_field):
+            cols.append(F.col(f"__d.{name}").alias(name))
+    return ok.select(*cols)
+
+
+def read_jsonl_documents(
+    spark: SparkSession,
+    path: str,
+    text_field: str = "text",
+    id_field: str | None = None,
+    source_field: str | None = None,
+    extra_fields: dict[str, str] | None = None,
+) -> DataFrame:
+    """JSONL corpus → ``(doc_id, text, source, *extras)`` documents.
+
+    ``extra_fields`` maps extra JSON keys to Spark DDL types (e.g.
+    ``{"lang": "string", "score": "double"}``) — kept as typed output
+    columns.  Without ``id_field`` the id is ``md5`` of the raw line
+    (deterministic, partition-invariant, content-addressed); without
+    ``source_field`` the source is the input file's basename.
+    Malformed lines and records missing ``text_field`` are EXCLUDED
+    here — read them with :func:`jsonl_quarantine` (same arguments) to
+    audit them; blank lines are ignored outright."""
+    parsed = _parse_lines(
+        spark.read.text(path), text_field, id_field, source_field, extra_fields
+    )
+    return _good_rows(parsed, text_field, id_field, source_field, extra_fields)
+
+
+def jsonl_quarantine(
+    spark: SparkSession,
+    path: str,
+    text_field: str = "text",
+    id_field: str | None = None,
+    source_field: str | None = None,
+    extra_fields: dict[str, str] | None = None,
+) -> DataFrame:
+    """The lines :func:`read_jsonl_documents` rejected, with why:
+    ``(file, line, reason)`` where reason ∈ {``malformed_json``,
+    ``missing_text``} — a distributed audit trail, not an error
+    path (bad lines never fail the read)."""
+    parsed = _parse_lines(
+        spark.read.text(path), text_field, id_field, source_field, extra_fields
+    )
+    return parsed.where(
+        F.col(f"__d.{_CORRUPT}").isNotNull()
+        | F.col(f"__d.{text_field}").isNull()
+    ).select(
+        F.col("__file").alias("file"),
+        F.col("value").alias("line"),
+        F.when(F.col(f"__d.{_CORRUPT}").isNotNull(), F.lit("malformed_json"))
+        .otherwise(F.lit("missing_text"))
+        .alias("reason"),
+    )
+
+
+def read_text_documents(
+    spark: SparkSession, path: str, wholetext: bool = True
+) -> DataFrame:
+    """Plain-text corpus → documents: one doc per FILE (``wholetext``,
+    the usual shape for scraped/plain corpora) or one doc per LINE.
+    ``doc_id``/``source`` are the file basename (per-file mode) or
+    ``md5`` of the line (per-line mode, content-addressed like the
+    JSONL fallback).  Note ``wholetext`` files are read unsplit — fine
+    for document-sized files, not for one giant file (use line mode
+    there)."""
+    if wholetext:
+        raw = spark.read.text(path, wholetext=True)
+        base = F.element_at(F.split(F.input_file_name(), "/"), -1)
+        return raw.select(
+            base.alias("doc_id"),
+            F.col("value").alias("text"),
+            base.alias("source"),
+        )
+    raw = spark.read.text(path)
+    return raw.where(F.trim("value") != "").select(
+        F.md5("value").alias("doc_id"),
+        F.col("value").alias("text"),
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("source"),
+    )
+
+
+def stream_jsonl_documents(
+    spark: SparkSession,
+    path: str,
+    text_field: str = "text",
+    id_field: str | None = None,
+    source_field: str | None = None,
+    extra_fields: dict[str, str] | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of :func:`read_jsonl_documents` — the same parse
+    projection over ``readStream.text``, so a JSONL drop-directory
+    feeds the streaming dedup/admission family
+    (``streaming/dedup.stream_incremental_dedup``) directly.  Bad
+    lines are silently excluded here (a streaming quarantine would be
+    its own sink; audit batches with :func:`jsonl_quarantine`)."""
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    parsed = _parse_lines(
+        reader.text(path), text_field, id_field, source_field, extra_fields
+    )
+    return _good_rows(parsed, text_field, id_field, source_field, extra_fields)

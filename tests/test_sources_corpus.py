@@ -1,0 +1,120 @@
+"""Raw-corpus ingestion sources (r11): JSONL with distributed
+quarantine, whole-file/line text, streaming JSONL parity."""
+
+import json
+import os
+
+from matcha_spark.sources.corpus import (
+    jsonl_quarantine,
+    read_jsonl_documents,
+    read_text_documents,
+    stream_jsonl_documents,
+)
+
+
+def _write_corpus(tmp_path):
+    a = tmp_path / "shard_a.jsonl"
+    b = tmp_path / "shard_b.jsonl"
+    a.write_text(
+        "\n".join(
+            [
+                json.dumps({"text": "alpha doc", "id": "d1", "lang": "en", "score": 0.5}),
+                "",  # blank: ignored outright
+                json.dumps({"text": "beta doc", "id": "d2", "lang": "fr", "score": 1.5}),
+                "{not valid json",  # malformed: quarantined
+            ]
+        )
+    )
+    b.write_text(
+        "\n".join(
+            [
+                json.dumps({"id": "d3", "lang": "de"}),  # missing text: quarantined
+                json.dumps({"text": "gamma doc", "id": "d4"}),
+            ]
+        )
+    )
+    return str(tmp_path)
+
+
+def test_read_jsonl_documents(spark, tmp_path):
+    path = _write_corpus(tmp_path)
+    docs = read_jsonl_documents(
+        spark,
+        path,
+        id_field="id",
+        extra_fields={"lang": "string", "score": "double"},
+    )
+    assert [f.name for f in docs.schema] == ["doc_id", "text", "source", "lang", "score"]
+    assert dict(docs.dtypes)["score"] == "double"
+    rows = {r.doc_id: r for r in docs.collect()}
+    assert set(rows) == {"d1", "d2", "d4"}
+    assert rows["d1"].text == "alpha doc" and rows["d1"].score == 0.5
+    assert rows["d4"].lang is None and rows["d4"].source == "shard_b.jsonl"
+
+    # quarantine: the two bad lines, with reasons, never a job failure
+    q = {r.reason: r for r in jsonl_quarantine(
+        spark, path, id_field="id",
+        extra_fields={"lang": "string", "score": "double"},
+    ).collect()}
+    assert set(q) == {"malformed_json", "missing_text"}
+    assert q["malformed_json"].line == "{not valid json"
+    assert q["malformed_json"].file.endswith("shard_a.jsonl")
+    assert json.loads(q["missing_text"].line)["id"] == "d3"
+
+
+def test_read_jsonl_content_addressed_ids(spark, tmp_path):
+    p = tmp_path / "c.jsonl"
+    line = json.dumps({"text": "same doc"})
+    p.write_text("\n".join([line, line, json.dumps({"text": "other"})]))
+    docs = read_jsonl_documents(spark, str(p))
+    got = docs.collect()
+    assert len(got) == 3  # ids are content-addressed, rows not deduped
+    ids = {r.text: r.doc_id for r in got}
+    assert len({r.doc_id for r in got}) == 2  # identical lines share an id
+    assert ids["same doc"] != ids["other"]
+    # deterministic across re-reads (pure function of the line)
+    again = {r.text: r.doc_id for r in read_jsonl_documents(spark, str(p)).collect()}
+    assert again == ids
+
+
+def test_read_text_documents(spark, tmp_path):
+    d = tmp_path / "txt"
+    os.makedirs(d)
+    (d / "one.txt").write_text("first file\nsecond line")
+    (d / "two.txt").write_text("another document")
+    whole = {r.doc_id: r.text for r in read_text_documents(spark, str(d)).collect()}
+    assert whole == {
+        "one.txt": "first file\nsecond line",
+        "two.txt": "another document",
+    }
+    lines = read_text_documents(spark, str(d), wholetext=False).collect()
+    assert {r.text for r in lines} == {"first file", "second line", "another document"}
+    assert all(len(r.doc_id) == 32 for r in lines)  # md5 hex
+
+
+def test_stream_jsonl_matches_batch(spark, tmp_path):
+    """availableNow streaming read lands exactly the batch rows."""
+    path = _write_corpus(tmp_path)
+    stream = stream_jsonl_documents(
+        spark, path, id_field="id", extra_fields={"lang": "string"}
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("jsonl_stream_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.text, r.source, r.lang)
+        for r in spark.sql("SELECT * FROM jsonl_stream_t").collect()
+    }
+    want = {
+        (r.doc_id, r.text, r.source, r.lang)
+        for r in read_jsonl_documents(
+            spark, path, id_field="id", extra_fields={"lang": "string"}
+        ).collect()
+    }
+    assert got == want and len(want) == 3
