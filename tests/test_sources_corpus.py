@@ -92,6 +92,38 @@ def test_read_text_documents(spark, tmp_path):
     assert all(len(r.doc_id) == 32 for r in lines)  # md5 hex
 
 
+def test_jsonl_to_curation_to_mixture(spark, tmp_path):
+    """End-to-end: raw JSONL shards → quarantine-safe ingest →
+    curation cascade → temperature-balanced mixture — the full
+    front-half of a training-data pipeline with no parquet staging."""
+    from matcha_spark.operators.text import temperature_mixture
+    from matcha_spark.pipelines import curate_corpus
+
+    good = "this is a perfectly reasonable document with enough plain words to pass the quality gate"
+    shard = tmp_path / "raw.jsonl"
+    shard.write_text(
+        "\n".join(
+            [json.dumps({"text": good + f" copy tag {i}", "id": f"web{i}", "src": "web"}) for i in range(8)]
+            + [json.dumps({"text": good + " wiki variant", "id": "wiki0", "src": "wiki"})]
+            + [json.dumps({"text": good + " wiki variant", "id": "wiki1", "src": "wiki"})]  # dup
+            + [json.dumps({"text": "!!! ??? ...", "id": "junk", "src": "web"})]  # fails quality
+            + ["{broken"]
+        )
+    )
+    docs = read_jsonl_documents(spark, str(shard), id_field="id", source_field="src")
+    verdicts = curate_corpus(docs, min_tokens=5)
+    status = {r.doc_id: r.status for r in verdicts.collect()}
+    assert status["junk"] == "quality"
+    assert sorted(status[k] for k in ("wiki0", "wiki1")) == ["duplicate", "kept"]
+    kept = docs.join(verdicts.where("status = 'kept'").select("doc_id"), "doc_id")
+    mixed = temperature_mixture(kept, alpha=0.0)
+    per = {r["source"]: r["count"] for r in mixed.groupBy("source").count().collect()}
+    # alpha=0 equalizes expected counts toward the smallest group (wiki: 1
+    # kept doc) — wiki survives whole, web is down-sampled at rate 1/8
+    assert per.get("wiki") == 1
+    assert per.get("web", 0) <= 4
+
+
 def test_stream_jsonl_matches_batch(spark, tmp_path):
     """availableNow streaming read lands exactly the batch rows."""
     path = _write_corpus(tmp_path)
