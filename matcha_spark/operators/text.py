@@ -754,6 +754,47 @@ def cdc_chunks(
     )
 
 
+def compression_ratio(
+    docs: DataFrame, text_col: str = "text", level: int = 6
+) -> DataFrame:
+    """Per-document zlib compression ratio (compressed bytes / UTF-8
+    bytes) as a ``compression_ratio`` column — the cheap
+    model-free gibberish/boilerplate signal used alongside LM filters
+    (very low ≈ templated repetition, near-or-above 1 ≈ high-entropy
+    noise like base64 blobs or minified blobs; natural prose sits in
+    between).  NULL for null/empty text.
+
+    Scale shape: a scalar Arrow-batched ``pandas_udf`` — zlib is
+    C-speed per row and the batch transfer is columnar; a narrow map,
+    no shuffle, composes with any frame (the column is added, nothing
+    projected away).  Deterministic: fixed level, no dictionary."""
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    lvl = int(level)
+
+    # NOTE: no type hints — this module runs under `from __future__
+    # import annotations`, which stringifies them; pyspark's hint
+    # resolver can't see the function-local `pd` and rejects the UDF.
+    # Hint-less pandas_udf falls back to the scalar form, which is
+    # exactly what this is.
+    def _ratio(texts):
+        out = []
+        for t in texts:
+            if t is None or t == "":
+                out.append(None)
+                continue
+            raw = t.encode("utf-8")
+            out.append(len(zlib.compress(raw, lvl)) / len(raw))
+        return pd.Series(out, dtype="float64")
+
+    return docs.withColumn(
+        "compression_ratio", pandas_udf(_ratio, "double")(F.col(text_col))
+    )
+
+
 def benchmark_contamination(
     docs: DataFrame,
     probes: DataFrame,

@@ -594,6 +594,34 @@ def test_mixture_sample_rates_and_nesting(spark):
         mixture_sample(docs, {"src0": 1.5})
 
 
+def test_compression_ratio(spark):
+    """r11: zlib ratio separates templated repetition from prose from
+    high-entropy noise; empty/null → NULL; deterministic."""
+    import random as _r
+
+    from matcha_spark.operators.text import compression_ratio
+
+    rng = _r.Random(7)
+    noise = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789") for _ in range(4000))
+    prose = ("the quick brown fox jumps over the lazy dog and then considers "
+             "a different route home through the quiet evening streets ") * 12
+    rows = [
+        (1, "spam ham " * 500),
+        (2, prose),
+        (3, noise),
+        (4, ""),
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.compression_ratio for r in compression_ratio(docs).collect()}
+    assert out[1] < 0.05                      # pure repetition crushes
+    assert 0.05 < out[2] < 0.5                # prose compresses moderately
+    assert out[3] > out[2] + 0.2              # random noise barely compresses
+    assert out[4] is None and out[5] is None
+    again = {r.doc_id: r.compression_ratio for r in compression_ratio(docs).collect()}
+    assert again == out
+
+
 def test_temperature_mixture(spark):
     """r11: temperature-smoothed rates — exact n^(alpha-1)/max formula,
     alpha=1 keeps everything, alpha=0 equalizes expected counts, the
