@@ -167,11 +167,17 @@ def main() -> int:
     if headroom < 5:
         print(f"WARNING: headroom {headroom} < 5 — retire/merge before the "
               "next batch of oracle-backed entries")
+    # declared holdbacks are pre-committed to the NEXT window's free
+    # slots (they MUST publish with the next rotation), so print them
+    # out of the free count rather than leaving them implicit
+    n_hold = len(ORACLE_HOLDBACK)
+    free2 = WINDOW - len(must2) - n_hold
+    hold_part = f" + {n_hold} promoted holdbacks" if n_hold else ""
     print(f"rotation plan: r{nxt + 1:02d} window = {len(must2)} must-rotate "
-          f"(r{stale_limit + 1:02d}-recorded) + {WINDOW - len(must2)} free; "
+          f"(r{stale_limit + 1:02d}-recorded){hold_part} + {free2} free; "
           f"r{nxt + 2:02d} window = {len(must3)} must-rotate "
           f"(r{stale_limit + 2:02d}-recorded) + {WINDOW - len(must3)} free")
-    if len(must2) > WINDOW or len(must3) > WINDOW:
+    if len(must2) + n_hold > WINDOW or len(must3) > WINDOW:
         print("PROBLEM: a future must-rotate set exceeds the window — the "
               "schedule is infeasible; retire entries or refresh early")
         return 1
