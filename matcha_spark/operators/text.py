@@ -232,10 +232,27 @@ def quality_filter(
     max_punct_ratio: float = 0.3,
     min_stopword_ratio: float = 0.0,
     text_col: str = "text",
+    min_compression_ratio: float | None = None,
+    max_compression_ratio: float | None = None,
 ) -> DataFrame:
     """Composite quality gate (Gopher/C4-style rules) over the
     :func:`text_quality` signals; returns the surviving ``doc_id`` rows
-    with their signals so downstream stages can audit the cut."""
+    with their signals so downstream stages can audit the cut.
+
+    The optional compression band (:func:`compression_ratio` — reject
+    below ``min`` = templated repetition, above ``max`` = high-entropy
+    noise) is OFF by default: it is the one Python-UDF signal here, so
+    enabling it adds an Arrow batch pass ahead of the JVM gates (the
+    output schema is unchanged — the band filters, it doesn't annotate;
+    call :func:`compression_ratio` directly to audit values)."""
+    if min_compression_ratio is not None or max_compression_ratio is not None:
+        d = compression_ratio(docs, text_col=text_col)
+        cond = F.col("compression_ratio").isNotNull()
+        if min_compression_ratio is not None:
+            cond &= F.col("compression_ratio") >= float(min_compression_ratio)
+        if max_compression_ratio is not None:
+            cond &= F.col("compression_ratio") <= float(max_compression_ratio)
+        docs = d.where(cond).drop("compression_ratio")
     q = text_quality(docs, text_col=text_col)
     return q.where(
         (F.col("n_tokens") >= min_tokens)

@@ -622,6 +622,33 @@ def test_compression_ratio(spark):
     assert again == out
 
 
+def test_quality_filter_compression_band(spark):
+    """r11: the optional compression band rejects templated repetition
+    and high-entropy noise; OFF by default (result and schema
+    unchanged)."""
+    import random as _r
+
+    from matcha_spark.operators.text import quality_filter
+
+    rng = _r.Random(11)
+    prose = ("a sensible sentence with common short words that any "
+             "quality gate should keep around for training ") * 10
+    rows = [
+        (1, prose),
+        (2, "the spam line repeats here " * 300),
+        (3, " ".join("".join(rng.choice("qxzjvkw") for _ in range(7)) for _ in range(200))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = quality_filter(docs, min_stopword_ratio=0.0, max_avg_token_len=20.0)
+    banded = quality_filter(
+        docs, min_stopword_ratio=0.0, max_avg_token_len=20.0,
+        min_compression_ratio=0.05, max_compression_ratio=0.45,
+    )
+    assert base.schema == banded.schema
+    assert {r.doc_id for r in base.collect()} >= {1, 2}
+    assert {r.doc_id for r in banded.collect()} == {1}
+
+
 def test_temperature_mixture(spark):
     """r11: temperature-smoothed rates — exact n^(alpha-1)/max formula,
     alpha=1 keeps everything, alpha=0 equalizes expected counts, the
