@@ -1557,6 +1557,67 @@ def corpus_shuffle(
     )
 
 
+def write_corpus_shards(
+    docs: DataFrame,
+    path: str,
+    rows_per_shard: int,
+    order_col: str = "shuffle_pos",
+    key_col: str = "doc_id",
+    salt: str = "",
+    mode: str = "error",
+) -> int:
+    """The pipeline tail: write the corpus as evenly-sized parquet
+    shards in a deterministic global order — "shuffle once, shard
+    evenly", what a training loader consumes.  If ``order_col`` is
+    missing it is derived with :func:`corpus_shuffle` (md5 total
+    order, joined back on ``key_col``); rows land range-partitioned
+    by the order into ``ceil(n / rows_per_shard)`` partitions, sorted
+    within each, with ``maxRecordsPerFile`` as the hard per-file cap —
+    so every shard is a CONTIGUOUS, internally-ordered slice of the
+    global order and no shard exceeds ``rows_per_shard`` rows.
+
+    One bounded count job sizes the partitioning (a scalar to the
+    driver); everything else is one range exchange + write.  Returns
+    the row count written.  Audit the result with
+    :func:`shard_manifest`."""
+    if rows_per_shard <= 0:
+        raise ValueError(f"rows_per_shard must be positive, got {rows_per_shard}")
+    if order_col not in docs.columns:
+        pos = corpus_shuffle(docs, key_col=key_col, salt=salt)
+        docs = docs.join(pos, key_col)
+        order_col = "shuffle_pos"
+    n = docs.count()
+    k = max(1, -(-n // int(rows_per_shard)))
+    (
+        docs.repartitionByRange(k, order_col)
+        .sortWithinPartitions(order_col)
+        .write.option("maxRecordsPerFile", int(rows_per_shard))
+        .mode(mode)
+        .parquet(path)
+    )
+    return n
+
+
+def shard_manifest(
+    spark: SparkSession, path: str, order_col: str = "shuffle_pos"
+) -> DataFrame:
+    """Per-shard audit of a :func:`write_corpus_shards` output:
+    ``(shard, rows, pos_min, pos_max)`` from one scan grouped by
+    ``input_file_name`` — the table to assert shard caps and
+    non-overlapping contiguous position ranges from (or to feed a
+    loader's resume index)."""
+    d = spark.read.parquet(path)
+    return (
+        d.groupBy(F.element_at(F.split(F.input_file_name(), "/"), -1).alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.min(order_col).alias("pos_min"),
+            F.max(order_col).alias("pos_max"),
+        )
+        .orderBy("pos_min")
+    )
+
+
 def split_assign(
     docs: DataFrame,
     splits: dict | None = None,

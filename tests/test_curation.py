@@ -622,6 +622,37 @@ def test_compression_ratio(spark):
     assert again == out
 
 
+def test_write_corpus_shards(spark, tmp_path):
+    """r11: sharded writer — every shard ≤ rows_per_shard, shards are
+    contiguous non-overlapping slices of the deterministic global
+    order, and the order is reproducible across writes."""
+    from matcha_spark.operators.text import shard_manifest, write_corpus_shards
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("doc "), "id").alias("text")
+    )
+    out = str(tmp_path / "shards")
+    n = write_corpus_shards(docs, out, rows_per_shard=100, mode="overwrite")
+    assert n == 1000
+    man = shard_manifest(spark, out).collect()
+    assert sum(r.rows for r in man) == 1000
+    assert max(r.rows for r in man) <= 100
+    assert man[0].pos_min == 0 and man[-1].pos_max == 999
+    for prev, cur in zip(man, man[1:]):
+        assert cur.pos_min == prev.pos_max + 1  # contiguous, no overlap
+    # the global order is a pure function of the corpus + salt
+    out2 = str(tmp_path / "shards2")
+    write_corpus_shards(docs, out2, rows_per_shard=100, mode="overwrite")
+    a = [r.doc_id for r in spark.read.parquet(out).orderBy("shuffle_pos").collect()]
+    b = [r.doc_id for r in spark.read.parquet(out2).orderBy("shuffle_pos").collect()]
+    assert a == b
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        write_corpus_shards(docs, out, rows_per_shard=0)
+
+
 def test_quality_filter_compression_band(spark):
     """r11: the optional compression band rejects templated repetition
     and high-entropy noise; OFF by default (result and schema
