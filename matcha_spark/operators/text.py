@@ -1557,6 +1557,42 @@ def corpus_shuffle(
     )
 
 
+def cap_per_group(
+    docs: DataFrame,
+    n: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Absolute per-group quota — keep at most ``n`` documents per
+    group (the anti-spam curation knob: no single domain/source may
+    contribute more than its cap, where :func:`mixture_sample` is
+    proportional and :func:`temperature_mixture` is smoothed-
+    proportional).  The kept set is the group's first ``n`` rows in
+    md5(salt, key) order: deterministic, partition-invariant, and
+    NESTED across caps (the 100-cap keep set contains the 50-cap
+    one), consistent with the rest of the sampling family.
+
+    Scale shape: one window ``row_number`` per group — parallel
+    across groups, but a single task ranks each group's rows; for a
+    corpus dominated by ONE giant group under a small cap, pre-thin
+    with ``mixture_sample({giant: ~(2n/size)})`` first (nested draws
+    make that composition exact on the survivors)."""
+    from pyspark.sql import Window
+
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(_hash_hex(F.col(key_col), salt), key_col)
+    )
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= int(n))
+        .drop("__rn")
+    )
+
+
 def write_corpus_shards(
     docs: DataFrame,
     path: str,

@@ -622,6 +622,30 @@ def test_compression_ratio(spark):
     assert again == out
 
 
+def test_cap_per_group(spark):
+    """r11: per-group quota — exact cap, small groups untouched,
+    deterministic and nested across caps."""
+    from matcha_spark.operators.text import cap_per_group
+
+    rows = [(i, "web", "t") for i in range(50)] + [
+        (100 + i, "wiki", "t") for i in range(3)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = cap_per_group(docs, 10)
+    per = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    assert per == {"web": 10, "wiki": 3}
+    assert out.columns == docs.columns
+    # nested: the 5-cap keep set is inside the 10-cap one; reruns agree
+    small = {r.doc_id for r in cap_per_group(docs, 5).collect()}
+    big = {r.doc_id for r in out.collect()}
+    assert small <= big
+    assert {r.doc_id for r in cap_per_group(docs, 10).collect()} == big
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        cap_per_group(docs, 0)
+
+
 def test_write_corpus_shards(spark, tmp_path):
     """r11: sharded writer — every shard ≤ rows_per_shard, shards are
     contiguous non-overlapping slices of the deterministic global
