@@ -77,6 +77,31 @@ def test_read_jsonl_content_addressed_ids(spark, tmp_path):
     assert again == ids
 
 
+def test_read_jsonl_coercions(spark, tmp_path):
+    """Pin the parser's edges: unicode round-trips byte-exact; a JSON
+    OBJECT under a string-typed field is re-serialized (not
+    quarantined); scalar non-strings coerce to their JSON text; huge
+    lines parse."""
+    p = tmp_path / "edge.jsonl"
+    p.write_text(
+        "\n".join(
+            [
+                json.dumps({"text": "héllo wörld é中文", "meta": {"a": 1}}),
+                json.dumps({"text": "big " * 100000}),
+                json.dumps({"text": 42}),
+            ]
+        )
+    )
+    docs = read_jsonl_documents(spark, str(p), extra_fields={"meta": "string"})
+    rows = sorted(docs.collect(), key=lambda r: len(r.text))
+    assert rows[0].text == "42"
+    assert rows[1].text == "héllo wörld é中文" and rows[1].meta == '{"a":1}'
+    assert len(rows[2].text) == 4 * 100000
+    assert jsonl_quarantine(
+        spark, str(p), extra_fields={"meta": "string"}
+    ).count() == 0
+
+
 def test_read_text_documents(spark, tmp_path):
     d = tmp_path / "txt"
     os.makedirs(d)
