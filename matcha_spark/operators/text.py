@@ -1557,6 +1557,41 @@ def corpus_shuffle(
     )
 
 
+def importance_sample(
+    docs: DataFrame,
+    weight_col: str,
+    key_col: str = "doc_id",
+    salt: str = "",
+    scale: float | None = None,
+) -> DataFrame:
+    """Weighted Poisson sampling — keep each row with probability
+    ``min(1, weight · scale)``: the RESAMPLING half of DSIR
+    (:func:`dsir_importance` scores, this draws — feed it
+    ``F.exp("logw")``; relative weights suffice since ``scale``
+    normalizes) and the general "sample ∝ quality score" knob.
+
+    Default ``scale`` is ``1 / max(weight)`` (one scalar aggregate):
+    the best row is kept surely and everything else proportionally.
+    The draw is the family's md5(salt, key) u01 — deterministic,
+    partition-invariant, and MONOTONE in both weight and scale (a row
+    kept at weight w is kept at any w' > w under the same salt), so
+    re-scoring only moves rows across the boundary in one direction.
+    Negative/null weights never keep.  Narrow map; the per-row
+    threshold folds into the scan filter."""
+    if scale is None:
+        mx = docs.agg(F.max(F.col(weight_col)).alias("m")).collect()[0]["m"]
+        if mx is None or float(mx) <= 0.0:
+            return docs.limit(0)
+        scale = 1.0 / float(mx)
+    if scale <= 0.0:
+        raise ValueError(f"scale must be positive, got {scale}")
+    # first 13 hex chars = top 52 bits: exact in a double
+    u = F.conv(
+        F.substring(_hash_hex(F.col(key_col), salt), 1, 13), 16, 10
+    ).cast("double") / F.lit(float(16**13))
+    return docs.where(u < F.col(weight_col).cast("double") * F.lit(float(scale)))
+
+
 def cap_per_group(
     docs: DataFrame,
     n: int,
@@ -1615,7 +1650,11 @@ def write_corpus_shards(
     One bounded count job sizes the partitioning (a scalar to the
     driver); everything else is one range exchange + write.  Returns
     the row count written.  Audit the result with
-    :func:`shard_manifest`."""
+    :func:`shard_manifest`.  TOKEN-balanced shards are the
+    composition with the packers: ``bpe_pack``/``chunk_packing`` rows
+    are fixed context-length sequences, so
+    ``rows_per_shard = tokens_per_shard // context_len`` caps each
+    shard's token budget exactly."""
     if rows_per_shard <= 0:
         raise ValueError(f"rows_per_shard must be positive, got {rows_per_shard}")
     if order_col not in docs.columns:

@@ -622,6 +622,43 @@ def test_compression_ratio(spark):
     assert again == out
 
 
+def test_importance_sample(spark):
+    """r11: weighted Poisson draw — decisions replicate exactly from
+    the md5 family hash in Python, weight-monotone, zero/negative/null
+    weights never keep, default scale keeps the max-weight row."""
+    import hashlib
+
+    from matcha_spark.operators.text import importance_sample
+
+    rows = [(i, float(w)) for i, w in enumerate([0.0, 0.1, 0.3, 0.5, 0.9, 1.0, -1.0])]
+    rows.append((7, None))
+    docs = spark.createDataFrame(rows, "doc_id long, w double")
+
+    def py_keep(key, w, scale, salt=""):
+        if w is None or w < 0:
+            return False
+        h = hashlib.md5((salt + str(key)).encode()).hexdigest()
+        return int(h[:13], 16) / 16**13 < w * scale
+
+    got = {r.doc_id for r in importance_sample(docs, "w", scale=1.0).collect()}
+    want = {i for i, w in rows if py_keep(i, w, 1.0)}
+    assert got == want
+    assert 0 not in got and 6 not in got and 7 not in got
+    # default scale = 1/max(w) = 1.0 here; max-weight row kept surely
+    assert {r.doc_id for r in importance_sample(docs, "w").collect()} == want
+    assert 5 in got  # w*scale = 1 > any u
+    # monotone in scale: lower scale keeps a subset
+    lower = {r.doc_id for r in importance_sample(docs, "w", scale=0.5).collect()}
+    assert lower <= got
+    # all-nonpositive weights → empty, not an error
+    neg = docs.where("w <= 0")
+    assert importance_sample(neg, "w").count() == 0
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        importance_sample(docs, "w", scale=0.0)
+
+
 def test_cap_per_group(spark):
     """r11: per-group quota — exact cap, small groups untouched,
     deterministic and nested across caps."""
