@@ -712,6 +712,14 @@ def test_write_corpus_shards(spark, tmp_path):
 
     with _p.raises(ValueError):
         write_corpus_shards(docs, out, rows_per_shard=0)
+    # edges: sub-shard corpus → one shard; empty corpus → 0 rows,
+    # empty (schema-bearing) manifest — neither errors
+    tiny = docs.where("doc_id < 3")
+    assert write_corpus_shards(tiny, str(tmp_path / "tiny"), 100) == 3
+    assert shard_manifest(spark, str(tmp_path / "tiny")).count() == 1
+    none = docs.where("doc_id < 0")
+    assert write_corpus_shards(none, str(tmp_path / "none"), 100) == 0
+    assert shard_manifest(spark, str(tmp_path / "none")).count() == 0
 
 
 def test_quality_filter_compression_band(spark):
