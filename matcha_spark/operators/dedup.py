@@ -156,6 +156,13 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     vectorized numpy segment-sum — a signature is a per-row computation,
     so the operator is a pure narrow map (the explode + 64-column
     groupBy alternative pays a full shuffle for no reason).
+
+    ``doc_id`` may be any orderable type (long, string, ...): the
+    kernel passes ids through untouched and the output schema adopts
+    the input's id type, so string-keyed corpora (e.g. JSONL sources
+    with ``id_field=``) flow through the whole dedup family — every
+    downstream step (banding, min-label contraction, union-find,
+    keeper selection) is built on type-agnostic comparisons.
     """
     import numpy as np
     import pandas as pd
@@ -204,7 +211,8 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 out[nz] = sigs.view(np.int64)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
 
-    return d.mapInPandas(kernel, schema="doc_id long, simhash long")
+    id_t = docs.schema["doc_id"].dataType.simpleString()
+    return d.mapInPandas(kernel, schema=f"doc_id {id_t}, simhash long")
 
 
 def simhash_candidates(

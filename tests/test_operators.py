@@ -1009,6 +1009,48 @@ def test_incremental_dedup_simhash_batches(spark):
     assert not row.keep and row.dup_of == 10
 
 
+def test_dedup_family_string_doc_ids(spark):
+    """String-keyed corpora (JSONL sources with ``id_field=``) flow
+    through the whole dedup family: simhash adopts the input id type,
+    and every downstream step (banding, contraction, union-find,
+    corpus-wins keeper) compares ids lexicographically — the keeper is
+    the MIN id in that order, same contract as long ids."""
+    base_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other_text = "one two three four five six seven eight nine ten"
+    b1 = spark.createDataFrame(
+        [("doc-a", base_text), ("doc-b", base_text), ("doc-c", other_text)],
+        "doc_id string, text string",
+    )
+    sig = D.simhash(b1)
+    assert sig.schema["doc_id"].dataType.simpleString() == "string"
+
+    d1, sigs1 = D.incremental_dedup_simhash(b1, None, max_hamming=3)
+    dec1 = {r.doc_id: r for r in d1.collect()}
+    assert dec1["doc-a"].keep and dec1["doc-c"].keep
+    assert not dec1["doc-b"].keep and dec1["doc-b"].dup_of == "doc-a"
+
+    # corpus-wins across a store round: a string-id resubmission
+    b2 = spark.createDataFrame(
+        [("doc-0", base_text)], "doc_id string, text string"
+    )
+    d2, _ = D.incremental_dedup_simhash(b2, sigs1, max_hamming=3)
+    row = d2.collect()[0]
+    # corpus wins even though "doc-0" < "doc-a" lexicographically
+    assert not row.keep and row.dup_of == "doc-a"
+
+    # the MinHash path too (built-ins throughout, no kernel schema)
+    d3, _ = D.incremental_dedup_near(b1, None, threshold=0.6)
+    dec3 = {r.doc_id: r for r in d3.collect()}
+    assert dec3["doc-a"].keep and not dec3["doc-b"].keep
+    assert dec3["doc-b"].dup_of == "doc-a"
+
+    # batch keep-one over string ids (connected components included)
+    keep = {r.doc_id: r.keep_doc_id for r in D.dedup_near_docs(
+        b1, threshold=0.6).collect()}
+    assert keep["doc-a"] == "doc-a" and keep["doc-b"] == "doc-a"
+    assert keep["doc-c"] == "doc-c"
+
+
 def test_signature_store_roundtrip(spark, tmp_path):
     """The incremental-dedup handoff survives a parquet round-trip: the
     reloaded store makes identical decisions."""

@@ -149,6 +149,52 @@ def test_jsonl_to_curation_to_mixture(spark, tmp_path):
     assert per.get("web", 0) <= 4
 
 
+def test_stream_jsonl_feeds_streaming_dedup(spark, tmp_path):
+    """The composition the docs promise: a JSONL drop-directory →
+    stream_jsonl_documents → stream_incremental_dedup — near-dup
+    admissions decided per micro-batch, duplicate rejected."""
+    from matcha_spark.streaming.dedup import stream_incremental_dedup
+
+    drop = tmp_path / "drop"
+    os.makedirs(drop)
+    base = ("a perfectly ordinary training document about nothing in "
+            "particular that goes on for a while " * 3)
+    (drop / "b0.jsonl").write_text(
+        "\n".join(
+            [
+                json.dumps({"text": base + "original", "id": "keep0"}),
+                # near-dup; id sorts AFTER keep0 (min-id keeper wins)
+                json.dumps({"text": base + "originaI", "id": "zdup0"}),
+                json.dumps({"text": "completely different content here " * 6, "id": "keep1"}),
+                "{broken line",
+            ]
+        )
+    )
+    stream = stream_jsonl_documents(spark, str(drop), id_field="id")
+    decisions = []
+
+    def sink(df, bid):
+        decisions.extend((r.doc_id, r.keep) for r in df.collect())
+
+    # measured signature distances on these fixed texts: planted pair
+    # at Hamming 6, unrelated pairs at 28/32 — max_hamming=8 separates
+    q = stream_incremental_dedup(
+        stream,
+        str(tmp_path / "store"),
+        sink,
+        method="simhash",
+        max_hamming=8,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(10)
+    q.processAllAvailable()
+    q.stop()
+    got = dict(decisions)
+    assert got["keep0"] is True and got["keep1"] is True
+    assert got["zdup0"] is False
+    assert len(got) == 3  # the broken line never reached the dedupper
+
+
 def test_stream_jsonl_matches_batch(spark, tmp_path):
     """availableNow streaming read lands exactly the batch rows."""
     path = _write_corpus(tmp_path)
