@@ -1,0 +1,230 @@
+"""WARC ingestion source (sources/warc.py): synthetic ISO 28500
+archives — plain and per-record-gzipped — through read_warc_documents
+and the warc_malformed audit view."""
+
+from __future__ import annotations
+
+import gzip
+import os
+import zlib
+
+import pytest
+
+from matcha_spark.sources.warc import (
+    _dechunk,
+    _gunzip_members,
+    read_warc_documents,
+    warc_malformed,
+)
+
+
+def _record(
+    rtype: str,
+    block: bytes,
+    uri: str = "http://example.com/",
+    rec_id: str = "<urn:uuid:00000000-0000-0000-0000-000000000001>",
+    content_type: str = "application/http; msgtype=response",
+    content_length: int | None = None,
+) -> bytes:
+    n = len(block) if content_length is None else content_length
+    hdr = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {rtype}\r\n"
+        f"WARC-Record-ID: {rec_id}\r\n"
+        f"WARC-Date: 2026-08-15T00:00:00Z\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"Content-Type: {content_type}\r\n"
+        f"Content-Length: {n}\r\n\r\n"
+    ).encode()
+    return hdr + block + b"\r\n\r\n"
+
+
+def _http(body: bytes, ctype: str = "text/html; charset=utf-8",
+          extra: str = "") -> bytes:
+    return (
+        f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\n{extra}\r\n"
+    ).encode() + body
+
+
+def _archive() -> bytes:
+    recs = [
+        _record("warcinfo", b"software: test\r\n",
+                content_type="application/warc-fields"),
+        _record("request", b"GET / HTTP/1.1\r\nHost: example.com\r\n\r\n",
+                content_type="application/http; msgtype=request"),
+        _record(
+            "response",
+            _http("<html>café utf8</html>".encode("utf-8")),
+            uri="http://example.com/a",
+            rec_id="<urn:uuid:aaaa>",
+        ),
+        _record(
+            "response",
+            _http("<html>café latin</html>".encode("latin-1"),
+                  ctype="text/html; charset=ISO-8859-1"),
+            uri="http://example.com/b",
+            rec_id="<urn:uuid:bbbb>",
+        ),
+        # chunked transfer: 2 chunks then terminator
+        _record(
+            "response",
+            (b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+             b"Transfer-Encoding: chunked\r\n\r\n"
+             b"5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n"),
+            uri="http://example.com/c",
+            rec_id="<urn:uuid:cccc>",
+        ),
+        # gzip content-encoding
+        _record(
+            "response",
+            (b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+             b"Content-Encoding: gzip\r\n\r\n"
+             + gzip.compress(b"inflate me")),
+            uri="http://example.com/d",
+            rec_id="<urn:uuid:dddd>",
+        ),
+        _record("resource", b"raw resource bytes",
+                uri="http://example.com/r",
+                rec_id="<urn:uuid:rrrr>",
+                content_type="text/plain"),
+    ]
+    return b"".join(recs)
+
+
+def _write(tmp_path, name: str, data: bytes) -> str:
+    d = tmp_path / "warcs"
+    os.makedirs(d, exist_ok=True)
+    (d / name).write_bytes(data)
+    return str(d)
+
+
+def test_read_warc_responses(spark, tmp_path):
+    path = _write(tmp_path, "seg-00001.warc", _archive())
+    docs = {r.doc_id: r for r in read_warc_documents(spark, path).collect()}
+    # responses only: warcinfo/request/resource excluded by default
+    assert set(docs) == {"urn:uuid:aaaa", "urn:uuid:bbbb",
+                         "urn:uuid:cccc", "urn:uuid:dddd"}
+    a = docs["urn:uuid:aaaa"]
+    assert a.text == "<html>café utf8</html>"
+    assert a.url == "http://example.com/a"
+    assert a.content_type == "text/html"
+    assert a.source == "seg-00001.warc"
+    assert a.date == "2026-08-15T00:00:00Z"
+    # declared charset honored, not assumed utf-8
+    assert docs["urn:uuid:bbbb"].text == "<html>café latin</html>"
+    # chunked frames removed
+    assert docs["urn:uuid:cccc"].text == "hello world"
+    # content-encoding inflated
+    assert docs["urn:uuid:dddd"].text == "inflate me"
+
+
+def test_read_warc_record_types(spark, tmp_path):
+    path = _write(tmp_path, "seg.warc", _archive())
+    docs = {
+        r.doc_id: r
+        for r in read_warc_documents(
+            spark, path, record_types=("resource",)
+        ).collect()
+    }
+    assert set(docs) == {"urn:uuid:rrrr"}
+    # resource blocks are content directly — no HTTP envelope to strip
+    assert docs["urn:uuid:rrrr"].text == "raw resource bytes"
+    assert docs["urn:uuid:rrrr"].content_type == "text/plain"
+
+
+def test_read_warc_gz_multimember(spark, tmp_path):
+    """Per-record gzip members (the Common Crawl layout) and one-shot
+    whole-file gzip both decode to the same documents."""
+    plain = _archive()
+    members = b"".join(
+        gzip.compress(_record(
+            "response",
+            _http(f"doc {i}".encode()),
+            uri=f"http://example.com/{i}",
+            rec_id=f"<urn:uuid:m{i}>",
+        ))
+        for i in range(3)
+    )
+    path1 = _write(tmp_path, "multi.warc.gz", members)
+    got = {r.doc_id: r.text
+           for r in read_warc_documents(spark, path1).collect()}
+    assert got == {f"urn:uuid:m{i}": f"doc {i}" for i in range(3)}
+
+    path2 = _write(tmp_path / "w2", "whole.warc.gz", gzip.compress(plain))
+    assert read_warc_documents(spark, path2).count() == 4
+
+
+def test_warc_malformed_resync(spark, tmp_path):
+    """A corrupt record is quarantined and the parser resynchronizes on
+    the next version line — later records still land."""
+    good = _record("response", _http(b"after the bad one"),
+                   uri="http://example.com/ok", rec_id="<urn:uuid:ok>")
+    bad_len = _record("response", _http(b"x"), content_length=-1,
+                      rec_id="<urn:uuid:bad>").replace(
+        b"Content-Length: -1", b"Content-Length: nope")
+    junk = b"this is not a warc record\r\n"
+    path = _write(tmp_path, "mix.warc", junk + bad_len + good)
+    docs = read_warc_documents(spark, path).collect()
+    assert [d.doc_id for d in docs] == ["urn:uuid:ok"]
+    reasons = sorted(r.reason for r in warc_malformed(spark, path).collect())
+    assert reasons == ["bad_content_length", "not_a_record"]
+
+
+def test_warc_truncated_block(spark, tmp_path):
+    rec = _record("response", _http(b"present"), rec_id="<urn:uuid:p>")
+    cut = rec + _record("response", _http(b"gone"), rec_id="<urn:uuid:g>")[:-30]
+    path = _write(tmp_path, "trunc.warc", cut)
+    assert [d.doc_id for d in read_warc_documents(spark, path).collect()] \
+        == ["urn:uuid:p"]
+    bad = warc_malformed(spark, path).collect()
+    assert [b.reason for b in bad] == ["truncated_block"]
+
+
+def test_warc_gz_truncated_tail(spark, tmp_path):
+    """A truncated final gzip member: complete members decode, the tail
+    is reported, the job never fails."""
+    m1 = gzip.compress(_record("response", _http(b"kept"),
+                               rec_id="<urn:uuid:k>"))
+    m2 = gzip.compress(_record("response", _http(b"lost"),
+                               rec_id="<urn:uuid:l>"))
+    path = _write(tmp_path, "tail.warc.gz", m1 + m2[: len(m2) // 2])
+    assert [d.doc_id for d in read_warc_documents(spark, path).collect()] \
+        == ["urn:uuid:k"]
+    reasons = [b.reason for b in warc_malformed(spark, path).collect()]
+    assert reasons == ["gzip_truncated"]
+
+
+def test_warc_feeds_dedup(spark, tmp_path):
+    """The composition that matters: WARC segments → documents →
+    exact dedup, WARC-Record-IDs as the unique doc ids."""
+    from matcha_spark.operators.text import dedup_exact
+
+    recs = b"".join(
+        _record("response", _http(b"identical page body"),
+                uri=f"http://example.com/{i}",
+                rec_id=f"<urn:uuid:x{i}>")
+        for i in range(3)
+    ) + _record("response", _http(b"unique page body"),
+                uri="http://example.com/u", rec_id="<urn:uuid:u>")
+    path = _write(tmp_path, "dup.warc", recs)
+    docs = read_warc_documents(spark, path)
+    kept = {r.keep_doc_id: r.n_copies for r in dedup_exact(docs).collect()}
+    assert kept == {"urn:uuid:u": 1, "urn:uuid:x0": 3}
+
+
+def test_gunzip_members_unit():
+    m = gzip.compress(b"a") + gzip.compress(b"b")
+    out, err = _gunzip_members(m)
+    assert (out, err) == (b"ab", None)
+    out, err = _gunzip_members(m + b"\x1f\x8bgarbage")
+    assert out == b"ab" and err is not None
+    out, err = _gunzip_members(zlib.compress(b"zlib, not gzip"))
+    assert out == b"" and err.startswith("gzip_error")
+
+
+def test_dechunk_malformed_passthrough():
+    assert _dechunk(b"5\r\nhello\r\n0\r\n\r\n") == b"hello"
+    # malformed size token: body returned verbatim, never an exception
+    raw = b"zz\r\nnot chunked at all"
+    assert _dechunk(raw) == raw
