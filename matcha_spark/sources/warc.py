@@ -35,7 +35,7 @@ from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["read_warc_documents", "warc_malformed"]
+__all__ = ["read_warc_documents", "warc_malformed", "stream_warc_documents"]
 
 _CRLF = b"\r\n"
 _HDR_END = b"\r\n\r\n"
@@ -260,6 +260,45 @@ def read_warc_documents(
     import pandas as pd
 
     binf = spark.read.format("binaryFile").load(path)
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for name, content in zip(pdf["path"], pdf["content"]):
+                rows.extend(_records_to_docs(name, bytes(content), record_types))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "url", "date", "content_type", "text", "source",
+                ],
+            )
+
+    return binf.select("path", "content").mapInPandas(kernel, schema=_DOC_SCHEMA)
+
+
+def stream_warc_documents(
+    spark: SparkSession,
+    path: str,
+    record_types: tuple[str, ...] = ("response",),
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of :func:`read_warc_documents` — the same parse
+    kernel over ``readStream.format("binaryFile")``, so a drop
+    directory of crawl segments feeds the streaming dedup/admission
+    family (``streaming/dedup.stream_incremental_dedup``) as segments
+    land.  ``maxFilesPerTrigger`` sizes micro-batches in SEGMENTS (the
+    natural unit: one ~1 GB file ≈ tens of thousands of documents).
+    Malformed records are silently excluded here, as in the streaming
+    JSONL source — audit landed segments with :func:`warc_malformed`."""
+    import pandas as pd
+
+    reader = spark.readStream.format("binaryFile")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    # binaryFile streaming requires an explicit schema
+    binf = reader.schema(
+        "path string, modificationTime timestamp, length long, content binary"
+    ).load(path)
 
     def kernel(batches):
         for pdf in batches:

@@ -213,6 +213,70 @@ def test_warc_feeds_dedup(spark, tmp_path):
     assert kept == {"urn:uuid:u": 1, "urn:uuid:x0": 3}
 
 
+def test_stream_warc_matches_batch(spark, tmp_path):
+    """availableNow streaming read of a segment directory lands exactly
+    the batch documents."""
+    from matcha_spark.sources.warc import stream_warc_documents
+
+    path = _write(tmp_path, "seg.warc.gz", gzip.compress(_archive()))
+    batch = {(r.doc_id, r.text)
+             for r in read_warc_documents(spark, path).collect()}
+    got = []
+    q = (
+        stream_warc_documents(spark, path, max_files_per_trigger=1)
+        .writeStream.format("memory").queryName("warc_stream")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {(r.doc_id, r.text)
+           for r in spark.sql("select * from warc_stream").collect()}
+    assert got == batch and len(got) == 4
+
+
+def test_stream_warc_feeds_streaming_dedup(spark, tmp_path):
+    """Crawl segments dropped into a directory → streaming near-dedup:
+    the exact-refetch in a later segment is rejected against the store."""
+    from matcha_spark.sources.warc import stream_warc_documents
+    from matcha_spark.streaming.dedup import stream_incremental_dedup
+
+    drop = tmp_path / "drop"
+    os.makedirs(drop)
+    body = ("a perfectly ordinary web page about nothing in particular "
+            "that goes on for quite a while " * 3).encode()
+    (drop / "seg1.warc").write_bytes(
+        _record("response", _http(body), uri="http://x.test/a",
+                rec_id="<urn:uuid:a>")
+        + _record("response", _http(b"totally different page body here "
+                                    b"with its own words entirely"),
+                  uri="http://x.test/b", rec_id="<urn:uuid:b>")
+    )
+    (drop / "seg2.warc").write_bytes(
+        _record("response", _http(body), uri="http://x.test/a-refetch",
+                rec_id="<urn:uuid:c>")
+    )
+    decisions = []
+
+    def sink(df, bid):
+        decisions.extend((r.doc_id, r.keep) for r in df.collect())
+
+    q = stream_incremental_dedup(
+        stream_warc_documents(spark, str(drop), max_files_per_trigger=1),
+        str(tmp_path / "store"),
+        sink,
+        method="simhash",
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(10)
+    q.processAllAvailable()
+    q.stop()
+    got = dict(decisions)
+    assert got["urn:uuid:a"] is True and got["urn:uuid:b"] is True
+    assert got["urn:uuid:c"] is False  # exact refetch, hamming 0
+    assert len(got) == 3
+
+
 def test_gunzip_members_unit():
     m = gzip.compress(b"a") + gzip.compress(b"b")
     out, err = _gunzip_members(m)
