@@ -28,9 +28,18 @@ def curate_corpus(
     contamination_n: int = 8,
     max_contamination: float = 0.5,
     text_col: str = "text",
+    blocked_domains: DataFrame | list | None = None,
+    url_dedup: bool = False,
+    url_col: str = "url",
 ) -> DataFrame:
     """Standard curation cascade with an audit verdict per document:
 
+    0. **blocked_domain** / **url_duplicate** (both OPTIONAL, default
+       off — the default cascade is byte-identical without them): the
+       crawl-pipeline URL head (:mod:`operators.web`) — suffix-aware
+       domain blocklist when ``blocked_domains`` is given, then
+       keep-one per canonical URL when ``url_dedup=True`` (min doc_id
+       among blocklist survivors; requires ``url_col``);
     1. **quality**: Gopher/C4-style signal gate (:func:`text.quality_filter`
        thresholds);
     2. **duplicate**: exact keep-first dedup among quality survivors
@@ -41,15 +50,37 @@ def curate_corpus(
        ``probes`` is None).
 
     Output: ``(doc_id, status)`` for EVERY input document — ``kept`` or
-    the first stage that rejected it (``quality`` / ``duplicate`` /
-    ``contaminated``) — the audit table a pipeline owner reports on.
+    the first stage that rejected it (``blocked_domain`` /
+    ``url_duplicate`` / ``quality`` / ``duplicate`` / ``contaminated``)
+    — the audit table a pipeline owner reports on.
 
     Each stage runs only on the previous stage's survivors (a rejected
     duplicate can't knock out a later doc, and dedup groups form among
     quality survivors only — the ordering production pipelines use so
-    junk never shadows good copies).  Plan: the signal/gate stages are
-    codegen'd column work; dedup is one hash-groupBy; contamination is
-    a broadcast-probe semi-match — nothing pairwise, nothing collected."""
+    junk never shadows good copies; the URL stages run FIRST because
+    they gate on ~100-byte keys before any text is touched).  Plan: the
+    signal/gate stages are codegen'd column work; dedup is one
+    hash-groupBy (url and content); the blocklist is a broadcast join;
+    contamination is a broadcast-probe semi-match — nothing pairwise,
+    nothing collected."""
+    url_ok = None
+    url_keep = None
+    if blocked_domains is not None or url_dedup:
+        from .operators import web as W
+    if blocked_domains is not None:
+        url_ok = W.domain_blocklist_filter(
+            docs.select("doc_id", url_col), blocked_domains, url_col=url_col
+        ).select("doc_id")
+    if url_dedup:
+        pool = docs.select("doc_id", url_col)
+        if url_ok is not None:
+            pool = pool.join(url_ok, "doc_id", "left_semi")
+        url_keep = (
+            pool.select("doc_id", W.url_normalize(url_col).alias("__u"))
+            .groupBy("__u")
+            .agg(F.min("doc_id").alias("keep_id"))
+            .select(F.col("keep_id").alias("doc_id"))
+        )
     quality_ok = T.quality_filter(
         docs,
         min_tokens=min_tokens,
@@ -59,6 +90,9 @@ def curate_corpus(
         text_col=text_col,
     ).select("doc_id")
     base = docs.select("doc_id", text_col)
+    for gate in (url_ok, url_keep):
+        if gate is not None:
+            base = base.join(gate, "doc_id", "left_semi")
     q_surv = base.join(quality_ok, "doc_id", "left_semi")
 
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
@@ -80,14 +114,24 @@ def curate_corpus(
     else:
         contaminated = d_surv.select("doc_id").limit(0)
 
+    # the when-chain starts at the module (F.when) and extends per
+    # enabled URL stage — first matching stage names the verdict
+    st = docs.select("doc_id")
+    verdict: object = F
+    if url_ok is not None:
+        st = st.join(url_ok.withColumn("__b", F.lit(1)), "doc_id", "left")
+        verdict = verdict.when(F.col("__b").isNull(), "blocked_domain")
+    if url_keep is not None:
+        st = st.join(url_keep.withColumn("__u", F.lit(1)), "doc_id", "left")
+        verdict = verdict.when(F.col("__u").isNull(), "url_duplicate")
     status = (
-        docs.select("doc_id")
+        st
         .join(quality_ok.withColumn("__q", F.lit(1)), "doc_id", "left")
         .join(keepers.withColumn("__k", F.lit(1)), "doc_id", "left")
         .join(contaminated.withColumn("__c", F.lit(1)), "doc_id", "left")
         .select(
             "doc_id",
-            F.when(F.col("__q").isNull(), "quality")
+            verdict.when(F.col("__q").isNull(), "quality")
             .when(F.col("__k").isNull(), "duplicate")
             .when(F.col("__c").isNotNull(), "contaminated")
             .otherwise("kept")

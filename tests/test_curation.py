@@ -542,6 +542,54 @@ def test_curate_corpus_stage_order_and_verdicts(spark):
     assert out2[3] == "quality"
 
 
+def test_curate_corpus_url_stages(spark):
+    """Optional crawl-head stages (r11): blocked_domain fires before
+    url_duplicate fires before quality; url dedup groups form among
+    blocklist survivors; the default path is unchanged when both are
+    off."""
+    from matcha_spark.pipelines import curate_corpus
+
+    good = ("the cat and the dog sat in the house that is it for a story "
+            "about the animals and their day together in it all")
+    docs = spark.createDataFrame(
+        [
+            (1, good, "https://keep.org/a"),                  # kept
+            (2, good + " two", "https://keep.org/a?utm_source=x"),  # url dup of 1
+            (3, "x!!", "https://spam.net/z"),                 # blocked (not 'quality')
+            (4, "x!!", "https://keep.org/bad"),               # quality reject
+            # same URL as the BLOCKED doc 3: doc 5 survives the url
+            # dedup because blocked docs don't found url groups
+            (5, good + " five", "https://spam.net/z"),
+        ],
+        "doc_id long, text string, url string",
+    )
+    out = {r.doc_id: r.status for r in curate_corpus(
+        docs, None, min_tokens=5, max_punct_ratio=0.3,
+        blocked_domains=["spam.net"], url_dedup=True,
+    ).collect()}
+    # doc 5's host is spam.net too — blocked, NOT url_duplicate
+    assert out == {1: "kept", 2: "url_duplicate", 3: "blocked_domain",
+                   4: "quality", 5: "blocked_domain"}
+
+    # url_dedup alone (no blocklist): 5 forms a url group with 3; min wins
+    out2 = {r.doc_id: r.status for r in curate_corpus(
+        docs, None, min_tokens=5, max_punct_ratio=0.3, url_dedup=True,
+    ).collect()}
+    assert out2 == {1: "kept", 2: "url_duplicate", 3: "quality",
+                    4: "quality", 5: "url_duplicate"}
+
+    # default path: identical to the cascade without URL columns
+    plain = {r.doc_id: r.status for r in curate_corpus(
+        docs.select("doc_id", "text"), None, min_tokens=5,
+        max_punct_ratio=0.3,
+    ).collect()}
+    with_url_cols = {r.doc_id: r.status for r in curate_corpus(
+        docs, None, min_tokens=5, max_punct_ratio=0.3,
+    ).collect()}
+    assert plain == with_url_cols
+    assert plain[3] == "quality" and plain[1] == "kept"
+
+
 def test_strip_dup_ngrams_planted(spark):
     """The canonical first occurrence of a duplicated 5-gram survives;
     every other occurrence's span is removed (case-insensitive match,
