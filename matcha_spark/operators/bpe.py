@@ -291,8 +291,9 @@ def bpe_encode(
                 {"doc_id": ids, "tokens": toks, "n_tokens": ns}
             )
 
+    id_t = docs.schema["doc_id"].dataType.simpleString()
     return docs.select("doc_id", _words_col(text_col).alias("__words")).mapInPandas(
-        run, schema="doc_id long, tokens array<string>, n_tokens long"
+        run, schema=f"doc_id {id_t}, tokens array<string>, n_tokens long"
     )
 
 
@@ -418,8 +419,9 @@ def bpe_encode_ids(
                 }
             )
 
+    id_t = docs.schema["doc_id"].dataType.simpleString()
     return docs.select("doc_id", _words_col(text_col).alias("__words")).mapInPandas(
-        run, schema="doc_id long, ids array<long>, n_tokens long, n_unk long"
+        run, schema=f"doc_id {id_t}, ids array<long>, n_tokens long, n_unk long"
     )
 
 

@@ -757,7 +757,7 @@ def cdc_chunks(
                     hashes.append(hashlib.md5(data[s : s + ln]).hexdigest())
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "doc_id": pd.Series(ids, dtype="object"),
                     "chunk_idx": pd.Series(idxs, dtype="int32"),
                     "start": pd.Series(starts, dtype="int64"),
                     "length": pd.Series(lens, dtype="int64"),
@@ -765,9 +765,11 @@ def cdc_chunks(
                 }
             )
 
+    id_t = docs.schema["doc_id"].dataType.simpleString()
     return docs.select("doc_id", text_col).mapInPandas(
         kernel,
-        schema="doc_id long, chunk_idx int, start long, length long, chunk_hash string",
+        schema=f"doc_id {id_t}, chunk_idx int, start long, length long, "
+               "chunk_hash string",
     )
 
 
@@ -1023,8 +1025,9 @@ def normalize_text(
                 }
             )
 
+    id_t = docs.schema["doc_id"].dataType.simpleString()
     return docs.select("doc_id", text_col).mapInPandas(
-        kernel, schema=f"doc_id long, {text_col} string"
+        kernel, schema=f"doc_id {id_t}, {text_col} string"
     )
 
 

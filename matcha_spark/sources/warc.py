@@ -245,7 +245,9 @@ def read_warc_documents(
 
     ``record_types`` selects which WARC record types become documents
     (default ``response`` — the fetched pages; add ``"resource"`` /
-    ``"conversion"`` for crawler-stored or re-derived content).  For
+    ``"conversion"`` for crawler-stored or re-derived content —
+    ``("conversion",)`` reads Common-Crawl-style WET extracted-text
+    files, which are ordinary WARC files of conversion records).  For
     responses the HTTP envelope is stripped: chunked transfer decoded,
     gzip content-encoding inflated, text decoded per the declared
     charset (``errors="replace"`` — crawl data lies about encodings).

@@ -343,3 +343,22 @@ def test_bpe_byte_level_random_property(spark, seed):
         assert bpe_decode_tokens(
             [inv[j] for j in out[i].ids], byte_level=True
         ) == norm
+
+
+def test_bpe_encode_string_doc_ids(spark):
+    """The encode kernels adopt the input's doc_id type (string-keyed
+    corpora from the JSONL/WARC sources flow straight in)."""
+    from matcha_spark.operators.bpe import bpe_encode_ids, bpe_vocab
+
+    docs = spark.createDataFrame(
+        [("w-1", "abab ab"), ("w-2", "ab")], "doc_id string, text string"
+    )
+    merges = bpe_train(bpe_word_counts(docs), num_merges=5, min_freq=1)
+    enc = bpe_encode(docs, merges)
+    assert enc.schema["doc_id"].dataType.simpleString() == "string"
+    got = {r.doc_id: r.n_tokens for r in enc.collect()}
+    assert set(got) == {"w-1", "w-2"} and all(n > 0 for n in got.values())
+    vocab = bpe_vocab(merges, bpe_word_counts(docs))
+    ids = bpe_encode_ids(docs, merges, vocab)
+    assert ids.schema["doc_id"].dataType.simpleString() == "string"
+    assert {r.doc_id for r in ids.collect()} == {"w-1", "w-2"}

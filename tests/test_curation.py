@@ -1205,3 +1205,23 @@ def test_bigram_logloss_hand_model(spark):
         assert (out[did].n_tokens, out[did].logloss) == (n, ll), did
     # the scrambled doc's bigrams are corpus-rare -> higher loss
     assert out[3].logloss > out[1].logloss
+
+
+def test_string_doc_ids_cdc_and_normalize(spark):
+    """cdc_chunks and normalize_text adopt the input's doc_id type —
+    the same string-id generalization as the dedup/BPE kernels."""
+    from matcha_spark.operators.text import cdc_chunks, normalize_text
+
+    docs = spark.createDataFrame(
+        [("w-1", "the quick brown fox jumps over the lazy dog " * 4),
+         ("w-2", "Café")],
+        "doc_id string, text string",
+    )
+    ch = cdc_chunks(docs, avg_size=32)
+    assert ch.schema["doc_id"].dataType.simpleString() == "string"
+    per = {r.doc_id for r in ch.collect()}
+    assert per == {"w-1", "w-2"}
+    norm = normalize_text(docs, "NFC")
+    assert norm.schema["doc_id"].dataType.simpleString() == "string"
+    got = {r.doc_id: r.text for r in norm.collect()}
+    assert got["w-2"] == "Café"
