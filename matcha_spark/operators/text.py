@@ -39,6 +39,7 @@ __all__ = [
     "benchmark_contamination",
     "unigram_logloss",
     "bigram_logloss",
+    "perplexity_buckets",
     "normalize_text",
     "strip_dup_ngrams",
     "dedup_paragraphs",
@@ -996,6 +997,67 @@ def bigram_logloss(
         "doc_id",
         F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
         F.coalesce("logloss", F.lit(0.0)).alias("logloss"),
+    )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    group_col: str | None = None,
+    cuts: tuple[float, ...] = (1 / 3, 2 / 3),
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    model: str = "bigram",
+    text_col: str = "text",
+    accuracy: int = 10_000,
+    **model_kwargs,
+) -> DataFrame:
+    """CCNet-style perplexity tiering: score every document with the
+    corpus-trained LM (:func:`bigram_logloss` or
+    :func:`unigram_logloss`), then label each one by which PER-GROUP
+    quantile band its logloss falls in — ``head`` (most fluent third,
+    by default), ``middle``, ``tail``.  CCNet buckets per LANGUAGE
+    because perplexities are not comparable across languages; pass
+    ``group_col="lang_pred"`` (from :func:`lang_id`) for exactly that,
+    or leave None for corpus-global bands.
+
+    ``cuts`` are ascending quantile fractions; ``labels`` must be one
+    longer.  Output: ``(doc_id, [group_col], n_tokens, logloss,
+    bucket)`` — one row per input document.
+
+    Scale shape: the LM score is the underlying operator's (explodes +
+    broadcast-able count joins); the band thresholds are ONE mergeable
+    ``percentile_approx`` aggregate producing one row per group
+    (rank error ≤ n/``accuracy``, the GK sketch contract pinned in the
+    corpus-sketch tests) joined back broadcast — never a global sort,
+    never a per-doc window."""
+    if len(labels) != len(cuts) + 1:
+        raise ValueError("need exactly one more label than cuts")
+    if list(cuts) != sorted(cuts) or not all(0.0 < c < 1.0 for c in cuts):
+        raise ValueError("cuts must be ascending fractions in (0, 1)")
+    if model == "bigram":
+        scored = bigram_logloss(docs, text_col=text_col, **model_kwargs)
+    elif model == "unigram":
+        scored = unigram_logloss(docs, text_col=text_col, **model_kwargs)
+    else:
+        raise ValueError(f"model must be bigram|unigram, got {model!r}")
+    gcols = [group_col] if group_col else []
+    if group_col:
+        scored = scored.join(docs.select("doc_id", group_col), "doc_id")
+    thresholds = scored.groupBy(*gcols).agg(
+        *[
+            F.percentile_approx("logloss", float(c), accuracy).alias(f"__c{i}")
+            for i, c in enumerate(cuts)
+        ]
+    )
+    if group_col:
+        banded = scored.join(F.broadcast(thresholds), group_col)
+    else:
+        banded = scored.crossJoin(F.broadcast(thresholds))
+    verdict = F.when(F.col("logloss") <= F.col("__c0"), labels[0])
+    for i in range(1, len(cuts)):
+        verdict = verdict.when(F.col("logloss") <= F.col(f"__c{i}"), labels[i])
+    return banded.select(
+        "doc_id", *gcols, "n_tokens", "logloss",
+        verdict.otherwise(labels[-1]).alias("bucket"),
     )
 
 

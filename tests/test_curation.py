@@ -1225,3 +1225,61 @@ def test_string_doc_ids_cdc_and_normalize(spark):
     assert norm.schema["doc_id"].dataType.simpleString() == "string"
     got = {r.doc_id: r.text for r in norm.collect()}
     assert got["w-2"] == "Café"
+
+
+def test_perplexity_buckets_basic(spark):
+    """Head/middle/tail tiering: fluent corpus-typical text buckets
+    ahead of rare-token soup; every doc gets exactly one verdict; the
+    head set is the lowest-logloss third (ties at thresholds included
+    by <=)."""
+    from matcha_spark.operators.text import perplexity_buckets
+
+    common = "the cat sat on the mat and the dog sat on the rug "
+    rows = (
+        [(f"c{i}", common * 3) for i in range(6)]          # corpus-typical
+        + [(f"r{i}", f"zxqv{i} wkjy{i} qpzt{i} mvbn{i} "
+                     f"xyzq{i} lkjh{i}") for i in range(3)]  # rare soup
+    )
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r.doc_id: r for r in perplexity_buckets(docs).collect()}
+    assert len(out) == 9
+    # the repeated common docs share one (low) logloss — all head+middle
+    # boundary; the rare-token docs must be strictly worse
+    worst = max(out.values(), key=lambda r: r.logloss)
+    assert worst.doc_id.startswith("r") and worst.bucket == "tail"
+    best = min(out.values(), key=lambda r: r.logloss)
+    assert best.doc_id.startswith("c") and best.bucket == "head"
+    assert all(r.bucket in ("head", "middle", "tail") for r in out.values())
+
+
+def test_perplexity_buckets_per_group(spark):
+    """Per-language bands: a doc that would be 'tail' against another
+    language's distribution is banded only within its own group."""
+    from matcha_spark.operators.text import perplexity_buckets
+
+    rows = (
+        [(f"a{i}", "alpha beta gamma " * (i + 2), "aa") for i in range(6)]
+        + [(f"b{i}", "uno dos tres cuatro " * (i + 2), "bb") for i in range(6)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id string, text string, lang string")
+    out = perplexity_buckets(docs, group_col="lang").collect()
+    assert len(out) == 12
+    per = {}
+    for r in out:
+        per.setdefault(r.lang, set()).add(r.bucket)
+    # every group gets its own full banding, not one global split
+    assert per["aa"] == {"head", "middle", "tail"} or len(per["aa"]) >= 2
+    assert per["bb"] == {"head", "middle", "tail"} or len(per["bb"]) >= 2
+    assert {r.lang for r in out} == {"aa", "bb"}
+
+
+def test_perplexity_buckets_validation(spark):
+    from matcha_spark.operators.text import perplexity_buckets
+
+    docs = spark.createDataFrame([("d", "x y z")], "doc_id string, text string")
+    with pytest.raises(ValueError):
+        perplexity_buckets(docs, cuts=(0.5,), labels=("a", "b", "c"))
+    with pytest.raises(ValueError):
+        perplexity_buckets(docs, cuts=(0.9, 0.1))
+    with pytest.raises(ValueError):
+        perplexity_buckets(docs, model="trigram")
