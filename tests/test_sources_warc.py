@@ -277,6 +277,55 @@ def test_stream_warc_feeds_streaming_dedup(spark, tmp_path):
     assert len(got) == 3
 
 
+def test_warc_to_corpus_build_end_to_end(spark, tmp_path):
+    """The complete crawl→training-data path with no staging tables:
+    WARC segments → documents → URL-staged curation cascade →
+    deterministic shuffle → even parquet shards + manifest."""
+    from matcha_spark.operators.text import shard_manifest, write_corpus_shards
+    from matcha_spark.pipelines import curate_corpus
+
+    good = ("this is a perfectly reasonable web document with enough "
+            "plain words to pass the quality gate of the cascade")
+    recs = []
+    for i in range(8):
+        recs.append(_record(
+            "response", _http(f"{good} page {i}".encode()),
+            uri=f"https://keep.org/p{i}", rec_id=f"<urn:uuid:k{i}>"))
+    recs.append(_record(  # url-duplicate of p0 (tracking param)
+        "response", _http(f"{good} page 0 refetched".encode()),
+        uri="https://keep.org/p0?utm_source=x", rec_id="<urn:uuid:zd>"))
+    recs.append(_record(  # blocked domain
+        "response", _http(f"{good} spam variant".encode()),
+        uri="https://ads.spam.net/buy", rec_id="<urn:uuid:sp>"))
+    recs.append(_record(  # fails quality
+        "response", _http(b"!!! ??? ..."),
+        uri="https://keep.org/junk", rec_id="<urn:uuid:jk>"))
+    path = _write(tmp_path, "crawl-0.warc.gz",
+                  b"".join(gzip.compress(r) for r in recs))
+
+    docs = read_warc_documents(spark, path)
+    verdicts = curate_corpus(
+        docs, min_tokens=5, blocked_domains=["spam.net"], url_dedup=True
+    )
+    status = {r.doc_id: r.status for r in verdicts.collect()}
+    assert status["urn:uuid:sp"] == "blocked_domain"
+    assert status["urn:uuid:zd"] == "url_duplicate"
+    assert status["urn:uuid:jk"] == "quality"
+    kept = docs.join(
+        verdicts.where("status = 'kept'").select("doc_id"), "doc_id"
+    )
+    out = str(tmp_path / "shards")
+    n = write_corpus_shards(kept.select("doc_id", "url", "text"), out,
+                            rows_per_shard=3)
+    assert n == 8
+    man = shard_manifest(spark, out).collect()
+    assert sum(r.rows for r in man) == 8
+    assert max(r.rows for r in man) <= 3
+    # the shards ARE the corpus: read back and compare doc ids
+    back = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert back == {f"urn:uuid:k{i}" for i in range(8)}
+
+
 def test_gunzip_members_unit():
     m = gzip.compress(b"a") + gzip.compress(b"b")
     out, err = _gunzip_members(m)
