@@ -49,6 +49,8 @@ __all__ = [
     "bpe_pack",
     "byte_alphabet",
     "bpe_decode_tokens",
+    "bpe_save",
+    "bpe_load",
 ]
 
 # Word-level end-of-word marker.  CAVEAT (documented, r11): a document
@@ -527,3 +529,113 @@ def bpe_pack(
         )
         .select("chunk_id", "ids", F.size("ids").cast("long").alias("n_tokens"))
     )
+
+
+def _fs_write_text(path: str, text: str, spark=None) -> None:
+    """Write a small text artifact to ``path`` — through the session's
+    Hadoop FS when a session is around (so the path may live on
+    whatever shared storage the cluster mounts, next to the corpus),
+    plain ``open()`` otherwise."""
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+    if spark is None:
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(text)
+        return
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _fs_read_text(path: str, spark=None) -> str:
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+    if spark is None:
+        with open(path, encoding="utf-8") as f:
+            return f.read()
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(hpath)
+    try:
+        ioutils = jvm.org.apache.hadoop.io.IOUtils
+        baos = jvm.java.io.ByteArrayOutputStream()
+        ioutils.copyBytes(stream, baos, 65536, False)
+        return bytes(baos.toByteArray()).decode("utf-8")
+    finally:
+        stream.close()
+
+
+def bpe_save(
+    path: str,
+    merges: list[tuple[str, str]],
+    vocab: DataFrame | None = None,
+    byte_level: bool = False,
+    specials: tuple[str, ...] = (),
+) -> None:
+    """Persist the tokenizer as ONE JSON artifact — merges in learned
+    order, the optional ``(token, id)`` vocabulary, the byte-level
+    flag, and the special tokens.  The artifact is small by
+    construction (alphabet + one entry per merge + specials — a few MB
+    for production-sized vocabularies), so a single driver-side file
+    is the right shape; it writes through the session's Hadoop FS so
+    the path may live on shared storage next to the corpus (the same
+    reasoning as the streaming dedup signature store).
+
+    The encode stage of a later job — or another cluster — rebuilds
+    the exact tokenizer with :func:`bpe_load`: ids only come from the
+    saved table, never re-derived, so two jobs can never disagree on
+    the id of a token."""
+    import json as _json
+
+    doc = {
+        "format": "matcha_spark.bpe.v1",
+        "byte_level": bool(byte_level),
+        "specials": list(specials),
+        "merges": [list(m) for m in merges],
+        "vocab": (
+            None
+            if vocab is None
+            else [[r["token"], r["id"]] for r in vocab.orderBy("id").collect()]
+        ),
+    }
+    spark = vocab.sparkSession if vocab is not None else None
+    _fs_write_text(path, _json.dumps(doc, ensure_ascii=False), spark)
+
+
+def bpe_load(path: str, spark: SparkSession | None = None) -> dict:
+    """Load a :func:`bpe_save` artifact.  Returns ``{"merges",
+    "byte_level", "specials", "vocab"}`` — ``merges`` as the list of
+    tuples every encode entry point takes, ``vocab`` as the ``(token,
+    id)`` DataFrame :func:`bpe_encode_ids` consumes (``None`` when the
+    artifact was saved without one, or when no session is available
+    to build the frame)."""
+    import json as _json
+
+    doc = _json.loads(_fs_read_text(path, spark))
+    if doc.get("format") != "matcha_spark.bpe.v1":
+        raise ValueError(f"not a bpe artifact: {path}")
+    if spark is None:
+        from pyspark.sql import SparkSession as _S
+
+        spark = _S.getActiveSession()
+    vocab = None
+    if doc["vocab"] is not None and spark is not None:
+        vocab = spark.createDataFrame(
+            [(t, int(i)) for t, i in doc["vocab"]], "token string, id long"
+        )
+    return {
+        "merges": [tuple(m) for m in doc["merges"]],
+        "byte_level": bool(doc["byte_level"]),
+        "specials": tuple(doc["specials"]),
+        "vocab": vocab,
+    }

@@ -362,3 +362,53 @@ def test_bpe_encode_string_doc_ids(spark):
     ids = bpe_encode_ids(docs, merges, vocab)
     assert ids.schema["doc_id"].dataType.simpleString() == "string"
     assert {r.doc_id for r in ids.collect()} == {"w-1", "w-2"}
+
+
+def test_bpe_save_load_roundtrip(spark, tmp_path):
+    """The tokenizer artifact reproduces the exact tokenizer: merges in
+    learned order, vocabulary ids byte-identical, flags preserved —
+    encode-with-loaded equals encode-with-trained."""
+    from matcha_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_load,
+        bpe_save,
+        bpe_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abab ab abba"), (2, "ab café ab")],
+        "doc_id long, text string",
+    )
+    wc = bpe_word_counts(docs)
+    merges = bpe_train(wc, num_merges=8, min_freq=1, byte_level=True)
+    vocab = bpe_vocab(merges, wc, byte_level=True, specials=("<|eot|>",))
+    path = str(tmp_path / "tok.json")
+    bpe_save(path, merges, vocab, byte_level=True, specials=("<|eot|>",))
+
+    tok = bpe_load(path, spark)
+    assert tok["merges"] == merges
+    assert tok["byte_level"] is True and tok["specials"] == ("<|eot|>",)
+    want = {(r.token, r.id) for r in vocab.collect()}
+    got = {(r.token, r.id) for r in tok["vocab"].collect()}
+    assert got == want
+
+    a = {r.doc_id: list(r.ids) for r in bpe_encode_ids(
+        docs, merges, vocab, byte_level=True).collect()}
+    b = {r.doc_id: list(r.ids) for r in bpe_encode_ids(
+        docs, tok["merges"], tok["vocab"], byte_level=True).collect()}
+    assert a == b
+
+
+def test_bpe_save_load_no_vocab_and_bad_format(spark, tmp_path):
+    from matcha_spark.operators.bpe import bpe_load, bpe_save
+
+    path = str(tmp_path / "m.json")
+    bpe_save(path, [("a", "b")])
+    tok = bpe_load(path, spark)
+    assert tok["merges"] == [("a", "b")] and tok["vocab"] is None
+    assert tok["byte_level"] is False and tok["specials"] == ()
+
+    bad = tmp_path / "bad.json"
+    bad.write_text('{"format": "something-else"}')
+    with pytest.raises(ValueError):
+        bpe_load(str(bad), spark)
