@@ -674,15 +674,18 @@ def dedup_near_docs_lsh(
 # ---------------------------------------------------------------------------
 
 
-def _pairs_cosine(pairs: DataFrame, out_cols: list[str]) -> DataFrame:
+def _pairs_cosine(
+    pairs: DataFrame, out_cols: list[str], id_t: str = "bigint"
+) -> DataFrame:
     """Vectorized cosine over candidate pair rows carrying both vectors
     (``va``, ``vb``): one Arrow-batched numpy pass, rounded to 6 dp for
     cross-engine reproducibility.  For *candidate* sets only — bounded
-    by the LSH collision count, never all-pairs."""
+    by the LSH collision count, never all-pairs.  ``id_t``: the id
+    columns' Spark type (long or string ids both flow through)."""
     import numpy as np
     import pandas as pd
 
-    schema = ", ".join(f"{c} long" for c in out_cols) + ", cosine double"
+    schema = ", ".join(f"{c} {id_t}" for c in out_cols) + ", cosine double"
 
     def kernel(batches):
         for pdf in batches:
@@ -695,7 +698,7 @@ def _pairs_cosine(pairs: DataFrame, out_cols: list[str]) -> DataFrame:
             na[na == 0] = 1.0
             nb[nb == 0] = 1.0
             cos = np.round(np.einsum("ij,ij->i", a, b) / (na * nb), 6)
-            out = {c: pdf[c].to_numpy(dtype=np.int64) for c in out_cols}
+            out = {c: pdf[c].to_numpy() for c in out_cols}
             out["cosine"] = cos
             yield pd.DataFrame(out)
 
@@ -748,11 +751,18 @@ def embedding_dup_pairs(
         F.col("blk").alias("j"),
     )
 
+    # integral ids keep the int64 vectorized path; string ids (uuid
+    # keys) fall back to numpy object arrays — min/max/< go through
+    # Python comparisons, but only on the thresholded survivors and the
+    # diagonal mask, never on the matmul itself
+    id_t = emb.schema[id_col].dataType.simpleString()
+    id_np = np.int64 if id_t in ("bigint", "int", "smallint", "tinyint") else object
+
     def cell(key, lpdf, rpdf):
         if not len(lpdf) or not len(rpdf):
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        ids_l = lpdf["id_l"].to_numpy(dtype=np.int64)
-        ids_r = rpdf["id_r"].to_numpy(dtype=np.int64)
+        ids_l = lpdf["id_l"].to_numpy(dtype=id_np)
+        ids_r = rpdf["id_r"].to_numpy(dtype=id_np)
         ml = np.array(lpdf["vec_l"].tolist(), dtype=np.float64)
         mr = np.array(rpdf["vec_r"].tolist(), dtype=np.float64)
         for m in (ml, mr):
@@ -761,9 +771,12 @@ def embedding_dup_pairs(
             m /= n
         sims = np.round(ml @ mr.T, 6)
         mask = sims >= threshold
-        if key[0] == key[1]:  # diagonal cell: same block on both sides
-            mask &= ids_l[:, None] < ids_r[None, :]
         li, ri = np.nonzero(mask)
+        if key[0] == key[1]:  # diagonal cell: same block on both sides
+            # order filter AFTER thresholding: id comparisons run only
+            # on survivors (matters for the object/string id path)
+            ok = ids_l[li] < ids_r[ri]
+            li, ri = li[ok], ri[ok]
         ia, ib = ids_l[li], ids_r[ri]
         return pd.DataFrame(
             {
@@ -776,7 +789,7 @@ def embedding_dup_pairs(
     return (
         left.groupBy("i", "j")
         .cogroup(right.groupBy("i", "j"))
-        .applyInPandas(cell, schema="id_a long, id_b long, cosine double")
+        .applyInPandas(cell, schema=f"id_a {id_t}, id_b {id_t}, cosine double")
     )
 
 
@@ -824,7 +837,10 @@ def embedding_dup_pairs_lsh(
         # a pair can collide in several tables; verify it once
         .dropDuplicates(["id_a", "id_b"])
     )
-    return _pairs_cosine(cand, ["id_a", "id_b"]).where(F.col("cosine") >= threshold)
+    id_t = emb.schema[id_col].dataType.simpleString()
+    return _pairs_cosine(cand, ["id_a", "id_b"], id_t=id_t).where(
+        F.col("cosine") >= threshold
+    )
 
 
 def dedup_near_embeddings(
@@ -939,7 +955,10 @@ def semdedup(
 
     def prune(key, pdf):
         pdf = pdf.sort_values("id").reset_index(drop=True)
-        ids = pdf["id"].to_numpy(dtype=np.int64)
+        # no forced dtype: ids may be long OR string (uuid-keyed
+        # embedding stores) — they are only carried and compared, and
+        # the sort above fixes the greedy order either way
+        ids = pdf["id"].to_numpy()
         m = np.array(pdf["vec"].tolist(), dtype=np.float64)
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
@@ -947,29 +966,32 @@ def semdedup(
         sims = m @ m.T
         n = len(ids)
         keep = np.ones(n, dtype=bool)
-        dup_of = np.full(n, -1, dtype=np.int64)
+        unshadowed = np.ones(n, dtype=bool)
+        dup_of = np.full(n, None, dtype=object)
         for i in range(n):
             if not keep[i]:
                 continue
             # vector i is kept: shadow every later, still-unshadowed row
             # within the threshold in one vectorized mask update
             shadowed = (sims[i, i + 1 :] >= threshold) & keep[i + 1 :] & (
-                dup_of[i + 1 :] == -1
+                unshadowed[i + 1 :]
             )
             dup_of[i + 1 :][shadowed] = ids[i]
+            unshadowed[i + 1 :][shadowed] = False
             keep[i + 1 :][shadowed] = False
         return pd.DataFrame(
             {
                 "id": ids,
                 "cluster": np.full(n, key[0], dtype=np.int32),
                 "keep": keep,
-                "dup_of": [None if d == -1 else int(d) for d in dup_of],
+                "dup_of": dup_of,
             }
         )
 
+    id_t = emb.schema[id_col].dataType.simpleString()
     split, group_cols = _subcell_split(assigned, "vec", max_cell_rows)
     out = split.groupBy(*group_cols).applyInPandas(
-        prune, schema="id long, cluster int, keep boolean, dup_of long"
+        prune, schema=f"id {id_t}, cluster int, keep boolean, dup_of {id_t}"
     )
     return out.select(
         F.col("id").alias(id_col), "cluster", "keep", "dup_of"
@@ -1287,7 +1309,14 @@ def incremental_semdedup(
     from .similarity import assign_cells, train_kmeans_centroids
 
     spark = new_emb.sparkSession
-    store_schema = "vec_id long, cell int, embedding array<float>, centroid boolean"
+    # string-keyed stores (uuid vector ids) carry centroid rows keyed
+    # by the cell index rendered in the id type ("0", "1", ...) — the
+    # centroid flag, not the id, is what distinguishes them
+    id_t = new_emb.schema[id_col].dataType.simpleString()
+    id_py = int if id_t in ("bigint", "int", "smallint", "tinyint") else str
+    store_schema = (
+        f"vec_id {id_t}, cell int, embedding array<float>, centroid boolean"
+    )
     fresh_store = store is None
     if store is None:
         cents = train_kmeans_centroids(
@@ -1300,7 +1329,7 @@ def incremental_semdedup(
         cents = cents.astype(np.float32).astype(np.float64)
         store = spark.createDataFrame(
             [
-                (int(i), int(i), [float(x) for x in c], True)
+                (id_py(i), int(i), [float(x) for x in c], True)
                 for i, c in enumerate(cents)
             ],
             schema=store_schema,
@@ -1332,12 +1361,18 @@ def incremental_semdedup(
         norms[norms == 0] = 1.0
         m /= norms
         is_new = pdf["new"].to_numpy(dtype=bool)
-        ids = pdf["id"].to_numpy(dtype=np.int64)
+        # no forced dtype: ids may be long or string; they are only
+        # carried and compared, and the sort above set the greedy order
+        ids = pdf["id"].to_numpy()
         n_store = int((~is_new).sum())
         new_ids = ids[is_new]
         if len(new_ids) == 0:
-            return pd.DataFrame({"id": [], "keep": [], "dup_of": []}).astype(
-                {"id": "int64", "keep": "bool", "dup_of": "float64"}
+            return pd.DataFrame(
+                {
+                    "id": pd.Series([], dtype=object),
+                    "keep": pd.Series([], dtype=bool),
+                    "dup_of": pd.Series([], dtype=object),
+                }
             )
         # sims of every NEW row against every row in candidate order
         # (store rows first, then new rows ascending id — the greedy
@@ -1345,7 +1380,7 @@ def incremental_semdedup(
         sims = m[is_new] @ m.T
         keep = np.zeros(len(ids), dtype=bool)
         keep[:n_store] = True  # store rows are kept by definition
-        dup_of = np.full(len(new_ids), -1, dtype=np.int64)
+        dup_of = np.full(len(new_ids), None, dtype=object)
         for i in range(len(new_ids)):
             row = n_store + i
             hit = np.flatnonzero((sims[i, :row] >= th) & keep[:row])
@@ -1357,13 +1392,13 @@ def incremental_semdedup(
             {
                 "id": new_ids,
                 "keep": keep[n_store:],
-                "dup_of": [None if d == -1 else int(d) for d in dup_of],
+                "dup_of": dup_of,
             }
         )
 
     decisions = memo_persist(
         both.groupBy(*group_cols)
-        .applyInPandas(admit, schema="id long, keep boolean, dup_of long")
+        .applyInPandas(admit, schema=f"id {id_t}, keep boolean, dup_of {id_t}")
         .select(F.col("id").alias(id_col), "keep", "dup_of")
     )
     kept_rows = assigned.join(

@@ -363,14 +363,17 @@ def assign_cells(
             n[n == 0] = 1.0
             yield pd.DataFrame(
                 {
-                    "id": pdf[id_col].to_numpy(dtype=np.int64),
+                    # no forced dtype: ids may be long or string (the
+                    # SemDeDup family is id-type-agnostic)
+                    "id": pdf[id_col].to_numpy(),
                     "cell": np.argmax((m / n) @ cents.T, axis=1).astype(np.int32),
                     "vec": pdf[vec_col],
                 }
             )
 
+    id_t = corpus.schema[id_col].dataType.simpleString()
     return corpus.select(id_col, vec_col).mapInPandas(
-        kernel, schema="id long, cell int, vec array<float>"
+        kernel, schema=f"id {id_t}, cell int, vec array<float>"
     )
 
 

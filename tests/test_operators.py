@@ -1249,6 +1249,52 @@ def test_audio_near_dup_pairs_planted(spark):
     assert not any(5 in p or 6 in p for p in out)
 
 
+def test_embedding_dedup_string_vec_ids(spark):
+    """The embedding-dedup family is id-type-agnostic too (uuid-keyed
+    vector stores): semdedup, exact and LSH pair kernels, keep-one, and
+    the incremental store all adopt a string id type, with min-id (here
+    lexicographic) keeper semantics."""
+    import math
+
+    def vec(theta):
+        return [float(math.cos(theta)), float(math.sin(theta)), 0.0, 0.0]
+
+    emb = spark.createDataFrame(
+        [("v-a", vec(0.0)), ("v-b", vec(0.02)), ("v-c", vec(1.5))],
+        "vec_id string, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in D.semdedup(
+        emb, threshold=0.99, n_clusters=1).collect()}
+    assert out["v-a"].keep and not out["v-b"].keep
+    assert out["v-b"].dup_of == "v-a" and out["v-c"].keep
+
+    pairs = {(r.id_a, r.id_b): r.cosine for r in D.embedding_dup_pairs(
+        emb, threshold=0.99, blocks=2).collect()}
+    assert set(pairs) == {("v-a", "v-b")}
+    lsh = {(r.id_a, r.id_b) for r in D.embedding_dup_pairs_lsh(
+        emb, threshold=0.99, dim=4, n_planes=4, n_tables=8).collect()}
+    assert ("v-a", "v-b") in lsh
+
+    keep = {r.vec_id: r.keep_vec_id for r in D.dedup_near_embeddings(
+        emb, threshold=0.99, blocks=2).collect()}
+    assert keep == {"v-a": "v-a", "v-b": "v-a", "v-c": "v-c"}
+
+    # incremental store: batch 2 re-upload rejected against the store
+    d1, store = D.incremental_semdedup(emb, None, threshold=0.99, n_clusters=1)
+    assert {r.vec_id for r in d1.where("keep").collect()} == {"v-a", "v-c"}
+    b2 = spark.createDataFrame(
+        [("v-0", vec(0.01)), ("v-z", vec(3.0))],
+        "vec_id string, embedding array<float>",
+    )
+    d2, store2 = D.incremental_semdedup(b2, store, threshold=0.99)
+    got = {r.vec_id: r for r in d2.collect()}
+    # corpus wins though "v-0" < "v-a" lexicographically
+    assert not got["v-0"].keep and got["v-0"].dup_of == "v-a"
+    assert got["v-z"].keep
+    # store: 1 centroid row ("0") + v-a, v-c, v-z
+    assert {r.vec_id for r in store2.collect()} == {"0", "v-a", "v-c", "v-z"}
+
+
 def test_incremental_semdedup_batches(spark):
     """r11: store-based SemDeDup — two-batch admission with pinned
     centroids, corpus-wins dup_of, store round-trip through parquet,
