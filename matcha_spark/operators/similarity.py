@@ -59,6 +59,19 @@ def _collect_query_rows(queries: DataFrame, vec_col: str, caller: str) -> list:
     return rows
 
 
+
+def _id_spec(df: DataFrame, id_col: str = "vec_id"):
+    """(spark type string, numpy dtype, python caster) for an id
+    column — integral ids keep the int64 vectorized path, anything
+    else (uuid strings) rides numpy object arrays; ids are only
+    carried and compared, so every ANN operator is id-type-agnostic."""
+    import numpy as np
+
+    t = df.schema[id_col].dataType.simpleString()
+    if t in ("bigint", "int", "smallint", "tinyint"):
+        return t, np.int64, int
+    return t, object, (lambda x: x)
+
 def _dot(a: str, b: str):
     return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x AS double) * cast(y AS double)), 0D, (acc, v) -> acc + v)")
 
@@ -88,14 +101,15 @@ def cosine_topk(
     import numpy as np
     import pandas as pd
 
+    id_t, id_np, _ = _id_spec(corpus)
     qrows = _collect_query_rows(queries, vec_col, "cosine_topk")
-    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    q_ids = np.array([r[0] for r in qrows], dtype=id_np)
     qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
 
     def score(batches):
         for pdf in batches:
-            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            ids = pdf["vec_id"].to_numpy(dtype=id_np)
             m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             norms = np.linalg.norm(m, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
@@ -110,7 +124,7 @@ def cosine_topk(
             )
 
     scored = corpus.select("vec_id", vec_col).mapInPandas(
-        score, schema="q_id long, n_id long, cosine double"
+        score, schema=f"q_id {id_t}, n_id {id_t}, cosine double"
     ).where(F.col("n_id") != F.col("q_id"))
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
     return (
@@ -138,8 +152,9 @@ def cosine_range_search(
     import numpy as np
     import pandas as pd
 
+    id_t, id_np, _ = _id_spec(corpus)
     qrows = _collect_query_rows(queries, vec_col, "cosine_range_search")
-    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    q_ids = np.array([r[0] for r in qrows], dtype=id_np)
     qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     # zero-norm guard on the QUERY side too (a zero query would make
     # every similarity NaN and silently match nothing) — mirrors the
@@ -151,7 +166,7 @@ def cosine_range_search(
 
     def score(batches):
         for pdf in batches:
-            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            ids = pdf["vec_id"].to_numpy(dtype=id_np)
             m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             norms = np.linalg.norm(m, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
@@ -168,7 +183,7 @@ def cosine_range_search(
             )
 
     return corpus.select("vec_id", vec_col).mapInPandas(
-        score, schema="q_id long, n_id long, cosine double"
+        score, schema=f"q_id {id_t}, n_id {id_t}, cosine double"
     )
 
 
@@ -419,6 +434,7 @@ def ivf_topk(
         n[n == 0] = 1.0
         return m / n
 
+    id_t, _, id_py = _id_spec(corpus)
     qrows = _collect_query_rows(queries, vec_col, "ivf_topk")
     q_ids = [r[0] for r in qrows]
     qm = _normalize(np.array([list(r[1]) for r in qrows], dtype=np.float64))
@@ -427,11 +443,11 @@ def ivf_topk(
     q = F.broadcast(
         spark.createDataFrame(
             [
-                (int(qid), [float(x) for x in qv], int(cell))
+                (id_py(qid), [float(x) for x in qv], int(cell))
                 for qi, (qid, qv) in enumerate(zip(q_ids, qm))
                 for cell in probe[qi]
             ],
-            "q_id long, q_vec array<double>, cell int",
+            f"q_id {id_t}, q_vec array<double>, cell int",
         )
     )
     sim = _dot("q_vec", "n_vec") / (_norm("q_vec") * _norm("n_vec"))
@@ -476,6 +492,7 @@ def pq_topk(
     import numpy as np
     import pandas as pd
 
+    id_t, id_np, id_py = _id_spec(corpus)
     n_cents = 1 << nbits
 
     def _normalize(mat):
@@ -526,18 +543,18 @@ def pq_topk(
                 codes[:, j] = np.argmin(d2, axis=1)
             yield pd.DataFrame(
                 {
-                    "n_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "n_id": pdf["vec_id"].to_numpy(dtype=id_np),
                     "code": list(codes.tolist()),
                     "n_vec": pdf[vec_col],
                 }
             )
 
     coded = corpus.select("vec_id", vec_col).mapInPandas(
-        encode, schema="n_id long, code array<int>, n_vec array<float>"
+        encode, schema=f"n_id {id_t}, code array<int>, n_vec array<float>"
     )
 
     qrows = _collect_query_rows(queries, vec_col, "pq_topk")
-    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    q_ids = np.array([r[0] for r in qrows], dtype=id_np)
     qm = _normalize(np.array([list(r[1]) for r in qrows], dtype=np.float64))
     # ADC tables: luts[q, j, c] = <query_sub_j, centroid_c>
     luts = np.einsum("qjd,jcd->qjc", qm.reshape(len(qm), m, sub), books)
@@ -545,7 +562,7 @@ def pq_topk(
     def adc(batches):
         for pdf in batches:
             codes = np.array(pdf["code"].tolist(), dtype=np.int64)  # (n, m)
-            ids = pdf["n_id"].to_numpy(dtype=np.int64)
+            ids = pdf["n_id"].to_numpy(dtype=id_np)
             # approx[q, n] = sum_j luts[q, j, codes[n, j]]
             j_idx = np.arange(m)
             out_frames = []
@@ -554,7 +571,7 @@ def pq_topk(
                 out_frames.append(
                     pd.DataFrame(
                         {
-                            "q_id": np.full(len(ids), q_ids[qi], dtype=np.int64),
+                            "q_id": np.full(len(ids), q_ids[qi], dtype=id_np),
                             "n_id": ids,
                             "approx": approx[qi],
                             "n_vec": pdf["n_vec"],
@@ -564,7 +581,7 @@ def pq_topk(
             yield pd.concat(out_frames, ignore_index=True)
 
     scored = coded.mapInPandas(
-        adc, schema="q_id long, n_id long, approx double, n_vec array<float>"
+        adc, schema=f"q_id {id_t}, n_id {id_t}, approx double, n_vec array<float>"
     ).where(F.col("q_id") != F.col("n_id"))
     w = Window.partitionBy("q_id").orderBy(F.col("approx").desc(), F.col("n_id"))
     cands = scored.withColumn("__rk", F.row_number().over(w)).where(
@@ -573,8 +590,8 @@ def pq_topk(
     spark = corpus.sparkSession
     q = F.broadcast(
         spark.createDataFrame(
-            [(int(i), [float(x) for x in v]) for i, v in zip(q_ids, qm)],
-            "q_id long, q_vec array<double>",
+            [(id_py(i), [float(x) for x in v]) for i, v in zip(q_ids, qm)],
+            f"q_id {id_t}, q_vec array<double>",
         )
     )
     sim = _dot("q_vec", "n_vec") / _norm("n_vec")  # q_vec already unit

@@ -111,6 +111,37 @@ def test_cosine_topk_exact(spark):
     assert order == [1, 2, 3]
 
 
+def test_ann_string_vec_ids(spark):
+    """Every ANN family is id-type-agnostic: exact top-k, range search,
+    LSH, IVF, and PQ all adopt a string vec_id type end-to-end (kernel
+    schemas, query frames, self-exclusion, rank tiebreaks)."""
+    emb = spark.createDataFrame(
+        [
+            ("v-0", [1.0, 0.0, 0.0, 0.0]),
+            ("v-1", [0.9, 0.1, 0.0, 0.0]),
+            ("v-2", [0.0, 1.0, 0.0, 0.0]),
+            ("v-3", [-1.0, 0.0, 0.0, 0.0]),
+        ],
+        "vec_id string, embedding array<float>",
+    )
+    q = emb.where("vec_id = 'v-0'")
+    res = S.cosine_topk(emb, q, k=3)
+    assert res.schema["n_id"].dataType.simpleString() == "string"
+    order = [r["n_id"] for r in sorted(res.collect(), key=lambda r: r["rank"])]
+    assert order == ["v-1", "v-2", "v-3"]
+    rng = {r.n_id for r in S.cosine_range_search(emb, q, threshold=0.5).collect()}
+    assert rng == {"v-1"}
+    # the approximate families parameterized to exhaustiveness must
+    # agree with the exact order (the emb_*_exhaustive twin invariant)
+    ivf = S.ivf_topk(emb, q, k=3, n_centroids=1, n_probe=1)
+    assert [r.n_id for r in sorted(ivf.collect(), key=lambda r: r.rank)] == order
+    pq = S.pq_topk(emb, q, k=3, m=4, nbits=2, refine=4)
+    assert [r.n_id for r in sorted(pq.collect(), key=lambda r: r.rank)] == order
+    lsh = S.lsh_bucketed_topk(emb, q, k=3, dim=4, n_planes=1, n_tables=4)
+    assert {r.n_id for r in lsh.collect()} <= {"v-1", "v-2", "v-3"}
+    assert "v-1" in {r.n_id for r in lsh.where("rank = 1").collect()}
+
+
 def test_ann_query_side_guard(spark, monkeypatch):
     """r10 (verdict ask #7): the exact/IVF/PQ operators collect the
     query side to the driver by contract — a corpus-sized query set
