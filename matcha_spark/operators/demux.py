@@ -242,14 +242,15 @@ def mp4_frame_slicer(frames: DataFrame, frame_bytes: int) -> DataFrame:
                 outs.append(bytes(payload)[off : off + size])
             yield pd.DataFrame(
                 {
-                    "media_id": pd.Series(ids, dtype="int64"),
+                    "media_id": pd.Series(ids, dtype="object"),
                     "frame_idx": pd.Series(idxs, dtype="int32"),
                     "payload": pd.Series(outs, dtype="object"),
                 }
             )
 
+    id_t = frames.schema["media_id"].dataType.simpleString()
     return frames.select("media_id", "frame_idx", "payload").mapInPandas(
-        run, schema="media_id long, frame_idx int, payload binary"
+        run, schema=f"media_id {id_t}, frame_idx int, payload binary"
     )
 
 

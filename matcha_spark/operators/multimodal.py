@@ -94,6 +94,17 @@ def strict_decode_image(payload: bytes) -> np.ndarray:
     )
 
 
+def _with_id_type(schema: StructType, media: DataFrame) -> StructType:
+    """The canonical schemas above document the long-keyed shape; at
+    call time the media_id field adopts the INPUT's id type (uuid-keyed
+    media tables ride through like the text/embedding families)."""
+    idf = media.schema["media_id"]
+    return StructType(
+        [StructField("media_id", idf.dataType, idf.nullable)]
+        + list(schema.fields[1:])
+    )
+
+
 def fake_decode_image(payload: bytes) -> np.ndarray:
     """Deterministic FAKE decoder for tests/CI: expands the payload hash
     into an 8×8 'pixel' array.  Marked fake on purpose — it exercises
@@ -132,7 +143,7 @@ def image_features(
             )
 
     imgs = media.where(F.col("kind") == "image").select("media_id", "payload")
-    return imgs.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+    return imgs.mapInPandas(run, schema=_with_id_type(IMAGE_FEATURES_SCHEMA, media))
 
 
 AUDIO_FEATURES_SCHEMA = StructType(
@@ -195,7 +206,7 @@ def audio_features(
             )
 
     auds = media.where(F.col("kind") == "audio").select("media_id", "payload")
-    return auds.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+    return auds.mapInPandas(run, schema=_with_id_type(AUDIO_FEATURES_SCHEMA, media))
 
 
 def resize_images(
@@ -235,7 +246,7 @@ def resize_images(
             )
 
     imgs = media.where(F.col("kind") == "image")
-    return imgs.mapInPandas(run, schema=MEDIA_SCHEMA)
+    return imgs.mapInPandas(run, schema=_with_id_type(MEDIA_SCHEMA, media))
 
 
 def frame_sample(
@@ -320,8 +331,9 @@ def image_phash(
                 }
             )
 
+    id_t = media.schema["media_id"].dataType.simpleString()
     imgs = media.where(F.col("kind") == "image").select("media_id", "payload")
-    return imgs.mapInPandas(run, schema="media_id long, phash long")
+    return imgs.mapInPandas(run, schema=f"media_id {id_t}, phash long")
 
 
 def phash_near_dup_pairs(
@@ -492,14 +504,15 @@ def audio_fingerprint(
                     fps.append(h)
             yield pd.DataFrame(
                 {
-                    "media_id": pd.Series(ids, dtype="int64"),
+                    "media_id": pd.Series(ids, dtype="object"),
                     "win_idx": pd.Series(idxs, dtype="int32"),
                     "fp": pd.Series(fps, dtype="int64"),
                 }
             )
 
+    id_t = media.schema["media_id"].dataType.simpleString()
     auds = media.where(F.col("kind") == "audio").select("media_id", "payload")
-    return auds.mapInPandas(run, schema="media_id long, win_idx int, fp long")
+    return auds.mapInPandas(run, schema=f"media_id {id_t}, win_idx int, fp long")
 
 
 def audio_near_dup_pairs(

@@ -507,3 +507,57 @@ def test_jpeg_truncation_fuzz():
             jpeg_decode_image(bytes(b))
         except ValueError:
             pass
+
+
+def test_media_family_string_ids(spark):
+    """media_id is id-type-agnostic across the media kernels (uuid-keyed
+    asset stores): features, pHash (+ banded pairs), audio fingerprint,
+    and the MP4 frame slicer all adopt a string id type."""
+    import numpy as np
+
+    from matcha_spark.operators.multimodal import (
+        audio_fingerprint,
+        image_features,
+        image_phash,
+        phash_near_dup_pairs,
+    )
+
+    blob = bytes(range(64)) * 4
+    media = spark.createDataFrame(
+        [
+            ("m-a", "image", 8, 8, None, bytearray(blob)),
+            ("m-b", "image", 8, 8, None, bytearray(blob)),  # identical
+            ("m-c", "image", 8, 8, None, bytearray(blob[::-1])),
+            ("m-d", "audio", None, None, 1000, bytearray(bytes(range(256)) * 8)),
+        ],
+        "media_id string, kind string, width int, height int, "
+        "duration_ms long, payload binary",
+    )
+    feats = image_features(media)
+    assert feats.schema["media_id"].dataType.simpleString() == "string"
+    assert {r.media_id for r in feats.collect()} == {"m-a", "m-b", "m-c"}
+
+    ph = image_phash(media)
+    assert ph.schema["media_id"].dataType.simpleString() == "string"
+    pairs = {(r.id_a, r.id_b) for r in phash_near_dup_pairs(
+        media, max_hamming=0).collect()}
+    assert ("m-a", "m-b") in pairs
+
+    def raw_decode(payload: bytes) -> np.ndarray:
+        return (np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+                / 128.0 - 1.0)
+
+    fp = audio_fingerprint(media, decoder=raw_decode)
+    assert fp.schema["media_id"].dataType.simpleString() == "string"
+    assert {r.media_id for r in fp.collect()} == {"m-d"}
+
+    mp4 = build_mp4(SAMPLES, chunks=[2, 2])
+    frames = spark.createDataFrame(
+        [("vid-1", i, bytearray(mp4)) for i in range(4)],
+        "media_id string, frame_idx int, payload binary",
+    )
+    sliced = {
+        (r.media_id, r.frame_idx): bytes(r.payload)
+        for r in mp4_frame_slicer(frames, 0).collect()
+    }
+    assert sliced == {("vid-1", i): SAMPLES[i] for i in range(4)}
