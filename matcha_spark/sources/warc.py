@@ -44,6 +44,7 @@ _DOC_SCHEMA = (
     "doc_id string, url string, date string, content_type string, "
     "text string, source string"
 )
+_DOC_SCHEMA_PAYLOAD = _DOC_SCHEMA + ", payload binary"
 _BAD_SCHEMA = "file string, offset long, reason string"
 
 
@@ -211,7 +212,12 @@ def _file_records(name: str, content: bytes):
         yield from _iter_records(content)
 
 
-def _records_to_docs(name: str, content: bytes, record_types: tuple[str, ...]):
+def _records_to_docs(
+    name: str,
+    content: bytes,
+    record_types: tuple[str, ...],
+    with_payload: bool = False,
+):
     base = name.rsplit("/", 1)[-1]
     for _off, rec, reason in _file_records(name, content):
         if rec is None:
@@ -225,20 +231,38 @@ def _records_to_docs(name: str, content: bytes, record_types: tuple[str, ...]):
             ctype = ctype or rec.get("content-type", "")
         else:  # resource / conversion: the block IS the content
             ctype, payload = rec.get("content-type", ""), body
-        yield {
+        main = ctype.split(";")[0].strip().lower()
+        row = {
             "doc_id": rec.get("warc-record-id", "").strip("<>"),
             "url": rec.get("warc-target-uri", ""),
             "date": rec.get("warc-date", ""),
-            "content_type": ctype.split(";")[0].strip().lower(),
-            "text": _decode_payload(payload, ctype),
+            "content_type": main,
+            # binary media decoded to replacement-soup is useless AND
+            # expensive to carry twice — text stays empty for non-text
+            # payloads in payload mode
+            "text": (
+                "" if with_payload and not _is_texty(main)
+                else _decode_payload(payload, ctype)
+            ),
             "source": base,
         }
+        if with_payload:
+            row["payload"] = payload
+        yield row
+
+
+def _is_texty(content_type: str) -> bool:
+    return content_type.startswith("text/") or content_type in (
+        "application/json", "application/xml", "application/xhtml+xml",
+        "application/javascript", "",
+    )
 
 
 def read_warc_documents(
     spark: SparkSession,
     path: str,
     record_types: tuple[str, ...] = ("response",),
+    with_payload: bool = False,
 ) -> DataFrame:
     """WARC crawl archive → ``(doc_id, url, date, content_type, text,
     source)`` documents.
@@ -255,6 +279,12 @@ def read_warc_documents(
     spec, so the id contract of the incremental dedup family holds
     across segments); ``source`` is the segment file's basename.
 
+    ``with_payload=True`` adds the raw (envelope-stripped) bytes as a
+    ``payload`` column and leaves ``text`` empty for non-text content
+    types — the bridge into the multimodal family: crawled images flow
+    ``read_warc_documents(with_payload=True)`` → rename to the media
+    shape → ``codecs.sniff_decode_image`` / pHash near-dup.
+
     Malformed records are excluded here and reported by
     :func:`warc_malformed`; a bad record never fails the read, and the
     parser resynchronizes on the next version line so one corrupt
@@ -262,20 +292,24 @@ def read_warc_documents(
     import pandas as pd
 
     binf = spark.read.format("binaryFile").load(path)
+    cols = ["doc_id", "url", "date", "content_type", "text", "source"]
+    if with_payload:
+        cols = cols + ["payload"]
 
     def kernel(batches):
         for pdf in batches:
             rows = []
             for name, content in zip(pdf["path"], pdf["content"]):
-                rows.extend(_records_to_docs(name, bytes(content), record_types))
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id", "url", "date", "content_type", "text", "source",
-                ],
-            )
+                rows.extend(
+                    _records_to_docs(
+                        name, bytes(content), record_types, with_payload
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
 
-    return binf.select("path", "content").mapInPandas(kernel, schema=_DOC_SCHEMA)
+    return binf.select("path", "content").mapInPandas(
+        kernel, schema=_DOC_SCHEMA_PAYLOAD if with_payload else _DOC_SCHEMA
+    )
 
 
 def stream_warc_documents(

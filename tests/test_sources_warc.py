@@ -326,6 +326,54 @@ def test_warc_to_corpus_build_end_to_end(spark, tmp_path):
     assert back == {f"urn:uuid:k{i}" for i in range(8)}
 
 
+def test_warc_payload_to_image_dedup(spark, tmp_path):
+    """with_payload=True bridges crawled binary assets into the media
+    family: PNG responses → payload bytes → sniff-decoded pHash →
+    near-dup pairs; text stays empty for non-text content types and
+    populated for text ones."""
+    import numpy as np
+
+    from matcha_spark.operators.codecs import sniff_decode_image, write_png
+    from matcha_spark.operators.multimodal import (
+        image_phash,
+        phash_near_dup_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    img = (np.arange(256).reshape(16, 16) * 5) % 256
+    png_a = write_png(img)
+    png_b = write_png(img)           # identical image
+    png_c = write_png(img.T[::-1])   # different image
+    recs = [
+        _record("response", _http(png_a, ctype="image/png"),
+                uri="https://pics.test/a.png", rec_id="<urn:uuid:img-a>"),
+        _record("response", _http(png_b, ctype="image/png"),
+                uri="https://pics.test/b.png", rec_id="<urn:uuid:img-b>"),
+        _record("response", _http(png_c, ctype="image/png"),
+                uri="https://pics.test/c.png", rec_id="<urn:uuid:img-c>"),
+        _record("response", _http(b"<html>a page</html>"),
+                uri="https://pics.test/page", rec_id="<urn:uuid:page>"),
+    ]
+    path = _write(tmp_path, "imgs.warc", b"".join(recs))
+    docs = read_warc_documents(spark, path, with_payload=True)
+    rows = {r.doc_id: r for r in docs.collect()}
+    assert bytes(rows["urn:uuid:img-a"].payload) == png_a
+    assert rows["urn:uuid:img-a"].text == ""          # binary: no text
+    assert rows["urn:uuid:page"].text == "<html>a page</html>"
+    assert bytes(rows["urn:uuid:page"].payload) == b"<html>a page</html>"
+
+    media = docs.where(F.col("content_type") == "image/png").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        "payload",
+    )
+    ph = image_phash(media, decoder=sniff_decode_image)
+    assert ph.count() == 3
+    pairs = {(r.id_a, r.id_b) for r in phash_near_dup_pairs(
+        media, decoder=sniff_decode_image, max_hamming=0).collect()}
+    assert pairs == {("urn:uuid:img-a", "urn:uuid:img-b")}
+
+
 def test_gunzip_members_unit():
     m = gzip.compress(b"a") + gzip.compress(b"b")
     out, err = _gunzip_members(m)
