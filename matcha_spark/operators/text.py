@@ -1524,6 +1524,7 @@ def temperature_mixture_rates(
     docs: DataFrame,
     alpha: float,
     group_col: str = "source",
+    weight_col: str | None = None,
 ) -> dict:
     """Per-group keep rates for TEMPERATURE-smoothed mixing (the
     multilingual-pretraining knob, e.g. XLM-R / mT5: sample groups
@@ -1539,13 +1540,25 @@ def temperature_mixture_rates(
     of down-sample, feed ``{g: r/min(rates.values())}`` ratios to
     :func:`epoch_upsample`.
 
+    ``weight_col`` switches the group mass from document COUNT to the
+    column's SUM (pass a token-count column for the budget production
+    mixtures actually balance: a group of few huge documents is a
+    bigger slice of the training token budget than its doc count
+    says).  Rates stay per-document keep probabilities, so the
+    EXPECTED token share lands on ``q_l^alpha`` — the same estimator,
+    mass measured in tokens.
+
     One distributed groupBy; the collect is one row per group
     (sources/languages — bounded by construction)."""
     if alpha < 0.0:
         raise ValueError(f"alpha must be >= 0, got {alpha}")
+    mass = (
+        F.count(F.lit(1)) if weight_col is None
+        else F.sum(F.col(weight_col).cast("double"))
+    )
     counts = {
         r[0]: r[1]
-        for r in docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("n")).collect()
+        for r in docs.groupBy(group_col).agg(mass.alias("n")).collect()
     }
     if not counts:
         return {}
@@ -1560,14 +1573,18 @@ def temperature_mixture(
     group_col: str = "source",
     key_col: str = "doc_id",
     salt: str = "",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """:func:`temperature_mixture_rates` composed with
     :func:`mixture_sample` — one call from corpus to
     temperature-balanced corpus, inheriting the md5-threshold
     determinism (nested draws across alphas: lowering alpha only
     removes majority-group documents, never reshuffles the kept
-    set)."""
-    rates = temperature_mixture_rates(docs, alpha, group_col=group_col)
+    set).  ``weight_col`` switches the balance from doc counts to a
+    token budget (see :func:`temperature_mixture_rates`)."""
+    rates = temperature_mixture_rates(
+        docs, alpha, group_col=group_col, weight_col=weight_col
+    )
     return mixture_sample(
         docs, rates, group_col=group_col, key_col=key_col, salt=salt
     )

@@ -1283,3 +1283,32 @@ def test_perplexity_buckets_validation(spark):
         perplexity_buckets(docs, cuts=(0.9, 0.1))
     with pytest.raises(ValueError):
         perplexity_buckets(docs, model="trigram")
+
+
+def test_temperature_mixture_token_weighted(spark):
+    """weight_col switches group mass to the column sum: a group of
+    few HUGE documents is the majority by tokens and gets down-sampled
+    even though it is the doc-count minority; alpha=1 is the identity
+    either way."""
+    from matcha_spark.operators.text import temperature_mixture_rates
+
+    rows = (
+        # 'big': 2 docs x 5000 tokens = 10k tokens
+        [(f"b{i}", "big", 5000) for i in range(2)]
+        # 'small': 20 docs x 10 tokens = 200 tokens
+        + [(f"s{i}", "small", 10) for i in range(20)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id string, source string, n_tokens int")
+
+    by_docs = temperature_mixture_rates(docs, 0.0)
+    # doc-count view: 'big' (2 docs) is the minority -> kept whole
+    assert by_docs["big"] == 1.0 and by_docs["small"] < 1.0
+
+    by_toks = temperature_mixture_rates(docs, 0.0, weight_col="n_tokens")
+    # token view: 'big' (10k tokens) is the majority -> down-sampled
+    assert by_toks["small"] == 1.0
+    assert abs(by_toks["big"] - 200 / 10_000) < 1e-12
+
+    # alpha=1: natural distribution, all rates 1 under either mass
+    assert set(temperature_mixture_rates(docs, 1.0, weight_col="n_tokens")
+               .values()) == {1.0}
