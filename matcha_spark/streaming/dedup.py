@@ -83,19 +83,6 @@ def stream_incremental_dedup(
     sig_dir = os.path.join(store_path, "sigs")
     ledger_dir = os.path.join(store_path, "_batches")
 
-    def _read_if_exists(spark, path: str) -> DataFrame | None:
-        # explicit existence probe through the session's Hadoop FS (works
-        # for any scheme the cluster mounts), NOT a bare except around
-        # read.parquet: only "not there yet" may mean "empty store" —
-        # genuine read errors must fail the micro-batch so Spark retries
-        jvm = spark._jvm
-        jsc = spark._jsc
-        hpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = hpath.getFileSystem(jsc.hadoopConfiguration())
-        if not fs.exists(hpath):
-            return None
-        return spark.read.parquet(path)
-
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         _recover_store(spark, sig_dir)
@@ -162,6 +149,20 @@ def stream_incremental_dedup(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.trigger(availableNow=True).start()
+
+
+def _read_if_exists(spark, path: str) -> DataFrame | None:
+    """Explicit existence probe through the session's Hadoop FS (works
+    for any scheme the cluster mounts), NOT a bare except around
+    ``read.parquet``: only "not there yet" may mean "empty store" —
+    genuine read errors must fail the micro-batch so Spark retries."""
+    jvm = spark._jvm
+    jsc = spark._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return None
+    return spark.read.parquet(path)
 
 
 def _fs_paths(spark, sig_dir: str):

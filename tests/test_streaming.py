@@ -582,3 +582,97 @@ def test_stream_incremental_semdedup_two_batches(spark):
     assert {r.vec_id for r in st.where("NOT centroid").collect()} == {1, 2, 11}
     assert st.where("centroid").count() == 2  # centroids written once
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_seen_filter_url_dedup(spark):
+    """Streaming seen-KEY admission over canonical URLs: batch 2's
+    refetch (tracking params stripped) is rejected with the original
+    fetcher as keeper; within a batch the min id wins; NULL keys are
+    always kept and never stored; the store holds one row per distinct
+    key."""
+    import os
+
+    from matcha_spark.operators.web import url_normalize
+    from matcha_spark.streaming.keys import stream_seen_filter
+
+    base = tempfile.mkdtemp(prefix="mseen_stream_")
+    src_dir = os.path.join(base, "src")
+    store = os.path.join(base, "store")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src_dir)
+    schema = "doc_id string, url string"
+    decisions = {}
+
+    def sink(df, batch_id):
+        for r in df.collect():
+            decisions[r.doc_id] = (r.keep, r.dup_of)
+
+    def run():
+        src = spark.readStream.schema(schema).parquet(src_dir)
+        q = stream_seen_filter(
+            src, store, sink, key=url_normalize("url"), checkpoint_dir=ckpt
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [
+            ("a1", "https://x.test/p"),
+            ("a2", "https://x.test/p?utm_source=tw"),  # same canonical URL
+            ("a3", "https://x.test/q"),
+            ("a4", None),                               # NULL key
+        ],
+        schema,
+    ).write.mode("append").parquet(src_dir)
+    run()
+    assert decisions == {
+        "a1": (True, None),
+        "a2": (False, "a1"),
+        "a3": (True, None),
+        "a4": (True, None),
+    }
+    keys = spark.read.parquet(os.path.join(store, "keys"))
+    assert keys.count() == 2  # p and q; the NULL key never stored
+
+    spark.createDataFrame(
+        [
+            ("b1", "HTTPS://X.TEST:443/p"),  # refetch of p, case/port noise
+            ("b2", "https://x.test/r"),
+        ],
+        schema,
+    ).write.mode("append").parquet(src_dir)
+    decisions.clear()
+    run()
+    assert decisions == {"b1": (False, "a1"), "b2": (True, None)}
+    assert spark.read.parquet(os.path.join(store, "keys")).count() == 3
+
+    # replay idempotence: the keeper == id clause keeps a replayed
+    # batch's decisions identical even though its keys are stored
+    from matcha_spark.streaming import keys as SK
+
+    replayed = {}
+
+    def sink2(df, batch_id):
+        for r in df.collect():
+            replayed[r.doc_id] = (r.keep, r.dup_of)
+
+    b2 = spark.createDataFrame(
+        [("b1", "HTTPS://X.TEST:443/p"), ("b2", "https://x.test/r")], schema
+    )
+    # simulate the replay by calling the handler shape directly: a
+    # second run over the same files is what availableNow+checkpoint
+    # prevents, so drive the semantics through a fresh stream with the
+    # same data landing as an already-seen batch
+    q = stream_seen_filter(
+        spark.readStream.schema(schema).parquet(src_dir),
+        store,
+        sink2,
+        key=url_normalize("url"),
+        checkpoint_dir=os.path.join(base, "ckpt2"),  # fresh checkpoint: re-reads all
+    )
+    q.awaitTermination(120)
+    # all six rows re-decided against the populated store: originals
+    # keep (keeper == id), dups still point at the original keepers
+    assert replayed["a1"] == (True, None) and replayed["b2"] == (True, None)
+    assert replayed["a2"] == (False, "a1") and replayed["b1"] == (False, "a1")
+    assert spark.read.parquet(os.path.join(store, "keys")).count() == 3
+    shutil.rmtree(base, ignore_errors=True)
