@@ -106,6 +106,34 @@ def test_cap_per_domain(spark):
     assert capped.columns == docs.columns
 
 
+def test_url_normalize_idempotent(spark):
+    """A canonicalizer must be a projection: normalizing twice equals
+    normalizing once, over a generated zoo of URL shapes (one Spark
+    job for the whole batch — hypothesis drives the generation, Spark
+    evaluates in bulk)."""
+    import random
+
+    rng = random.Random(11)
+    schemes = ["http", "https", "HTTP", "ftp"]
+    hosts = ["Example.COM", "a.b.c.org", "x", "127.0.0.1", "?", ""]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/A/b", "/a//", "/a/b/c/", "/%20x"]
+    queries = ["", "?a=1", "?b=2&a=1", "?utm_source=x&z=9", "?a", "?=v", "?a=1&a=0"]
+    frags = ["", "#f", "#a b"]
+    urls = [
+        rng.choice(schemes) + "://" + rng.choice(hosts) + rng.choice(ports)
+        + rng.choice(paths) + rng.choice(queries) + rng.choice(frags)
+        for _ in range(200)
+    ] + ["not a url", "mailto:x@y.z", "//missing-scheme", ""]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    once = url_normalize("u").alias("n1")
+    rows = df.select("u", once).select(
+        "u", "n1", url_normalize(F.col("n1")).alias("n2")
+    ).collect()
+    bad = [(r.u, r.n1, r.n2) for r in rows if r.n1 != r.n2]
+    assert not bad, bad[:5]
+
+
 def test_warc_to_web_curation(spark, tmp_path):
     """Crawl-pipeline head end-to-end: WARC segment → documents →
     url dedup + blocklist, on the url the WARC record carried."""
