@@ -1,0 +1,263 @@
+"""Streaming curation: the :func:`matcha_spark.pipelines.curate_corpus`
+cascade lifted onto Structured Streaming — one ``foreachBatch`` that
+admits each micro-batch of crawled documents against PERSISTED corpus
+state, emitting the same per-document verdict contract as the batch
+pipeline.
+
+Stages per micro-batch, in the batch pipeline's order (first failing
+stage names the verdict):
+
+1. ``blocked_domain`` — static suffix-aware blocklist (broadcast join);
+2. ``url_duplicate`` — canonical URL vs the persisted ``(key, keeper)``
+   url store; within a batch the min id wins, store wins over batch;
+3. ``quality`` — the per-row Gopher/C4 signal gate;
+4. ``duplicate`` — content dedup vs persisted state: ``"exact"`` keys
+   an md5 of normalized text into a second seen-key store (byte-parity
+   with the batch pipeline's dedup stage), ``"simhash"``/``"minhash"``
+   run the incremental near-dup admission against a signature store;
+5. ``kept``.
+
+State layout under ``store_path``: ``url_keys/`` and ``fp_keys/``
+(seen-key stores), ``sigs/`` (signature store for the near methods),
+``_batches/`` (the shared replay ledger — one append per store per
+batch, guarded by batch id exactly as in :mod:`streaming.dedup`).
+
+Semantics mirror the batch cascade deliberately: URL groups form among
+blocklist survivors (a quality-rejected doc still claims its URL —
+refetches of junk are still refetches), and content-dedup groups form
+among quality survivors only (junk never shadows a good copy).  With
+``dedup="exact"`` a single batch produces verdicts IDENTICAL to
+``curate_corpus`` on the same rows — pinned by a differential test.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _compact_store, _read_if_exists, _recover_store
+
+__all__ = ["stream_curate"]
+
+
+def _seen_stage(batch, store, id_c="__id", key_c="__key"):
+    """Shared seen-key admission frame: returns (joined, keep_col) —
+    the same NULL-safe first-wins logic as ``streaming.keys``."""
+    batch_keep = (
+        batch.where(F.col(key_c).isNotNull())
+        .groupBy(key_c)
+        .agg(F.min(id_c).alias("__bk"))
+    )
+    joined = (
+        batch.join(store, batch[key_c] == store["key"], "left")
+        .join(batch_keep, key_c, "left")
+    )
+    keep = F.coalesce(
+        F.col(key_c).isNull()
+        | (F.col("keeper").isNull() & (F.col(id_c) == F.col("__bk")))
+        | (F.col("keeper") == F.col(id_c)),
+        F.lit(False),
+    )
+    return joined, keep
+
+
+def stream_curate(
+    docs_stream: DataFrame,
+    store_path: str,
+    decisions_sink: Callable[[DataFrame, int], None],
+    blocked_domains: list | None = None,
+    url_dedup: bool = False,
+    url_col: str = "url",
+    dedup: str = "exact",
+    text_col: str = "text",
+    quality_kwargs: dict | None = None,
+    checkpoint_dir: str | None = None,
+    compact_every: int = 64,
+    **dedup_kwargs,
+):
+    """Run the streaming curation cascade over a document stream.
+
+    ``docs_stream``: streaming ``(doc_id, text[, url])`` frame (the
+    WARC/JSONL sources produce it).  ``decisions_sink`` receives one
+    ``(doc_id, status, dup_of)`` row per input document and the batch
+    id — status ∈ {``blocked_domain``, ``url_duplicate``, ``quality``,
+    ``duplicate``, ``kept``}; ``dup_of`` names the keeper for both
+    duplicate classes, NULL otherwise.  ``dedup``: ``"exact"`` (md5
+    seen-key store) or ``"simhash"`` / ``"minhash"`` (near-dup
+    signature store; extra kwargs flow to the batch operator).
+
+    Returns the started ``StreamingQuery``.  Replay-safe: all store
+    appends are guarded by one batch-id ledger; exact-mode decisions
+    are exactly idempotent under replay (seen-key keeper==id), near
+    modes recompute deterministically as in ``stream_incremental_dedup``.
+    """
+    if dedup not in ("exact", "simhash", "minhash"):
+        raise ValueError(f"dedup must be exact|simhash|minhash, got {dedup!r}")
+    url_keys_dir = os.path.join(store_path, "url_keys")
+    fp_keys_dir = os.path.join(store_path, "fp_keys")
+    sig_dir = os.path.join(store_path, "sigs")
+    ledger_dir = os.path.join(store_path, "_batches")
+    qkw = dict(quality_kwargs or {})
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.text import quality_filter
+        from ..operators.web import domain_blocklist_filter, url_normalize
+
+        spark = batch_df.sparkSession
+        ledger = _read_if_exists(spark, ledger_dir)
+        done = (
+            {r.batch_id for r in ledger.collect()} if ledger is not None else set()
+        )
+        docs = batch_df
+        # --- stage 1: blocklist (static, no state) --------------------
+        if blocked_domains is not None:
+            not_blocked = domain_blocklist_filter(
+                docs.select("doc_id", url_col), blocked_domains, url_col=url_col
+            ).select("doc_id")
+        else:
+            not_blocked = docs.select("doc_id")
+        surv = docs.join(not_blocked, "doc_id", "left_semi")
+
+        # --- stage 2: url seen-store ---------------------------------
+        url_keep_ids = surv.select("doc_id")
+        new_url_keys = None
+        if url_dedup:
+            _recover_store(spark, url_keys_dir)
+            ustore = _read_if_exists(spark, url_keys_dir)
+            b = surv.select(
+                F.col("doc_id").alias("__id"),
+                url_normalize(url_col).alias("__key"),
+            )
+            if ustore is None:
+                ustore = b.select(
+                    F.col("__key").alias("key"), F.col("__id").alias("keeper")
+                ).limit(0)
+            joined, keep = _seen_stage(b, ustore)
+            url_decisions = joined.select(
+                F.col("__id").alias("doc_id"),
+                keep.alias("__ukeep"),
+                F.coalesce(F.col("keeper"), F.col("__bk")).alias("__udup"),
+            )
+            url_keep_ids = url_decisions.where("__ukeep").select("doc_id")
+            new_url_keys = (
+                joined.where(F.col("__key").isNotNull() & F.col("keeper").isNull())
+                .select(
+                    F.col("__key").alias("key"), F.col("__bk").alias("keeper")
+                )
+                .distinct()
+            )
+            surv = surv.join(url_keep_ids, "doc_id", "left_semi")
+        else:
+            url_decisions = None
+
+        # --- stage 3: quality (per-row) ------------------------------
+        q_ok = quality_filter(surv, text_col=text_col, **qkw).select("doc_id")
+        q_surv = surv.join(q_ok, "doc_id", "left_semi")
+
+        # --- stage 4: content dedup vs persisted state ----------------
+        norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+        new_fp_keys = None
+        kept_sigs = None
+        if dedup == "exact":
+            _recover_store(spark, fp_keys_dir)
+            fstore = _read_if_exists(spark, fp_keys_dir)
+            b = q_surv.select(
+                F.col("doc_id").alias("__id"), F.md5(norm).alias("__key")
+            )
+            if fstore is None:
+                fstore = b.select(
+                    F.col("__key").alias("key"), F.col("__id").alias("keeper")
+                ).limit(0)
+            joined, keep = _seen_stage(b, fstore)
+            dup_decisions = joined.select(
+                F.col("__id").alias("doc_id"),
+                keep.alias("__dkeep"),
+                F.coalesce(F.col("keeper"), F.col("__bk")).alias("__ddup"),
+            )
+            new_fp_keys = (
+                joined.where(F.col("__key").isNotNull() & F.col("keeper").isNull())
+                .select(
+                    F.col("__key").alias("key"), F.col("__bk").alias("keeper")
+                )
+                .distinct()
+            )
+        else:
+            from ..operators.dedup import (
+                incremental_dedup_near,
+                incremental_dedup_simhash,
+                minhash_signatures,
+                simhash,
+            )
+
+            _recover_store(spark, sig_dir)
+            existing = _read_if_exists(spark, sig_dir)
+            op = (
+                incremental_dedup_simhash if dedup == "simhash"
+                else incremental_dedup_near
+            )
+            dec, _ = op(q_surv, existing, text_col=text_col, **dedup_kwargs)
+            dup_decisions = dec.select(
+                "doc_id",
+                F.col("keep").alias("__dkeep"),
+                F.col("dup_of").alias("__ddup"),
+            )
+            if dedup == "simhash":
+                sig_new = simhash(q_surv, text_col=text_col)
+            else:
+                nh = dedup_kwargs.get("num_hashes", 64)
+                sig_new = minhash_signatures(
+                    q_surv, num_hashes=nh,
+                    n=dedup_kwargs.get("n", 3), text_col=text_col,
+                ).select("doc_id", *[f"h{i}" for i in range(nh)])
+            kept_sigs = sig_new.join(
+                dup_decisions.where(F.col("__dkeep")).select("doc_id"),
+                "doc_id", "left_semi",
+            )
+
+        # --- verdicts: first failing stage wins -----------------------
+        st = docs.select("doc_id")
+        st = st.join(not_blocked.withColumn("__nb", F.lit(1)), "doc_id", "left")
+        if url_decisions is not None:
+            st = st.join(url_decisions, "doc_id", "left")
+        st = st.join(q_ok.withColumn("__q", F.lit(1)), "doc_id", "left")
+        st = st.join(dup_decisions, "doc_id", "left")
+        verdict = F.when(F.col("__nb").isNull(), "blocked_domain")
+        if url_decisions is not None:
+            verdict = verdict.when(~F.col("__ukeep"), "url_duplicate")
+        verdict = (
+            verdict.when(F.col("__q").isNull(), "quality")
+            .when(~F.col("__dkeep"), "duplicate")
+            .otherwise("kept")
+        )
+        dup_of = F.when(verdict == "duplicate", F.col("__ddup"))
+        if url_decisions is not None:
+            dup_of = F.when(
+                verdict == "url_duplicate", F.col("__udup")
+            ).otherwise(dup_of)
+        decisions = st.select("doc_id", verdict.alias("status"),
+                              dup_of.alias("dup_of"))
+        decisions_sink(decisions, batch_id)
+
+        # --- guarded state appends ------------------------------------
+        if batch_id not in done:
+            if new_url_keys is not None:
+                new_url_keys.write.mode("append").parquet(url_keys_dir)
+            if new_fp_keys is not None:
+                new_fp_keys.write.mode("append").parquet(fp_keys_dir)
+            if kept_sigs is not None:
+                kept_sigs.write.mode("append").parquet(sig_dir)
+            spark.createDataFrame(
+                [(int(batch_id),)], "batch_id long"
+            ).write.mode("append").parquet(ledger_dir)
+            if compact_every and (len(done) + 1) % compact_every == 0:
+                for d in (url_keys_dir, fp_keys_dir, sig_dir):
+                    if _read_if_exists(spark, d) is not None:
+                        _compact_store(spark, d)
+
+    writer = docs_stream.writeStream.foreachBatch(handle).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.trigger(availableNow=True).start()

@@ -676,3 +676,134 @@ def test_stream_seen_filter_url_dedup(spark):
     assert replayed["a2"] == (False, "a1") and replayed["b1"] == (False, "a1")
     assert spark.read.parquet(os.path.join(store, "keys")).count() == 3
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_curate_matches_batch_cascade(spark):
+    """Differential: one streamed micro-batch through stream_curate
+    (dedup='exact', URL stages on) produces verdicts IDENTICAL to the
+    batch curate_corpus cascade on the same rows."""
+    import os
+
+    from matcha_spark.pipelines import curate_corpus
+    from matcha_spark.streaming.curate import stream_curate
+
+    base = tempfile.mkdtemp(prefix="mcurate_stream_")
+    src_dir = os.path.join(base, "src")
+    os.makedirs(src_dir)
+    schema = "doc_id string, text string, url string"
+    good = ("the cat and the dog sat in the house that is it for a story "
+            "about the animals and their day together in it all")
+    rows = [
+        ("a1", good, "https://keep.org/a"),
+        ("a2", good + " two", "https://keep.org/a?utm_source=x"),  # url dup
+        ("a3", "x!!", "https://spam.net/z"),                        # blocked
+        ("a4", "x!!", "https://keep.org/bad"),                      # quality
+        ("a5", good, "https://keep.org/other"),                     # exact dup of a1
+        ("a6", good + " five", "https://spam.net/z"),               # blocked
+    ]
+    docs = spark.createDataFrame(rows, schema)
+    docs.write.mode("append").parquet(src_dir)
+
+    want = {r.doc_id: (r.status,) for r in curate_corpus(
+        docs, min_tokens=5, max_punct_ratio=0.3,
+        blocked_domains=["spam.net"], url_dedup=True,
+    ).collect()}
+
+    got = {}
+
+    def sink(df, bid):
+        for r in df.collect():
+            got[r.doc_id] = (r.status, r.dup_of)
+
+    q = stream_curate(
+        spark.readStream.schema(schema).parquet(src_dir),
+        os.path.join(base, "store"),
+        sink,
+        blocked_domains=["spam.net"],
+        url_dedup=True,
+        dedup="exact",
+        quality_kwargs={"min_tokens": 5, "max_punct_ratio": 0.3},
+        checkpoint_dir=os.path.join(base, "ckpt"),
+    )
+    q.awaitTermination(120)
+    assert {k: (v[0],) for k, v in got.items()} == want
+    # keeper attribution the batch audit doesn't expose:
+    assert got["a2"] == ("url_duplicate", "a1")
+    assert got["a5"] == ("duplicate", "a1")
+
+    # --- batch 2: corpus state wins across micro-batches --------------
+    spark.createDataFrame(
+        [
+            ("b1", good, "https://fresh.org/1"),           # exact dup of a1 (store)
+            ("b2", good + " brand new ending", "https://keep.org/a"),  # url dup (store)
+            ("b3", "completely different fine text here okay then", "https://fresh.org/2"),
+        ],
+        schema,
+    ).write.mode("append").parquet(src_dir)
+    got.clear()
+    q = stream_curate(
+        spark.readStream.schema(schema).parquet(src_dir),
+        os.path.join(base, "store"),
+        sink,
+        blocked_domains=["spam.net"],
+        url_dedup=True,
+        dedup="exact",
+        quality_kwargs={"min_tokens": 5, "max_punct_ratio": 0.3},
+        checkpoint_dir=os.path.join(base, "ckpt"),
+    )
+    q.awaitTermination(120)
+    assert got["b1"] == ("duplicate", "a1")
+    assert got["b2"] == ("url_duplicate", "a1")
+    assert got["b3"] == ("kept", None)
+    # stores grew by the new keys only
+    assert spark.read.parquet(os.path.join(base, "store", "url_keys")).count() == 5
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_curate_simhash_mode(spark):
+    """Near-dup mode: the content stage runs the incremental SimHash
+    admission against the signature store; a later batch's near-copy
+    is rejected with the corpus keeper."""
+    import os
+
+    from matcha_spark.streaming.curate import stream_curate
+
+    base = tempfile.mkdtemp(prefix="mcurate_sh_")
+    src_dir = os.path.join(base, "src")
+    os.makedirs(src_dir)
+    schema = "doc_id string, text string"
+    text = ("a perfectly ordinary training document about nothing in "
+            "particular that goes on for a while " * 3)
+    spark.createDataFrame(
+        [("c1", text + "original"),
+         ("c2", "completely different content here okay then fine " * 3)],
+        schema,
+    ).write.mode("append").parquet(src_dir)
+    got = {}
+
+    def sink(df, bid):
+        for r in df.collect():
+            got[r.doc_id] = (r.status, r.dup_of)
+
+    def run():
+        q = stream_curate(
+            spark.readStream.schema(schema).parquet(src_dir),
+            os.path.join(base, "store"),
+            sink,
+            dedup="simhash",
+            max_hamming=8,
+            quality_kwargs={"min_tokens": 5},
+            checkpoint_dir=os.path.join(base, "ckpt"),
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert got["c1"] == ("kept", None) and got["c2"] == ("kept", None)
+    spark.createDataFrame(
+        [("d1", text + "originaI")], schema  # hamming 6 from c1
+    ).write.mode("append").parquet(src_dir)
+    got.clear()
+    run()
+    assert got["d1"] == ("duplicate", "c1")
+    assert spark.read.parquet(os.path.join(base, "store", "sigs")).count() == 2
+    shutil.rmtree(base, ignore_errors=True)
