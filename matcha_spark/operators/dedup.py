@@ -464,7 +464,13 @@ def connected_components(
     rounds (adversarial chain graphs included) that would otherwise
     each pay scheduler latency; that per-round latency is exactly what
     caps streaming dedup throughput (one admission per micro-batch).
-    Set ``small_cutoff=0`` to stay fully distributed.
+    Set ``small_cutoff=0`` to stay fully distributed — noting that a
+    VERY deep distributed run (≳16 cut-lineage rounds, i.e. an
+    adversarial >2^16-diameter chain that contraction can't collapse)
+    would enter the Spark localCheckpoint-loop pathology documented in
+    ``docs/TUNING.md`` (r11 reverted experiment); the default cutoff's
+    driver union-find absorbs exactly that tail, which is one more
+    reason it exists.
 
     Per distributed round: one groupBy over the current edges (min
     neighbor), one double-join edge rewrite + distinct; intermediates
