@@ -164,6 +164,8 @@ def _iter_records(data: bytes) -> Iterator[tuple[int, dict | None, str | None]]:
         hdrs = _parse_headers(data[pos:hdr_end])
         try:
             clen = int(hdrs.get("content-length", ""))
+            if clen < 0:
+                raise ValueError("negative")
         except ValueError:
             yield start, None, "bad_content_length"
             nxt = data.find(b"\r\nWARC/", hdr_end)

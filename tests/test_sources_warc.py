@@ -384,6 +384,54 @@ def test_gunzip_members_unit():
     assert out == b"" and err.startswith("gzip_error")
 
 
+def test_warc_parser_never_raises_fuzz():
+    """Crawl segments are untrusted bytes: whatever lands in the file,
+    the parser yields records/quarantine rows and NEVER raises — random
+    garbage, bit-flipped real archives, truncations at every boundary
+    class, and hostile header values."""
+    import random
+
+    from matcha_spark.sources.warc import _file_records
+
+    rng = random.Random(17)
+    arch = _archive()
+    cases = []
+    # pure garbage, gzip-magic-prefixed garbage, empty
+    cases += [b"", b"\x1f\x8b", b"\x1f\x8b\x08\x00junk",
+              bytes(rng.randrange(256) for _ in range(512))]
+    # truncate a real archive at 40 byte positions
+    cases += [arch[:i] for i in range(0, len(arch), max(1, len(arch) // 40))]
+    # bit-flip a real archive at 30 random positions
+    for _ in range(30):
+        b = bytearray(arch)
+        for _ in range(3):
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        cases.append(bytes(b))
+    # hostile headers: huge content-length, negative, non-numeric,
+    # folded continuation, no colon, binary junk in values
+    cases += [
+        b"WARC/1.0\r\nContent-Length: 99999999999\r\n\r\nshort\r\n\r\n",
+        b"WARC/1.0\r\nContent-Length: -5\r\n\r\nxx\r\n\r\n",
+        b"WARC/1.0\r\nContent-Length: NaN\r\n\r\nxx\r\n\r\n",
+        b"WARC/1.0\r\nX: a\r\n  folded\r\nContent-Length: 2\r\n\r\nok\r\n\r\n",
+        b"WARC/1.0\r\nno-colon-line\r\nContent-Length: 0\r\n\r\n\r\n\r\n",
+        b"WARC/1.0\r\nContent-Length: 2\r\n\r\nok\r\n\r\nWARC/9.9\xff\xfe",
+    ]
+    for i, payload in enumerate(cases):
+        out = list(_file_records(f"fuzz-{i}", payload))
+        for off, rec, reason in out:
+            assert (rec is None) != (reason is None)  # exactly one side set
+    # negative length is quarantined, not accepted as an empty record
+    bad = [r for r in _file_records(
+        "neg", b"WARC/1.0\r\nContent-Length: -5\r\n\r\nxx\r\n\r\n")]
+    assert bad == [(0, None, "bad_content_length")]
+    # gz variants of the same garbage through the member decoder
+    for i, payload in enumerate(cases[:20]):
+        out = list(_file_records(f"fz-gz-{i}", gzip.compress(payload)))
+        for off, rec, reason in out:
+            assert (rec is None) != (reason is None)
+
+
 def test_dechunk_malformed_passthrough():
     assert _dechunk(b"5\r\nhello\r\n0\r\n\r\n") == b"hello"
     # malformed size token: body returned verbatim, never an exception
