@@ -807,3 +807,52 @@ def test_stream_curate_simhash_mode(spark):
     assert got["d1"] == ("duplicate", "c1")
     assert spark.read.parquet(os.path.join(base, "store", "sigs")).count() == 2
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_curate_minhash_mode(spark):
+    """The MinHash branch of the streaming cascade: signature store
+    carries doc_id + h0..h63, a later batch's shingle-level near-copy
+    is rejected against it."""
+    import os
+
+    from matcha_spark.streaming.curate import stream_curate
+
+    base = tempfile.mkdtemp(prefix="mcurate_mh_")
+    src_dir = os.path.join(base, "src")
+    os.makedirs(src_dir)
+    schema = "doc_id string, text string"
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lamda mu nu xi omicron pi rho sigma tau upsilon")
+    spark.createDataFrame(
+        [("m1", words), ("m2", "one two three four five six seven eight nine ten")],
+        schema,
+    ).write.mode("append").parquet(src_dir)
+    got = {}
+
+    def sink(df, bid):
+        for r in df.collect():
+            got[r.doc_id] = (r.status, r.dup_of)
+
+    def run():
+        q = stream_curate(
+            spark.readStream.schema(schema).parquet(src_dir),
+            os.path.join(base, "store"),
+            sink,
+            dedup="minhash",
+            threshold=0.6,
+            quality_kwargs={"min_tokens": 5},
+            checkpoint_dir=os.path.join(base, "ckpt"),
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert got["m1"] == ("kept", None) and got["m2"] == ("kept", None)
+    spark.createDataFrame(
+        [("n1", words + " extra")], schema  # high-Jaccard near-copy of m1
+    ).write.mode("append").parquet(src_dir)
+    got.clear()
+    run()
+    assert got["n1"] == ("duplicate", "m1")
+    sigs = spark.read.parquet(os.path.join(base, "store", "sigs"))
+    assert sigs.count() == 2 and "h63" in sigs.columns
+    shutil.rmtree(base, ignore_errors=True)
