@@ -856,3 +856,57 @@ def test_stream_curate_minhash_mode(spark):
     sigs = spark.read.parquet(os.path.join(base, "store", "sigs"))
     assert sigs.count() == 2 and "h63" in sigs.columns
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_seen_filter_equals_batch_dedup_url(spark):
+    """Twin consistency: one streamed batch through stream_seen_filter
+    keyed on url_normalize keeps exactly the keepers batch dedup_url
+    reports, with identical keeper attribution."""
+    import os
+
+    from matcha_spark.operators.web import dedup_url, url_normalize
+    from matcha_spark.streaming.keys import stream_seen_filter
+
+    base = tempfile.mkdtemp(prefix="mseen_diff_")
+    src_dir = os.path.join(base, "src")
+    os.makedirs(src_dir)
+    schema = "doc_id string, url string"
+    rows = [
+        ("d1", "https://a.test/x"),
+        ("d2", "https://a.test/x?utm_source=t"),
+        ("d3", "HTTP://A.TEST:80/x"),
+        ("d4", "https://a.test/y"),
+        ("d5", "https://b.test/x?b=2&a=1"),
+        ("d6", "https://b.test/x?a=1&b=2"),
+    ]
+    docs = spark.createDataFrame(rows, schema)
+    docs.write.mode("append").parquet(src_dir)
+    batch = {r.url_norm: (r.keep_doc_id, r.n_copies)
+             for r in dedup_url(docs).collect()}
+
+    got = {}
+
+    def sink(df, bid):
+        for r in df.collect():
+            got[r.doc_id] = (r.keep, r.dup_of)
+
+    q = stream_seen_filter(
+        spark.readStream.schema(schema).parquet(src_dir),
+        os.path.join(base, "store"),
+        sink,
+        key=url_normalize("url"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+    )
+    q.awaitTermination(120)
+    keepers = {k for k, (keep, _) in got.items() if keep}
+    assert keepers == {kd for kd, _ in batch.values()}
+    # rejected rows point at the batch keeper of their canonical URL
+    canon = {r.doc_id: r.u for r in docs.select(
+        "doc_id", url_normalize("url").alias("u")).collect()}
+    for d, (keep, dup) in got.items():
+        if not keep:
+            assert dup == batch[canon[d]][0], (d, dup)
+    # store rows == distinct canonical urls
+    n_keys = spark.read.parquet(os.path.join(base, "store", "keys")).count()
+    assert n_keys == len(batch)
+    shutil.rmtree(base, ignore_errors=True)
