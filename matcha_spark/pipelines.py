@@ -31,6 +31,8 @@ def curate_corpus(
     blocked_domains: DataFrame | list | None = None,
     url_dedup: bool = False,
     url_col: str = "url",
+    dedup_method: str = "exact",
+    dedup_kwargs: dict | None = None,
 ) -> DataFrame:
     """Standard curation cascade with an audit verdict per document:
 
@@ -42,9 +44,15 @@ def curate_corpus(
        among blocklist survivors; requires ``url_col``);
     1. **quality**: Gopher/C4-style signal gate (:func:`text.quality_filter`
        thresholds);
-    2. **duplicate**: exact keep-first dedup among quality survivors
-       (:func:`text.dedup_exact` semantics — normalized-text md5 groups,
-       min doc_id kept);
+    2. **duplicate**: content dedup among quality survivors —
+       ``dedup_method="exact"`` (the default: :func:`text.dedup_exact`
+       semantics, normalized-text md5 groups, min doc_id kept; the
+       audited byte-identical path), ``"simhash"`` (banded Hamming
+       candidates → connected components → min-id keeper;
+       ``dedup_kwargs={"max_hamming": ...}``), or ``"lsh"``
+       (MinHash+LSH candidates with exact-Jaccard verification;
+       ``dedup_kwargs={"threshold": ...}``) — the same near-dup choice
+       the streaming twin (``streaming.curate.stream_curate``) offers;
     3. **contaminated**: benchmark n-gram overlap above
        ``max_contamination`` among remaining docs (skipped when
        ``probes`` is None).
@@ -95,13 +103,46 @@ def curate_corpus(
             base = base.join(gate, "doc_id", "left_semi")
     q_surv = base.join(quality_ok, "doc_id", "left_semi")
 
-    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
-    keepers = (
-        q_surv.select("doc_id", F.md5(norm).alias("__fp"))
-        .groupBy("__fp")
-        .agg(F.min("doc_id").alias("keep_id"))
-        .select(F.col("keep_id").alias("doc_id"))
-    )
+    if dedup_method == "exact":
+        norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+        keepers = (
+            q_surv.select("doc_id", F.md5(norm).alias("__fp"))
+            .groupBy("__fp")
+            .agg(F.min("doc_id").alias("keep_id"))
+            .select(F.col("keep_id").alias("doc_id"))
+        )
+    elif dedup_method in ("simhash", "lsh"):
+        from .operators.dedup import (
+            connected_components,
+            dedup_near_docs_lsh,
+            simhash_candidates,
+        )
+
+        if dedup_method == "simhash":
+            pairs = simhash_candidates(
+                q_surv, text_col=text_col, **(dedup_kwargs or {})
+            )
+            comp = connected_components(pairs)
+            km = q_surv.select("doc_id").join(
+                comp, F.col("doc_id") == F.col("id"), "left"
+            ).select(
+                "doc_id",
+                F.coalesce("component", F.col("doc_id")).alias("keep_doc_id"),
+            )
+        else:
+            # the LSH path's shingle pipeline reads the default text
+            # column; rename so a text_col override reaches it too
+            km = dedup_near_docs_lsh(
+                q_surv.select("doc_id", F.col(text_col).alias("text")),
+                **(dedup_kwargs or {}),
+            )
+        keepers = km.where(F.col("doc_id") == F.col("keep_doc_id")).select(
+            "doc_id"
+        )
+    else:
+        raise ValueError(
+            f"dedup_method must be exact|simhash|lsh, got {dedup_method!r}"
+        )
     d_surv = q_surv.join(keepers, "doc_id", "left_semi")
 
     if probes is not None:

@@ -1312,3 +1312,40 @@ def test_temperature_mixture_token_weighted(spark):
     # alpha=1: natural distribution, all rates 1 under either mass
     assert set(temperature_mixture_rates(docs, 1.0, weight_col="n_tokens")
                .values()) == {1.0}
+
+
+def test_curate_corpus_near_dup_methods(spark):
+    """The batch cascade's near-dup modes: a one-character near-copy
+    passes exact dedup but is rejected by simhash and lsh modes; the
+    default exact path is untouched by the new parameters."""
+    from matcha_spark.pipelines import curate_corpus
+
+    base = ("a perfectly ordinary training document about nothing in "
+            "particular that goes on for a while " * 3)
+    docs = spark.createDataFrame(
+        [
+            ("a1", base + "original"),
+            ("z1", base + "originaI"),  # near-copy (measured hamming 6)
+            ("b1", "completely different content here okay then fine " * 3),
+        ],
+        "doc_id string, text string",
+    )
+    exact = {r.doc_id: r.status for r in curate_corpus(
+        docs, min_tokens=5).collect()}
+    assert exact == {"a1": "kept", "z1": "kept", "b1": "kept"}
+
+    sh = {r.doc_id: r.status for r in curate_corpus(
+        docs, min_tokens=5, dedup_method="simhash",
+        dedup_kwargs={"max_hamming": 8},
+    ).collect()}
+    assert sh == {"a1": "kept", "z1": "duplicate", "b1": "kept"}
+
+    lsh = {r.doc_id: r.status for r in curate_corpus(
+        docs, min_tokens=5, dedup_method="lsh",
+        dedup_kwargs={"threshold": 0.6},
+    ).collect()}
+    assert lsh == {"a1": "kept", "z1": "duplicate", "b1": "kept"}
+
+    import pytest as _p
+    with _p.raises(ValueError):
+        curate_corpus(docs, dedup_method="bogus").collect()
