@@ -44,15 +44,14 @@ def _clean_query(q: Column) -> Column:
     → ``a=1&b=2``.  Split/filter/sort/join — all array built-ins."""
     parts = F.split(q, "&")
     name = lambda p: F.lower(F.split(p, "=").getItem(0))  # noqa: E731
-    kept = F.filter(
-        parts,
-        lambda p: (
-            (p != "")
-            & ~name(p).isin(*_TRACKING_EXACT)
-            & ~name(p).startswith(_TRACKING_PREFIXES[0])
-        ),
-    )
-    return F.array_join(F.array_sort(kept), "&")
+
+    def keep(p):
+        cond = (p != "") & ~name(p).isin(*_TRACKING_EXACT)
+        for pref in _TRACKING_PREFIXES:
+            cond = cond & ~name(p).startswith(pref)
+        return cond
+
+    return F.array_join(F.array_sort(F.filter(parts, keep)), "&")
 
 
 def url_normalize(url: Column | str) -> Column:
