@@ -39,8 +39,10 @@ def oracle_sql() -> dict[str, str]:
     # oracle-backed entry OUTSIDE the window with no prior record would
     # break the registry audit, so its oracle publishes with the next
     # rotation instead — tools/check_oracle.py still verifies it
-    # locally from suite.ORACLES).  EMPTY since r11 — and
-    # tools/registry_audit.py now fails if a holdback persists past the
-    # round it was declared, so the mechanism can never silently shelve
-    # an entry again.
+    # locally from suite.ORACLES).  EMPTY as of r12: the four entries
+    # held back in r11 (doc_video_mjpeg, doc_bigram_logloss,
+    # graph_triangles_parts, graph_kcore_sound) published with the r12
+    # rotation and sit inside the window; tools/registry_audit.py
+    # fails if any holdback persists past the round it was declared,
+    # so the mechanism can never silently shelve an entry again.
     return {k: v for k, v in ORACLES.items() if k not in ORACLE_HOLDBACK}

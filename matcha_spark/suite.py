@@ -1257,6 +1257,70 @@ def emb_ivf_exhaustive(spark, sf_dir):
     )
 
 
+def _ann_recall_flags(exact, approx, k, floor, mean_floor):
+    """Shared recall surface for the approximate-ANN sound twins (r12,
+    verdict ask #3): per-query recall@k of ``approx`` against the exact
+    top-k, emitted as two hash-checkable booleans — a per-query floor
+    and a corpus-mean bound (one scalar, broadcast onto every row the
+    way ``_admission_soundness`` attaches ``store_ok``).  The seeded
+    hyperplanes / codebooks make each operator's recall DETERMINISTIC
+    per dataset; the bounds below each entry sit >= 0.2 under the
+    measured minimum across sf0.001/sf0.01/sf0.1, so the entries pin
+    real retrieval quality, not a vacuous tautology."""
+    ex = exact.select("q_id", "n_id")
+    ap = approx.select("q_id", "n_id").withColumn("__hit", F.lit(1))
+    per = (
+        ex.join(ap, ["q_id", "n_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            (F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / k).alias("__recall")
+        )
+    )
+    mean_ok = per.agg((F.avg("__recall") >= mean_floor).alias("mean_ok"))
+    return per.select(
+        "q_id", (F.col("__recall") >= floor).alias("floor_ok")
+    ).crossJoin(F.broadcast(mean_ok))
+
+
+def emb_lsh_recall_sound(spark, sf_dir):
+    """Sound twin of ``emb_lsh_topk`` on the ORGANIC corpus (r12): LSH
+    top-5 with the recall levers set as the operator documents for
+    low-similarity corpora (4 planes x 8 tables, multi-probe) must
+    reach per-query recall@5 >= 0.6 and mean recall >= 0.9 against the
+    exact ``cosine_topk`` on the same 25 probes.  Measured: min 0.8 /
+    mean 0.98 at sf0.1, 1.0/1.0 at sf0.001 and sf0.01."""
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    q = emb.where(F.col("vec_id") < 25)
+    exact = S.cosine_topk(emb, q, k=5)
+    approx = S.lsh_bucketed_topk(emb, q, k=5, n_planes=4, n_tables=8)
+    return _ann_recall_flags(exact, approx, 5, 0.6, 0.9)
+
+
+def emb_ivf_recall_sound(spark, sf_dir):
+    """Sound twin of ``emb_ivf_topk`` (r12): probing 8 of 16 cells must
+    reach per-query recall@5 >= 0.2 and mean recall >= 0.6 vs the exact
+    top-5 on 25 probes.  Measured: min 0.4 / mean 0.78-0.81 across all
+    three shipped SFs."""
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    q = emb.where(F.col("vec_id") < 25)
+    exact = S.cosine_topk(emb, q, k=5)
+    approx = S.ivf_topk(emb, q, k=5, n_probe=8)
+    return _ann_recall_flags(exact, approx, 5, 0.2, 0.6)
+
+
+def emb_pq_recall_sound(spark, sf_dir):
+    """Sound twin of ``emb_pq_topk`` (r12): 16 subquantizers (finer
+    than the 8-subspace default, as the operator documents for small
+    dims) with a 16x ADC candidate pool must reach per-query recall@5
+    >= 0.2 and mean >= 0.6 vs exact.  Measured: min 0.4 / mean 0.87 at
+    sf0.1, min 0.8 / mean ~0.95 at sf0.001 and sf0.01."""
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    q = emb.where(F.col("vec_id") < 25)
+    exact = S.cosine_topk(emb, q, k=5)
+    approx = S.pq_topk(emb, q, k=5, m=16, refine=16)
+    return _ann_recall_flags(exact, approx, 5, 0.2, 0.6)
+
+
 def _admission_soundness(decisions, kept_prior, kept_now, store_ids, updated_ids):
     """Shared invariant surface for the incremental-dedup twins: one
     row per batch doc asserting the decision is well-formed —
@@ -1506,11 +1570,9 @@ def doc_video_mjpeg(spark, sf_dir):
     video corpora actually carry.  JPEG is lossy but DETERMINISTIC:
     identical text → identical container bytes → identical decoded
     pixels → hamming 0, so the planted-pair argument of the PNG entry
-    holds unchanged.  Oracle HELD BACK this round (declared
-    ORACLE_HOLDBACK_SINCE=11; the r11 window is exactly full) — the
-    same `strlen >= 129` planted-pair SQL as ``doc_video_pipeline``,
-    verified locally by check_oracle and promoted with an r12 free
-    slot; registry_audit fails if it slips."""
+    holds unchanged.  Oracle (the same `strlen >= 129` planted-pair
+    SQL as ``doc_video_pipeline``) published with the r12 rotation
+    after one held-back round."""
     import numpy as np
     import pandas as pd
 
@@ -1577,8 +1639,8 @@ def doc_bigram_logloss(spark, sf_dir):
     """Interpolated bigram LM quality score (r11): the KenLM/CCNet-
     style perplexity filter one order above ``doc_unigram_logloss`` —
     catches shuffled-common-word salad the unigram score cannot see.
-    Oracle HELD BACK this round (declared r11, window full; promotes
-    with an r12 free slot — registry_audit enforces it)."""
+    Oracle published with the r12 rotation after one held-back
+    round."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     return T.bigram_logloss(docs, alpha=0.4)
 
@@ -1594,8 +1656,8 @@ def graph_triangles_parts(spark, sf_dir):
     ``graph.triangle_count_global(p=...)`` — DOULION edge
     sparsification (unbiased ``sampled/p³`` estimator, wedge join cut
     ~p², deterministic per seed; pinned by
-    ``test_triangle_count_global_*``).  Oracle HELD BACK (declared
-    r11; promotes with an r12 free slot)."""
+    ``test_triangle_count_global_*``).  Oracle published with the
+    r12 rotation after one held-back round."""
     from .operators.graph import triangle_counts
 
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"].where(
@@ -1617,9 +1679,10 @@ def graph_kcore_sound(spark, sf_dir):
     correct assignment must satisfy, per node, ``core <= degree`` and
     ``#{neighbors with core' >= core} >= core`` — both checkable in
     one plan over the same sliced co-order part graph
-    ``graph_triangles_parts`` uses.  (Soundness half only: maximality
-    is pinned by the sequential-peel differential pytests.)  Oracle
-    HELD BACK (declared r11; all-true over the graph's node set)."""
+    ``graph_triangles_parts`` uses.  (Soundness half only:
+    maximality is ``graph_kcore_max``'s peel oracle, r12.)  Oracle:
+    all-true over the graph's node set, published with the r12
+    rotation after one held-back round."""
     from .operators.graph import coreness
 
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"].where(
@@ -1658,6 +1721,43 @@ def graph_kcore_sound(spark, sf_dir):
             & (F.col("supp") >= F.col("core"))
         ).alias("sound"),
     )
+
+
+def graph_kcore_max(spark, sf_dir):
+    """Maximality half of the k-core contract (r12, verdict ask #4):
+    for fixed k the h-index fixpoint's k-core membership (nodes with
+    ``coreness >= k``) must equal the SEQUENTIAL PEEL's survivor set —
+    the oracle runs the actual peel (repeatedly delete nodes with
+    remaining degree < k) as a DuckDB recursive CTE over the same
+    sliced co-order part graph ``graph_kcore_sound`` uses.  A node the
+    peel keeps but the fixpoint drops is an under-converged fixpoint
+    (the maximality failure the pytest differential alone used to
+    pin); an extra node is unsound.  k in {4, 8}; the peel converges
+    within 12 rounds at every shipped SF and the CTE runs 24 (2x
+    margin).  cf. reference closure semantics ``alpha.clj:193-203``
+    only insofar as both are fixpoints; the operator itself is the
+    Lü et al. h-index iteration in ``operators/graph.py``."""
+    from .operators.graph import coreness
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"].where(
+        F.col("l_orderkey") % 10 == 0
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    e = (
+        a.join(b, "l_orderkey")
+        .where(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .dropDuplicates()
+    )
+    core = coreness(e)
+    out = None
+    for k in (4, 8):
+        part = core.where(F.col("core") >= k).select(
+            F.lit(k).alias("k"), "node"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def doc_audio_near_dup_planted(spark, sf_dir):
@@ -2333,40 +2433,145 @@ def dedup_near_emb(spark, sf_dir):
 # descending — entries never (or longest-ago) recorded in a CORRECTNESS_r*
 # file come first, and the rows-only-by-design entries (no ORACLES row;
 # engine-specific hashes/seeds, pinned by pytests instead) are parked last.
-# r11 capacity surgery (verdict ask #1): the oracle-backed count had
-# exactly saturated the 50-slot x 3-round freshness horizon (141 =
-# 50+41+50), leaving NO slot for the two held-back oracles or any new
-# entry.  Remedy: five genuinely redundant oracle entries are RETIRED —
-# their operators stay implemented, benched, and pinned to a still-
-# oracle-backed sibling by tests/test_joins.py::test_retired_entry_equivalences
-# (+ the cited pytests):
-#   events_sessionize        -> events_sessionize_native (same gap
-#                               semantics, session multiset equal)
-#   events_funnel_windowed   -> events_funnel (within=inf equivalence)
-#   events_salted_type_stats -> events_salted_enrich oracle + the
-#                               salted_agg_matches_plain pytest
-#   doc_dup_ngrams           -> doc_strip_dup_ngrams (consumes the same
-#                               dup-gram table) + dup_ngram_stats pytests
-#   doc_token_count          -> doc_text_quality (n_tokens column equal)
-# Closing state: 145 oracle-backed entries — 141 published (45
-# r08-survivors + 5 never-checked in the r11 window, 41 r09, 50 r10)
-# plus 4 late-r11 holdbacks (bigram LM, MJPEG pipeline, triangles,
-# k-core; see ORACLE_HOLDBACK below) — against 150 slot-rounds = 5
-# free slot-rounds of steady-state headroom; registry_audit.py warns
-# on each holdback now and FAILS if one persists past one round.
-# Rotation plan (also printed by tools/registry_audit.py): r12 window
-# = the 41 r09-recorded entries + the 4 promoted holdbacks + 5 free;
-# r13 = the remaining r10 block (exactly 50).
+# Capacity mechanism (r11): the horizon is 50 slots x 3 rounds = 150
+# slot-rounds, so every new oracle-backed entry must be funded by a
+# RETIREMENT — the operator stays implemented and benched, pinned to a
+# still-oracle-backed sibling by
+# tests/test_joins.py::test_retired_entry_equivalences (+ cited
+# pytests).  r11 retired: events_sessionize, events_funnel_windowed,
+# events_salted_type_stats, doc_dup_ngrams, doc_token_count (pins in
+# that test's docstring).
+# r12 surgery (verdict asks #1/#3/#4): the 4 r11 holdbacks PROMOTE
+# into the window (ORACLE_HOLDBACK is empty again) and 4 new entries
+# land — the ANN recall twins emb_{lsh,ivf,pq}_recall_sound and the
+# k-core maximality peel graph_kcore_max — funded by 4 retirements:
+#   emb_pq_exhaustive   -> its oracle WAS emb_cosine_topk's (alias);
+#                          pinned by test_operators.py:914 (exhaustive
+#                          refine -> recall 1.0) + emb_pq_recall_sound
+#   emb_ivf_exhaustive  -> same shape; test_operators.py:526 (probe
+#                          all cells -> recall 1.0) + emb_ivf_recall_sound
+#   bgp_path_region_members -> same answer set as the still-backed
+#                          bgp_path_inv_region_members by construction
+#                          (Inv of the same Seq path); pinned by
+#                          test_retired_entry_equivalences
+#   grouping_sets_priority -> Spark-native GROUPING SETS, pinned by a
+#                          pure-Spark differential vs the unioned
+#                          plain group-bys (same test); rollup/cube
+#                          siblings remain oracle-backed
+# Closing state: 145 oracle-backed entries (all published, no
+# holdbacks) against 150 slot-rounds = 5 free slot-rounds of headroom.
+# Window r12 = 4 new + 4 promoted + 2 early-r10 refreshes
+# (graph_pagerank_mass — pagerank's Observation diet lands this round;
+# doc_cdc_tiling) + the 40 surviving r09-recorded entries; r13 = the
+# remaining 45 r10-recorded entries + 5 free.
 # When adding a new oracle-backed entry, insert it at the top; after
 # each round, rotate entries the driver just verified toward the back.
 QUERIES = {
-    # --- r11 driver window (first 50): 5 never-checked (3 new + 2 promoted holdbacks) ---
+    # --- r12 driver window (first 50): 4 new + 4 promoted r11 holdbacks + 2 early r10 refreshes ---
+    "emb_lsh_recall_sound": emb_lsh_recall_sound,
+    "emb_ivf_recall_sound": emb_ivf_recall_sound,
+    "emb_pq_recall_sound": emb_pq_recall_sound,
+    "graph_kcore_max": graph_kcore_max,
+    "doc_video_mjpeg": doc_video_mjpeg,
+    "doc_bigram_logloss": doc_bigram_logloss,
+    "graph_triangles_parts": graph_triangles_parts,
+    "graph_kcore_sound": graph_kcore_sound,
+    "graph_pagerank_mass": graph_pagerank_mass,
+    "doc_cdc_tiling": doc_cdc_tiling,
+    # --- r12 window, contd: the 40 surviving r09-recorded entries ---
+    "asof_events_orders_forward": R.asof_events_orders_forward,
+    "bgp_agg_customers_by_region": bgp_agg_customers_by_region,
+    "bgp_agg_urgent_orders_by_nation": bgp_agg_urgent_orders_by_nation,
+    "bgp_bind_segment_prefix": bgp_bind_segment_prefix,
+    "bgp_construct_region_graph": bgp_construct_region_graph,
+    "bgp_customers_in_region": bgp_customers_in_region,
+    "bgp_describe_nation": bgp_describe_nation,
+    "bgp_exists_repeat_customers": bgp_exists_repeat_customers,
+    "bgp_filter_customer_names": bgp_filter_customer_names,
+    "bgp_nations_values": bgp_nations_values,
+    "bgp_not_exists_unurgent": bgp_not_exists_unurgent,
+    "bgp_optional_urgent_orders": bgp_optional_urgent_orders,
+    "bgp_path_from_seed": bgp_path_from_seed,
+    "bgp_select_top_names": bgp_select_top_names,
+    "bgp_subquery_busy_nations": bgp_subquery_busy_nations,
+    "bgp_values_rows_pairs": bgp_values_rows_pairs,
+    "cohort_retention": R.cohort_retention,
+    "doc_audio_features": doc_audio_features,
+    "doc_bm25_search": doc_bm25_search,
+    "doc_chunk_packing": doc_chunk_packing,
+    "doc_corpus_stats": doc_corpus_stats,
+    "doc_frame_sample": doc_frame_sample,
+    "doc_lang_id": doc_lang_id,
+    "doc_media_features": doc_media_features,
+    "doc_pipeline_pack": doc_pipeline_pack,
+    "doc_quality_filter": doc_quality_filter,
+    "doc_repetition": doc_repetition,
+    "doc_sample_hash": doc_sample_hash,
+    "doc_scrub_pii": doc_scrub_pii,
+    "doc_strip_boilerplate": doc_strip_boilerplate,
+    "doc_tfidf_top": doc_tfidf_top,
+    "events_value_outliers": R.events_value_outliers,
+    "graph_components_nations": graph_components_nations,
+    "graph_distances_from_seed": graph_distances_from_seed,
+    "orders_sample_consistent": orders_sample_consistent,
+    "q10_returned_items": R.q10_returned_items,
+    "q11_part_value": R.q11_part_value_concentration,
+    "q8_market_share": R.q8_market_share,
+    "q9_product_profit": R.q9_product_profit,
+    "range_events_clicks": R.range_events_clicks,
+    # --- outside the window ------------------------------------------
+    # --- newest record r10 — the r13 must-rotate set (45 + 5 free) ---
+    "emb_semdedup_planted": emb_semdedup_planted,
+    "dedup_incremental_sound": dedup_incremental_sound,
+    "dedup_incremental_simhash_sound": dedup_incremental_simhash_sound,
+    "bgp_path_from_selective_var": bgp_path_from_selective_var,
+    "doc_image_phash_stable": doc_image_phash_stable,
+    "doc_video_near_dup_planted": doc_video_near_dup_planted,
+    "doc_audio_near_dup_planted": doc_audio_near_dup_planted,
+    "doc_minhash_planted": doc_minhash_planted,
+    "doc_mp4_demux": doc_mp4_demux,
+    "doc_wav_features": doc_wav_features,
+    "doc_simhash_planted": doc_simhash_planted,
+    "doc_sketch_tolerance": doc_sketch_tolerance,
+    "emb_lsh_planted": emb_lsh_planted,
+    "emb_dup_pairs_lsh_planted": emb_dup_pairs_lsh_planted,
+    "dedup_near_lsh_planted": dedup_near_lsh_planted,
+    "doc_corpus_shuffle": doc_corpus_shuffle,
+    "doc_split_assign": doc_split_assign,
+    "doc_epoch_upsample": doc_epoch_upsample,
+    "doc_length_batches": doc_length_batches,
+    "bgp_path_reach_urgent": bgp_path_reach_urgent,
+    "dedup_near_docs": dedup_near_docs,
+    "dedup_near_emb": dedup_near_emb,
+    "doc_mixture_sample": doc_mixture_sample,
+    "doc_ngram_jaccard": doc_ngram_jaccard,
+    "doc_normalize_nfc": doc_normalize_nfc,
+    "doc_nt_roundtrip": doc_nt_roundtrip,
+    "doc_pipeline_curate": doc_pipeline_curate,
+    "doc_resize_pixels": doc_resize_pixels,
+    "doc_stratified_sample": doc_stratified_sample,
+    "doc_strip_dup_ngrams": doc_strip_dup_ngrams,
+    "doc_unigram_logloss": doc_unigram_logloss,
+    "emb_cosine_topk": emb_cosine_topk,
+    "emb_dup_pairs": emb_dup_pairs,
+    "emb_l2_norms": emb_l2_norms,
+    "graph_closure_nations": graph_closure_nations,
+    "graph_shortest_urgent": graph_shortest_urgent,
+    "q13_customer_distribution": R.q13_customer_distribution,
+    "q14_promo_revenue": R.q14_promo_revenue,
+    "q15_top_supplier": R.q15_top_supplier,
+    "q16_supplier_part_counts": R.q16_supplier_part_counts,
+    "q17_small_qty_revenue": R.q17_small_quantity_revenue,
+    "q18_large_volume_customers": R.q18_large_volume_customers,
+    "q19_disjunctive_revenue": R.q19_disjunctive_revenue,
+    "q20_excess_suppliers": R.q20_excess_suppliers,
+    "q21_waiting_suppliers": R.q21_waiting_suppliers,
+    # --- newest record r11 — the r14 rotation set (50) ---
     "doc_bpe_pack": doc_bpe_pack,
     "emb_semdedup_incremental_sound": emb_semdedup_incremental_sound,
     "doc_video_pipeline": doc_video_pipeline,
     "doc_png_features": doc_png_features,
     "doc_bpe_roundtrip": doc_bpe_roundtrip,
-    # --- r11 window, contd: the 45 surviving r08-stale entries (5 retired, see note above) ---
     "asof_events_orders": R.asof_events_orders,
     "bgp_agg_top_urgent_nations": bgp_agg_top_urgent_nations,
     "bgp_ask_segment": bgp_ask_segment,
@@ -2412,100 +2617,6 @@ QUERIES = {
     "segment_quantiles": R.segment_quantiles,
     "segment_stats": R.segment_stats,
     "topk_orders_per_customer": R.topk_orders_per_customer,
-    # --- outside the window ------------------------------------------
-    # --- newest record r09 — the r12 must-rotate set (41; 9 slots free for new entries / early r10 refreshes) ---
-    "asof_events_orders_forward": R.asof_events_orders_forward,
-    "bgp_agg_customers_by_region": bgp_agg_customers_by_region,
-    "bgp_agg_urgent_orders_by_nation": bgp_agg_urgent_orders_by_nation,
-    "bgp_bind_segment_prefix": bgp_bind_segment_prefix,
-    "bgp_construct_region_graph": bgp_construct_region_graph,
-    "bgp_customers_in_region": bgp_customers_in_region,
-    "bgp_describe_nation": bgp_describe_nation,
-    "bgp_exists_repeat_customers": bgp_exists_repeat_customers,
-    "bgp_filter_customer_names": bgp_filter_customer_names,
-    "bgp_nations_values": bgp_nations_values,
-    "bgp_not_exists_unurgent": bgp_not_exists_unurgent,
-    "bgp_optional_urgent_orders": bgp_optional_urgent_orders,
-    "bgp_path_from_seed": bgp_path_from_seed,
-    "bgp_select_top_names": bgp_select_top_names,
-    "bgp_subquery_busy_nations": bgp_subquery_busy_nations,
-    "bgp_values_rows_pairs": bgp_values_rows_pairs,
-    "cohort_retention": R.cohort_retention,
-    "doc_audio_features": doc_audio_features,
-    "doc_bm25_search": doc_bm25_search,
-    "doc_chunk_packing": doc_chunk_packing,
-    "doc_corpus_stats": doc_corpus_stats,
-    "doc_frame_sample": doc_frame_sample,
-    "doc_lang_id": doc_lang_id,
-    "doc_media_features": doc_media_features,
-    "doc_pipeline_pack": doc_pipeline_pack,
-    "doc_quality_filter": doc_quality_filter,
-    "doc_repetition": doc_repetition,
-    "doc_sample_hash": doc_sample_hash,
-    "doc_scrub_pii": doc_scrub_pii,
-    "doc_strip_boilerplate": doc_strip_boilerplate,
-    "doc_tfidf_top": doc_tfidf_top,
-    "events_value_outliers": R.events_value_outliers,
-    "graph_components_nations": graph_components_nations,
-    "graph_distances_from_seed": graph_distances_from_seed,
-    "grouping_sets_priority": R.grouping_sets_priority,
-    "orders_sample_consistent": orders_sample_consistent,
-    "q10_returned_items": R.q10_returned_items,
-    "q11_part_value": R.q11_part_value_concentration,
-    "q8_market_share": R.q8_market_share,
-    "q9_product_profit": R.q9_product_profit,
-    "range_events_clicks": R.range_events_clicks,
-    # --- newest record r10 — the r13 rotation set ---
-    "doc_cdc_tiling": doc_cdc_tiling,
-    "emb_semdedup_planted": emb_semdedup_planted,
-    "emb_pq_exhaustive": emb_pq_exhaustive,
-    "emb_ivf_exhaustive": emb_ivf_exhaustive,
-    "dedup_incremental_sound": dedup_incremental_sound,
-    "dedup_incremental_simhash_sound": dedup_incremental_simhash_sound,
-    "bgp_path_from_selective_var": bgp_path_from_selective_var,
-    "doc_image_phash_stable": doc_image_phash_stable,
-    "doc_video_near_dup_planted": doc_video_near_dup_planted,
-    "doc_audio_near_dup_planted": doc_audio_near_dup_planted,
-    "graph_pagerank_mass": graph_pagerank_mass,
-    "doc_minhash_planted": doc_minhash_planted,
-    "doc_mp4_demux": doc_mp4_demux,
-    "doc_wav_features": doc_wav_features,
-    "doc_simhash_planted": doc_simhash_planted,
-    "doc_sketch_tolerance": doc_sketch_tolerance,
-    "emb_lsh_planted": emb_lsh_planted,
-    "emb_dup_pairs_lsh_planted": emb_dup_pairs_lsh_planted,
-    "dedup_near_lsh_planted": dedup_near_lsh_planted,
-    "doc_corpus_shuffle": doc_corpus_shuffle,
-    "doc_split_assign": doc_split_assign,
-    "doc_epoch_upsample": doc_epoch_upsample,
-    "doc_length_batches": doc_length_batches,
-    "bgp_path_reach_urgent": bgp_path_reach_urgent,
-    "bgp_path_region_members": bgp_path_region_members,
-    "dedup_near_docs": dedup_near_docs,
-    "dedup_near_emb": dedup_near_emb,
-    "doc_mixture_sample": doc_mixture_sample,
-    "doc_ngram_jaccard": doc_ngram_jaccard,
-    "doc_normalize_nfc": doc_normalize_nfc,
-    "doc_nt_roundtrip": doc_nt_roundtrip,
-    "doc_pipeline_curate": doc_pipeline_curate,
-    "doc_resize_pixels": doc_resize_pixels,
-    "doc_stratified_sample": doc_stratified_sample,
-    "doc_strip_dup_ngrams": doc_strip_dup_ngrams,
-    "doc_unigram_logloss": doc_unigram_logloss,
-    "emb_cosine_topk": emb_cosine_topk,
-    "emb_dup_pairs": emb_dup_pairs,
-    "emb_l2_norms": emb_l2_norms,
-    "graph_closure_nations": graph_closure_nations,
-    "graph_shortest_urgent": graph_shortest_urgent,
-    "q13_customer_distribution": R.q13_customer_distribution,
-    "q14_promo_revenue": R.q14_promo_revenue,
-    "q15_top_supplier": R.q15_top_supplier,
-    "q16_supplier_part_counts": R.q16_supplier_part_counts,
-    "q17_small_qty_revenue": R.q17_small_quantity_revenue,
-    "q18_large_volume_customers": R.q18_large_volume_customers,
-    "q19_disjunctive_revenue": R.q19_disjunctive_revenue,
-    "q20_excess_suppliers": R.q20_excess_suppliers,
-    "q21_waiting_suppliers": R.q21_waiting_suppliers,
     # --- rows-only by design (no oracle; pytest-pinned, with derived-invariant twins recorded above): parked last ---
     "dedup_incremental_simhash": dedup_incremental_simhash,
     "emb_pq_topk": emb_pq_topk,
@@ -2525,33 +2636,20 @@ QUERIES = {
     "emb_ivf_topk": emb_ivf_topk,
     "emb_dup_pairs_lsh": emb_dup_pairs_lsh,
     "emb_semdedup_incremental": emb_semdedup_incremental,
-    "doc_video_mjpeg": doc_video_mjpeg,
-    "doc_bigram_logloss": doc_bigram_logloss,
-    "graph_triangles_parts": graph_triangles_parts,
-    "graph_kcore_sound": graph_kcore_sound,
 }
 
 # entries whose ORACLES row exists (and is verified locally by
 # tools/check_oracle.py) but is withheld from the driver's oracle_sql()
-# until a correctness-window slot frees up.  The two r10 holdbacks are
-# promoted into the (exactly-full) r11 window; the four entries below
-# were added late in r11 and take the first free r12 slots.
+# until a correctness-window slot frees up.  EMPTY as of r12: the four
+# r11 holdbacks (doc_video_mjpeg, doc_bigram_logloss,
+# graph_triangles_parts, graph_kcore_sound) published with the r12
+# rotation and hold window slots 5-8.
 # tools/registry_audit.py (r10 advice) treats any holdback as
 # oracle-backed — warning the round it appears and FAILING if it
-# persists into a second round (ORACLE_HOLDBACK_SINCE records the
-# round each holdback was declared).
-ORACLE_HOLDBACK: set[str] = {
-    "doc_video_mjpeg",
-    "doc_bigram_logloss",
-    "graph_triangles_parts",
-    "graph_kcore_sound",
-}
-ORACLE_HOLDBACK_SINCE: dict[str, int] = {
-    "doc_video_mjpeg": 11,
-    "doc_bigram_logloss": 11,
-    "graph_triangles_parts": 11,
-    "graph_kcore_sound": 11,
-}
+# persists past its declaration round unpublished
+# (ORACLE_HOLDBACK_SINCE records the round each holdback was declared).
+ORACLE_HOLDBACK: set[str] = set()
+ORACLE_HOLDBACK_SINCE: dict[str, int] = {}
 
 _EN = "'the','a','and','of','to','in','is','that','it','for'"
 _ES = "'el','la','de','que','y','en','un','es','no','por'"
@@ -3445,17 +3543,6 @@ ORACLES = {
               WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
           )
     """,
-    "bgp_path_region_members": """
-        SELECT c_name AS ename
-        FROM customer JOIN nation ON c_nationkey = n_nationkey
-                      JOIN region ON n_regionkey = r_regionkey
-        WHERE r_name = 'ASIA'
-        UNION ALL
-        SELECT s_name AS ename
-        FROM supplier JOIN nation ON s_nationkey = n_nationkey
-                      JOIN region ON n_regionkey = r_regionkey
-        WHERE r_name = 'ASIA'
-    """,
     "bgp_bind_segment_prefix": """
         SELECT c_name AS cname, substr(c_mktsegment, 1, 3) AS seg_prefix
         FROM customer
@@ -3678,13 +3765,6 @@ ORACLES = {
                CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY 1 ORDER BY 1
-    """,
-    "grouping_sets_priority": """
-        SELECT o_orderpriority, o_orderstatus, count(*) AS n,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-        FROM orders
-        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
-        ORDER BY o_orderpriority, o_orderstatus
     """,
     "cohort_retention": """
         WITH first AS (
@@ -4354,8 +4434,6 @@ ORACLES = {
 # the exhaustive ANN twins must reproduce the EXACT top-k — their oracle
 # is literally the exact-cosine oracle (seeded codebooks / coarse cells
 # cannot change an exhaustive result, which is the invariant)
-ORACLES["emb_pq_exhaustive"] = ORACLES["emb_cosine_topk"]
-ORACLES["emb_ivf_exhaustive"] = ORACLES["emb_cosine_topk"]
 
 # thresholds routed through rate_threshold_hex so both engines compare
 # the identical hex literals (the doc_mixture_sample convention)
@@ -4447,9 +4525,8 @@ ORACLES["doc_video_pipeline"] = """
 """
 
 
-# held-back r11 oracles (declared ORACLE_HOLDBACK_SINCE=11; verified
-# locally by tools/check_oracle.py, published with an r12 free slot —
-# registry_audit fails if they persist past r11 unpublished)
+# the four oracles below were held back in r11 (window full) and
+# published with the r12 rotation
 ORACLES["doc_video_mjpeg"] = ORACLES["doc_video_pipeline"]
 ORACLES["doc_bigram_logloss"] = r"""
     WITH d AS (
@@ -4530,3 +4607,54 @@ ORACLES["graph_kcore_sound"] = """
         WHERE a.l_partkey <> b.l_partkey AND a.l_orderkey % 10 = 0
     )
 """
+
+
+# r12 ANN recall twins: the seeded operators' recall is deterministic
+# per dataset and the entries' bounds sit >= 0.2 under the measured
+# minimum at every shipped SF, so the oracle is the all-true table over
+# the probe ids — any retrieval-quality regression (bucketing bug,
+# banding change, codebook drift) flips a boolean and the hash
+_ANN_SOUND_ORACLE = """
+    SELECT vec_id AS q_id, TRUE AS floor_ok, TRUE AS mean_ok
+    FROM embeddings WHERE vec_id < 25
+"""
+ORACLES["emb_lsh_recall_sound"] = _ANN_SOUND_ORACLE
+ORACLES["emb_ivf_recall_sound"] = _ANN_SOUND_ORACLE
+ORACLES["emb_pq_recall_sound"] = _ANN_SOUND_ORACLE
+
+
+def _kcore_peel_sql(k: int, iters: int = 24) -> str:
+    """Sequential k-core peel as a DuckDB recursive CTE: iteration i+1
+    keeps exactly the edges whose BOTH endpoints have remaining degree
+    >= k at iteration i — the textbook deletion process, independent of
+    the engine's h-index fixpoint.  Survivors at the final iteration
+    are the maximal k-core's nodes."""
+    return f"""
+        SELECT {k} AS k, src AS node FROM (
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+                       greatest(a.l_partkey, b.l_partkey) AS b
+                FROM lineitem a JOIN lineitem b
+                    ON a.l_orderkey = b.l_orderkey
+                WHERE a.l_partkey <> b.l_partkey AND a.l_orderkey % 10 = 0
+            ), sym AS (
+                SELECT a AS src, b AS dst FROM e
+                UNION ALL SELECT b, a FROM e
+            ), peel(src, dst, it) AS (
+                SELECT src, dst, 0 FROM sym
+                UNION ALL
+                SELECT p.src, p.dst, p.it + 1 FROM peel p
+                WHERE p.it < {iters}
+                  AND p.src IN (SELECT src FROM peel q WHERE q.it = p.it
+                                GROUP BY src HAVING count(*) >= {k})
+                  AND p.dst IN (SELECT src FROM peel q WHERE q.it = p.it
+                                GROUP BY src HAVING count(*) >= {k})
+            )
+            SELECT DISTINCT src FROM peel WHERE it = {iters}
+        )
+    """
+
+
+ORACLES["graph_kcore_max"] = (
+    _kcore_peel_sql(4) + " UNION ALL " + _kcore_peel_sql(8)
+)

@@ -541,3 +541,61 @@ def test_retired_entry_equivalences(spark):
     tc = {r.doc_id: r.n_tokens for r in token_count(docs).collect()}
     tq = {r.doc_id: r.n_tokens for r in text_quality(docs).collect()}
     assert tc == tq
+
+
+def test_retired_entry_equivalences_r12(spark):
+    """r12 registry consolidation (funding the ANN recall twins and the
+    k-core maximality entry):
+
+    - bgp_path_region_members ≡ bgp_path_inv_region_members — Inv of
+      the same Seq path, same answer multiset by construction; the
+      inverse variant keeps the oracle.
+    - grouping_sets_priority ≡ the unioned plain group-bys it expands
+      to (pure-Spark differential); the rollup/cube siblings stay
+      oracle-backed on the same Expand code path.
+    - emb_pq_exhaustive / emb_ivf_exhaustive — their oracle was the
+      emb_cosine_topk alias; the exhaustive-config == exact pins live
+      in test_operators.py::test_pq_recall_vs_bruteforce and
+      ::test_ivf_recall_vs_bruteforce, and the families gained organic
+      recall oracles (emb_{pq,ivf}_recall_sound)."""
+    from pyspark.sql import functions as F
+
+    from matcha_spark import suite
+
+    sf = "/root/testdata/sf0.001"
+    fwd = sorted(
+        r.ename for r in suite.bgp_path_region_members(spark, sf).collect()
+    )
+    inv = sorted(
+        r.ename for r in suite.bgp_path_inv_region_members(spark, sf).collect()
+    )
+    assert fwd == inv and fwd
+
+    from matcha_spark import relational as R
+    from matcha_spark.sources.tpch_graph import load_tables
+
+    gs = {
+        (r.o_orderpriority, r.o_orderstatus): (r.n, round(r.total, 2))
+        for r in R.grouping_sets_priority(spark, sf).collect()
+    }
+    orders = load_tables(spark, sf, "orders")["orders"]
+    total = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+    by_prio = {
+        (r.o_orderpriority, None): (r.n, round(r.total, 2))
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), total.alias("total"))
+        .collect()
+    }
+    by_status = {
+        (None, r.o_orderstatus): (r.n, round(r.total, 2))
+        for r in orders.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), total.alias("total"))
+        .collect()
+    }
+    grand = {
+        (None, None): (r.n, round(r.total, 2))
+        for r in orders.agg(
+            F.count(F.lit(1)).alias("n"), total.alias("total")
+        ).collect()
+    }
+    assert gs == {**by_prio, **by_status, **grand}

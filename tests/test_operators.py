@@ -1610,3 +1610,46 @@ def test_coreness_random_differential(spark, seed):
         ).collect()
     }
     assert got == want, f"seed={seed} edges={edges}"
+
+
+def test_ann_recall_sound_entries(spark):
+    """r12 sound twins: the seeded ANN operators' recall against exact
+    cosine top-k clears the entries' floors at sf0.001 too (the driver
+    only checks sf0.01; the bounds were chosen >= 0.2 under the
+    measured minimum at every shipped SF)."""
+    from matcha_spark import suite
+
+    for fn in (
+        suite.emb_lsh_recall_sound,
+        suite.emb_ivf_recall_sound,
+        suite.emb_pq_recall_sound,
+    ):
+        rows = fn(spark, SF_DIR).collect()
+        assert len(rows) == 25
+        assert all(r.floor_ok and r.mean_ok for r in rows), fn.__name__
+
+
+def test_graph_kcore_max_matches_sequential_peel(spark):
+    """The graph_kcore_max entry's fixed-k membership equals the
+    sequential peel's survivor set at sf0.001 — the same differential
+    its DuckDB recursive-CTE oracle runs at sf0.01."""
+    from matcha_spark import suite
+
+    got = {(r.k, r.node) for r in suite.graph_kcore_max(spark, SF_DIR).collect()}
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").where(
+        "l_orderkey % 10 = 0"
+    )
+    pairs = {
+        (min(a, b), max(a, b))
+        for a, b in (
+            (r.pa, r.pb)
+            for r in li.alias("x")
+            .join(li.alias("y"), "l_orderkey")
+            .selectExpr("x.l_partkey AS pa", "y.l_partkey AS pb")
+            .where("pa < pb")
+            .collect()
+        )
+    }
+    core = _py_coreness(list(pairs))
+    want = {(k, n) for k in (4, 8) for n, c in core.items() if c >= k}
+    assert got == want and got
