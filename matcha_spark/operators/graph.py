@@ -650,12 +650,15 @@ def pagerank(
     ranks become proximity-to-sources scores (graph-based relevance).
 
     Scale shape: each round is one equi-join (edges ⋈ ranks on src,
-    out-degree pre-joined once) + one hash aggregate on dst + one
-    scalar aggregate for the dangling mass — all shuffle-partitioned on
-    the node key; the rank frontier is re-persisted per round with its
-    lineage cut (`cut_lineage`) so plans stay O(1) deep.  Driver-side
-    traffic is one scalar per round (the dangling sum), exactly like
-    ``connected_components``' convergence counter."""
+    out-degree pre-joined once) + one hash aggregate on dst — all
+    shuffle-partitioned on the node key; the rank frontier is
+    re-persisted per round with its lineage cut (`cut_lineage`) so
+    plans stay O(1) deep.  Driver-side traffic is one scalar per round
+    (the dangling sum), and since r12 it rides the ranks
+    materialization as an ``Observation`` (the dangling flag is a
+    static per-node column, so the conditional sum costs nothing) —
+    ONE job per round, like ``connected_components`` and
+    ``coreness``, instead of a separate anti-join collect."""
     from ..cache import cut_lineage, memo_persist
 
     wcol = (
@@ -691,8 +694,26 @@ def pagerank(
         ).unionByName(
             nodes.join(s, "node", "left_anti").select("node", F.lit(0.0).alias("t"))
         )
-    teleport = memo_persist(teleport)
-    ranks = cut_lineage(teleport.select("node", F.col("t").alias("rank")))
+    # the dangling flag (no out-edges) is static per node — fold it in
+    # once so every round's dangling sum is a conditional aggregate the
+    # Observation computes for free on the materialization job
+    flags = memo_persist(
+        teleport.join(
+            out_deg.select(F.col("src").alias("node"), F.lit(True).alias("__o")),
+            "node",
+            "left",
+        ).select("node", "t", F.col("__o").isNull().alias("dang"))
+    )
+    dang_sum = F.sum(
+        F.when(F.col("dang"), F.col("rank")).otherwise(F.lit(0.0))
+    ).alias("dangling")
+    obs = Observation()
+    ranks = cut_lineage(
+        flags.select("node", "dang", F.col("t").alias("rank")).observe(
+            obs, dang_sum
+        )
+    )
+    dangling = float(obs.get["dangling"] or 0.0)
     for _ in range(iters):
         contribs = (
             weighted.join(ranks, weighted.src == ranks.node)
@@ -700,23 +721,22 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
-        dangling = (
-            ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
-        )
+        obs = Observation()
         ranks = cut_lineage(
-            teleport.join(contribs, teleport.node == contribs.dst, "left")
+            flags.join(contribs, flags.node == contribs.dst, "left")
             .select(
                 "node",
+                "dang",
                 (
-                    (F.lit(1.0 - damping) + F.lit(damping * dangling)) * F.col("t")
+                    (F.lit(1.0 - damping) + F.lit(damping) * F.lit(dangling))
+                    * F.col("t")
                     + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
                 ).alias("rank"),
             )
+            .observe(obs, dang_sum)
         )
-    return ranks
+        dangling = float(obs.get["dangling"] or 0.0)
+    return ranks.select("node", "rank")
 
 
 def triangle_counts(

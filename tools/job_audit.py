@@ -103,6 +103,23 @@ def main() -> None:
     )
     report["semdedup_admission"] = {"jobs": jobs, "sec": dt}
 
+    # r12 (verdict ask #5): pagerank joined the Observation diet — the
+    # per-round dangling-mass scalar rides the ranks materialization
+    # instead of its own anti-join collect job, so jobs should be
+    # ~iters + setup, not ~2*iters + setup
+    from matcha_spark.operators.graph import pagerank
+
+    orders = load_tables(spark, SF_DIR, "orders")["orders"]
+    edges = orders.select(
+        F.col("o_custkey").alias("src"), F.col("o_orderkey").alias("dst")
+    )
+    iters = 6
+    clear_memo()
+    _, jobs, dt = count_jobs(
+        "pagerank", lambda: force(pagerank(edges, iters=iters))
+    )
+    report["pagerank_6it"] = {"jobs": jobs, "sec": dt, "iters": iters}
+
     print(json.dumps(report))
     spark.stop()
 
