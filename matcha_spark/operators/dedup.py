@@ -1282,7 +1282,8 @@ def incremental_semdedup(
     persistable via :func:`save_signature_store`) is ONE frame holding
     both corpus state and quantizer: ``(vec_id, cell, embedding,
     centroid)`` — kept vectors with their cell assignment, plus one
-    ``centroid=true`` row per cell (``vec_id`` = cell index) pinning
+    ``centroid=true`` row per cell (``vec_id`` NULL — a reserved value
+    no real id can collide with; ``cell`` keys these rows) pinning
     the k-means centroids trained on the FIRST batch.  Pinning matters:
     cells must mean the same thing across batches, so later batches
     assign against the stored centroids rather than retraining (the
@@ -1315,11 +1316,13 @@ def incremental_semdedup(
     from .similarity import assign_cells, train_kmeans_centroids
 
     spark = new_emb.sparkSession
-    # string-keyed stores (uuid vector ids) carry centroid rows keyed
-    # by the cell index rendered in the id type ("0", "1", ...) — the
-    # centroid flag, not the id, is what distinguishes them
+    # centroid rows carry vec_id NULL (r12 advice): rendering the cell
+    # index in the id type ("0", "1", ...) collided with a real corpus
+    # id "0" on string-keyed stores, leaving two rows per id for any
+    # consumer grouping the store by vec_id.  NULL is the one value no
+    # real id can take in either key type; the `cell` column keys the
+    # centroid rows and the `centroid` flag distinguishes them
     id_t = new_emb.schema[id_col].dataType.simpleString()
-    id_py = int if id_t in ("bigint", "int", "smallint", "tinyint") else str
     store_schema = (
         f"vec_id {id_t}, cell int, embedding array<float>, centroid boolean"
     )
@@ -1335,7 +1338,7 @@ def incremental_semdedup(
         cents = cents.astype(np.float32).astype(np.float64)
         store = spark.createDataFrame(
             [
-                (id_py(i), int(i), [float(x) for x in c], True)
+                (None, int(i), [float(x) for x in c], True)
                 for i, c in enumerate(cents)
             ],
             schema=store_schema,

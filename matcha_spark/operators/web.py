@@ -28,9 +28,16 @@ __all__ = [
 
 # query parameters that identify a CAMPAIGN, not a resource — the
 # standard tracking families stripped by canonicalizers so the same
-# page fetched from two referrers dedups to one URL
+# page fetched from two referrers dedups to one URL.  Only params that
+# are UNAMBIGUOUSLY tracking ids belong here: ``ref``/``ref_src`` were
+# dropped from the default in r12 (advice) because ``ref`` is a
+# resource-identifying param on many real sites (``?ref=<branch>`` on
+# code hosts), so stripping it canonicalized genuinely distinct pages
+# to one URL and dedup_url / stream_seen_filter silently dropped
+# distinct content.  Callers whose corpus uses ``ref`` as a referrer
+# tag can widen the list per corpus via ``strip_params``.
 _TRACKING_PREFIXES = ("utm_",)
-_TRACKING_EXACT = ("fbclid", "gclid", "msclkid", "ref", "ref_src")
+_TRACKING_EXACT = ("fbclid", "gclid", "msclkid", "twclid", "mc_eid", "igshid")
 
 
 def url_host(url: Column | str) -> Column:
@@ -39,22 +46,28 @@ def url_host(url: Column | str) -> Column:
     return F.lower(F.try_parse_url(c, F.lit("HOST")))
 
 
-def _clean_query(q: Column) -> Column:
+def _clean_query(q: Column, strip_params, strip_prefixes) -> Column:
     """Sort query parameters and drop tracking ones: ``b=2&a=1&utm_x=3``
     → ``a=1&b=2``.  Split/filter/sort/join — all array built-ins."""
     parts = F.split(q, "&")
     name = lambda p: F.lower(F.split(p, "=").getItem(0))  # noqa: E731
 
     def keep(p):
-        cond = (p != "") & ~name(p).isin(*_TRACKING_EXACT)
-        for pref in _TRACKING_PREFIXES:
+        cond = p != ""
+        if strip_params:
+            cond = cond & ~name(p).isin(*strip_params)
+        for pref in strip_prefixes:
             cond = cond & ~name(p).startswith(pref)
         return cond
 
     return F.array_join(F.array_sort(F.filter(parts, keep)), "&")
 
 
-def url_normalize(url: Column | str) -> Column:
+def url_normalize(
+    url: Column | str,
+    strip_params: tuple[str, ...] = _TRACKING_EXACT,
+    strip_prefixes: tuple[str, ...] = _TRACKING_PREFIXES,
+) -> Column:
     """Canonical form of a URL for url-level dedup:
 
     - scheme and host lower-cased; default ports (``:80`` http,
@@ -63,7 +76,10 @@ def url_normalize(url: Column | str) -> Column:
     - trailing ``/`` stripped from the path; bare ``/`` path dropped
     - query parameters SORTED and tracking parameters (``utm_*``,
       ``fbclid``, ``gclid``, ...) removed — the same page reached via
-      two campaigns canonicalizes to one URL
+      two campaigns canonicalizes to one URL.  The strip lists are
+      parameters: the default covers only unambiguous tracking ids
+      (no ``ref`` — see the note on ``_TRACKING_EXACT``); tune
+      ``strip_params`` / ``strip_prefixes`` per corpus.
 
     URLs with no parseable host pass through unchanged (better to
     under-merge than to corrupt an opaque identifier).  Pure built-ins
@@ -83,7 +99,11 @@ def url_normalize(url: Column | str) -> Column:
     path = F.regexp_replace(
         F.coalesce(F.try_parse_url(c, F.lit("PATH")), F.lit("")), "/+$", ""
     )
-    q = _clean_query(F.coalesce(F.try_parse_url(c, F.lit("QUERY")), F.lit("")))
+    q = _clean_query(
+        F.coalesce(F.try_parse_url(c, F.lit("QUERY")), F.lit("")),
+        strip_params,
+        strip_prefixes,
+    )
     rebuilt = F.concat(
         scheme,
         F.lit("://"),
@@ -94,14 +114,24 @@ def url_normalize(url: Column | str) -> Column:
     return F.when(host.isNotNull() & scheme.isNotNull(), rebuilt).otherwise(c)
 
 
-def dedup_url(docs: DataFrame, url_col: str = "url") -> DataFrame:
+def dedup_url(
+    docs: DataFrame,
+    url_col: str = "url",
+    strip_params: tuple[str, ...] = _TRACKING_EXACT,
+    strip_prefixes: tuple[str, ...] = _TRACKING_PREFIXES,
+) -> DataFrame:
     """URL-level exact dedup: one ``(url_norm, keep_doc_id, n_copies)``
     row per canonical URL, keeper = min doc_id — the same keep-one
     contract and single hash-groupBy shape as ``text.dedup_exact``, on
     ~100-byte keys instead of document fingerprints (run it first; a
     refetch never reaches the content-dedup shuffle)."""
     return (
-        docs.select("doc_id", url_normalize(url_col).alias("url_norm"))
+        docs.select(
+            "doc_id",
+            url_normalize(url_col, strip_params, strip_prefixes).alias(
+                "url_norm"
+            ),
+        )
         .groupBy("url_norm")
         .agg(
             F.min("doc_id").alias("keep_doc_id"),

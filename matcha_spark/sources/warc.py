@@ -183,13 +183,21 @@ def _iter_records(data: bytes) -> Iterator[tuple[int, dict | None, str | None]]:
         pos = body_end
 
 
-def _http_payload(body: bytes) -> tuple[str, bytes]:
-    """Split an HTTP response block: returns ``(content_type, payload)``
-    with chunked transfer undone.  A block with no header terminator is
-    treated as headerless payload."""
+def _http_payload(body: bytes) -> tuple[str, bytes, str | None]:
+    """Split an HTTP response block: returns ``(content_type, payload,
+    err)`` with chunked transfer undone.  A block with no header
+    terminator is treated as headerless payload.
+
+    ``err`` (r12 advice) is ``"content_encoding_failed"`` when the
+    declared gzip Content-Encoding cannot be inflated: the payload
+    stays COMPRESSED in that case, and decoding those bytes as the
+    declared charset would produce replacement-character soup that
+    flows into downstream curation looking like a document — the
+    caller must quarantine instead (empty text; ``warc_malformed``
+    reports the record)."""
     cut = body.find(_HDR_END)
     if cut < 0 or not body[:5] in (b"HTTP/",):
-        return "", body
+        return "", body, None
     hh = _parse_headers(body[:cut])
     payload = body[cut + len(_HDR_END):]
     if "chunked" in hh.get("transfer-encoding", "").lower():
@@ -198,7 +206,9 @@ def _http_payload(body: bytes) -> tuple[str, bytes]:
         got, err = _gunzip_members(payload)
         if err is None and got:
             payload = got
-    return hh.get("content-type", ""), payload
+        else:
+            return hh.get("content-type", ""), payload, "content_encoding_failed"
+    return hh.get("content-type", ""), payload, None
 
 
 def _file_records(name: str, content: bytes):
@@ -228,8 +238,9 @@ def _records_to_docs(
         if rtype not in record_types:
             continue
         body = rec["__body"]
+        enc_err = None
         if rtype == "response":
-            ctype, payload = _http_payload(body)
+            ctype, payload, enc_err = _http_payload(body)
             ctype = ctype or rec.get("content-type", "")
         else:  # resource / conversion: the block IS the content
             ctype, payload = rec.get("content-type", ""), body
@@ -241,9 +252,14 @@ def _records_to_docs(
             "content_type": main,
             # binary media decoded to replacement-soup is useless AND
             # expensive to carry twice — text stays empty for non-text
-            # payloads in payload mode
+            # payloads in payload mode.  A failed Content-Encoding
+            # (enc_err) leaves payload COMPRESSED: decoding it as the
+            # declared charset would be garbage-as-document, so text is
+            # quarantined empty and warc_malformed reports the record
             "text": (
-                "" if with_payload and not _is_texty(main)
+                ""
+                if enc_err is not None
+                or (with_payload and not _is_texty(main))
                 else _decode_payload(payload, ctype)
             ),
             "source": base,
@@ -354,12 +370,16 @@ def stream_warc_documents(
 
 
 def warc_malformed(spark: SparkSession, path: str) -> DataFrame:
-    """The records :func:`read_warc_documents` rejected, with why:
-    ``(file, offset, reason)`` where reason ∈ {``not_a_record``,
-    ``truncated_header``, ``bad_content_length``, ``truncated_block``,
-    ``gzip_truncated``, ``gzip_error:*``} and ``offset`` is the byte
-    position in the DECOMPRESSED stream — a distributed audit trail
-    mirroring :func:`jsonl_quarantine`."""
+    """The records :func:`read_warc_documents` rejected or quarantined,
+    with why: ``(file, offset, reason)`` where reason ∈
+    {``not_a_record``, ``truncated_header``, ``bad_content_length``,
+    ``truncated_block``, ``gzip_truncated``, ``gzip_error:*``,
+    ``content_encoding_failed``} and ``offset`` is the byte position
+    in the DECOMPRESSED stream — a distributed audit trail mirroring
+    :func:`jsonl_quarantine`.  ``content_encoding_failed`` (r12) marks
+    response records whose declared gzip body would not inflate: the
+    read emits them with EMPTY text (never compressed bytes decoded as
+    charset soup), and this view is where they surface."""
     import pandas as pd
 
     binf = spark.read.format("binaryFile").load(path)
@@ -374,6 +394,13 @@ def warc_malformed(spark: SparkSession, path: str) -> DataFrame:
                             {"file": name.rsplit("/", 1)[-1],
                              "offset": off, "reason": reason}
                         )
+                    elif rec.get("warc-type", "") == "response":
+                        _, _, enc_err = _http_payload(rec["__body"])
+                        if enc_err is not None:
+                            rows.append(
+                                {"file": name.rsplit("/", 1)[-1],
+                                 "offset": off, "reason": enc_err}
+                            )
             yield pd.DataFrame(rows, columns=["file", "offset", "reason"])
 
     return binf.select("path", "content").mapInPandas(kernel, schema=_BAD_SCHEMA)

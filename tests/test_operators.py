@@ -1322,8 +1322,34 @@ def test_embedding_dedup_string_vec_ids(spark):
     # corpus wins though "v-0" < "v-a" lexicographically
     assert not got["v-0"].keep and got["v-0"].dup_of == "v-a"
     assert got["v-z"].keep
-    # store: 1 centroid row ("0") + v-a, v-c, v-z
-    assert {r.vec_id for r in store2.collect()} == {"0", "v-a", "v-c", "v-z"}
+    # store: 1 centroid row (vec_id NULL — reserved, collision-free
+    # with any real id; r12 advice) + v-a, v-c, v-z
+    assert {r.vec_id for r in store2.collect()} == {None, "v-a", "v-c", "v-z"}
+
+
+def test_incremental_semdedup_centroid_id_no_collision(spark):
+    """r12 advice: a string-keyed corpus with a REAL vector id '0'
+    (the value centroid rows used to render into) must not produce two
+    store rows under one id — grouping the store by vec_id stays
+    unambiguous because centroid rows carry NULL."""
+    import numpy as np
+
+    def vec(x):
+        return [float(v) for v in np.eye(4)[0] * 0 + [x, 1.0, 0.0, 0.0]]
+
+    emb = spark.createDataFrame(
+        [("0", vec(1.0)), ("1", vec(-1.0))],
+        "vec_id string, embedding array<float>",
+    )
+    dec, store = D.incremental_semdedup(emb, None, threshold=0.99, n_clusters=2)
+    rows = store.collect()
+    per_id = {}
+    for r in rows:
+        per_id.setdefault(r.vec_id, []).append(r)
+    # every real id appears exactly once; centroid rows are all NULL
+    assert len(per_id.get("0", [])) == 1 and len(per_id.get("1", [])) == 1
+    assert all(r.centroid for r in per_id.get(None, []))
+    assert {r.vec_id for r in dec.where("keep").collect()} == {"0", "1"}
 
 
 def test_incremental_semdedup_batches(spark):

@@ -437,3 +437,46 @@ def test_dechunk_malformed_passthrough():
     # malformed size token: body returned verbatim, never an exception
     raw = b"zz\r\nnot chunked at all"
     assert _dechunk(raw) == raw
+
+
+def test_warc_content_encoding_failure_quarantined(spark, tmp_path):
+    """r12 advice: a response whose declared gzip body will not inflate
+    must NOT flow downstream as replacement-character soup — text is
+    empty, warc_malformed reports ``content_encoding_failed``, and in
+    payload mode the (still-compressed) bytes are carried as-is while
+    text stays empty."""
+    import gzip as _gz
+
+    good = _record(
+        "response",
+        _http(_gz.compress(b"<html>real page</html>"),
+              extra="Content-Encoding: gzip\r\n"),
+        uri="http://example.com/ok", rec_id="<urn:uuid:ok>",
+    )
+    bad = _record(
+        "response",
+        _http(b"\x1f\x8b\x08\x00garbage-not-gzip-stream",
+              extra="Content-Encoding: gzip\r\n"),
+        uri="http://example.com/bad", rec_id="<urn:uuid:bad>",
+    )
+    p = tmp_path / "enc.warc"
+    p.write_bytes(good + bad)
+    from matcha_spark.sources.warc import (
+        read_warc_documents,
+        warc_malformed,
+    )
+
+    docs = {r.doc_id: r for r in read_warc_documents(spark, str(p)).collect()}
+    assert docs["urn:uuid:ok"].text == "<html>real page</html>"
+    assert docs["urn:uuid:bad"].text == ""
+    reasons = {r.reason for r in warc_malformed(spark, str(p)).collect()}
+    assert reasons == {"content_encoding_failed"}
+    # payload mode: bytes preserved (compressed, as fetched), text empty
+    pl = {
+        r.doc_id: r
+        for r in read_warc_documents(
+            spark, str(p), with_payload=True
+        ).collect()
+    }
+    assert pl["urn:uuid:bad"].text == ""
+    assert bytes(pl["urn:uuid:bad"].payload).startswith(b"\x1f\x8b")

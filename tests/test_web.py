@@ -158,3 +158,31 @@ def test_warc_to_web_curation(spark, tmp_path):
     urls = dedup_url(clean).collect()
     assert len(urls) == 1 and urls[0].n_copies == 2
     assert urls[0].keep_doc_id == "urn:uuid:a"
+
+
+def test_ref_param_is_resource_identifying(spark):
+    """r12 advice: ``ref`` identifies a resource on many real sites
+    (``?ref=<branch>`` on code hosts) — the default canonicalizer must
+    NOT merge distinct refs, while unambiguous tracking ids still
+    strip; per-corpus widening goes through ``strip_params``."""
+    a = _norm(spark, "https://example.com/repo/tree?ref=main")
+    b = _norm(spark, "https://example.com/repo/tree?ref=dev")
+    assert a != b and "ref=main" in a and "ref=dev" in b
+    # tracking ids still strip alongside it
+    assert (
+        _norm(spark, "https://example.com/repo/tree?ref=main&gclid=x")
+        == a
+    )
+    # opt-in widening for corpora where ref IS a referrer tag
+    got = (
+        spark.range(1)
+        .select(
+            url_normalize(
+                F.lit("https://example.com/a?ref=twitter&x=1"),
+                strip_params=("ref",),
+            ).alias("u")
+        )
+        .collect()[0]
+        .u
+    )
+    assert got == "https://example.com/a?x=1"
