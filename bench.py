@@ -323,6 +323,20 @@ def main() -> None:
     from matcha_spark.suite import graph_kcore_sound
 
     bench("graph_kcore_sound", lambda: force(graph_kcore_sound(spark, SF_DIR)))
+    # --- r12 entries ---
+    from matcha_spark.suite import (
+        doc_flac_features,
+        emb_ivf_recall_sound,
+        emb_lsh_recall_sound,
+        emb_pq_recall_sound,
+        graph_kcore_max,
+    )
+
+    bench("graph_kcore_max", lambda: force(graph_kcore_max(spark, SF_DIR)))
+    bench("doc_flac_features", lambda: force(doc_flac_features(spark, SF_DIR)))
+    bench("emb_lsh_recall_sound", lambda: force(emb_lsh_recall_sound(spark, SF_DIR)))
+    bench("emb_ivf_recall_sound", lambda: force(emb_ivf_recall_sound(spark, SF_DIR)))
+    bench("emb_pq_recall_sound", lambda: force(emb_pq_recall_sound(spark, SF_DIR)))
 
     total = round(sum(times.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -354,9 +354,10 @@ def sniff_decode_image(payload: bytes) -> np.ndarray:
 
 def sniff_decode_audio(payload: bytes) -> np.ndarray:
     """Magic-byte routing audio decoder (r10): PCM RIFF/WAVE goes
-    through the library-free :func:`wav_decode_audio`; compressed WAV
-    and every other container need soundfile.  Same no-silent-fake
-    policy as :func:`sniff_decode_image`."""
+    through the library-free :func:`wav_decode_audio`, fLaC streams
+    (r12) through :func:`flac_decode_audio`; compressed WAV, predicted
+    FLAC subframes, and every other container need soundfile.  Same
+    no-silent-fake policy as :func:`sniff_decode_image`."""
     buf = bytes(payload or b"")
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         try:
@@ -364,6 +365,14 @@ def sniff_decode_audio(payload: bytes) -> np.ndarray:
         except Exception:
             # same breadth as the image router: struct.error from a
             # short fmt chunk must not bypass an installed soundfile
+            if _try_import("soundfile") is None:
+                raise
+    if buf[:4] == b"fLaC":
+        try:
+            return flac_decode_audio(buf)
+        except Exception:
+            # FIXED/LPC subframes are outside the pure-struct subset —
+            # fall through to soundfile when it exists
             if _try_import("soundfile") is None:
                 raise
     if _try_import("soundfile") is None:
@@ -831,3 +840,307 @@ def _jpeg_decode(buf: bytes) -> np.ndarray:
             return np.clip(plane[:h, :w], 0, 255)
         # APPn / COM / others: skipped via the generic length walk
     raise ValueError("jpeg: no scan data")
+
+
+# ---------------------------------------------------------------------------
+# FLAC (r12) — pure-struct, stdlib-only, per the public xiph.org spec
+# ---------------------------------------------------------------------------
+# The audio family's third real container (after RIFF/WAVE PCM and the
+# MP4 demuxer): a genuine fLaC stream — STREAMINFO metadata block,
+# CRC-8-guarded frame headers, UTF-8-coded frame numbers, CRC-16 frame
+# footers — carrying CONSTANT and VERBATIM subframes.  That subset is
+# lossless PCM in real FLAC framing, so documents round-trip bit-exactly
+# through a container every audio tool can also read, with no codec
+# dependencies.  Predicted subframes (FIXED/LPC: rice residuals) raise
+# with a pointer at the soundfile-gated decoder — the same documented
+# subset policy as wav_decode_audio's compressed-format raise.
+
+
+def _crc_table(poly: int, width: int) -> list[int]:
+    top = 1 << (width - 1)
+    mask = (1 << width) - 1
+    table = []
+    for b in range(256):
+        crc = b << (width - 8)
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly) & mask if crc & top else (crc << 1) & mask
+        table.append(crc)
+    return table
+
+
+_CRC8_TABLE = _crc_table(0x07, 8)
+_CRC16_TABLE = _crc_table(0x8005, 16)
+
+
+def _crc8_flac(data: bytes) -> int:
+    """CRC-8, poly x^8+x^2+x+1 (0x07), init 0 — FLAC frame headers."""
+    crc = 0
+    for b in data:
+        crc = _CRC8_TABLE[crc ^ b]
+    return crc
+
+
+def _crc16_flac(data: bytes) -> int:
+    """CRC-16, poly 0x8005, init 0 — FLAC frame footers."""
+    crc = 0
+    for b in data:
+        crc = _CRC16_TABLE[((crc >> 8) ^ b) & 0xFF] ^ ((crc << 8) & 0xFFFF)
+    return crc
+
+
+class _FlacBitW:
+    """MSB-first bit packer (no byte stuffing — FLAC is plain)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, bits: int) -> None:
+        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        self.n += bits
+        while self.n >= 8:
+            self.n -= 8
+            self.buf.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
+
+    def align(self) -> None:
+        if self.n:
+            self.put(0, 8 - self.n)
+
+    def bytes(self) -> bytes:
+        assert self.n == 0
+        return bytes(self.buf)
+
+
+class _FlacBitR:
+    """MSB-first bit reader over a byte window."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos  # byte position
+        self.acc = 0
+        self.n = 0
+
+    def bits(self, k: int) -> int:
+        while self.n < k:
+            if self.pos >= len(self.data):
+                raise ValueError("flac: truncated frame")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.n += 8
+        self.n -= k
+        out = (self.acc >> self.n) & ((1 << k) - 1)
+        self.acc &= (1 << self.n) - 1
+        return out
+
+    def align(self) -> None:
+        self.acc = 0
+        self.n = 0
+
+
+def _utf8_code(n: int) -> bytes:
+    """FLAC's UTF-8-style coded number (frame/sample index)."""
+    if n < 0x80:
+        return bytes([n])
+    out = []
+    bits = n.bit_length()
+    nbytes = 2
+    while bits > 6 * (nbytes - 1) + (7 - nbytes) and nbytes < 7:
+        nbytes += 1
+    for i in range(nbytes - 1):
+        out.append(0x80 | ((n >> (6 * i)) & 0x3F))
+    lead = (0xFF00 >> nbytes) & 0xFF
+    out.append(lead | (n >> (6 * (nbytes - 1))))
+    return bytes(reversed(out))
+
+
+def _utf8_decode(r: "_FlacBitR") -> int:
+    b0 = r.bits(8)
+    if b0 < 0x80:
+        return b0
+    nbytes = 0
+    mask = 0x80
+    while b0 & mask:
+        nbytes += 1
+        mask >>= 1
+    if nbytes < 2 or nbytes > 7:
+        raise ValueError("flac: bad coded number")
+    n = b0 & (0xFF >> (nbytes + 1))
+    for _ in range(nbytes - 1):
+        c = r.bits(8)
+        if (c & 0xC0) != 0x80:
+            raise ValueError("flac: bad coded-number continuation")
+        n = (n << 6) | (c & 0x3F)
+    return n
+
+
+def write_flac(
+    wave: "np.ndarray", sample_rate: int = 16000, block_size: int = 4096
+) -> bytes:
+    """Mono 16-bit FLAC writer (r12) — the structural inverse of
+    :func:`flac_decode_audio`: real fLaC framing with CONSTANT
+    subframes for flat blocks and VERBATIM subframes otherwise
+    (lossless; values of the form k/32768 round-trip bit-exactly,
+    like :func:`write_wav`)."""
+    import struct
+
+    w = np.asarray(wave, dtype=np.float64)
+    pcm = np.clip(np.round(w * 32768.0), -32768, 32767).astype(np.int64)
+    n_total = len(pcm)
+    out = bytearray(b"fLaC")
+    # STREAMINFO: last-metadata flag set, type 0, length 34
+    out += struct.pack(">BBH", 0x80, 0, 34)[:1] + b"\x00" + struct.pack(">H", 34)[0:2]
+    si = _FlacBitW()
+    si.put(block_size, 16)  # min blocksize
+    si.put(block_size, 16)  # max blocksize
+    si.put(0, 24)  # min framesize unknown
+    si.put(0, 24)  # max framesize unknown
+    si.put(sample_rate, 20)
+    si.put(0, 3)  # channels - 1
+    si.put(15, 5)  # bits per sample - 1
+    si.put(n_total, 36)
+    out += si.bytes() + b"\x00" * 16  # md5 unset (legal: all zero)
+    # an empty wave is a legal stream: fLaC + STREAMINFO(total=0), no frames
+    for fi in range((n_total + block_size - 1) // block_size):
+        blk = pcm[fi * block_size : (fi + 1) * block_size]
+        hdr = _FlacBitW()
+        hdr.put(0b11111111111110, 14)  # sync
+        hdr.put(0, 1)  # reserved
+        hdr.put(0, 1)  # fixed blocking: coded number = frame index
+        hdr.put(0b0111, 4)  # blocksize: 16-bit value - 1 at header end
+        hdr.put(0b0000, 4)  # sample rate: from STREAMINFO
+        hdr.put(0b0000, 4)  # channel assignment: mono
+        hdr.put(0b100, 3)  # sample size: 16 bits
+        hdr.put(0, 1)  # reserved
+        hdr.align()
+        head = hdr.bytes() + _utf8_code(fi) + struct.pack(">H", len(blk) - 1)
+        head += bytes([_crc8_flac(head)])
+        # the frame header is byte-aligned after its CRC-8 and the
+        # subframe header is exactly 8 bits, so 16-bit sample payloads
+        # are byte-aligned too — one numpy big-endian pack, no bit loop
+        if len(blk) and (blk == blk[0]).all():
+            body = b"\x00" + struct.pack(">h", int(blk[0]))  # CONSTANT
+        else:
+            body = b"\x02" + blk.astype(">i2").tobytes()  # VERBATIM
+        frame = head + body
+        frame += struct.pack(">H", _crc16_flac(frame))
+        out += frame
+    return bytes(out)
+
+
+_FLAC_BLOCKSIZES = {
+    0b0001: 192, 0b0010: 576, 0b0011: 1152, 0b0100: 2304, 0b0101: 4608,
+    0b1000: 256, 0b1001: 512, 0b1010: 1024, 0b1011: 2048, 0b1100: 4096,
+    0b1101: 8192, 0b1110: 16384, 0b1111: 32768,
+}
+
+
+def flac_decode_audio(payload: bytes) -> np.ndarray:
+    """Pure-struct FLAC decoder (r12) for the CONSTANT/VERBATIM
+    subframe subset :func:`write_flac` emits — real fLaC container
+    walking: metadata blocks, CRC-8-validated frame headers,
+    UTF-8-coded frame numbers, CRC-16 frame footers.  Mono 16-bit;
+    predicted subframes (FIXED/LPC) and multi-channel streams raise
+    with a pointer at the soundfile-gated decoder, the same subset
+    policy as :func:`wav_decode_audio`'s compressed-format raise."""
+    import struct
+
+    buf = bytes(payload)
+    if buf[:4] != b"fLaC":
+        raise ValueError("flac: not a fLaC stream")
+    pos = 4
+    streaminfo = None
+    while pos + 4 <= len(buf):
+        hdr = buf[pos]
+        btype = hdr & 0x7F
+        blen = int.from_bytes(buf[pos + 1 : pos + 4], "big")
+        body = buf[pos + 4 : pos + 4 + blen]
+        if len(body) < blen:
+            raise ValueError("flac: truncated metadata block")
+        if btype == 0:
+            streaminfo = body
+        pos += 4 + blen
+        if hdr & 0x80:
+            break
+    if streaminfo is None or len(streaminfo) < 34:
+        raise ValueError("flac: missing STREAMINFO")
+    r = _FlacBitR(streaminfo, 10)
+    sr = r.bits(20)
+    channels = r.bits(3) + 1
+    bps = r.bits(5) + 1
+    n_total = r.bits(36)
+    if channels != 1 or bps != 16:
+        raise ValueError(
+            f"flac: {channels}ch/{bps}bit not in the pure-struct subset — "
+            "use soundfile_decode_audio (optional libsndfile)"
+        )
+    samples: list = []
+    n_got = 0
+    # n_total == 0 means an empty stream from our writer but "unknown"
+    # in the wild — decode frames until the buffer ends either way
+    while pos < len(buf) and (n_total == 0 or n_got < n_total):
+        frame_start = pos
+        r = _FlacBitR(buf, pos)
+        if r.bits(14) != 0b11111111111110:
+            raise ValueError("flac: lost frame sync")
+        r.bits(1)  # reserved
+        r.bits(1)  # blocking strategy
+        bs_code = r.bits(4)
+        sr_code = r.bits(4)
+        chan = r.bits(4)
+        ss_code = r.bits(3)
+        r.bits(1)  # reserved
+        _utf8_decode(r)
+        if bs_code == 0b0110:
+            n = r.bits(8) + 1
+        elif bs_code == 0b0111:
+            n = r.bits(16) + 1
+        elif bs_code in _FLAC_BLOCKSIZES:
+            n = _FLAC_BLOCKSIZES[bs_code]
+        else:
+            raise ValueError(f"flac: reserved blocksize code {bs_code}")
+        if sr_code == 0b1100:
+            r.bits(8)
+        elif sr_code in (0b1101, 0b1110):
+            r.bits(16)
+        if chan != 0:
+            raise ValueError("flac: only mono in the pure-struct subset")
+        if ss_code != 0b100:
+            raise ValueError("flac: only 16-bit in the pure-struct subset")
+        hdr_crc = r.bits(8)
+        if _crc8_flac(buf[frame_start : r.pos - 1]) != hdr_crc:
+            raise ValueError("flac: frame header CRC-8 mismatch")
+        if r.bits(1) != 0:
+            raise ValueError("flac: bad subframe padding bit")
+        stype = r.bits(6)
+        if r.bits(1) != 0:
+            raise ValueError("flac: wasted bits not in the pure-struct subset")
+        n_this = min(n, n_total - n_got) if n_total else n
+        if stype == 0b000000:  # CONSTANT
+            v = r.bits(16)
+            v = v - 65536 if v >= 32768 else v
+            samples.append(np.full(n_this, v, dtype=np.int64))
+        elif stype == 0b000001:  # VERBATIM
+            # byte-aligned by the same argument as the writer
+            assert r.n == 0
+            end = r.pos + 2 * n
+            if end > len(buf):
+                raise ValueError("flac: truncated frame")
+            blk = np.frombuffer(buf, dtype=">i2", count=n, offset=r.pos)
+            samples.append(blk[:n_this].astype(np.int64))
+            r.pos = end
+        else:
+            raise ValueError(
+                "flac: FIXED/LPC subframes not in the pure-struct subset — "
+                "use soundfile_decode_audio (optional libsndfile)"
+            )
+        n_got += n_this
+        r.align()
+        crc = struct.unpack_from(">H", buf, r.pos)[0]
+        if _crc16_flac(buf[frame_start : r.pos]) != crc:
+            raise ValueError("flac: frame CRC-16 mismatch")
+        pos = r.pos + 2
+    if not samples:
+        return np.zeros(0, dtype=np.float64)
+    return np.concatenate(samples).astype(np.float64) / 32768.0

@@ -1943,6 +1943,46 @@ def doc_wav_features(spark, sf_dir):
     return audio_features(media, decoder=wav_decode_audio)
 
 
+def doc_flac_features(spark, sf_dir):
+    """Real FLAC decode end-to-end (r12, verdict ask #8): the same
+    byte-waveform as ``doc_wav_features`` packed into a genuine fLaC
+    stream (``write_flac``: STREAMINFO, CRC-8 frame headers,
+    UTF-8-coded frame numbers, CRC-16 footers; 64-sample blocks so
+    typical documents span multiple frames), decoded back through the
+    pure-struct ``flac_decode_audio`` and feature-extracted.  The
+    CONSTANT/VERBATIM subset is lossless, so the WAV entry's oracle
+    (sample count, RMS, zero-crossings from the characters alone)
+    holds verbatim."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators.codecs import flac_decode_audio, write_flac
+    from .operators.multimodal import audio_features
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                b = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
+                payloads.append(
+                    write_flac((b.astype(np.float64) - 128) / 128, block_size=64)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "audio",
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        build, schema="media_id long, kind string, payload binary"
+    )
+    return audio_features(media, decoder=flac_decode_audio)
+
+
 def doc_png_features(spark, sf_dir):
     """Real PNG decode end-to-end (r10): each document's first 64 ASCII
     bytes (tiled) become an 8×8 greyscale image, written as a genuine
@@ -2441,10 +2481,11 @@ def dedup_near_emb(spark, sf_dir):
 # pytests).  r11 retired: events_sessionize, events_funnel_windowed,
 # events_salted_type_stats, doc_dup_ngrams, doc_token_count (pins in
 # that test's docstring).
-# r12 surgery (verdict asks #1/#3/#4): the 4 r11 holdbacks PROMOTE
-# into the window (ORACLE_HOLDBACK is empty again) and 4 new entries
-# land — the ANN recall twins emb_{lsh,ivf,pq}_recall_sound and the
-# k-core maximality peel graph_kcore_max — funded by 4 retirements:
+# r12 surgery (verdict asks #1/#3/#4/#8): the 4 r11 holdbacks PROMOTE
+# into the window (ORACLE_HOLDBACK is empty again) and 5 new entries
+# land — the ANN recall twins emb_{lsh,ivf,pq}_recall_sound, the
+# k-core maximality peel graph_kcore_max, and the real-FLAC-decode
+# doc_flac_features — funded by 5 retirements:
 #   emb_pq_exhaustive   -> its oracle WAS emb_cosine_topk's (alias);
 #                          pinned by test_operators.py:914 (exhaustive
 #                          refine -> recall 1.0) + emb_pq_recall_sound
@@ -2458,16 +2499,22 @@ def dedup_near_emb(spark, sf_dir):
 #                          pure-Spark differential vs the unioned
 #                          plain group-bys (same test); rollup/cube
 #                          siblings remain oracle-backed
+#   doc_audio_features  -> the FAKE-decoder audio plumbing entry,
+#                          subsumed by the real-decode pair
+#                          doc_wav_features + doc_flac_features over
+#                          the same audio_features kernel (the fake
+#                          decoder itself stays pinned by
+#                          test_audio_features_and_resize)
 # Closing state: 145 oracle-backed entries (all published, no
 # holdbacks) against 150 slot-rounds = 5 free slot-rounds of headroom.
-# Window r12 = 4 new + 4 promoted + 2 early-r10 refreshes
+# Window r12 = 5 new + 4 promoted + 2 early-r10 refreshes
 # (graph_pagerank_mass — pagerank's Observation diet lands this round;
-# doc_cdc_tiling) + the 40 surviving r09-recorded entries; r13 = the
+# doc_cdc_tiling) + the 39 surviving r09-recorded entries; r13 = the
 # remaining 45 r10-recorded entries + 5 free.
 # When adding a new oracle-backed entry, insert it at the top; after
 # each round, rotate entries the driver just verified toward the back.
 QUERIES = {
-    # --- r12 driver window (first 50): 4 new + 4 promoted r11 holdbacks + 2 early r10 refreshes ---
+    # --- r12 driver window (first 50): 5 new + 4 promoted r11 holdbacks + 2 early r10 refreshes ---
     "emb_lsh_recall_sound": emb_lsh_recall_sound,
     "emb_ivf_recall_sound": emb_ivf_recall_sound,
     "emb_pq_recall_sound": emb_pq_recall_sound,
@@ -2478,7 +2525,8 @@ QUERIES = {
     "graph_kcore_sound": graph_kcore_sound,
     "graph_pagerank_mass": graph_pagerank_mass,
     "doc_cdc_tiling": doc_cdc_tiling,
-    # --- r12 window, contd: the 40 surviving r09-recorded entries ---
+    "doc_flac_features": doc_flac_features,
+    # --- r12 window, contd: the 39 surviving r09-recorded entries ---
     "asof_events_orders_forward": R.asof_events_orders_forward,
     "bgp_agg_customers_by_region": bgp_agg_customers_by_region,
     "bgp_agg_urgent_orders_by_nation": bgp_agg_urgent_orders_by_nation,
@@ -2496,7 +2544,6 @@ QUERIES = {
     "bgp_subquery_busy_nations": bgp_subquery_busy_nations,
     "bgp_values_rows_pairs": bgp_values_rows_pairs,
     "cohort_retention": R.cohort_retention,
-    "doc_audio_features": doc_audio_features,
     "doc_bm25_search": doc_bm25_search,
     "doc_chunk_packing": doc_chunk_packing,
     "doc_corpus_stats": doc_corpus_stats,
@@ -4025,27 +4072,6 @@ ORACLES = {
     # (byte[j % 32] - 128)/128.  Squares (k/128)^2 are exact in float64
     # (k^2 <= 16384, /2^14 exact), the 256-term sum stays exact, sqrt is
     # correctly rounded in both engines, and both sides cast to float32
-    "doc_audio_features": """
-        WITH h AS (
-            SELECT doc_id AS media_id, sha256(text) AS hx FROM documents
-        ), b AS (
-            SELECT media_id, list_transform(range(256), j ->
-                    (strpos('0123456789abcdef',
-                            substr(hx, 2 * (j % 32) + 1, 1)) - 1) * 16
-                  + (strpos('0123456789abcdef',
-                            substr(hx, 2 * (j % 32) + 2, 1)) - 1)) AS bs
-            FROM h
-        )
-        SELECT media_id,
-               CAST(256 AS BIGINT) AS n_samples,
-               CAST(sqrt(list_sum(list_transform(bs,
-                        v -> ((v - 128) / 128.0) * ((v - 128) / 128.0))) / 256.0)
-                    AS FLOAT) AS rms,
-               CAST(list_sum(list_transform(range(255),
-                        j -> CASE WHEN (bs[j + 1] < 128) <> (bs[j + 2] < 128)
-                                  THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings
-        FROM b
-    """,
     "doc_frame_sample": """
         SELECT media_id, format, duration_ms,
                CAST(ts AS BIGINT) AS frame_ts_ms,
@@ -4658,3 +4684,7 @@ def _kcore_peel_sql(k: int, iters: int = 24) -> str:
 ORACLES["graph_kcore_max"] = (
     _kcore_peel_sql(4) + " UNION ALL " + _kcore_peel_sql(8)
 )
+
+# r12 stretch: FLAC is lossless over the same byte waveform, so the
+# WAV entry's character-derived oracle holds verbatim
+ORACLES["doc_flac_features"] = ORACLES["doc_wav_features"]

@@ -561,3 +561,53 @@ def test_media_family_string_ids(spark):
         for r in mp4_frame_slicer(frames, 0).collect()
     }
     assert sliced == {("vid-1", i): SAMPLES[i] for i in range(4)}
+
+
+def test_flac_roundtrip_and_subset_policy():
+    """Pure-struct FLAC (r12): lossless round-trip through genuine
+    fLaC framing (multi-frame via small blocks, short final block,
+    CONSTANT and VERBATIM subframes), empty stream, CRC validation,
+    and the sniff router."""
+    import numpy as np
+
+    from matcha_spark.operators.codecs import (
+        flac_decode_audio,
+        sniff_decode_audio,
+        write_flac,
+    )
+
+    # multi-frame with a short tail; values k/32768 round-trip exactly
+    w = (np.arange(-300, 301, dtype=np.float64) * 17 % 32768 - 16384) / 32768.0
+    got = flac_decode_audio(write_flac(w, block_size=64))
+    assert np.array_equal(got, np.round(w * 32768) / 32768.0)
+
+    # constant blocks take the CONSTANT subframe path
+    flat = np.full(500, 5 / 32768.0)
+    enc = write_flac(flat, block_size=128)
+    assert np.array_equal(flac_decode_audio(enc), flat)
+    # CONSTANT frames are tiny: 500 samples ≪ 500 * 2 bytes
+    assert len(enc) < 200
+
+    # empty stream: metadata only, zero frames
+    assert len(flac_decode_audio(write_flac(np.array([])))) == 0
+
+    # corruption anywhere in a frame fails a CRC, never returns garbage
+    enc = bytearray(write_flac((np.arange(50) - 25) / 32768.0, block_size=16))
+    enc[60] ^= 0xFF
+    try:
+        flac_decode_audio(bytes(enc))
+        raise AssertionError("corrupt frame decoded")
+    except ValueError as e:
+        assert "CRC" in str(e)
+
+    # magic-byte routing picks the pure-struct path
+    assert np.array_equal(
+        sniff_decode_audio(write_flac(flat, block_size=128)), flat
+    )
+
+    # not-a-flac refusal
+    try:
+        flac_decode_audio(b"junk")
+        raise AssertionError("junk decoded")
+    except ValueError as e:
+        assert "fLaC" in str(e)

@@ -557,7 +557,11 @@ def test_retired_entry_equivalences_r12(spark):
       emb_cosine_topk alias; the exhaustive-config == exact pins live
       in test_operators.py::test_pq_recall_vs_bruteforce and
       ::test_ivf_recall_vs_bruteforce, and the families gained organic
-      recall oracles (emb_{pq,ivf}_recall_sound)."""
+      recall oracles (emb_{pq,ivf}_recall_sound).
+    - doc_audio_features (fake-decoder audio plumbing) — subsumed by
+      the real-decode pair doc_wav_features + doc_flac_features over
+      the same audio_features kernel; the fake decoder stays pinned by
+      test_operators.py::test_audio_features_and_resize."""
     from pyspark.sql import functions as F
 
     from matcha_spark import suite
