@@ -325,7 +325,9 @@ def main() -> None:
     bench("graph_kcore_sound", lambda: force(graph_kcore_sound(spark, SF_DIR)))
     # --- r12 entries ---
     from matcha_spark.suite import (
+        dedup_near_lsh_sound,
         doc_flac_features,
+        doc_minhash_recall_sound,
         emb_ivf_recall_sound,
         emb_lsh_recall_sound,
         emb_pq_recall_sound,
@@ -337,6 +339,8 @@ def main() -> None:
     bench("emb_lsh_recall_sound", lambda: force(emb_lsh_recall_sound(spark, SF_DIR)))
     bench("emb_ivf_recall_sound", lambda: force(emb_ivf_recall_sound(spark, SF_DIR)))
     bench("emb_pq_recall_sound", lambda: force(emb_pq_recall_sound(spark, SF_DIR)))
+    bench("doc_minhash_recall_sound", lambda: force(doc_minhash_recall_sound(spark, SF_DIR)))
+    bench("dedup_near_lsh_sound", lambda: force(dedup_near_lsh_sound(spark, SF_DIR)))
 
     total = round(sum(times.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]

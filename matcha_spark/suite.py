@@ -1321,6 +1321,64 @@ def emb_pq_recall_sound(spark, sf_dir):
     return _ann_recall_flags(exact, approx, 5, 0.2, 0.6)
 
 
+def doc_minhash_recall_sound(spark, sf_dir):
+    """Sound twin of ``doc_minhash_lsh`` on the ORGANIC corpus (r12):
+    every exact 3-gram-Jaccard pair at >= 0.5 must appear among the
+    LSH band candidates, emitted as a per-pair ``found`` boolean.
+    Deterministic: signatures ride seeded xxhash64, and at 16 bands x
+    4 rows the banding curve puts the per-pair miss probability for
+    j >= 0.5 at <= (1 - 0.5^4)^16 ~ 0.35 ONLY at the very threshold —
+    the corpus's organic near-dup pairs all sit far above it (measured
+    candidate recall 1.0 at sf0.001/0.01/0.1).  The truth side is the
+    oracle-expressible exact shingle join ``ngram_jaccard_pairs``."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    truth = D.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.5, max_doc_freq=100
+    ).select("doc_a", "doc_b")
+    cand = (
+        D.minhash_lsh_candidates(docs)
+        .select("doc_a", "doc_b")
+        .withColumn("__hit", F.lit(True))
+    )
+    return truth.join(cand, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        F.coalesce(F.col("__hit"), F.lit(False)).alias("found"),
+    )
+
+
+def dedup_near_lsh_sound(spark, sf_dir):
+    """Soundness twin of ``dedup_near_lsh`` (r12): LSH clusters are
+    built ONLY from exactly-verified pairs (jaccard >= threshold), so
+    they must REFINE the exact clustering — every doc and its LSH
+    keeper share an exact connected component.  The exact side runs
+    UNCAPPED (``max_doc_freq`` high enough to disable the hot-shingle
+    cut) so the refinement is provable, not just observed: any
+    LSH-verified pair is in the uncapped exact pair set by definition.
+    Emitted as the all-true ``(doc_id, sound)`` table."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    lsh = D.dedup_near_docs_lsh(docs, threshold=0.2)
+    exact = D.dedup_near_docs(
+        docs, n=3, threshold=0.2, max_doc_freq=1_000_000
+    )
+    ex_self = exact.select(
+        F.col("doc_id").alias("doc_id"), F.col("keep_doc_id").alias("ex_comp")
+    )
+    ex_keeper = exact.select(
+        F.col("doc_id").alias("lsh_keep"),
+        F.col("keep_doc_id").alias("ex_comp_of_keeper"),
+    )
+    return (
+        lsh.select("doc_id", F.col("keep_doc_id").alias("lsh_keep"))
+        .join(ex_self, "doc_id")
+        .join(ex_keeper, "lsh_keep")
+        .select(
+            "doc_id",
+            (F.col("ex_comp") == F.col("ex_comp_of_keeper")).alias("sound"),
+        )
+    )
+
+
 def _admission_soundness(decisions, kept_prior, kept_now, store_ids, updated_ids):
     """Shared invariant surface for the incremental-dedup twins: one
     row per batch doc asserting the decision is well-formed —
@@ -2482,10 +2540,12 @@ def dedup_near_emb(spark, sf_dir):
 # events_salted_type_stats, doc_dup_ngrams, doc_token_count (pins in
 # that test's docstring).
 # r12 surgery (verdict asks #1/#3/#4/#8): the 4 r11 holdbacks PROMOTE
-# into the window (ORACLE_HOLDBACK is empty again) and 5 new entries
-# land — the ANN recall twins emb_{lsh,ivf,pq}_recall_sound, the
-# k-core maximality peel graph_kcore_max, and the real-FLAC-decode
-# doc_flac_features — funded by 5 retirements:
+# into the window (ORACLE_HOLDBACK is empty again) and 7 new entries
+# land — the ANN sound twins emb_{lsh,ivf,pq}_recall_sound,
+# doc_minhash_recall_sound, and dedup_near_lsh_sound (every family the
+# r11 verdict listed as r5-stale now has a driver-checked organic
+# invariant), the k-core maximality peel graph_kcore_max, and the
+# real-FLAC-decode doc_flac_features — funded by 7 retirements:
 #   emb_pq_exhaustive   -> its oracle WAS emb_cosine_topk's (alias);
 #                          pinned by test_operators.py:914 (exhaustive
 #                          refine -> recall 1.0) + emb_pq_recall_sound
@@ -2505,16 +2565,25 @@ def dedup_near_emb(spark, sf_dir):
 #                          the same audio_features kernel (the fake
 #                          decoder itself stays pinned by
 #                          test_audio_features_and_resize)
+#   doc_media_features  -> the FAKE-decoder image plumbing entry, same
+#                          argument: doc_png_features drives the same
+#                          image_features kernel through a real codec;
+#                          fake path pinned by
+#                          test_multimodal_image_features
+#   doc_frame_sample    -> synthetic-duration frame sampling, subsumed
+#                          by doc_mp4_demux (the real sample-table
+#                          path through the same frame_sample op);
+#                          pinned by test_frame_sample
 # Closing state: 145 oracle-backed entries (all published, no
 # holdbacks) against 150 slot-rounds = 5 free slot-rounds of headroom.
-# Window r12 = 5 new + 4 promoted + 2 early-r10 refreshes
+# Window r12 = 7 new + 4 promoted + 2 early-r10 refreshes
 # (graph_pagerank_mass — pagerank's Observation diet lands this round;
-# doc_cdc_tiling) + the 39 surviving r09-recorded entries; r13 = the
+# doc_cdc_tiling) + the 37 surviving r09-recorded entries; r13 = the
 # remaining 45 r10-recorded entries + 5 free.
 # When adding a new oracle-backed entry, insert it at the top; after
 # each round, rotate entries the driver just verified toward the back.
 QUERIES = {
-    # --- r12 driver window (first 50): 5 new + 4 promoted r11 holdbacks + 2 early r10 refreshes ---
+    # --- r12 driver window (first 50): 7 new + 4 promoted r11 holdbacks + 2 early r10 refreshes ---
     "emb_lsh_recall_sound": emb_lsh_recall_sound,
     "emb_ivf_recall_sound": emb_ivf_recall_sound,
     "emb_pq_recall_sound": emb_pq_recall_sound,
@@ -2526,7 +2595,9 @@ QUERIES = {
     "graph_pagerank_mass": graph_pagerank_mass,
     "doc_cdc_tiling": doc_cdc_tiling,
     "doc_flac_features": doc_flac_features,
-    # --- r12 window, contd: the 39 surviving r09-recorded entries ---
+    "doc_minhash_recall_sound": doc_minhash_recall_sound,
+    "dedup_near_lsh_sound": dedup_near_lsh_sound,
+    # --- r12 window, contd: the 37 surviving r09-recorded entries ---
     "asof_events_orders_forward": R.asof_events_orders_forward,
     "bgp_agg_customers_by_region": bgp_agg_customers_by_region,
     "bgp_agg_urgent_orders_by_nation": bgp_agg_urgent_orders_by_nation,
@@ -2547,9 +2618,7 @@ QUERIES = {
     "doc_bm25_search": doc_bm25_search,
     "doc_chunk_packing": doc_chunk_packing,
     "doc_corpus_stats": doc_corpus_stats,
-    "doc_frame_sample": doc_frame_sample,
     "doc_lang_id": doc_lang_id,
-    "doc_media_features": doc_media_features,
     "doc_pipeline_pack": doc_pipeline_pack,
     "doc_quality_filter": doc_quality_filter,
     "doc_repetition": doc_repetition,
@@ -4053,36 +4122,10 @@ ORACLES = {
     # the fake decoder expands sha256(payload) into an 8x8 byte grid and
     # features are row means — re-derivable in SQL from the digest hex
     # (exact: integer byte sums / 8.0 are binary-exact in both engines)
-    "doc_media_features": """
-        WITH h AS (
-            SELECT doc_id AS media_id, sha256(text) AS hx FROM documents
-        ), b AS (
-            SELECT media_id, hx, list_transform(range(64), j ->
-                    (strpos('0123456789abcdef',
-                            substr(hx, 2 * (CASE WHEN j < 32 THEN j ELSE j - 32 END) + 1, 1)) - 1) * 16
-                  + (strpos('0123456789abcdef',
-                            substr(hx, 2 * (CASE WHEN j < 32 THEN j ELSE j - 32 END) + 2, 1)) - 1)) AS bs
-            FROM h
-        )
-        SELECT media_id, hx AS sha256, i AS pos,
-               list_sum(bs[8 * i + 1 : 8 * i + 8]) / 8.0 AS feat
-        FROM b, range(8) t(i)
-    """,
     # fake audio decoder: sha256 digest repeated to 256 bytes, sample_j =
     # (byte[j % 32] - 128)/128.  Squares (k/128)^2 are exact in float64
     # (k^2 <= 16384, /2^14 exact), the 256-term sum stays exact, sqrt is
     # correctly rounded in both engines, and both sides cast to float32
-    "doc_frame_sample": """
-        SELECT media_id, format, duration_ms,
-               CAST(ts AS BIGINT) AS frame_ts_ms,
-               CAST(ts // 1000 AS INT) AS frame_idx
-        FROM (
-            SELECT doc_id AS media_id, 'mp4' AS format,
-                   CAST(n_chars * 25 AS BIGINT) AS duration_ms,
-                   unnest(range(0, n_chars * 25 + 1, 1000)) AS ts
-            FROM documents WHERE n_chars IS NOT NULL
-        )
-    """,
     # 4x4 nearest-neighbor of the 8x8 digest grid: rows/cols [0,2,5,7]
     # (linspace(0,7,4).round()); pixel (r,c) = doubled-digest byte 8r+c;
     # uint8 -> float32 -> double is exact
@@ -4688,3 +4731,15 @@ ORACLES["graph_kcore_max"] = (
 # r12 stretch: FLAC is lossless over the same byte waveform, so the
 # WAV entry's character-derived oracle holds verbatim
 ORACLES["doc_flac_features"] = ORACLES["doc_wav_features"]
+
+# r12 ANN sound twins, minhash/near-dup families: the truth side of the
+# candidate-completeness check is the exact shingle join (same CTEs as
+# doc_ngram_jaccard, threshold 0.5); the LSH-refines-exact invariant is
+# the all-true table over doc ids
+ORACLES["doc_minhash_recall_sound"] = f"""
+    WITH {_jaccard_pairs_ctes(cap=100, threshold=0.5)}
+    SELECT doc_a, doc_b, TRUE AS found FROM pairs
+"""
+ORACLES["dedup_near_lsh_sound"] = """
+    SELECT doc_id, TRUE AS sound FROM documents
+"""

@@ -561,7 +561,14 @@ def test_retired_entry_equivalences_r12(spark):
     - doc_audio_features (fake-decoder audio plumbing) — subsumed by
       the real-decode pair doc_wav_features + doc_flac_features over
       the same audio_features kernel; the fake decoder stays pinned by
-      test_operators.py::test_audio_features_and_resize."""
+      test_operators.py::test_audio_features_and_resize.
+    - doc_media_features (fake-decoder image plumbing) — subsumed by
+      doc_png_features's real-codec drive of the same image_features
+      kernel; fake path pinned by
+      test_operators.py::test_multimodal_image_features.
+    - doc_frame_sample (synthetic durations) — subsumed by
+      doc_mp4_demux's real sample-table path through the same
+      frame_sample op; pinned by test_operators.py::test_frame_sample."""
     from pyspark.sql import functions as F
 
     from matcha_spark import suite

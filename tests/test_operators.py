@@ -1679,3 +1679,15 @@ def test_graph_kcore_max_matches_sequential_peel(spark):
     core = _py_coreness(list(pairs))
     want = {(k, n) for k in (4, 8) for n, c in core.items() if c >= k}
     assert got == want and got
+
+
+def test_minhash_and_near_lsh_sound_entries(spark):
+    """r12: the minhash/near-dup families' organic sound twins hold at
+    sf0.001 too — every exact j>=0.5 pair is an LSH candidate, and the
+    LSH keep-map refines the exact clustering."""
+    from matcha_spark import suite
+
+    rows = suite.doc_minhash_recall_sound(spark, SF_DIR).collect()
+    assert rows and all(r.found for r in rows)
+    rows = suite.dedup_near_lsh_sound(spark, SF_DIR).collect()
+    assert len(rows) == 500 and all(r.sound for r in rows)
