@@ -1355,7 +1355,14 @@ def dedup_near_lsh_sound(spark, sf_dir):
     UNCAPPED (``max_doc_freq`` high enough to disable the hot-shingle
     cut) so the refinement is provable, not just observed: any
     LSH-verified pair is in the uncapped exact pair set by definition.
-    Emitted as the all-true ``(doc_id, sound)`` table."""
+    Emitted as the all-true ``(doc_id, sound)`` table.
+
+    Scale note: the uncapped exact join is the TRUTH side of a
+    verification entry and is corpus-quadratic in the worst case by
+    construction — it runs at oracle scale (sf0.01), like every
+    differential's reference arm.  The production operator under test
+    (``dedup_near_docs_lsh``) stays banded and bucket-capped; nothing
+    on the 100 TB path changes."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     lsh = D.dedup_near_docs_lsh(docs, threshold=0.2)
     exact = D.dedup_near_docs(
