@@ -1131,9 +1131,13 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def grouping_sets_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS (the general form behind rollup/cube —
-    exactly the requested combinations, one Expand pass): per-priority
-    totals, per-status totals, and the grand total, no cross product."""
+    """RETIRED from the oracle registry in r12 (pure-Spark differential
+    vs the unioned plain group-bys in
+    test_retired_entry_equivalences_r12; rollup/cube siblings stay
+    oracle-backed).  Explicit GROUPING SETS (the general form behind
+    rollup/cube — exactly the requested combinations, one Expand
+    pass): per-priority totals, per-status totals, and the grand
+    total, no cross product."""
     orders = load_tables(spark, sf_dir, "orders")["orders"]
     orders.createOrReplaceTempView("__orders_gs")
     return spark.sql(

@@ -330,7 +330,9 @@ def graph_closure_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def bgp_path_region_members(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Property-path Seq (SPARQL ``:nation/:region`` — extension absent
+    """RETIRED from the oracle registry in r12 (same answer set as the
+    still-oracle-backed bgp_path_inv_region_members by construction;
+    pinned by test_retired_entry_equivalences_r12).  Property-path Seq (SPARQL ``:nation/:region`` — extension absent
     from the reference): every entity (customer or supplier) whose
     nation lies in ASIA, by name.  The path compiles to an equi-join
     chain on the midpoint; oracle is the two relational join paths
@@ -930,7 +932,9 @@ def doc_nt_roundtrip(spark, sf_dir):
 
 
 def doc_media_features(spark, sf_dir):
-    """Multimodal plumbing, oracle-checked end-to-end: documents become
+    """RETIRED from the oracle registry in r12 (subsumed by the
+    real-codec doc_png_features over the same kernel; pinned by
+    test_retired_entry_equivalences_r12).  Multimodal plumbing, oracle-checked end-to-end: documents become
     binary payloads (utf-8 bytes), flow through the Arrow-batched
     ``image_features`` mapInPandas with the deterministic fake decoder
     (sha256-expansion — the real-codec seam stays stubbed), and the
@@ -1041,7 +1045,8 @@ def doc_audio_near_dup(spark, sf_dir):
 
 
 def doc_audio_features(spark, sf_dir):
-    """Audio twin of :func:`doc_media_features`: payloads through the
+    """RETIRED from the oracle registry in r12 (subsumed by the
+    real-decode doc_wav_features + doc_flac_features pair).  Audio twin of :func:`doc_media_features`: payloads through the
     Arrow-batched ``audio_features`` kernel (fake sha256-waveform
     decoder), with RMS and zero-crossings re-derived exactly in SQL
     (integer byte math; float64 accumulation; float32 cast on both
@@ -1062,7 +1067,8 @@ def doc_audio_features(spark, sf_dir):
 
 
 def doc_frame_sample(spark, sf_dir):
-    """Video third of the multimodal trio: per-document synthetic
+    """RETIRED from the oracle registry in r12 (subsumed by
+    doc_mp4_demux's real sample-table drive of the same op).  Video third of the multimodal trio: per-document synthetic
     durations drive the columnar frame-sampling plan (sequence explode,
     byte-range metadata only — no decode), re-derived in SQL with
     ``range``."""
