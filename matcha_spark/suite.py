@@ -1243,7 +1243,9 @@ def emb_semdedup_planted(spark, sf_dir):
 
 
 def emb_pq_exhaustive(spark, sf_dir):
-    """Derived-invariant twin of ``emb_pq_topk``: with ``refine`` large
+    """RETIRED from the oracle registry in r12 (oracle was the
+    emb_cosine_topk alias; pinned by test_pq_recall_vs_bruteforce and
+    superseded by emb_pq_recall_sound).  Derived-invariant twin of ``emb_pq_topk``: with ``refine`` large
     enough that k·refine covers the corpus, ADC candidate generation
     is exhaustive and the exact-cosine re-rank must reproduce the
     exact top-k — the same oracle SQL as ``emb_cosine_topk``,
@@ -1253,7 +1255,9 @@ def emb_pq_exhaustive(spark, sf_dir):
 
 
 def emb_ivf_exhaustive(spark, sf_dir):
-    """Derived-invariant twin of ``emb_ivf_topk``: probing every cell
+    """RETIRED from the oracle registry in r12 (oracle was the
+    emb_cosine_topk alias; pinned by test_ivf_recall_vs_bruteforce and
+    superseded by emb_ivf_recall_sound).  Derived-invariant twin of ``emb_ivf_topk``: probing every cell
     (``n_probe == n_centroids``) makes IVF exact regardless of where
     the seeded coarse quantizer put the cell boundaries — the exact
     top-k oracle again."""
