@@ -1137,6 +1137,8 @@ def flac_decode_audio(payload: bytes) -> np.ndarray:
             )
         n_got += n_this
         r.align()
+        if r.pos + 2 > len(buf):
+            raise ValueError("flac: truncated frame footer")
         crc = struct.unpack_from(">H", buf, r.pos)[0]
         if _crc16_flac(buf[frame_start : r.pos]) != crc:
             raise ValueError("flac: frame CRC-16 mismatch")

@@ -611,3 +611,69 @@ def test_flac_roundtrip_and_subset_policy():
         raise AssertionError("junk decoded")
     except ValueError as e:
         assert "fLaC" in str(e)
+
+
+def test_flac_decoder_untrusted_bytes_fuzz():
+    """The FLAC decoder sees corpus payloads, i.e. untrusted bytes:
+    whatever the input, it must either return a waveform or raise
+    ValueError — never crash with an internal exception, hang, or
+    return garbage past a failed CRC.  Garbage, truncations at every
+    boundary class, bit-flips, and hypothesis-driven random buffers."""
+    import random
+
+    import numpy as np
+
+    from matcha_spark.operators.codecs import flac_decode_audio, write_flac
+
+    rng = random.Random(99)
+    real = write_flac(
+        (np.arange(-200, 200, dtype=np.float64) * 31 % 32768 - 16384)
+        / 32768.0,
+        block_size=32,
+    )
+
+    def probe(buf):
+        try:
+            out = flac_decode_audio(buf)
+            assert isinstance(out, np.ndarray)
+        except ValueError:
+            pass  # the contract: ValueError or a valid waveform
+
+    probe(b"")
+    probe(b"fLaC")
+    probe(b"fLaC" + bytes(rng.randrange(256) for _ in range(64)))
+    probe(bytes(rng.randrange(256) for _ in range(512)))
+    for i in range(0, len(real), max(1, len(real) // 50)):
+        probe(real[:i])
+    for _ in range(60):
+        b = bytearray(real)
+        for _ in range(3):
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        probe(bytes(b))
+
+
+def test_flac_roundtrip_hypothesis():
+    """Property: any float waveform round-trips through write_flac →
+    flac_decode_audio to its int16 quantization, at any block size."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    import numpy as np
+
+    from matcha_spark.operators.codecs import flac_decode_audio, write_flac
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(
+            st.floats(min_value=-1.0, max_value=0.999, allow_nan=False),
+            min_size=0,
+            max_size=400,
+        ),
+        st.sampled_from([1, 3, 17, 64, 4096]),
+    )
+    def run(vals, bs):
+        w = np.array(vals, dtype=np.float64)
+        got = flac_decode_audio(write_flac(w, block_size=bs))
+        want = np.clip(np.round(w * 32768.0), -32768, 32767) / 32768.0
+        assert np.array_equal(got, want)
+
+    run()
