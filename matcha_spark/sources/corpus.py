@@ -1,5 +1,5 @@
-"""Raw-corpus ingestion sources — JSONL, whole-file text, and the
-streaming JSONL variant.
+"""Raw-corpus ingestion sources — JSONL, CSV/TSV, whole-file text,
+and their streaming variants.
 
 Every suite entry reads pre-built parquet, but real corpora arrive as
 JSONL (the lingua franca of pretraining data: one ``{"text": ...}``
@@ -32,6 +32,9 @@ __all__ = [
     "jsonl_quarantine",
     "read_text_documents",
     "stream_jsonl_documents",
+    "read_csv_documents",
+    "csv_quarantine",
+    "stream_csv_documents",
 ]
 
 _CORRUPT = "__corrupt"
@@ -212,3 +215,145 @@ def stream_jsonl_documents(
         reader.text(path), text_field, id_field, source_field, extra_fields
     )
     return _good_rows(parsed, text_field, id_field, source_field, extra_fields)
+
+
+# ---------------------------------------------------------------------------
+# CSV / TSV (r12) — same scan shape and quarantine contract as JSONL
+# ---------------------------------------------------------------------------
+
+
+def _csv_schema_ddl(fields: dict[str, str]) -> str:
+    parts = [f"`{n}` {t}" for n, t in fields.items()]
+    parts.append(f"`{_CORRUPT}` string")
+    return ", ".join(parts)
+
+
+def _parse_csv_lines(
+    lines: DataFrame,
+    fields: dict[str, str],
+    sep: str,
+    header: bool,
+    quote: str,
+) -> DataFrame:
+    """(value, __file, __d) for every non-blank data line — the CSV
+    twin of ``_parse_lines``: the file is scanned as TEXT LINES
+    (splittable, one pruned string column) and parsed with
+    ``from_csv`` carrying the corrupt-record slot, so good rows and
+    quarantine rows are narrow stateless projections of one scan.
+
+    ``header=True`` drops lines that exactly match the expected header
+    (the field names joined by ``sep``, with or without quotes around
+    each name) — the line-based scan has no per-file "first line"
+    notion, and matching the declared header is the stateless
+    equivalent.  Records must be single-line: embedded newlines need
+    ``spark.read.csv(multiLine=True)``, which gives up input splitting
+    — the wrong trade at corpus scale."""
+    ddl = _csv_schema_ddl(fields)
+    out = lines.where(F.trim("value") != "")
+    if header:
+        names = list(fields)
+        plain = sep.join(names)
+        quoted = sep.join(f"{quote}{n}{quote}" for n in names)
+        out = out.where(~F.col("value").isin(plain, quoted))
+    return out.select(
+        "value",
+        F.input_file_name().alias("__file"),
+        F.from_csv(
+            "value",
+            ddl,
+            {
+                "sep": sep,
+                "quote": quote,
+                "mode": "PERMISSIVE",
+                "columnNameOfCorruptRecord": _CORRUPT,
+            },
+        ).alias("__d"),
+    )
+
+
+def read_csv_documents(
+    spark: SparkSession,
+    path: str,
+    fields: dict[str, str] | None = None,
+    text_field: str = "text",
+    id_field: str | None = None,
+    source_field: str | None = None,
+    sep: str = ",",
+    header: bool = True,
+    quote: str = '"',
+) -> DataFrame:
+    """CSV/TSV corpus → ``(doc_id, text, source, *extras)`` documents
+    in the same shape every operator family consumes.
+
+    ``fields`` is an ORDERED name→DDL-type mapping declaring the
+    file's columns (CSV is positional; default ``{"text":
+    "string"}``); ``text_field`` must be one of them.  Extra fields
+    become typed output columns.  Id/source fallbacks match the JSONL
+    reader: ``md5`` of the raw line / the file basename.  Malformed
+    lines (parse failure or NULL text) are EXCLUDED here and reported
+    by :func:`csv_quarantine`; ``sep="\\t"`` reads TSV."""
+    fields = fields or {"text": "string"}
+    if text_field not in fields:
+        raise ValueError(
+            f"text_field {text_field!r} is not in fields {list(fields)}"
+        )
+    parsed = _parse_csv_lines(spark.read.text(path), fields, sep, header, quote)
+    extras = {n: t for n, t in fields.items()
+              if n not in (text_field, id_field, source_field)}
+    return _good_rows(parsed, text_field, id_field, source_field, extras)
+
+
+def csv_quarantine(
+    spark: SparkSession,
+    path: str,
+    fields: dict[str, str] | None = None,
+    text_field: str = "text",
+    sep: str = ",",
+    header: bool = True,
+    quote: str = '"',
+) -> DataFrame:
+    """The lines :func:`read_csv_documents` rejected, with why:
+    ``(file, line, reason)``, reason ∈ {``malformed_csv``,
+    ``missing_text``} — the same distributed audit contract as
+    :func:`jsonl_quarantine` and :func:`warc_malformed`."""
+    fields = fields or {"text": "string"}
+    parsed = _parse_csv_lines(spark.read.text(path), fields, sep, header, quote)
+    return parsed.where(
+        F.col(f"__d.{_CORRUPT}").isNotNull()
+        | F.col(f"__d.{text_field}").isNull()
+    ).select(
+        F.col("__file").alias("file"),
+        F.col("value").alias("line"),
+        F.when(F.col(f"__d.{_CORRUPT}").isNotNull(), F.lit("malformed_csv"))
+        .otherwise(F.lit("missing_text"))
+        .alias("reason"),
+    )
+
+
+def stream_csv_documents(
+    spark: SparkSession,
+    path: str,
+    fields: dict[str, str] | None = None,
+    text_field: str = "text",
+    id_field: str | None = None,
+    source_field: str | None = None,
+    sep: str = ",",
+    header: bool = True,
+    quote: str = '"',
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of :func:`read_csv_documents` (cf.
+    :func:`stream_jsonl_documents`) — a CSV drop-directory feeds the
+    streaming dedup/curation family directly."""
+    fields = fields or {"text": "string"}
+    if text_field not in fields:
+        raise ValueError(
+            f"text_field {text_field!r} is not in fields {list(fields)}"
+        )
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    parsed = _parse_csv_lines(reader.text(path), fields, sep, header, quote)
+    extras = {n: t for n, t in fields.items()
+              if n not in (text_field, id_field, source_field)}
+    return _good_rows(parsed, text_field, id_field, source_field, extras)

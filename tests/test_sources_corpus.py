@@ -221,3 +221,76 @@ def test_stream_jsonl_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(want) == 3
+
+
+def test_read_csv_documents(spark, tmp_path):
+    """CSV source: header dropped, typed extras, TSV via sep, id/source
+    fallbacks matching the JSONL reader."""
+    from matcha_spark.sources.corpus import csv_quarantine, read_csv_documents
+
+    p = tmp_path / "docs.csv"
+    p.write_text(
+        "id,text,score\n"
+        "a,hello world,1.5\n"
+        '"b","quoted, text",2.0\n'
+        "c,,9.9\n"            # NULL text -> quarantined
+        "d,bad-score,oops\n"  # type corruption -> quarantined
+    )
+    fields = {"id": "string", "text": "string", "score": "double"}
+    docs = {
+        r.doc_id: r
+        for r in read_csv_documents(
+            spark, str(p), fields=fields, id_field="id"
+        ).collect()
+    }
+    assert set(docs) == {"a", "b"}
+    assert docs["a"].text == "hello world" and docs["a"].score == 1.5
+    assert docs["b"].text == "quoted, text"
+    assert docs["a"].source == "docs.csv"
+    q = {r.reason for r in csv_quarantine(spark, str(p), fields=fields).collect()}
+    assert "missing_text" in q and "malformed_csv" in q
+
+    # TSV + no header + content-addressed ids
+    t = tmp_path / "docs.tsv"
+    t.write_text("first doc\t0.1\nsecond doc\t0.2\n")
+    rows = read_csv_documents(
+        spark,
+        str(t),
+        fields={"text": "string", "w": "double"},
+        sep="\t",
+        header=False,
+    ).collect()
+    assert sorted(r.text for r in rows) == ["first doc", "second doc"]
+    assert all(len(r.doc_id) == 32 for r in rows)  # md5 fallback
+
+
+def test_stream_csv_matches_batch(spark, tmp_path):
+    """The streaming CSV twin produces exactly the batch reader's rows."""
+    from matcha_spark.sources.corpus import (
+        read_csv_documents,
+        stream_csv_documents,
+    )
+
+    d = tmp_path / "drop"
+    d.mkdir()
+    (d / "a.csv").write_text("text\nalpha doc\nbeta doc\n")
+    (d / "b.csv").write_text("text\ngamma doc\n")
+    batch = {
+        (r.doc_id, r.text, r.source)
+        for r in read_csv_documents(spark, str(d)).collect()
+    }
+    stream = stream_csv_documents(spark, str(d))
+    assert stream.isStreaming
+    out = (
+        stream.writeStream.format("memory")
+        .queryName("csv_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    out.awaitTermination(60)
+    got = {
+        (r.doc_id, r.text, r.source)
+        for r in spark.sql("SELECT * FROM csv_stream_test").collect()
+    }
+    assert got == batch and len(got) == 3
