@@ -128,3 +128,29 @@ def test_capacity_overflow_fails():
     code, out = run(q, set(q), seen=seen, latest=11, window=2)
     assert code == 1
     assert "exceed" in out and "freshness horizon" in out
+
+
+def test_plan_audit_detectors():
+    """tools/plan_audit.py string detectors on synthetic plan text (the
+    live tool is integration-level; these pin the matching rules)."""
+    import plan_audit as PA
+
+    good = (
+        "(1) Scan parquet\n"
+        "PushedFilters: [IsNotNull(x), GreaterThan(x,1)]\n"
+        "ReadSchema: struct<x:double,y:double>\n"
+        "(2) HashAggregate [codegen id : 1]\n"
+    )
+    PA.EXPECT["__t"] = {"pushed", "codegen", "pruned:z"}
+    try:
+        assert PA.audit_entry("__t", good) == []
+        bad = good.replace("[IsNotNull(x), GreaterThan(x,1)]", "[]")
+        assert any("PushedFilters" in p for p in PA.audit_entry("__t", bad))
+        bad = good.replace(" [codegen id : 1]", "")
+        assert any("WholeStageCodegen" in p for p in PA.audit_entry("__t", bad))
+        bad = good.replace("struct<x:double,y:double>", "struct<x:double,z:int>")
+        assert any("pruned" in p for p in PA.audit_entry("__t", bad))
+        bad = good + "\n(3) CartesianProduct\n"
+        assert any("cartesian" in p for p in PA.audit_entry("__t", bad))
+    finally:
+        del PA.EXPECT["__t"]
