@@ -17,7 +17,11 @@ For a representative entry per plan class, capture
   i.e. the plan that actually ran;
 - ``pruned:<col>``: no scan's ReadSchema contains the named column
   (column pruning dropped it — e.g. ``o_comment`` for orders-touching
-  queries that never reference it).
+  queries that never reference it);
+- ``broadcast``: at least one BroadcastHashJoin (the dim side was
+  broadcast — at sf0.01 this pins that size stats flow into the join
+  strategy; at cluster scale the same stats keep small dims off the
+  shuffle path).
 
 Usage: python tools/plan_audit.py [entry ...]  (default: the curated
 list below; exits 1 on any violated expectation)
@@ -37,17 +41,24 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 # entry -> expectations.  One representative per plan class; every
 # listed entry also gets no_cartesian unless explicitly waived.
 EXPECT: dict[str, set[str]] = {
-    # TPC-H: selective scan (q6), join tree + agg (q5), top-k (q3)
+    # TPC-H: selective scan (q6), wide agg (q1), join tree + agg (q5),
+    # top-k (q3), pre-agg-join (q18)
     "q6_forecast_revenue": {"pushed", "codegen", "pruned:l_comment"},
-    "q5_nation_revenue": {"pushed", "codegen", "pruned:o_comment"},
+    "q1_pricing_summary": {"pushed", "codegen", "pruned:l_comment"},
+    "q5_nation_revenue": {"pushed", "codegen", "pruned:o_comment", "broadcast"},
     "q3_top_revenue": {"pushed", "codegen", "pruned:l_comment"},
+    "q18_large_volume_customers": {"pushed", "codegen", "broadcast"},
     # window / as-of
     "topk_orders_per_customer": {"codegen", "pruned:o_comment"},
     "asof_events_orders": {"codegen"},
     # BGP: predicate-filtered triple scans over the graph frame
     "bgp_customers_in_region": {"codegen"},
-    # events: timestamp agg
+    # events: timestamp agg, range join, salted skew join
     "events_hourly": {"codegen"},
+    "range_events_clicks": {"pushed", "codegen", "broadcast"},
+    "events_salted_enrich": {"codegen", "broadcast"},
+    # contamination: the benchmark set rides a broadcast, never a shuffle
+    "doc_contamination": {"codegen", "broadcast"},
     # dedup / text: hash-groupBy over a narrow projection
     "dedup_exact_docs": {"codegen", "pruned:n_chars"},
     "doc_text_quality": {"codegen"},
@@ -91,6 +102,8 @@ def audit_entry(name: str, plan: str) -> list[str]:
             problems.append("no non-empty PushedFilters on any scan")
     if "codegen" in want and "codegen id" not in plan:
         problems.append("no WholeStageCodegen spans")
+    if "broadcast" in want and "BroadcastHashJoin" not in plan:
+        problems.append("no BroadcastHashJoin (dim side hit the shuffle path)")
     for w in want:
         if w.startswith("pruned:"):
             col = w.split(":", 1)[1]
