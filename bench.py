@@ -344,21 +344,34 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "matcha_spark headline suite wall time",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "spread": spread,
-                "mode": mode,
-                "runs": runs,
-                "only": sorted(only) if only is not None else None,
-                "sf": float(sf),
-            }
-        )
-    )
+    payload = {
+        "metric": "matcha_spark headline suite wall time",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf),
+        "mode": mode,
+        "runs": runs,
+        "only": sorted(only) if only is not None else None,
+        "full": "bench_last.json",
+        "spread": spread,
+        # queries LAST: the driver preserves only the trailing 2 KB of
+        # stdout, so the per-entry numbers sit at the end of the line
+        # (BENCH_r11's recorded tail began mid-JSON — the suite outgrew
+        # the capture window)
+        "queries": times,
+    }
+    # the complete payload also lands in-repo: the driver commits
+    # uncommitted work at round close, so its own run's numbers — full
+    # per-entry times AND min/median/max spread — survive intact even
+    # when the stdout tail truncates
+    if only is None:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_last.json"),
+            "w",
+        ) as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+    print(json.dumps(payload))
     spark.stop()
 
 
