@@ -920,6 +920,7 @@ def coreness(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    unroll: int = 2,
 ) -> DataFrame:
     """K-core decomposition over an undirected edge list: ``(node,
     core)`` where ``core`` is the largest k such that the node belongs
@@ -946,7 +947,16 @@ def coreness(
     as any neighborhood aggregate.  ``max_iter`` is a safety rail: the
     fixpoint provably converges (typically in O(log n)-ish rounds on
     real graphs); exhausting it raises instead of returning a
-    not-yet-converged labeling."""
+    not-yet-converged labeling.
+
+    ``unroll`` (r12) folds that many fixpoint STEPS into each
+    materialization barrier: wall time on long-tailed convergence is
+    dominated by per-round scheduler/checkpoint overhead (~0.15-0.2 s
+    each; see docs/TUNING.md on the sf0.1 co-order graph's ~46-round
+    tail), and steps inside one linear plan cost only their shuffles.
+    Monotonicity makes the batched convergence test exact: values only
+    decrease, so "no change across ``unroll`` steps" ⟺ "no change at
+    the first of them" — the fixpoint and the result are unchanged."""
     from ..cache import cut_lineage
 
     e = (
@@ -965,16 +975,27 @@ def coreness(
         "aggregate(sort_array(collect_vals, false), 0, "
         "(h, v) -> CASE WHEN v >= h + 1 THEN h + 1 ELSE h END)"
     )
-    for _ in range(int(max_iter)):
+
+    def step(frame):
         vals = sym.join(
-            cur.select(F.col("n").alias("b"), F.col("c").alias("cb")), "b"
+            frame.select(F.col("n").alias("b"), F.col("c").alias("cb")), "b"
         ).select(F.col("a"), F.col("cb"))
-        obs = Observation()
-        nxt = cut_lineage(
+        return (
             vals.groupBy("a")
             .agg(F.collect_list("cb").alias("collect_vals"))
             .select(F.col("a").alias("n"), h_expr.alias("c"))
-            .join(
+        )
+
+    unroll = max(int(unroll), 1)
+    steps = 0
+    while steps < int(max_iter):
+        nxt_plan = cur
+        for _ in range(min(unroll, int(max_iter) - steps)):
+            nxt_plan = step(nxt_plan)
+            steps += 1
+        obs = Observation()
+        nxt = cut_lineage(
+            nxt_plan.join(
                 cur.select(F.col("n"), F.col("c").alias("prev")), "n"
             )
             .observe(
