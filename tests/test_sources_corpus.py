@@ -294,3 +294,40 @@ def test_stream_csv_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM csv_stream_test").collect()
     }
     assert got == batch and len(got) == 3
+
+
+def test_csv_source_untrusted_lines_fuzz(spark, tmp_path):
+    """Corpus CSV is untrusted text: whatever the lines contain, the
+    reader never raises, and good rows + quarantine rows exactly
+    partition the non-blank non-header lines."""
+    import random
+
+    from matcha_spark.sources.corpus import csv_quarantine, read_csv_documents
+
+    rng = random.Random(7)
+    lines = ["id,text,score"]
+    for i in range(40):
+        r = rng.random()
+        if r < 0.3:
+            lines.append(f"ok{i},doc {i},{i}.5")
+        elif r < 0.5:
+            lines.append(f"bad{i},text,{rng.choice(['x', '--', '1e', ''])}a")
+        elif r < 0.6:
+            lines.append(",,")
+        elif r < 0.7:
+            lines.append('"unterminated,quote %d' % i)
+        elif r < 0.8:
+            lines.append("")  # blank: ignored outright
+        else:
+            lines.append(
+                "".join(chr(rng.randrange(32, 0x2FF)) for _ in range(20))
+            )
+    p = tmp_path / "fuzz.csv"
+    p.write_text("\n".join(lines) + "\n")
+    fields = {"id": "string", "text": "string", "score": "double"}
+    good = read_csv_documents(spark, str(p), fields=fields, id_field="id").collect()
+    quar = csv_quarantine(spark, str(p), fields=fields).collect()
+    n_nonblank = sum(1 for l in lines[1:] if l.strip())
+    # partition property: every surviving line is exactly one of the two
+    assert len(good) + len(quar) == n_nonblank
+    assert all(r.text is not None for r in good)
