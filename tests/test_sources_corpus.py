@@ -331,3 +331,57 @@ def test_csv_source_untrusted_lines_fuzz(spark, tmp_path):
     # partition property: every surviving line is exactly one of the two
     assert len(good) + len(quar) == n_nonblank
     assert all(r.text is not None for r in good)
+
+
+def test_stream_csv_feeds_curation_cascade(spark, tmp_path):
+    """CSV drop-directory → the full streaming curation cascade
+    (blocklist → url dedup → quality → dedup-vs-store): the new source
+    composes with the capstone pipeline with zero seams — the refetch
+    in a later file is rejected against the persisted store, the
+    blocked domain never reaches dedup."""
+    import os
+
+    from matcha_spark.sources.corpus import stream_csv_documents
+    from matcha_spark.streaming.curate import stream_curate
+
+    drop = tmp_path / "drop"
+    os.makedirs(drop)
+    body = (
+        "a perfectly ordinary document about nothing in particular "
+        "that goes on for quite a while and then some more words"
+    )
+    (drop / "f1.csv").write_text(
+        "id,url,text\n"
+        f'a,http://ok.test/a,"{body}"\n'
+        'b,http://spam.test/x,"spam page body that is long enough to '
+        'pass any quality gate easily with many words"\n'
+    )
+    (drop / "f2.csv").write_text(
+        "id,url,text\n"
+        f'c,http://ok.test/a-refetch,"{body}"\n'
+    )
+    fields = {"id": "string", "url": "string", "text": "string"}
+    decisions = []
+
+    def sink(df, bid):
+        decisions.extend((r.doc_id, r.status) for r in df.collect())
+
+    q = stream_curate(
+        stream_csv_documents(
+            spark, str(drop), fields=fields, id_field="id",
+            max_files_per_trigger=1,
+        ),
+        str(tmp_path / "store"),
+        sink,
+        blocked_domains=["spam.test"],
+        dedup="exact",
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(10)
+    q.processAllAvailable()
+    q.stop()
+    got = dict(decisions)
+    assert got["a"] == "kept"
+    assert got["b"] == "blocked_domain"
+    assert got["c"] == "duplicate"  # exact refetch vs the store
+    assert len(got) == 3
