@@ -43,6 +43,15 @@ __all__ = [
 # cap and raises with the distributed alternative instead
 MAX_QUERY_ROWS = 65_536
 
+# lsh_bucketed_topk broadcasts its (exploded) query side only below
+# this many post-explode rows; above it the join is left unhinted so
+# Catalyst/AQE plans a shuffle join and both sides stay distributed —
+# the property the MAX_QUERY_ROWS error message promises callers
+# (r12 verdict ask #1: the hint used to be unconditional, which on a
+# corpus-scale query set forced an unbounded broadcast AFTER the
+# n_tables×(n_planes+1) multi-probe explode).
+MAX_BROADCAST_PROBE_ROWS = 262_144
+
 
 def _collect_query_rows(queries: DataFrame, vec_col: str, caller: str) -> list:
     """Bounded driver-side collect of an ANN query set: a ``limit``
@@ -267,7 +276,10 @@ def lsh_bucketed_topk(
     - ``multi_probe``: each *query* additionally probes the
       ``n_planes`` Hamming-1 buckets per table — a vector near a
       hyperplane lands on the wrong side of that one bit.  Fan-out
-      multiplies only the tiny broadcast query side.
+      multiplies only the query side, which is broadcast when its
+      post-explode size fits under :data:`MAX_BROADCAST_PROBE_ROWS`
+      and otherwise joins distributed (shuffle on (table, bucket)),
+      so corpus-scale query sets never materialize on one node.
 
     Recall < 1.0 by design; tune (planes, tables) to the corpus —
     fewer planes / more tables raises recall and candidate count.
@@ -287,7 +299,17 @@ def lsh_bucketed_topk(
             *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
         )
         q = q.withColumn("bucket", F.explode(probe_buckets))
-    q = F.broadcast(q)
+    # Broadcast only a provably small probe table.  The gate probes the
+    # PRE-explode query count (limit one past the cap — no count job
+    # over the full set) and compares the post-explode row total
+    # against MAX_BROADCAST_PROBE_ROWS; a corpus-scale query set leaves
+    # the join unhinted, so Catalyst/AQE plans a shuffle join on
+    # (table, bucket) and both sides stay distributed.
+    fanout = n_tables * ((n_planes + 1) if multi_probe else 1)
+    pre_cap = max(1, MAX_BROADCAST_PROBE_ROWS // fanout)
+    n_probe = len(queries.select(F.lit(1)).limit(pre_cap + 1).collect())
+    if n_probe <= pre_cap:
+        q = F.broadcast(q)
     c = with_buckets(
         corpus.select(F.col("vec_id").alias("n_id"), F.col(vec_col).alias("n_vec")), "n_vec"
     )

@@ -242,6 +242,36 @@ def test_lsh_recall_vs_bruteforce(spark):
     assert multi_recall >= single_recall
 
 
+def test_lsh_broadcast_gated_on_query_size(spark, monkeypatch):
+    """r12 (verdict ask #1): lsh_bucketed_topk is the documented
+    corpus-scale alternative to the driver-collecting ANN operators, so
+    its query-side broadcast hint must be gated on query size — a small
+    probe set broadcasts, a query side whose post-explode row count
+    exceeds MAX_BROADCAST_PROBE_ROWS joins distributed (shuffle join,
+    no forced unbounded broadcast)."""
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, float(i % 3), 0.5]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    small_q = emb.where("vec_id < 3")
+    plan_small = (
+        S.lsh_bucketed_topk(emb, small_q, k=2, dim=4, n_planes=2, n_tables=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastExchange" in plan_small or "BroadcastHashJoin" in plan_small
+    # corpus-sized query side (simulated by shrinking the cap): the
+    # bucket join must be planned WITHOUT a broadcast hint
+    monkeypatch.setattr(S, "MAX_BROADCAST_PROBE_ROWS", 1)
+    big = S.lsh_bucketed_topk(emb, emb, k=2, dim=4, n_planes=2, n_tables=2)
+    plan_big = big._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan_big, plan_big
+    assert "BroadcastHashJoin" not in plan_big, plan_big
+    # and it still computes the same neighbors as the hinted path
+    monkeypatch.setattr(S, "MAX_BROADCAST_PROBE_ROWS", 262_144)
+    hinted = S.lsh_bucketed_topk(emb, emb, k=2, dim=4, n_planes=2, n_tables=2)
+    assert {tuple(r) for r in big.collect()} == {tuple(r) for r in hinted.collect()}
+
+
 def test_multimodal_image_features(spark):
     rows = [
         (1, "image", "jpeg", 8, 8, None, bytearray(b"\x01\x02\x03")),
