@@ -610,3 +610,32 @@ def test_retired_entry_equivalences_r12(spark):
         ).collect()
     }
     assert gs == {**by_prio, **by_status, **grand}
+
+
+def test_retired_entry_equivalences_r13(spark):
+    """r13 registry consolidation (funding doc_jsonl_ingest, the raw
+    JSONL-ingestion entry):
+
+    - doc_bpe_roundtrip — its oracle was only the whitespace
+      normalization replay (lower + trim + collapse); the substantive
+      claim, that BPE encode is lossless (concatenated pieces with
+      </w> -> space reproduce the normalized text exactly), is pinned
+      here as a pure-Spark differential against that normalization on
+      the same sf0.001 documents.  The BPE family keeps oracle-backed
+      coverage through doc_bpe_pack and doc_bpe_pretokens."""
+    from pyspark.sql import functions as F
+
+    from matcha_spark import suite
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.doc_id: r.rebuilt
+        for r in suite.doc_bpe_roundtrip(spark, sf).collect()
+    }
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    norm = F.trim(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
+    want = {
+        r.doc_id: r.norm
+        for r in docs.select("doc_id", norm.alias("norm")).collect()
+    }
+    assert got == want and len(got) == 500
