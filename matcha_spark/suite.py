@@ -1794,6 +1794,45 @@ def graph_triangles_parts(spark, sf_dir):
     return triangle_counts(edges)
 
 
+def _coorder_coreness(spark, sf_dir):
+    """The sliced co-order part graph and its coreness fixpoint,
+    computed once per (session, sf_dir) and shared by the k-core pair
+    (r12 verdict ask #4): ``graph_kcore_sound`` and ``graph_kcore_max``
+    certify the SAME assignment, yet each used to rebuild the identical
+    graph and rerun the identical h-index iteration — together the two
+    slowest suite entries.  Both artifacts ride ``memo_persist`` (so
+    the soundness self-join reads the materialized edges) and the
+    suite-level graph cache (so bench cold mode's
+    ``clear_graph_cache`` drops them with everything else)."""
+    from .cache import memo_persist
+    from .operators.graph import coreness
+
+    ekey = (sf_dir, "__coorder_edges")
+    ckey = (sf_dir, "__coorder_coreness")
+    if ekey not in _GRAPH_CACHE or ckey not in _GRAPH_CACHE:
+        li = load_tables(spark, sf_dir, "lineitem")["lineitem"].where(
+            F.col("l_orderkey") % 10 == 0
+        )
+        a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+        b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+        e = memo_persist(
+            a.join(b, "l_orderkey")
+            .where(F.col("pa") < F.col("pb"))
+            .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+            .dropDuplicates()
+        )
+        core = memo_persist(coreness(e))
+        for key, df in ((ekey, e), (ckey, core)):
+            _GRAPH_CACHE.pop(key, None)
+            while len(_GRAPH_CACHE) >= _GRAPH_CACHE_MAX:
+                _GRAPH_CACHE.pop(next(iter(_GRAPH_CACHE))).unpersist()
+            _GRAPH_CACHE[key] = df
+    else:
+        for key in (ekey, ckey):
+            _GRAPH_CACHE[key] = _GRAPH_CACHE.pop(key)  # MRU
+    return _GRAPH_CACHE[ekey], _GRAPH_CACHE[ckey]
+
+
 def graph_kcore_sound(spark, sf_dir):
     """Derived-invariant twin for k-core decomposition (r11): coreness
     itself is an iterative fixpoint (no closed-form SQL), but any
@@ -1804,20 +1843,7 @@ def graph_kcore_sound(spark, sf_dir):
     maximality is ``graph_kcore_max``'s peel oracle, r12.)  Oracle:
     all-true over the graph's node set, published with the r12
     rotation after one held-back round."""
-    from .operators.graph import coreness
-
-    li = load_tables(spark, sf_dir, "lineitem")["lineitem"].where(
-        F.col("l_orderkey") % 10 == 0
-    )
-    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
-    e = (
-        a.join(b, "l_orderkey")
-        .where(F.col("pa") < F.col("pb"))
-        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-        .dropDuplicates()
-    )
-    core = coreness(e)
+    e, core = _coorder_coreness(spark, sf_dir)
     sym = e.unionAll(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -1857,21 +1883,11 @@ def graph_kcore_max(spark, sf_dir):
     within 12 rounds at every shipped SF and the CTE runs 24 (2x
     margin).  cf. reference closure semantics ``alpha.clj:193-203``
     only insofar as both are fixpoints; the operator itself is the
-    Lü et al. h-index iteration in ``operators/graph.py``."""
-    from .operators.graph import coreness
-
-    li = load_tables(spark, sf_dir, "lineitem")["lineitem"].where(
-        F.col("l_orderkey") % 10 == 0
-    )
-    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
-    e = (
-        a.join(b, "l_orderkey")
-        .where(F.col("pa") < F.col("pb"))
-        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-        .dropDuplicates()
-    )
-    core = coreness(e)
+    Lü et al. h-index iteration in ``operators/graph.py``.  The
+    fixpoint is shared with ``graph_kcore_sound`` via
+    :func:`_coorder_coreness` (r13) — one computation certifies both
+    halves."""
+    _, core = _coorder_coreness(spark, sf_dir)
     out = None
     for k in (4, 8):
         part = core.where(F.col("core") >= k).select(
