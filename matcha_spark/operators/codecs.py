@@ -982,9 +982,19 @@ def write_flac(
     :func:`flac_decode_audio`: real fLaC framing with CONSTANT
     subframes for flat blocks and VERBATIM subframes otherwise
     (lossless; values of the form k/32768 round-trip bit-exactly,
-    like :func:`write_wav`)."""
+    like :func:`write_wav`).
+
+    ``block_size`` must be ≥ 16: the FLAC spec forbids a STREAMINFO
+    min/max blocksize below 16 (r12 advice — sub-16 streams round-trip
+    through our own decoder but external decoders may reject them).  A
+    FINAL frame shorter than 16 samples is legal and still written."""
     import struct
 
+    if block_size < 16:
+        raise ValueError(
+            f"write_flac: block_size must be >= 16 (FLAC spec minimum "
+            f"for STREAMINFO blocksize), got {block_size}"
+        )
     w = np.asarray(wave, dtype=np.float64)
     pcm = np.clip(np.round(w * 32768.0), -32768, 32767).astype(np.int64)
     n_total = len(pcm)

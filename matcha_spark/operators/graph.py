@@ -986,17 +986,16 @@ def coreness(
             .select(F.col("a").alias("n"), h_expr.alias("c"))
         )
 
-    unroll = max(int(unroll), 1)
-    steps = 0
-    while steps < int(max_iter):
-        nxt_plan = cur
-        for _ in range(min(unroll, int(max_iter) - steps)):
+    def advance(frame, k):
+        """k fixpoint steps in one linear plan, then one barrier that
+        observes the batch-end-vs-batch-start change count."""
+        nxt_plan = frame
+        for _ in range(k):
             nxt_plan = step(nxt_plan)
-            steps += 1
         obs = Observation()
         nxt = cut_lineage(
             nxt_plan.join(
-                cur.select(F.col("n"), F.col("c").alias("prev")), "n"
+                frame.select(F.col("n"), F.col("c").alias("prev")), "n"
             )
             .observe(
                 obs,
@@ -1006,8 +1005,27 @@ def coreness(
             )
             .select("n", "c")
         )
-        changed = int(obs.get["changed"] or 0)
-        cur = nxt
+        return nxt, int(obs.get["changed"] or 0)
+
+    unroll = max(int(unroll), 1)
+    steps = 0
+    changed = None
+    while steps < int(max_iter):
+        k = min(unroll, int(max_iter) - steps)
+        cur, changed = advance(cur, k)
+        steps += k
+        if changed == 0:
+            return cur.select(F.col("n").alias("node"), F.col("c").alias("core"))
+    # One extra single-step confirmation batch (r12 advice): the batch
+    # observation compares batch-END against batch-START, so a fixpoint
+    # reached INSIDE the final unrolled batch (e.g. converged at step
+    # max_iter-1 of max_iter with unroll=2) still reads changed > 0
+    # even though the labeling is already exact.  Monotonicity makes
+    # the confirmation free of false positives: one more step is a
+    # no-op iff the fixpoint was reached, so the safety rail below now
+    # fires only on genuinely unconverged runs.
+    if steps > 0:
+        cur, changed = advance(cur, 1)
         if changed == 0:
             return cur.select(F.col("n").alias("node"), F.col("c").alias("core"))
     raise RuntimeError(

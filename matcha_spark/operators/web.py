@@ -81,6 +81,17 @@ def url_normalize(
       (no ``ref`` — see the note on ``_TRACKING_EXACT``); tune
       ``strip_params`` / ``strip_prefixes`` per corpus.
 
+    **Store-key migration caveat (r12 advice):** the r12 default
+    change (``ref``/``ref_src`` no longer stripped) changed the
+    canonical form of URLs that carry those params — any PERSISTED
+    state keyed on ``url_normalize`` output built before the change
+    (``stream_curate`` url seen-stores, ``stream_seen_filter`` key
+    stores, ``dedup_url`` snapshots) will not match refetches that
+    differ only in a previously-stripped param, so those records are
+    re-admitted once.  Either rebuild such stores, or pass
+    ``strip_params=(*_TRACKING_EXACT, "ref", "ref_src")`` to keep the
+    old keying.
+
     URLs with no parseable host pass through unchanged (better to
     under-merge than to corrupt an opaque identifier).  Pure built-ins
     → whole-stage codegen; safe to run on every crawl record."""

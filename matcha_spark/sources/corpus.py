@@ -24,6 +24,8 @@ JSONL → the streaming dedup/admission family).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -241,20 +243,29 @@ def _parse_csv_lines(
     ``from_csv`` carrying the corrupt-record slot, so good rows and
     quarantine rows are narrow stateless projections of one scan.
 
-    ``header=True`` drops lines that exactly match the expected header
-    (the field names joined by ``sep``, with or without quotes around
-    each name) — the line-based scan has no per-file "first line"
-    notion, and matching the declared header is the stateless
-    equivalent.  Records must be single-line: embedded newlines need
-    ``spark.read.csv(multiLine=True)``, which gives up input splitting
-    — the wrong trade at corpus scale."""
+    ``header=True`` drops lines that match the expected header — the
+    line-based scan has no per-file "first line" notion, and matching
+    the declared header is the stateless equivalent.  Matching (r12
+    advice) is per-field: the line is split on ``sep`` and each field
+    trimmed and stripped of surrounding quotes, so headers with extra
+    spacing, per-field or partial quoting, or a different column ORDER
+    (same name set) are all recognized and dropped instead of parsing
+    into a bogus all-string document.  The flip side: a genuine data
+    row whose normalized fields equal the header-name multiset is
+    dropped too — from good rows AND from quarantine (see
+    :func:`read_csv_documents`).  Records must be single-line:
+    embedded newlines need ``spark.read.csv(multiLine=True)``, which
+    gives up input splitting — the wrong trade at corpus scale."""
     ddl = _csv_schema_ddl(fields)
     out = lines.where(F.trim("value") != "")
     if header:
-        names = list(fields)
-        plain = sep.join(names)
-        quoted = sep.join(f"{quote}{n}{quote}" for n in names)
-        out = out.where(~F.col("value").isin(plain, quoted))
+        qq = re.escape(quote)
+        norm = F.transform(
+            F.split("value", re.escape(sep)),
+            lambda p: F.regexp_replace(F.trim(p), f"^{qq}|{qq}$", ""),
+        )
+        names = F.array(*[F.lit(n) for n in fields])
+        out = out.where(F.array_sort(norm) != F.array_sort(names))
     return out.select(
         "value",
         F.input_file_name().alias("__file"),
@@ -291,7 +302,15 @@ def read_csv_documents(
     become typed output columns.  Id/source fallbacks match the JSONL
     reader: ``md5`` of the raw line / the file basename.  Malformed
     lines (parse failure or NULL text) are EXCLUDED here and reported
-    by :func:`csv_quarantine`; ``sep="\\t"`` reads TSV."""
+    by :func:`csv_quarantine`; ``sep="\\t"`` reads TSV.
+
+    Header-elimination loss (r12 advice): with ``header=True``, any
+    line whose trimmed, unquoted fields equal the declared field-name
+    multiset is treated as a header and dropped SILENTLY — from the
+    good rows and from :func:`csv_quarantine` alike.  A genuine data
+    row whose content coincides with the header names is lost; if the
+    corpus can contain such rows, read with ``header=False`` and
+    filter headers upstream."""
     fields = fields or {"text": "string"}
     if text_field not in fields:
         raise ValueError(

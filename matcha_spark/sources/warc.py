@@ -188,13 +188,16 @@ def _http_payload(body: bytes) -> tuple[str, bytes, str | None]:
     err)`` with chunked transfer undone.  A block with no header
     terminator is treated as headerless payload.
 
-    ``err`` (r12 advice) is ``"content_encoding_failed"`` when the
-    declared gzip Content-Encoding cannot be inflated: the payload
-    stays COMPRESSED in that case, and decoding those bytes as the
-    declared charset would produce replacement-character soup that
-    flows into downstream curation looking like a document — the
-    caller must quarantine instead (empty text; ``warc_malformed``
-    reports the record)."""
+    ``err`` (r12 advice, widened r13) is ``"content_encoding_failed"``
+    when a declared non-identity Content-Encoding cannot be undone —
+    gzip that will not inflate, or an encoding with no decoder here
+    (br/deflate/zstd/...): the payload stays COMPRESSED in that case,
+    and decoding those bytes as the declared charset would produce
+    replacement-character soup that flows into downstream curation
+    looking like a document — the caller must quarantine instead
+    (empty text; ``warc_malformed`` reports the record).  An EMPTY
+    body is never an encoding failure (nothing to inflate), and a
+    gzip body that inflates to empty is a success, not a failure."""
     cut = body.find(_HDR_END)
     if cut < 0 or not body[:5] in (b"HTTP/",):
         return "", body, None
@@ -202,10 +205,14 @@ def _http_payload(body: bytes) -> tuple[str, bytes, str | None]:
     payload = body[cut + len(_HDR_END):]
     if "chunked" in hh.get("transfer-encoding", "").lower():
         payload = _dechunk(payload)
-    if hh.get("content-encoding", "").lower() in ("gzip", "x-gzip"):
-        got, err = _gunzip_members(payload)
-        if err is None and got:
-            payload = got
+    enc = hh.get("content-encoding", "").strip().lower()
+    if enc and enc != "identity" and payload:
+        if enc in ("gzip", "x-gzip"):
+            got, err = _gunzip_members(payload)
+            if err is None:
+                payload = got
+            else:
+                return hh.get("content-type", ""), payload, "content_encoding_failed"
         else:
             return hh.get("content-type", ""), payload, "content_encoding_failed"
     return hh.get("content-type", ""), payload, None
@@ -376,10 +383,13 @@ def warc_malformed(spark: SparkSession, path: str) -> DataFrame:
     ``truncated_block``, ``gzip_truncated``, ``gzip_error:*``,
     ``content_encoding_failed``} and ``offset`` is the byte position
     in the DECOMPRESSED stream — a distributed audit trail mirroring
-    :func:`jsonl_quarantine`.  ``content_encoding_failed`` (r12) marks
-    response records whose declared gzip body would not inflate: the
-    read emits them with EMPTY text (never compressed bytes decoded as
-    charset soup), and this view is where they surface."""
+    :func:`jsonl_quarantine`.  ``content_encoding_failed`` (r12,
+    widened r13) marks response records whose declared non-identity
+    Content-Encoding could not be undone — gzip that would not
+    inflate, or an encoding with no decoder here (br, deflate, zstd,
+    ...): the read emits them with EMPTY text (never compressed bytes
+    decoded as charset soup), and this view is where they surface.
+    Empty bodies are exempt — nothing to inflate is not a failure."""
     import pandas as pd
 
     binf = spark.read.format("binaryFile").load(path)

@@ -38,7 +38,13 @@ from typing import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _compact_store, _read_if_exists, _recover_store
+from .dedup import (
+    _compact_store,
+    _ledger_count,
+    _ledger_has,
+    _read_if_exists,
+    _recover_store,
+)
 
 __all__ = ["stream_curate"]
 
@@ -93,6 +99,15 @@ def stream_curate(
     appends are guarded by one batch-id ledger; exact-mode decisions
     are exactly idempotent under replay (seen-key keeper==id), near
     modes recompute deterministically as in ``stream_incremental_dedup``.
+
+    Url-store migration caveat (r12 advice): ``url_dedup`` keys its
+    seen-store on ``url_normalize`` output, whose DEFAULT strip list
+    changed in r12 (``ref``/``ref_src`` no longer stripped).  A
+    url-keys store built before that change will not match refetches
+    differing only in a previously-stripped param — each such URL is
+    re-admitted once.  Rebuild the store or see
+    :func:`matcha_spark.operators.web.url_normalize` for the
+    keep-old-keying override.
     """
     if dedup not in ("exact", "simhash", "minhash"):
         raise ValueError(f"dedup must be exact|simhash|minhash, got {dedup!r}")
@@ -108,9 +123,7 @@ def stream_curate(
 
         spark = batch_df.sparkSession
         ledger = _read_if_exists(spark, ledger_dir)
-        done = (
-            {r.batch_id for r in ledger.collect()} if ledger is not None else set()
-        )
+        already = _ledger_has(ledger, batch_id)
         docs = batch_df
         # --- stage 1: blocklist (static, no state) --------------------
         if blocked_domains is not None:
@@ -242,7 +255,7 @@ def stream_curate(
         decisions_sink(decisions, batch_id)
 
         # --- guarded state appends ------------------------------------
-        if batch_id not in done:
+        if not already:
             if new_url_keys is not None:
                 new_url_keys.write.mode("append").parquet(url_keys_dir)
             if new_fp_keys is not None:
@@ -252,7 +265,7 @@ def stream_curate(
             spark.createDataFrame(
                 [(int(batch_id),)], "batch_id long"
             ).write.mode("append").parquet(ledger_dir)
-            if compact_every and (len(done) + 1) % compact_every == 0:
+            if compact_every and (_ledger_count(ledger) + 1) % compact_every == 0:
                 for d in (url_keys_dir, fp_keys_dir, sig_dir):
                     if _read_if_exists(spark, d) is not None:
                         _compact_store(spark, d)

@@ -88,9 +88,7 @@ def stream_incremental_dedup(
         _recover_store(spark, sig_dir)
         existing = _read_if_exists(spark, sig_dir)
         ledger = _read_if_exists(spark, ledger_dir)
-        done = (
-            {r.batch_id for r in ledger.collect()} if ledger is not None else set()
-        )
+        already = _ledger_has(ledger, batch_id)
         delta = None
         if method == "simhash":
             decisions, _ = incremental_dedup_simhash(
@@ -137,18 +135,37 @@ def stream_incremental_dedup(
                 "left_semi",
             )
         decisions_sink(decisions, batch_id)
-        if batch_id not in done:
+        if not already:
             kept.write.mode("append").parquet(sig_dir)
             spark.createDataFrame(
                 [(int(batch_id),)], "batch_id long"
             ).write.mode("append").parquet(ledger_dir)
-            if compact_every and (len(done) + 1) % compact_every == 0:
+            if compact_every and (_ledger_count(ledger) + 1) % compact_every == 0:
                 _compact_store(spark, sig_dir)
 
     writer = docs_stream.writeStream.foreachBatch(handle).outputMode("update")
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.trigger(availableNow=True).start()
+
+
+def _ledger_has(ledger: DataFrame | None, batch_id: int) -> bool:
+    """Replay probe for one batch id WITHOUT collecting the ledger
+    (r12 verdict ask #7): the old ``{r.batch_id for r in
+    ledger.collect()}`` was the only driver-side structure that grew
+    with stream lifetime.  A pushed-down equality filter + limit(1)
+    touches one value however long the stream has run."""
+    if ledger is None:
+        return False
+    return bool(
+        ledger.where(F.col("batch_id") == int(batch_id)).limit(1).count()
+    )
+
+
+def _ledger_count(ledger: DataFrame | None) -> int:
+    """Recorded-batch count for the compaction cadence — a distributed
+    aggregate over the one-column ledger, never a collect."""
+    return int(ledger.count()) if ledger is not None else 0
 
 
 def _read_if_exists(spark, path: str) -> DataFrame | None:

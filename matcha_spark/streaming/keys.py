@@ -30,7 +30,13 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _compact_store, _read_if_exists, _recover_store
+from .dedup import (
+    _compact_store,
+    _ledger_count,
+    _ledger_has,
+    _read_if_exists,
+    _recover_store,
+)
 
 __all__ = ["stream_seen_filter"]
 
@@ -68,9 +74,7 @@ def stream_seen_filter(
         _recover_store(spark, keys_dir)
         store = _read_if_exists(spark, keys_dir)
         ledger = _read_if_exists(spark, ledger_dir)
-        done = (
-            {r.batch_id for r in ledger.collect()} if ledger is not None else set()
-        )
+        already = _ledger_has(ledger, batch_id)
         b = batch_df.select(
             F.col(id_col).alias("__id"), key_expr.alias("__key")
         )
@@ -111,7 +115,7 @@ def stream_seen_filter(
             ).alias("dup_of"),
         )
         decisions_sink(decisions, batch_id)
-        if batch_id not in done:
+        if not already:
             new_keys = (
                 joined.where(
                     F.col("__key").isNotNull() & F.col("keeper").isNull()
@@ -126,7 +130,7 @@ def stream_seen_filter(
             spark.createDataFrame(
                 [(int(batch_id),)], "batch_id long"
             ).write.mode("append").parquet(ledger_dir)
-            if compact_every and (len(done) + 1) % compact_every == 0:
+            if compact_every and (_ledger_count(ledger) + 1) % compact_every == 0:
                 _compact_store(spark, keys_dir)
 
     writer = stream.writeStream.foreachBatch(handle).outputMode("update")

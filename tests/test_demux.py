@@ -654,12 +654,18 @@ def test_flac_decoder_untrusted_bytes_fuzz():
 
 def test_flac_roundtrip_hypothesis():
     """Property: any float waveform round-trips through write_flac →
-    flac_decode_audio to its int16 quantization, at any block size."""
+    flac_decode_audio to its int16 quantization, at any spec-legal
+    block size (≥ 16 — r12 advice: STREAMINFO forbids smaller; final
+    short frames are covered by sizes not dividing the length)."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
     import numpy as np
+    import pytest
 
     from matcha_spark.operators.codecs import flac_decode_audio, write_flac
+
+    with pytest.raises(ValueError, match="block_size"):
+        write_flac(np.zeros(4), block_size=3)
 
     @settings(max_examples=40, deadline=None)
     @given(
@@ -668,7 +674,7 @@ def test_flac_roundtrip_hypothesis():
             min_size=0,
             max_size=400,
         ),
-        st.sampled_from([1, 3, 17, 64, 4096]),
+        st.sampled_from([16, 17, 33, 64, 4096]),
     )
     def run(vals, bs):
         w = np.array(vals, dtype=np.float64)

@@ -1644,6 +1644,32 @@ def test_coreness_planted(spark):
     assert got[0] == 4 and got[10] == 2 and got[21] == 1
 
 
+def test_coreness_converges_inside_final_unroll_batch(spark):
+    """r12 advice: the unrolled convergence test compares batch-end vs
+    batch-start, so a fixpoint reached INSIDE the final batch used to
+    raise 'did not converge' where unroll=1 returned the exact result.
+    The path graph P8 makes its last change at step 3 and confirms at
+    step 4: with max_iter=4, unroll=2's second batch covers steps (3,4)
+    and reads changed>0 — the one-step confirmation batch must rescue
+    it.  A genuinely unconverged run (max_iter=2) must still raise."""
+    from matcha_spark.operators.graph import coreness
+
+    edges = [(i, i + 1) for i in range(7)]  # P8: coreness 1 everywhere
+    df = spark.createDataFrame(edges, "src long, dst long")
+    base = {
+        r.node: r.core
+        for r in coreness(df, max_iter=4, unroll=1).collect()
+    }
+    assert set(base.values()) == {1} and len(base) == 8
+    got = {
+        r.node: r.core
+        for r in coreness(df, max_iter=4, unroll=2).collect()
+    }
+    assert got == base
+    with pytest.raises(RuntimeError, match="did not converge"):
+        coreness(df, max_iter=2, unroll=2)
+
+
 @pytest.mark.parametrize("seed", range(5))
 def test_coreness_random_differential(spark, seed):
     import random as _r

@@ -250,6 +250,23 @@ def test_read_csv_documents(spark, tmp_path):
     q = {r.reason for r in csv_quarantine(spark, str(p), fields=fields).collect()}
     assert "missing_text" in q and "malformed_csv" in q
 
+    # header variants (r12 advice): spacing, partial/mixed quoting, and
+    # column reorder are all recognized as headers and dropped rather
+    # than parsed into bogus all-string documents
+    v = tmp_path / "variants.csv"
+    v.write_text(
+        "id, text ,score\n"          # spacing
+        '"id",text,"score"\n'        # partial quoting
+        "text,id,score\n"            # reordered
+        "e,real row,3.0\n"
+    )
+    vdocs = read_csv_documents(
+        spark, str(v), fields=fields, id_field="id"
+    ).collect()
+    assert [(r.doc_id, r.text) for r in vdocs] == [("e", "real row")]
+    vq = csv_quarantine(spark, str(v), fields=fields).collect()
+    assert vq == []  # header variants are dropped, never quarantined
+
     # TSV + no header + content-addressed ids
     t = tmp_path / "docs.tsv"
     t.write_text("first doc\t0.1\nsecond doc\t0.2\n")

@@ -480,3 +480,50 @@ def test_warc_content_encoding_failure_quarantined(spark, tmp_path):
     }
     assert pl["urn:uuid:bad"].text == ""
     assert bytes(pl["urn:uuid:bad"].payload).startswith(b"\x1f\x8b")
+
+
+def test_warc_unhandled_and_empty_content_encodings(spark, tmp_path):
+    """r12 advice: (a) a declared non-identity encoding with no decoder
+    here (br/deflate/zstd) must quarantine like failed gzip — not fall
+    through to charset-decoding compressed bytes; (b) an EMPTY body
+    with an encoding declared has nothing to inflate and is NOT a
+    failure; (c) gzip that inflates to empty is a success."""
+    import gzip as _gz
+
+    br = _record(
+        "response",
+        _http(b"\x0b\x02\x80compressed-brotli-ish",
+              extra="Content-Encoding: br\r\n"),
+        uri="http://example.com/br", rec_id="<urn:uuid:br>",
+    )
+    empty = _record(
+        "response",
+        _http(b"", extra="Content-Encoding: gzip\r\n"),
+        uri="http://example.com/empty", rec_id="<urn:uuid:empty>",
+    )
+    gz_empty = _record(
+        "response",
+        _http(_gz.compress(b""), extra="Content-Encoding: gzip\r\n"),
+        uri="http://example.com/gzempty", rec_id="<urn:uuid:gzempty>",
+    )
+    identity = _record(
+        "response",
+        _http(b"plain text body", extra="Content-Encoding: identity\r\n"),
+        uri="http://example.com/id", rec_id="<urn:uuid:id>",
+    )
+    p = tmp_path / "enc2.warc"
+    p.write_bytes(br + empty + gz_empty + identity)
+    from matcha_spark.sources.warc import read_warc_documents, warc_malformed
+
+    docs = {r.doc_id: r for r in read_warc_documents(spark, str(p)).collect()}
+    assert docs["urn:uuid:br"].text == ""
+    assert docs["urn:uuid:empty"].text == ""
+    assert docs["urn:uuid:gzempty"].text == ""
+    assert docs["urn:uuid:id"].text == "plain text body"
+    bad = {
+        (r.reason)
+        for r in warc_malformed(spark, str(p)).collect()
+    }
+    # only the br record fails; empty/identity/gzip-of-empty are clean
+    assert bad == {"content_encoding_failed"}
+    assert warc_malformed(spark, str(p)).count() == 1
