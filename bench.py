@@ -334,6 +334,24 @@ def main() -> None:
         graph_kcore_max,
     )
 
+    # r13: the k-core pair shares one memoized coreness fixpoint
+    # (suite._coorder_coreness), so the pair's entries measure their
+    # own joins/slices over the cached assignment (~0.5 s) — honest for
+    # the suite, but it would leave the most expensive iterative
+    # operator without a committed number.  This bench-only entry
+    # evicts the co-order cache keys and times the fixpoint cold.
+    def _kcore_fixpoint():
+        from matcha_spark.suite import _GRAPH_CACHE, _coorder_coreness
+
+        for key in [
+            k
+            for k in list(_GRAPH_CACHE)
+            if isinstance(k, tuple) and str(k[-1]).startswith("__coorder")
+        ]:
+            _GRAPH_CACHE.pop(key).unpersist()
+        force(_coorder_coreness(spark, SF_DIR)[1])
+
+    bench("graph_kcore_fixpoint", _kcore_fixpoint, repeat=False, prewarm="none")
     bench("graph_kcore_max", lambda: force(graph_kcore_max(spark, SF_DIR)))
     bench("doc_flac_features", lambda: force(doc_flac_features(spark, SF_DIR)))
     bench("emb_lsh_recall_sound", lambda: force(emb_lsh_recall_sound(spark, SF_DIR)))
@@ -341,6 +359,40 @@ def main() -> None:
     bench("emb_pq_recall_sound", lambda: force(emb_pq_recall_sound(spark, SF_DIR)))
     bench("doc_minhash_recall_sound", lambda: force(doc_minhash_recall_sound(spark, SF_DIR)))
     bench("dedup_near_lsh_sound", lambda: force(dedup_near_lsh_sound(spark, SF_DIR)))
+
+    # --- auto coverage (r13, verdict ask #5) --------------------------
+    # Every entry in the CURRENT driver window (the first 50 of
+    # QUERIES) not hand-benched above gets ONE timed run, so each
+    # round's correctness window carries committed wall-times and a
+    # plan regression shows up as a bench delta instead of being
+    # invisible until it breaks.  Window-scoped, not whole-registry:
+    # the window rotates over every oracle-backed entry within 3
+    # rounds, so coverage follows the rotation while the bench stays
+    # inside the per-round budget (a full-registry sweep measured >10
+    # min at sf0.1 — entries outside the window are the documented
+    # exclusion, each no more than 3 rounds from its next number).
+    # Single-run, no self-prewarm: coarser than the tuned entries
+    # above (first-codegen cost included); promote an entry to the
+    # tuned list when its number needs to be load-bearing.
+    # Documented exclusion: derived-invariant twins (_planted/_sound/
+    # _stable/_tolerance) re-run their underlying operator plus a
+    # filter or an exact reference pass — the operator itself is the
+    # benched surface, and double-running the most expensive family
+    # members (video/audio near-dup, recall certifications) is what
+    # pushed the sweep past the per-round budget.  A twin whose cost
+    # diverges from its base operator belongs in the tuned list.
+    from matcha_spark.suite import QUERIES
+
+    _TWIN_SUFFIXES = ("_planted", "_sound", "_stable", "_tolerance")
+    for _name in list(QUERIES)[:50]:
+        if _name in times or _name.endswith(_TWIN_SUFFIXES):
+            continue
+        bench(
+            _name,
+            (lambda f: lambda: force(f(spark, SF_DIR)))(QUERIES[_name]),
+            repeat=False,
+            prewarm="none",
+        )
 
     total = round(sum(times.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -23,8 +23,14 @@ For a representative entry per plan class, capture
   strategy; at cluster scale the same stats keep small dims off the
   shuffle path).
 
-Usage: python tools/plan_audit.py [entry ...]  (default: the curated
-list below; exits 1 on any violated expectation)
+The iterative family (coreness / pagerank / connected_components) is
+audited separately (r13, verdict ask #8): their scale contract is a
+per-round DRIVER-ACTION budget (one barrier per round, zero driver
+reads per round) rather than a plan shape — see ``audit_iterative``.
+
+Usage: python tools/plan_audit.py [entry ... | iterative]  (default:
+the curated list below plus the iterative audit; exits 1 on any
+violated expectation)
 """
 
 from __future__ import annotations
@@ -113,9 +119,118 @@ def audit_entry(name: str, plan: str) -> list[str]:
     return problems
 
 
+# --- iterative family: per-round driver-action budget (r13, ask #8) ---
+# The scale contract for the iterative operators is "ONE barrier per
+# round, ZERO driver reads per round" — a change that sneaks an extra
+# count()/collect() into the loop multiplies scheduler round-trips at
+# cluster scale long before it shows in a local bench.  Raw Spark job
+# counts are AQE-noisy (one query spawns a job per materialized
+# exchange), so the tripwire counts EAGER DRIVER ACTIONS
+# (localCheckpoint/checkpoint/collect/count/toPandas) during the
+# operator call via a class patch, and pins both the absolute budget
+# and the per-round increment between two run lengths.
+
+_ACTIONS = ("localCheckpoint", "checkpoint", "collect", "count", "toPandas")
+
+
+def _count_actions(fn) -> dict[str, int]:
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame  # Spark 4.x
+    except ImportError:  # pragma: no cover - Spark 3.x class layout
+        from pyspark.sql import DataFrame
+    counts: dict[str, int] = {m: 0 for m in _ACTIONS}
+    orig = {m: getattr(DataFrame, m) for m in _ACTIONS}
+
+    def mk(m, f):
+        def wrapped(self, *a, **k):
+            counts[m] += 1
+            return f(self, *a, **k)
+
+        return wrapped
+
+    for m, f in orig.items():
+        setattr(DataFrame, m, mk(m, f))
+    try:
+        fn()
+    finally:
+        for m, f in orig.items():
+            setattr(DataFrame, m, f)
+    counts["barriers"] = counts.pop("localCheckpoint") + counts.pop("checkpoint")
+    counts["reads"] = (
+        counts.pop("collect") + counts.pop("count") + counts.pop("toPandas")
+    )
+    return counts
+
+
+def audit_iterative(spark) -> list[str]:
+    from matcha_spark.operators.dedup import connected_components
+    from matcha_spark.operators.graph import coreness, pagerank
+
+    def path(n):
+        return spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+        )
+
+    problems: list[str] = []
+
+    def check(tag, got, barriers, reads):
+        if got["barriers"] != barriers:
+            problems.append(
+                f"{tag}: {got['barriers']} barriers, expected {barriers}"
+            )
+        if got["reads"] != reads:
+            problems.append(
+                f"{tag}: {got['reads']} driver reads, expected {reads}"
+            )
+
+    # coreness: h-index fixpoint on a path P_n makes its last change at
+    # step ceil((n-2)/2)-ish; P8 detects at batch 3, P16 at batch 5
+    # (unroll=2).  Budget: 1 barrier for the symmetrized edges + 1 per
+    # batch, zero driver reads (convergence rides an Observation).
+    c8 = _count_actions(lambda: coreness(path(8)))
+    c16 = _count_actions(lambda: coreness(path(16)))
+    check("coreness(P8)", c8, barriers=1 + 3, reads=0)
+    check("coreness(P16)", c16, barriers=1 + 5, reads=0)
+    if c16["barriers"] - c8["barriers"] != 2:
+        problems.append(
+            "coreness: per-batch barrier increment != 1 "
+            f"(P8→P16 delta {c16['barriers'] - c8['barriers']}, want 2)"
+        )
+
+    # pagerank: fixed-iteration loop — 1 barrier per iteration + 1 for
+    # the prepared edge frame; the 4 driver reads are the bounded SETUP
+    # (node set + strength scalars), constant in iters: the
+    # dangling-mass scalar rides an Observation per round (r12).
+    p3 = _count_actions(lambda: pagerank(path(10), iters=3))
+    p6 = _count_actions(lambda: pagerank(path(10), iters=6))
+    check("pagerank(iters=3)", p3, barriers=1 + 3, reads=4)
+    check("pagerank(iters=6)", p6, barriers=1 + 6, reads=4)
+    if p6["reads"] != p3["reads"]:
+        problems.append(
+            "pagerank: driver reads grow with iteration count "
+            f"({p3['reads']} @3 vs {p6['reads']} @6)"
+        )
+
+    # connected_components below small_cutoff: the documented driver
+    # union-find path — constant 2 barriers + exactly 1 bounded read
+    # (the observed-size-gated edge collect, r10) however long the
+    # path is
+    u5 = _count_actions(
+        lambda: connected_components(path(5), src="src", dst="dst")
+    )
+    u17 = _count_actions(
+        lambda: connected_components(path(17), src="src", dst="dst")
+    )
+    check("cc-smallpath(P5)", u5, barriers=2, reads=1)
+    check("cc-smallpath(P17)", u17, barriers=2, reads=1)
+
+    return problems
+
+
 def main() -> int:
     only = sys.argv[1:]
-    names = only or list(EXPECT)
+    run_iter = (not only) or ("iterative" in only)
+    names = [n for n in only if n != "iterative"] if only else list(EXPECT)
     unknown = [n for n in names if n not in EXPECT]
     if unknown:
         print(f"PROBLEM: no expectations declared for {unknown}")
@@ -143,6 +258,15 @@ def main() -> int:
                 print(f"PROBLEM {name}: {p}")
         else:
             print(f"OK {name}")
+    if run_iter:
+        iter_problems = audit_iterative(spark)
+        if iter_problems:
+            rc = 1
+            for p in iter_problems:
+                print(f"PROBLEM iterative: {p}")
+        else:
+            print("OK iterative (coreness/pagerank/connected_components "
+                  "per-round driver-action budgets hold)")
     if rc == 0:
         print("OK: every audited plan meets its declared expectations")
     spark.stop()
