@@ -1778,59 +1778,71 @@ def graph_triangles_parts(spark, sf_dir):
     sparsification (unbiased ``sampled/p³`` estimator, wedge join cut
     ~p², deterministic per seed; pinned by
     ``test_triangle_count_global_*``).  Oracle published with the
-    r12 rotation after one held-back round."""
+    r12 rotation after one held-back round.  r13: the edge slice comes
+    from the shared :func:`_coorder_edges` memo (the k-core pair reads
+    the same graph); ``triangle_counts`` canonicalizes/dedups
+    internally, so the already-canonical input is a no-op pass."""
     from .operators.graph import triangle_counts
 
-    li = load_tables(spark, sf_dir, "lineitem")["lineitem"].where(
-        F.col("l_orderkey") % 10 == 0
-    )
-    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("pa") < F.col("pb"))
-        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-    )
-    return triangle_counts(edges)
+    return triangle_counts(_coorder_edges(spark, sf_dir))
 
 
-def _coorder_coreness(spark, sf_dir):
-    """The sliced co-order part graph and its coreness fixpoint,
-    computed once per (session, sf_dir) and shared by the k-core pair
-    (r12 verdict ask #4): ``graph_kcore_sound`` and ``graph_kcore_max``
-    certify the SAME assignment, yet each used to rebuild the identical
-    graph and rerun the identical h-index iteration — together the two
-    slowest suite entries.  Both artifacts ride ``memo_persist`` (so
-    the soundness self-join reads the materialized edges) and the
-    suite-level graph cache (so bench cold mode's
-    ``clear_graph_cache`` drops them with everything else)."""
+def _cache_put(key, df):
+    _GRAPH_CACHE.pop(key, None)
+    while len(_GRAPH_CACHE) >= _GRAPH_CACHE_MAX:
+        _GRAPH_CACHE.pop(next(iter(_GRAPH_CACHE))).unpersist()
+    _GRAPH_CACHE[key] = df
+
+
+def _coorder_edges(spark, sf_dir):
+    """The sliced co-order part graph (deterministic 10% order slice,
+    deduped canonical ``src < dst`` edges), memo-persisted once per
+    (session, sf_dir): ``graph_triangles_parts``, ``graph_kcore_sound``
+    and ``graph_kcore_max`` all analyze this same graph, and each used
+    to rebuild it from the lineitem self-join."""
     from .cache import memo_persist
-    from .operators.graph import coreness
 
-    ekey = (sf_dir, "__coorder_edges")
-    ckey = (sf_dir, "__coorder_coreness")
-    if ekey not in _GRAPH_CACHE or ckey not in _GRAPH_CACHE:
+    key = (sf_dir, "__coorder_edges")
+    if key not in _GRAPH_CACHE:
         li = load_tables(spark, sf_dir, "lineitem")["lineitem"].where(
             F.col("l_orderkey") % 10 == 0
         )
         a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
         b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
-        e = memo_persist(
-            a.join(b, "l_orderkey")
-            .where(F.col("pa") < F.col("pb"))
-            .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-            .dropDuplicates()
+        _cache_put(
+            key,
+            memo_persist(
+                a.join(b, "l_orderkey")
+                .where(F.col("pa") < F.col("pb"))
+                .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+                .dropDuplicates()
+            ),
         )
-        core = memo_persist(coreness(e))
-        for key, df in ((ekey, e), (ckey, core)):
-            _GRAPH_CACHE.pop(key, None)
-            while len(_GRAPH_CACHE) >= _GRAPH_CACHE_MAX:
-                _GRAPH_CACHE.pop(next(iter(_GRAPH_CACHE))).unpersist()
-            _GRAPH_CACHE[key] = df
     else:
-        for key in (ekey, ckey):
-            _GRAPH_CACHE[key] = _GRAPH_CACHE.pop(key)  # MRU
-    return _GRAPH_CACHE[ekey], _GRAPH_CACHE[ckey]
+        _GRAPH_CACHE[key] = _GRAPH_CACHE.pop(key)  # MRU
+    return _GRAPH_CACHE[key]
+
+
+def _coorder_coreness(spark, sf_dir):
+    """The co-order graph and its coreness fixpoint, computed once per
+    (session, sf_dir) and shared by the k-core pair (r12 verdict ask
+    #4): ``graph_kcore_sound`` and ``graph_kcore_max`` certify the
+    SAME assignment, yet each used to rebuild the identical graph and
+    rerun the identical h-index iteration — together the two slowest
+    suite entries.  Both artifacts ride ``memo_persist`` (so the
+    soundness self-join reads the materialized edges) and the
+    suite-level graph cache (so bench cold mode's
+    ``clear_graph_cache`` drops them with everything else)."""
+    from .cache import memo_persist
+    from .operators.graph import coreness
+
+    e = _coorder_edges(spark, sf_dir)
+    ckey = (sf_dir, "__coorder_coreness")
+    if ckey not in _GRAPH_CACHE:
+        _cache_put(ckey, memo_persist(coreness(e)))
+    else:
+        _GRAPH_CACHE[ckey] = _GRAPH_CACHE.pop(ckey)  # MRU
+    return e, _GRAPH_CACHE[ckey]
 
 
 def graph_kcore_sound(spark, sf_dir):
