@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "read_jsonl_documents",
     "jsonl_quarantine",
+    "write_jsonl_documents",
     "read_text_documents",
     "stream_jsonl_documents",
     "read_csv_documents",
@@ -167,6 +168,42 @@ def jsonl_quarantine(
         .otherwise(F.lit("missing_text"))
         .alias("reason"),
     )
+
+
+def write_jsonl_documents(
+    docs: DataFrame,
+    path: str,
+    mode: str = "error",
+    line_cols: tuple[str, ...] | None = None,
+    compression: str | None = None,
+) -> None:
+    """The sink inverse of :func:`read_jsonl_documents`: one JSON
+    object per line (the interchange format curated corpora ship in),
+    written distributed — each partition lands as one part file, so
+    the writer scales exactly like the text writer it rides.
+
+    ``line_cols`` selects/orders the emitted keys (default: every
+    column); ``compression`` is any Spark text codec (``"gzip"`` gives
+    the classic ``.jsonl.gz`` drop-directory shape — splittability is
+    lost per file, which is why the READER prefers many modest files
+    over one giant one).  Spark's ``to_json`` performs all JSON string
+    escaping, so write → read round-trips every value exactly (pinned
+    by ``test_jsonl_write_read_roundtrip``).  NULL fields are omitted
+    from the line (JSON-idiomatic): a NULL ``text`` therefore
+    round-trips as a ``missing_text`` quarantine line, mirroring the
+    reader's contract rather than inventing a ``"text": null`` row the
+    reader would reject anyway.
+
+    Order note: line order within a part file follows partition order;
+    for a deterministic GLOBAL order, shuffle first
+    (``operators.text.corpus_shuffle``) and ``repartitionByRange`` on
+    the position — same recipe as ``write_corpus_shards``."""
+    cols = list(line_cols or docs.columns)
+    out = docs.select(F.to_json(F.struct(*cols)).alias("value"))
+    w = out.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.text(path)
 
 
 def read_text_documents(

@@ -402,3 +402,60 @@ def test_stream_csv_feeds_curation_cascade(spark, tmp_path):
     assert got["b"] == "blocked_domain"
     assert got["c"] == "duplicate"  # exact refetch vs the store
     assert len(got) == 3
+
+
+def test_jsonl_write_read_roundtrip(spark, tmp_path):
+    """write_jsonl_documents is the exact sink inverse of
+    read_jsonl_documents: every string survives the JSON escape/
+    unescape byte-for-byte (quotes, backslashes, newlines, tabs,
+    non-ASCII), typed extras keep their types, a NULL text field is
+    omitted from its line and surfaces as the reader's missing_text
+    quarantine, and the gzip codec produces a readable .gz drop
+    directory."""
+    from matcha_spark.sources.corpus import (
+        jsonl_quarantine,
+        read_jsonl_documents,
+        write_jsonl_documents,
+    )
+
+    rows = [
+        ("a", 'he said "hi" \\ bye', "en", 1.5),
+        ("b", "line\nbreak\ttab", "de", -0.25),
+        ("c", "café über 中文 \U0001f600", "zh", 0.0),
+        ("d", "", "es", 99.0),          # empty string is a value, not null
+        ("e", None, "fr", 3.5),          # null text -> quarantined
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id string, text string, lang string, score double"
+    )
+    out = str(tmp_path / "out")
+    write_jsonl_documents(docs, out)
+    kw = dict(
+        id_field="doc_id", extra_fields={"lang": "string", "score": "double"}
+    )
+    back = {
+        (r.doc_id, r.text, r.lang, r.score)
+        for r in read_jsonl_documents(spark, out, **kw).collect()
+    }
+    assert back == {(i, t, l, s) for i, t, l, s in rows if t is not None}
+    q = jsonl_quarantine(spark, out, **kw).collect()
+    assert [r.reason for r in q] == ["missing_text"]
+    assert '"doc_id":"e"' in q[0].line and "text" not in q[0].line
+
+    # gzip codec: .gz part files, identical content back
+    gz = str(tmp_path / "gz")
+    write_jsonl_documents(docs, gz, compression="gzip")
+    import glob as _g
+
+    assert _g.glob(f"{gz}/part-*.gz")
+    assert {
+        (r.doc_id, r.text) for r in read_jsonl_documents(spark, gz, **kw).collect()
+    } == {(i, t) for i, t, _, _ in rows if t is not None}
+
+    # column selection + append mode
+    sel = str(tmp_path / "sel")
+    write_jsonl_documents(docs.where("text IS NOT NULL"), sel,
+                          line_cols=("doc_id", "text"))
+    one = read_jsonl_documents(spark, sel, id_field="doc_id").collect()
+    assert {r.doc_id for r in one} == {"a", "b", "c", "d"}
+    assert set(one[0].asDict()) == {"doc_id", "text", "source"}
