@@ -4420,7 +4420,7 @@ ORACLES = {
         )
         SELECT 'lang:' || lang AS bucket,
                COUNT(*) AS n_rows,
-               SUM(LENGTH(text)) AS total_chars
+               CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
         FROM cls WHERE cls = 'good' GROUP BY lang
         UNION ALL
         SELECT 'quarantine:' || cls AS bucket,
