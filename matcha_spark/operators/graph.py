@@ -740,7 +740,10 @@ def pagerank(
 
 
 def triangle_counts(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    canonical: bool = False,
 ) -> DataFrame:
     """Per-node triangle counts and local clustering coefficient over
     an UNDIRECTED graph given as a (possibly directed / duplicated /
@@ -760,18 +763,27 @@ def triangle_counts(
     are shuffle-partitioned equi-joins, nothing collects.
 
     Exactly SQL-expressible (same joins in DuckDB), so a suite entry
-    can hash-check it end-to-end."""
+    can hash-check it end-to-end.
+
+    ``canonical=True`` (r13) promises the input is ALREADY canonical —
+    ``src < dst``, deduplicated, self-loop-free, and materialized
+    (e.g. the suite's memoized co-order slice): the internal
+    canonicalize + dedup shuffle and its second persisted copy of the
+    same edge set are skipped, and the wedge/closing joins read the
+    caller's frame directly."""
     from ..cache import memo_persist
 
-    e = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
+    if canonical:
+        e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    else:
+        e = memo_persist(
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("a"),
+                F.greatest(F.col(src), F.col(dst)).alias("b"),
+            )
+            .where(F.col("a") != F.col("b"))
+            .dropDuplicates()
         )
-        .where(F.col("a") != F.col("b"))
-        .dropDuplicates()
-    )
-    e = memo_persist(e)
     deg = (
         e.select(F.col("a").alias("n"))
         .unionAll(e.select(F.col("b").alias("n")))

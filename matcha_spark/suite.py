@@ -1780,11 +1780,12 @@ def graph_triangles_parts(spark, sf_dir):
     ``test_triangle_count_global_*``).  Oracle published with the
     r12 rotation after one held-back round.  r13: the edge slice comes
     from the shared :func:`_coorder_edges` memo (the k-core pair reads
-    the same graph); ``triangle_counts`` canonicalizes/dedups
-    internally, so the already-canonical input is a no-op pass."""
+    the same graph), and ``canonical=True`` skips the operator's
+    internal canonicalize+dedup shuffle — the memoized slice is
+    already ``src < dst``, deduped, and materialized."""
     from .operators.graph import triangle_counts
 
-    return triangle_counts(_coorder_edges(spark, sf_dir))
+    return triangle_counts(_coorder_edges(spark, sf_dir), canonical=True)
 
 
 def _cache_put(key, df):
