@@ -1795,6 +1795,21 @@ def _cache_put(key, df):
     _GRAPH_CACHE[key] = df
 
 
+def _cache_mru(key):
+    """Move a cached derived frame to MRU, RE-persisting it if a
+    ``cache.clear_memo()`` (which unpersists memo-tracked frames
+    without touching this cache) left it unpersisted — reuse would
+    otherwise silently recompute the frame's plan on every consumer."""
+    from .cache import memo_persist
+
+    df = _GRAPH_CACHE.pop(key)
+    lvl = df.storageLevel
+    if not (lvl.useMemory or lvl.useDisk):
+        df = memo_persist(df)
+    _GRAPH_CACHE[key] = df
+    return df
+
+
 def _coorder_edges(spark, sf_dir):
     """The sliced co-order part graph (deterministic 10% order slice,
     deduped canonical ``src < dst`` edges), memo-persisted once per
@@ -1820,7 +1835,7 @@ def _coorder_edges(spark, sf_dir):
             ),
         )
     else:
-        _GRAPH_CACHE[key] = _GRAPH_CACHE.pop(key)  # MRU
+        _cache_mru(key)
     return _GRAPH_CACHE[key]
 
 
@@ -1842,7 +1857,7 @@ def _coorder_coreness(spark, sf_dir):
     if ckey not in _GRAPH_CACHE:
         _cache_put(ckey, memo_persist(coreness(e)))
     else:
-        _GRAPH_CACHE[ckey] = _GRAPH_CACHE.pop(ckey)  # MRU
+        _cache_mru(ckey)
     return e, _GRAPH_CACHE[ckey]
 
 
