@@ -424,6 +424,23 @@ def main() -> None:
         ) as f:
             json.dump(payload, f, indent=1, sort_keys=True)
     print(json.dumps(payload))
+    # The driver keeps only the trailing 2000 chars of stdout and tries
+    # to parse a JSON line from them; the full payload outgrew that
+    # window rounds ago (BENCH_r12 recorded parsed: None).  Emit a
+    # final COMPACT line — headline metric + a handful of flagship
+    # per-query numbers — that always fits the capture window whole;
+    # the complete per-entry payload lives in bench_last.json above.
+    headline = [
+        "graph_build", "bgp_scan_all", "bgp_customers_in_region",
+        "q1_pricing_summary", "q5_nation_revenue", "events_sessionize_native",
+        "dedup_exact_docs", "dedup_near_lsh", "emb_cosine_topk",
+        "emb_lsh_topk", "doc_pipeline_curate", "graph_kcore_fixpoint",
+    ]
+    compact = dict(payload)
+    compact.pop("spread", None)
+    compact["queries"] = {k: times[k] for k in headline if k in times}
+    compact["n_queries_total"] = len(times)
+    print(json.dumps(compact))
     spark.stop()
 
 
