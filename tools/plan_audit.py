@@ -70,6 +70,11 @@ EXPECT: dict[str, set[str]] = {
     "doc_text_quality": {"codegen"},
     # embeddings: Arrow kernel over a 2-column scan
     "emb_cosine_topk": {"pruned:norm", "codegen"},
+    # raw ingestion (r13): text-line scan + from_json projection — the
+    # parse must inline into codegen, never a per-row python path; the
+    # upstream documents scan prunes the columns the JSONL lines don't
+    # carry
+    "doc_jsonl_ingest": {"codegen", "pruned:n_chars"},
 }
 
 # deliberate 1-row broadcast scalars (Observation-style bound columns)
