@@ -74,6 +74,17 @@ def memo_persist(df: DataFrame, eager: bool = True) -> DataFrame:
             same = False  # e.g. cached entry from a stopped session
         if same:
             _MEMO.move_to_end(h)
+            # r13 (review): a hit can have been unpersisted OUTSIDE this
+            # module (e.g. the suite graph cache's LRU eviction calls
+            # .unpersist() on frames that are also memo-tracked).
+            # Returning it as-is would silently break the "computed
+            # once, materialized" contract — every consumer would
+            # recompute the plan.  Restore persistence eagerly.
+            lvl = hit.storageLevel
+            if not (lvl.useMemory or lvl.useDisk):
+                hit.persist(StorageLevel.MEMORY_AND_DISK)
+                if eager:
+                    hit.count()
             return hit
         # stale entry or a genuine semanticHash collision: evict, recompute
         _safe_unpersist(hit)

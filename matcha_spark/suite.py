@@ -956,10 +956,22 @@ def doc_jsonl_ingest(spark, sf_dir):
         .otherwise(line)
         .alias("value")
     )
-    out_dir = os.path.join(
+    # scratch location (review): SPARK_GRAFT_SCRATCH_DIR overrides the
+    # repo-local spark-warehouse default (a read-only package install
+    # must point this at shared scratch), and the session's application
+    # id isolates concurrent sessions — two check_oracle/driver runs on
+    # the same sf_dir must not race each other's mode="overwrite"
+    # against the other's read-back file listing
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH_DIR") or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "spark-warehouse",
-        f"ingest_jsonl_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    out_dir = os.path.join(
+        scratch,
+        "ingest_jsonl_{}_{}".format(
+            os.path.basename(os.path.normpath(sf_dir)),
+            spark.sparkContext.applicationId,
+        ),
     )
     raw.write.mode("overwrite").text(out_dir)
     kw = dict(id_field="doc_id", extra_fields={"lang": "string"})
@@ -1789,7 +1801,9 @@ def graph_triangles_parts(spark, sf_dir):
 
 
 def _cache_put(key, df):
-    _GRAPH_CACHE.pop(key, None)
+    displaced = _GRAPH_CACHE.pop(key, None)
+    if displaced is not None and displaced is not df:
+        displaced.unpersist()  # never strand a persisted frame (review)
     while len(_GRAPH_CACHE) >= _GRAPH_CACHE_MAX:
         _GRAPH_CACHE.pop(next(iter(_GRAPH_CACHE))).unpersist()
     _GRAPH_CACHE[key] = df

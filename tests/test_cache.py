@@ -90,3 +90,23 @@ def test_dedup_pipeline_shares_signature_memo(spark):
     n_after_first = len(C._MEMO)
     D.minhash_lsh_candidates(docs).count()
     assert len(C._MEMO) == n_after_first
+
+
+def test_memo_persist_repersists_externally_unpersisted_hit(spark):
+    """r13 (review): a memo hit that something OUTSIDE the module
+    unpersisted (the suite graph cache's LRU eviction calls
+    .unpersist() on frames that are also memo-tracked) must be
+    re-persisted on return, not handed back as a silently-recomputing
+    plan — the 'computed once, materialized' contract holds however
+    the frame lost its storage."""
+    from matcha_spark.cache import clear_memo, memo_persist
+
+    clear_memo()
+    a = memo_persist(spark.range(100).selectExpr("id * 3 AS v"))
+    assert a.storageLevel.useMemory or a.storageLevel.useDisk
+    a.unpersist()  # external eviction, memo entry remains
+    assert not (a.storageLevel.useMemory or a.storageLevel.useDisk)
+    b = memo_persist(spark.range(100).selectExpr("id * 3 AS v"))
+    assert b is a  # still the memoized artifact...
+    assert b.storageLevel.useMemory or b.storageLevel.useDisk  # ...restored
+    clear_memo()
