@@ -71,8 +71,15 @@ def lex(c: Column) -> Column:
 
 
 def lex_as(c: Column, dtype: str) -> Column:
-    """Lexical form cast to ``dtype`` with unbound→NULL (explicit guard:
-    Spark 4 ANSI mode would error on casting ``_N`` markers)."""
+    """Lexical form cast to ``dtype``, NULL on anything uncastable.
+
+    ``try_cast``, not ``cast`` (r13, found by the Filter fuzz): under
+    Spark 4's ANSI default a plain cast ABORTS the whole query when any
+    solution binds the var to a malformed lexical form (a string term
+    in a numeric filter, an ``_N`` unbound marker) — SPARQL §17.2
+    semantics are that a FILTER type error eliminates THAT solution
+    (NULL here: the comparison is non-true and the row drops), never
+    the query."""
     return F.when(c["kind"] == "unbound", F.lit(None).cast(dtype)).otherwise(
-        c["lex"].cast(dtype)
+        c["lex"].try_cast(dtype)
     )

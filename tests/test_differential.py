@@ -976,3 +976,78 @@ def test_seeded_path_modifiers_differential(spark, seed):
         f"anchor=({ap}, {anchor_obj}) limit={limit} offset={offset}\n"
         f"got={got}\nwant={want}"
     )
+
+
+FILTER_SEEDS = list(range(1400, 1430))
+
+
+@pytest.mark.parametrize("seed", FILTER_SEEDS)
+def test_filter_differential(spark, seed):
+    """Filter (Spark-native extension, r13): random required+VALUES
+    queries with a numeric FILTER at a random list position, engine vs
+    ``model_select`` over the full var width with a Python mirror of
+    the predicate applied row-wise, then projected.  Sound because the
+    documented evaluation order runs filters on the required+VALUES
+    solution set (no optionals are generated), so placement in the
+    pattern list cannot change the answer; non-numeric and nil
+    bindings must fail the numeric predicate in both worlds (SQL
+    null-comparison vs Python type check)."""
+    from matcha_spark import Filter
+    from matcha_spark.functions.termcols import lex_as
+    from matcha_spark.patterns import find_vars
+
+    rng = random.Random(seed)
+    db_rows = _rand_db(rng, rng.randint(0, 12))
+    pats = [_rand_pattern(rng) for _ in range(rng.randint(1, 3))]
+    if rng.random() < 0.5:
+        pats.append(
+            Values(
+                rng.choice(VARS),
+                [rng.choice(POOL) for _ in range(rng.randint(0, 3))],
+            )
+        )
+    allv = find_vars(pats)
+    if not allv:
+        pytest.skip("no vars generated")
+    fvar = rng.choice(sorted(allv))
+    thr = rng.choice([0, 1])
+    if rng.random() < 0.5:
+        pred_col = lambda v: lex_as(v[fvar], "bigint") >= thr  # noqa: E731
+        pred_py = lambda x: (  # noqa: E731
+            isinstance(x, int) and not isinstance(x, bool) and x >= thr
+        )
+    else:
+        pred_col = lambda v: lex_as(v[fvar], "bigint") < thr  # noqa: E731
+        pred_py = lambda x: (  # noqa: E731
+            isinstance(x, int) and not isinstance(x, bool) and x < thr
+        )
+    pats_f = list(pats)
+    pats_f.insert(rng.randint(0, len(pats_f)), Filter(pred_col))
+    order = sorted(allv)
+    rng.shuffle(order)
+    pvars = order[: rng.randint(1, len(order))]
+
+    wide_vars = sorted(allv)
+    wide = model_select(wide_vars, pats, db_rows)
+    fidx = wide_vars.index(fvar)
+    expected = _blind(
+        {
+            tuple(r[wide_vars.index(p)] for p in pvars)
+            for r in wide
+            if pred_py(r[fidx])
+        }
+    )
+
+    db = TriplesDB.from_triples(spark, db_rows)
+    try:
+        got = select(pvars, pats_f, db)
+    finally:
+        db.unpersist()
+    got_rows = set()
+    if got is not None:
+        for r in got if len(pvars) > 1 else [(g,) for g in got]:
+            got_rows.add(r if isinstance(r, tuple) else (r,))
+    assert _blind(got_rows) == expected, (
+        f"seed={seed}\ndb={db_rows}\npatterns={pats_f}\npvars={pvars}\n"
+        f"fvar={fvar} thr={thr}"
+    )
