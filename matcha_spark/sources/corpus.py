@@ -37,6 +37,7 @@ __all__ = [
     "stream_jsonl_documents",
     "read_csv_documents",
     "csv_quarantine",
+    "csv_header_lines",
     "stream_csv_documents",
 ]
 
@@ -267,6 +268,20 @@ def _csv_schema_ddl(fields: dict[str, str]) -> str:
     return ", ".join(parts)
 
 
+def _csv_header_cond(fields: dict[str, str], sep: str, quote: str):
+    """Predicate over ``value``: the line's trimmed, unquoted fields
+    equal the declared field-name multiset (any order) — the stateless
+    "is a header" test shared by the drop in :func:`_parse_csv_lines`
+    and the audit view :func:`csv_header_lines`."""
+    qq = re.escape(quote)
+    norm = F.transform(
+        F.split("value", re.escape(sep)),
+        lambda p: F.regexp_replace(F.trim(p), f"^{qq}|{qq}$", ""),
+    )
+    names = F.array(*[F.lit(n) for n in fields])
+    return F.array_sort(norm) == F.array_sort(names)
+
+
 def _parse_csv_lines(
     lines: DataFrame,
     fields: dict[str, str],
@@ -289,20 +304,16 @@ def _parse_csv_lines(
     (same name set) are all recognized and dropped instead of parsing
     into a bogus all-string document.  The flip side: a genuine data
     row whose normalized fields equal the header-name multiset is
-    dropped too — from good rows AND from quarantine (see
-    :func:`read_csv_documents`).  Records must be single-line:
-    embedded newlines need ``spark.read.csv(multiLine=True)``, which
-    gives up input splitting — the wrong trade at corpus scale."""
+    dropped too — from good rows AND from quarantine; the dropped
+    lines are auditable via :func:`csv_header_lines` (r13 advice: the
+    loss surface must be countable, not silent).  Records must be
+    single-line: embedded newlines need
+    ``spark.read.csv(multiLine=True)``, which gives up input splitting
+    — the wrong trade at corpus scale."""
     ddl = _csv_schema_ddl(fields)
     out = lines.where(F.trim("value") != "")
     if header:
-        qq = re.escape(quote)
-        norm = F.transform(
-            F.split("value", re.escape(sep)),
-            lambda p: F.regexp_replace(F.trim(p), f"^{qq}|{qq}$", ""),
-        )
-        names = F.array(*[F.lit(n) for n in fields])
-        out = out.where(F.array_sort(norm) != F.array_sort(names))
+        out = out.where(~_csv_header_cond(fields, sep, quote))
     return out.select(
         "value",
         F.input_file_name().alias("__file"),
@@ -343,9 +354,10 @@ def read_csv_documents(
 
     Header-elimination loss (r12 advice): with ``header=True``, any
     line whose trimmed, unquoted fields equal the declared field-name
-    multiset is treated as a header and dropped SILENTLY — from the
-    good rows and from :func:`csv_quarantine` alike.  A genuine data
-    row whose content coincides with the header names is lost; if the
+    multiset is treated as a header and dropped — from the good rows
+    and from :func:`csv_quarantine` alike.  A genuine data row whose
+    content coincides with the header names is lost; audit the dropped
+    lines with :func:`csv_header_lines` (r13 advice), and if the
     corpus can contain such rows, read with ``header=False`` and
     filter headers upstream."""
     fields = fields or {"text": "string"}
@@ -383,6 +395,35 @@ def csv_quarantine(
         F.when(F.col(f"__d.{_CORRUPT}").isNotNull(), F.lit("malformed_csv"))
         .otherwise(F.lit("missing_text"))
         .alias("reason"),
+    )
+
+
+def csv_header_lines(
+    spark: SparkSession,
+    path: str,
+    fields: dict[str, str] | None = None,
+    sep: str = ",",
+    quote: str = '"',
+) -> DataFrame:
+    """The lines header elimination drops (r13 advice): ``(file,
+    line)`` for every non-blank line whose trimmed, unquoted fields
+    equal the declared field-name multiset.  Exactly the predicate
+    :func:`read_csv_documents`/:func:`csv_quarantine` drop on (shared
+    via ``_csv_header_cond``), exposed as a countable view so
+    header-coincident data loss leaves an audit trail instead of
+    vanishing.  Expected shape: one row per file of a well-formed
+    header'd corpus; more rows than files means data loss — re-read
+    with ``header=False``.  Same narrow line-scan as the other views —
+    no extra cost unless evaluated."""
+    fields = fields or {"text": "string"}
+    return (
+        spark.read.text(path)
+        .where(F.trim("value") != "")
+        .where(_csv_header_cond(fields, sep, quote))
+        .select(
+            F.input_file_name().alias("file"),
+            F.col("value").alias("line"),
+        )
     )
 
 

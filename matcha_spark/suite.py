@@ -843,6 +843,13 @@ def doc_corpus_stats(spark, sf_dir):
 
 
 def doc_sample_hash(spark, sf_dir):
+    """RETIRED from the oracle registry in r14 (funding doc_csv_ingest;
+    the oracle was only the md5-threshold filter over documents — the
+    SAME ``sample_hash`` kernel keeps oracle-backed coverage through
+    ``orders_sample_consistent``, which runs it keyed on two tables and
+    joins them, and the documents-side replay is pinned as a pure-Spark
+    differential in
+    test_joins.py::test_retired_entry_equivalences_r14)."""
     return T.sample_hash(
         load_tables(spark, sf_dir, "documents")["documents"], rate=0.25
     )
@@ -931,6 +938,39 @@ def doc_nt_roundtrip(spark, sf_dir):
     )
 
 
+def _ingest_scratch_dir(spark, sf_dir, kind):
+    """Per-(kind, sf, session) scratch directory for the ingestion
+    replay entries, plus the stale-sibling sweep (r13 advice): dirs
+    left by PREVIOUS application ids are deleted at entry start — the
+    current session's dir must survive the write because the summary
+    DataFrame re-reads it lazily (same constraint as the closure
+    materialization dirs), but a dead session's dir is pure garbage.
+    SPARK_GRAFT_SCRATCH_DIR overrides the repo-local spark-warehouse
+    default (a read-only package install must point this at shared
+    scratch); the applicationId suffix isolates concurrent sessions —
+    two check_oracle/driver runs on the same sf_dir must not race each
+    other's mode="overwrite" against the other's read-back listing."""
+    import os
+
+    from .operators.graph import _fs_delete
+
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH_DIR") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+    )
+    prefix = "ingest_{}_{}_".format(
+        kind, os.path.basename(os.path.normpath(sf_dir))
+    )
+    app_id = spark.sparkContext.applicationId
+    try:  # sweep is best-effort and local-listing based: non-posix
+        for name in os.listdir(scratch):  # scratch (s3a:/...) skips it
+            if name.startswith(prefix) and not name.endswith(app_id):
+                _fs_delete(spark, os.path.join(scratch, name))
+    except OSError:
+        pass
+    return os.path.join(scratch, prefix + app_id)
+
+
 def doc_jsonl_ingest(spark, sf_dir):
     """Raw-corpus ingestion end-to-end under the oracle (r13, verdict
     ask #6): the documents table is serialized to a JSONL drop
@@ -943,36 +983,26 @@ def doc_jsonl_ingest(spark, sf_dir):
     quarantine.  The oracle replays the corruption predicate in pure
     SQL over the same table, so the good/quarantine SPLIT and the text
     fidelity (char-exact through JSON escape/unescape) are both
-    driver-hash-pinned, not just pytest-fuzzed."""
-    import os
-
+    driver-hash-pinned, not just pytest-fuzzed.  NULL text is
+    classified ``missing_text`` EXPLICITLY in both the serializer and
+    the oracle (r13 advice — ``to_json`` omits NULL fields, so the two
+    sides would otherwise disagree on a NULL-text row the corruption
+    predicate marked good; the current fixtures are NULL-free, but the
+    entry must not depend on that)."""
     from .sources.corpus import jsonl_quarantine, read_jsonl_documents
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     line = F.to_json(F.struct("doc_id", "lang", "text"))
     raw = docs.select(
         F.when(F.col("doc_id") % 23 == 0, F.concat(F.lit("{"), line))
-        .when(F.col("doc_id") % 23 == 1, F.to_json(F.struct("doc_id", "lang")))
+        .when(
+            (F.col("doc_id") % 23 == 1) | F.col("text").isNull(),
+            F.to_json(F.struct("doc_id", "lang")),
+        )
         .otherwise(line)
         .alias("value")
     )
-    # scratch location (review): SPARK_GRAFT_SCRATCH_DIR overrides the
-    # repo-local spark-warehouse default (a read-only package install
-    # must point this at shared scratch), and the session's application
-    # id isolates concurrent sessions — two check_oracle/driver runs on
-    # the same sf_dir must not race each other's mode="overwrite"
-    # against the other's read-back file listing
-    scratch = os.environ.get("SPARK_GRAFT_SCRATCH_DIR") or os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "spark-warehouse",
-    )
-    out_dir = os.path.join(
-        scratch,
-        "ingest_jsonl_{}_{}".format(
-            os.path.basename(os.path.normpath(sf_dir)),
-            spark.sparkContext.applicationId,
-        ),
-    )
+    out_dir = _ingest_scratch_dir(spark, sf_dir, "jsonl")
     raw.write.mode("overwrite").text(out_dir)
     kw = dict(id_field="doc_id", extra_fields={"lang": "string"})
     good = read_jsonl_documents(spark, out_dir, **kw)
@@ -987,6 +1017,81 @@ def doc_jsonl_ingest(spark, sf_dir):
         .withColumn("total_chars", F.lit(None).cast("long"))
     )
     return g.unionByName(q).orderBy("bucket")
+
+
+def doc_csv_ingest(spark, sf_dir):
+    """CSV ingestion end-to-end under the oracle (r14, verdict ask #2
+    — the CSV twin of :func:`doc_jsonl_ingest`, covering the last
+    major batch source without a driver hash).  The documents table is
+    serialized to a CSV drop directory with deterministic per-line
+    corruption: doc_id % 23 == 0 → the text field dropped entirely
+    (2 fields where the schema declares 3 — ``from_csv`` PERMISSIVE
+    marks the record corrupt), % 23 == 1 or NULL text → an EMPTY
+    trailing text field (parses to NULL text → ``missing_text``),
+    otherwise a good row whose text is DECORATED with a ``,"\\``
+    suffix and written always-quoted with backslash-escaping — the
+    fixtures contain no separator/quote/escape characters, so without
+    the decoration the quoting round-trip would be vacuously exercised.
+    One header line is unioned in and must be eliminated by the
+    header matcher; its count is re-derived through the
+    ``csv_header_lines`` audit view (r13 advice) as the
+    ``header:dropped`` bucket.  Read back through
+    ``read_csv_documents`` / ``csv_quarantine`` — the same line-scan +
+    ``from_csv`` projection the streaming twin runs — and summarized
+    like the JSONL entry: per-lang counts + char totals over the
+    decorated text from the good rows, per-reason counts from the
+    quarantine.  The oracle replays the corruption predicate and the
+    decoration in pure SQL, so the split, the header elimination, and
+    the char-exact quote/escape fidelity are all driver-hash-pinned."""
+    from .sources.corpus import (
+        csv_header_lines,
+        csv_quarantine,
+        read_csv_documents,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    fields = {"doc_id": "bigint", "lang": "string", "text": "string"}
+    decorated = F.concat(F.col("text"), F.lit(',"\\'))
+    quoted = F.concat(
+        F.lit('"'),
+        F.replace(
+            F.replace(decorated, F.lit("\\"), F.lit("\\\\")),
+            F.lit('"'),
+            F.lit('\\"'),
+        ),
+        F.lit('"'),
+    )
+    head = F.concat(F.col("doc_id").cast("string"), F.lit(","), F.col("lang"))
+    raw = docs.select(
+        F.when(F.col("doc_id") % 23 == 0, head)
+        .when(
+            (F.col("doc_id") % 23 == 1) | F.col("text").isNull(),
+            F.concat(head, F.lit(",")),
+        )
+        .otherwise(F.concat(head, F.lit(","), quoted))
+        .alias("value")
+    ).unionAll(spark.createDataFrame([("doc_id,lang,text",)], "value string"))
+    out_dir = _ingest_scratch_dir(spark, sf_dir, "csv")
+    raw.write.mode("overwrite").text(out_dir)
+    kw = dict(fields=fields, id_field="doc_id")
+    good = read_csv_documents(spark, out_dir, **kw)
+    quar = csv_quarantine(spark, out_dir, fields=fields)
+    hdr = csv_header_lines(spark, out_dir, fields=fields)
+    g = good.groupBy(F.concat(F.lit("lang:"), "lang").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+    q = (
+        quar.groupBy(F.concat(F.lit("quarantine:"), "reason").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("total_chars", F.lit(None).cast("long"))
+    )
+    h = hdr.agg(
+        F.lit("header:dropped").alias("bucket"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(None).cast("long").alias("total_chars"),
+    )
+    return g.unionByName(q).unionByName(h).orderBy("bucket")
 
 
 def doc_media_features(spark, sf_dir):
@@ -2703,6 +2808,17 @@ def dedup_near_emb(spark, sf_dir):
 #                          pinned by test_frame_sample
 # Closing state r12: 145 oracle-backed entries (all published, no
 # holdbacks) against 150 slot-rounds = 5 free slot-rounds of headroom.
+# r14 surgery (verdict asks #1/#2): window = the 45 r11-recorded
+# must-rotate entries + 5 slots spent as 1 NEW entry (doc_csv_ingest —
+# the CSV corruption-replay twin of doc_jsonl_ingest, funded by
+# RETIRING doc_sample_hash, whose oracle was only the md5-threshold
+# filter; the same sample_hash kernel stays oracle-backed through
+# orders_sample_consistent and the documents-side replay is pinned in
+# test_retired_entry_equivalences_r14) + 4 EARLY REFRESHES of
+# r12-recorded entries (bgp_customers_in_region, bgp_nations_values,
+# bgp_filter_customer_names, q10_returned_items).  With the retirement
+# the r12-newest set shrinks 50 → 45, so r15 = 45 must-rotate + 5 free
+# — the slack the r13 verdict demanded.  Oracle-backed count stays 145.
 # r13 surgery (verdict asks #2/#6): window = the 45 r10-recorded
 # must-rotate entries + 5 slots spent as 1 NEW entry (doc_jsonl_ingest
 # — the raw-ingestion path under the oracle, funded by RETIRING
@@ -2716,7 +2832,107 @@ def dedup_near_emb(spark, sf_dir):
 # When adding a new oracle-backed entry, insert it at the top; after
 # each round, rotate entries the driver just verified toward the back.
 QUERIES = {
-    # --- r13 driver window (first 50): 1 new + 45 r10 must-rotate + 4 early r11 refreshes ---
+    # --- r14 driver window (first 50): 1 new + 45 r11 must-rotate + 4 early r12 refreshes ---
+    "doc_csv_ingest": doc_csv_ingest,
+    "doc_bpe_pack": doc_bpe_pack,
+    "emb_semdedup_incremental_sound": emb_semdedup_incremental_sound,
+    "doc_video_pipeline": doc_video_pipeline,
+    "doc_png_features": doc_png_features,
+    "asof_events_orders": R.asof_events_orders,
+    "bgp_agg_top_urgent_nations": bgp_agg_top_urgent_nations,
+    "bgp_ask_segment": bgp_ask_segment,
+    "bgp_bind_term_functions": bgp_bind_term_functions,
+    "bgp_merge_count": bgp_merge_count,
+    "bgp_minus_machinery_asia": bgp_minus_machinery_asia,
+    "bgp_path_inv_region_members": bgp_path_inv_region_members,
+    "bgp_path_negset_links": bgp_path_negset_links,
+    "bgp_path_zom_region": bgp_path_zom_region,
+    "bgp_path_zoo_nation": bgp_path_zoo_nation,
+    "cube_priority_status": R.cube_priority_status,
+    "doc_bpe_pretokens": doc_bpe_pretokens,
+    "doc_contamination": doc_contamination,
+    "doc_dedup_paragraphs": doc_dedup_paragraphs,
+    "doc_dsir_weights": doc_dsir_weights,
+    "doc_fingerprint": doc_fingerprint,
+    "doc_strip_html": doc_strip_html,
+    "doc_text_quality": doc_text_quality,
+    "doc_token_windows": doc_token_windows,
+    "emb_range_search": emb_range_search,
+    "events_funnel": R.events_funnel,
+    "events_json_stats": R.events_json_stats,
+    "events_salted_enrich": R.events_salted_enrich,
+    "events_sessionize_native": R.events_sessionize_native,
+    "events_transition_matrix": R.events_transition_matrix,
+    "graph_shortest_weighted": graph_shortest_weighted,
+    "orders_by_month": R.orders_by_month,
+    "pivot_priority_by_segment": R.pivot_priority_by_segment,
+    "q12_late_shipments": R.q12_late_shipments,
+    "q22_idle_customers": R.q22_idle_customers,
+    "q2_min_cost_supplier": R.q2_min_cost_supplier,
+    "q3_top_revenue": R.q3_top_unshipped_revenue,
+    "q4_order_priority": R.q4_order_priority,
+    "q5_nation_revenue": R.q5_nation_revenue,
+    "q6_forecast_revenue": R.q6_forecast_revenue,
+    "q7_volume_shipping": R.q7_volume_shipping,
+    "rollup_nation_segment": R.rollup_nation_segment,
+    "running_customer_spend": R.running_customer_spend,
+    "segment_quantiles": R.segment_quantiles,
+    "segment_stats": R.segment_stats,
+    "topk_orders_per_customer": R.topk_orders_per_customer,
+    # --- r14 window, contd: 4 early r12 refreshes (with the doc_sample_hash
+    # retirement, shrinks r15's must-rotate to 45 + 5 free) ---
+    "bgp_customers_in_region": bgp_customers_in_region,
+    "bgp_nations_values": bgp_nations_values,
+    "bgp_filter_customer_names": bgp_filter_customer_names,
+    "q10_returned_items": R.q10_returned_items,
+    # --- outside the window ------------------------------------------
+    # --- newest record r12 — the r15 rotation set (45 + 5 free) ---
+    "emb_lsh_recall_sound": emb_lsh_recall_sound,
+    "emb_ivf_recall_sound": emb_ivf_recall_sound,
+    "emb_pq_recall_sound": emb_pq_recall_sound,
+    "graph_kcore_max": graph_kcore_max,
+    "doc_video_mjpeg": doc_video_mjpeg,
+    "doc_bigram_logloss": doc_bigram_logloss,
+    "graph_triangles_parts": graph_triangles_parts,
+    "graph_kcore_sound": graph_kcore_sound,
+    "graph_pagerank_mass": graph_pagerank_mass,
+    "doc_cdc_tiling": doc_cdc_tiling,
+    "doc_flac_features": doc_flac_features,
+    "doc_minhash_recall_sound": doc_minhash_recall_sound,
+    "dedup_near_lsh_sound": dedup_near_lsh_sound,
+    "asof_events_orders_forward": R.asof_events_orders_forward,
+    "bgp_agg_customers_by_region": bgp_agg_customers_by_region,
+    "bgp_agg_urgent_orders_by_nation": bgp_agg_urgent_orders_by_nation,
+    "bgp_bind_segment_prefix": bgp_bind_segment_prefix,
+    "bgp_construct_region_graph": bgp_construct_region_graph,
+    "bgp_describe_nation": bgp_describe_nation,
+    "bgp_exists_repeat_customers": bgp_exists_repeat_customers,
+    "bgp_not_exists_unurgent": bgp_not_exists_unurgent,
+    "bgp_optional_urgent_orders": bgp_optional_urgent_orders,
+    "bgp_path_from_seed": bgp_path_from_seed,
+    "bgp_select_top_names": bgp_select_top_names,
+    "bgp_subquery_busy_nations": bgp_subquery_busy_nations,
+    "bgp_values_rows_pairs": bgp_values_rows_pairs,
+    "cohort_retention": R.cohort_retention,
+    "doc_bm25_search": doc_bm25_search,
+    "doc_chunk_packing": doc_chunk_packing,
+    "doc_corpus_stats": doc_corpus_stats,
+    "doc_lang_id": doc_lang_id,
+    "doc_pipeline_pack": doc_pipeline_pack,
+    "doc_quality_filter": doc_quality_filter,
+    "doc_repetition": doc_repetition,
+    "doc_scrub_pii": doc_scrub_pii,
+    "doc_strip_boilerplate": doc_strip_boilerplate,
+    "doc_tfidf_top": doc_tfidf_top,
+    "events_value_outliers": R.events_value_outliers,
+    "graph_components_nations": graph_components_nations,
+    "graph_distances_from_seed": graph_distances_from_seed,
+    "orders_sample_consistent": orders_sample_consistent,
+    "q11_part_value": R.q11_part_value_concentration,
+    "q8_market_share": R.q8_market_share,
+    "q9_product_profit": R.q9_product_profit,
+    "range_events_clicks": R.range_events_clicks,
+    # --- newest record r13 — the r16 rotation set ---
     "doc_jsonl_ingest": doc_jsonl_ingest,
     "emb_semdedup_planted": emb_semdedup_planted,
     "dedup_incremental_sound": dedup_incremental_sound,
@@ -2763,109 +2979,10 @@ QUERIES = {
     "q19_disjunctive_revenue": R.q19_disjunctive_revenue,
     "q20_excess_suppliers": R.q20_excess_suppliers,
     "q21_waiting_suppliers": R.q21_waiting_suppliers,
-    # --- r13 window, contd: 4 early r11 refreshes (shrinks r14's must-rotate to 45) ---
     "q1_pricing_summary": R.q1_pricing_summary,
     "events_hourly": R.events_hourly,
     "nation_set_ops": R.nation_set_ops,
     "dedup_exact_docs": dedup_exact_docs,
-    # --- outside the window ------------------------------------------
-    # --- newest record r11 — the r14 rotation set (45 + 5 free) ---
-    "doc_bpe_pack": doc_bpe_pack,
-    "emb_semdedup_incremental_sound": emb_semdedup_incremental_sound,
-    "doc_video_pipeline": doc_video_pipeline,
-    "doc_png_features": doc_png_features,
-    "asof_events_orders": R.asof_events_orders,
-    "bgp_agg_top_urgent_nations": bgp_agg_top_urgent_nations,
-    "bgp_ask_segment": bgp_ask_segment,
-    "bgp_bind_term_functions": bgp_bind_term_functions,
-    "bgp_merge_count": bgp_merge_count,
-    "bgp_minus_machinery_asia": bgp_minus_machinery_asia,
-    "bgp_path_inv_region_members": bgp_path_inv_region_members,
-    "bgp_path_negset_links": bgp_path_negset_links,
-    "bgp_path_zom_region": bgp_path_zom_region,
-    "bgp_path_zoo_nation": bgp_path_zoo_nation,
-    "cube_priority_status": R.cube_priority_status,
-    "doc_bpe_pretokens": doc_bpe_pretokens,
-    "doc_contamination": doc_contamination,
-    "doc_dedup_paragraphs": doc_dedup_paragraphs,
-    "doc_dsir_weights": doc_dsir_weights,
-    "doc_fingerprint": doc_fingerprint,
-    "doc_strip_html": doc_strip_html,
-    "doc_text_quality": doc_text_quality,
-    "doc_token_windows": doc_token_windows,
-    "emb_range_search": emb_range_search,
-    "events_funnel": R.events_funnel,
-    "events_json_stats": R.events_json_stats,
-    "events_salted_enrich": R.events_salted_enrich,
-    "events_sessionize_native": R.events_sessionize_native,
-    "events_transition_matrix": R.events_transition_matrix,
-    "graph_shortest_weighted": graph_shortest_weighted,
-    "orders_by_month": R.orders_by_month,
-    "pivot_priority_by_segment": R.pivot_priority_by_segment,
-    "q12_late_shipments": R.q12_late_shipments,
-    "q22_idle_customers": R.q22_idle_customers,
-    "q2_min_cost_supplier": R.q2_min_cost_supplier,
-    "q3_top_revenue": R.q3_top_unshipped_revenue,
-    "q4_order_priority": R.q4_order_priority,
-    "q5_nation_revenue": R.q5_nation_revenue,
-    "q6_forecast_revenue": R.q6_forecast_revenue,
-    "q7_volume_shipping": R.q7_volume_shipping,
-    "rollup_nation_segment": R.rollup_nation_segment,
-    "running_customer_spend": R.running_customer_spend,
-    "segment_quantiles": R.segment_quantiles,
-    "segment_stats": R.segment_stats,
-    "topk_orders_per_customer": R.topk_orders_per_customer,
-    # --- newest record r12 — the r15 rotation set ---
-    "emb_lsh_recall_sound": emb_lsh_recall_sound,
-    "emb_ivf_recall_sound": emb_ivf_recall_sound,
-    "emb_pq_recall_sound": emb_pq_recall_sound,
-    "graph_kcore_max": graph_kcore_max,
-    "doc_video_mjpeg": doc_video_mjpeg,
-    "doc_bigram_logloss": doc_bigram_logloss,
-    "graph_triangles_parts": graph_triangles_parts,
-    "graph_kcore_sound": graph_kcore_sound,
-    "graph_pagerank_mass": graph_pagerank_mass,
-    "doc_cdc_tiling": doc_cdc_tiling,
-    "doc_flac_features": doc_flac_features,
-    "doc_minhash_recall_sound": doc_minhash_recall_sound,
-    "dedup_near_lsh_sound": dedup_near_lsh_sound,
-    "asof_events_orders_forward": R.asof_events_orders_forward,
-    "bgp_agg_customers_by_region": bgp_agg_customers_by_region,
-    "bgp_agg_urgent_orders_by_nation": bgp_agg_urgent_orders_by_nation,
-    "bgp_bind_segment_prefix": bgp_bind_segment_prefix,
-    "bgp_construct_region_graph": bgp_construct_region_graph,
-    "bgp_customers_in_region": bgp_customers_in_region,
-    "bgp_describe_nation": bgp_describe_nation,
-    "bgp_exists_repeat_customers": bgp_exists_repeat_customers,
-    "bgp_filter_customer_names": bgp_filter_customer_names,
-    "bgp_nations_values": bgp_nations_values,
-    "bgp_not_exists_unurgent": bgp_not_exists_unurgent,
-    "bgp_optional_urgent_orders": bgp_optional_urgent_orders,
-    "bgp_path_from_seed": bgp_path_from_seed,
-    "bgp_select_top_names": bgp_select_top_names,
-    "bgp_subquery_busy_nations": bgp_subquery_busy_nations,
-    "bgp_values_rows_pairs": bgp_values_rows_pairs,
-    "cohort_retention": R.cohort_retention,
-    "doc_bm25_search": doc_bm25_search,
-    "doc_chunk_packing": doc_chunk_packing,
-    "doc_corpus_stats": doc_corpus_stats,
-    "doc_lang_id": doc_lang_id,
-    "doc_pipeline_pack": doc_pipeline_pack,
-    "doc_quality_filter": doc_quality_filter,
-    "doc_repetition": doc_repetition,
-    "doc_sample_hash": doc_sample_hash,
-    "doc_scrub_pii": doc_scrub_pii,
-    "doc_strip_boilerplate": doc_strip_boilerplate,
-    "doc_tfidf_top": doc_tfidf_top,
-    "events_value_outliers": R.events_value_outliers,
-    "graph_components_nations": graph_components_nations,
-    "graph_distances_from_seed": graph_distances_from_seed,
-    "orders_sample_consistent": orders_sample_consistent,
-    "q10_returned_items": R.q10_returned_items,
-    "q11_part_value": R.q11_part_value_concentration,
-    "q8_market_share": R.q8_market_share,
-    "q9_product_profit": R.q9_product_profit,
-    "range_events_clicks": R.range_events_clicks,
     # --- rows-only by design (no oracle; pytest-pinned, with derived-invariant twins recorded above): parked last ---
     "dedup_incremental_simhash": dedup_incremental_simhash,
     "emb_pq_topk": emb_pq_topk,
@@ -4174,10 +4291,8 @@ ORACLES = {
     # md5-threshold sampling: the hex literal is rate_threshold_hex(0.25)
     # — fixed-width lowercase hex compares as the 128-bit value does, so
     # the oracle shares the exact keep-decision with the Spark plan
-    "doc_sample_hash": """
-        SELECT doc_id, text, lang, source, n_chars FROM documents
-        WHERE md5(CAST(doc_id AS VARCHAR)) < '40000000000000000000000000000000'
-    """,
+    # doc_sample_hash RETIRED r14 (funding doc_csv_ingest): see the
+    # comment above doc_csv_ingest's oracle
     # the threshold literal comes from rate_threshold_hex(0.2) — 0.2 is
     # not binary-exact, so a hand-written hex constant would disagree
     # with the Spark side in the last digits
@@ -4443,8 +4558,11 @@ ORACLES = {
     "doc_jsonl_ingest": """
         WITH cls AS (
             SELECT lang, text,
+                   -- NULL text is missing_text on BOTH sides (r13
+                   -- advice): to_json omits NULL fields, so the
+                   -- serializer classifies it explicitly too
                    CASE WHEN doc_id % 23 = 0 THEN 'malformed_json'
-                        WHEN doc_id % 23 = 1 THEN 'missing_text'
+                        WHEN doc_id % 23 = 1 OR text IS NULL THEN 'missing_text'
                         ELSE 'good' END AS cls
             FROM documents
         )
@@ -4457,6 +4575,39 @@ ORACLES = {
                COUNT(*) AS n_rows,
                CAST(NULL AS BIGINT) AS total_chars
         FROM cls WHERE cls <> 'good' GROUP BY cls
+        ORDER BY bucket
+    """,
+    # doc_sample_hash RETIRED r14 (funding doc_csv_ingest): its oracle
+    # was only the md5-threshold filter over documents; the SAME
+    # sample_hash kernel stays oracle-backed through
+    # orders_sample_consistent (two tables, keyed, joined), and the
+    # documents-side replay is pinned as a pure-Spark differential in
+    # test_joins.py::test_retired_entry_equivalences_r14
+    "doc_csv_ingest": """
+        WITH cls AS (
+            SELECT lang, text,
+                   -- replay of the serializer's corruption predicate;
+                   -- NULL text is missing_text on BOTH sides
+                   CASE WHEN doc_id % 23 = 0 THEN 'malformed_csv'
+                        WHEN doc_id % 23 = 1 OR text IS NULL THEN 'missing_text'
+                        ELSE 'good' END AS cls
+            FROM documents
+        )
+        SELECT 'lang:' || lang AS bucket,
+               COUNT(*) AS n_rows,
+               -- decorated text: the ,"\\ suffix the serializer
+               -- injects so quoting is non-vacuously exercised
+               CAST(SUM(LENGTH(text || ',"\\')) AS BIGINT) AS total_chars
+        FROM cls WHERE cls = 'good' GROUP BY lang
+        UNION ALL
+        SELECT 'quarantine:' || cls AS bucket,
+               COUNT(*) AS n_rows,
+               CAST(NULL AS BIGINT) AS total_chars
+        FROM cls WHERE cls <> 'good' GROUP BY cls
+        UNION ALL
+        SELECT 'header:dropped' AS bucket,
+               CAST(1 AS BIGINT) AS n_rows,
+               CAST(NULL AS BIGINT) AS total_chars
         ORDER BY bucket
     """,
     "doc_png_features": """

@@ -639,3 +639,32 @@ def test_retired_entry_equivalences_r13(spark):
         for r in docs.select("doc_id", norm.alias("norm")).collect()
     }
     assert got == want and len(got) == 500
+
+
+def test_retired_entry_equivalences_r14(spark):
+    """r14 registry consolidation (funding doc_csv_ingest, the CSV
+    corruption-replay ingestion entry):
+
+    - doc_sample_hash — its oracle was only the md5-threshold filter
+      over documents (keep iff md5(doc_id) < rate_threshold_hex(0.25)),
+      replayed here as a pure-Spark differential with the hex constant
+      inlined; the sample_hash kernel keeps oracle-backed coverage
+      through orders_sample_consistent, which runs it keyed on TWO
+      tables (o_orderkey / l_orderkey) and joins them — a strictly
+      richer contract over the same operator."""
+    from pyspark.sql import functions as F
+
+    from matcha_spark import suite
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.doc_id for r in suite.doc_sample_hash(spark, sf).collect()}
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    # 0.25 is binary-exact: the threshold is literally 0x4 << 124
+    want = {
+        r.doc_id
+        for r in docs.where(
+            F.md5(F.col("doc_id").cast("string"))
+            < F.lit("4" + "0" * 31)
+        ).collect()
+    }
+    assert got == want and 0 < len(got) < 500

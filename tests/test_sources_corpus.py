@@ -510,3 +510,70 @@ def test_jsonl_source_untrusted_lines_fuzz(spark, tmp_path):
     want = {l.split('"id": "')[1].split('"')[0]
             for l in lines if l.startswith('{"id": "ok')}
     assert {r.doc_id for r in good} >= want
+
+
+def test_csv_header_lines_audit(spark, tmp_path):
+    """r13 advice: header elimination must leave an audit trail.  The
+    dropped set — the real header AND any data row whose normalized
+    fields coincide with the header-name multiset (any order, any
+    quoting) — is exactly what ``csv_header_lines`` returns, and
+    good + quarantine + header-dropped partitions the non-blank
+    lines."""
+    from matcha_spark.sources.corpus import (
+        csv_header_lines,
+        csv_quarantine,
+        read_csv_documents,
+    )
+
+    lines = [
+        "id,text,score",          # the header
+        "a,hello,1.5",            # good
+        'text, id ,"score"',      # data row == header multiset, reordered
+        "b,world,oops",           # bad score -> malformed
+        "c,,2.0",                 # empty text -> missing_text
+    ]
+    p = tmp_path / "h.csv"
+    p.write_text("\n".join(lines) + "\n")
+    fields = {"id": "string", "text": "string", "score": "double"}
+    good = read_csv_documents(spark, str(p), fields=fields, id_field="id").collect()
+    quar = csv_quarantine(spark, str(p), fields=fields).collect()
+    hdr = csv_header_lines(spark, str(p), fields=fields).collect()
+    assert {r.doc_id for r in good} == {"a"}
+    assert {r.reason for r in quar} == {"malformed_csv", "missing_text"}
+    assert sorted(r.line for r in hdr) == ["id,text,score", 'text, id ,"score"']
+    assert len(good) + len(quar) + len(hdr) == len(lines)
+
+
+def test_doc_csv_ingest_buckets(spark):
+    """The r14 oracle entry end-to-end at sf0.001: bucket classes are
+    complete (every lang + both quarantine reasons + the header audit),
+    counts reconcile to the table size + 1 header line, and the good
+    char totals see the decorated text (len + 3) — i.e. the ,"\\ suffix
+    survived CSV quoting char-exactly."""
+    from pyspark.sql import functions as F
+
+    from matcha_spark import suite
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.bucket: (r.n_rows, r.total_chars)
+           for r in suite.doc_csv_ingest(spark, sf).collect()}
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    cls = docs.select(
+        "lang",
+        F.when(F.col("doc_id") % 23 == 0, F.lit("malformed_csv"))
+        .when((F.col("doc_id") % 23 == 1) | F.col("text").isNull(),
+              F.lit("missing_text"))
+        .otherwise(F.lit("good")).alias("cls"),
+        (F.length("text") + 3).alias("dec_len"),
+    )
+    want = {"header:dropped": (1, None)}
+    for r in cls.where("cls = 'good'").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dec_len").alias("c")
+    ).collect():
+        want[f"lang:{r.lang}"] = (r.n, r.c)
+    for r in cls.where("cls <> 'good'").groupBy("cls").agg(
+        F.count(F.lit(1)).alias("n")
+    ).collect():
+        want[f"quarantine:{r.cls}"] = (r.n, None)
+    assert got == want
+    assert sum(n for n, _ in got.values()) == docs.count() + 1
