@@ -102,7 +102,7 @@ def main() -> None:
             spark, SF_DIR, include_orders=True, order_priority="1-URGENT"
         ).df.count()
 
-    def bench(name, fn, repeat=True, prewarm="auto"):
+    def bench(name, fn, repeat=True, prewarm="auto", rerun_if_slow=None):
         # prewarm (warm mode only): "self" = one untimed fn() run,
         # "graphs" = graph caches only, "none" = measure truly cold
         # (the graph_build entries — their point is the cold build)
@@ -127,6 +127,15 @@ def main() -> None:
         for _ in range(runs if repeat else 1):
             if mode == "cold":
                 clear_caches()
+            t0 = time.time()
+            fn()
+            dts.append(time.time() - t0)
+        # r14 (verdict ask #5): single-run entries whose one shot came
+        # back slow are first-codegen-dominated — their round-over-round
+        # deltas were noise.  One extra timed run (min-of-2) costs ~the
+        # threshold per slow entry and makes the committed number
+        # steady-state instead of compile-bound.
+        if rerun_if_slow is not None and not repeat and dts[0] > rerun_if_slow:
             t0 = time.time()
             fn()
             dts.append(time.time() - t0)
@@ -373,7 +382,9 @@ def main() -> None:
     # exclusion, each no more than 3 rounds from its next number).
     # Single-run, no self-prewarm: coarser than the tuned entries
     # above (first-codegen cost included); promote an entry to the
-    # tuned list when its number needs to be load-bearing.
+    # tuned list when its number needs to be load-bearing.  Entries
+    # whose single shot exceeds 2 s get one extra run (min-of-2,
+    # r14 verdict ask #5) so slow-entry numbers aren't compile-bound.
     # Documented exclusion: derived-invariant twins (_planted/_sound/
     # _stable/_tolerance) re-run their underlying operator plus a
     # filter or an exact reference pass — the operator itself is the
@@ -392,6 +403,7 @@ def main() -> None:
             (lambda f: lambda: force(f(spark, SF_DIR)))(QUERIES[_name]),
             repeat=False,
             prewarm="none",
+            rerun_if_slow=2.0,
         )
 
     total = round(sum(times.values()), 3)

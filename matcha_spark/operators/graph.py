@@ -770,11 +770,38 @@ def triangle_counts(
     (e.g. the suite's memoized co-order slice): the internal
     canonicalize + dedup shuffle and its second persisted copy of the
     same edge set are skipped, and the wedge/closing joins read the
-    caller's frame directly."""
+    caller's frame directly.  The ordering/self-loop half of that
+    promise is VERIFIED in-plan (r13 advice): a per-row ``src < dst``
+    check compiled into the projection (one JVM comparison inside
+    whole-stage codegen — no extra job, no shuffle) raises loudly on
+    violation instead of silently inflating degrees and wedges.
+    Dedup-ness is NOT checked — detecting duplicates needs exactly the
+    groupBy shuffle ``canonical=True`` exists to skip — so duplicated
+    input remains the caller's responsibility (pinned for the suite's
+    memoized slice by its construction test)."""
     from ..cache import memo_persist
 
     if canonical:
-        e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        ordered = F.col(src) < F.col(dst)
+        e = edges.select(
+            F.when(ordered, F.col(src))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "triangle_counts(canonical=True): edge violates "
+                            "src < dst (directed, duplicate-canonical, or "
+                            "self-loop input?): "
+                        ),
+                        F.col(src).cast("string"),
+                        F.lit(" -> "),
+                        F.col(dst).cast("string"),
+                    )
+                )
+            )
+            .alias("a"),
+            F.col(dst).alias("b"),
+        )
     else:
         e = memo_persist(
             edges.select(

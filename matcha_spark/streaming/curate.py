@@ -40,8 +40,7 @@ from pyspark.sql import functions as F
 
 from .dedup import (
     _compact_store,
-    _ledger_count,
-    _ledger_has,
+    _ledger_probe,
     _read_if_exists,
     _recover_store,
 )
@@ -123,7 +122,9 @@ def stream_curate(
 
         spark = batch_df.sparkSession
         ledger = _read_if_exists(spark, ledger_dir)
-        already = _ledger_has(ledger, batch_id)
+        already, n_led = _ledger_probe(
+            ledger, batch_id, with_count=bool(compact_every)
+        )
         docs = batch_df
         # --- stage 1: blocklist (static, no state) --------------------
         if blocked_domains is not None:
@@ -265,7 +266,7 @@ def stream_curate(
             spark.createDataFrame(
                 [(int(batch_id),)], "batch_id long"
             ).write.mode("append").parquet(ledger_dir)
-            if compact_every and (_ledger_count(ledger) + 1) % compact_every == 0:
+            if compact_every and (n_led + 1) % compact_every == 0:
                 for d in (url_keys_dir, fp_keys_dir, sig_dir):
                     if _read_if_exists(spark, d) is not None:
                         _compact_store(spark, d)

@@ -32,8 +32,7 @@ from pyspark.sql import functions as F
 
 from .dedup import (
     _compact_store,
-    _ledger_count,
-    _ledger_has,
+    _ledger_probe,
     _read_if_exists,
     _recover_store,
 )
@@ -74,7 +73,9 @@ def stream_seen_filter(
         _recover_store(spark, keys_dir)
         store = _read_if_exists(spark, keys_dir)
         ledger = _read_if_exists(spark, ledger_dir)
-        already = _ledger_has(ledger, batch_id)
+        already, n_led = _ledger_probe(
+            ledger, batch_id, with_count=bool(compact_every)
+        )
         b = batch_df.select(
             F.col(id_col).alias("__id"), key_expr.alias("__key")
         )
@@ -130,7 +131,7 @@ def stream_seen_filter(
             spark.createDataFrame(
                 [(int(batch_id),)], "batch_id long"
             ).write.mode("append").parquet(ledger_dir)
-            if compact_every and (_ledger_count(ledger) + 1) % compact_every == 0:
+            if compact_every and (n_led + 1) % compact_every == 0:
                 _compact_store(spark, keys_dir)
 
     writer = stream.writeStream.foreachBatch(handle).outputMode("update")

@@ -1545,6 +1545,34 @@ def test_triangle_counts_random_differential(spark, seed):
     assert got == tri, f"seed={seed} edges={edges}"
 
 
+def test_triangle_counts_canonical_guard(spark):
+    """r13 advice: canonical=True verifies the ordering/self-loop half
+    of the caller's promise in-plan — canonical input returns the same
+    answer as the canonicalizing path, and a violating edge (reversed,
+    or a self-loop) raises loudly instead of silently inflating
+    degrees and wedges."""
+    import itertools
+
+    import pytest as _pt
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from matcha_spark.operators.graph import triangle_counts
+
+    base = list(itertools.combinations(range(4), 2)) + [(3, 4), (7, 8), (8, 9)]
+    df = spark.createDataFrame(base, "src long, dst long")
+    want = {(r.node, r.degree, r.triangles, r.lcc)
+            for r in triangle_counts(df).collect()}
+    got = {(r.node, r.degree, r.triangles, r.lcc)
+           for r in triangle_counts(df, canonical=True).collect()}
+    assert got == want
+    for bad in ([(2, 1)], [(5, 5)]):
+        broken = spark.createDataFrame(base + bad, "src long, dst long")
+        with _pt.raises(Exception) as exc:
+            triangle_counts(broken, canonical=True).collect()
+        assert "violates src < dst" in str(exc.value)
+
+
 def test_triangle_count_global_exact(spark):
     """r11: p=1 is the exact global count — equals the per-node
     operator's sum/3 (every triangle is counted at all three
