@@ -254,7 +254,12 @@ def from_term(row: Any) -> Any:
     if kind == "int":
         return int(lex)
     if kind == "double":
-        return float(row[2])
+        # NULL num = an arithmetic error-as-absence result (t_add over a
+        # non-numeric term, t_div by zero — termfns convention): decode
+        # to None like nil instead of crashing float(None) (r14, found
+        # by the Bind fuzzer the round after the Filter fuzzer caught
+        # the ANSI lex_as abort — same bug class, decode side)
+        return float(row[2]) if row[2] is not None else None
     if kind == "bool":
         return lex == "true"
     if kind == "lang":

@@ -1051,3 +1051,248 @@ def test_filter_differential(spark, seed):
         f"seed={seed}\ndb={db_rows}\npatterns={pats_f}\npvars={pvars}\n"
         f"fvar={fvar} thr={thr}"
     )
+
+
+# --- Bind expression fuzz (r14, verdict ask #7) ------------------------
+#
+# Two randomized generators over the termfns algebra — numeric trees
+# (t_add/t_sub/t_mul/t_abs over vars and int literals) and string trees
+# (t_ucase/t_lcase/t_substr/t_concat/t_strlen over vars) — each with an
+# exact Python mirror over (kind, lex, num) term triples, chained binds
+# (a second bind may read the first's var), engine vs mirror through
+# the full select() decode.  The numeric family is integral-only by
+# construction so Java and Python double renderings cannot diverge; the
+# string family never wraps an arithmetic result for the same reason.
+# First catch: from_term crashed on NULL-num doubles (error-as-absence
+# arithmetic over a non-numeric var) instead of decoding to None.
+
+_NUMERIC_KINDS_PY = ("int", "double", "bool", "date", "datetime")
+
+
+def _mirror_num(t):
+    """tests-side twin of termfns.t_num over a (kind, lex, num) triple."""
+    if t is None:
+        return None
+    return t[2] if t[0] in _NUMERIC_KINDS_PY else None
+
+
+def _mirror_render(t):
+    """tests-side twin of termfns._render (doubles render from num)."""
+    if t is None:
+        return None
+    kind, lex_, num = t
+    if kind == "double":
+        return str(num) if num is not None else None
+    if kind == "unbound":
+        return None
+    return lex_
+
+
+def _mirror_decode(t):
+    """tests-side twin of terms.from_term for the kinds the fuzz
+    produces (null/int/str/double, incl. NULL-num error doubles)."""
+    kind, lex_, num = t
+    if kind == "null":
+        return None
+    if kind == "int":
+        return int(lex_)
+    if kind == "double":
+        return float(num) if num is not None else None
+    return lex_
+
+
+def _rand_num_bind_expr(rng, avail, depth=0):
+    """(fn: {var: Column} -> Column, mirror: {var: term} -> term) for a
+    random arithmetic termfns tree."""
+    from matcha_spark.functions import termfns as T
+    from matcha_spark.terms import term_lit, to_term
+
+    if depth >= 2 or (depth > 0 and rng.random() < 0.45):
+        if avail and rng.random() < 0.75:
+            v = rng.choice(avail)
+            return (lambda b, v=v: b[v]), (lambda m, v=v: m[v])
+        k = rng.randint(-3, 3)
+        t = to_term(k)[:3]
+        return (lambda b, k=k: term_lit(k)), (lambda m, t=t: t)
+    if rng.random() < 0.15:
+        f, g = _rand_num_bind_expr(rng, avail, depth + 1)
+
+        def mir_abs(m, g=g):
+            x = _mirror_num(g(m))
+            return ("double", "", abs(x) if x is not None else None)
+
+        return (lambda b, f=f: T.t_abs(f(b))), mir_abs
+    op = rng.choice(["add", "sub", "mul"])
+    tf = {"add": T.t_add, "sub": T.t_sub, "mul": T.t_mul}[op]
+    pyop = {
+        "add": lambda x, y: x + y,
+        "sub": lambda x, y: x - y,
+        "mul": lambda x, y: x * y,
+    }[op]
+    fa, ga = _rand_num_bind_expr(rng, avail, depth + 1)
+    fb, gb = _rand_num_bind_expr(rng, avail, depth + 1)
+
+    def mir(m, ga=ga, gb=gb, pyop=pyop):
+        x, y = _mirror_num(ga(m)), _mirror_num(gb(m))
+        bad = x is None or y is None
+        return ("double", "", None if bad else pyop(x, y))
+
+    return (lambda b, fa=fa, fb=fb, tf=tf: tf(fa(b), fb(b))), mir
+
+
+def _rand_str_bind_expr(rng, avail, depth=0):
+    """(fn, mirror) for a random string termfns tree (render-based ops
+    coalesce a NULL render to '' exactly like the engine)."""
+    from matcha_spark.functions import termfns as T
+
+    def rend(t):
+        r = _mirror_render(t)
+        return "" if r is None else r
+
+    if depth >= 2 or (depth > 0 and rng.random() < 0.4):
+        v = rng.choice(avail)
+        return (lambda b, v=v: b[v]), (lambda m, v=v: m[v])
+    form = rng.choice(["ucase", "lcase", "substr", "concat", "strlen"])
+    if form == "concat":
+        sep = rng.choice(["", "-"])
+        fa, ga = _rand_str_bind_expr(rng, avail, depth + 1)
+        fb, gb = _rand_str_bind_expr(rng, avail, depth + 1)
+
+        def mir_cat(m, ga=ga, gb=gb, sep=sep):
+            return ("str", rend(ga(m)) + sep + rend(gb(m)), 0.0)
+
+        return (
+            lambda b, fa=fa, fb=fb, sep=sep: T.t_concat(fa(b), fb(b), sep=sep)
+        ), mir_cat
+    f, g = _rand_str_bind_expr(rng, avail, depth + 1)
+    if form == "substr":
+        pos, ln = rng.randint(1, 3), rng.randint(1, 3)
+
+        def mir_sub(m, g=g, pos=pos, ln=ln):
+            return ("str", rend(g(m))[pos - 1 : pos - 1 + ln], 0.0)
+
+        return (lambda b, f=f, pos=pos, ln=ln: T.t_substr(f(b), pos, ln)), mir_sub
+    if form == "strlen":
+
+        def mir_len(m, g=g):
+            n = len(rend(g(m)))
+            return ("int", str(n), float(n))
+
+        return (lambda b, f=f: T.t_strlen(f(b))), mir_len
+    tf = {"ucase": T.t_ucase, "lcase": T.t_lcase}[form]
+    pyf = {"ucase": str.upper, "lcase": str.lower}[form]
+
+    def mir_case(m, g=g, pyf=pyf):
+        return ("str", pyf(rend(g(m))), 0.0)
+
+    return (lambda b, f=f, tf=tf: tf(f(b))), mir_case
+
+
+def _bind_fuzz_case(spark, seed, gen):
+    """Shared harness: random required+VALUES patterns, 1-2 chained
+    binds from ``gen``, engine select() vs model_select + mirror."""
+    from matcha_spark import Bind
+    from matcha_spark.patterns import find_vars
+    from matcha_spark.terms import to_term
+
+    rng = random.Random(seed)
+    db_rows = _rand_db(rng, rng.randint(1, 12))
+    pats = [_rand_pattern(rng) for _ in range(rng.randint(1, 3))]
+    if rng.random() < 0.4:
+        pats.append(
+            Values(
+                rng.choice(VARS),
+                [rng.choice(POOL) for _ in range(rng.randint(0, 3))],
+            )
+        )
+    allv = sorted(find_vars(pats))
+    if not allv:
+        pytest.skip("no vars generated")
+
+    binds = []
+    f1, g1 = gen(rng, allv)
+    binds.append(("?e", f1, g1))
+    if rng.random() < 0.5:
+        f2, g2 = gen(rng, allv + ["?e"])
+        binds.append(("?f", f2, g2))
+    for bv, bf, _ in binds:
+        pats.append(Bind(bv, bf))
+
+    bind_vars = [bv for bv, _, _ in binds]
+    order = allv + []
+    rng.shuffle(order)
+    pvars = order[: rng.randint(0, len(order))] + bind_vars
+
+    wide = model_select(allv, pats[: len(pats) - len(binds)], db_rows)
+    expected = set()
+    for row in wide:
+        m = {v: to_term(val)[:3] for v, val in zip(allv, row)}
+        for bv, _, bg in binds:
+            m[bv] = bg(m)
+        expected.add(tuple(_mirror_decode(m[p]) if p in bind_vars else
+                           _from_model(m[p]) for p in pvars))
+
+    db = TriplesDB.from_triples(spark, db_rows)
+    try:
+        got = select(pvars, pats, db)
+    finally:
+        db.unpersist()
+    got_rows = set()
+    if got is not None:
+        for r in got if len(pvars) > 1 else [(g,) for g in got]:
+            got_rows.add(r if isinstance(r, tuple) else (r,))
+    assert got_rows == expected, (
+        f"seed={seed}\ndb={db_rows}\npatterns={pats}\npvars={pvars}"
+    )
+
+
+def _from_model(t):
+    """Decode a mirrored PATTERN var (term triple built by to_term from
+    a model value) back to the model value — inverse of to_term for the
+    POOL kinds."""
+    return _mirror_decode(t)
+
+
+@pytest.mark.parametrize("seed", range(3000, 3020))
+def test_bind_numeric_differential(spark, seed):
+    """Random arithmetic Bind trees (chained; NULL-num error-as-absence
+    over non-numeric vars) vs the Python mirror."""
+    _bind_fuzz_case(spark, seed, _rand_num_bind_expr)
+
+
+@pytest.mark.parametrize("seed", range(3100, 3120))
+def test_bind_string_differential(spark, seed):
+    """Random string Bind trees (render coalesce, 1-based substr,
+    concat_ws separators, strlen int terms) vs the Python mirror."""
+    _bind_fuzz_case(spark, seed, _rand_str_bind_expr)
+
+
+@pytest.mark.parametrize("seed", range(3200, 3212))
+def test_path_bind_expr_differential(spark, seed):
+    """Random path expressions COMBINED with random string-bind trees
+    over the path endpoints — the interaction surface (path solutions
+    feeding computed vars) the fixed-substring path/bind test left
+    unfuzzed."""
+    from matcha_spark import Bind
+    from matcha_spark.terms import to_term
+
+    rng = random.Random(seed)
+    db_rows = _rand_path_db(rng)
+    path = _rand_path_expr(rng)
+    f, g = _rand_str_bind_expr(rng, ["?a", "?b"])
+    pats = [("?a", path, "?b"), Bind("?c", f)]
+    pairs = _model_path_pairs(path, db_rows)
+    expected = set()
+    for a, b in pairs:
+        m = {"?a": to_term(a)[:3], "?b": to_term(b)[:3]}
+        expected.add((a, b, _mirror_decode(g(m))))
+
+    db = TriplesDB.from_triples(spark, db_rows)
+    try:
+        got = select(["?a", "?b", "?c"], pats, db)
+    finally:
+        db.unpersist()
+    got_rows = {tuple(r) for r in (got or [])}
+    assert got_rows == expected, (
+        f"seed={seed}\ndb={db_rows}\npath={path!r}"
+    )

@@ -161,3 +161,25 @@ def test_having_with_term_functions(fn_db):
         having=lambda c: c["total"] > 50,
     ).collect()
     assert len(out) == 1 and out[0]["total"] == 89.0
+
+
+def test_arith_error_decodes_to_none(spark):
+    """r14 (found by the Bind fuzzer): a numeric Bind over a
+    non-numeric var yields a NULL-num double term — the termfns
+    error-as-absence convention — and the list-API decode must render
+    it as None (absence), not crash float(None)."""
+    from matcha_spark import Bind, TriplesDB, select
+    from matcha_spark.terms import from_term
+
+    assert from_term(("double", "", None, "", "")) is None
+    db = TriplesDB.from_triples(spark, [("a", "p", "s1"), ("b", "p", 5)])
+    try:
+        got = select(
+            ["?s", "?sum"],
+            [("?s", "p", "?x"),
+             Bind("?sum", lambda v: T.t_add(v["?x"], v["?x"]))],
+            db,
+        )
+    finally:
+        db.unpersist()
+    assert set(got) == {("a", None), ("b", 10.0)}
