@@ -1094,6 +1094,97 @@ def doc_csv_ingest(spark, sf_dir):
     return g.unionByName(q).unionByName(h).orderBy("bucket")
 
 
+def doc_warc_ingest(spark, sf_dir):
+    """WARC ingestion end-to-end under the oracle (r14, verdict ask #6
+    — the last raw source without a driver hash; implemented this
+    round, published from ORACLE_HOLDBACK in r15's free window slots,
+    funded by the emb_l2_norms retirement).  The documents table is
+    serialized to plain (uncompressed) ISO 28500 response records —
+    one record per text() row, each ending ``\\r`` so the writer's
+    ``\\n`` completes the ``\\r\\nWARC/`` resync boundary the parser
+    hunts for after a rejected record — with deterministic per-record
+    corruption: doc_id % 23 == 0 → ``Content-Length: oops``
+    (``bad_content_length``, exercising mid-file RESYNC: the next
+    record must still parse), % 23 == 1 or NULL text → a declared
+    ``Content-Encoding: br`` nobody can undo (the record is emitted
+    with EMPTY text and surfaces in ``warc_malformed`` as
+    ``content_encoding_failed``), otherwise a well-formed HTTP 200
+    text/plain response whose Content-Length is the OCTET length of
+    the envelope + body.  Read back through ``read_warc_documents`` /
+    ``warc_malformed`` — the real binaryFile + mapInPandas record
+    walk — and summarized per lang bucket (lang rides in the
+    WARC-Target-URI): emitted-row counts, char totals (encoding-failed
+    rows contribute 0), and the SUM of the numeric ids recovered from
+    WARC-Record-ID (pinning record-id fidelity), plus per-reason
+    quarantine counts.  The oracle replays the corruption predicate in
+    pure SQL, so the record framing, HTTP envelope strip, charset
+    decode, resync behavior, and audit split are all hash-pinned."""
+    from .sources.warc import read_warc_documents, warc_malformed
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    lang = F.coalesce(F.col("lang"), F.lit("xx"))
+    did = F.col("doc_id").cast("string")
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain; "
+              "charset=utf-8\r\n\r\n"),
+        F.col("text"),
+    )
+    http_enc = (
+        "HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\n"
+        "Content-Encoding: br\r\n\r\nBRBR"
+    )
+
+    def rec(clen, body):
+        return F.concat(
+            F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: "
+                  "<urn:doc:"),
+            did,
+            F.lit(">\r\nWARC-Target-URI: http://ex.org/"),
+            lang,
+            F.lit("/"),
+            did,
+            F.lit("\r\nWARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: "),
+            clen,
+            F.lit("\r\n\r\n"),
+            body,
+            F.lit("\r"),
+        )
+
+    raw = docs.select(
+        F.when(F.col("doc_id") % 23 == 0, rec(F.lit("oops"), F.lit("")))
+        .when(
+            (F.col("doc_id") % 23 == 1) | F.col("text").isNull(),
+            rec(F.octet_length(F.lit(http_enc)).cast("string"),
+                F.lit(http_enc)),
+        )
+        .otherwise(rec(F.octet_length(http).cast("string"), http))
+        .alias("value")
+    )
+    out_dir = _ingest_scratch_dir(spark, sf_dir, "warc")
+    raw.write.mode("overwrite").text(out_dir)
+    good = read_warc_documents(spark, out_dir)
+    bad = warc_malformed(spark, out_dir)
+    g = good.groupBy(
+        F.concat(
+            F.lit("lang:"),
+            F.regexp_extract("url", r"^http://ex\.org/([^/]+)/", 1),
+        ).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.sum(
+            F.regexp_extract("doc_id", r"^urn:doc:(\d+)$", 1).cast("long")
+        ).alias("sum_ids"),
+    )
+    q = (
+        bad.groupBy(F.concat(F.lit("quarantine:"), "reason").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("total_chars", F.lit(None).cast("long"))
+        .withColumn("sum_ids", F.lit(None).cast("long"))
+    )
+    return g.unionByName(q).orderBy("bucket")
+
+
 def doc_media_features(spark, sf_dir):
     """RETIRED from the oracle registry in r12 (subsumed by the
     real-codec doc_png_features over the same kernel; pinned by
@@ -2687,6 +2778,12 @@ def dedup_near_lsh(spark, sf_dir):
 
 
 def emb_l2_norms(spark, sf_dir):
+    """RETIRED from the oracle registry in r14 (funding doc_warc_ingest;
+    the oracle was only sqrt(dot(v,v)) — the SAME ``_norm`` kernel keeps
+    oracle-backed coverage inside the cosine denominators of
+    emb_cosine_topk, emb_dup_pairs and dedup_near_emb, and the direct
+    replay is pinned as a pure-Spark differential in
+    test_joins.py::test_retired_entry_equivalences_r14)."""
     return S.l2_norms(load_tables(spark, sf_dir, "embeddings")["embeddings"])
 
 
@@ -2967,7 +3064,6 @@ QUERIES = {
     "doc_unigram_logloss": doc_unigram_logloss,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_dup_pairs": emb_dup_pairs,
-    "emb_l2_norms": emb_l2_norms,
     "graph_closure_nations": graph_closure_nations,
     "graph_shortest_urgent": graph_shortest_urgent,
     "q13_customer_distribution": R.q13_customer_distribution,
@@ -2983,6 +3079,8 @@ QUERIES = {
     "events_hourly": R.events_hourly,
     "nation_set_ops": R.nation_set_ops,
     "dedup_exact_docs": dedup_exact_docs,
+    # --- ORACLE_HOLDBACK (r14): verified locally, publishes in r15's free slots ---
+    "doc_warc_ingest": doc_warc_ingest,
     # --- rows-only by design (no oracle; pytest-pinned, with derived-invariant twins recorded above): parked last ---
     "dedup_incremental_simhash": dedup_incremental_simhash,
     "emb_pq_topk": emb_pq_topk,
@@ -3014,8 +3112,8 @@ QUERIES = {
 # oracle-backed — warning the round it appears and FAILING if it
 # persists past its declaration round unpublished
 # (ORACLE_HOLDBACK_SINCE records the round each holdback was declared).
-ORACLE_HOLDBACK: set[str] = set()
-ORACLE_HOLDBACK_SINCE: dict[str, int] = {}
+ORACLE_HOLDBACK: set[str] = {"doc_warc_ingest"}
+ORACLE_HOLDBACK_SINCE: dict[str, int] = {"doc_warc_ingest": 14}
 
 _EN = "'the','a','and','of','to','in','is','that','it','for'"
 _ES = "'el','la','de','que','y','en','un','es','no','por'"
@@ -4474,11 +4572,8 @@ ORACLES = {
         SELECT d.doc_id, coalesce(l.keep, d.doc_id) AS keep_doc_id
         FROM documents d LEFT JOIN label l ON d.doc_id = l.doc_id
     """,
-    "emb_l2_norms": """
-        SELECT vec_id,
-               round(sqrt(list_dot_product(embedding :: DOUBLE[], embedding :: DOUBLE[])), 4) AS l2_norm
-        FROM embeddings
-    """,
+    # emb_l2_norms RETIRED r14 (funding doc_warc_ingest): see the
+    # comment above doc_warc_ingest's oracle
     # --- derived-invariant twins (r10) ---------------------------------
     "doc_cdc_tiling": """
         SELECT doc_id,
@@ -4608,6 +4703,42 @@ ORACLES = {
         SELECT 'header:dropped' AS bucket,
                CAST(1 AS BIGINT) AS n_rows,
                CAST(NULL AS BIGINT) AS total_chars
+        ORDER BY bucket
+    """,
+    # emb_l2_norms RETIRED r14 (funding doc_warc_ingest): its oracle
+    # was only sqrt(dot(v,v)); the SAME norm kernel stays oracle-backed
+    # inside the cosine denominators of emb_cosine_topk, emb_dup_pairs
+    # and dedup_near_emb, and the direct replay is pinned as a
+    # pure-Spark differential in
+    # test_joins.py::test_retired_entry_equivalences_r14
+    # doc_warc_ingest: in ORACLE_HOLDBACK until an r15 window slot
+    # frees up (the r14 window was already committed to the 45
+    # must-rotates + doc_csv_ingest + 4 early refreshes); verified
+    # locally with tools/check_oracle.py
+    "doc_warc_ingest": """
+        WITH cls AS (
+            SELECT doc_id, COALESCE(lang, 'xx') AS lang, text,
+                   -- replay of the serializer's corruption predicate;
+                   -- NULL text joins the encoding-failed class on BOTH
+                   -- sides (the record is emitted with empty text)
+                   CASE WHEN doc_id % 23 = 0 THEN 'bad_content_length'
+                        WHEN doc_id % 23 = 1 OR text IS NULL
+                            THEN 'content_encoding_failed'
+                        ELSE 'good' END AS cls
+            FROM documents
+        )
+        SELECT 'lang:' || lang AS bucket,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN cls = 'good' THEN LENGTH(text)
+                             ELSE 0 END) AS BIGINT) AS total_chars,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        FROM cls WHERE cls <> 'bad_content_length' GROUP BY lang
+        UNION ALL
+        SELECT 'quarantine:' || cls AS bucket,
+               COUNT(*) AS n_rows,
+               CAST(NULL AS BIGINT) AS total_chars,
+               CAST(NULL AS BIGINT) AS sum_ids
+        FROM cls WHERE cls <> 'good' GROUP BY cls
         ORDER BY bucket
     """,
     "doc_png_features": """

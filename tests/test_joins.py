@@ -651,7 +651,14 @@ def test_retired_entry_equivalences_r14(spark):
       inlined; the sample_hash kernel keeps oracle-backed coverage
       through orders_sample_consistent, which runs it keyed on TWO
       tables (o_orderkey / l_orderkey) and joins them — a strictly
-      richer contract over the same operator."""
+      richer contract over the same operator.
+
+    - emb_l2_norms (funding doc_warc_ingest, the WARC ingestion entry
+      held back to r15) — its oracle was only sqrt(dot(v,v)), replayed
+      here with an independent expression (posexplode + groupBy sum of
+      squares); the same _norm kernel stays oracle-backed inside the
+      cosine denominators of emb_cosine_topk / emb_dup_pairs /
+      dedup_near_emb."""
     from pyspark.sql import functions as F
 
     from matcha_spark import suite
@@ -668,3 +675,17 @@ def test_retired_entry_equivalences_r14(spark):
         ).collect()
     }
     assert got == want and 0 < len(got) < 500
+
+    norms = {
+        r.vec_id: r.l2_norm
+        for r in suite.emb_l2_norms(spark, sf).collect()
+    }
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    want_n = {
+        r.vec_id: r.n
+        for r in emb.select("vec_id", F.posexplode("embedding"))
+        .groupBy("vec_id")
+        .agg(F.round(F.sqrt(F.sum(F.col("col") * F.col("col"))), 4).alias("n"))
+        .collect()
+    }
+    assert norms == want_n and len(norms) > 0

@@ -527,3 +527,44 @@ def test_warc_unhandled_and_empty_content_encodings(spark, tmp_path):
     # only the br record fails; empty/identity/gzip-of-empty are clean
     assert bad == {"content_encoding_failed"}
     assert warc_malformed(spark, str(p)).count() == 1
+
+
+def test_doc_warc_ingest_buckets(spark):
+    """The r14 oracle entry (held back to r15) end-to-end at sf0.001:
+    the serializer's three corruption classes land where they should —
+    bad_content_length records never become documents but RESYNC keeps
+    their successors parseable, encoding-failed records are emitted
+    with empty text AND audited, and good records round-trip text and
+    record-id char-exactly (the sum_ids check)."""
+    from pyspark.sql import functions as F
+
+    from matcha_spark import suite
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.bucket: (r.n_rows, r.total_chars, r.sum_ids)
+           for r in suite.doc_warc_ingest(spark, sf).collect()}
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    cls = docs.select(
+        F.coalesce("lang", F.lit("xx")).alias("lang"),
+        "doc_id",
+        F.when(F.col("doc_id") % 23 == 0, F.lit("bad_content_length"))
+        .when((F.col("doc_id") % 23 == 1) | F.col("text").isNull(),
+              F.lit("content_encoding_failed"))
+        .otherwise(F.lit("good")).alias("cls"),
+        F.length("text").alias("chars"),
+    )
+    want = {}
+    for r in cls.where("cls <> 'bad_content_length'").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("cls") == "good", F.col("chars"))
+              .otherwise(F.lit(0))).alias("c"),
+        F.sum("doc_id").alias("s"),
+    ).collect():
+        want[f"lang:{r.lang}"] = (r.n, r.c, r.s)
+    for r in cls.where("cls <> 'good'").groupBy("cls").agg(
+        F.count(F.lit(1)).alias("n")
+    ).collect():
+        want[f"quarantine:{r.cls}"] = (r.n, None, None)
+    assert got == want
+    assert "quarantine:bad_content_length" in got
+    assert "quarantine:content_encoding_failed" in got
