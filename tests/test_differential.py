@@ -1296,3 +1296,65 @@ def test_path_bind_expr_differential(spark, seed):
     assert got_rows == expected, (
         f"seed={seed}\ndb={db_rows}\npath={path!r}"
     )
+
+
+@pytest.mark.parametrize("seed", range(3300, 3318))
+def test_bind_optional_differential(spark, seed):
+    """Bind × Optional interaction fuzz: binds evaluate on the
+    required+VALUES solution set BEFORE optionals extend it (the
+    documented clause order), so a bind var must be present on every
+    row while optional-only vars carry unbound markers — the
+    reconstruction/marker path with computed vars in the mix.  Mirror:
+    model_select over required+optional patterns (the model knows no
+    Bind), bind mirrors computed per-row from the required vars
+    alone."""
+    from matcha_spark import Bind
+    from matcha_spark.patterns import find_vars
+    from matcha_spark.terms import to_term
+
+    rng = random.Random(seed)
+    db_rows = _rand_db(rng, rng.randint(1, 12))
+    base = [_rand_pattern(rng) for _ in range(rng.randint(1, 2))]
+    if rng.random() < 0.4:
+        base.append(
+            Values(
+                rng.choice(VARS),
+                [rng.choice(POOL) for _ in range(rng.randint(0, 3))],
+            )
+        )
+    basev = sorted(find_vars(base))
+    if not basev:
+        pytest.skip("no base vars generated")
+    gen = rng.choice([_rand_num_bind_expr, _rand_str_bind_expr])
+    bf, bg = gen(rng, basev)
+    opts = [Optional(_rand_patterns(rng, depth=1))
+            for _ in range(rng.randint(1, 2))]
+    pats = base + [Bind("?e", bf)] + opts
+
+    allv = sorted(find_vars(base + opts))
+    order = list(allv)
+    rng.shuffle(order)
+    pvars = order[: rng.randint(0, len(order))] + ["?e"]
+
+    wide = model_select(allv, base + opts, db_rows)
+    expected = set()
+    for row in wide:
+        vals = dict(zip(allv, row))
+        m = {v: to_term(vals[v])[:3] for v in basev}
+        e = _mirror_decode(bg(m))
+        expected.add(
+            tuple(e if p == "?e" else vals[p] for p in pvars)
+        )
+
+    db = TriplesDB.from_triples(spark, db_rows)
+    try:
+        got = select(pvars, pats, db)
+    finally:
+        db.unpersist()
+    got_rows = set()
+    if got is not None:
+        for r in got if len(pvars) > 1 else [(g,) for g in got]:
+            got_rows.add(r if isinstance(r, tuple) else (r,))
+    assert _blind(got_rows) == _blind(expected), (
+        f"seed={seed}\ndb={db_rows}\npatterns={pats}\npvars={pvars}"
+    )

@@ -77,6 +77,9 @@ EXPECT: dict[str, set[str]] = {
     # text files back — the documents-parquet scan is not in it, and a
     # pruned:<col> check against it would be vacuously green.)
     "doc_jsonl_ingest": {"codegen"},
+    # CSV twin (r14): text-line scan + from_csv + header elimination —
+    # same codegen expectation, same vacuous-pruning caveat
+    "doc_csv_ingest": {"codegen"},
 }
 
 # deliberate 1-row broadcast scalars (Observation-style bound columns)
