@@ -1061,7 +1061,13 @@ def doc_csv_ingest(spark, sf_dir):
         ),
         F.lit('"'),
     )
-    head = F.concat(F.col("doc_id").cast("string"), F.lit(","), F.col("lang"))
+    # NULL lang must not NULL-poison the concat'd line: an EMPTY csv
+    # field reads back as NULL, and DuckDB's 'lang:' || NULL is NULL
+    # too, so the empty-string write round-trips consistently (the
+    # id/lang structural fields are written unquoted by design — only
+    # text carries untrusted content)
+    lang_safe = F.coalesce(F.col("lang"), F.lit(""))
+    head = F.concat(F.col("doc_id").cast("string"), F.lit(","), lang_safe)
     raw = docs.select(
         F.when(F.col("doc_id") % 23 == 0, head)
         .when(
