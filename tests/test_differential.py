@@ -1358,3 +1358,68 @@ def test_bind_optional_differential(spark, seed):
     assert _blind(got_rows) == _blind(expected), (
         f"seed={seed}\ndb={db_rows}\npatterns={pats}\npvars={pvars}"
     )
+
+
+@pytest.mark.parametrize("seed", range(3400, 3416))
+def test_filter_string_predicate_differential(spark, seed):
+    """String-predicate Filter fuzz (r14): t_strstarts / t_strends /
+    t_contains over a random var — boolean termfns as FILTER
+    predicates, mirrored with the same render-coalesce ('' for nil)
+    the engine applies.  Complements the numeric Filter fuzzer, which
+    covers the try_cast/ANSI side."""
+    from matcha_spark import Filter
+    from matcha_spark.functions import termfns as T
+    from matcha_spark.patterns import find_vars
+    from matcha_spark.terms import to_term
+
+    rng = random.Random(seed)
+    db_rows = _rand_db(rng, rng.randint(1, 12))
+    pats = [_rand_pattern(rng) for _ in range(rng.randint(1, 3))]
+    allv = sorted(find_vars(pats))
+    if not allv:
+        pytest.skip("no vars generated")
+    fvar = rng.choice(allv)
+    needle = rng.choice(["x", "k", "0", "1", "k1"])
+    form = rng.choice(["starts", "ends", "contains"])
+    tf = {"starts": T.t_strstarts, "ends": T.t_strends,
+          "contains": T.t_contains}[form]
+    pyf = {"starts": str.startswith, "ends": str.endswith,
+           "contains": str.__contains__}[form]
+
+    pats_f = list(pats)
+    pats_f.insert(
+        rng.randint(0, len(pats_f)),
+        Filter(lambda v: tf(v[fvar], needle)),
+    )
+    order = list(allv)
+    rng.shuffle(order)
+    pvars = order[: rng.randint(1, len(order))]
+
+    def rend(val):
+        t = to_term(val)[:3]
+        r = _mirror_render(t)
+        return "" if r is None else r
+
+    wide = model_select(allv, pats, db_rows)
+    fidx = allv.index(fvar)
+    expected = _blind(
+        {
+            tuple(r[allv.index(p)] for p in pvars)
+            for r in wide
+            if pyf(rend(r[fidx]), needle)
+        }
+    )
+
+    db = TriplesDB.from_triples(spark, db_rows)
+    try:
+        got = select(pvars, pats_f, db)
+    finally:
+        db.unpersist()
+    got_rows = set()
+    if got is not None:
+        for r in got if len(pvars) > 1 else [(g,) for g in got]:
+            got_rows.add(r if isinstance(r, tuple) else (r,))
+    assert _blind(got_rows) == expected, (
+        f"seed={seed}\ndb={db_rows}\npatterns={pats_f}\npvars={pvars}\n"
+        f"fvar={fvar} form={form} needle={needle!r}"
+    )
