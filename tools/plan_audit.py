@@ -80,6 +80,11 @@ EXPECT: dict[str, set[str]] = {
     # CSV twin (r14): text-line scan + from_csv + header elimination —
     # same codegen expectation, same vacuous-pruning caveat
     "doc_csv_ingest": {"codegen"},
+    # WARC (r14, holdback): the record walk is an Arrow mapInPandas
+    # kernel by design (binaryFile, file-granular) — the expectation
+    # pins that everything AROUND it (bucket agg, union, sort) still
+    # compiles to codegen and nothing goes cartesian
+    "doc_warc_ingest": {"codegen"},
 }
 
 # deliberate 1-row broadcast scalars (Observation-style bound columns)
