@@ -48,6 +48,8 @@ __all__ = [
     "save_signature_store",
     "load_signature_store",
     "dedup_near_docs_lsh",
+    "duplicate_spans",
+    "scrub_duplicate_spans",
     "embedding_dup_pairs",
     "embedding_dup_pairs_lsh",
     "dedup_near_embeddings",
@@ -1437,3 +1439,154 @@ def save_signature_store(sigs: DataFrame, path: str, mode: str = "overwrite") ->
 def load_signature_store(spark, path: str) -> DataFrame:
     """Load a signature store written by :func:`save_signature_store`."""
     return spark.read.parquet(path)
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    min_docs: int = 2,
+    avg_size: int = 64,
+    min_span_bytes: int = 0,
+    keep_first: bool = True,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document repeated-SPAN detection — the distributed
+    substitute for suffix-array ExactSubstr dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"):
+    boilerplate passages shared across otherwise-distinct documents
+    (license blocks, navigation chrome, quoted articles) are located
+    at sub-document granularity so they can be CUT (see
+    :func:`scrub_duplicate_spans`) instead of dropping whole
+    documents.
+
+    Built on content-defined chunks (``text.cdc_chunks``, gear-hash
+    FastCDC): CDC's resync property makes chunk boundaries inside a
+    shared passage identical in every document containing it
+    (after at most one boundary-settling chunk at each edge), so a
+    shared passage of length L appears as a run of equal chunk hashes
+    covering ≥ L − 2·max_chunk_size bytes in each occurrence — no
+    suffix array, no all-pairs.
+
+    Pipeline: chunk every document (one Arrow pass) → per-hash stats
+    (one groupBy on the content hash — uniform keys by construction,
+    no skew) → keep chunks whose hash occurs in ≥ ``min_docs``
+    distinct documents → (``keep_first``) exempt the corpus-wide first
+    occurrence (min (doc_id, start) per hash) so one copy of every
+    passage survives scrubbing, exactly the paper's cut-all-but-one
+    contract → merge ADJACENT flagged chunks per document into maximal
+    spans (gaps-and-islands over chunk_idx) → drop spans under
+    ``min_span_bytes``.
+
+    Returns ``(doc_id, span_start, span_bytes, n_chunks)`` with
+    byte-addressed offsets into the UTF-8 encoding (CDC operates on
+    bytes).  Spans within a document are disjoint by construction
+    (chunks tile the document).
+
+    Scale shape: one mapInPandas chunking pass, two hash-partitioned
+    shuffles (chunk-hash stats + join back), one per-doc window — all
+    linear in corpus bytes; nothing collects, nothing is quadratic.
+    Run exact/near document dedup first: a fully-duplicated document
+    is one giant span here (cut-all-but-one still applies), but
+    document-level dedup is cheaper at that granularity."""
+    from pyspark.sql.window import Window
+
+    from .text import cdc_chunks
+
+    ch = cdc_chunks(docs, avg_size=avg_size, text_col=text_col)
+    stats = ch.groupBy("chunk_hash").agg(
+        F.count_distinct("doc_id").alias("__n_docs"),
+        F.min(F.struct("doc_id", "start")).alias("__first"),
+    )
+    dup = ch.join(
+        stats.where(F.col("__n_docs") >= min_docs), "chunk_hash"
+    )
+    if keep_first:
+        dup = dup.where(
+            ~(
+                (F.col("doc_id") == F.col("__first.doc_id"))
+                & (F.col("start") == F.col("__first.start"))
+            )
+        )
+    w = Window.partitionBy("doc_id").orderBy("chunk_idx")
+    island = (F.col("chunk_idx") - F.row_number().over(w)).alias("__island")
+    spans = (
+        dup.select("doc_id", "chunk_idx", "start", "length", island)
+        .groupBy("doc_id", "__island")
+        .agg(
+            F.min("start").alias("span_start"),
+            F.sum("length").cast("bigint").alias("span_bytes"),
+            F.count(F.lit(1)).alias("n_chunks"),
+        )
+        .where(F.col("span_bytes") >= min_span_bytes)
+        .select("doc_id", "span_start", "span_bytes", "n_chunks")
+    )
+    return spans
+
+
+def scrub_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame | None = None,
+    text_col: str = "text",
+    **span_kwargs,
+) -> DataFrame:
+    """Cut the byte ranges :func:`duplicate_spans` found out of each
+    document's text (computing them from ``docs`` when ``spans`` is
+    None) — the write side of the ExactSubstr-style contract: every
+    repeated passage keeps exactly its first corpus occurrence.
+
+    Span offsets are byte-addressed; a cut edge that would split a
+    multi-byte UTF-8 sequence is SNAPPED outward (start backward, end
+    forward, each by < 4 bytes) so the scrubbed text is always valid
+    UTF-8 — the partial character at a span edge belongs to the
+    removed passage, not the kept text.
+
+    One Arrow-batched kernel over (document, its sorted span list);
+    documents with no spans pass through untouched on the same path.
+    All non-text columns are preserved."""
+    import pandas as pd
+
+    if spans is None:
+        spans = duplicate_spans(docs, text_col=text_col, **span_kwargs)
+    sp = spans.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_bytes"))
+        ).alias("__spans")
+    )
+    joined = docs.join(sp, "doc_id", "left")
+    out_schema = docs.schema
+    cols = [f.name for f in out_schema.fields]
+
+    def _snap_back(b: bytes, i: int) -> int:
+        while 0 < i < len(b) and (b[i] & 0xC0) == 0x80:
+            i -= 1
+        return i
+
+    def _snap_fwd(b: bytes, i: int) -> int:
+        while i < len(b) and (b[i] & 0xC0) == 0x80:
+            i += 1
+        return i
+
+    def kernel(batches):
+        for pdf in batches:
+            texts = []
+            for text, sl in zip(pdf[text_col], pdf["__spans"]):
+                if sl is None or len(sl) == 0 or text is None:
+                    texts.append(text)
+                    continue
+                b = text.encode("utf-8")
+                kept = []
+                pos = 0
+                for s in sl:
+                    st = _snap_back(b, int(s["span_start"]))
+                    en = _snap_fwd(
+                        b, int(s["span_start"]) + int(s["span_bytes"])
+                    )
+                    if st > pos:
+                        kept.append(b[pos:st])
+                    pos = max(pos, en)
+                kept.append(b[pos:])
+                texts.append(b"".join(kept).decode("utf-8"))
+            out = pdf[[c for c in cols if c != text_col]].copy()
+            out[text_col] = texts
+            yield out[cols]
+
+    return joined.mapInPandas(kernel, schema=out_schema)

@@ -1409,6 +1409,67 @@ def doc_dup_ngrams(spark, sf_dir):
     )
 
 
+def doc_dup_spans(spark, sf_dir):
+    """Cross-document repeated-span detection + scrub (r14, NEW
+    operator family: the distributed ExactSubstr-dedup substitute, Lee
+    et al. 2022, over CDC chunks — see
+    ``operators.dedup.duplicate_spans``).  Rows-only by design: CDC
+    chunk boundaries come from the seeded gear hash, so span offsets
+    are engine-specific (same convention as doc_cdc_chunks); the
+    operator's contracts are pinned by the planted/scrub/UTF-8-snap
+    pytest battery, and a derived-invariant twin (per-doc coverage ≥
+    passage − 2·max_chunk booleans over the deterministic plant below)
+    is the ready-made oracle candidate for a future funded slot.
+
+    The entry PLANTS a guaranteed detection target — an aperiodic
+    ~5 KB passage built from chained md5 strings (pure SQL, no fixture
+    dependence) appended to every doc_id % 7 == 3 document — and the
+    operator ALSO surfaces the fixture's own cross-document
+    duplication (the near-dup passages the dedup entries rely on), so
+    the summary covers both: per flagged doc, the span count, flagged
+    bytes, and the bytes the scrub actually removed (ASCII text →
+    removal equals the flagged total, no UTF-8 snapping)."""
+    from .operators.dedup import duplicate_spans, scrub_duplicate_spans
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    passage = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(149)),
+            lambda i: F.md5(F.concat(F.lit("dupspan:"), i.cast("string"))),
+        ),
+    )
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 3,
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" "), passage),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    sp = duplicate_spans(planted, avg_size=64, min_span_bytes=128)
+    per = sp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_bytes").alias("flagged_bytes"),
+    )
+    kept = scrub_duplicate_spans(planted, sp).select(
+        "doc_id", F.octet_length("text").alias("__kept")
+    )
+    orig = planted.select("doc_id", F.octet_length("text").alias("__orig"))
+    return (
+        per.join(orig, "doc_id")
+        .join(kept, "doc_id")
+        .select(
+            "doc_id",
+            "n_spans",
+            "flagged_bytes",
+            (F.col("__orig") - F.col("__kept")).alias("removed_bytes"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def doc_cdc_chunks(spark, sf_dir):
     # content-defined chunking: rows-only (seeded gear hash is
     # engine-specific); partition/resync invariants pinned in pytest
@@ -3093,6 +3154,7 @@ QUERIES = {
     "emb_semdedup": emb_semdedup,
     "dedup_incremental": dedup_incremental,
     "doc_cdc_chunks": doc_cdc_chunks,
+    "doc_dup_spans": doc_dup_spans,
     "doc_image_phash": doc_image_phash,
     "doc_video_near_dup": doc_video_near_dup,
     "doc_audio_near_dup": doc_audio_near_dup,

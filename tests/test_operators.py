@@ -1775,3 +1775,123 @@ def test_minhash_and_near_lsh_sound_entries(spark):
     assert rows and all(r.found for r in rows)
     rows = suite.dedup_near_lsh_sound(spark, SF_DIR).collect()
     assert len(rows) == 500 and all(r.sound for r in rows)
+
+
+def _span_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_duplicate_spans_planted(spark):
+    """r14: a long passage planted into several otherwise-distinct
+    documents is found as one span per non-first occurrence, covering
+    most of the passage (CDC resync settles within one max-size chunk
+    of each edge), and the corpus-wide first occurrence is exempt."""
+    import random as _r
+
+    from matcha_spark.operators.dedup import duplicate_spans
+
+    rng = _r.Random(41)
+    words = lambda n, tag: " ".join(  # noqa: E731
+        f"{tag}{rng.randint(0, 10**9)}" for _ in range(n)
+    )
+    # aperiodic shared boilerplate: periodic content is CDC's
+    # documented worst case (a periodic gear hash places boundaries
+    # either everywhere or nowhere inside the repetition)
+    prng = _r.Random(7)
+    passage = "LICENSE " + " ".join(
+        f"lic{prng.randint(0, 10**9)}" for _ in range(180)
+    ) + " "
+    rows = [
+        (1, words(80, "a") + " " + passage + words(80, "b")),
+        (2, words(90, "c") + " " + passage + words(70, "d")),
+        (3, words(60, "e") + " " + passage + words(95, "f")),
+        (4, words(100, "g")),  # no shared content
+    ]
+    docs = _span_docs(spark, rows)
+    spans = duplicate_spans(docs, avg_size=32, min_span_bytes=64)
+    by_doc = {}
+    for r in spans.collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # first occurrence (doc 1) exempt; docs 2 and 3 flagged; doc 4 clean
+    assert 1 not in by_doc and 4 not in by_doc
+    assert set(by_doc) == {2, 3}
+    hi = 32 * 8  # cdc max_chunk_size default = avg * 8
+    for d in (2, 3):
+        total = sum(r.span_bytes for r in by_doc[d])
+        assert total >= len(passage) - 2 * hi, (d, total)
+        # spans stay inside the document and are disjoint
+        b = rows[d - 1][1].encode()
+        ivs = sorted((r.span_start, r.span_start + r.span_bytes)
+                     for r in by_doc[d])
+        assert all(0 <= s < e <= len(b) for s, e in ivs)
+        assert all(p[1] <= q[0] for p, q in zip(ivs, ivs[1:]))
+        # the span really is the planted passage, not random text
+        for s_, e_ in ivs:
+            assert b"lic" in b[s_:e_]
+
+
+def test_duplicate_spans_keep_first_off(spark):
+    from matcha_spark.operators.dedup import duplicate_spans
+
+    prng = __import__("random").Random(9)
+    passage = " ".join(f"sh{prng.randint(0, 10**9)}" for _ in range(150))
+    docs = _span_docs(
+        spark,
+        [(1, "intro one " + passage), (2, "intro two two " + passage)],
+    )
+    spans = duplicate_spans(docs, avg_size=32, keep_first=False,
+                            min_span_bytes=64)
+    assert {r.doc_id for r in spans.collect()} == {1, 2}
+
+
+def test_scrub_duplicate_spans_roundtrip(spark):
+    """Scrub removes exactly the flagged bytes (ASCII: no snapping),
+    keeps non-text columns and untouched docs, and the scrubbed corpus
+    retains ONE copy of the passage."""
+    from pyspark.sql import functions as F
+
+    from matcha_spark.operators.dedup import (
+        duplicate_spans,
+        scrub_duplicate_spans,
+    )
+
+    prng = __import__("random").Random(11)
+    passage = ("BOILERMARK " + " ".join(
+        f"bp{prng.randint(0, 10**9)}" for _ in range(160)) + " ")
+    rows = [
+        (1, "alpha beta gamma " + passage + "delta one"),
+        (2, "epsilon zeta " + passage + "eta two two"),
+        (3, "plain document with nothing shared at all"),
+    ]
+    docs = _span_docs(spark, rows).withColumn(
+        "lang", F.lit("en")
+    )
+    spans = duplicate_spans(docs, avg_size=32, min_span_bytes=64)
+    got = {r.doc_id: r for r in
+           scrub_duplicate_spans(docs, spans).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[3].text == rows[2][1] and got[3].lang == "en"
+    cut = {r.doc_id: r.span_bytes for r in
+           spans.groupBy("doc_id").agg(
+               F.sum("span_bytes").alias("span_bytes")).collect()}
+    total_kept = sum(len(r.text.encode()) for r in got.values())
+    total_orig = sum(len(t.encode()) for _, t in rows)
+    assert total_kept == total_orig - sum(cut.values())
+    core = passage[len(passage) // 3 : 2 * len(passage) // 3]
+    n_copies = sum(core in r.text for r in got.values())
+    assert n_copies == 1  # cut-all-but-one
+
+
+def test_scrub_duplicate_spans_utf8_snap(spark):
+    """A span edge landing inside a multi-byte sequence is snapped so
+    the output is valid UTF-8 (decode would raise otherwise) and the
+    kept text is a subsequence of the original."""
+    from matcha_spark.operators.dedup import scrub_duplicate_spans
+
+    text = "é" * 50  # 100 bytes, every odd offset mid-character
+    docs = _span_docs(spark, [(1, text)])
+    spans = spark.createDataFrame(
+        [(1, 33, 33)], "doc_id long, span_start long, span_bytes long"
+    )
+    out = scrub_duplicate_spans(docs, spans).collect()[0].text
+    assert set(out) <= {"é"} and 0 < len(out) < 50
