@@ -1491,7 +1491,10 @@ def duplicate_spans(
 
     from .text import cdc_chunks
 
-    ch = cdc_chunks(docs, avg_size=avg_size, text_col=text_col)
+    # persisted: the chunk frame feeds BOTH the per-hash stats and the
+    # join back — without it the Arrow chunking pass (the dominant cost
+    # at corpus scale) would execute twice
+    ch = memo_persist(cdc_chunks(docs, avg_size=avg_size, text_col=text_col))
     stats = ch.groupBy("chunk_hash").agg(
         F.count_distinct("doc_id").alias("__n_docs"),
         F.min(F.struct("doc_id", "start")).alias("__first"),
