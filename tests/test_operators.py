@@ -1895,3 +1895,66 @@ def test_scrub_duplicate_spans_utf8_snap(spark):
     )
     out = scrub_duplicate_spans(docs, spans).collect()[0].text
     assert set(out) <= {"é"} and 0 < len(out) < 50
+
+
+@pytest.mark.parametrize("seed", range(60, 66))
+def test_scrub_duplicate_spans_property_fuzz(spark, seed):
+    """Property fuzz for the scrub kernel over random multibyte text
+    and random (possibly touching) spans: output always decodes as
+    valid UTF-8, every byte the spans didn't cover survives in order,
+    and the removal is at least the requested bytes (snapping only
+    grows it, by < 4 bytes per edge)."""
+    import random as _r
+
+    from matcha_spark.operators.dedup import scrub_duplicate_spans
+
+    rng = _r.Random(4200 + seed)
+    alphabet = "ab α β 語 🚀 é ñ\n"
+    rows, span_rows, expect_min_cut = [], [], {}
+    for doc in range(6):
+        text = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 300)))
+        rows.append((doc, text))
+        b = text.encode("utf-8")
+        cuts = []
+        pos = 0
+        while pos < len(b) and len(cuts) < 4 and rng.random() < 0.8:
+            s = rng.randint(pos, len(b) - 1)
+            ln = rng.randint(1, max(1, (len(b) - s) // 2))
+            cuts.append((s, ln))
+            pos = s + ln
+        for s, ln in cuts:
+            span_rows.append((doc, s, ln))
+        expect_min_cut[doc] = sum(ln for _, ln in cuts)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = spark.createDataFrame(
+        span_rows or [(99, 0, 1)],
+        "doc_id long, span_start long, span_bytes long",
+    )
+    got = {r.doc_id: r.text for r in
+           scrub_duplicate_spans(docs, spans).collect()}
+    assert set(got) == set(dict(rows))
+
+    def snap_back(b, i):
+        while 0 < i < len(b) and (b[i] & 0xC0) == 0x80:
+            i -= 1
+        return i
+
+    def snap_fwd(b, i):
+        while i < len(b) and (b[i] & 0xC0) == 0x80:
+            i += 1
+        return i
+
+    for doc, text in rows:
+        out = got[doc]
+        b = text.encode("utf-8")
+        kept, pos = [], 0
+        for d, st0, ln in sorted(s for s in span_rows if s[0] == doc):
+            st, en = snap_back(b, st0), snap_fwd(b, st0 + ln)
+            if st > pos:
+                kept.append(b[pos:st])
+            pos = max(pos, en)
+        kept.append(b[pos:])
+        want = b"".join(kept).decode("utf-8")
+        assert out == want, (seed, doc)
+        assert len(out.encode()) <= max(len(b) - expect_min_cut[doc], 0) \
+            or expect_min_cut[doc] == 0
