@@ -1152,7 +1152,10 @@ def _rand_str_bind_expr(rng, avail, depth=0):
     if depth >= 2 or (depth > 0 and rng.random() < 0.4):
         v = rng.choice(avail)
         return (lambda b, v=v: b[v]), (lambda m, v=v: m[v])
-    form = rng.choice(["ucase", "lcase", "substr", "concat", "strlen"])
+    form = rng.choice(
+        ["ucase", "lcase", "substr", "substr_tail", "concat", "strlen",
+         "replace"]
+    )
     if form == "concat":
         sep = rng.choice(["", "-"])
         fa, ga = _rand_str_bind_expr(rng, avail, depth + 1)
@@ -1172,6 +1175,25 @@ def _rand_str_bind_expr(rng, avail, depth=0):
             return ("str", rend(g(m))[pos - 1 : pos - 1 + ln], 0.0)
 
         return (lambda b, f=f, pos=pos, ln=ln: T.t_substr(f(b), pos, ln)), mir_sub
+    if form == "substr_tail":
+        pos = rng.randint(1, 3)
+
+        def mir_tail(m, g=g, pos=pos):
+            return ("str", rend(g(m))[pos - 1 :], 0.0)
+
+        return (lambda b, f=f, pos=pos: T.t_substr(f(b), pos)), mir_tail
+    if form == "replace":
+        # literal-safe pattern: a single letter means the same thing to
+        # Java regex and Python str.replace
+        pat = rng.choice(["x", "k", "a", "0"])
+        repl = rng.choice(["", "_", "Z"])
+
+        def mir_rep(m, g=g, pat=pat, repl=repl):
+            return ("str", rend(g(m)).replace(pat, repl), 0.0)
+
+        return (
+            lambda b, f=f, pat=pat, repl=repl: T.t_replace(f(b), pat, repl)
+        ), mir_rep
     if form == "strlen":
 
         def mir_len(m, g=g):

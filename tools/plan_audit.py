@@ -85,6 +85,10 @@ EXPECT: dict[str, set[str]] = {
     # pins that everything AROUND it (bucket agg, union, sort) still
     # compiles to codegen and nothing goes cartesian
     "doc_warc_ingest": {"codegen"},
+    # span dedup (r14, rows-only): chunking is the Arrow CDC kernel;
+    # the stats/join/window/summary layers above it must stay codegen
+    # and nothing may go cartesian
+    "doc_dup_spans": {"codegen"},
 }
 
 # deliberate 1-row broadcast scalars (Observation-style bound columns)
