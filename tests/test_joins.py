@@ -658,7 +658,17 @@ def test_retired_entry_equivalences_r14(spark):
       here with an independent expression (posexplode + groupBy sum of
       squares); the same _norm kernel stays oracle-backed inside the
       cosine denominators of emb_cosine_topk / emb_dup_pairs /
-      dedup_near_emb."""
+      dedup_near_emb.
+
+    - doc_minhash_planted (funding doc_dup_spans_planted, the
+      repeated-span dedup family's oracle twin, held back to r15) —
+      its oracle asserted that every >= 3-token document pairs with
+      its planted identical copy among the LSH candidates.  Replayed
+      exactly below, then shown to be IMPLIED by the still-backed
+      dedup_near_lsh_planted keep-map: the set of copies the keep-map
+      dedups away (keep_doc_id != self) is the SAME >= 3-token set,
+      and a copy can only be deduped if the banding first surfaced a
+      candidate pair linking it to its group."""
     from pyspark.sql import functions as F
 
     from matcha_spark import suite
@@ -689,3 +699,22 @@ def test_retired_entry_equivalences_r14(spark):
         .collect()
     }
     assert norms == want_n and len(norms) > 0
+
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in suite.doc_minhash_planted(spark, sf).collect()
+    }
+    eligible = {
+        r.doc_id
+        for r in docs.where(
+            F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) >= 3
+        ).collect()
+    }
+    assert pairs == {(a, a + 100000) for a in eligible} and len(pairs) > 0
+    # subsumption: the still-backed keep-map dedups exactly those copies
+    deduped = {
+        r.doc_id - 100000
+        for r in suite.dedup_near_lsh_planted(spark, sf).collect()
+        if r.keep_doc_id != r.doc_id
+    }
+    assert deduped == eligible

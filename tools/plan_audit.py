@@ -89,6 +89,11 @@ EXPECT: dict[str, set[str]] = {
     # the stats/join/window/summary layers above it must stay codegen
     # and nothing may go cartesian
     "doc_dup_spans": {"codegen"},
+    # its oracle twin (r14, holdback): same chunk pipeline via the
+    # shared _dup_spans_frames memo, plus the tail-overlap aggregate
+    # and the scrub kernel — the boolean layers must stay codegen and
+    # nothing may go cartesian
+    "doc_dup_spans_planted": {"codegen"},
 }
 
 # deliberate 1-row broadcast scalars (Observation-style bound columns)
