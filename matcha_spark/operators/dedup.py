@@ -647,6 +647,79 @@ def dedup_near_docs(
     return _keep_map(docs, comp)
 
 
+def keep_best_map(
+    docs: DataFrame,
+    comp: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-ranked survivor selection — the CCNet-style refinement
+    of the keep-one contract: within each duplicate cluster keep the
+    member with the HIGHEST score (ties broken toward the smaller id,
+    so the result is deterministic and degrades to keep-first on
+    uniform scores), not blindly the first.  Production pipelines keep
+    the longest / highest-quality copy of a near-duplicated page; the
+    min-id convention of :func:`_keep_map` throws that information
+    away.
+
+    ``comp`` is a component labeling ``(id, component)`` (the output
+    of :func:`connected_components`); docs in no component keep
+    themselves.  Returns ``(id_col, keep_doc_id)`` — the same shape as
+    :func:`dedup_near_docs`, so ``docs.where(id == keep_doc_id)`` is
+    the deduped corpus.
+
+    Scale shape: one groupBy over component ids (at most one row per
+    cluster — strictly fewer keys than documents) with a deterministic
+    struct-max (lexicographic ``(score, -id)``), then one hash join
+    back.  All JVM; no window over the full corpus, no collect."""
+    labeled = docs.select(
+        F.col(id_col), F.col(score_col).alias("__score")
+    ).join(comp, F.col(id_col) == F.col("id"), "left")
+    best = (
+        labeled.where(F.col("component").isNotNull())
+        .groupBy("component")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__score").alias("s"),
+                    (-F.col(id_col)).alias("nid"),
+                )
+            ).alias("__b")
+        )
+        .select("component", (-F.col("__b.nid")).alias("__keep"))
+    )
+    return labeled.join(best, "component", "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("__keep"), F.col(id_col)).alias("keep_doc_id"),
+    )
+
+
+def dedup_near_docs_keep_best(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    max_doc_freq: int | None = None,
+    score=None,
+) -> DataFrame:
+    """:func:`dedup_near_docs` with quality-ranked survivors: same
+    n-gram Jaccard pairs → connected components pipeline, but each
+    cluster keeps its best-scoring member (:func:`keep_best_map`)
+    instead of the smallest id.  ``score`` is any Column over the
+    input rows; the default — character length of the text — keeps the
+    most complete copy, the simplest deterministic quality proxy and
+    exactly replayable in SQL (so the suite entry carries a DuckDB
+    oracle).  Integer scores sidestep cross-engine float-tie hazards;
+    pass a quality-classifier column for CCNet-style selection."""
+    pairs = ngram_jaccard_pairs(
+        docs, n=n, threshold=threshold, max_doc_freq=max_doc_freq
+    )
+    comp = connected_components(pairs)
+    scored = docs.withColumn(
+        "__kb_score", F.length("text") if score is None else score
+    )
+    return keep_best_map(scored, comp, "__kb_score")
+
+
 def dedup_near_docs_lsh(
     docs: DataFrame,
     num_hashes: int = 64,

@@ -1629,7 +1629,15 @@ def emb_semdedup(spark, sf_dir):
 
 
 def doc_cdc_tiling(spark, sf_dir):
-    """Derived-invariant twin of ``doc_cdc_chunks``: the seeded gear
+    """RETIRED from the oracle registry in r14 (funding
+    dedup_keep_best_docs; see the registry comment).  The tiling
+    identity is replayed as a pure-Spark differential in
+    test_joins.py::test_retired_entry_equivalences_r14, and the
+    cdc_chunks offsets/lengths it certified are now oracle-backed
+    through the strictly stronger doc_dup_spans_planted coverage
+    floor, which is computed FROM those offsets.
+
+    Derived-invariant twin of ``doc_cdc_chunks``: the seeded gear
     hash makes chunk BOUNDARIES engine-specific, but whatever the
     boundaries are, the chunks must tile each document exactly —
     chunk 0 starts at byte 0, every later chunk starts where the
@@ -2957,6 +2965,24 @@ def dedup_near_docs(spark, sf_dir):
     )
 
 
+def dedup_keep_best_docs(spark, sf_dir):
+    """Quality-ranked survivor selection (r14, declared in
+    ORACLE_HOLDBACK; funded by retiring doc_cdc_tiling — see the
+    registry comment): the same n-gram-Jaccard clusters as
+    ``dedup_near_docs``, but each cluster keeps its BEST-scoring
+    member (CCNet-style; here score = character length, the simplest
+    deterministic quality proxy — keep the most complete copy) instead
+    of the smallest id.  Fully SQL-expressible: the recursive-CTE
+    closure of the sibling entry plus one window argmax (integer
+    score, id tiebreak — no cross-engine float-tie hazard)."""
+    return D.dedup_near_docs_keep_best(
+        load_tables(spark, sf_dir, "documents")["documents"],
+        n=3,
+        threshold=0.2,
+        max_doc_freq=100,
+    )
+
+
 def dedup_near_lsh(spark, sf_dir):
     # MinHash candidates → verify → cluster; xxhash64-based → rows-only
     return D.dedup_near_docs_lsh(
@@ -3111,7 +3137,13 @@ def dedup_near_emb(spark, sf_dir):
 # dedup_near_lsh_planted keep-map (subsumption computed in
 # test_retired_entry_equivalences_r14; banding recall stays organically
 # backed via doc_minhash_recall_sound).  Oracle-backed count stays 145;
-# the r16 must-rotate set shrinks 49 → 48.
+# the r16 must-rotate set shrinks 49 → 48.  Second late-round addition:
+# dedup_keep_best_docs (quality-ranked survivor selection — the CCNet
+# "keep the best copy, not the first" refinement every production
+# pipeline applies; recursive-closure + window-argmax oracle), also
+# held back to r15, funded by RETIRING doc_cdc_tiling (r12-recorded,
+# outside the window — so r15's must-rotate set shrinks 45 → 44 and
+# the three holdback publishes still leave 3 early-refresh slots).
 # r13 surgery (verdict asks #2/#6): window = the 45 r10-recorded
 # must-rotate entries + 5 slots spent as 1 NEW entry (doc_jsonl_ingest
 # — the raw-ingestion path under the oracle, funded by RETIRING
@@ -3189,7 +3221,13 @@ QUERIES = {
     "graph_triangles_parts": graph_triangles_parts,
     "graph_kcore_sound": graph_kcore_sound,
     "graph_pagerank_mass": graph_pagerank_mass,
-    "doc_cdc_tiling": doc_cdc_tiling,
+    # doc_cdc_tiling RETIRED r14 (funding dedup_keep_best_docs): its
+    # oracle was only "the chunks tile the document" booleans; the
+    # same cdc_chunks offsets/lengths are now oracle-backed through a
+    # strictly stronger contract (doc_dup_spans_planted's tail-window
+    # coverage floor is computed FROM those offsets), and the tiling
+    # identity is replayed as a pure-Spark differential in
+    # test_joins.py::test_retired_entry_equivalences_r14
     "doc_flac_features": doc_flac_features,
     "doc_minhash_recall_sound": doc_minhash_recall_sound,
     "dedup_near_lsh_sound": dedup_near_lsh_sound,
@@ -3283,6 +3321,7 @@ QUERIES = {
     # --- ORACLE_HOLDBACK (r14): verified locally, publishes in r15's free slots ---
     "doc_warc_ingest": doc_warc_ingest,
     "doc_dup_spans_planted": doc_dup_spans_planted,
+    "dedup_keep_best_docs": dedup_keep_best_docs,
     # --- rows-only by design (no oracle; pytest-pinned, with derived-invariant twins recorded above): parked last ---
     "dedup_incremental_simhash": dedup_incremental_simhash,
     "emb_pq_topk": emb_pq_topk,
@@ -3315,10 +3354,15 @@ QUERIES = {
 # oracle-backed — warning the round it appears and FAILING if it
 # persists past its declaration round unpublished
 # (ORACLE_HOLDBACK_SINCE records the round each holdback was declared).
-ORACLE_HOLDBACK: set[str] = {"doc_warc_ingest", "doc_dup_spans_planted"}
+ORACLE_HOLDBACK: set[str] = {
+    "doc_warc_ingest",
+    "doc_dup_spans_planted",
+    "dedup_keep_best_docs",
+}
 ORACLE_HOLDBACK_SINCE: dict[str, int] = {
     "doc_warc_ingest": 14,
     "doc_dup_spans_planted": 14,
+    "dedup_keep_best_docs": 14,
 }
 
 _EN = "'the','a','and','of','to','in','is','that','it','for'"
@@ -4778,15 +4822,46 @@ ORACLES = {
         SELECT d.doc_id, coalesce(l.keep, d.doc_id) AS keep_doc_id
         FROM documents d LEFT JOIN label l ON d.doc_id = l.doc_id
     """,
+    "dedup_keep_best_docs": f"""
+        WITH RECURSIVE {_jaccard_pairs_ctes(cap=100, threshold=0.2)},
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT reach.a, e.b FROM reach JOIN edges e ON reach.b = e.a
+        ),
+        comp AS (
+            SELECT a AS doc_id, least(a, min(b)) AS comp_id
+            FROM reach GROUP BY a
+        ),
+        best AS (
+            SELECT comp_id, doc_id AS keep FROM (
+                SELECT c.comp_id, c.doc_id,
+                       row_number() OVER (
+                           PARTITION BY c.comp_id
+                           ORDER BY length(d.text) DESC, c.doc_id ASC
+                       ) AS rn
+                FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+            ) WHERE rn = 1
+        )
+        SELECT d.doc_id, coalesce(b.keep, d.doc_id) AS keep_doc_id
+        FROM documents d
+        LEFT JOIN comp c ON d.doc_id = c.doc_id
+        LEFT JOIN best b ON c.comp_id = b.comp_id
+    """,
     # emb_l2_norms RETIRED r14 (funding doc_warc_ingest): see the
     # comment above doc_warc_ingest's oracle
     # --- derived-invariant twins (r10) ---------------------------------
-    "doc_cdc_tiling": """
-        SELECT doc_id,
-               CAST(strlen(text) AS BIGINT) AS n_bytes,
-               CAST(1 AS BOOLEAN) AS tiled
-        FROM documents
-    """,
+    # doc_cdc_tiling RETIRED r14 (funding dedup_keep_best_docs): its
+    # oracle was only strlen(text) + a constant TRUE; the tiling
+    # identity is replayed as a pure-Spark differential in
+    # test_joins.py::test_retired_entry_equivalences_r14, and the same
+    # cdc_chunks offsets stay oracle-backed through
+    # doc_dup_spans_planted's coverage floor
     "emb_semdedup_planted": """
         SELECT vec_id, CAST(1 AS BOOLEAN) AS keep,
                CAST(NULL AS BIGINT) AS dup_of

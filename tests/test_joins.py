@@ -668,7 +668,16 @@ def test_retired_entry_equivalences_r14(spark):
       dedup_near_lsh_planted keep-map: the set of copies the keep-map
       dedups away (keep_doc_id != self) is the SAME >= 3-token set,
       and a copy can only be deduped if the banding first surfaced a
-      candidate pair linking it to its group."""
+      candidate pair linking it to its group.
+
+    - doc_cdc_tiling (funding dedup_keep_best_docs, the quality-ranked
+      survivor entry, held back to r15) — its oracle was only
+      strlen(text) + a constant TRUE (chunks tile the document).
+      Replayed below as a pure-Spark differential: every doc tiled,
+      n_bytes == octet_length(text).  The cdc_chunks offsets stay
+      oracle-backed through doc_dup_spans_planted, whose tail-window
+      coverage floor is computed FROM those offsets — broken tiling
+      breaks that floor."""
     from pyspark.sql import functions as F
 
     from matcha_spark import suite
@@ -718,3 +727,14 @@ def test_retired_entry_equivalences_r14(spark):
         if r.keep_doc_id != r.doc_id
     }
     assert deduped == eligible
+
+    tiling = suite.doc_cdc_tiling(spark, sf).collect()
+    lens = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.octet_length("text").alias("n")
+        ).collect()
+    }
+    assert len(tiling) > 0
+    for r in tiling:
+        assert r.tiled and r.n_bytes == lens[r.doc_id], r

@@ -507,6 +507,51 @@ def test_dedup_near_docs_lsh_keep_mapping(docs):
     assert res[9003] == 9003
 
 
+def test_dedup_keep_best_mapping(spark):
+    """r14 keep-best survivor selection: within a near-dup cluster the
+    HIGHEST-scoring member survives (default score = char length →
+    keep the most complete copy), ties break toward the smaller id,
+    singletons keep themselves — and on uniform scores the mapping
+    degrades to exactly the keep-first contract of dedup_near_docs."""
+    from matcha_spark.operators.dedup import (
+        dedup_near_docs,
+        dedup_near_docs_keep_best,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, base),                                   # cluster, short
+        (2, base + " iota kappa and a longer tail"),  # cluster, LONGEST
+        (3, base + " iota"),                          # cluster, middle
+        (4, "totally unrelated words only here"),     # singleton
+        (5, "pair one same text"),                    # tie pair...
+        (6, "pair one same text"),                    # ...equal length
+    ]
+    docs = _span_docs(spark, rows)
+    got = {
+        r.doc_id: r.keep_doc_id
+        for r in dedup_near_docs_keep_best(docs, threshold=0.3).collect()
+    }
+    assert len(got) == 6
+    assert got[1] == got[2] == got[3] == 2  # best, not first
+    assert got[4] == 4
+    assert got[5] == got[6] == 5  # tie -> min id
+    # uniform score degrades to keep-first
+    from pyspark.sql import functions as F
+
+    uniform = {
+        r.doc_id: r.keep_doc_id
+        for r in dedup_near_docs_keep_best(
+            docs, threshold=0.3, score=F.lit(1)
+        ).collect()
+    }
+    first = {
+        r.doc_id: r.keep_doc_id
+        for r in dedup_near_docs(docs, threshold=0.3).collect()
+    }
+    assert uniform == first
+
+
 def test_ngram_jaccard_doc_freq_cap(spark):
     # all 3 docs share the hot shingle "a b c" (df=3); docs 1/2 also
     # share rare shingles ("b c q", "c q r", "q r s", df=2 each)

@@ -94,6 +94,10 @@ EXPECT: dict[str, set[str]] = {
     # and the scrub kernel — the boolean layers must stay codegen and
     # nothing may go cartesian
     "doc_dup_spans_planted": {"codegen"},
+    # keep-best survivor selection (r14, holdback): shingle pipeline +
+    # component groupBy + struct-argmax + join back — all codegen, no
+    # window over the full corpus, nothing cartesian
+    "dedup_keep_best_docs": {"codegen"},
 }
 
 # deliberate 1-row broadcast scalars (Observation-style bound columns)
