@@ -727,12 +727,18 @@ def dedup_near_docs_lsh(
     n: int = 3,
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
+    score=None,
 ) -> DataFrame:
     """Near-duplicate dedup, scale path: MinHash+LSH candidates →
     exact-Jaccard verification *restricted to the candidate pairs* (no
     hot-shingle blowup) → connected components → keep-one mapping.
     Recall follows the LSH banding curve (1-(1-j^r)^b), chosen so pairs
-    at ``threshold`` are caught with high probability."""
+    at ``threshold`` are caught with high probability.
+
+    ``score``: optional quality Column over the input rows — when
+    given, each cluster keeps its best-scoring member instead of the
+    smallest id (:func:`keep_best_map`), the scale-path twin of
+    :func:`dedup_near_docs_keep_best`."""
     # memoized persist: the candidate set feeds three joins in the verify stage
     cand = memo_persist(
         minhash_lsh_candidates(
@@ -745,7 +751,12 @@ def dedup_near_docs_lsh(
     )
     verified = jaccard_verify(docs, cand, n=n).where(F.col("jaccard") >= threshold)
     comp = connected_components(verified)
-    return _keep_map(docs, comp)
+    if score is None:
+        return _keep_map(docs, comp)
+    # quality-ranked survivors on the scale path: same clusters, best
+    # member kept (see keep_best_map) — the LSH twin of
+    # dedup_near_docs_keep_best
+    return keep_best_map(docs.withColumn("__kb_score", score), comp, "__kb_score")
 
 
 # ---------------------------------------------------------------------------

@@ -552,6 +552,33 @@ def test_dedup_keep_best_mapping(spark):
     assert uniform == first
 
 
+def test_dedup_lsh_keep_best_mapping(spark):
+    """The scale path's score= hook: identical clusters to the plain
+    LSH keep-map, best-scoring survivor kept (char length default is
+    the caller's choice here — passed explicitly as octet_length to
+    show an arbitrary quality column plugs in)."""
+    from pyspark.sql import functions as F
+
+    from matcha_spark.operators.dedup import dedup_near_docs_lsh
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = _span_docs(
+        spark,
+        [
+            (1, base),
+            (2, base + " iota kappa and a much longer tail here"),
+            (3, "nothing shared with the others at all"),
+        ],
+    )
+    got = {
+        r.doc_id: r.keep_doc_id
+        for r in dedup_near_docs_lsh(
+            docs, threshold=0.3, score=F.octet_length("text")
+        ).collect()
+    }
+    assert got[1] == got[2] == 2 and got[3] == 3
+
+
 def test_ngram_jaccard_doc_freq_cap(spark):
     # all 3 docs share the hot shingle "a b c" (df=3); docs 1/2 also
     # share rare shingles ("b c q", "c q r", "q r s", df=2 each)
