@@ -369,6 +369,21 @@ def main() -> None:
     bench("doc_minhash_recall_sound", lambda: force(doc_minhash_recall_sound(spark, SF_DIR)))
     bench("dedup_near_lsh_sound", lambda: force(dedup_near_lsh_sound(spark, SF_DIR)))
 
+    # --- r14 entries ---
+    # doc_dup_spans is rows-only (never windowed) and its oracle twin
+    # is a _planted exclusion, so the span family's committed number
+    # lives here: the full plant + CDC chunk + spans + scrub pipeline.
+    # dedup_keep_best_docs auto-benches once its holdback publishes
+    # into the r15 window; until then the tuned slot keeps the new
+    # argmax path measured.
+    from matcha_spark.suite import dedup_keep_best_docs, doc_dup_spans
+
+    bench("doc_dup_spans", lambda: force(doc_dup_spans(spark, SF_DIR)))
+    bench(
+        "dedup_keep_best_docs",
+        lambda: force(dedup_keep_best_docs(spark, SF_DIR)),
+    )
+
     # --- auto coverage (r13, verdict ask #5) --------------------------
     # Every entry in the CURRENT driver window (the first 50 of
     # QUERIES) not hand-benched above gets ONE timed run, so each

@@ -671,7 +671,12 @@ def keep_best_map(
     Scale shape: one groupBy over component ids (at most one row per
     cluster — strictly fewer keys than documents) with a deterministic
     struct-max (lexicographic ``(score, -id)``), then one hash join
-    back.  All JVM; no window over the full corpus, no collect."""
+    back.  All JVM; no window over the full corpus, no collect.
+
+    NULL scores: struct comparison orders NULL smallest, so a
+    NULL-scored member only survives when every member is NULL-scored
+    — and then the id tiebreak still applies, i.e. an all-NULL cluster
+    degrades to keep-first rather than picking arbitrarily."""
     labeled = docs.select(
         F.col(id_col), F.col(score_col).alias("__score")
     ).join(comp, F.col(id_col) == F.col("id"), "left")

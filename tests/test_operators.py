@@ -550,6 +550,25 @@ def test_dedup_keep_best_mapping(spark):
         for r in dedup_near_docs(docs, threshold=0.3).collect()
     }
     assert uniform == first
+    # NULL scores: struct-max orders NULL smallest — a NULL-scored
+    # member loses to any scored one, and an all-NULL cluster degrades
+    # to keep-first (docstring contract of keep_best_map)
+    null_mid = {
+        r.doc_id: r.keep_doc_id
+        for r in dedup_near_docs_keep_best(
+            docs,
+            threshold=0.3,
+            score=F.when(F.col("doc_id") != 3, F.length("text")),
+        ).collect()
+    }
+    assert null_mid[1] == null_mid[2] == null_mid[3] == 2
+    all_null = {
+        r.doc_id: r.keep_doc_id
+        for r in dedup_near_docs_keep_best(
+            docs, threshold=0.3, score=F.lit(None).cast("int")
+        ).collect()
+    }
+    assert all_null == first
 
 
 def test_dedup_lsh_keep_best_mapping(spark):
