@@ -151,6 +151,109 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", F.md5(norm).alias("fp"))
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 25,
+    window: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Rolling-hash document fingerprinting by winnowing (Schleimer,
+    Wilkerson & Aiken 2003, the MOSS scheme): hash every k-gram of the
+    text, then keep the MINIMUM hash of each sliding window of
+    ``window`` consecutive k-gram hashes.  The winnowing guarantee:
+    any substring shared between two documents of length >=
+    ``window + k - 1`` characters yields at least one shared
+    fingerprint — position-robust local similarity without comparing
+    texts pairwise (shared fingerprints are found with one groupBy).
+
+    Returns ``(doc_id, fp)`` — one row per distinct selected
+    fingerprint per document.  Documents shorter than ``k`` characters
+    produce no rows; documents with fewer than ``window`` k-grams
+    produce their global minimum (the degenerate single window).
+
+    Spark shape: everything is JVM higher-order functions over one
+    narrow projection — ``transform(sequence(...))`` for the k-gram
+    xxhash64 stream, ``transform + slice + array_min`` for the window
+    minima, ``array_distinct`` then ``explode`` — whole-stage codegen,
+    no Python kernel, no shuffle until the caller aggregates.  Work is
+    O(chars * window) with a small constant; at 100 TB the selected
+    density is ~2/(window+1) fingerprints per character position
+    (the winnowing paper's bound), so the exploded output is a
+    fraction of corpus size before the distinct.
+
+    xxhash64 values are engine-specific, so the suite entry is
+    rows-only; the winnowing-guarantee invariant is pinned in pytest
+    (shared planted passage → shared fingerprint).
+
+    Defaults follow the paper's text regime (MOSS uses noise
+    thresholds of dozens of characters): k=25 so common English
+    phrases don't fingerprint-collide across the whole corpus, window
+    50 → guarantee threshold t = k + window - 1 = 74 shared chars.
+
+    Implementation note: the k-gram hash stream is materialized in its
+    OWN projection and referenced (twice) from the window-minima step —
+    embedding it inside the per-window lambda would make Catalyst
+    re-evaluate the whole stream per window position, turning the
+    operator O(chars²·k) per document (measured: 40× slower at
+    sf0.01); CollapseProject keeps multi-referenced non-trivial
+    producers un-inlined, so the stream is computed once per row."""
+    if k < 1 or window < 1:
+        raise ValueError("need k >= 1 and window >= 1")
+    t = F.col(text_col)
+    n = F.length(t) - F.lit(k - 1)  # number of k-grams
+    hs = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.xxhash64(F.substring(t, i, k)),
+    )
+    base = docs.where(t.isNotNull() & (F.length(t) >= k)).select(
+        "doc_id", hs.alias("__hs")
+    )
+    h = F.col("__hs")
+    mins = F.transform(
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.size(h) - F.lit(window - 1), F.lit(1)),
+        ),
+        lambda j: F.array_min(F.slice(h, j, window)),
+    )
+    return base.select(
+        "doc_id", F.explode(F.array_distinct(mins)).alias("fp")
+    )
+
+
+def winnow_shared_docs(
+    docs: DataFrame,
+    k: int = 25,
+    window: int = 50,
+    min_shared: int = 2,
+    max_fp_freq: int | None = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document local-similarity pairs from winnowing
+    fingerprints: explode each document's selected fingerprints, drop
+    corpus-hot fingerprints (``max_fp_freq`` — boilerplate k-grams
+    shared by everything, the same document-frequency cap idea as
+    ``ngram_jaccard_pairs``), self-join per fingerprint, and keep
+    pairs sharing at least ``min_shared`` distinct fingerprints.
+    One uniform-key groupBy + one bucket join, bounded by the
+    frequency cap — never all-pairs."""
+    fps = winnow_fingerprints(docs, k=k, window=window, text_col=text_col)
+    if max_fp_freq is not None:
+        freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__n"))
+        fps = fps.join(
+            freq.where(F.col("__n") <= max_fp_freq), "fp"
+        ).select("doc_id", "fp")
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup via hash-groupBy on the normalized fingerprint:
     keeps the smallest doc_id per group.  One shuffle on the 128-bit

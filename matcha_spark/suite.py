@@ -1581,6 +1581,20 @@ def doc_dup_spans_planted(spark, sf_dir):
     )
 
 
+def doc_winnow_pairs(spark, sf_dir):
+    """Rolling-hash fingerprint similarity pairs by winnowing
+    (Schleimer et al. 2003 / MOSS — see
+    ``operators.text.winnow_fingerprints``): every k-gram xxhash64'd,
+    window minima selected, corpus-hot fingerprints capped, pairs by
+    one fingerprint groupBy.  Rows-only: xxhash64 values are
+    engine-specific; the winnowing guarantee (shared substring >=
+    window+k-1 chars → >= 1 shared fingerprint) and the short-doc /
+    determinism contracts are pinned in pytest."""
+    return T.winnow_shared_docs(
+        load_tables(spark, sf_dir, "documents")["documents"], min_shared=2
+    )
+
+
 def doc_cdc_chunks(spark, sf_dir):
     # content-defined chunking: rows-only (seeded gear hash is
     # engine-specific); partition/resync invariants pinned in pytest
@@ -3329,6 +3343,7 @@ QUERIES = {
     "dedup_incremental": dedup_incremental,
     "doc_cdc_chunks": doc_cdc_chunks,
     "doc_dup_spans": doc_dup_spans,
+    "doc_winnow_pairs": doc_winnow_pairs,
     "doc_image_phash": doc_image_phash,
     "doc_video_near_dup": doc_video_near_dup,
     "doc_audio_near_dup": doc_audio_near_dup,

@@ -598,6 +598,80 @@ def test_dedup_lsh_keep_best_mapping(spark):
     assert got[1] == got[2] == 2 and got[3] == 3
 
 
+def test_winnow_guarantee_and_contracts(spark):
+    """r14 winnowing fingerprints: (a) the Schleimer et al. guarantee
+    — two documents sharing a substring of >= window+k-1 characters
+    share at least one selected fingerprint; (b) docs shorter than k
+    produce no rows; (c) identical texts produce identical fingerprint
+    sets; (d) an unrelated doc does not pair at min_shared=2."""
+    import random as _r
+
+    from matcha_spark.operators.text import (
+        winnow_fingerprints,
+        winnow_shared_docs,
+    )
+
+    rng = _r.Random(17)
+    blob = lambda n, tag: " ".join(  # noqa: E731
+        f"{tag}{rng.randint(0, 10**9)}" for _ in range(n)
+    )
+    shared = blob(12, "sh")  # ~120 chars >> window+k-1 = 23
+    rows = [
+        (1, blob(30, "a") + " " + shared + " " + blob(30, "b")),
+        (2, blob(25, "c") + " " + shared + " " + blob(35, "d")),
+        (3, blob(60, "e")),      # unrelated
+        (4, "tiny"),             # < k chars
+        (5, blob(60, "e")),      # wait — new rng draws, NOT equal to 3
+    ]
+    docs = _span_docs(spark, rows)
+    fps = winnow_fingerprints(docs, k=8, window=16)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert 4 not in by_doc  # shorter than k
+    assert by_doc[1] & by_doc[2]  # the guarantee
+    # identical texts -> identical sets (doc 6 duplicates doc 3)
+    docs2 = _span_docs(spark, rows + [(6, rows[2][1])])
+    fps2 = winnow_fingerprints(docs2, k=8, window=16)
+    by2 = {}
+    for r in fps2.collect():
+        by2.setdefault(r.doc_id, set()).add(r.fp)
+    assert by2[6] == by2[3] == by_doc[3]
+    pairs = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in winnow_shared_docs(
+            docs, k=8, window=16, min_shared=2, max_fp_freq=None
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert not any(3 in p for p in pairs)
+
+
+def test_winnow_hot_fp_cap(spark):
+    """max_fp_freq drops corpus-hot fingerprints before the self-join
+    (the df-cap anti-blowup contract): with every doc sharing the same
+    boilerplate, cap=2 kills the hot fingerprints and only the pair
+    sharing RARE content survives."""
+    from matcha_spark.operators.text import winnow_shared_docs
+
+    boiler = "standard footer text appearing everywhere in the corpus"
+    rare = "genuinely rare shared passage nine hundred something"
+    rows = [
+        (1, f"one {boiler} {rare}"),
+        (2, f"two {boiler} {rare} tail"),
+        (3, f"three {boiler} alpha"),
+        (4, f"four {boiler} beta"),
+    ]
+    docs = _span_docs(spark, rows)
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in winnow_shared_docs(
+            docs, k=8, window=4, min_shared=2, max_fp_freq=2
+        ).collect()
+    }
+    assert pairs == {(1, 2)}
+
+
 def test_ngram_jaccard_doc_freq_cap(spark):
     # all 3 docs share the hot shingle "a b c" (df=3); docs 1/2 also
     # share rare shingles ("b c q", "c q r", "q r s", df=2 each)

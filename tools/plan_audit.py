@@ -98,6 +98,11 @@ EXPECT: dict[str, set[str]] = {
     # component groupBy + struct-argmax + join back — all codegen, no
     # window over the full corpus, nothing cartesian
     "dedup_keep_best_docs": {"codegen"},
+    # winnowing fingerprints (r14, rows-only): k-gram hash stream +
+    # window minima are JVM higher-order functions — the whole entry
+    # must stay codegen (no Python kernel anywhere) and the
+    # fingerprint self-join must never go cartesian
+    "doc_winnow_pairs": {"codegen"},
 }
 
 # deliberate 1-row broadcast scalars (Observation-style bound columns)
