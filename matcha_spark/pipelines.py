@@ -33,6 +33,7 @@ def curate_corpus(
     url_col: str = "url",
     dedup_method: str = "exact",
     dedup_kwargs: dict | None = None,
+    survivor_score=None,
 ) -> DataFrame:
     """Standard curation cascade with an audit verdict per document:
 
@@ -52,7 +53,12 @@ def curate_corpus(
        ``dedup_kwargs={"max_hamming": ...}``), or ``"lsh"``
        (MinHash+LSH candidates with exact-Jaccard verification;
        ``dedup_kwargs={"threshold": ...}``) — the same near-dup choice
-       the streaming twin (``streaming.curate.stream_curate``) offers;
+       the streaming twin (``streaming.curate.stream_curate``) offers.
+       ``survivor_score`` (optional Column over the input rows) turns
+       every dedup method's keeper into the quality-ranked
+       ``keep_best_map`` choice — each duplicate group keeps its
+       highest-scoring member (ties toward the smaller id) instead of
+       the smallest id, the CCNet-style selection;
     3. **contaminated**: benchmark n-gram overlap above
        ``max_contamination`` among remaining docs (skipped when
        ``probes`` is None).
@@ -102,19 +108,38 @@ def curate_corpus(
         if gate is not None:
             base = base.join(gate, "doc_id", "left_semi")
     q_surv = base.join(quality_ok, "doc_id", "left_semi")
+    if survivor_score is not None:
+        # evaluated ONCE against the input schema, so a score written
+        # over text_col survives the lsh path's column rename below
+        q_surv = q_surv.withColumn("__kb_score", survivor_score)
 
     if dedup_method == "exact":
         norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+        fp = q_surv.select(
+            "doc_id",
+            F.md5(norm).alias("__fp"),
+            *(["__kb_score"] if survivor_score is not None else []),
+        )
+        if survivor_score is None:
+            keep_id = F.min("doc_id").alias("keep_id")
+        else:
+            keep_id = (
+                -F.max(
+                    F.struct(
+                        F.col("__kb_score").alias("s"),
+                        (-F.col("doc_id")).alias("nid"),
+                    )
+                )["nid"]
+            ).alias("keep_id")
         keepers = (
-            q_surv.select("doc_id", F.md5(norm).alias("__fp"))
-            .groupBy("__fp")
-            .agg(F.min("doc_id").alias("keep_id"))
+            fp.groupBy("__fp").agg(keep_id)
             .select(F.col("keep_id").alias("doc_id"))
         )
     elif dedup_method in ("simhash", "lsh"):
         from .operators.dedup import (
             connected_components,
             dedup_near_docs_lsh,
+            keep_best_map,
             simhash_candidates,
         )
 
@@ -123,18 +148,32 @@ def curate_corpus(
                 q_surv, text_col=text_col, **(dedup_kwargs or {})
             )
             comp = connected_components(pairs)
-            km = q_surv.select("doc_id").join(
-                comp, F.col("doc_id") == F.col("id"), "left"
-            ).select(
-                "doc_id",
-                F.coalesce("component", F.col("doc_id")).alias("keep_doc_id"),
-            )
+            if survivor_score is not None:
+                km = keep_best_map(q_surv, comp, "__kb_score")
+            else:
+                km = q_surv.select("doc_id").join(
+                    comp, F.col("doc_id") == F.col("id"), "left"
+                ).select(
+                    "doc_id",
+                    F.coalesce("component", F.col("doc_id")).alias("keep_doc_id"),
+                )
         else:
             # the LSH path's shingle pipeline reads the default text
             # column; rename so a text_col override reaches it too
             km = dedup_near_docs_lsh(
-                q_surv.select("doc_id", F.col(text_col).alias("text")),
-                **(dedup_kwargs or {}),
+                q_surv.select(
+                    "doc_id",
+                    F.col(text_col).alias("text"),
+                    *(["__kb_score"] if survivor_score is not None else []),
+                ),
+                **dict(
+                    (dedup_kwargs or {}),
+                    **(
+                        {"score": F.col("__kb_score")}
+                        if survivor_score is not None
+                        else {}
+                    ),
+                ),
             )
         keepers = km.where(F.col("doc_id") == F.col("keep_doc_id")).select(
             "doc_id"

@@ -542,6 +542,56 @@ def test_curate_corpus_stage_order_and_verdicts(spark):
     assert out2[3] == "quality"
 
 
+def test_curate_corpus_survivor_score(spark):
+    """survivor_score flips every dedup method's keeper from min-id to
+    best-scoring (keep_best_map semantics): exact groups (normalized-
+    equal, raw lengths differ via whitespace) and LSH clusters both
+    keep the longest member; default (no score) behavior unchanged."""
+    from pyspark.sql import functions as F
+
+    from matcha_spark.pipelines import curate_corpus
+
+    good = ("the cat and the dog sat in the house that is it for a story "
+            "about the animals and their day together in it all")
+    padded = good.replace(" ", "  ")  # same normalized text, longer raw
+    docs = spark.createDataFrame(
+        [(1, good), (2, padded), (3, good + " with a genuinely distinct tail here")],
+        "doc_id long, text string",
+    )
+    # default: min id keeps
+    out = {r.doc_id: r.status for r in curate_corpus(
+        docs, None, min_tokens=5, max_punct_ratio=0.3
+    ).collect()}
+    assert out == {1: "kept", 2: "duplicate", 3: "kept"}
+    # keep-best: the padded (longer) copy survives the exact group
+    best = {r.doc_id: r.status for r in curate_corpus(
+        docs, None, min_tokens=5, max_punct_ratio=0.3,
+        survivor_score=F.length("text"),
+    ).collect()}
+    assert best == {1: "duplicate", 2: "kept", 3: "kept"}
+    # lsh path: near-dup cluster keeps the longest member
+    near = spark.createDataFrame(
+        [(1, good), (2, good + " plus an extra closing sentence of words"),
+         (3, "entirely different content about other topics and things here")],
+        "doc_id long, text string",
+    )
+    best_lsh = {r.doc_id: r.status for r in curate_corpus(
+        near, None, min_tokens=5, max_punct_ratio=0.3,
+        dedup_method="lsh", dedup_kwargs={"threshold": 0.5},
+        survivor_score=F.length("text"),
+    ).collect()}
+    assert best_lsh == {1: "duplicate", 2: "kept", 3: "kept"}
+    # simhash path: same contract (the padded twin has identical
+    # tokens -> hamming 0; a whole extra sentence would exceed the
+    # candidate threshold, which is the operator's own contract)
+    best_sh = {r.doc_id: r.status for r in curate_corpus(
+        docs, None, min_tokens=5, max_punct_ratio=0.3,
+        dedup_method="simhash", dedup_kwargs={"max_hamming": 8},
+        survivor_score=F.length("text"),
+    ).collect()}
+    assert best_sh[2] == "kept" and best_sh[1] == "duplicate"
+
+
 def test_curate_corpus_url_stages(spark):
     """Optional crawl-head stages (r11): blocked_domain fires before
     url_duplicate fires before quality; url dedup groups form among
