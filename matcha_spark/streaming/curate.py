@@ -94,6 +94,15 @@ def stream_curate(
     seen-key store) or ``"simhash"`` / ``"minhash"`` (near-dup
     signature store; extra kwargs flow to the batch operator).
 
+    Survivor selection is FIRST-ARRIVAL by construction: admission
+    against the persisted store decides each doc when it arrives and
+    never revisits it, so the batch cascade's quality-ranked
+    ``survivor_score`` (keep the best cluster member —
+    ``pipelines.curate_corpus``) has no streaming analogue; a later,
+    better copy of an admitted document is a ``duplicate`` here.
+    Pipelines that want keep-best semantics run the batch cascade over
+    the accumulated corpus as a compaction pass.
+
     Returns the started ``StreamingQuery``.  Replay-safe: all store
     appends are guarded by one batch-id ledger; exact-mode decisions
     are exactly idempotent under replay (seen-key keeper==id), near
