@@ -17,7 +17,14 @@ from .dedup import (
 from .joins import asof_join, range_join
 from .multimodal import frame_sample, image_features
 from .graph import predicate_closure, transitive_closure
-from .similarity import cosine_topk, ivf_topk, l2_norms, lsh_bucketed_topk
+from .similarity import (
+    cosine_topk,
+    ivf_topk,
+    ivfpq_topk,
+    l2_norms,
+    lsh_bucketed_topk,
+    pq_topk,
+)
 from .skew import salted_agg, salted_join
 from .text import (
     dedup_exact,

@@ -31,6 +31,7 @@ __all__ = [
     "sign_buckets",
     "train_kmeans_centroids",
     "pq_topk",
+    "ivfpq_topk",
     "assign_cells",
 ]
 
@@ -620,6 +621,191 @@ def pq_topk(
     rer = (
         cands.join(q, "q_id")
         .select("q_id", "n_id", F.round(sim, 6).alias("cosine"))
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return rer.withColumn("rank", F.row_number().over(w2)).where(F.col("rank") <= k)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    nbits: int = 4,
+    refine: int = 4,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_size: int = 4096,
+    kmeans_iters: int = 10,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the production composition of the
+    coarse quantizer and product codes (Jegou, Douze & Schmid 2011;
+    FAISS's IndexIVFPQ): k-means cells prune the scan to
+    ``n_probe / n_centroids`` of the corpus, and inside probed cells
+    candidates are scored from ``m``-byte RESIDUAL codes with an ADC
+    lookup table; the top ``k*refine`` survivors are re-ranked with
+    exact cosine.  Residual decomposition: v ~ c_cell + r, so
+    ``score(q, v) ~ <q, c_cell> + sum_j <q_j, book_j[code_j]>`` — the
+    first term is a (Q x n_centroids) driver-side matmul, the second
+    the standard per-query LUT, both shipped in the kernel closure.
+
+    Scale shape — the 100 TB configuration, where the two families'
+    wins MULTIPLY: both quantizers train driver-side on one bounded
+    deterministic sample (:func:`train_kmeans_centroids` contract);
+    encoding is one linear Arrow pass emitting ``(cell, m-byte
+    code)``; the probe join is a broadcast of (query, cell) pairs that
+    touches only probed cells' CODES (memory traffic m bytes/vector
+    instead of dim floats); only the ``k*refine`` re-rank candidates
+    ever touch float vectors again.  Recall rises with ``n_probe``,
+    ``nbits`` and ``refine`` (n_probe == n_centroids and refine >>
+    corpus/k -> exact), certified the same way as the single-family
+    paths (recall-sound twins)."""
+    import numpy as np
+    import pandas as pd
+
+    id_t, id_np, id_py = _id_spec(corpus)
+    n_pq_cents = 1 << nbits
+
+    def _normalize(mat):
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        return mat / nrm
+
+    cents = train_kmeans_centroids(
+        corpus,
+        n_centroids,
+        vec_col=vec_col,
+        id_col="vec_id",
+        seed=seed,
+        sample_size=sample_size,
+        iters=kmeans_iters,
+    )
+
+    # residual PQ codebooks on the same deterministic sample draw the
+    # coarse quantizer trained on (training loop mirrors pq_topk's —
+    # euclidean subspace k-means, seeded init; kept separate so the
+    # flat-PQ path's numerics stay byte-identical)
+    sample = np.array(
+        [
+            list(r[0])
+            for r in corpus.select(
+                vec_col, F.xxhash64("vec_id", F.lit(seed)).alias("__r")
+            )
+            .orderBy("__r")
+            .limit(sample_size)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    sample = _normalize(sample)
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    resid = sample - cents[np.argmax(sample @ cents.T, axis=1)]
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, n_pq_cents, sub))
+    for j in range(m):
+        sv = resid[:, j * sub : (j + 1) * sub]
+        bk = sv[rng.choice(len(sv), size=min(n_pq_cents, len(sv)), replace=False)]
+        for _ in range(kmeans_iters):
+            d2 = ((sv[:, None, :] - bk[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(bk)):
+                members = sv[assign == c]
+                if len(members):
+                    bk[c] = members.mean(axis=0)
+        if len(bk) < n_pq_cents:  # tiny sample: pad by repeating
+            bk = np.vstack([bk] * (n_pq_cents // len(bk) + 1))[:n_pq_cents]
+        books[j] = bk
+
+    def encode(batches):
+        for pdf in batches:
+            mat = _normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            cell = np.argmax(mat @ cents.T, axis=1)
+            r = mat - cents[cell]
+            codes = np.empty((len(mat), m), dtype=np.int32)
+            for j in range(m):
+                sv = r[:, j * sub : (j + 1) * sub]
+                d2 = ((sv[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    "n_id": pdf["vec_id"].to_numpy(dtype=id_np),
+                    "cell": cell.astype(np.int32),
+                    "code": list(codes.tolist()),
+                    "n_vec": pdf[vec_col],
+                }
+            )
+
+    coded = corpus.select("vec_id", vec_col).mapInPandas(
+        encode,
+        schema=f"n_id {id_t}, cell int, code array<int>, n_vec array<float>",
+    )
+
+    qrows = _collect_query_rows(queries, vec_col, "ivfpq_topk")
+    q_ids = [r[0] for r in qrows]
+    qm = _normalize(np.array([list(r[1]) for r in qrows], dtype=np.float64))
+    qc_dot = qm @ cents.T  # (Q, n_centroids): the <q, c_cell> term
+    probe = np.argsort(-qc_dot, axis=1)[:, : min(n_probe, len(cents))]
+    luts = np.einsum("qjd,jcd->qjc", qm.reshape(len(qm), m, sub), books)
+    qpos = {id_py(qid): qi for qi, qid in enumerate(q_ids)}
+
+    spark = corpus.sparkSession
+    probe_df = F.broadcast(
+        spark.createDataFrame(
+            [
+                (id_py(qid), int(cell))
+                for qi, qid in enumerate(q_ids)
+                for cell in probe[qi]
+            ],
+            f"q_id {id_t}, cell int",
+        )
+    )
+    joined = coded.join(probe_df, on="cell")
+
+    j_idx = np.arange(m)
+
+    def adc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qi = pdf["q_id"].map(qpos).to_numpy(dtype=np.int64)
+            cell = pdf["cell"].to_numpy(dtype=np.int64)
+            codes = np.array(pdf["code"].tolist(), dtype=np.int64)
+            approx = (
+                qc_dot[qi, cell]
+                + luts[qi[:, None], j_idx[None, :], codes].sum(axis=1)
+            )
+            yield pd.DataFrame(
+                {
+                    "q_id": pdf["q_id"],
+                    "n_id": pdf["n_id"],
+                    "approx": approx,
+                    "n_vec": pdf["n_vec"],
+                }
+            )
+
+    scored = joined.mapInPandas(
+        adc, schema=f"q_id {id_t}, n_id {id_t}, approx double, n_vec array<float>"
+    ).where(F.col("q_id") != F.col("n_id"))
+    w = Window.partitionBy("q_id").orderBy(F.col("approx").desc(), F.col("n_id"))
+    cands = scored.withColumn("__rk", F.row_number().over(w)).where(
+        F.col("__rk") <= k * refine
+    )
+    q = F.broadcast(
+        spark.createDataFrame(
+            [(id_py(i), [float(x) for x in v]) for i, v in zip(q_ids, qm)],
+            f"q_id {id_t}, q_vec array<double>",
+        )
+    )
+    sim = _dot("q_vec", "n_vec") / _norm("n_vec")  # q_vec already unit
+    rer = (
+        cands.join(q, "q_id")
+        .select("q_id", "n_id", F.round(sim, 6).alias("cosine"))
+        .dropDuplicates(["q_id", "n_id"])
     )
     w2 = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
     return rer.withColumn("rank", F.row_number().over(w2)).where(F.col("rank") <= k)

@@ -3046,6 +3046,19 @@ def emb_ivf_topk(spark, sf_dir):
     return S.ivf_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
 
 
+def emb_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composed ANN (r14 — the production FAISS IndexIVFPQ
+    shape: cell pruning x residual product codes x exact refine; see
+    ``operators.similarity.ivfpq_topk``).  Rows-only: both quantizers
+    are seeded driver-side k-means; the exhaustive-parameter exactness
+    and planted-duplicate invariants are pinned in pytest
+    (test_ivfpq_recall_and_pruning, test_ann_string_vec_ids)."""
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return S.ivfpq_topk(
+        emb, emb.where(F.col("vec_id") < 5), k=5, n_centroids=8, n_probe=4
+    )
+
+
 # the synthetic embeddings are random (no planted near-dups; max pairwise
 # cosine ≈ 0.51 at sf0.01), so the suite threshold sits where the data
 # has structure — the operators' semantics don't depend on it
@@ -3339,6 +3352,7 @@ QUERIES = {
     # --- rows-only by design (no oracle; pytest-pinned, with derived-invariant twins recorded above): parked last ---
     "dedup_incremental_simhash": dedup_incremental_simhash,
     "emb_pq_topk": emb_pq_topk,
+    "emb_ivfpq_topk": emb_ivfpq_topk,
     "emb_semdedup": emb_semdedup,
     "dedup_incremental": dedup_incremental,
     "doc_cdc_chunks": doc_cdc_chunks,

@@ -137,6 +137,10 @@ def test_ann_string_vec_ids(spark):
     assert [r.n_id for r in sorted(ivf.collect(), key=lambda r: r.rank)] == order
     pq = S.pq_topk(emb, q, k=3, m=4, nbits=2, refine=4)
     assert [r.n_id for r in sorted(pq.collect(), key=lambda r: r.rank)] == order
+    ivfpq = S.ivfpq_topk(
+        emb, q, k=3, n_centroids=1, n_probe=1, m=4, nbits=2, refine=4
+    )
+    assert [r.n_id for r in sorted(ivfpq.collect(), key=lambda r: r.rank)] == order
     lsh = S.lsh_bucketed_topk(emb, q, k=3, dim=4, n_planes=1, n_tables=4)
     assert {r.n_id for r in lsh.collect()} <= {"v-1", "v-2", "v-3"}
     assert "v-1" in {r.n_id for r in lsh.where("rank = 1").collect()}
@@ -157,6 +161,7 @@ def test_ann_query_side_guard(spark, monkeypatch):
         lambda: S.cosine_range_search(emb, emb, threshold=0.5),
         lambda: S.ivf_topk(emb, emb, k=2, n_centroids=2),
         lambda: S.pq_topk(emb, emb, k=2, m=2, nbits=2),
+        lambda: S.ivfpq_topk(emb, emb, k=2, n_centroids=2, m=2, nbits=2),
     ):
         with pytest.raises(ValueError, match="lsh_bucketed_topk"):
             fn()
@@ -730,6 +735,46 @@ def test_ivf_recall_vs_bruteforce(spark):
         for r in S.ivf_topk(emb, q, k=5, n_centroids=8, n_probe=4).collect()
     }
     assert len(exact & part) / len(exact) >= 0.5
+
+
+def test_ivfpq_recall_and_pruning(spark):
+    """r14 IVF-PQ composition: (a) probe-all + generous refine is
+    near-exhaustive (residual codes only gate the REFINE candidate
+    set, so recall vs brute force stays high); (b) partial probing
+    still finds most true neighbors (the ivf_topk bound); (c) a
+    planted exact duplicate of the query lands in the query's own
+    top-probed cell and re-ranks to rank 1 even at n_probe=1."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where("vec_id < 3")
+    exact = {(r.q_id, r.n_id) for r in S.cosine_topk(emb, q, k=5).collect()}
+    # probe every cell + exhaustive refine -> exact (same invariant
+    # shape as the flat-PQ and IVF exhaustive twins)
+    n = emb.count()
+    full = {
+        (r.q_id, r.n_id)
+        for r in S.ivfpq_topk(
+            emb, q, k=5, n_centroids=8, n_probe=8, m=8, nbits=4, refine=n
+        ).collect()
+    }
+    assert full == exact
+    part = {
+        (r.q_id, r.n_id)
+        for r in S.ivfpq_topk(
+            emb, q, k=5, n_centroids=8, n_probe=4, m=8, nbits=4, refine=8
+        ).collect()
+    }
+    assert len(exact & part) / len(exact) >= 0.5
+    dups = q.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    planted = S.ivfpq_topk(
+        emb.select("vec_id", "embedding").unionByName(dups),
+        q, k=1, n_centroids=8, n_probe=1, m=8, nbits=4, refine=4,
+    )
+    got = {(r.q_id, r.n_id) for r in planted.where("rank = 1").collect()}
+    assert got == {(i, i + 100000) for i in range(3)}
 
 
 def test_load_tables_scopes_nanos_conf(spark):

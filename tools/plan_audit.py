@@ -103,6 +103,11 @@ EXPECT: dict[str, set[str]] = {
     # must stay codegen (no Python kernel anywhere) and the
     # fingerprint self-join must never go cartesian
     "doc_winnow_pairs": {"codegen"},
+    # IVF-PQ (r14, rows-only): the probe (query, cell) pairs must ride
+    # a broadcast hash join against the coded corpus — a shuffle there
+    # would defeat the pruning — and the rank/re-rank layers stay
+    # codegen around the two Arrow kernels
+    "emb_ivfpq_topk": {"codegen", "broadcast"},
 }
 
 # deliberate 1-row broadcast scalars (Observation-style bound columns)
