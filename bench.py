@@ -237,6 +237,9 @@ def main() -> None:
     bench("emb_pq_topk", lambda: force(
         S.pq_topk(emb, emb.where("vec_id < 5"), k=5)
     ))
+    bench("emb_ivfpq_topk", lambda: force(
+        S.ivfpq_topk(emb, emb.where("vec_id < 5"), k=5, n_centroids=8, n_probe=4)
+    ))
     bench("bgp_agg_customers_by_region", lambda: force(bgp_agg_customers_by_region(spark, SF_DIR)))
     bench("graph_shortest_urgent", lambda: force(graph_shortest_urgent(spark, SF_DIR)), prewarm="graphs")
     # LSH near-dup benched in its design regime (high-cosine dups, tight

@@ -42,6 +42,16 @@ def norm_rows(cols, rows):
 
 def main():
     only = set(sys.argv[1:])
+    # names only — an unknown arg (e.g. a would-be --sf flag) must fail
+    # loudly, not silently filter every entry out; the scale is chosen
+    # via SPARK_GRAFT_SF_DIR
+    known = set(entrymod.queries())
+    unknown = only - known
+    if unknown:
+        sys.exit(
+            f"unknown entries: {sorted(unknown)} — arguments are entry "
+            "names only; set the scale with SPARK_GRAFT_SF_DIR=<dir>"
+        )
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("oracle-check")
