@@ -190,6 +190,12 @@ def winnow_fingerprints(
     phrases don't fingerprint-collide across the whole corpus, window
     50 → guarantee threshold t = k + window - 1 = 74 shared chars.
 
+    Memory shape: the hash stream is an in-row array of one long per
+    character position, so a document costs O(chars)·8 bytes of row
+    memory while its fingerprints are selected — fine for web-page
+    sized documents; split multi-MB documents first (the same
+    pre-chunking any per-doc kernel here expects, cf. ``cdc_chunks``).
+
     Implementation note: the k-gram hash stream is materialized in its
     OWN projection and referenced (twice) from the window-minima step —
     embedding it inside the per-window lambda would make Catalyst
