@@ -39,11 +39,12 @@ def oracle_sql() -> dict[str, str]:
     # oracle-backed entry OUTSIDE the window with no prior record would
     # break the registry audit, so its oracle publishes with the next
     # rotation instead — tools/check_oracle.py still verifies it
-    # locally from suite.ORACLES).  r14: doc_warc_ingest and
-    # doc_dup_spans_planted are held back (declared r14, publish in
-    # r15's free slots — the r14 window was already committed to the
-    # 45 must-rotates + doc_csv_ingest + 4 early refreshes);
-    # tools/registry_audit.py fails if any holdback
+    # locally from suite.ORACLES).  r14: doc_warc_ingest,
+    # doc_dup_spans_planted and dedup_keep_best_docs are held back
+    # (declared r14, publish in r15's free slots — the r14 window was
+    # already committed to the 45 must-rotates + doc_csv_ingest + 4
+    # early refreshes; all three are check_oracle-PASS locally at
+    # sf0.01 AND sf0.001); tools/registry_audit.py fails if any holdback
     # persists past the round it was declared, so the mechanism can
     # never silently shelve an entry.  Previous use: four r11 holdbacks
     # published with the r12 rotation.
