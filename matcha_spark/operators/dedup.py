@@ -676,7 +676,21 @@ def keep_best_map(
     NULL scores: struct comparison orders NULL smallest, so a
     NULL-scored member only survives when every member is NULL-scored
     — and then the id tiebreak still applies, i.e. an all-NULL cluster
-    degrades to keep-first rather than picking arbitrarily."""
+    degrades to keep-first rather than picking arbitrarily.
+
+    Ids must be numeric: the smaller-id tiebreak rides a negated id
+    inside the struct-max (one aggregate, no second shuffle).  String
+    ids — which the SemDeDup-family operators accept — would need a
+    two-pass argmax instead; fail loudly rather than mis-sort."""
+    from pyspark.sql.types import NumericType
+
+    if not isinstance(docs.schema[id_col].dataType, NumericType):
+        raise TypeError(
+            f"keep_best_map needs a numeric {id_col!r} for its negated-id "
+            "tiebreak; got "
+            f"{docs.schema[id_col].dataType.simpleString()} — map string "
+            "ids to a numeric surrogate first"
+        )
     labeled = docs.select(
         F.col(id_col), F.col(score_col).alias("__score")
     ).join(comp, F.col(id_col) == F.col("id"), "left")

@@ -576,6 +576,21 @@ def test_dedup_keep_best_mapping(spark):
     assert all_null == first
 
 
+def test_keep_best_rejects_string_ids(spark):
+    """The negated-id tiebreak needs numeric ids; string ids (accepted
+    elsewhere in the dedup family) must fail loudly, not mis-sort."""
+    import pytest as _p
+
+    from matcha_spark.operators.dedup import keep_best_map
+
+    docs = spark.createDataFrame(
+        [("a", 1), ("b", 2)], "doc_id string, s int"
+    )
+    comp = spark.createDataFrame([("a", "a"), ("b", "a")], "id string, component string")
+    with _p.raises(TypeError, match="numeric"):
+        keep_best_map(docs, comp, "s")
+
+
 def test_dedup_lsh_keep_best_mapping(spark):
     """The scale path's score= hook: identical clusters to the plain
     LSH keep-map, best-scoring survivor kept (char length default is
