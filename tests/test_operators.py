@@ -667,6 +667,25 @@ def test_winnow_guarantee_and_contracts(spark):
     assert not any(3 in p for p in pairs)
 
 
+def test_winnow_hash_stream_not_reinlined(spark):
+    """Plan-level pin for the O(chars²) trap: the k-gram hash stream
+    must survive as its own projection (alias __hs, xxhash64 appearing
+    ONCE) in the optimized plan — if a future optimizer change
+    collapses it into the per-window lambda, every window position
+    would recompute the whole stream (measured 40× at sf0.01)."""
+    from matcha_spark.operators.text import winnow_fingerprints
+
+    docs = _span_docs(spark, [(1, "a short but long enough document text")])
+    plan = (
+        winnow_fingerprints(docs, k=8, window=4)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "__hs" in plan, "hash-stream projection was collapsed away"
+    assert plan.count("xxhash64") == 1, plan
+
+
 def test_winnow_hot_fp_cap(spark):
     """max_fp_freq drops corpus-hot fingerprints before the self-join
     (the df-cap anti-blowup contract): with every doc sharing the same
