@@ -1009,6 +1009,72 @@ def test_chunk_packing_concat_and_chunk(spark):
         assert alt == got
 
 
+@pytest.mark.parametrize("seed", range(12))
+def test_strip_html_property_fuzz(spark, seed):
+    """Randomized differential for the markup extractor: generated
+    HTML soup (nested/unterminated tags, script/style blocks with
+    stray '<' inside, comments, mixed-case tags, entities incl.
+    double-escapes, whitespace zoo) through strip_html vs an exact
+    Python mirror of its DOCUMENTED cascade — same patterns, same
+    order, Java's ASCII \\s class ([ \\t\\n\\x0b\\f\\r]) mirrored
+    literally so a Python-unicode-\\s sloppiness in the mirror can't
+    mask an engine divergence."""
+    import random as _r
+    import re
+
+    from matcha_spark.operators.text import _HTML_ENTITIES, strip_html
+
+    rng = _r.Random(1000 + seed)
+    words = ["alpha", "beta", "Gamma", "δelta", "x&y", "a<b", "c>d", "e"]
+    ents = ["&nbsp;", "&lt;", "&gt;", "&quot;", "&#39;", "&amp;",
+            "&amp;lt;", "&unknown;", "&#160;"]
+    ws = [" ", "  ", "\t", "\n", "\r\n", "\x0b", "\f"]
+    tags = ["<p>", "</p>", "<DIV class='x'>", "</div>", "<br/>",
+            "<a href=\"u?q=1&r=2\">", "</a>", "<em", "em>", "<>", "< p >"]
+
+    def soup():
+        parts = []
+        for _ in range(rng.randint(0, 40)):
+            kind = rng.random()
+            if kind < 0.35:
+                parts.append(rng.choice(words))
+            elif kind < 0.5:
+                parts.append(rng.choice(tags))
+            elif kind < 0.6:
+                parts.append(rng.choice(ents))
+            elif kind < 0.7:
+                parts.append(rng.choice(ws))
+            elif kind < 0.8:
+                inner = " ".join(rng.choices(words + ["<", ">", "&lt;"], k=3))
+                tag = rng.choice(["script", "SCRIPT", "style"])
+                closer = "</script>" if tag.lower() == "script" else "</style>"
+                parts.append(f"<{tag} type='t'>{inner}{closer if rng.random() < 0.8 else ''}")
+            else:
+                parts.append(f"<!-- {' '.join(rng.choices(words, k=2))} {'-->' if rng.random() < 0.8 else ''}")
+        return "".join(parts)
+
+    def mirror(s):
+        s = s or ""
+        s = re.sub(r"(?is)<script[^>]*>.*?</script>", " ", s)
+        s = re.sub(r"(?is)<style[^>]*>.*?</style>", " ", s)
+        s = re.sub(r"(?s)<!--.*?-->", " ", s)
+        s = re.sub(r"(?s)<[^>]*>", " ", s)
+        for ent, ch in _HTML_ENTITIES:
+            s = s.replace(ent, ch)
+        s = re.sub(r"[ \t\n\x0b\f\r]+", " ", s)
+        return s.strip(" ")
+
+    rows = [(i, soup()) for i in range(25)] + [(98, None), (99, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in strip_html(docs).collect()}
+    want = {i: mirror(t) for i, t in rows}
+    assert got == want, {
+        k: (repr(got[k]), repr(want[k]), repr(dict(rows)[k]))
+        for k in got
+        if got[k] != want[k]
+    }
+
+
 def test_strip_html_rules(spark):
     """Each stripping rule individually: block-content drop, tag->space
     word boundary, entity decode, comment removal, whitespace collapse,
