@@ -1075,6 +1075,49 @@ def test_strip_html_property_fuzz(spark, seed):
     }
 
 
+@pytest.mark.parametrize("seed", range(8))
+def test_scrub_pii_property_fuzz(spark, seed):
+    """Randomized differential for the PII scrubber: generated soup
+    (emails, near-emails, phone shapes with mixed separators, IPs and
+    out-of-range IPs, digit runs, unicode digits, adjacent hits)
+    through scrub_pii vs a Python mirror running the SAME ordered
+    patterns under re.ASCII — the honest mirror of Java's ASCII
+    \\d/\\w/\\b classes, so a unicode-digit divergence in either
+    engine breaks the test instead of hiding."""
+    import random as _r
+    import re
+
+    from matcha_spark.operators.text import _PII_PATTERNS, scrub_pii
+
+    rng = _r.Random(3000 + seed)
+    atoms = [
+        "bob@example.com", "a.b+c@x-y.co", "bad@@x.com", "no@tld",
+        "@leading.com", "x@y.z", "(555) 867-5309", "+44 20 7946 0958",
+        "555.867.5309", "12345678", "123", "192.168.0.1",
+        "999.999.999.999", "1.2.3.4.5", "v1.2.3", "word", "emoji🙂",
+        "٣٤٥٦٧٨٩٠١٢",  # unicode digits: ASCII classes must ignore
+        "tel:", ".", "-", " ", "\n",
+    ]
+
+    def soup():
+        return " ".join(rng.choices(atoms, k=rng.randint(0, 25)))
+
+    def mirror(s):
+        for pat, tag in _PII_PATTERNS:
+            s = re.sub(pat, tag, s, flags=re.ASCII)
+        return s
+
+    rows = [(i, soup()) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in scrub_pii(docs).collect()}
+    want = {i: mirror(t) for i, t in rows}
+    assert got == want, {
+        k: (repr(got[k]), repr(want[k]), repr(dict(rows)[k]))
+        for k in got
+        if got[k] != want[k]
+    }
+
+
 def test_strip_html_rules(spark):
     """Each stripping rule individually: block-content drop, tag->space
     word boundary, entity decode, comment removal, whitespace collapse,
