@@ -134,6 +134,32 @@ def test_url_normalize_idempotent(spark):
     assert not bad, bad[:5]
 
 
+def test_url_normalize_permutation_and_tracking_invariant(spark):
+    """The dedup-key property behind url_dedup: the SAME resource
+    reached with its query parameters in any order, with any mix of
+    tracking params injected at any position, canonicalizes to ONE
+    key.  Generated: random shuffles of a fixed param set x random
+    utm/fbclid/gclid injections — every variant must normalize to the
+    canonical sorted, tracking-free form."""
+    import random
+
+    rng = random.Random(23)
+    base = "https://Example.com/Path"
+    params = ["a=1", "b=2", "c=", "z=9"]
+    tracking = ["utm_source=x", "utm_campaign=Y", "fbclid=abc", "gclid=1"]
+    want = None
+    variants = []
+    for _ in range(40):
+        ps = params[:]
+        for t in rng.sample(tracking, rng.randint(0, len(tracking))):
+            ps.insert(rng.randint(0, len(ps)), t)
+        rng.shuffle(ps)
+        variants.append(base + "?" + "&".join(ps))
+    df = spark.createDataFrame([(u,) for u in variants], "u string")
+    got = {r.n for r in df.select(url_normalize("u").alias("n")).collect()}
+    assert got == {"https://example.com/Path?a=1&b=2&c=&z=9"}, got
+
+
 def test_warc_to_web_curation(spark, tmp_path):
     """Crawl-pipeline head end-to-end: WARC segment → documents →
     url dedup + blocklist, on the url the WARC record carried."""
