@@ -3171,6 +3171,13 @@ def dedup_near_emb(spark, sf_dir):
 # held back to r15, funded by RETIRING doc_cdc_tiling (r12-recorded,
 # outside the window — so r15's must-rotate set shrinks 45 → 44 and
 # the three holdback publishes still leave 3 early-refresh slots).
+# r15 new-entry candidates (each needs a funded retirement):
+# doc_winnow_planted (the winnowing-guarantee booleans over a planted
+# passage, mirroring doc_dup_spans_planted's shape),
+# emb_ivfpq_recall_sound (the _ANN_SOUND_ORACLE twin for the composed
+# index), and doc_temperature_mixture (temperature_mixture is
+# SQL-expressible: count^alpha renormalized rates + the md5-threshold
+# keep — currently pytest-only, the only such op without an entry).
 # r13 surgery (verdict asks #2/#6): window = the 45 r10-recorded
 # must-rotate entries + 5 slots spent as 1 NEW entry (doc_jsonl_ingest
 # — the raw-ingestion path under the oracle, funded by RETIRING
