@@ -243,7 +243,15 @@ def winnow_shared_docs(
     pairs sharing at least ``min_shared`` distinct fingerprints.
     One uniform-key groupBy + one bucket join, bounded by the
     frequency cap — never all-pairs."""
-    fps = winnow_fingerprints(docs, k=k, window=window, text_col=text_col)
+    from ..cache import memo_persist
+
+    # persisted: the fingerprint frame feeds the frequency agg, the
+    # join back, AND both sides of the self-join — without it the
+    # k-gram hash pass (the dominant cost at corpus scale) executes
+    # once per consumer (same rule as duplicate_spans' chunk frame)
+    fps = memo_persist(
+        winnow_fingerprints(docs, k=k, window=window, text_col=text_col)
+    )
     if max_fp_freq is not None:
         freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__n"))
         fps = fps.join(
