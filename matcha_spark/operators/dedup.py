@@ -691,9 +691,14 @@ def keep_best_map(
             f"{docs.schema[id_col].dataType.simpleString()} — map string "
             "ids to a numeric surrogate first"
         )
-    labeled = docs.select(
-        F.col(id_col), F.col(score_col).alias("__score")
-    ).join(comp, F.col(id_col) == F.col("id"), "left")
+    # persisted: the labeled (id, score, component) frame feeds BOTH
+    # the per-cluster argmax and the final keep join — without it the
+    # docs-by-components shuffle join runs twice
+    labeled = memo_persist(
+        docs.select(
+            F.col(id_col), F.col(score_col).alias("__score")
+        ).join(comp, F.col(id_col) == F.col("id"), "left")
+    )
     best = (
         labeled.where(F.col("component").isNotNull())
         .groupBy("component")
