@@ -401,6 +401,9 @@ def main() -> None:
         "dedup_keep_best_docs",
         lambda: force(dedup_keep_best_docs(spark, SF_DIR)),
     )
+    from matcha_spark.suite import doc_winnow_pairs
+
+    bench("doc_winnow_pairs", lambda: force(doc_winnow_pairs(spark, SF_DIR)))
 
     # --- auto coverage (r13, verdict ask #5) --------------------------
     # Every entry in the CURRENT driver window (the first 50 of
