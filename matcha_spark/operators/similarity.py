@@ -327,6 +327,71 @@ def lsh_bucketed_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def _deterministic_sample(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    sample_size: int = 4096,
+    caller: str = "train",
+):
+    """Bounded deterministic pseudo-random sample of corpus vectors,
+    unit-normalized: order by a seeded hash of the id and take the
+    first N — one TakeOrderedAndProject pass, unbiased w.r.t. the
+    corpus's storage order (a bare ``limit()`` takes the head of the
+    first partition, so on sorted/partitioned corpora a quantizer would
+    train on one slice of the distribution).  Shared by the coarse
+    quantizer and the PQ codebook trainers so composed indexes (IVF-PQ)
+    collect the draw ONCE instead of paying one driver job per stage.
+    Raises on an empty corpus — every caller divides by the sample
+    size, and 'trained on nothing' must be loud."""
+    import numpy as np
+
+    rows = (
+        corpus.select(vec_col, F.xxhash64(id_col, F.lit(seed)).alias("__r"))
+        .orderBy("__r")
+        .limit(sample_size)
+        .collect()
+    )
+    if not rows:
+        raise ValueError(
+            f"{caller}: empty corpus — no vectors to train on"
+        )
+    sample = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    n = np.linalg.norm(sample, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return sample / n
+
+
+def _train_pq_books(sample, m: int, n_cents: int, kmeans_iters: int, seed: int):
+    """Per-subspace euclidean k-means codebooks over an already-drawn
+    (and, for residual PQ, already-decomposed) sample matrix — the
+    shared kernel of :func:`pq_topk` (flat codes) and
+    :func:`ivfpq_topk` (residual codes).  Returns (m, n_cents, sub)."""
+    import numpy as np
+
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, n_cents, sub))
+    for j in range(m):
+        sv = sample[:, j * sub : (j + 1) * sub]
+        bk = sv[rng.choice(len(sv), size=min(n_cents, len(sv)), replace=False)]
+        for _ in range(kmeans_iters):
+            d2 = ((sv[:, None, :] - bk[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(bk)):
+                members = sv[assign == c]
+                if len(members):
+                    bk[c] = members.mean(axis=0)
+        if len(bk) < n_cents:  # tiny sample: pad by repeating
+            bk = np.vstack([bk] * (n_cents // len(bk) + 1))[:n_cents]
+        books[j] = bk
+    return books
+
+
 def train_kmeans_centroids(
     corpus: DataFrame,
     n_centroids: int,
@@ -335,35 +400,24 @@ def train_kmeans_centroids(
     seed: int = 42,
     sample_size: int = 4096,
     iters: int = 10,
+    sample=None,
 ):
     """Seeded spherical k-means on a bounded corpus sample; returns the
     (n_centroids, dim) float64 centroid matrix (rows unit-normalized, so
     nearest-centroid = argmax dot product).
 
-    The sample is a deterministic pseudo-random draw: order by a seeded
-    hash of the id and take the first N — one TakeOrderedAndProject
-    pass, unbiased w.r.t. the corpus's storage order (a bare ``limit()``
-    takes the head of the first partition, so on sorted/partitioned
-    corpora the quantizer would train on one slice of the distribution).
-    Training is driver-side on the sample only — classic IVF/SemDeDup
-    practice; never a full corpus pass."""
+    The sample is the :func:`_deterministic_sample` draw (pass an
+    already-collected matrix via ``sample`` to skip the driver job —
+    composed indexes train coarse + PQ stages on ONE draw).  Training
+    is driver-side on the sample only — classic IVF/SemDeDup practice;
+    never a full corpus pass."""
     import numpy as np
 
-    sample = np.array(
-        [
-            list(r[0])
-            for r in corpus.select(
-                vec_col, F.xxhash64(id_col, F.lit(seed)).alias("__r")
-            )
-            .orderBy("__r")
-            .limit(sample_size)
-            .collect()
-        ],
-        dtype=np.float64,
-    )
-    n = np.linalg.norm(sample, axis=1, keepdims=True)
-    n[n == 0] = 1.0
-    sample = sample / n
+    if sample is None:
+        sample = _deterministic_sample(
+            corpus, vec_col=vec_col, id_col=id_col, seed=seed,
+            sample_size=sample_size, caller="train_kmeans_centroids",
+        )
     rng = np.random.default_rng(seed)
     cents = sample[
         rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)
@@ -484,6 +538,27 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def _rerank_exact(corpus, cands, q, k, vec_col):
+    """Exact-cosine re-rank of a bounded candidate set (shared by
+    :func:`pq_topk` and :func:`ivfpq_topk`): the ``Q·k·refine``
+    ``(q_id, n_id)`` survivors are BROADCAST back against the corpus so
+    the stream side reads only ids + vectors once, with no shuffle —
+    the only stage where float vectors are touched after encoding.
+    ``q`` is the broadcast (q_id, unit q_vec) frame."""
+    vecs = corpus.select(
+        F.col("vec_id").alias("n_id"), F.col(vec_col).alias("n_vec")
+    )
+    sim = _dot("q_vec", "n_vec") / _norm("n_vec")  # q_vec already unit
+    rer = (
+        vecs.join(F.broadcast(cands.select("q_id", "n_id")), "n_id")
+        .join(q, "q_id")
+        .select("q_id", "n_id", F.round(sim, 6).alias("cosine"))
+        .dropDuplicates(["q_id", "n_id"])
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return rer.withColumn("rank", F.row_number().over(w2)).where(F.col("rank") <= k)
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -509,9 +584,13 @@ def pq_topk(
     quantizer); encoding is one linear Arrow pass (m numpy matmuls per
     batch); the ADC scan is one linear pass over *codes* — the 100 TB
     win is memory traffic: 8 bytes/vector instead of 3 KB, so the
-    whole corpus's codes fit where 0.3 % of its vectors would.
-    Exactness lives in the re-rank: recall rises with ``refine`` and
-    ``nbits`` (``refine`` ≫ corpus/k → exact)."""
+    whole corpus's codes fit where 0.3 % of its vectors would.  Float
+    vectors re-enter only at the end: the bounded ``Q·k·refine``
+    candidate set is broadcast-joined back to the corpus for the exact
+    re-rank (r15 — previously every coded row carried its float vector
+    through the ADC scan and the top-k shuffle, voiding the traffic
+    win).  Exactness lives in the re-rank: recall rises with
+    ``refine`` and ``nbits`` (``refine`` ≫ corpus/k → exact)."""
     import numpy as np
     import pandas as pd
 
@@ -523,38 +602,15 @@ def pq_topk(
         nrm[nrm == 0] = 1.0
         return mat / nrm
 
-    sample = np.array(
-        [
-            list(r[0])
-            for r in corpus.select(
-                vec_col, F.xxhash64("vec_id", F.lit(seed)).alias("__r")
-            )
-            .orderBy("__r")
-            .limit(sample_size)
-            .collect()
-        ],
-        dtype=np.float64,
+    sample = _deterministic_sample(
+        corpus, vec_col=vec_col, id_col="vec_id", seed=seed,
+        sample_size=sample_size, caller="pq_topk",
     )
-    sample = _normalize(sample)
     dim = sample.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
-    rng = np.random.default_rng(seed)
-    books = np.empty((m, n_cents, sub))
-    for j in range(m):
-        sv = sample[:, j * sub : (j + 1) * sub]
-        cents = sv[rng.choice(len(sv), size=min(n_cents, len(sv)), replace=False)]
-        for _ in range(kmeans_iters):
-            d2 = ((sv[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            assign = np.argmin(d2, axis=1)
-            for c in range(len(cents)):
-                members = sv[assign == c]
-                if len(members):
-                    cents[c] = members.mean(axis=0)
-        if len(cents) < n_cents:  # tiny sample: pad by repeating
-            cents = np.vstack([cents] * (n_cents // len(cents) + 1))[:n_cents]
-        books[j] = cents
+    books = _train_pq_books(sample, m, n_cents, kmeans_iters, seed)
 
     def encode(batches):
         for pdf in batches:
@@ -568,12 +624,11 @@ def pq_topk(
                 {
                     "n_id": pdf["vec_id"].to_numpy(dtype=id_np),
                     "code": list(codes.tolist()),
-                    "n_vec": pdf[vec_col],
                 }
             )
 
     coded = corpus.select("vec_id", vec_col).mapInPandas(
-        encode, schema=f"n_id {id_t}, code array<int>, n_vec array<float>"
+        encode, schema=f"n_id {id_t}, code array<int>"
     )
 
     qrows = _collect_query_rows(queries, vec_col, "pq_topk")
@@ -597,14 +652,13 @@ def pq_topk(
                             "q_id": np.full(len(ids), q_ids[qi], dtype=id_np),
                             "n_id": ids,
                             "approx": approx[qi],
-                            "n_vec": pdf["n_vec"],
                         }
                     )
                 )
             yield pd.concat(out_frames, ignore_index=True)
 
     scored = coded.mapInPandas(
-        adc, schema=f"q_id {id_t}, n_id {id_t}, approx double, n_vec array<float>"
+        adc, schema=f"q_id {id_t}, n_id {id_t}, approx double"
     ).where(F.col("q_id") != F.col("n_id"))
     w = Window.partitionBy("q_id").orderBy(F.col("approx").desc(), F.col("n_id"))
     cands = scored.withColumn("__rk", F.row_number().over(w)).where(
@@ -617,13 +671,8 @@ def pq_topk(
             f"q_id {id_t}, q_vec array<double>",
         )
     )
-    sim = _dot("q_vec", "n_vec") / _norm("n_vec")  # q_vec already unit
-    rer = (
-        cands.join(q, "q_id")
-        .select("q_id", "n_id", F.round(sim, 6).alias("cosine"))
-    )
-    w2 = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
-    return rer.withColumn("rank", F.row_number().over(w2)).where(F.col("rank") <= k)
+    rer = _rerank_exact(corpus, cands, q, k, vec_col)
+    return rer
 
 
 def ivfpq_topk(
@@ -658,7 +707,10 @@ def ivfpq_topk(
     code)``; the probe join is a broadcast of (query, cell) pairs that
     touches only probed cells' CODES (memory traffic m bytes/vector
     instead of dim floats); only the ``k*refine`` re-rank candidates
-    ever touch float vectors again.  Recall rises with ``n_probe``,
+    ever touch float vectors again — they are broadcast-joined back to
+    the corpus for the exact re-rank (:func:`_rerank_exact`; r15 made
+    this claim true — encode() previously shipped ``n_vec`` with every
+    coded row).  Recall rises with ``n_probe``,
     ``nbits`` and ``refine`` (n_probe == n_centroids and refine >>
     corpus/k -> exact), certified the same way as the single-family
     paths (recall-sound twins)."""
@@ -673,6 +725,13 @@ def ivfpq_topk(
         nrm[nrm == 0] = 1.0
         return mat / nrm
 
+    # ONE deterministic sample draw feeds both quantizer stages (the
+    # coarse k-means and the residual PQ codebooks) — previously each
+    # stage re-collected the identical TakeOrderedAndProject job
+    sample = _deterministic_sample(
+        corpus, vec_col=vec_col, id_col="vec_id", seed=seed,
+        sample_size=sample_size, caller="ivfpq_topk",
+    )
     cents = train_kmeans_centroids(
         corpus,
         n_centroids,
@@ -681,45 +740,17 @@ def ivfpq_topk(
         seed=seed,
         sample_size=sample_size,
         iters=kmeans_iters,
+        sample=sample,
     )
-
-    # residual PQ codebooks on the same deterministic sample draw the
-    # coarse quantizer trained on (training loop mirrors pq_topk's —
-    # euclidean subspace k-means, seeded init; kept separate so the
-    # flat-PQ path's numerics stay byte-identical)
-    sample = np.array(
-        [
-            list(r[0])
-            for r in corpus.select(
-                vec_col, F.xxhash64("vec_id", F.lit(seed)).alias("__r")
-            )
-            .orderBy("__r")
-            .limit(sample_size)
-            .collect()
-        ],
-        dtype=np.float64,
-    )
-    sample = _normalize(sample)
     dim = sample.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
+    # residual decomposition, then the shared per-subspace codebook
+    # trainer (fresh seeded rng inside — numerics byte-identical to the
+    # pre-r15 inline loop)
     resid = sample - cents[np.argmax(sample @ cents.T, axis=1)]
-    rng = np.random.default_rng(seed)
-    books = np.empty((m, n_pq_cents, sub))
-    for j in range(m):
-        sv = resid[:, j * sub : (j + 1) * sub]
-        bk = sv[rng.choice(len(sv), size=min(n_pq_cents, len(sv)), replace=False)]
-        for _ in range(kmeans_iters):
-            d2 = ((sv[:, None, :] - bk[None, :, :]) ** 2).sum(axis=2)
-            assign = np.argmin(d2, axis=1)
-            for c in range(len(bk)):
-                members = sv[assign == c]
-                if len(members):
-                    bk[c] = members.mean(axis=0)
-        if len(bk) < n_pq_cents:  # tiny sample: pad by repeating
-            bk = np.vstack([bk] * (n_pq_cents // len(bk) + 1))[:n_pq_cents]
-        books[j] = bk
+    books = _train_pq_books(resid, m, n_pq_cents, kmeans_iters, seed)
 
     def encode(batches):
         for pdf in batches:
@@ -736,13 +767,12 @@ def ivfpq_topk(
                     "n_id": pdf["vec_id"].to_numpy(dtype=id_np),
                     "cell": cell.astype(np.int32),
                     "code": list(codes.tolist()),
-                    "n_vec": pdf[vec_col],
                 }
             )
 
     coded = corpus.select("vec_id", vec_col).mapInPandas(
         encode,
-        schema=f"n_id {id_t}, cell int, code array<int>, n_vec array<float>",
+        schema=f"n_id {id_t}, cell int, code array<int>",
     )
 
     qrows = _collect_query_rows(queries, vec_col, "ivfpq_topk")
@@ -784,12 +814,11 @@ def ivfpq_topk(
                     "q_id": pdf["q_id"],
                     "n_id": pdf["n_id"],
                     "approx": approx,
-                    "n_vec": pdf["n_vec"],
                 }
             )
 
     scored = joined.mapInPandas(
-        adc, schema=f"q_id {id_t}, n_id {id_t}, approx double, n_vec array<float>"
+        adc, schema=f"q_id {id_t}, n_id {id_t}, approx double"
     ).where(F.col("q_id") != F.col("n_id"))
     w = Window.partitionBy("q_id").orderBy(F.col("approx").desc(), F.col("n_id"))
     cands = scored.withColumn("__rk", F.row_number().over(w)).where(
@@ -801,11 +830,4 @@ def ivfpq_topk(
             f"q_id {id_t}, q_vec array<double>",
         )
     )
-    sim = _dot("q_vec", "n_vec") / _norm("n_vec")  # q_vec already unit
-    rer = (
-        cands.join(q, "q_id")
-        .select("q_id", "n_id", F.round(sim, 6).alias("cosine"))
-        .dropDuplicates(["q_id", "n_id"])
-    )
-    w2 = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
-    return rer.withColumn("rank", F.row_number().over(w2)).where(F.col("rank") <= k)
+    return _rerank_exact(corpus, cands, q, k, vec_col)

@@ -103,15 +103,17 @@ def curate_corpus(
         min_stopword_ratio=min_stopword_ratio,
         text_col=text_col,
     ).select("doc_id")
-    base = docs.select("doc_id", text_col)
+    if survivor_score is not None:
+        # evaluated on the FULL input schema (a score may reference any
+        # input column, e.g. a quality-classifier output), and ONCE, so
+        # it also survives the lsh path's column rename below
+        base = docs.select("doc_id", text_col, survivor_score.alias("__kb_score"))
+    else:
+        base = docs.select("doc_id", text_col)
     for gate in (url_ok, url_keep):
         if gate is not None:
             base = base.join(gate, "doc_id", "left_semi")
     q_surv = base.join(quality_ok, "doc_id", "left_semi")
-    if survivor_score is not None:
-        # evaluated ONCE against the input schema, so a score written
-        # over text_col survives the lsh path's column rename below
-        q_surv = q_surv.withColumn("__kb_score", survivor_score)
 
     if dedup_method == "exact":
         norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))

@@ -590,6 +590,19 @@ def test_curate_corpus_survivor_score(spark):
         survivor_score=F.length("text"),
     ).collect()}
     assert best_sh[2] == "kept" and best_sh[1] == "duplicate"
+    # the score may reference ANY input column (the advertised
+    # quality-classifier case), not just doc_id/text: evaluated before
+    # the (doc_id, text) projection (r15 advice fix)
+    scored = spark.createDataFrame(
+        [(1, good, 0.2), (2, padded, 0.9),
+         (3, good + " with a genuinely distinct tail here", 0.5)],
+        "doc_id long, text string, clf_score double",
+    )
+    best_clf = {r.doc_id: r.status for r in curate_corpus(
+        scored, None, min_tokens=5, max_punct_ratio=0.3,
+        survivor_score=F.col("clf_score"),
+    ).collect()}
+    assert best_clf == {1: "duplicate", 2: "kept", 3: "kept"}
 
 
 def test_curate_corpus_url_stages(spark):

@@ -169,6 +169,26 @@ def test_ann_query_side_guard(spark, monkeypatch):
     assert S.cosine_topk(emb, emb.where("vec_id < 3"), k=1).count() == 3
 
 
+def test_ann_empty_corpus_guard(spark):
+    """r15 advice fix: an empty corpus raises a clear trained-on-nothing
+    error from the sample draw (previously pq/ivfpq died with
+    ZeroDivisionError in the codebook padding)."""
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    ).where("vec_id < 0")
+    q = spark.createDataFrame(
+        [(9, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    for fn, name in (
+        (lambda: S.pq_topk(emb, q, k=1, m=2, nbits=2), "pq_topk"),
+        (lambda: S.ivfpq_topk(emb, q, k=1, n_centroids=2, m=2, nbits=2),
+         "ivfpq_topk"),
+        (lambda: S.train_kmeans_centroids(emb, 2), "train_kmeans_centroids"),
+    ):
+        with pytest.raises(ValueError, match=f"{name}: empty corpus"):
+            fn()
+
+
 def test_cosine_range_search_exact(spark):
     """Radius search returns exactly the pairs at or above the floor —
     no self-pairs — and agrees with a threshold filter over the brute
