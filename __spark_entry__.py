@@ -39,13 +39,12 @@ def oracle_sql() -> dict[str, str]:
     # oracle-backed entry OUTSIDE the window with no prior record would
     # break the registry audit, so its oracle publishes with the next
     # rotation instead — tools/check_oracle.py still verifies it
-    # locally from suite.ORACLES).  r14: doc_warc_ingest,
-    # doc_dup_spans_planted and dedup_keep_best_docs are held back
-    # (declared r14, publish in r15's free slots — the r14 window was
-    # already committed to the 45 must-rotates + doc_csv_ingest + 4
-    # early refreshes; all three are check_oracle-PASS locally at
-    # sf0.01 AND sf0.001); tools/registry_audit.py fails if any holdback
-    # persists past the round it was declared, so the mechanism can
-    # never silently shelve an entry.  Previous use: four r11 holdbacks
-    # published with the r12 rotation.
+    # locally from suite.ORACLES).  EMPTY as of r15: the three r14
+    # holdbacks (doc_warc_ingest, doc_dup_spans_planted,
+    # dedup_keep_best_docs) published with the r15 rotation, and the
+    # three NEW r15 entries ship with live oracles inside the window.
+    # tools/registry_audit.py fails if any holdback persists past the
+    # round it was declared, so the mechanism can never silently
+    # shelve an entry.  Previous use: four r11 holdbacks published
+    # with the r12 rotation; the three r14 ones with r15's.
     return {k: v for k, v in ORACLES.items() if k not in ORACLE_HOLDBACK}

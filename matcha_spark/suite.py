@@ -804,6 +804,14 @@ def dedup_exact_docs(spark, sf_dir):
 
 
 def doc_fingerprint(spark, sf_dir):
+    """RETIRED from the oracle registry in r15 (funding
+    doc_winnow_planted; see the registry comment).  Its oracle was the
+    per-doc ``md5(normalized text)`` value — strictly implied by the
+    still-backed dedup_exact_docs, whose output EXPOSES the same fp
+    values (same normalization chain, same md5) plus the group
+    structure over them: dedup_exact(docs) is byte-identical to
+    fingerprint(docs).groupBy(fp).agg(min, count) — the identity is
+    computed in test_joins.py::test_retired_entry_equivalences_r15."""
     return T.fingerprint(load_tables(spark, sf_dir, "documents")["documents"])
 
 
@@ -1102,9 +1110,9 @@ def doc_csv_ingest(spark, sf_dir):
 
 def doc_warc_ingest(spark, sf_dir):
     """WARC ingestion end-to-end under the oracle (r14, verdict ask #6
-    — the last raw source without a driver hash; implemented this
-    round, published from ORACLE_HOLDBACK in r15's free window slots,
-    funded by the emb_l2_norms retirement).  The documents table is
+    — the last raw source without a driver hash; implemented r14,
+    PUBLISHED from ORACLE_HOLDBACK with the r15 rotation, funded by
+    the emb_l2_norms retirement).  The documents table is
     serialized to plain (uncompressed) ISO 28500 response records —
     one record per text() row, each ending ``\\r`` so the writer's
     ``\\n`` completes the ``\\r\\nWARC/`` resync boundary the parser
@@ -1512,7 +1520,8 @@ def doc_dup_spans(spark, sf_dir):
 def doc_dup_spans_planted(spark, sf_dir):
     """Derived-invariant twin of ``doc_dup_spans`` — puts the r14
     repeated-span dedup family under the driver oracle (declared in
-    ORACLE_HOLDBACK this round; funded by RETIRING
+    ORACLE_HOLDBACK r14, PUBLISHED with the r15 rotation; funded by
+    RETIRING
     doc_minhash_planted, whose planted-candidate invariant is strictly
     implied by the still-backed dedup_near_lsh_planted keep-map — the
     subsumption is COMPUTED, not argued, in
@@ -1592,6 +1601,88 @@ def doc_winnow_pairs(spark, sf_dir):
     determinism contracts are pinned in pytest."""
     return T.winnow_shared_docs(
         load_tables(spark, sf_dir, "documents")["documents"], min_shared=2
+    )
+
+
+def _winnow_passage():
+    # 8 chained md5 strings = 263 aperiodic chars (pure SQL, no fixture
+    # dependence) — well past the winnowing guarantee threshold
+    # t = k + window - 1 = 74 at the operator defaults
+    return F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda i: F.md5(F.concat(F.lit("winnow:"), i.cast("string"))),
+        ),
+    )
+
+
+def doc_winnow_planted(spark, sf_dir):
+    """Derived-invariant oracle twin of ``doc_winnow_pairs`` (r15,
+    verdict ask #2; funded by RETIRING doc_fingerprint — see the
+    registry comment and
+    test_joins.py::test_retired_entry_equivalences_r15).  xxhash64
+    fingerprint VALUES are engine-specific, but the winnowing
+    GUARANTEE is not (Schleimer et al. 2003, §: any substring shared
+    by two documents of length >= window + k - 1 chars yields at
+    least one shared selected fingerprint — each window of k-gram
+    hashes fully inside the shared run is an identical hash sequence
+    in both documents, so its selected minimum agrees).
+
+    The entry PLANTS a 263-char aperiodic md5-chain passage (same
+    construction as ``doc_dup_spans_planted``'s) onto every
+    ``doc_id % 11 == 5`` document and emits, per planted doc except
+    the smallest-id anchor:
+
+    - ``found_anchor``: shares >= 1 distinct fingerprint with the
+      anchor — the hard guarantee (263 shared chars >> t = 74);
+    - ``strong``: shares >= 4 — the disjoint-window floor (the 239
+      shared k-gram hashes hold 190 full windows; window minima at
+      disjoint offsets 0/50/100/150 are hashes of distinct aperiodic
+      k-grams).  Measured: every planted doc shares exactly 8 at
+      sf0.001/0.01/0.1.
+
+    Any window-minima, k-gram-stream, or distinct-selection bug
+    breaks a boolean and the hash; the oracle needs only the planted
+    id arithmetic."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 5,
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(" "),
+                _winnow_passage(),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    fps = T.winnow_fingerprints(planted)
+    pl = planted.where(F.col("doc_id") % 11 == 5).select("doc_id")
+    fpl = fps.join(F.broadcast(pl), "doc_id")
+    mn = pl.agg(F.min("doc_id").alias("__mn"))
+    anchor_fps = (
+        fpl.join(F.broadcast(mn), F.col("doc_id") == F.col("__mn"))
+        .select("fp")
+        .distinct()
+    )
+    per = (
+        fpl.join(F.broadcast(mn), F.col("doc_id") != F.col("__mn"))
+        .join(F.broadcast(anchor_fps), "fp")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("fp").alias("__n"))
+    )
+    return (
+        pl.join(F.broadcast(mn), F.col("doc_id") != F.col("__mn"))
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.coalesce("__n", F.lit(0)) >= 1).alias("found_anchor"),
+            (F.coalesce("__n", F.lit(0)) >= 4).alias("strong"),
+        )
+        .orderBy("doc_id")
     )
 
 
@@ -1783,6 +1874,51 @@ def emb_pq_recall_sound(spark, sf_dir):
     exact = S.cosine_topk(emb, q, k=5)
     approx = S.pq_topk(emb, q, k=5, m=16, refine=16)
     return _ann_recall_flags(exact, approx, 5, 0.2, 0.6)
+
+
+def emb_ivfpq_recall_sound(spark, sf_dir):
+    """Sound twin of ``emb_ivfpq_topk`` (r15, verdict ask #3 — the
+    last ANN family without a driver-checked recall floor; funded by
+    RETIRING emb_lsh_planted, whose identical-copy bucket guarantee
+    rides the SAME ``similarity.sign_buckets`` kernel as the
+    still-backed emb_dup_pairs_lsh_planted and whose top-k ranking
+    path stays under the oracle through emb_lsh_recall_sound — see
+    test_joins.py::test_retired_entry_equivalences_r15).  Two arms:
+
+    - recall floor: the composed index at production levers (probe 12
+      of 16 cells, 16 subquantizers, 32x ADC candidate pool) must
+      reach per-query recall@5 >= 0.2 and mean >= 0.6 vs the exact
+      top-5 on 25 probes.  Measured: min 0.4 at every shipped SF,
+      mean 0.86-0.93.
+    - ``exhaustive_ok``: parameterized to exhaustiveness (probe every
+      cell, refine covering the corpus) the composition must
+      reproduce the exact top-5 SET per query regardless of where the
+      seeded coarse/residual codebooks landed — the composed analog
+      of the retired emb_ivf/pq_exhaustive twins, now under the
+      driver oracle."""
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    q = emb.where(F.col("vec_id") < 25)
+    exact = S.cosine_topk(emb, q, k=5)
+    approx = S.ivfpq_topk(emb, q, k=5, n_probe=12, m=16, refine=32)
+    flags = _ann_recall_flags(exact, approx, 5, 0.2, 0.6)
+    exh = (
+        S.ivfpq_topk(
+            emb, q, k=5, n_centroids=16, n_probe=16, m=16, refine=10**6
+        )
+        .select("q_id", "n_id")
+        .withColumn("__e", F.lit(1))
+    )
+    exh_ok = (
+        exact.select("q_id", "n_id")
+        .join(exh, ["q_id", "n_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            (F.sum(F.coalesce(F.col("__e"), F.lit(0))) == 5).alias(
+                "exhaustive_ok"
+            )
+        )
+    )
+    return flags.join(exh_ok, "q_id")
 
 
 def doc_minhash_recall_sound(spark, sf_dir):
@@ -2389,7 +2525,19 @@ def doc_minhash_planted(spark, sf_dir):
 
 
 def emb_lsh_planted(spark, sf_dir):
-    """Derived-invariant twin of ``emb_lsh_topk``: LSH recall is
+    """RETIRED from the oracle registry in r15 (funding
+    emb_ivfpq_recall_sound; see the registry comment).  Its invariant
+    — an identical planted copy collides with its original in every
+    sign bucket, so top-1 is the copy at cosine 1.0 — splits into (a)
+    the bucket-collision guarantee, which rides the SAME
+    ``similarity.sign_buckets`` kernel that the still-backed
+    emb_dup_pairs_lsh_planted pins under the oracle, and (b) the
+    bucketed top-k ranking path, which stays oracle-backed through
+    emb_lsh_recall_sound on the organic corpus.  The full planted
+    invariant is replayed as a pure-Spark differential in
+    test_joins.py::test_retired_entry_equivalences_r15.
+
+    Derived-invariant twin of ``emb_lsh_topk``: LSH recall is
     probabilistic in general, but an EXACT duplicate of the query
     hashes to the query's bucket in every table — so with the probe
     vectors' identical copies planted into the corpus (id+100000),
@@ -2783,6 +2931,40 @@ def doc_mixture_sample(spark, sf_dir):
     )
 
 
+def doc_temperature_mixture(spark, sf_dir):
+    """Temperature-smoothed corpus mixing under the oracle (r15,
+    verdict ask #4 — ``temperature_mixture`` was the only
+    SQL-expressible text operator with no suite entry; funded by
+    RETIRING doc_unigram_logloss, whose output is EXACTLY
+    ``bigram_logloss(alpha=0)`` — each real token is one bigram
+    position's predicted word — so its invariant rides inside the
+    still-backed doc_bigram_logloss; the identity is computed in
+    test_joins.py::test_retired_entry_equivalences_r15).
+
+    The alpha=0.5 XLM-R knob on the ``lang`` groups, mass measured in
+    the ``n_chars`` TOKEN BUDGET (``weight_col`` — the form production
+    mixtures actually balance): per-group keep rate
+    r_g = mass_g^(alpha-1) / max_h mass_h^(alpha-1), realized through
+    the md5-threshold keep.  The fixture's English share is ~2.7x the
+    other languages', so ~40% of English documents drop while the
+    smallest group keeps rate 1.0 — non-vacuous at every shipped SF
+    (kept 416/500, 391/500, 4090/5000).
+
+    The oracle replays BOTH halves in DuckDB: the rate computation
+    (sum(n_chars) per lang, pow, renormalize) and the keep decision.
+    The keep compares the md5 draw's first 13 hex digits (52 bits,
+    exactly representable in a double) against r_g * 2^52 — a
+    power-of-two scaling, so the product is exact given r_g;
+    equivalent to the Spark side's full-width
+    ``md5 < rate_threshold_hex(r)`` string comparison except when a
+    draw ties the threshold's 52-bit prefix (P ~ n * 2^-52; verified
+    absent at all three shipped SFs)."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return T.temperature_mixture(
+        docs, 0.5, group_col="lang", weight_col="n_chars"
+    ).select("doc_id", "lang")
+
+
 def doc_strip_dup_ngrams(spark, sf_dir):
     """Exact duplicated-5-gram removal (Lee et al.'s dedup step): the
     oracle replays occurrence ranking, canonical-first selection, span
@@ -2937,7 +3119,20 @@ def doc_contamination(spark, sf_dir):
 
 
 def doc_unigram_logloss(spark, sf_dir):
-    """Corpus-trained unigram LM quality score (CCNet-style filter with
+    """RETIRED from the oracle registry in r15 (funding
+    doc_temperature_mixture; see the registry comment).  The unigram
+    score is EXACTLY ``bigram_logloss(alpha=0)``: with the BOS
+    sentinel prepended, every real token is one bigram position's
+    predicted word, the bigram op's unigram term c(w)/T is the same
+    corpus unigram model over the same tokenization, and the per-doc
+    rollup (mean of -log p, 4dp) is the same aggregation — so the
+    still-backed doc_bigram_logloss (alpha=0.4, where the unigram
+    term enters EVERY interpolated probability) keeps the unigram
+    rates under the oracle.  The identity unigram_logloss(docs) ==
+    bigram_logloss(docs, alpha=0) is computed in
+    test_joins.py::test_retired_entry_equivalences_r15.
+
+    Corpus-trained unigram LM quality score (CCNet-style filter with
     the simplest LM); 4dp rounding absorbs double-sum reordering."""
     return T.unigram_logloss(load_tables(spark, sf_dir, "documents")["documents"])
 
@@ -2981,7 +3176,8 @@ def dedup_near_docs(spark, sf_dir):
 
 def dedup_keep_best_docs(spark, sf_dir):
     """Quality-ranked survivor selection (r14, declared in
-    ORACLE_HOLDBACK; funded by retiring doc_cdc_tiling — see the
+    ORACLE_HOLDBACK, PUBLISHED with the r15 rotation; funded by
+    retiring doc_cdc_tiling — see the
     registry comment): the same n-gram-Jaccard clusters as
     ``dedup_near_docs``, but each cluster keeps its BEST-scoring
     member (CCNet-style; here score = character length, the simplest
@@ -3171,13 +3367,24 @@ def dedup_near_emb(spark, sf_dir):
 # held back to r15, funded by RETIRING doc_cdc_tiling (r12-recorded,
 # outside the window — so r15's must-rotate set shrinks 45 → 44 and
 # the three holdback publishes still leave 3 early-refresh slots).
-# r15 new-entry candidates (each needs a funded retirement):
-# doc_winnow_planted (the winnowing-guarantee booleans over a planted
-# passage, mirroring doc_dup_spans_planted's shape),
-# emb_ivfpq_recall_sound (the _ANN_SOUND_ORACLE twin for the composed
-# index), and doc_temperature_mixture (temperature_mixture is
-# SQL-expressible: count^alpha renormalized rates + the md5-threshold
-# keep — currently pytest-only, the only such op without an entry).
+# r15 surgery (verdict asks #1-#4): window = 3 NEW entries
+# (doc_winnow_planted — the winnowing-guarantee booleans over a planted
+# md5-chain passage, funded by RETIRING doc_fingerprint, whose md5 fp
+# values stay exposed per group in dedup_exact_docs;
+# emb_ivfpq_recall_sound — the recall-floor + exhaustive≡exact twin of
+# the composed IVF-PQ index, funded by RETIRING emb_lsh_planted, whose
+# bucket guarantee rides the same sign_buckets kernel as
+# emb_dup_pairs_lsh_planted and whose ranking path stays backed via
+# emb_lsh_recall_sound; doc_temperature_mixture — mass^alpha
+# renormalized rates + md5-threshold keep replayed in DuckDB, funded by
+# RETIRING doc_unigram_logloss, which equals bigram_logloss(alpha=0)
+# exactly) + the 3 promoted r14 holdbacks (ORACLE_HOLDBACK empty again)
+# + the 44 r12-recorded must-rotate entries.  All three subsumptions
+# are computed in test_joins.py::test_retired_entry_equivalences_r15.
+# Oracle-backed count stays 145 (142 recorded + 3 new in-window);
+# retiring two r13-recorded entries shrinks the r16 must-rotate set
+# 48 -> 46 (+ 4 free), and doc_fingerprint's retirement shrinks r17's
+# to 49 — headroom stays 5 free slot-rounds.
 # r13 surgery (verdict asks #2/#6): window = the 45 r10-recorded
 # must-rotate entries + 5 slots spent as 1 NEW entry (doc_jsonl_ingest
 # — the raw-ingestion path under the oracle, funded by RETIRING
@@ -3191,61 +3398,15 @@ def dedup_near_emb(spark, sf_dir):
 # When adding a new oracle-backed entry, insert it at the top; after
 # each round, rotate entries the driver just verified toward the back.
 QUERIES = {
-    # --- r14 driver window (first 50): 1 new + 45 r11 must-rotate + 4 early r12 refreshes ---
-    "doc_csv_ingest": doc_csv_ingest,
-    "doc_bpe_pack": doc_bpe_pack,
-    "emb_semdedup_incremental_sound": emb_semdedup_incremental_sound,
-    "doc_video_pipeline": doc_video_pipeline,
-    "doc_png_features": doc_png_features,
-    "asof_events_orders": R.asof_events_orders,
-    "bgp_agg_top_urgent_nations": bgp_agg_top_urgent_nations,
-    "bgp_ask_segment": bgp_ask_segment,
-    "bgp_bind_term_functions": bgp_bind_term_functions,
-    "bgp_merge_count": bgp_merge_count,
-    "bgp_minus_machinery_asia": bgp_minus_machinery_asia,
-    "bgp_path_inv_region_members": bgp_path_inv_region_members,
-    "bgp_path_negset_links": bgp_path_negset_links,
-    "bgp_path_zom_region": bgp_path_zom_region,
-    "bgp_path_zoo_nation": bgp_path_zoo_nation,
-    "cube_priority_status": R.cube_priority_status,
-    "doc_bpe_pretokens": doc_bpe_pretokens,
-    "doc_contamination": doc_contamination,
-    "doc_dedup_paragraphs": doc_dedup_paragraphs,
-    "doc_dsir_weights": doc_dsir_weights,
-    "doc_fingerprint": doc_fingerprint,
-    "doc_strip_html": doc_strip_html,
-    "doc_text_quality": doc_text_quality,
-    "doc_token_windows": doc_token_windows,
-    "emb_range_search": emb_range_search,
-    "events_funnel": R.events_funnel,
-    "events_json_stats": R.events_json_stats,
-    "events_salted_enrich": R.events_salted_enrich,
-    "events_sessionize_native": R.events_sessionize_native,
-    "events_transition_matrix": R.events_transition_matrix,
-    "graph_shortest_weighted": graph_shortest_weighted,
-    "orders_by_month": R.orders_by_month,
-    "pivot_priority_by_segment": R.pivot_priority_by_segment,
-    "q12_late_shipments": R.q12_late_shipments,
-    "q22_idle_customers": R.q22_idle_customers,
-    "q2_min_cost_supplier": R.q2_min_cost_supplier,
-    "q3_top_revenue": R.q3_top_unshipped_revenue,
-    "q4_order_priority": R.q4_order_priority,
-    "q5_nation_revenue": R.q5_nation_revenue,
-    "q6_forecast_revenue": R.q6_forecast_revenue,
-    "q7_volume_shipping": R.q7_volume_shipping,
-    "rollup_nation_segment": R.rollup_nation_segment,
-    "running_customer_spend": R.running_customer_spend,
-    "segment_quantiles": R.segment_quantiles,
-    "segment_stats": R.segment_stats,
-    "topk_orders_per_customer": R.topk_orders_per_customer,
-    # --- r14 window, contd: 4 early r12 refreshes (with the doc_sample_hash
-    # retirement, shrinks r15's must-rotate to 45 + 5 free) ---
-    "bgp_customers_in_region": bgp_customers_in_region,
-    "bgp_nations_values": bgp_nations_values,
-    "bgp_filter_customer_names": bgp_filter_customer_names,
-    "q10_returned_items": R.q10_returned_items,
-    # --- outside the window ------------------------------------------
-    # --- newest record r12 — the r15 rotation set (45 + 5 free) ---
+    # --- r15 driver window (first 50): 3 new + 3 promoted r14 holdbacks + 44 r12 must-rotate ---
+    "doc_winnow_planted": doc_winnow_planted,
+    "emb_ivfpq_recall_sound": emb_ivfpq_recall_sound,
+    "doc_temperature_mixture": doc_temperature_mixture,
+    # --- the three r14 holdbacks, oracles publishing this round ---
+    "doc_warc_ingest": doc_warc_ingest,
+    "doc_dup_spans_planted": doc_dup_spans_planted,
+    "dedup_keep_best_docs": dedup_keep_best_docs,
+    # --- 44 r12-recorded must-rotate (window, contd) ---
     "emb_lsh_recall_sound": emb_lsh_recall_sound,
     "emb_ivf_recall_sound": emb_ivf_recall_sound,
     "emb_pq_recall_sound": emb_pq_recall_sound,
@@ -3297,7 +3458,8 @@ QUERIES = {
     "q8_market_share": R.q8_market_share,
     "q9_product_profit": R.q9_product_profit,
     "range_events_clicks": R.range_events_clicks,
-    # --- newest record r13 — the r16 rotation set ---
+    # --- outside the window ------------------------------------------
+    # --- newest record r13 — the r16 rotation set (46 + 4 free after the r15 retirements) ---
     "doc_jsonl_ingest": doc_jsonl_ingest,
     "emb_semdedup_planted": emb_semdedup_planted,
     "dedup_incremental_sound": dedup_incremental_sound,
@@ -3316,7 +3478,11 @@ QUERIES = {
     "doc_wav_features": doc_wav_features,
     "doc_simhash_planted": doc_simhash_planted,
     "doc_sketch_tolerance": doc_sketch_tolerance,
-    "emb_lsh_planted": emb_lsh_planted,
+    # emb_lsh_planted RETIRED r15 (funding emb_ivfpq_recall_sound):
+    # bucket-collision guarantee rides the same sign_buckets kernel as
+    # the still-backed emb_dup_pairs_lsh_planted; ranking path stays
+    # backed via emb_lsh_recall_sound; differential in
+    # test_joins.py::test_retired_entry_equivalences_r15
     "emb_dup_pairs_lsh_planted": emb_dup_pairs_lsh_planted,
     "dedup_near_lsh_planted": dedup_near_lsh_planted,
     "doc_corpus_shuffle": doc_corpus_shuffle,
@@ -3334,7 +3500,10 @@ QUERIES = {
     "doc_resize_pixels": doc_resize_pixels,
     "doc_stratified_sample": doc_stratified_sample,
     "doc_strip_dup_ngrams": doc_strip_dup_ngrams,
-    "doc_unigram_logloss": doc_unigram_logloss,
+    # doc_unigram_logloss RETIRED r15 (funding doc_temperature_mixture):
+    # == bigram_logloss(alpha=0) exactly; unigram rates stay backed
+    # inside doc_bigram_logloss; identity computed in
+    # test_joins.py::test_retired_entry_equivalences_r15
     "emb_cosine_topk": emb_cosine_topk,
     "emb_dup_pairs": emb_dup_pairs,
     "graph_closure_nations": graph_closure_nations,
@@ -3352,10 +3521,60 @@ QUERIES = {
     "events_hourly": R.events_hourly,
     "nation_set_ops": R.nation_set_ops,
     "dedup_exact_docs": dedup_exact_docs,
-    # --- ORACLE_HOLDBACK (r14): verified locally, publishes in r15's free slots ---
-    "doc_warc_ingest": doc_warc_ingest,
-    "doc_dup_spans_planted": doc_dup_spans_planted,
-    "dedup_keep_best_docs": dedup_keep_best_docs,
+    # --- newest record r14 — the r17 rotation set (49 after the doc_fingerprint retirement) ---
+    "doc_csv_ingest": doc_csv_ingest,
+    "doc_bpe_pack": doc_bpe_pack,
+    "emb_semdedup_incremental_sound": emb_semdedup_incremental_sound,
+    "doc_video_pipeline": doc_video_pipeline,
+    "doc_png_features": doc_png_features,
+    "asof_events_orders": R.asof_events_orders,
+    "bgp_agg_top_urgent_nations": bgp_agg_top_urgent_nations,
+    "bgp_ask_segment": bgp_ask_segment,
+    "bgp_bind_term_functions": bgp_bind_term_functions,
+    "bgp_merge_count": bgp_merge_count,
+    "bgp_minus_machinery_asia": bgp_minus_machinery_asia,
+    "bgp_path_inv_region_members": bgp_path_inv_region_members,
+    "bgp_path_negset_links": bgp_path_negset_links,
+    "bgp_path_zom_region": bgp_path_zom_region,
+    "bgp_path_zoo_nation": bgp_path_zoo_nation,
+    "cube_priority_status": R.cube_priority_status,
+    "doc_bpe_pretokens": doc_bpe_pretokens,
+    "doc_contamination": doc_contamination,
+    "doc_dedup_paragraphs": doc_dedup_paragraphs,
+    "doc_dsir_weights": doc_dsir_weights,
+    # doc_fingerprint RETIRED r15 (funding doc_winnow_planted): its
+    # md5(normalized text) values stay EXPOSED per group in the
+    # still-backed dedup_exact_docs; identity computed in
+    # test_joins.py::test_retired_entry_equivalences_r15
+    "doc_strip_html": doc_strip_html,
+    "doc_text_quality": doc_text_quality,
+    "doc_token_windows": doc_token_windows,
+    "emb_range_search": emb_range_search,
+    "events_funnel": R.events_funnel,
+    "events_json_stats": R.events_json_stats,
+    "events_salted_enrich": R.events_salted_enrich,
+    "events_sessionize_native": R.events_sessionize_native,
+    "events_transition_matrix": R.events_transition_matrix,
+    "graph_shortest_weighted": graph_shortest_weighted,
+    "orders_by_month": R.orders_by_month,
+    "pivot_priority_by_segment": R.pivot_priority_by_segment,
+    "q12_late_shipments": R.q12_late_shipments,
+    "q22_idle_customers": R.q22_idle_customers,
+    "q2_min_cost_supplier": R.q2_min_cost_supplier,
+    "q3_top_revenue": R.q3_top_unshipped_revenue,
+    "q4_order_priority": R.q4_order_priority,
+    "q5_nation_revenue": R.q5_nation_revenue,
+    "q6_forecast_revenue": R.q6_forecast_revenue,
+    "q7_volume_shipping": R.q7_volume_shipping,
+    "rollup_nation_segment": R.rollup_nation_segment,
+    "running_customer_spend": R.running_customer_spend,
+    "segment_quantiles": R.segment_quantiles,
+    "segment_stats": R.segment_stats,
+    "topk_orders_per_customer": R.topk_orders_per_customer,
+    "bgp_customers_in_region": bgp_customers_in_region,
+    "bgp_nations_values": bgp_nations_values,
+    "bgp_filter_customer_names": bgp_filter_customer_names,
+    "q10_returned_items": R.q10_returned_items,
     # --- rows-only by design (no oracle; pytest-pinned, with derived-invariant twins recorded above): parked last ---
     "dedup_incremental_simhash": dedup_incremental_simhash,
     "emb_pq_topk": emb_pq_topk,
@@ -3382,24 +3601,18 @@ QUERIES = {
 
 # entries whose ORACLES row exists (and is verified locally by
 # tools/check_oracle.py) but is withheld from the driver's oracle_sql()
-# until a correctness-window slot frees up.  EMPTY as of r12: the four
-# r11 holdbacks (doc_video_mjpeg, doc_bigram_logloss,
-# graph_triangles_parts, graph_kcore_sound) published with the r12
-# rotation and hold window slots 5-8.
+# until a correctness-window slot frees up.  EMPTY as of r15: the three
+# r14 holdbacks (doc_warc_ingest, doc_dup_spans_planted,
+# dedup_keep_best_docs) published with the r15 rotation and hold window
+# slots 4-6; the three NEW r15 entries (doc_winnow_planted,
+# emb_ivfpq_recall_sound, doc_temperature_mixture) ship with their
+# oracles live immediately in slots 1-3, so nothing is withheld.
 # tools/registry_audit.py (r10 advice) treats any holdback as
 # oracle-backed — warning the round it appears and FAILING if it
 # persists past its declaration round unpublished
 # (ORACLE_HOLDBACK_SINCE records the round each holdback was declared).
-ORACLE_HOLDBACK: set[str] = {
-    "doc_warc_ingest",
-    "doc_dup_spans_planted",
-    "dedup_keep_best_docs",
-}
-ORACLE_HOLDBACK_SINCE: dict[str, int] = {
-    "doc_warc_ingest": 14,
-    "doc_dup_spans_planted": 14,
-    "dedup_keep_best_docs": 14,
-}
+ORACLE_HOLDBACK: set[str] = set()
+ORACLE_HOLDBACK_SINCE: dict[str, int] = {}
 
 _EN = "'the','a','and','of','to','in','is','that','it','for'"
 _ES = "'el','la','de','que','y','en','un','es','no','por'"
@@ -3453,6 +3666,31 @@ _MIXTURE_ORACLE = f"""
                WHEN 'src2' THEN '{T.rate_threshold_hex(0.0)}'
                ELSE '{T.rate_threshold_hex(0.5)}'
           END
+"""
+
+# r15 (doc_temperature_mixture): the md5 draw's first 13 hex digits as
+# a 52-bit integer — exactly representable in a double, so comparing it
+# against rate * 2^52 (a power-of-two scaling, exact given the rate) is
+# equivalent to the Spark side's full-width md5 < rate_threshold_hex(r)
+# string comparison except when a draw ties the threshold's 52-bit
+# prefix (P ~ n * 2^-52; verified absent at every shipped SF)
+_MD5_PREFIX52 = " + ".join(
+    "(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), "
+    f"{i + 1}, 1)) - 1) * {16 ** (12 - i)}"
+    for i in range(13)
+)
+
+_TEMP_MIXTURE_ORACLE = f"""
+    WITH counts AS (
+        SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS n
+        FROM documents GROUP BY lang
+    ), rates AS (
+        SELECT lang,
+               pow(n, -0.5) / (SELECT max(pow(n, -0.5)) FROM counts) AS r
+        FROM counts
+    )
+    SELECT d.doc_id, d.lang FROM documents d JOIN rates USING (lang)
+    WHERE ({_MD5_PREFIX52}) < r * 4503599627370496.0
 """
 
 ORACLES = {
@@ -3726,6 +3964,7 @@ ORACLES = {
         LIMIT 5
     """,
     "doc_mixture_sample": _MIXTURE_ORACLE,
+    "doc_temperature_mixture": _TEMP_MIXTURE_ORACLE,
     "doc_strip_dup_ngrams": """
         WITH base AS (
             SELECT doc_id,
@@ -3902,27 +4141,13 @@ ORACLES = {
                           ELSE contaminated_grams * 1.0 / n_grams END, 6) AS contamination
         FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
     """,
-    "doc_unigram_logloss": """
-        WITH toks AS (
-            SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
-            FROM documents
-        ), t2 AS (
-            SELECT * FROM toks WHERE tok <> ''
-        ), freqs AS (
-            SELECT tok, count(*) AS c FROM t2 GROUP BY 1
-        ), tot AS (
-            SELECT sum(c) AS t FROM freqs
-        ), probs AS (
-            SELECT tok, -ln(c * 1.0 / t) AS nll FROM freqs, tot
-        ), per AS (
-            SELECT doc_id, count(*) AS n_tokens,
-                   round(sum(nll) / count(*), 4) AS logloss
-            FROM t2 JOIN probs USING (tok) GROUP BY 1
-        )
-        SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
-               coalesce(logloss, 0.0) AS logloss
-        FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
-    """,
+    # doc_unigram_logloss RETIRED r15 (funding doc_temperature_mixture):
+    # unigram_logloss == bigram_logloss(alpha=0) exactly (every real
+    # token is one bigram position's predicted word; same tokenization,
+    # same rollup) — the identity is computed in
+    # test_joins.py::test_retired_entry_equivalences_r15, and the
+    # unigram rates stay oracle-backed inside doc_bigram_logloss's
+    # interpolated term, which enters every scored probability.
     "q8_market_share": """
         WITH vols AS (
             SELECT year(o_orderdate) AS o_year,
@@ -4591,9 +4816,12 @@ ORACLES = {
         SELECT md5({_NORM}) AS fp, min(doc_id) AS keep_doc_id, count(*) AS n_copies
         FROM documents GROUP BY 1
     """,
-    "doc_fingerprint": f"""
-        SELECT doc_id, md5({_NORM}) AS fp FROM documents
-    """,
+    # doc_fingerprint RETIRED r15 (funding doc_winnow_planted): its
+    # oracle was the per-doc md5(normalized text) value, which
+    # dedup_exact_docs (above) still EXPOSES per group over the same
+    # normalization chain — dedup_exact(docs) is byte-identical to
+    # fingerprint(docs).groupBy(fp).agg(min, count); computed in
+    # test_joins.py::test_retired_entry_equivalences_r15.
     "doc_text_quality": f"""
         SELECT doc_id,
                length(text) AS n_chars,
@@ -4964,6 +5192,16 @@ ORACLES = {
         FROM p, m
         ORDER BY p.doc_id
     """,
+    # r15: winnowing-guarantee booleans over the planted md5-chain
+    # passage (doc_id % 11 == 5, anchor = smallest planted id) — any
+    # window-minima / k-gram-stream / distinct-selection bug flips one
+    "doc_winnow_planted": """
+        WITH p AS (SELECT doc_id FROM documents WHERE doc_id % 11 = 5),
+             m AS (SELECT MIN(doc_id) AS anchor FROM p)
+        SELECT p.doc_id, TRUE AS found_anchor, TRUE AS strong
+        FROM p, m WHERE p.doc_id <> m.anchor
+        ORDER BY p.doc_id
+    """,
     "doc_mp4_demux": """
         -- empty docs produce a zero-sample container: no frame rows on
         -- the Spark side, so none here either
@@ -5037,10 +5275,8 @@ ORACLES = {
     # and dedup_near_emb, and the direct replay is pinned as a
     # pure-Spark differential in
     # test_joins.py::test_retired_entry_equivalences_r14
-    # doc_warc_ingest: in ORACLE_HOLDBACK until an r15 window slot
-    # frees up (the r14 window was already committed to the 45
-    # must-rotates + doc_csv_ingest + 4 early refreshes); verified
-    # locally with tools/check_oracle.py
+    # doc_warc_ingest: held in ORACLE_HOLDBACK through r14, published
+    # with the r15 rotation (window slot 4)
     "doc_warc_ingest": """
         WITH cls AS (
             SELECT doc_id, COALESCE(lang, 'xx') AS lang, text,
@@ -5104,11 +5340,13 @@ ORACLES = {
         FROM documents
         WHERE trim(text) != ''
     """,
-    "emb_lsh_planted": """
-        SELECT vec_id AS q_id, vec_id + 100000 AS n_id,
-               CAST(1.0 AS DOUBLE) AS cosine, CAST(1 AS INTEGER) AS rank
-        FROM embeddings WHERE vec_id < 25
-    """,
+    # emb_lsh_planted RETIRED r15 (funding emb_ivfpq_recall_sound):
+    # the identical-copy bucket-collision guarantee rides the same
+    # similarity.sign_buckets kernel that emb_dup_pairs_lsh_planted
+    # (below) keeps under the oracle; the bucketed top-k ranking path
+    # stays backed through emb_lsh_recall_sound.  The full planted
+    # invariant is replayed as a pure-Spark differential in
+    # test_joins.py::test_retired_entry_equivalences_r15.
     "emb_dup_pairs_lsh_planted": """
         SELECT vec_id AS id_a, vec_id + 100000 AS id_b,
                CAST(1.0 AS DOUBLE) AS cosine
@@ -5447,6 +5685,12 @@ _ANN_SOUND_ORACLE = """
 ORACLES["emb_lsh_recall_sound"] = _ANN_SOUND_ORACLE
 ORACLES["emb_ivf_recall_sound"] = _ANN_SOUND_ORACLE
 ORACLES["emb_pq_recall_sound"] = _ANN_SOUND_ORACLE
+# r15: the composed-index twin adds the exhaustive≡exact arm
+ORACLES["emb_ivfpq_recall_sound"] = """
+    SELECT vec_id AS q_id, TRUE AS floor_ok, TRUE AS mean_ok,
+           TRUE AS exhaustive_ok
+    FROM embeddings WHERE vec_id < 25
+"""
 
 
 def _kcore_peel_sql(k: int, iters: int = 24) -> str:

@@ -738,3 +738,98 @@ def test_retired_entry_equivalences_r14(spark):
     assert len(tiling) > 0
     for r in tiling:
         assert r.tiled and r.n_bytes == lens[r.doc_id], r
+
+
+def test_retired_entry_equivalences_r15(spark):
+    """r15 registry consolidation (funding the three NEW oracle
+    entries doc_winnow_planted / emb_ivfpq_recall_sound /
+    doc_temperature_mixture) — each retired invariant is COMPUTED
+    against the still-backed sibling that subsumes it:
+
+    - doc_fingerprint (funding doc_winnow_planted): its oracle was the
+      per-doc md5(normalized text) value.  dedup_exact_docs still
+      EXPOSES those fp values per group over the same normalization
+      chain — dedup_exact(docs) is byte-identical to
+      fingerprint(docs).groupBy(fp).agg(min, count), computed below;
+      a per-doc fp bug either forges a new fp value (breaks the fp
+      column) or moves a doc across groups (breaks keep/count).
+
+    - emb_lsh_planted (funding emb_ivfpq_recall_sound): an identical
+      planted copy collides with its original in every sign bucket
+      (the SAME similarity.sign_buckets kernel the still-backed
+      emb_dup_pairs_lsh_planted pins under the oracle), and the
+      bucketed top-k ranking path stays backed through
+      emb_lsh_recall_sound.  The full planted invariant — top-1 for
+      every probe is its copy at cosine 1.0 — is replayed below.
+
+    - doc_unigram_logloss (funding doc_temperature_mixture): with the
+      BOS sentinel prepended, every real token is exactly one bigram
+      position's predicted word, so the bigram op's unigram term
+      c(w)/T is the same corpus unigram model over the same
+      tokenization and unigram_logloss(docs) ==
+      bigram_logloss(docs, alpha=0) row for row; the unigram rates
+      stay under the oracle inside doc_bigram_logloss (alpha=0.4),
+      where they enter every interpolated probability."""
+    from pyspark.sql import functions as F
+
+    from matcha_spark import suite
+    from matcha_spark.operators import similarity as S
+    from matcha_spark.operators import text as T
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+
+    # doc_fingerprint ≡ the group key dedup_exact_docs exposes
+    fp = suite.doc_fingerprint(spark, sf)
+    derived = {
+        (r.fp, r.keep_doc_id, r.n_copies)
+        for r in fp.groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .collect()
+    }
+    exact = {
+        (r.fp, r.keep_doc_id, r.n_copies)
+        for r in suite.dedup_exact_docs(spark, sf).collect()
+    }
+    assert derived == exact and 0 < len(exact) <= fp.count()
+
+    # emb_lsh_planted replay: top-1 per probe is its copy at cosine 1.0
+    got = {
+        (r.q_id, r.n_id, r.cosine, r.rank)
+        for r in suite.emb_lsh_planted(spark, sf).collect()
+    }
+    n_probes = spark.read.parquet(f"{sf}/embeddings.parquet").where(
+        "vec_id < 25"
+    ).count()
+    assert got == {(q, q + 100000, 1.0, 1) for q in range(n_probes)}
+    # and the bucket-collision half rides the shared kernel: identical
+    # vectors share every (table, bucket) row sign_buckets emits
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").where("vec_id < 5")
+    b = S.sign_buckets(
+        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")),
+        "vec",
+    ).select("id", "table", "bucket").collect()
+    per_id = {}
+    for r in b:
+        per_id.setdefault(r.id, set()).add((r.table, r.bucket))
+    b2 = S.sign_buckets(
+        emb.select((F.col("vec_id") + 100000).alias("id"),
+                   F.col("embedding").alias("vec")),
+        "vec",
+    ).select("id", "table", "bucket").collect()
+    for r in b2:
+        assert (r.table, r.bucket) in per_id[r.id - 100000]
+
+    # doc_unigram_logloss ≡ bigram_logloss(alpha=0)
+    uni = {
+        (r.doc_id, r.n_tokens, r.logloss)
+        for r in suite.doc_unigram_logloss(spark, sf).collect()
+    }
+    bi0 = {
+        (r.doc_id, r.n_tokens, r.logloss)
+        for r in T.bigram_logloss(docs, alpha=0.0).collect()
+    }
+    assert uni == bi0 and len(uni) == docs.count()

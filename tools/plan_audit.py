@@ -108,10 +108,25 @@ EXPECT: dict[str, set[str]] = {
     # would defeat the pruning — and the rank/re-rank layers stay
     # codegen around the two Arrow kernels
     "emb_ivfpq_topk": {"codegen", "broadcast"},
+    # winnowing oracle twin (r15): the planted corpus rides the same
+    # all-codegen winnow kernel; the anchor fingerprint set and the
+    # planted-id frame join back as BROADCASTs (they are bounded by
+    # the plant arithmetic), never a shuffle of the fingerprint stream
+    "doc_winnow_planted": {"codegen", "broadcast"},
+    # composed-index sound twin (r15): same broadcast-probe contract
+    # as emb_ivfpq_topk, three times over (approx + exhaustive + exact
+    # arms), plus the recall-flag join layers in codegen
+    "emb_ivfpq_recall_sound": {"codegen", "broadcast"},
+    # temperature mixing (r15): rates inline as a CASE literal over a
+    # 3-column projection — one narrow codegen filter, no join, no
+    # shuffle, and the text column must be PRUNED from the scan
+    "doc_temperature_mixture": {"codegen", "pruned:text"},
 }
 
-# deliberate 1-row broadcast scalars (Observation-style bound columns)
-CARTESIAN_OK: set[str] = set()
+# deliberate 1-row broadcast scalars (Observation-style bound columns):
+# the winnow twin's min-planted-id anchor frame and the ANN sound
+# twins' corpus-mean bound both join a single-row broadcast by design
+CARTESIAN_OK: set[str] = {"doc_winnow_planted", "emb_ivfpq_recall_sound"}
 
 
 def plan_of(df) -> str:
