@@ -1123,6 +1123,7 @@ def incremental_dedup_near(
     threshold: float = 0.7,
     max_bucket_size: int | None = None,
     text_col: str = "text",
+    rank=None,
 ):
     """Append-only near-dedup: admit a new batch against an
     already-accepted corpus WITHOUT touching the corpus text — only its
@@ -1153,7 +1154,11 @@ def incremental_dedup_near(
     Contract (whole incremental family): doc ids are globally unique
     across batches — re-submitting an already-admitted ID (not just
     identical text under a fresh id) is undefined; the store is
-    append-only keyed by id."""
+    append-only keyed by id.
+
+    ``rank`` (r15): optional Column over ``new_docs`` — batch-internal
+    clusters keep their highest-ranked member instead of the min id
+    (corpus keeper stays sticky; see :func:`_incremental_decisions`)."""
     sig_new = memo_persist(
         minhash_signatures(new_docs, num_hashes=num_hashes, n=n, text_col=text_col)
         .select("doc_id", *[f"h{i}" for i in range(num_hashes)])
@@ -1213,7 +1218,15 @@ def incremental_dedup_near(
     )
     accepted_ids = sides.where(~F.col("new")).select(F.col("doc_id").alias("acc_id"))
     comp = connected_components(dups, src="id_a", dst="id_b")
-    decisions = _incremental_decisions(sig_new.select("doc_id"), comp, accepted_ids)
+    decisions = _incremental_decisions(
+        sig_new.select("doc_id"),
+        comp,
+        accepted_ids,
+        batch_rank=(
+            None if rank is None
+            else new_docs.select("doc_id", rank.alias("__rank"))
+        ),
+    )
     kept_sigs = sig_new.join(
         decisions.where(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
     )
@@ -1222,7 +1235,10 @@ def incremental_dedup_near(
 
 
 def _incremental_decisions(
-    new_ids: DataFrame, comp: DataFrame, accepted_ids: DataFrame
+    new_ids: DataFrame,
+    comp: DataFrame,
+    accepted_ids: DataFrame,
+    batch_rank: DataFrame | None = None,
 ) -> DataFrame:
     """Shared batch-admission verdicts for the incremental dedup family
     (:func:`incremental_dedup_near`, :func:`incremental_dedup_simhash`):
@@ -1230,6 +1246,18 @@ def _incremental_decisions(
     keeper is the min ACCEPTED corpus doc in the cluster when one
     exists (corpus-wins semantics — accepted docs were admitted
     earlier), else the min batch id; unmatched docs keep themselves.
+
+    ``batch_rank`` (r15, the streaming keep-best seam): an optional
+    ``(doc_id, __rank)`` frame over the batch.  When given, a
+    cluster with NO accepted member keeps its HIGHEST-ranked batch
+    member instead of the min id (ties toward the smaller id; an
+    all-NULL-rank cluster degrades to keep-first — the
+    :func:`keep_best_map` NULL contract).  The corpus keeper stays
+    STICKY either way: a later, better copy of an already-accepted
+    document is still a duplicate; rank only re-decides survivors
+    within their arrival batch.  Implemented as a two-pass argmax
+    (max rank per cluster, then min id among the maximizers) so
+    string ids work — cluster-count-bounded aggregates, no window.
 
     ``new_ids``: one-column ``doc_id`` batch frame; ``comp``: a
     ``(id, component)`` labeling of the duplicate graph (component =
@@ -1242,13 +1270,28 @@ def _incremental_decisions(
         .groupBy("component")
         .agg(F.min("acc_id").alias("acc_keeper"))
     )
+    out = new_ids.join(comp, new_ids.doc_id == comp.id, "left").join(
+        comp_acc, "component", "left"
+    )
+    keeper_chain = [F.col("acc_keeper")]
+    if batch_rank is not None:
+        members = comp.join(
+            batch_rank, comp["id"] == batch_rank["doc_id"]
+        ).select("component", comp["id"].alias("__mid"), "__rank")
+        mx = members.groupBy("component").agg(F.max("__rank").alias("__mx"))
+        bk = (
+            members.join(mx, "component")
+            .where(F.col("__rank").eqNullSafe(F.col("__mx")))
+            .groupBy("component")
+            .agg(F.min("__mid").alias("batch_keeper"))
+        )
+        out = out.join(bk, "component", "left")
+        keeper_chain.append(F.col("batch_keeper"))
     return (
-        new_ids.join(comp, new_ids.doc_id == comp.id, "left")
-        .join(comp_acc, "component", "left")
-        .select(
+        out.select(
             "doc_id",
             F.coalesce(
-                F.col("acc_keeper"), F.col("component"), F.col("doc_id")
+                *keeper_chain, F.col("component"), F.col("doc_id")
             ).alias("keeper"),
         )
         .select(
@@ -1264,6 +1307,7 @@ def incremental_dedup_simhash(
     existing_sigs: DataFrame | None = None,
     max_hamming: int = 3,
     text_col: str = "text",
+    rank=None,
 ):
     """Append-only near-dedup on SimHash signatures — the Hamming-
     distance sibling of :func:`incremental_dedup_near`, same
@@ -1297,7 +1341,11 @@ def incremental_dedup_simhash(
     label pairs), and only that contracted remainder goes to
     :func:`connected_components`.  Per admission that removes the
     pair-distinct shuffle, the symmetric-edge checkpoint, and the
-    full-width first contraction round the generic path would pay."""
+    full-width first contraction round the generic path would pay.
+
+    ``rank`` (r15): optional Column over ``new_docs`` — batch-internal
+    clusters keep their highest-ranked member instead of the min id
+    (corpus keeper stays sticky; see :func:`_incremental_decisions`)."""
     sig_new = simhash(new_docs, text_col=text_col).select("doc_id", "simhash")
     if existing_sigs is None:
         existing_sigs = sig_new.limit(0)
@@ -1356,7 +1404,13 @@ def incremental_dedup_simhash(
     )
     accepted_ids = sides.where(~F.col("new")).select(F.col("doc_id").alias("acc_id"))
     decisions = _incremental_decisions(
-        sides.where(F.col("new")).select("doc_id"), comp, accepted_ids
+        sides.where(F.col("new")).select("doc_id"),
+        comp,
+        accepted_ids,
+        batch_rank=(
+            None if rank is None
+            else new_docs.select("doc_id", rank.alias("__rank"))
+        ),
     )
     kept_sigs = sides.where(F.col("new")).select("doc_id", "simhash").join(
         decisions.where(F.col("keep")).select("doc_id"), "doc_id", "left_semi"

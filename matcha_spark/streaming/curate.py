@@ -48,14 +48,31 @@ from .dedup import (
 __all__ = ["stream_curate"]
 
 
-def _seen_stage(batch, store, id_c="__id", key_c="__key"):
+def _seen_stage(batch, store, id_c="__id", key_c="__key", rank_c=None):
     """Shared seen-key admission frame: returns (joined, keep_col) —
-    the same NULL-safe first-wins logic as ``streaming.keys``."""
-    batch_keep = (
-        batch.where(F.col(key_c).isNotNull())
-        .groupBy(key_c)
-        .agg(F.min(id_c).alias("__bk"))
-    )
+    the same NULL-safe first-wins logic as ``streaming.keys``.
+
+    ``rank_c`` (r15, keep-best): name of a rank column on ``batch`` —
+    within the batch, each new key keeps its HIGHEST-ranked member
+    (ties toward the min id; an all-NULL-rank group degrades to
+    keep-first).  Keys already in the store stay with their persisted
+    keeper regardless of rank.  Two-pass argmax (max rank per key,
+    min id among maximizers) so string ids work."""
+    if rank_c is None:
+        batch_keep = (
+            batch.where(F.col(key_c).isNotNull())
+            .groupBy(key_c)
+            .agg(F.min(id_c).alias("__bk"))
+        )
+    else:
+        m = batch.where(F.col(key_c).isNotNull())
+        mx = m.groupBy(key_c).agg(F.max(rank_c).alias("__mx"))
+        batch_keep = (
+            m.join(mx, key_c)
+            .where(F.col(rank_c).eqNullSafe(F.col("__mx")))
+            .groupBy(key_c)
+            .agg(F.min(id_c).alias("__bk"))
+        )
     joined = (
         batch.join(store, batch[key_c] == store["key"], "left")
         .join(batch_keep, key_c, "left")
@@ -81,6 +98,7 @@ def stream_curate(
     quality_kwargs: dict | None = None,
     checkpoint_dir: str | None = None,
     compact_every: int = 64,
+    dedup_rank=None,
     **dedup_kwargs,
 ):
     """Run the streaming curation cascade over a document stream.
@@ -94,14 +112,23 @@ def stream_curate(
     seen-key store) or ``"simhash"`` / ``"minhash"`` (near-dup
     signature store; extra kwargs flow to the batch operator).
 
-    Survivor selection is FIRST-ARRIVAL by construction: admission
-    against the persisted store decides each doc when it arrives and
-    never revisits it, so the batch cascade's quality-ranked
-    ``survivor_score`` (keep the best cluster member —
-    ``pipelines.curate_corpus``) has no streaming analogue; a later,
-    better copy of an admitted document is a ``duplicate`` here.
-    Pipelines that want keep-best semantics run the batch cascade over
-    the accumulated corpus as a compaction pass.
+    Survivor selection is FIRST-ARRIVAL across batches by
+    construction: admission against the persisted store decides each
+    doc when it arrives and never revisits it — a later, better copy
+    of an admitted document is a ``duplicate`` here, full stop.
+    ``dedup_rank`` (r15, the bounded keep-best re-decision) narrows
+    the gap to the batch cascade's quality-ranked ``survivor_score``:
+    an optional Column over the input rows; WITHIN each micro-batch,
+    duplicate groups keep their highest-ranked member (ties toward
+    the smaller id; all-NULL groups degrade to keep-first) instead of
+    the first by id.  The invariant to rely on: the CROSS-BATCH
+    keeper stays sticky — rank re-decides survivors only inside their
+    arrival batch, never against the persisted store, so decisions
+    stay append-only and replay-idempotent.  On a single batch,
+    ``dedup_rank`` reproduces ``curate_corpus(survivor_score=...)``
+    verdicts exactly (differential-tested).  Pipelines that want
+    GLOBAL keep-best semantics still run the batch cascade over the
+    accumulated corpus as a compaction pass.
 
     Returns the started ``StreamingQuery``.  Replay-safe: all store
     appends are guarded by one batch-id ledger; exact-mode decisions
@@ -188,13 +215,22 @@ def stream_curate(
             _recover_store(spark, fp_keys_dir)
             fstore = _read_if_exists(spark, fp_keys_dir)
             b = q_surv.select(
-                F.col("doc_id").alias("__id"), F.md5(norm).alias("__key")
+                F.col("doc_id").alias("__id"),
+                F.md5(norm).alias("__key"),
+                *(
+                    []
+                    if dedup_rank is None
+                    else [dedup_rank.alias("__rank")]
+                ),
             )
             if fstore is None:
                 fstore = b.select(
                     F.col("__key").alias("key"), F.col("__id").alias("keeper")
                 ).limit(0)
-            joined, keep = _seen_stage(b, fstore)
+            joined, keep = _seen_stage(
+                b, fstore,
+                rank_c=None if dedup_rank is None else "__rank",
+            )
             dup_decisions = joined.select(
                 F.col("__id").alias("doc_id"),
                 keep.alias("__dkeep"),
@@ -221,7 +257,10 @@ def stream_curate(
                 incremental_dedup_simhash if dedup == "simhash"
                 else incremental_dedup_near
             )
-            dec, _ = op(q_surv, existing, text_col=text_col, **dedup_kwargs)
+            dec, _ = op(
+                q_surv, existing, text_col=text_col, rank=dedup_rank,
+                **dedup_kwargs,
+            )
             dup_decisions = dec.select(
                 "doc_id",
                 F.col("keep").alias("__dkeep"),

@@ -598,6 +598,127 @@ def test_path_selective_var_anchor_differential(spark, seed):
     )
 
 
+def _rand_deep_path(rng, depth=0):
+    """Like :func:`_rand_path_expr` but one nesting level deeper —
+    depth-3 trees reach compositions (closure of an Alt of a Seq of an
+    Inv) the depth-2 generator cannot produce."""
+    from matcha_spark.patterns import (
+        Alt,
+        Inv,
+        NegSet,
+        OneOrMore,
+        Seq,
+        ZeroOrMore,
+        ZeroOrOne,
+    )
+
+    forms = ["pred", "seq", "alt", "inv", "plus", "star", "opt", "neg"]
+    form = rng.choice(forms) if depth < 3 else "pred"
+    if form == "pred":
+        return rng.choice(PATH_PREDS)
+    if form == "seq":
+        return Seq(*[_rand_deep_path(rng, depth + 1) for _ in range(2)])
+    if form == "alt":
+        return Alt(*[_rand_deep_path(rng, depth + 1) for _ in range(2)])
+    if form == "inv":
+        return Inv(_rand_deep_path(rng, depth + 1))
+    if form == "plus":
+        return OneOrMore(_rand_deep_path(rng, depth + 1))
+    if form == "star":
+        return ZeroOrMore(_rand_deep_path(rng, depth + 1))
+    if form == "opt":
+        return ZeroOrOne(_rand_deep_path(rng, depth + 1))
+    return NegSet(*rng.sample(PATH_PREDS, rng.randint(1, 2)))
+
+
+# endpoint shapes: ground-subject (forward scan), ground-object
+# (backward scan), ground-ground (existence), var-var behind a
+# selective anchor on the subject (deferred closure, forward walk) and
+# on the object (deferred closure, backward walk)
+_MATRIX_SHAPES = ("gv", "vg", "gg", "vv_fwd", "vv_bwd")
+
+
+def _matrix_case(seed):
+    """Deterministic (db, path, shape, force_seed) schedule for the
+    endpoint-matrix fuzzer — factored out so the schedule meta-test
+    below can assert coverage without running Spark.  seed % 5 walks
+    the shapes, seed % 2 toggles the zeroed seeding floor; 5 and 2 are
+    coprime, so 32 seeds cover all 10 combinations."""
+    rng = random.Random(5500 + seed)
+    db_rows = _rand_path_db(rng)
+    path = _rand_deep_path(rng)
+    return rng, db_rows, path, _MATRIX_SHAPES[seed % 5], seed % 2 == 0
+
+
+def test_path_endpoint_matrix_schedule():
+    """The 32-seed schedule exercises every endpoint shape under both
+    seeding-gate settings (so the seeded, all-pairs, existence, and
+    both deferred-closure walk directions all run)."""
+    combos = {(s % 5, s % 2) for s in range(32)}
+    assert combos == {(i, j) for i in range(5) for j in range(2)}
+
+
+@pytest.mark.parametrize("seed", range(32))
+def test_path_endpoint_matrix_differential(spark, seed, monkeypatch):
+    """r15 (verdict ask #7, the path-algebra half): one consolidated
+    fuzzer over the FULL endpoint matrix — random depth-3
+    Seq/Alt/Inv/NegSet/closure trees x {ground subject, ground object,
+    ground-ground, var-var + selective anchor on either side} against
+    the pure-Python path algebra (:func:`_model_path_pairs`).  Half
+    the seeds zero ``SEEDED_FRONTIER_EST`` so the seeded scan and the
+    ``_join_deferred_closure`` paths (compiler.py) are forced even on
+    tiny graphs; the other half keep the production gate.  Both walk
+    directions of the deferred path are pinned by the shape schedule
+    (meta-test above)."""
+    from matcha_spark import ask, select
+    from matcha_spark.plans import compiler as C
+
+    rng, db_rows, path, shape, force_seed = _matrix_case(seed)
+    if force_seed:
+        monkeypatch.setattr(C, "SEEDED_FRONTIER_EST", 0.0)
+    pairs = _model_path_pairs(path, db_rows)
+    nodes = sorted({s for s, _, _ in db_rows} | {o for _, _, o in db_rows})
+    db = TriplesDB.from_triples(spark, db_rows)
+    try:
+        if shape == "gv":
+            anchor = rng.choice(nodes)
+            got = sorted(
+                str(g) for g in (select(["?y"], [(anchor, path, "?y")], db) or [])
+            )
+            want = sorted(b for a, b in pairs if a == anchor)
+        elif shape == "vg":
+            anchor = rng.choice(nodes)
+            got = sorted(
+                str(g) for g in (select(["?x"], [("?x", path, anchor)], db) or [])
+            )
+            want = sorted(a for a, b in pairs if b == anchor)
+        elif shape == "gg":
+            a1, a2 = rng.choice(nodes), rng.choice(nodes)
+            got = ask([(a1, path, a2)], db)
+            want = (a1, a2) in pairs
+        else:
+            ap = rng.choice(PATH_PREDS)
+            anchor_obj = rng.choice(nodes)
+            anchors = {s for s, p, o in db_rows if p == ap and o == anchor_obj}
+            if shape == "vv_fwd":
+                res = select(
+                    ["?m", "?y"], [("?m", ap, anchor_obj), ("?m", path, "?y")], db
+                )
+                want = sorted((str(a), str(b)) for a, b in pairs if a in anchors)
+            else:
+                res = select(
+                    ["?x", "?m"], [("?m", ap, anchor_obj), ("?x", path, "?m")], db
+                )
+                want = sorted((str(a), str(b)) for a, b in pairs if b in anchors)
+            got = sorted((str(x), str(y)) for x, y in (res or []))
+    finally:
+        db.unpersist()
+    assert got == want, (
+        f"seed={seed}\nshape={shape}\nforce_seed={force_seed}\n"
+        f"db={db_rows}\npath={path!r}\ngot={got}\nwant={want}"
+    )
+
+
 @pytest.mark.parametrize("seed", range(12))
 def test_path_bind_agg_modifiers_differential(spark, seed):
     """r09: the r08 additions interact — select_agg's solution

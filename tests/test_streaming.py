@@ -809,6 +809,115 @@ def test_stream_curate_simhash_mode(spark):
     shutil.rmtree(base, ignore_errors=True)
 
 
+def test_stream_curate_keep_best(spark):
+    """r15 (verdict ask #6): ``dedup_rank`` turns the within-batch
+    survivor choice into a score argmax.
+
+    - single batch, exact mode: verdicts IDENTICAL to the batch
+      cascade with ``survivor_score`` on the same rows (the padded
+      longer copy survives, the first-arrival shorter one loses);
+    - cross-batch stickiness: a later, longer copy of an admitted doc
+      is still a ``duplicate`` of the persisted keeper — rank never
+      re-decides against the store;
+    - replay idempotence: reprocessing the same batch from a fresh
+      checkpoint reproduces the decisions and the ledger guard keeps
+      the store single-appended;
+    - simhash mode: the batch twin with ``dedup_method='simhash'`` +
+      ``survivor_score`` agrees on the same single batch."""
+    import os
+
+    from matcha_spark.pipelines import curate_corpus
+    from matcha_spark.streaming.curate import stream_curate
+
+    base = tempfile.mkdtemp(prefix="mcurate_kb_")
+    src_dir = os.path.join(base, "src")
+    os.makedirs(src_dir)
+    schema = "doc_id long, text string"
+    good = ("the cat and the dog sat in the house that is it for a story "
+            "about the animals and their day together in it all")
+    padded = good.replace(" ", "  ")  # same normalized text, longer raw
+    rows = [(1, good), (2, padded),
+            (3, good + " with a genuinely distinct tail here")]
+    docs = spark.createDataFrame(rows, schema)
+    docs.write.mode("append").parquet(src_dir)
+
+    want = {r.doc_id: r.status for r in curate_corpus(
+        docs, min_tokens=5, max_punct_ratio=0.3,
+        survivor_score=F.length("text"),
+    ).collect()}
+    assert want == {1: "duplicate", 2: "kept", 3: "kept"}  # fixture sanity
+
+    got = {}
+
+    def sink(df, bid):
+        for r in df.collect():
+            got[r.doc_id] = (r.status, r.dup_of)
+
+    def run(ckpt):
+        q = stream_curate(
+            spark.readStream.schema(schema).parquet(src_dir),
+            os.path.join(base, "store"),
+            sink,
+            dedup="exact",
+            dedup_rank=F.length("text"),
+            quality_kwargs={"min_tokens": 5, "max_punct_ratio": 0.3},
+            checkpoint_dir=os.path.join(base, ckpt),
+        )
+        q.awaitTermination(120)
+
+    run("ckpt")
+    assert {k: v[0] for k, v in got.items()} == want
+    assert got[1] == ("duplicate", 2)  # argmax keeper, not first-arrival
+
+    # cross-batch: an even longer copy arrives later -> still duplicate
+    # of the PERSISTED keeper (rank is batch-local by contract)
+    spark.createDataFrame(
+        [(9, padded.replace("  ", "   "))], schema
+    ).write.mode("append").parquet(src_dir)
+    got.clear()
+    run("ckpt")
+    assert got[9] == ("duplicate", 2)
+
+    # replay: fresh checkpoint reprocesses everything; decisions agree
+    # and the ledger guard keeps the fp store single-appended
+    got.clear()
+    run("ckpt2")
+    assert {k: v[0] for k, v in got.items()} == {**want, 9: "duplicate"}
+    fp = spark.read.parquet(os.path.join(base, "store", "fp_keys"))
+    assert fp.groupBy("key").count().where("count > 1").count() == 0
+    shutil.rmtree(base, ignore_errors=True)
+
+    # simhash mode, single batch vs the batch cascade
+    base2 = tempfile.mkdtemp(prefix="mcurate_kb_sh_")
+    src2 = os.path.join(base2, "src")
+    os.makedirs(src2)
+    near = spark.createDataFrame(
+        [(1, good), (2, good + " plus a tail of extra words here"),
+         (3, "entirely different content about other topics and things here")],
+        schema,
+    )
+    near.write.mode("append").parquet(src2)
+    want_sh = {r.doc_id: r.status for r in curate_corpus(
+        near, min_tokens=5, max_punct_ratio=0.3,
+        dedup_method="simhash", dedup_kwargs={"max_hamming": 16},
+        survivor_score=F.length("text"),
+    ).collect()}
+    got.clear()
+    q = stream_curate(
+        spark.readStream.schema(schema).parquet(src2),
+        os.path.join(base2, "store"),
+        sink,
+        dedup="simhash",
+        max_hamming=16,
+        dedup_rank=F.length("text"),
+        quality_kwargs={"min_tokens": 5, "max_punct_ratio": 0.3},
+        checkpoint_dir=os.path.join(base2, "ckpt"),
+    )
+    q.awaitTermination(120)
+    assert {k: v[0] for k, v in got.items()} == want_sh
+    shutil.rmtree(base2, ignore_errors=True)
+
+
 def test_stream_curate_minhash_mode(spark):
     """The MinHash branch of the streaming cascade: signature store
     carries doc_id + h0..h63, a later batch's shingle-level near-copy
