@@ -3385,6 +3385,14 @@ def dedup_near_emb(spark, sf_dir):
 # retiring two r13-recorded entries shrinks the r16 must-rotate set
 # 48 -> 46 (+ 4 free), and doc_fingerprint's retirement shrinks r17's
 # to 49 — headroom stays 5 free slot-rounds.
+# r16 plan: 46 must-rotate (r13-recorded) + 4 free slots.  With r15's
+# publishes every rows-only family now carries a hash-checked derived
+# twin and every SQL-expressible operator has an entry (audited by
+# grepping operator defs vs suite/tests in r15), so no NEW entries are
+# owed — spend the 4 free slots as early refreshes of r14-recorded
+# entries (prefer the 4 most expensive: doc_video_mjpeg-class media
+# entries rotate cheaper when spread across rounds) to flatten r17's
+# 49-entry bulge.
 # r13 surgery (verdict asks #2/#6): window = the 45 r10-recorded
 # must-rotate entries + 5 slots spent as 1 NEW entry (doc_jsonl_ingest
 # — the raw-ingestion path under the oracle, funded by RETIRING
