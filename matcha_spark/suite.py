@@ -1889,7 +1889,12 @@ def emb_ivfpq_recall_sound(spark, sf_dir):
       of 16 cells, 16 subquantizers, 32x ADC candidate pool) must
       reach per-query recall@5 >= 0.2 and mean >= 0.6 vs the exact
       top-5 on 25 probes.  Measured: min 0.4 at every shipped SF,
-      mean 0.86-0.93.
+      mean 0.86-0.93.  The floors are calibrated to the SHIPPED
+      fixture corpora (the `_ann_recall_flags` convention); on other
+      distributions they are a tuning readout, not a contract — e.g.
+      the r15 synthetic sf1.0 trend corpus (10 tight clusters)
+      measures mean ~0.55 at these levers while the exhaustive arm
+      below still holds exactly.
     - ``exhaustive_ok``: parameterized to exhaustiveness (probe every
       cell, refine covering the corpus) the composition must
       reproduce the exact top-5 SET per query regardless of where the
