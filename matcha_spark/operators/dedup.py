@@ -352,6 +352,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.2,
     max_doc_freq: int | None = None,
+    pair_budget: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle:
     |A∩B| from the shingle self-join, |A|,|B| from per-doc counts;
@@ -361,10 +362,36 @@ def ngram_jaccard_pairs(
     *before* the self-join (set sizes count post-cap shingles, so the
     similarity is Jaccard over the capped sets on both sides).  Without
     a cap the hot-shingle buckets are quadratic — fine at test scale,
-    required at corpus scale."""
+    required at corpus scale.
+
+    ``pair_budget`` (r15, opt-in pre-flight): the CAPPED join is still
+    Σ_shingle C(freq, 2) pairwise work, and a low-diversity corpus can
+    park every shingle's doc-frequency just under the cap — the r15
+    sf1.0 sweep measured a 31-word-vocabulary corpus at ~1.5e8 pairs
+    UNDER a max_doc_freq=100 cap (50k docs; the pair count cliffs with
+    vocabulary poverty, not corpus size).  When set, one cheap
+    frequency aggregate estimates the exact pair count first and the
+    call fails LOUDLY with the estimate and a pointer at the LSH scale
+    path (``minhash_lsh_candidates`` + ``jaccard_verify``) instead of
+    launching an over-budget join.  Default None: no extra job, no
+    behavior change."""
     # eager memoized persist: feeds the size agg and both self-join sides
     # (see cache.py for the rationale)
     sh = memo_persist(_capped_shingles(docs, n, max_doc_freq))
+    if pair_budget is not None:
+        est = sh.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("f")
+        ).agg(
+            F.sum(F.col("f") * (F.col("f") - 1) / 2).alias("p")
+        ).collect()[0]["p"]
+        if est is not None and est > pair_budget:
+            raise ValueError(
+                f"ngram_jaccard_pairs: exact shingle self-join would "
+                f"generate ~{int(est)} candidate pairs "
+                f"(> pair_budget={pair_budget}) — lower max_doc_freq "
+                f"(currently {max_doc_freq}) or use the LSH scale path "
+                "(minhash_lsh_candidates + jaccard_verify)"
+            )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

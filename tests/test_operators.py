@@ -750,6 +750,18 @@ def test_ngram_jaccard_doc_freq_cap(spark):
     # cap drops "a b c": doc 3 shares nothing rare with 1/2
     assert (1, 2) in got
     assert not any(3 in p for p in got)
+    # r15: the opt-in pre-flight budget fails loudly with the estimate
+    # and the LSH pointer instead of launching an over-budget join
+    with pytest.raises(ValueError, match="minhash_lsh_candidates"):
+        D.ngram_jaccard_pairs(docs, n=3, threshold=0.01, pair_budget=2)
+    # at or above the true pair count: unchanged results
+    ok = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.01, pair_budget=10**6
+        ).collect()
+    }
+    assert ok == uncapped
 
 
 def test_graph_cache_bounded_eviction(spark):
