@@ -234,6 +234,7 @@ def winnow_shared_docs(
     min_shared: int = 2,
     max_fp_freq: int | None = 100,
     text_col: str = "text",
+    pair_budget: int | None = None,
 ) -> DataFrame:
     """Cross-document local-similarity pairs from winnowing
     fingerprints: explode each document's selected fingerprints, drop
@@ -242,7 +243,17 @@ def winnow_shared_docs(
     ``ngram_jaccard_pairs``), self-join per fingerprint, and keep
     pairs sharing at least ``min_shared`` distinct fingerprints.
     One uniform-key groupBy + one bucket join, bounded by the
-    frequency cap — never all-pairs."""
+    frequency cap — never all-pairs.
+
+    ``pair_budget`` (r15, opt-in pre-flight — the
+    ``ngram_jaccard_pairs`` guard, same cliff shape): even capped, the
+    self-join does Σ_fp C(freq, 2) pairwise work, and a
+    boilerplate-heavy corpus can park every fingerprint's frequency
+    just under the cap.  When set, one aggregate over the (already
+    persisted) fingerprint frame estimates the exact pair count and
+    the call fails loudly with the estimate instead of launching an
+    over-budget join.  Default None: no extra job, behavior
+    unchanged."""
     from ..cache import memo_persist
 
     # persisted: the fingerprint frame feeds the frequency agg, the
@@ -257,6 +268,17 @@ def winnow_shared_docs(
         fps = fps.join(
             freq.where(F.col("__n") <= max_fp_freq), "fp"
         ).select("doc_id", "fp")
+    if pair_budget is not None:
+        est = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("f")).agg(
+            F.sum(F.col("f") * (F.col("f") - 1) / 2).alias("p")
+        ).collect()[0]["p"]
+        if est is not None and est > pair_budget:
+            raise ValueError(
+                f"winnow_shared_docs: fingerprint self-join would "
+                f"generate ~{int(est)} candidate pairs "
+                f"(> pair_budget={pair_budget}) — lower max_fp_freq "
+                f"(currently {max_fp_freq})"
+            )
     a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
     b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
     return (

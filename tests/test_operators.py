@@ -729,6 +729,21 @@ def test_winnow_hot_fp_cap(spark):
         ).collect()
     }
     assert pairs == {(1, 2)}
+    # r15: the opt-in pre-flight budget (same contract as
+    # ngram_jaccard_pairs') fails loudly instead of launching an
+    # over-budget self-join, and a generous budget changes nothing
+    with pytest.raises(ValueError, match="pair_budget=1"):
+        winnow_shared_docs(
+            docs, k=8, window=4, min_shared=2, max_fp_freq=2, pair_budget=1
+        )
+    ok = {
+        (r.doc_a, r.doc_b)
+        for r in winnow_shared_docs(
+            docs, k=8, window=4, min_shared=2, max_fp_freq=2,
+            pair_budget=10**6,
+        ).collect()
+    }
+    assert ok == pairs
 
 
 def test_ngram_jaccard_doc_freq_cap(spark):
