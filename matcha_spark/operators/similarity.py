@@ -538,19 +538,35 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
-def _rerank_exact(corpus, cands, q, k, vec_col):
+# Above this many estimated (q_id, n_id) survivor rows the re-rank
+# falls back to a shuffle join: an unconditional F.broadcast would
+# collect the whole candidate set to the driver, and with a huge
+# ``refine`` (e.g. the suite's exhaustive arm, refine=10**6) the
+# estimate Q*k*refine degenerates to Q x corpus — fine at shipped SFs
+# but a driver-OOM risk exactly where the codes-only path matters.
+_RERANK_BROADCAST_MAX_CANDS = 2_000_000
+
+
+def _rerank_exact(corpus, cands, q, k, vec_col, n_cands_est=None):
     """Exact-cosine re-rank of a bounded candidate set (shared by
     :func:`pq_topk` and :func:`ivfpq_topk`): the ``Q·k·refine``
     ``(q_id, n_id)`` survivors are BROADCAST back against the corpus so
     the stream side reads only ids + vectors once, with no shuffle —
     the only stage where float vectors are touched after encoding.
-    ``q`` is the broadcast (q_id, unit q_vec) frame."""
+    ``q`` is the broadcast (q_id, unit q_vec) frame.  ``n_cands_est``
+    (callers pass ``Q*k*refine``) gates the broadcast hint: above
+    :data:`_RERANK_BROADCAST_MAX_CANDS` the candidate set joins by
+    shuffle instead (AQE may still re-plan it) so an exhaustive-refine
+    call cannot OOM the driver."""
+    cand_ids = cands.select("q_id", "n_id")
+    if n_cands_est is None or n_cands_est <= _RERANK_BROADCAST_MAX_CANDS:
+        cand_ids = F.broadcast(cand_ids)
     vecs = corpus.select(
         F.col("vec_id").alias("n_id"), F.col(vec_col).alias("n_vec")
     )
     sim = _dot("q_vec", "n_vec") / _norm("n_vec")  # q_vec already unit
     rer = (
-        vecs.join(F.broadcast(cands.select("q_id", "n_id")), "n_id")
+        vecs.join(cand_ids, "n_id")
         .join(q, "q_id")
         .select("q_id", "n_id", F.round(sim, 6).alias("cosine"))
         .dropDuplicates(["q_id", "n_id"])
@@ -586,11 +602,13 @@ def pq_topk(
     win is memory traffic: 8 bytes/vector instead of 3 KB, so the
     whole corpus's codes fit where 0.3 % of its vectors would.  Float
     vectors re-enter only at the end: the bounded ``Q·k·refine``
-    candidate set is broadcast-joined back to the corpus for the exact
-    re-rank (r15 — previously every coded row carried its float vector
-    through the ADC scan and the top-k shuffle, voiding the traffic
-    win).  Exactness lives in the re-rank: recall rises with
-    ``refine`` and ``nbits`` (``refine`` ≫ corpus/k → exact)."""
+    candidate set is joined back to the corpus for the exact re-rank
+    (broadcast when the estimate is small, shuffle above
+    :data:`_RERANK_BROADCAST_MAX_CANDS`; r15 — previously every coded
+    row carried its float vector through the ADC scan and the top-k
+    shuffle, voiding the traffic win).  Exactness lives in the
+    re-rank: recall rises with ``refine`` and ``nbits``
+    (``refine`` ≫ corpus/k → exact)."""
     import numpy as np
     import pandas as pd
 
@@ -671,7 +689,9 @@ def pq_topk(
             f"q_id {id_t}, q_vec array<double>",
         )
     )
-    rer = _rerank_exact(corpus, cands, q, k, vec_col)
+    rer = _rerank_exact(
+        corpus, cands, q, k, vec_col, n_cands_est=len(q_ids) * k * refine
+    )
     return rer
 
 
@@ -707,10 +727,11 @@ def ivfpq_topk(
     code)``; the probe join is a broadcast of (query, cell) pairs that
     touches only probed cells' CODES (memory traffic m bytes/vector
     instead of dim floats); only the ``k*refine`` re-rank candidates
-    ever touch float vectors again — they are broadcast-joined back to
-    the corpus for the exact re-rank (:func:`_rerank_exact`; r15 made
-    this claim true — encode() previously shipped ``n_vec`` with every
-    coded row).  Recall rises with ``n_probe``,
+    ever touch float vectors again — they are joined back to the
+    corpus for the exact re-rank (:func:`_rerank_exact`, broadcast
+    only while ``Q*k*refine`` stays under
+    :data:`_RERANK_BROADCAST_MAX_CANDS`; r15 made this claim true —
+    encode() previously shipped ``n_vec`` with every coded row).  Recall rises with ``n_probe``,
     ``nbits`` and ``refine`` (n_probe == n_centroids and refine >>
     corpus/k -> exact), certified the same way as the single-family
     paths (recall-sound twins)."""
@@ -830,4 +851,6 @@ def ivfpq_topk(
             f"q_id {id_t}, q_vec array<double>",
         )
     )
-    return _rerank_exact(corpus, cands, q, k, vec_col)
+    return _rerank_exact(
+        corpus, cands, q, k, vec_col, n_cands_est=len(q_ids) * k * refine
+    )

@@ -1900,7 +1900,18 @@ def emb_ivfpq_recall_sound(spark, sf_dir):
       reproduce the exact top-5 SET per query regardless of where the
       seeded coarse/residual codebooks landed — the composed analog
       of the retired emb_ivf/pq_exhaustive twins, now under the
-      driver oracle."""
+      driver oracle.
+
+    Float-summation convention (r15 advice): the two arms compute
+    cosines with different summation orders (numpy BLAS dot in
+    ``cosine_topk`` vs Spark SQL ``aggregate`` fold in
+    ``_rerank_exact``), reconciled by rounding both to 6dp before the
+    set comparison.  A rank-5 cosine landing within one ulp of a 1e-6
+    rounding boundary on a future fixture/SF could flip
+    ``exhaustive_ok`` spuriously — like the recall floors above, the
+    flag is calibrated to the shipped corpora (boundary ties verified
+    absent there); diagnose a flip on new data as this convention, not
+    as an operator regression."""
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     q = emb.where(F.col("vec_id") < 25)
     exact = S.cosine_topk(emb, q, k=5)

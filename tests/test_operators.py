@@ -1249,7 +1249,22 @@ def test_pq_recall_vs_bruteforce(spark):
     assert recall >= 0.5, recall
 
 
-def test_pq_rejects_indivisible_dim(spark):
+def test_rerank_broadcast_gate(spark, monkeypatch):
+    """_rerank_exact broadcasts the candidate set only while the
+    Q*k*refine estimate stays under _RERANK_BROADCAST_MAX_CANDS (r15
+    advice: an unconditional hint with refine=10**6 collects ~Q x
+    corpus to the driver).  Forcing the gate shut (threshold 0 -> the
+    candidate ids join by shuffle; the tiny query frame stays
+    broadcast) must never change the results."""
+    from matcha_spark.operators import similarity as sim_mod
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where("vec_id < 3")
+    small = S.pq_topk(emb, q, k=5, m=8, nbits=4, refine=4)
+    monkeypatch.setattr(sim_mod, "_RERANK_BROADCAST_MAX_CANDS", 0)
+    gated = S.pq_topk(emb, q, k=5, m=8, nbits=4, refine=4)
+    rows = lambda df: {(r["q_id"], r["n_id"], r["rank"]) for r in df.collect()}
+    assert rows(small) == rows(gated)
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     with pytest.raises(ValueError):
         S.pq_topk(emb, emb.where("vec_id < 2"), m=7)
