@@ -18,9 +18,12 @@ stage names the verdict):
 5. ``kept``.
 
 State layout under ``store_path``: ``url_keys/`` and ``fp_keys/``
-(seen-key stores), ``sigs/`` (signature store for the near methods),
-``_batches/`` (the shared replay ledger — one append per store per
-batch, guarded by batch id exactly as in :mod:`streaming.dedup`).
+(seen-key stores), ``fp_cands/`` (per-key best-candidate ledger —
+written only with ``dedup_rank``, one row per distinct key per batch,
+pruned to one row per key at compaction), ``sigs/`` (signature store
+for the near methods), ``_batches/`` (the shared replay ledger — one
+append per store per batch, guarded by batch id exactly as in
+:mod:`streaming.dedup`).
 
 Semantics mirror the batch cascade deliberately: URL groups form among
 blocklist survivors (a quality-rejected doc still claims its URL —
@@ -35,7 +38,7 @@ from __future__ import annotations
 import os
 from typing import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import (
@@ -46,6 +49,56 @@ from .dedup import (
 )
 
 __all__ = ["stream_curate"]
+
+
+def _cand_argmax(cands):
+    """Global best candidate per key — rank desc (NULLs lowest), min id
+    among ties: the cross-batch extension of :func:`_seen_stage`'s
+    batch argmax.  The argmax of per-batch bests equals the argmax of
+    every recorded doc (max of maxes; min-id tie-break composes), so
+    pruning the candidate store to one row per key between compactions
+    is lossless AND keeps it bounded by #distinct-keys, not #docs."""
+    w = Window.partitionBy("key").orderBy(
+        F.col("rank").desc_nulls_last(), F.col("cand").asc()
+    )
+    return (
+        cands.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _compact_redecide(spark, fp_keys_dir: str, fp_cands_dir: str) -> bool:
+    """Compaction-time cross-batch keep-best re-decision (r16, verdict
+    ask #2): re-run the score argmax over (stored keeper ∪ candidates
+    recorded since — the keeper's own admission batch recorded it too)
+    and rewrite ``fp_keys`` so a later higher-quality duplicate
+    DISPLACES the sticky keeper.  Keys with no recorded candidate (a
+    store built before ``dedup_rank``, or rank-less batches) keep
+    their persisted keeper.  Both rewrites ride
+    :func:`_compact_store`'s crash-safe rename dance; a crash between
+    them leaves the re-decided ``fp_keys`` with an unpruned candidate
+    store, and the next compaction's argmax re-derives the same
+    keepers (idempotent).  Returns True when ``fp_keys`` was rewritten
+    (the caller skips its generic compaction pass for that dir)."""
+    _recover_store(spark, fp_cands_dir)
+    if (
+        _read_if_exists(spark, fp_cands_dir) is None
+        or _read_if_exists(spark, fp_keys_dir) is None
+    ):
+        return False
+
+    def _redecide(fp):
+        best = _cand_argmax(spark.read.parquet(fp_cands_dir)).select(
+            "key", F.col("cand").alias("__new")
+        )
+        return fp.join(best, "key", "left").select(
+            "key", F.coalesce("__new", "keeper").alias("keeper")
+        )
+
+    _compact_store(spark, fp_keys_dir, transform=_redecide)
+    _compact_store(spark, fp_cands_dir, transform=_cand_argmax)
+    return True
 
 
 def _seen_stage(batch, store, id_c="__id", key_c="__key", rank_c=None):
@@ -121,14 +174,29 @@ def stream_curate(
     an optional Column over the input rows; WITHIN each micro-batch,
     duplicate groups keep their highest-ranked member (ties toward
     the smaller id; all-NULL groups degrade to keep-first) instead of
-    the first by id.  The invariant to rely on: the CROSS-BATCH
-    keeper stays sticky — rank re-decides survivors only inside their
+    the first by id.  BETWEEN compactions the CROSS-BATCH keeper
+    stays sticky — rank re-decides survivors only inside their
     arrival batch, never against the persisted store, so decisions
     stay append-only and replay-idempotent.  On a single batch,
     ``dedup_rank`` reproduces ``curate_corpus(survivor_score=...)``
-    verdicts exactly (differential-tested).  Pipelines that want
-    GLOBAL keep-best semantics still run the batch cascade over the
-    accumulated corpus as a compaction pass.
+    verdicts exactly (differential-tested).
+
+    AT compaction (every ``compact_every`` batches; exact mode), the
+    stickiness is repaired: each ranked batch also records its best
+    candidate per key in ``fp_cands/``, and the compaction pass
+    re-runs the score argmax over (stored keeper ∪ recorded
+    candidates) and rewrites ``fp_keys`` — a later higher-quality
+    duplicate displaces the keeper (r16, verdict ask #2;
+    :func:`_compact_redecide`).  Emitted decisions are never
+    retro-edited (the sink stays an append-only arrival log), but the
+    STORE converges to the batch cascade's global keep-best: after a
+    compaction, a fresh-checkpoint replay of the same data reproduces
+    ``curate_corpus(survivor_score=...)`` verdicts exactly
+    (differential-tested), and post-compaction arrivals dedup against
+    the re-decided keeper.  Near modes keep the sticky invariant
+    (their group identity lives in emitted ``dup_of`` edges, which a
+    keeper swap would orphan) — pipelines that want global keep-best
+    there still run the batch cascade over the accumulated corpus.
 
     Returns the started ``StreamingQuery``.  Replay-safe: all store
     appends are guarded by one batch-id ledger; exact-mode decisions
@@ -148,6 +216,7 @@ def stream_curate(
         raise ValueError(f"dedup must be exact|simhash|minhash, got {dedup!r}")
     url_keys_dir = os.path.join(store_path, "url_keys")
     fp_keys_dir = os.path.join(store_path, "fp_keys")
+    fp_cands_dir = os.path.join(store_path, "fp_cands")
     sig_dir = os.path.join(store_path, "sigs")
     ledger_dir = os.path.join(store_path, "_batches")
     qkw = dict(quality_kwargs or {})
@@ -210,9 +279,12 @@ def stream_curate(
         # --- stage 4: content dedup vs persisted state ----------------
         norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
         new_fp_keys = None
+        new_fp_cands = None
         kept_sigs = None
         if dedup == "exact":
             _recover_store(spark, fp_keys_dir)
+            if dedup_rank is not None:
+                _recover_store(spark, fp_cands_dir)
             fstore = _read_if_exists(spark, fp_keys_dir)
             b = q_surv.select(
                 F.col("doc_id").alias("__id"),
@@ -243,6 +315,24 @@ def stream_curate(
                 )
                 .distinct()
             )
+            if dedup_rank is not None:
+                # record this batch's best candidate per key (keepers
+                # included — their admission batch records them) so the
+                # compaction pass can re-run the argmax cross-batch.
+                # One bounded append per batch: one row per DISTINCT
+                # key in the batch, never per doc.
+                m = b.where(F.col("__key").isNotNull())
+                mxr = m.groupBy("__key").agg(F.max("__rank").alias("__mx"))
+                new_fp_cands = (
+                    m.join(mxr, "__key")
+                    .where(F.col("__rank").eqNullSafe(F.col("__mx")))
+                    .groupBy("__key")
+                    .agg(
+                        F.min("__id").alias("cand"),
+                        F.first("__mx").alias("rank"),
+                    )
+                    .select(F.col("__key").alias("key"), "cand", "rank")
+                )
         else:
             from ..operators.dedup import (
                 incremental_dedup_near,
@@ -309,13 +399,19 @@ def stream_curate(
                 new_url_keys.write.mode("append").parquet(url_keys_dir)
             if new_fp_keys is not None:
                 new_fp_keys.write.mode("append").parquet(fp_keys_dir)
+            if new_fp_cands is not None:
+                new_fp_cands.write.mode("append").parquet(fp_cands_dir)
             if kept_sigs is not None:
                 kept_sigs.write.mode("append").parquet(sig_dir)
             spark.createDataFrame(
                 [(int(batch_id),)], "batch_id long"
             ).write.mode("append").parquet(ledger_dir)
             if compact_every and (n_led + 1) % compact_every == 0:
-                for d in (url_keys_dir, fp_keys_dir, sig_dir):
+                redecided = _compact_redecide(spark, fp_keys_dir, fp_cands_dir)
+                dirs = [url_keys_dir, sig_dir] + (
+                    [] if redecided else [fp_keys_dir]
+                )
+                for d in dirs:
                     if _read_if_exists(spark, d) is not None:
                         _compact_store(spark, d)
 

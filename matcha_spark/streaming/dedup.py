@@ -229,7 +229,7 @@ def _recover_store(spark, sig_dir: str) -> None:
                 raise IOError(f"store recovery: could not restore {sig_dir}")
 
 
-def _compact_store(spark, sig_dir: str) -> None:
+def _compact_store(spark, sig_dir: str, transform=None) -> None:
     """Rewrite the append-only signature store as one compact parquet
     file-set (micro-batch appends accumulate one file group per batch;
     unbounded, the per-batch store scan's file-listing and footer reads
@@ -237,14 +237,24 @@ def _compact_store(spark, sig_dir: str) -> None:
     scratch dir, swap the live dir away, rename the copy in, then drop
     the old data — a failure at any step leaves a complete store on
     disk, and :func:`_recover_store` (run before every batch's store
-    read) renames it back if a crash landed between the two renames."""
+    read) renames it back if a crash landed between the two renames.
+
+    ``transform`` (r16): optional DataFrame -> DataFrame applied to the
+    store content before the rewrite — the hook the curation cascade's
+    compaction-time keep-best re-decision uses.  Must be IDEMPOTENT
+    (re-applying to its own output is a no-op) and schema-preserving:
+    a crash can leave the transform applied without its companion
+    stores pruned, and the next compaction re-applies it."""
     fs, live, tmp, old = _fs_paths(spark, sig_dir)
     if fs.exists(tmp):
         fs.delete(tmp, True)
     if fs.exists(old):
         fs.delete(old, True)
     n = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 8, 1)
-    spark.read.parquet(sig_dir).repartition(n).write.parquet(str(tmp))
+    df = spark.read.parquet(sig_dir)
+    if transform is not None:
+        df = transform(df)
+    df.repartition(n).write.parquet(str(tmp))
     if not fs.rename(live, old):
         raise IOError(f"compaction: could not move {sig_dir} aside")
     if not fs.rename(tmp, live):

@@ -918,6 +918,110 @@ def test_stream_curate_keep_best(spark):
     shutil.rmtree(base2, ignore_errors=True)
 
 
+def test_stream_curate_keep_best_compaction(spark):
+    """r16 (verdict ask #2): compaction-time cross-batch keep-best
+    re-decision.  A higher-quality duplicate arriving in a LATER batch
+    is sticky-rejected on arrival, but when the store compacts the
+    score argmax re-runs over (stored keeper ∪ recorded candidates)
+    and the keeper is displaced:
+
+    - post-compaction arrivals dedup against the NEW keeper;
+    - the fp_keys store's keeper set equals the batch cascade's kept
+      set on the same accumulated data (multi-batch stream +
+      compaction ≡ single-batch ``curate_corpus(survivor_score=...)``);
+    - a fresh-checkpoint replay after compaction reproduces the batch
+      cascade's verdicts exactly (the ≡ at decision level);
+    - replay idempotence holds: the ledger guard keeps every store
+      single-appended and a second compaction re-derives the same
+      keepers (argmax is idempotent);
+    - the candidate store prunes to one row per key at compaction."""
+    import os
+
+    from matcha_spark.pipelines import curate_corpus
+    from matcha_spark.streaming.curate import stream_curate
+
+    base = tempfile.mkdtemp(prefix="mcurate_kbc_")
+    src_dir = os.path.join(base, "src")
+    os.makedirs(src_dir)
+    schema = "doc_id long, text string"
+    good = ("the cat and the dog sat in the house that is it for a story "
+            "about the animals and their day together in it all")
+    padded = good.replace(" ", "  ")       # same normalized text, longer
+    rows1 = [(1, good),
+             (3, good + " with a genuinely distinct tail here")]
+    rows2 = [(2, padded)]                  # better copy of doc 1, later batch
+    rows3 = [(9, padded)]                  # arrives after the re-decision
+    got = {}
+
+    def sink(df, bid):
+        for r in df.collect():
+            got[r.doc_id] = (r.status, r.dup_of)
+
+    def run(ckpt):
+        q = stream_curate(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src_dir),
+            os.path.join(base, "store"),
+            sink,
+            dedup="exact",
+            dedup_rank=F.length("text"),
+            quality_kwargs={"min_tokens": 5, "max_punct_ratio": 0.3},
+            checkpoint_dir=os.path.join(base, ckpt),
+            compact_every=2,               # fires after the 2nd batch
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    run("ckpt")
+    assert got[1] == ("kept", None) and got[3] == ("kept", None)
+
+    # batch 2: the better copy arrives -> sticky-rejected on arrival,
+    # then the compact_every=2 compaction re-decides the keeper
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    got.clear()
+    run("ckpt")
+    assert got[2] == ("duplicate", 1)      # sticky AT arrival
+    fp = {r.key: r.keeper
+          for r in spark.read.parquet(os.path.join(base, "store", "fp_keys")).collect()}
+    assert 2 in fp.values() and 1 not in fp.values()  # displaced at compaction
+
+    # batch 3: an equal-rank copy (larger id) dedups against the NEW keeper
+    spark.createDataFrame(rows3, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    got.clear()
+    run("ckpt")
+    assert got[9] == ("duplicate", 2)
+
+    # store ≡ batch cascade: keepers == curate_corpus kept set
+    all_docs = spark.createDataFrame(rows1 + rows2 + rows3, schema)
+    want = {r.doc_id: r.status for r in curate_corpus(
+        all_docs, min_tokens=5, max_punct_ratio=0.3,
+        survivor_score=F.length("text"),
+    ).collect()}
+    kept_batch = {d for d, s in want.items() if s == "kept"}
+    assert set(fp.values()) == kept_batch == {2, 3}
+
+    # fresh-checkpoint replay post-compaction ≡ batch cascade verdicts
+    got.clear()
+    run("ckpt2")
+    assert {k: v[0] for k, v in got.items()} == want
+    assert got[1] == ("duplicate", 2) and got[9] == ("duplicate", 2)
+    # ledger guard: replay appended nothing; candidate store pruned to
+    # one row per key at the last compaction, plus the one guarded
+    # batch-3 append
+    cands = spark.read.parquet(os.path.join(base, "store", "fp_cands"))
+    assert cands.groupBy("key").count().agg(F.max("count")).first()[0] <= 2
+    fp2 = {r.key: r.keeper
+           for r in spark.read.parquet(os.path.join(base, "store", "fp_keys")).collect()}
+    assert fp2 == fp
+    shutil.rmtree(base, ignore_errors=True)
+
+
 def test_stream_curate_minhash_mode(spark):
     """The MinHash branch of the streaming cascade: signature store
     carries doc_id + h0..h63, a later batch's shingle-level near-copy
