@@ -660,6 +660,7 @@ def dedup_near_docs(
     n: int = 3,
     threshold: float = 0.2,
     max_doc_freq: int | None = None,
+    pair_budget: int | None = None,
 ) -> DataFrame:
     """Near-duplicate dedup, exact path: n-gram Jaccard pairs ≥
     threshold → connected components → per-doc ``(doc_id,
@@ -668,8 +669,12 @@ def dedup_near_docs(
     corpus — the same keep-one contract as ``text.dedup_exact``.
 
     SQL-expressible end-to-end (recursive-CTE closure), so it carries a
-    DuckDB oracle; at corpus scale use :func:`dedup_near_docs_lsh`."""
-    pairs = ngram_jaccard_pairs(docs, n=n, threshold=threshold, max_doc_freq=max_doc_freq)
+    DuckDB oracle; at corpus scale use :func:`dedup_near_docs_lsh`.
+    ``pair_budget`` flows to :func:`ngram_jaccard_pairs`'s pre-flight."""
+    pairs = ngram_jaccard_pairs(
+        docs, n=n, threshold=threshold, max_doc_freq=max_doc_freq,
+        pair_budget=pair_budget,
+    )
     comp = connected_components(pairs)
     return _keep_map(docs, comp)
 
@@ -751,6 +756,7 @@ def dedup_near_docs_keep_best(
     threshold: float = 0.2,
     max_doc_freq: int | None = None,
     score=None,
+    pair_budget: int | None = None,
 ) -> DataFrame:
     """:func:`dedup_near_docs` with quality-ranked survivors: same
     n-gram Jaccard pairs → connected components pipeline, but each
@@ -760,9 +766,11 @@ def dedup_near_docs_keep_best(
     most complete copy, the simplest deterministic quality proxy and
     exactly replayable in SQL (so the suite entry carries a DuckDB
     oracle).  Integer scores sidestep cross-engine float-tie hazards;
-    pass a quality-classifier column for CCNet-style selection."""
+    pass a quality-classifier column for CCNet-style selection.
+    ``pair_budget`` flows to :func:`ngram_jaccard_pairs`'s pre-flight."""
     pairs = ngram_jaccard_pairs(
-        docs, n=n, threshold=threshold, max_doc_freq=max_doc_freq
+        docs, n=n, threshold=threshold, max_doc_freq=max_doc_freq,
+        pair_budget=pair_budget,
     )
     comp = connected_components(pairs)
     scored = docs.withColumn(

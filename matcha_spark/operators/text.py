@@ -156,6 +156,7 @@ def winnow_fingerprints(
     k: int = 25,
     window: int = 50,
     text_col: str = "text",
+    max_doc_chars: int | None = None,
 ) -> DataFrame:
     """Rolling-hash document fingerprinting by winnowing (Schleimer,
     Wilkerson & Aiken 2003, the MOSS scheme): hash every k-gram of the
@@ -193,8 +194,21 @@ def winnow_fingerprints(
     Memory shape: the hash stream is an in-row array of one long per
     character position, so a document costs O(chars)·8 bytes of row
     memory while its fingerprints are selected — fine for web-page
-    sized documents; split multi-MB documents first (the same
-    pre-chunking any per-doc kernel here expects, cf. ``cdc_chunks``).
+    sized documents.  ``max_doc_chars`` (r16, verdict ask #6) bounds
+    it: documents longer than the cap are split into chunks of
+    exactly ``max_doc_chars`` characters at stride
+    ``max_doc_chars - (window + k - 2)`` — consecutive chunks overlap
+    by ``window + k - 2`` chars and the final chunk is TAIL-ALIGNED
+    (last ``max_doc_chars`` chars), so every window of k-gram hashes
+    of the original document lies fully inside at least one chunk and
+    no chunk is ever shorter than the guarantee threshold
+    ``t = window + k - 1`` (no degenerate global-min windows).  The
+    selected fingerprint set is therefore IDENTICAL to the unchunked
+    computation — the guarantee holds across chunk boundaries by
+    construction, pinned by a boundary-straddling pytest — while
+    per-row memory drops to O(max_doc_chars).  Cost: duplicated
+    hashing on the overlaps, a factor ``1/(1 - (t-1)/max_doc_chars)``
+    — negligible when the cap is a few multiples of ``t`` or more.
 
     Implementation note: the k-gram hash stream is materialized in its
     OWN projection and referenced (twice) from the window-minima step —
@@ -206,6 +220,32 @@ def winnow_fingerprints(
     if k < 1 or window < 1:
         raise ValueError("need k >= 1 and window >= 1")
     t = F.col(text_col)
+    if max_doc_chars is not None:
+        thresh = window + k - 1
+        if max_doc_chars < thresh:
+            raise ValueError(
+                f"max_doc_chars must be >= window + k - 1 = {thresh} "
+                f"(the winnowing guarantee threshold), got {max_doc_chars}"
+            )
+        # overlap t-1 chars: chunk at p covers original window starts
+        # [p, p + L - t], so consecutive starts may differ by at most
+        # L - t + 1 = stride for gapless coverage
+        L, stride = max_doc_chars, max_doc_chars - (thresh - 1)
+        last = F.greatest(F.length(t) - F.lit(L - 1), F.lit(1))
+        starts = F.array_distinct(
+            F.concat(
+                F.sequence(F.lit(1), last, F.lit(stride)), F.array(last)
+            )
+        )
+        chunks = docs.where(t.isNotNull() & (F.length(t) >= k)).select(
+            "doc_id",
+            F.explode(
+                F.transform(starts, lambda p: F.substring(t, p, F.lit(L)))
+            ).alias("__wchunk"),
+        )
+        return winnow_fingerprints(
+            chunks, k=k, window=window, text_col="__wchunk"
+        ).distinct()
     n = F.length(t) - F.lit(k - 1)  # number of k-grams
     hs = F.transform(
         F.sequence(F.lit(1), n),
@@ -235,6 +275,7 @@ def winnow_shared_docs(
     max_fp_freq: int | None = 100,
     text_col: str = "text",
     pair_budget: int | None = None,
+    max_doc_chars: int | None = None,
 ) -> DataFrame:
     """Cross-document local-similarity pairs from winnowing
     fingerprints: explode each document's selected fingerprints, drop
@@ -253,7 +294,9 @@ def winnow_shared_docs(
     persisted) fingerprint frame estimates the exact pair count and
     the call fails loudly with the estimate instead of launching an
     over-budget join.  Default None: no extra job, behavior
-    unchanged."""
+    unchanged.  ``max_doc_chars`` flows to
+    :func:`winnow_fingerprints`'s overlap-chunked mode (identical
+    fingerprint set, bounded per-row memory)."""
     from ..cache import memo_persist
 
     # persisted: the fingerprint frame feeds the frequency agg, the
@@ -261,7 +304,10 @@ def winnow_shared_docs(
     # k-gram hash pass (the dominant cost at corpus scale) executes
     # once per consumer (same rule as duplicate_spans' chunk frame)
     fps = memo_persist(
-        winnow_fingerprints(docs, k=k, window=window, text_col=text_col)
+        winnow_fingerprints(
+            docs, k=k, window=window, text_col=text_col,
+            max_doc_chars=max_doc_chars,
+        )
     )
     if max_fp_freq is not None:
         freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__n"))

@@ -22,6 +22,16 @@ from .patterns import Optional, Values
 from .query import ask, select_agg, select_df
 from .sources.tpch_graph import KW, load_tables, tpch_graph
 
+# r16 (verdict ask #5): default-on pair-budget pre-flight for every
+# exact-shingle/fingerprint truth side in the suite.  50M pairs is
+# ~300x the largest truth-side pair count at any shipped SF yet well
+# under the ~1.5e8-pair cliff the r15 sf1.0 sweep measured on the
+# 31-word-vocabulary synthetic corpus — a future scale-up or a
+# degenerate corpus fails LOUDLY with the estimate (one cheap agg over
+# the already-persisted shingle/fingerprint frame) instead of
+# launching the exploding join.
+_TRUTH_PAIR_BUDGET = 50_000_000
+
 # bounded LRU over cached derived graphs: a long-lived session querying
 # many (sf_dir, variant) combinations would otherwise pin every cached
 # DataFrame in executor memory forever; evicted entries are unpersisted.
@@ -1600,7 +1610,8 @@ def doc_winnow_pairs(spark, sf_dir):
     window+k-1 chars → >= 1 shared fingerprint) and the short-doc /
     determinism contracts are pinned in pytest."""
     return T.winnow_shared_docs(
-        load_tables(spark, sf_dir, "documents")["documents"], min_shared=2
+        load_tables(spark, sf_dir, "documents")["documents"], min_shared=2,
+        pair_budget=_TRUTH_PAIR_BUDGET,
     )
 
 
@@ -1949,7 +1960,8 @@ def doc_minhash_recall_sound(spark, sf_dir):
     oracle-expressible exact shingle join ``ngram_jaccard_pairs``."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     truth = D.ngram_jaccard_pairs(
-        docs, n=3, threshold=0.5, max_doc_freq=100
+        docs, n=3, threshold=0.5, max_doc_freq=100,
+        pair_budget=_TRUTH_PAIR_BUDGET,
     ).select("doc_a", "doc_b")
     cand = (
         D.minhash_lsh_candidates(docs)
@@ -1982,7 +1994,8 @@ def dedup_near_lsh_sound(spark, sf_dir):
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     lsh = D.dedup_near_docs_lsh(docs, threshold=0.2)
     exact = D.dedup_near_docs(
-        docs, n=3, threshold=0.2, max_doc_freq=1_000_000
+        docs, n=3, threshold=0.2, max_doc_freq=1_000_000,
+        pair_budget=_TRUTH_PAIR_BUDGET,
     )
     ex_self = exact.select(
         F.col("doc_id").alias("doc_id"), F.col("keep_doc_id").alias("ex_comp")
@@ -3159,6 +3172,7 @@ def doc_ngram_jaccard(spark, sf_dir):
         n=3,
         threshold=0.2,
         max_doc_freq=100,
+        pair_budget=_TRUTH_PAIR_BUDGET,
     )
 
 
@@ -3187,6 +3201,7 @@ def dedup_near_docs(spark, sf_dir):
         n=3,
         threshold=0.2,
         max_doc_freq=100,
+        pair_budget=_TRUTH_PAIR_BUDGET,
     )
 
 
@@ -3206,6 +3221,7 @@ def dedup_keep_best_docs(spark, sf_dir):
         n=3,
         threshold=0.2,
         max_doc_freq=100,
+        pair_budget=_TRUTH_PAIR_BUDGET,
     )
 
 
