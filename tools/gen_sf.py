@@ -9,10 +9,12 @@ distribution shift.
 Distributions mirrored from sf0.1 (sampled, not copied): TPC-H-ish
 key ranges and categorical values, 1-7 lines per order, order dates
 1995-2001 with shipdate = orderdate + U(1, 95) days, exponential(50)
-event values over one month of nanosecond timestamps (events must be
-TIMESTAMP(NANOS) to exercise load_tables' nanosAsLong path), 31-word
-salad documents of 10-100 words with the fixture's language skew, and
-unit-normalized 64-dim embeddings in 10 gaussian clusters.
+event values one month of nanosecond timestamps (events must be
+TIMESTAMP(NANOS) to exercise load_tables' nanosAsLong path), zipf
+word-salad documents of 10-100 words with the fixture's language skew
+and ~1.9% planted near-duplicates (see VOCAB — the r16 enrichment that
+removed the 31-word pair-density cliff), and unit-normalized 64-dim
+embeddings in 10 gaussian clusters.
 
 Usage: python tools/gen_sf.py 1.0 [outdir]   (default outdir
 .localdata/sf<sf> under the repo root; ~40 s and ~350 MB at sf1.0)
@@ -27,11 +29,23 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-VOCAB = (
-    "a agg batch big column customer data dup fast filter group hash join "
-    "key line merge order part query row scan slow small sort spark stream "
-    "table the value vector window"
-).split()
+# r16 (verdict ask #3): ~10k-word zipf vocabulary.  The former 31-word
+# salad parked every trigram's doc-frequency just under dedup's
+# max_doc_freq=100 cap at sf1.0 (~1.5e8 candidate pairs under the cap —
+# the r15 sweep's pair-density cliff), which is a property of
+# vocabulary poverty no real corpus has.  Zipf s=0.5 keeps the head
+# realistic while bounding the hottest word at p ~ 1/198 — the hottest
+# trigram's expected doc-frequency at sf1.0 (50k docs) is < 1, so the
+# exact-Jaccard truth sides run far below the cap.  The head of the
+# vocabulary is the lang-ID stopword lists (text.py) so language
+# scoring stays non-vacuous on the synthetic corpus.
+_STOPWORDS = list(dict.fromkeys(
+    "the a and of to in is that it for".split()
+    + "el la de que y en un es no por".split()
+    + "le et est pour dans ce".split()
+))
+N_VOCAB = 10_000
+VOCAB = _STOPWORDS + [f"w{i:05d}" for i in range(N_VOCAB - len(_STOPWORDS))]
 ADJS = "blue cold hot large new old red small".split()
 NOUNS = "anvil bolt gear gizmo plate ring rod widget".split()
 REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
@@ -221,14 +235,26 @@ def generate(sf: float, out: str) -> None:
         version="2.6",
     )
 
-    # documents: 31-word salad, 10-100 words, fixture language skew
+    # documents: zipf word salad (see VOCAB), 10-100 words, fixture
+    # language skew, ~1.9% planted near-duplicates
     vocab = np.array(VOCAB)
+    zp = np.arange(1, len(vocab) + 1, dtype=np.float64) ** -0.5
+    zp /= zp.sum()
     nw = rng.integers(10, 101, n_doc)
-    words = vocab[rng.integers(0, len(vocab), int(nw.sum()))]
+    words = vocab[rng.choice(len(vocab), int(nw.sum()), p=zp)]
     texts, pos = [], 0
     for k in nw:
         texts.append(" ".join(words[pos : pos + k]))
         pos += k
+    # plant near-duplicates: every 53rd doc becomes an earlier doc plus
+    # one appended word — trigram Jaccard s/(s+3) >= 0.9 for >= 30-word
+    # bases (LSH banding miss probability ~1e-8 at 16x4), lengths
+    # differ so keep-best survivor selection stays non-trivial.  The
+    # zipf salad alone would produce no near-dup pairs at all, making
+    # every dedup entry vacuously green at trend scale.
+    extra = vocab[rng.choice(len(vocab), n_doc, p=zp)]
+    for i in range(7, n_doc, 53):
+        texts[i] = texts[i - 7] + " " + extra[i]
     _write(
         pa.table(
             {
