@@ -33,6 +33,7 @@ __all__ = [
     "pq_topk",
     "ivfpq_topk",
     "assign_cells",
+    "calibrate_ann_floors",
 ]
 
 
@@ -854,3 +855,79 @@ def ivfpq_topk(
     return _rerank_exact(
         corpus, cands, q, k, vec_col, n_cands_est=len(q_ids) * k * refine
     )
+
+
+def calibrate_ann_floors(
+    corpus: DataFrame,
+    method: str = "ivfpq",
+    k: int = 5,
+    n_queries: int = 25,
+    margin: float = 0.2,
+    vec_col: str = "embedding",
+    **levers,
+) -> dict:
+    """Measure ANN recall@k ON THIS CORPUS at the given levers and
+    suggest entry floors (r16, verdict ask #4 — the floors-don't-
+    transfer fix).
+
+    The suite's ``emb_*_recall_sound`` entries pin recall floors
+    calibrated to the SHIPPED fixture corpora (the
+    ``_ann_recall_flags`` convention: bounds sit >= ``margin`` under
+    the measured minimum across sf0.001/0.01/0.1).  On a different
+    embedding distribution those constants are a tuning readout, not a
+    contract — e.g. the 10-tight-cluster synthetic trend corpus
+    measures ivfpq mean recall ~0.55 at the entry levers while the
+    shipped corpora measure 0.86+.  This helper re-runs the same
+    measurement on any corpus: deterministic probe sample (the
+    ``n_queries`` smallest ``vec_id`` rows — the entries' own
+    convention), exact ``cosine_topk`` truth, per-query recall@k of
+    the chosen ``method`` (``lsh`` / ``ivf`` / ``pq`` / ``ivfpq``,
+    extra ``levers`` forwarded), and returns both the measured stats
+    and suggested floors ``margin`` under them::
+
+        {"measured_min": .., "measured_mean": .., "n_queries": ..,
+         "suggested_floor": .., "suggested_mean_floor": ..}
+
+    Feed the suggestions to ``_ann_recall_flags``-style checks on your
+    own pipeline instead of inheriting the fixture-calibrated
+    constants.  One bounded collect (``n_queries`` rows); everything
+    upstream is the operators' documented distributed shape."""
+    ops = {
+        "lsh": lsh_bucketed_topk,
+        "ivf": ivf_topk,
+        "pq": pq_topk,
+        "ivfpq": ivfpq_topk,
+    }
+    if method not in ops:
+        raise ValueError(
+            f"method must be one of {sorted(ops)}, got {method!r}"
+        )
+    if n_queries < 1 or not 0.0 <= margin <= 1.0:
+        raise ValueError("need n_queries >= 1 and 0 <= margin <= 1")
+    q = corpus.orderBy("vec_id").limit(n_queries)
+    exact = cosine_topk(corpus, q, k=k, vec_col=vec_col)
+    approx = ops[method](corpus, q, k=k, vec_col=vec_col, **levers)
+    per = (
+        exact.select("q_id", "n_id")
+        .join(
+            approx.select("q_id", "n_id").withColumn("__hit", F.lit(1)),
+            ["q_id", "n_id"],
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            (F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / k).alias(
+                "__recall"
+            )
+        )
+    )
+    recalls = [r["__recall"] for r in per.collect()]  # bounded: n_queries
+    mn, mean = min(recalls), sum(recalls) / len(recalls)
+    floor = lambda x: max(0.0, round(x - margin, 2))  # noqa: E731
+    return {
+        "measured_min": mn,
+        "measured_mean": mean,
+        "n_queries": len(recalls),
+        "suggested_floor": floor(mn),
+        "suggested_mean_floor": floor(mean),
+    }

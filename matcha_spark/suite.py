@@ -1832,7 +1832,11 @@ def _ann_recall_flags(exact, approx, k, floor, mean_floor):
     hyperplanes / codebooks make each operator's recall DETERMINISTIC
     per dataset; the bounds below each entry sit >= 0.2 under the
     measured minimum across sf0.001/sf0.01/sf0.1, so the entries pin
-    real retrieval quality, not a vacuous tautology."""
+    real retrieval quality, not a vacuous tautology.  The floors are
+    calibrated to the SHIPPED corpora; on any other distribution
+    derive them with ``operators.similarity.calibrate_ann_floors``
+    (r16) — the same measurement, same margin, run on the caller's
+    own embeddings."""
     ex = exact.select("q_id", "n_id")
     ap = approx.select("q_id", "n_id").withColumn("__hit", F.lit(1))
     per = (
@@ -1903,9 +1907,12 @@ def emb_ivfpq_recall_sound(spark, sf_dir):
       mean 0.86-0.93.  The floors are calibrated to the SHIPPED
       fixture corpora (the `_ann_recall_flags` convention); on other
       distributions they are a tuning readout, not a contract — e.g.
-      the r15 synthetic sf1.0 trend corpus (10 tight clusters)
-      measures mean ~0.55 at these levers while the exhaustive arm
-      below still holds exactly.
+      the synthetic sf1.0 trend corpus (10 tight clusters) measures
+      mean ~0.4-0.6 at these levers while the exhaustive arm below
+      still holds exactly.  Users on their own distribution should
+      derive floors with ``similarity.calibrate_ann_floors`` (r16 —
+      same probe convention, same margin; pytest pins the synthetic
+      readout in test_calibrate_ann_floors_synthetic_clusters).
     - ``exhaustive_ok``: parameterized to exhaustiveness (probe every
       cell, refine covering the corpus) the composition must
       reproduce the exact top-5 SET per query regardless of where the
