@@ -1174,6 +1174,84 @@ def test_filter_differential(spark, seed):
     )
 
 
+@pytest.mark.parametrize("seed", range(30))
+def test_negation_filter_combo_differential(spark, seed):
+    """r16 (verdict ask #7): random NotExists/Minus blocks COMBINED
+    with a numeric Filter over generated required+VALUES BGPs — the
+    two per-row prunes commute (each decides a row from that row's
+    bindings alone), so the model applies negation via model_select
+    and the predicate row-wise, in either order.  No optionals by the
+    same documented-evaluation-order argument as
+    test_filter_differential; negation-with-optionals is covered
+    (filterless) by test_negation_differential."""
+    from matcha_spark import Filter, Minus, NotExists
+    from matcha_spark.functions.termcols import lex_as
+    from matcha_spark.patterns import find_vars
+
+    from .model import model_select
+
+    rng = random.Random(4400 + seed)
+    db_rows = _rand_db(rng, rng.randint(3, 12))
+    req = [_rand_pattern(rng) for _ in range(rng.randint(1, 3))]
+    if rng.random() < 0.5:
+        req.append(
+            Values(
+                rng.choice(VARS),
+                [rng.choice(POOL) for _ in range(rng.randint(0, 3))],
+            )
+        )
+    reqv = find_vars(req)
+    if not reqv:
+        pytest.skip("no vars generated")
+    pats = list(req)
+    for _ in range(rng.randint(1, 2)):
+        block = [_rand_pattern(rng) for _ in range(rng.randint(1, 2))]
+        pats.append((NotExists if rng.random() < 0.5 else Minus)(block))
+
+    fvar = rng.choice(sorted(reqv))
+    thr = rng.choice([0, 1])
+    if rng.random() < 0.5:
+        pred_col = lambda v: lex_as(v[fvar], "bigint") >= thr  # noqa: E731
+        pred_py = lambda x: (  # noqa: E731
+            isinstance(x, int) and not isinstance(x, bool) and x >= thr
+        )
+    else:
+        pred_col = lambda v: lex_as(v[fvar], "bigint") < thr  # noqa: E731
+        pred_py = lambda x: (  # noqa: E731
+            isinstance(x, int) and not isinstance(x, bool) and x < thr
+        )
+    pats_f = list(pats)
+    pats_f.insert(rng.randint(0, len(pats_f)), Filter(pred_col))
+    order = sorted(reqv)
+    rng.shuffle(order)
+    pvars = order[: rng.randint(1, len(order))]
+
+    wide_vars = sorted(reqv)
+    wide = model_select(wide_vars, pats, db_rows)  # negation applied
+    fidx = wide_vars.index(fvar)
+    expected = _blind(
+        {
+            tuple(r[wide_vars.index(p)] for p in pvars)
+            for r in wide
+            if pred_py(r[fidx])
+        }
+    )
+
+    db = TriplesDB.from_triples(spark, db_rows)
+    try:
+        got = select(pvars, pats_f, db)
+    finally:
+        db.unpersist()
+    got_rows = set()
+    if got is not None:
+        for r in got if len(pvars) > 1 else [(g,) for g in got]:
+            got_rows.add(r if isinstance(r, tuple) else (r,))
+    assert _blind(got_rows) == expected, (
+        f"seed={seed}\ndb={db_rows}\npatterns={pats_f}\npvars={pvars}\n"
+        f"fvar={fvar} thr={thr}"
+    )
+
+
 # --- Bind expression fuzz (r14, verdict ask #7) ------------------------
 #
 # Two randomized generators over the termfns algebra — numeric trees
