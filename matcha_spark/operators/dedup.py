@@ -953,6 +953,7 @@ def embedding_dup_pairs_lsh(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs, corpus-scale path: random-hyperplane
     sign buckets (``similarity.sign_buckets``) → same-(table, bucket)
@@ -963,7 +964,23 @@ def embedding_dup_pairs_lsh(
     one table's bucket with p = (1 − θ/π)^planes, and is caught in any
     of the L tables with 1 − (1 − p)^L — at cosine 0.95 (θ≈18°),
     8 planes × 8 tables ⇒ ≈0.99.  Work is corpus-linear: L bucket rows
-    per vector, pairwise only within buckets."""
+    per vector, pairwise only within buckets.
+
+    Memory shape (r16, measured at the sf1.0 trend scale): the
+    candidate self-join carries IDS ONLY — ``(id_a, id_b)`` pairs are
+    deduplicated across tables first and the float vectors join back
+    for the single verification pass (the same codes-only lesson as
+    the PQ re-rank).  Carrying both vectors through the join spilled
+    ~350 GB on a 40k-vector 10-tight-cluster corpus (each tight
+    cluster collapses to one bucket per table); ids-only is ~35× less
+    shuffle.  ``max_bucket_size`` (opt-in, mirrors
+    ``minhash_lsh_candidates``): drop (table, bucket) groups larger
+    than the cap before the join — a cluster-collapsed bucket is still
+    intrinsically quadratic in candidates, and the cap bounds the
+    fan-out at the price of recall INSIDE mega-buckets (pairs there
+    are mostly same-cluster, which the verification threshold would
+    keep, so cap only when the explosion is the binding constraint —
+    or lower ``threshold`` and dedup instead)."""
     from .similarity import sign_buckets
 
     # eager memoized persist: the bucket table feeds both self-join
@@ -975,18 +992,29 @@ def embedding_dup_pairs_lsh(
             "vec", dim=dim, n_planes=n_planes, n_tables=n_tables, seed=seed,
         )
     )
-    cand = (
-        b.alias("a")
-        .join(b.alias("b"), on=["table", "bucket"])
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.vec").alias("va"),
-            F.col("b.vec").alias("vb"),
+    ids = b.select("table", "bucket", "id")
+    if max_bucket_size is not None:
+        ok = (
+            ids.groupBy("table", "bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") <= max_bucket_size)
+            .select("table", "bucket")
         )
+        ids = ids.join(ok, ["table", "bucket"])
+    cand = (
+        ids.alias("a")
+        .join(ids.alias("b"), on=["table", "bucket"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         # a pair can collide in several tables; verify it once
         .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = b.select("id", "vec").dropDuplicates(["id"])
+    cand = (
+        cand.join(vecs.select(F.col("id").alias("id_a"),
+                              F.col("vec").alias("va")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"),
+                          F.col("vec").alias("vb")), "id_b")
     )
     id_t = emb.schema[id_col].dataType.simpleString()
     return _pairs_cosine(cand, ["id_a", "id_b"], id_t=id_t).where(

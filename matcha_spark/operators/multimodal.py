@@ -521,16 +521,33 @@ def audio_near_dup_pairs(
     min_shared_windows: int = 4,
     window: int = 64,
     stride: int = 32,
+    max_fp_windows: int = 1024,
 ) -> DataFrame:
     """Audio near-duplicate pairs by sub-fingerprint overlap (the audio
     analog of :func:`video_near_dup_pairs`): clips sharing at least
     ``min_shared_windows`` exact window fingerprints pair up, counted
     by one equi-join on ``fp`` + rollup — never an all-pairs product.
     A hot-fingerprint guard (silence/DC windows collapse to one value
-    at corpus scale) drops any fp shared by more than 1024 windows
-    before the join, mirroring the LSH bucket cap."""
+    at corpus scale) drops any fp shared by more than
+    ``max_fp_windows`` windows before the join, mirroring the LSH
+    bucket cap.
+
+    Recall/flood tradeoff (r16, measured): the guard is mandatory on
+    the corpus-scale path, but a corpus whose windows saturate the
+    32-bit fingerprint space degrades exact-copy recall — clips ALL
+    of whose window fps are corpus-hot can no longer reach
+    ``min_shared_windows``.  The sf1.0 synthetic trend corpus (50k
+    text-as-bytes clips) measures 44 fps over the default cap and
+    ~6% of planted copies losing their pair; raise ``max_fp_windows``
+    (recall) or accept the prune (bounded join fan-out) per corpus —
+    real audio's fp entropy sits far above word-salad bytes."""
     fps = audio_fingerprint(media, decoder=decoder, window=window, stride=stride)
-    hot = fps.groupBy("fp").count().where(F.col("count") > 1024).select("fp")
+    hot = (
+        fps.groupBy("fp")
+        .count()
+        .where(F.col("count") > max_fp_windows)
+        .select("fp")
+    )
     pruned = fps.join(hot, "fp", "left_anti")
     a, b = pruned.alias("a"), pruned.alias("b")
     return (
