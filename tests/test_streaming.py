@@ -1022,6 +1022,30 @@ def test_stream_curate_keep_best_compaction(spark):
     shutil.rmtree(base, ignore_errors=True)
 
 
+def test_cand_argmax_ties_nulls_idempotent(spark):
+    """Unit pins for the compaction re-decision kernel: rank desc with
+    NULLs lowest, min-id tie-break, and idempotence (argmax of its own
+    output is itself — the property the crash-window between the two
+    store rewrites relies on)."""
+    from matcha_spark.streaming.curate import _cand_argmax
+
+    cands = spark.createDataFrame(
+        [
+            ("k1", 5, 10), ("k1", 9, 30), ("k1", 3, 30),  # tie at 30 -> min id 3
+            ("k2", 1, None), ("k2", 7, None),             # all-NULL -> min id 1
+            ("k3", 4, 2), ("k3", 2, None),                # NULL loses to 2
+        ],
+        "key string, cand long, rank int",
+    )
+    best = {(r.key, r.cand, r.rank) for r in _cand_argmax(cands).collect()}
+    assert best == {("k1", 3, 30), ("k2", 1, None), ("k3", 4, 2)}
+    again = {
+        (r.key, r.cand, r.rank)
+        for r in _cand_argmax(_cand_argmax(cands)).collect()
+    }
+    assert again == best
+
+
 def test_stream_curate_minhash_mode(spark):
     """The MinHash branch of the streaming cascade: signature store
     carries doc_id + h0..h63, a later batch's shingle-level near-copy
