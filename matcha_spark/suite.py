@@ -5518,25 +5518,37 @@ ORACLES = {
         )
         SELECT q_id, n_id, cosine FROM s WHERE cosine >= 0.3
     """,
+    # r16: per-vector norms precomputed ONCE (n sqrt-dot calls instead
+    # of 2 per pair; bit-identical — same fold on the same input, hash
+    # verified at sf0.1) and, in the recursive sibling, the pair set
+    # MATERIALIZED so the recursion iterates over rows instead of
+    # re-deriving the O(n^2) cosine scan every round — at sf1.0 the
+    # un-materialized form spent 80+ min inside one oracle; these run
+    # in minutes
     "emb_dup_pairs": """
-        WITH s AS (
+        WITH e AS MATERIALIZED (
+            SELECT vec_id, embedding :: DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding :: DOUBLE[], embedding :: DOUBLE[])) AS nrm
+            FROM embeddings
+        ), s AS (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_dot_product(a.embedding :: DOUBLE[], b.embedding :: DOUBLE[])
-                         / (sqrt(list_dot_product(a.embedding :: DOUBLE[], a.embedding :: DOUBLE[]))
-                            * sqrt(list_dot_product(b.embedding :: DOUBLE[], b.embedding :: DOUBLE[]))), 6) AS cosine
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                   round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
         )
         SELECT id_a, id_b, cosine FROM s WHERE cosine >= 0.4
     """,
     "dedup_near_emb": """
-        WITH RECURSIVE s AS (
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_dot_product(a.embedding :: DOUBLE[], b.embedding :: DOUBLE[])
-                         / (sqrt(list_dot_product(a.embedding :: DOUBLE[], a.embedding :: DOUBLE[]))
-                            * sqrt(list_dot_product(b.embedding :: DOUBLE[], b.embedding :: DOUBLE[]))), 6) AS cosine
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WITH RECURSIVE e AS MATERIALIZED (
+            SELECT vec_id, embedding :: DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding :: DOUBLE[], embedding :: DOUBLE[])) AS nrm
+            FROM embeddings
         ),
-        pairs AS (SELECT id_a, id_b FROM s WHERE cosine >= 0.4),
+        s AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+        ),
+        pairs AS MATERIALIZED (SELECT id_a, id_b FROM s WHERE cosine >= 0.4),
         edges AS (
             SELECT id_a AS a, id_b AS b FROM pairs
             UNION
