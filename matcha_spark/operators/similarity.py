@@ -922,6 +922,13 @@ def calibrate_ann_floors(
         )
     )
     recalls = [r["__recall"] for r in per.collect()]  # bounded: n_queries
+    if not recalls:
+        # cosine_topk self-excludes, so a <2-row corpus yields zero
+        # exact neighbors and the min() below would raise opaquely.
+        raise ValueError(
+            "calibrate_ann_floors: corpus produced no exact neighbors "
+            "— need >= 2 rows with non-null vectors"
+        )
     mn, mean = min(recalls), sum(recalls) / len(recalls)
     floor = lambda x: max(0.0, round(x - margin, 2))  # noqa: E731
     return {

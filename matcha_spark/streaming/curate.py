@@ -73,9 +73,17 @@ def _compact_redecide(spark, fp_keys_dir: str, fp_cands_dir: str) -> bool:
     ask #2): re-run the score argmax over (stored keeper ∪ candidates
     recorded since — the keeper's own admission batch recorded it too)
     and rewrite ``fp_keys`` so a later higher-quality duplicate
-    DISPLACES the sticky keeper.  Keys with no recorded candidate (a
-    store built before ``dedup_rank``, or rank-less batches) keep
-    their persisted keeper.  Both rewrites ride
+    DISPLACES the sticky keeper.  Incumbent protection (r16 advice):
+    a keeper with NO recorded candidate row of its own — the store
+    predates ``dedup_rank``, or its admission batch ran rank-less —
+    has an UNKNOWN rank, so no candidate can strictly outrank it and
+    the key keeps its persisted keeper; re-deciding such keys by the
+    candidates alone would let a later lower-quality duplicate win.
+    Keepers admitted under ``dedup_rank`` always have their own row
+    (their admission batch records them, and each compaction's pruned
+    survivor IS the rewritten keeper), so the argmax path is unchanged
+    in the normal case.  To rank-displace a pre-``dedup_rank`` store,
+    rebuild it through the batch cascade.  Both rewrites ride
     :func:`_compact_store`'s crash-safe rename dance; a crash between
     them leaves the re-decided ``fp_keys`` with an unpruned candidate
     store, and the next compaction's argmax re-derives the same
@@ -89,8 +97,20 @@ def _compact_redecide(spark, fp_keys_dir: str, fp_cands_dir: str) -> bool:
         return False
 
     def _redecide(fp):
-        best = _cand_argmax(spark.read.parquet(fp_cands_dir)).select(
-            "key", F.col("cand").alias("__new")
+        cands = spark.read.parquet(fp_cands_dir)
+        # keys whose stored keeper has a recorded row of its own: only
+        # these are eligible for displacement (incumbent protection —
+        # an unrecorded keeper's rank is unknown, nothing can strictly
+        # outrank it).
+        eligible = fp.join(
+            cands,
+            (fp["key"] == cands["key"]) & (fp["keeper"] == cands["cand"]),
+            "left_semi",
+        ).select("key")
+        best = (
+            _cand_argmax(cands)
+            .select("key", F.col("cand").alias("__new"))
+            .join(eligible, "key", "left_semi")
         )
         return fp.join(best, "key", "left").select(
             "key", F.coalesce("__new", "keeper").alias("keeper")

