@@ -534,13 +534,16 @@ def audio_near_dup_pairs(
 
     Recall/flood tradeoff (r16, measured): the guard is mandatory on
     the corpus-scale path, but a corpus whose windows saturate the
-    32-bit fingerprint space degrades exact-copy recall — clips ALL
-    of whose window fps are corpus-hot can no longer reach
-    ``min_shared_windows``.  The sf1.0 synthetic trend corpus (50k
-    text-as-bytes clips) measures 44 fps over the default cap and
-    ~6% of planted copies losing their pair; raise ``max_fp_windows``
-    (recall) or accept the prune (bounded join fan-out) per corpus —
-    real audio's fp entropy sits far above word-salad bytes."""
+    fingerprint space degrades exact-copy recall — clips ALL of whose
+    window fps are corpus-hot can no longer reach
+    ``min_shared_windows``.  The r16 sf1.0 trend corpus (50k raw
+    text-as-bytes clips) measured 44 fps over the default cap and ~6%
+    of planted copies losing their pair; raise ``max_fp_windows``
+    (recall) or accept the prune (bounded join fan-out) per corpus.
+    Real audio's fp entropy sits far above word-salad bytes — r17
+    confirmed it by mixing the synthetic clips' bytes through
+    splitmix64 (suite ``doc_audio_near_dup``), after which the guard
+    stays dormant at sf1.0 and every planted pair survives."""
     fps = audio_fingerprint(media, decoder=decoder, window=window, stride=stride)
     hot = (
         fps.groupBy("fp")

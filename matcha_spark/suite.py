@@ -1295,18 +1295,35 @@ def doc_video_near_dup(spark, sf_dir):
 
 def doc_audio_near_dup(spark, sf_dir):
     """Audio near-dup pairs over synthesized clips (r08): each doc's
-    UTF-8 bytes ARE the waveform (raw-byte decoder), every 10th doc
-    re-uploaded under a shifted id.  Rows-only (spectral fingerprints
-    have no SQL twin); pinned by the planted pytest."""
+    UTF-8 bytes drive the waveform, every 10th doc re-uploaded under a
+    shifted id.  Rows-only (spectral fingerprints have no SQL twin);
+    pinned by the planted pytest.
+
+    r17 (verdict ask #3 — clip synthesis lives here, not in gen_sf):
+    the decoder mixes each (byte, position) pair through the splitmix64
+    finalizer instead of playing the raw text bytes.  Raw word-salad
+    bytes have so little entropy that at sf1.0 (50k clips) the window-
+    fingerprint space saturates — 44 corpus-hot fps tripped the
+    ``max_fp_windows`` guard and pruned 322 planted pairs (TUNING r16).
+    The mix is a pure function of the payload, so an identical planted
+    copy still shares EVERY window fp with its original (the planted
+    invariant and its strlen>=192 oracle are untouched — verified
+    hash-identical at sf0.001/0.01/0.1), while distinct docs now fill
+    the fp space like real audio and the hot-fp guard stays dormant.
+    Length-preserving, so the oracle's byte-length window arithmetic
+    is unchanged."""
     import numpy as np
 
     from .operators import multimodal as MM
 
     def raw_decode(payload: bytes) -> "np.ndarray":
-        return (
-            np.frombuffer(payload, dtype=np.uint8).astype(np.float64) / 128.0
-            - 1.0
-        )
+        b = np.frombuffer(payload, dtype=np.uint8).astype(np.uint64)
+        x = (b << np.uint64(32)) ^ np.arange(b.size, dtype=np.uint64)
+        # splitmix64 finalizer (Steele/Vigna, public domain)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+        return (x & np.uint64(0xFF)).astype(np.float64) / 128.0 - 1.0
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     base = docs.select(
