@@ -522,6 +522,7 @@ def audio_near_dup_pairs(
     window: int = 64,
     stride: int = 32,
     max_fp_windows: int = 1024,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """Audio near-duplicate pairs by sub-fingerprint overlap (the audio
     analog of :func:`video_near_dup_pairs`): clips sharing at least
@@ -543,8 +544,16 @@ def audio_near_dup_pairs(
     Real audio's fp entropy sits far above word-salad bytes — r17
     confirmed it by mixing the synthetic clips' bytes through
     splitmix64 (suite ``doc_audio_near_dup``), after which the guard
-    stays dormant at sf1.0 and every planted pair survives."""
-    fps = audio_fingerprint(media, decoder=decoder, window=window, stride=stride)
+    stays dormant at sf1.0 and every planted pair survives.
+
+    ``fps`` (r17): precomputed :func:`audio_fingerprint` output over
+    the same ``media``/``window``/``stride`` — pass it (persisted) to
+    amortize the decode across several cap settings (the suite's
+    capped-arm entry runs two)."""
+    if fps is None:
+        fps = audio_fingerprint(
+            media, decoder=decoder, window=window, stride=stride
+        )
     hot = (
         fps.groupBy("fp")
         .count()

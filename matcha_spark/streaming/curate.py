@@ -21,9 +21,14 @@ State layout under ``store_path``: ``url_keys/`` and ``fp_keys/``
 (seen-key stores), ``fp_cands/`` (per-key best-candidate ledger —
 written only with ``dedup_rank``, one row per distinct key per batch,
 pruned to one row per key at compaction), ``sigs/`` (signature store
-for the near methods), ``_batches/`` (the shared replay ledger — one
-append per store per batch, guarded by batch id exactly as in
-:mod:`streaming.dedup`).
+for the near methods), ``sig_cands/`` (the near modes' best-candidate
+ledger — ``(key, cand, rank, <signature cols>)``, key = the group
+representative the arrival deduped against; written only with
+``dedup_rank``), ``keeper_map/`` (``(old, new)`` representative
+displacements emitted by near-mode compactions, kept transitively
+composed so emitted ``dup_of`` edges resolve in one lookup),
+``_batches/`` (the shared replay ledger — one append per store per
+batch, guarded by batch id exactly as in :mod:`streaming.dedup`).
 
 Semantics mirror the batch cascade deliberately: URL groups form among
 blocklist survivors (a quality-rejected doc still claims its URL —
@@ -121,6 +126,111 @@ def _compact_redecide(spark, fp_keys_dir: str, fp_cands_dir: str) -> bool:
     return True
 
 
+def _compact_redecide_near(spark, sig_dir: str, cands_dir: str,
+                           map_dir: str) -> bool:
+    """Near-mode compaction-time keep-best re-decision (r17, verdict
+    ask #4 — the exact-mode :func:`_compact_redecide` extended to the
+    simhash/minhash signature store).  The store's group identity IS
+    the representative's signature row, so displacing a keeper means
+    swapping the row: remove the old representative's signature,
+    insert the winning candidate's (recorded with its rank and
+    signature in ``sig_cands/`` at arrival), and append the
+    ``(old, new)`` displacement to ``keeper_map/`` — emitted
+    ``dup_of`` edges stay an append-only arrival log, and the map
+    resolves them to the current representative in one lookup (the
+    map is kept transitively composed: a later ``c -> d`` swap
+    rewrites earlier ``k -> c`` rows to ``k -> d``).
+
+    Same incumbent protection as exact mode: only groups whose
+    representative recorded its OWN candidate row (every ranked
+    admission does; rank-less eras do not) are eligible — an
+    unrecorded representative's rank is unknown, so nothing can
+    strictly outrank it.  Ties break toward the smaller id, matching
+    :func:`matcha_spark.operators.dedup.keep_best_map`.
+
+    Crash safety: rewrites run sigs -> map -> cands, each riding
+    :func:`_compact_store`'s rename dance with an idempotent
+    transform; ``winners`` derives only from the UNREWRITTEN
+    candidate store, so a crash between any two steps re-derives the
+    same swaps and every step is a no-op where it already applied
+    (anti-join insert on sigs, distinct on the map, match-nothing
+    rekey on cands).
+
+    Representative-probe scope (unchanged from the sticky era, now
+    narrowed to between-compaction windows): arrivals dedup against
+    the CURRENT representative's signature, so a swap can shift which
+    borderline future docs match the group — the star-vs-component
+    divergence the incremental family documents.  Returns True when
+    the signature store was rewritten (the caller skips its generic
+    compaction pass for ``sig_dir``)."""
+    _recover_store(spark, cands_dir)
+    _recover_store(spark, map_dir)
+    if (
+        _read_if_exists(spark, cands_dir) is None
+        or _read_if_exists(spark, sig_dir) is None
+    ):
+        return False
+    cands = spark.read.parquet(cands_dir)
+    eligible = (
+        cands.where(F.col("cand") == F.col("key")).select("key").distinct()
+    )
+    winners = (
+        _cand_argmax(cands)
+        .join(eligible, "key", "left_semi")
+        .where(F.col("cand") != F.col("key"))
+    )
+    sigcols = [
+        c for c in spark.read.parquet(sig_dir).columns if c != "doc_id"
+    ]
+    wmap = winners.select(
+        F.col("key").alias("old"), F.col("cand").alias("new")
+    )
+
+    def _swap(sg):
+        dead = winners.select(F.col("key").alias("doc_id"))
+        add = winners.select(
+            F.col("cand").alias("doc_id"), *sigcols
+        ).join(sg.select("doc_id"), "doc_id", "left_anti")
+        return sg.join(dead, "doc_id", "left_anti").unionByName(add)
+
+    _compact_store(spark, sig_dir, transform=_swap)
+
+    prev = _read_if_exists(spark, map_dir)
+    if prev is None:
+        if winners.limit(1).count() > 0:
+            wmap.write.parquet(map_dir)
+    else:
+        def _compose(m):
+            # one compaction's (old, new) sets are disjoint (a cand
+            # was never a representative), so composing then unioning
+            # is idempotent under re-application
+            wr = wmap.select(
+                F.col("old").alias("__wo"), F.col("new").alias("__wn")
+            )
+            return (
+                m.join(wr, m["new"] == wr["__wo"], "left")
+                .select(m["old"], F.coalesce("__wn", m["new"]).alias("new"))
+                .unionByName(wmap)
+                .distinct()
+            )
+
+        _compact_store(spark, map_dir, transform=_compose)
+
+    def _rekey(cd):
+        pruned = _cand_argmax(cd)
+        wr = wmap.select(
+            F.col("old").alias("__wo"), F.col("new").alias("__wn")
+        )
+        return (
+            pruned.join(wr, pruned["key"] == wr["__wo"], "left")
+            .withColumn("key", F.coalesce("__wn", "key"))
+            .drop("__wo", "__wn")
+        )
+
+    _compact_store(spark, cands_dir, transform=_rekey)
+    return True
+
+
 def _seen_stage(batch, store, id_c="__id", key_c="__key", rank_c=None):
     """Shared seen-key admission frame: returns (joined, keep_col) —
     the same NULL-safe first-wins logic as ``streaming.keys``.
@@ -201,22 +311,25 @@ def stream_curate(
     ``dedup_rank`` reproduces ``curate_corpus(survivor_score=...)``
     verdicts exactly (differential-tested).
 
-    AT compaction (every ``compact_every`` batches; exact mode), the
-    stickiness is repaired: each ranked batch also records its best
-    candidate per key in ``fp_cands/``, and the compaction pass
+    AT compaction (every ``compact_every`` batches), the stickiness is
+    repaired: each ranked batch also records its best candidate per
+    group — ``fp_cands/`` in exact mode, ``sig_cands/`` (with the
+    candidate's signature) in the near modes — and the compaction pass
     re-runs the score argmax over (stored keeper ∪ recorded
-    candidates) and rewrites ``fp_keys`` — a later higher-quality
-    duplicate displaces the keeper (r16, verdict ask #2;
-    :func:`_compact_redecide`).  Emitted decisions are never
-    retro-edited (the sink stays an append-only arrival log), but the
+    candidates).  Exact mode rewrites ``fp_keys`` (r16, verdict ask
+    #2; :func:`_compact_redecide`); the near modes swap the displaced
+    representative's SIGNATURE row for the winner's and append the
+    ``(old, new)`` displacement to ``keeper_map/`` (r17, verdict ask
+    #4; :func:`_compact_redecide_near`), so emitted ``dup_of`` edges —
+    never retro-edited, the sink stays an append-only arrival log —
+    resolve to the current representative in one map lookup.  The
     STORE converges to the batch cascade's global keep-best: after a
     compaction, a fresh-checkpoint replay of the same data reproduces
     ``curate_corpus(survivor_score=...)`` verdicts exactly
+    (differential-tested, exact mode), the near-mode survivor set
+    equals the batch keep-best keepers on the same data
     (differential-tested), and post-compaction arrivals dedup against
-    the re-decided keeper.  Near modes keep the sticky invariant
-    (their group identity lives in emitted ``dup_of`` edges, which a
-    keeper swap would orphan) — pipelines that want global keep-best
-    there still run the batch cascade over the accumulated corpus.
+    the re-decided keeper.
 
     Returns the started ``StreamingQuery``.  Replay-safe: all store
     appends are guarded by one batch-id ledger; exact-mode decisions
@@ -238,6 +351,8 @@ def stream_curate(
     fp_keys_dir = os.path.join(store_path, "fp_keys")
     fp_cands_dir = os.path.join(store_path, "fp_cands")
     sig_dir = os.path.join(store_path, "sigs")
+    sig_cands_dir = os.path.join(store_path, "sig_cands")
+    keeper_map_dir = os.path.join(store_path, "keeper_map")
     ledger_dir = os.path.join(store_path, "_batches")
     qkw = dict(quality_kwargs or {})
 
@@ -300,6 +415,7 @@ def stream_curate(
         norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
         new_fp_keys = None
         new_fp_cands = None
+        new_sig_cands = None
         kept_sigs = None
         if dedup == "exact":
             _recover_store(spark, fp_keys_dir)
@@ -362,6 +478,8 @@ def stream_curate(
             )
 
             _recover_store(spark, sig_dir)
+            if dedup_rank is not None:
+                _recover_store(spark, sig_cands_dir)
             existing = _read_if_exists(spark, sig_dir)
             op = (
                 incremental_dedup_simhash if dedup == "simhash"
@@ -388,6 +506,34 @@ def stream_curate(
                 dup_decisions.where(F.col("__dkeep")).select("doc_id"),
                 "doc_id", "left_semi",
             )
+            if dedup_rank is not None:
+                # record this batch's best candidate per GROUP (key =
+                # the representative each arrival deduped against;
+                # kept docs key their own new group, so every ranked
+                # representative records its own row) with its
+                # signature, so the compaction pass can swap the
+                # group's signature row to a later higher-ranked
+                # arrival.  One row per distinct group per batch.
+                grp = dec.select(
+                    "doc_id", F.coalesce("dup_of", "doc_id").alias("key")
+                ).join(
+                    q_surv.select("doc_id", dedup_rank.alias("__rank")),
+                    "doc_id",
+                )
+                mxr = grp.groupBy("key").agg(F.max("__rank").alias("__mx"))
+                best = (
+                    grp.join(mxr, "key")
+                    .where(F.col("__rank").eqNullSafe(F.col("__mx")))
+                    .groupBy("key")
+                    .agg(
+                        F.min("doc_id").alias("cand"),
+                        F.first("__mx").alias("rank"),
+                    )
+                )
+                new_sig_cands = best.join(
+                    sig_new.withColumnRenamed("doc_id", "__sid"),
+                    F.col("cand") == F.col("__sid"),
+                ).drop("__sid")
 
         # --- verdicts: first failing stage wins -----------------------
         st = docs.select("doc_id")
@@ -421,16 +567,28 @@ def stream_curate(
                 new_fp_keys.write.mode("append").parquet(fp_keys_dir)
             if new_fp_cands is not None:
                 new_fp_cands.write.mode("append").parquet(fp_cands_dir)
+            if new_sig_cands is not None:
+                new_sig_cands.write.mode("append").parquet(sig_cands_dir)
             if kept_sigs is not None:
                 kept_sigs.write.mode("append").parquet(sig_dir)
             spark.createDataFrame(
                 [(int(batch_id),)], "batch_id long"
             ).write.mode("append").parquet(ledger_dir)
             if compact_every and (n_led + 1) % compact_every == 0:
-                redecided = _compact_redecide(spark, fp_keys_dir, fp_cands_dir)
-                dirs = [url_keys_dir, sig_dir] + (
-                    [] if redecided else [fp_keys_dir]
-                )
+                if dedup == "exact":
+                    redecided = _compact_redecide(
+                        spark, fp_keys_dir, fp_cands_dir
+                    )
+                    dirs = [url_keys_dir, sig_dir] + (
+                        [] if redecided else [fp_keys_dir]
+                    )
+                else:
+                    redecided = _compact_redecide_near(
+                        spark, sig_dir, sig_cands_dir, keeper_map_dir
+                    )
+                    dirs = [url_keys_dir, fp_keys_dir] + (
+                        [] if redecided else [sig_dir]
+                    )
                 for d in dirs:
                     if _read_if_exists(spark, d) is not None:
                         _compact_store(spark, d)

@@ -1252,6 +1252,61 @@ def test_negation_filter_combo_differential(spark, seed):
     )
 
 
+@pytest.mark.parametrize("seed", range(30))
+def test_optional_negation_combo_differential(spark, seed):
+    """r17 (verdict ask #7): every seed COMBINES Optional blocks with
+    NotExists/Minus in one query — the regroup-then-negate seam the
+    r09 fuzzer only samples by chance (its generator makes optionals
+    and NotExists/Minus independently likely; forcing both per seed
+    pins the interaction: negation prunes solutions AFTER the optional
+    regrouping, so a Minus sharing only an optional-bound var must
+    honor UNBOUND-compatibility, and a NotExists block touching an
+    optional var must see the extended bindings).  Engine vs the
+    Python model over the same pattern order (required -> VALUES ->
+    optionals -> negations, the documented evaluation regrouping)."""
+    from matcha_spark import Minus, NotExists
+    from matcha_spark.patterns import find_vars
+
+    from .model import model_select
+
+    rng = random.Random(5500 + seed)
+    db_rows = _rand_db(rng, rng.randint(3, 12))
+    pats = [_rand_pattern(rng) for _ in range(rng.randint(1, 2))]
+    if rng.random() < 0.4:
+        pats.append(
+            Values(
+                rng.choice(VARS),
+                [rng.choice(POOL) for _ in range(rng.randint(0, 3))],
+            )
+        )
+    for _ in range(rng.randint(1, 2)):
+        # depth 0 allows one nested Optional inside the block
+        depth = 1 if rng.random() < 0.5 else 0
+        pats.append(Optional(_rand_patterns(rng, depth)))
+    for _ in range(rng.randint(1, 2)):
+        block = [_rand_pattern(rng) for _ in range(rng.randint(1, 2))]
+        pats.append((NotExists if rng.random() < 0.5 else Minus)(block))
+    allv = find_vars(pats)
+    if not allv:
+        pytest.skip("no vars generated")
+    rng.shuffle(allv)
+    pvars = allv[: rng.randint(1, len(allv))]
+
+    expected = _blind(model_select(pvars, pats, db_rows))
+    db = TriplesDB.from_triples(spark, db_rows)
+    try:
+        got = select(pvars, pats, db)
+    finally:
+        db.unpersist()
+    got_rows = set()
+    if got is not None:
+        for r in got if len(pvars) > 1 else [(g,) for g in got]:
+            got_rows.add(r if isinstance(r, tuple) else (r,))
+    assert _blind(got_rows) == expected, (
+        f"seed={seed}\ndb={db_rows}\npatterns={pats}\npvars={pvars}"
+    )
+
+
 # --- Bind expression fuzz (r14, verdict ask #7) ------------------------
 #
 # Two randomized generators over the termfns algebra — numeric trees

@@ -2394,3 +2394,60 @@ def test_scrub_duplicate_spans_property_fuzz(spark, seed):
         assert out == want, (seed, doc)
         assert len(out.encode()) <= max(len(b) - expect_min_cut[doc], 0) \
             or expect_min_cut[doc] == 0
+
+
+def test_capped_arms_drop_semantics(spark):
+    """r17 (verdict ask #5): what the binding caps DROP, pinned on
+    corpora built to saturate them — the other half of the suite
+    entries' cap_sound iff (the oracle checks the survive half on the
+    shipped corpora, where every planted pair keeps under-cap
+    evidence).
+
+    - embedding ``max_bucket_size``: N identical vectors collapse
+      every sign bucket to one N-member bucket, so a cap < N drops ALL
+      their pairs; a cap >= N restores every pair.
+    - audio ``max_fp_windows``: M identical clips make each window fp
+      M-hot, so a cap < M prunes all shared evidence; a cap >= M
+      restores the pairs."""
+    import numpy as np
+
+    from matcha_spark.operators.dedup import embedding_dup_pairs_lsh
+    from matcha_spark.operators.multimodal import audio_near_dup_pairs
+
+    rng = np.random.default_rng(11)
+    v = rng.normal(0, 1, 64)
+    v /= np.linalg.norm(v)
+    w = rng.normal(0, 1, 64)
+    w /= np.linalg.norm(w)
+    rows = [(i, [float(x) for x in v]) for i in range(12)]
+    rows.append((50, [float(x) for x in w]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    n_pairs = 12 * 11 // 2
+    uncapped = embedding_dup_pairs_lsh(emb, threshold=0.99)
+    assert uncapped.count() == n_pairs
+    dropped = embedding_dup_pairs_lsh(emb, threshold=0.99, max_bucket_size=8)
+    assert dropped.count() == 0            # mega-bucket (12 > 8) pruned whole
+    kept = embedding_dup_pairs_lsh(emb, threshold=0.99, max_bucket_size=16)
+    assert kept.count() == n_pairs
+
+    def raw_decode(payload: bytes) -> np.ndarray:
+        return (
+            np.frombuffer(payload, dtype=np.uint8).astype(np.float64) / 128.0
+            - 1.0
+        )
+
+    clip = rng.integers(0, 256, 512, dtype=np.uint8).tobytes()
+    media = spark.createDataFrame(
+        [(i, "audio", bytearray(clip)) for i in range(9)],
+        "media_id long, kind string, payload binary",
+    )
+    m_pairs = 9 * 8 // 2
+    assert audio_near_dup_pairs(media, decoder=raw_decode).count() == m_pairs
+    assert (
+        audio_near_dup_pairs(media, decoder=raw_decode, max_fp_windows=8)
+        .count() == 0                      # every fp 9-hot under cap 8
+    )
+    assert (
+        audio_near_dup_pairs(media, decoder=raw_decode, max_fp_windows=16)
+        .count() == m_pairs
+    )

@@ -1089,6 +1089,178 @@ def test_compact_redecide_incumbent_protection(spark):
     shutil.rmtree(base, ignore_errors=True)
 
 
+def test_stream_curate_near_keep_best_compaction(spark):
+    """r17 (verdict ask #4): the compaction-time keep-best re-decision
+    extended to the NEAR modes.  A higher-quality near-duplicate
+    arriving in a later batch is sticky-rejected at arrival; at
+    compaction the signature store swaps the group representative's
+    signature row for the winner's and records the displacement in
+    ``keeper_map/``:
+
+    - post-compaction arrivals dedup against the NEW representative;
+    - store-state ≡ batch: the signature store's doc ids equal
+      ``dedup_near_docs_keep_best``'s keeper set on the same
+      accumulated data;
+    - the keeper map resolves the emitted ``dup_of`` arrival log to
+      current representatives in one lookup;
+    - a fresh-checkpoint replay post-compaction reproduces the batch
+      keep-best verdicts exactly;
+    - the displaced group's candidate row is RE-KEYED to the new
+      representative (so a second compaction still recognizes the
+      incumbent's own row and its rank);
+    - replay appends nothing (ledger guard): one signature row per
+      kept doc."""
+    import os
+
+    from matcha_spark.operators.dedup import dedup_near_docs_keep_best
+    from matcha_spark.streaming.curate import stream_curate
+
+    base = tempfile.mkdtemp(prefix="mcurate_nkbc_")
+    src_dir = os.path.join(base, "src")
+    os.makedirs(src_dir)
+    schema = "doc_id long, text string"
+    t = ("the cat and the dog sat in the house that is it for a story "
+         "about the animals and their day together in it all")
+    other = ("entirely different content about other topics and things "
+             "with many more words to clear the quality gate easily here")
+    third = ("a third unrelated passage regarding ships and harbors and "
+             "tides with plenty of filler words to pass quality checks")
+    rows1 = [(1, t), (3, other)]
+    rows2 = [(2, t + " extended")]        # best copy of 1, later batch
+    rows3 = [(9, t + " xx")]              # mid-quality copy, post-swap
+    rows4 = [(12, third)]                 # triggers the 2nd compaction
+    got = {}
+
+    def sink(df, bid):
+        for r in df.collect():
+            got[r.doc_id] = (r.status, r.dup_of)
+
+    def run(ckpt):
+        q = stream_curate(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src_dir),
+            os.path.join(base, "store"),
+            sink,
+            dedup="simhash",
+            max_hamming=16,
+            dedup_rank=F.length("text"),
+            quality_kwargs={"min_tokens": 5, "max_punct_ratio": 0.3},
+            checkpoint_dir=os.path.join(base, ckpt),
+            compact_every=2,
+        )
+        q.awaitTermination(180)
+
+    for i, rows in enumerate([rows1, rows2]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+    run("ckpt")
+    assert got[1] == ("kept", None) and got[3] == ("kept", None)
+    assert got[2] == ("duplicate", 1)      # sticky AT arrival
+    sig_ids = {r.doc_id for r in spark.read.parquet(
+        os.path.join(base, "store", "sigs")).collect()}
+    assert sig_ids == {2, 3}               # swapped at compaction
+    kmap = {(r.old, r.new) for r in spark.read.parquet(
+        os.path.join(base, "store", "keeper_map")).collect()}
+    assert kmap == {(1, 2)}
+    # the re-keyed candidate row: group 2 owns its incumbent row
+    cands = {(r.key, r.cand) for r in spark.read.parquet(
+        os.path.join(base, "store", "sig_cands")).collect()}
+    assert (2, 2) in cands and not any(k == 1 for k, _ in cands)
+
+    # batch 3: the mid-quality copy dedups against the NEW rep
+    spark.createDataFrame(rows3, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    got.clear()
+    run("ckpt")
+    assert got[9] == ("duplicate", 2)
+
+    # batch 4: second compaction fires; the incumbent (rank 2) must
+    # survive the lower-ranked recorded candidate 9
+    spark.createDataFrame(rows4, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    got.clear()
+    run("ckpt")
+    assert got[12] == ("kept", None)
+    sig_ids = {r.doc_id for r in spark.read.parquet(
+        os.path.join(base, "store", "sigs")).collect()}
+
+    # store-state ≡ batch keep-best keepers on the accumulated corpus
+    all_docs = spark.createDataFrame(rows1 + rows2 + rows3 + rows4, schema)
+    kb = {r.doc_id: r.keep_doc_id for r in dedup_near_docs_keep_best(
+        all_docs, score=F.length("text")).collect()}
+    batch_keepers = {d for d, k in kb.items() if d == k}
+    assert sig_ids == batch_keepers == {2, 3, 12}
+    kmap = {(r.old, r.new) for r in spark.read.parquet(
+        os.path.join(base, "store", "keeper_map")).collect()}
+    assert kmap == {(1, 2)}                # incumbent 2 not displaced
+
+    # fresh-checkpoint replay post-compaction ≡ batch keep-best
+    got.clear()
+    run("ckpt2")
+    want = {
+        d: ("kept", None) if kb[d] == d else ("duplicate", kb[d])
+        for d in kb
+    }
+    assert got == want
+    # ledger guard: replay appended nothing
+    sigs = spark.read.parquet(os.path.join(base, "store", "sigs"))
+    assert sigs.groupBy("doc_id").count().where("count > 1").count() == 0
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_curate_minhash_keep_best_swap(spark):
+    """The MinHash arm of the near-mode re-decision: same swap + map
+    contract riding the (doc_id, h0..h63) signature store — the
+    displaced representative's 64 hash columns are replaced by the
+    winner's, recorded in ``sig_cands/`` at arrival."""
+    import os
+
+    from matcha_spark.streaming.curate import stream_curate
+
+    base = tempfile.mkdtemp(prefix="mcurate_mkbs_")
+    src_dir = os.path.join(base, "src")
+    os.makedirs(src_dir)
+    schema = "doc_id long, text string"
+    t = ("the cat and the dog sat in the house that is it for a story "
+         "about the animals and their day together in it all")
+    got = {}
+
+    def sink(df, bid):
+        for r in df.collect():
+            got[r.doc_id] = (r.status, r.dup_of)
+
+    spark.createDataFrame([(1, t)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    spark.createDataFrame(
+        [(2, t + " extended")], schema
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+    q = stream_curate(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src_dir),
+        os.path.join(base, "store"),
+        sink,
+        dedup="minhash",
+        threshold=0.6,
+        dedup_rank=F.length("text"),
+        quality_kwargs={"min_tokens": 5, "max_punct_ratio": 0.3},
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        compact_every=2,
+    )
+    q.awaitTermination(180)
+    assert got[1] == ("kept", None) and got[2] == ("duplicate", 1)
+    sigs = spark.read.parquet(os.path.join(base, "store", "sigs"))
+    assert {r.doc_id for r in sigs.select("doc_id").collect()} == {2}
+    assert len(sigs.columns) == 65         # doc_id + h0..h63 swapped whole
+    kmap = {(r.old, r.new) for r in spark.read.parquet(
+        os.path.join(base, "store", "keeper_map")).collect()}
+    assert kmap == {(1, 2)}
+    shutil.rmtree(base, ignore_errors=True)
+
+
 def test_stream_curate_minhash_mode(spark):
     """The MinHash branch of the streaming cascade: signature store
     carries doc_id + h0..h63, a later batch's shingle-level near-copy
