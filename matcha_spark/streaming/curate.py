@@ -53,7 +53,31 @@ from .dedup import (
     _recover_store,
 )
 
-__all__ = ["stream_curate"]
+__all__ = ["resolve_keepers", "stream_curate"]
+
+
+def resolve_keepers(decisions: DataFrame, store_path: str,
+                    col: str = "dup_of") -> DataFrame:
+    """Resolve an arrival-log keeper column to CURRENT group
+    representatives (r17, the consumer side of the near-mode
+    keeper map): one left join against ``keeper_map/`` — the
+    compaction pass keeps the map transitively composed, so a single
+    lookup suffices no matter how many displacements a group has seen.
+    Rows whose keeper was never displaced pass through unchanged; a
+    displaced keeper's own arrival row resolves to the new
+    representative (reading "this group is now represented by X").
+    With no map on disk (exact mode before any displacement, rank-less
+    stores) the frame is returned as-is."""
+    spark = decisions.sparkSession
+    m = _read_if_exists(spark, os.path.join(store_path, "keeper_map"))
+    if m is None:
+        return decisions
+    m = m.select(F.col("old").alias("__o"), F.col("new").alias("__n"))
+    return (
+        decisions.join(m, decisions[col] == m["__o"], "left")
+        .withColumn(col, F.coalesce("__n", col))
+        .drop("__o", "__n")
+    )
 
 
 def _cand_argmax(cands):

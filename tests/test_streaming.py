@@ -1208,6 +1208,19 @@ def test_stream_curate_near_keep_best_compaction(spark):
     # ledger guard: replay appended nothing
     sigs = spark.read.parquet(os.path.join(base, "store", "sigs"))
     assert sigs.groupBy("doc_id").count().where("count > 1").count() == 0
+
+    # resolve_keepers: the ORIGINAL arrival log (1 kept, 2 dup-of-1,
+    # 9 dup-of-2) resolves through the composed map in one lookup —
+    # doc 2's own arrival row resolves to itself (it IS the rep now)
+    log = spark.createDataFrame(
+        [(1, "kept", None), (2, "duplicate", 1), (9, "duplicate", 2)],
+        "doc_id long, status string, dup_of long",
+    )
+    from matcha_spark.streaming.curate import resolve_keepers
+
+    res = {r.doc_id: r.dup_of for r in resolve_keepers(
+        log, os.path.join(base, "store")).collect()}
+    assert res == {1: None, 2: 2, 9: 2}
     shutil.rmtree(base, ignore_errors=True)
 
 
