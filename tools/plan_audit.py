@@ -121,6 +121,15 @@ EXPECT: dict[str, set[str]] = {
     # 3-column projection — one narrow codegen filter, no join, no
     # shuffle, and the text column must be PRUNED from the scan
     "doc_temperature_mixture": {"codegen", "pruned:text"},
+    # capped-arm planted entries (r17, verdict ask #5): two operator
+    # arms + the under-cap evidence aggregate join back onto the
+    # planted pair frame — those bounded flag frames must ride
+    # BROADCAST hash joins (emb; the audio flags join 500-row frames
+    # too but sit above mapInPandas fingerprint kernels, so only
+    # codegen + no_cartesian is pinned there), and nothing in either
+    # entry may go cartesian
+    "emb_dup_pairs_lsh_planted": {"codegen", "broadcast"},
+    "doc_audio_near_dup_planted": {"codegen"},
 }
 
 # deliberate 1-row broadcast scalars (Observation-style bound columns):
