@@ -1224,6 +1224,61 @@ def test_stream_curate_near_keep_best_compaction(spark):
     shutil.rmtree(base, ignore_errors=True)
 
 
+def test_compact_redecide_near_chained_map(spark):
+    """Unit pins for the near-mode re-decision kernel across TWO
+    successive displacements: the keeper map stays transitively
+    COMPOSED (every old id points at the current representative, one
+    lookup), the displaced group's candidate row re-keys each time so
+    the incumbent stays recognizable, the signature store carries the
+    winner's signature, and a re-run on the same state is a no-op
+    (the crash-window idempotence the rewrite order relies on)."""
+    import os
+
+    from matcha_spark.streaming.curate import _compact_redecide_near
+
+    base = tempfile.mkdtemp(prefix="mnear_chain_")
+    sig_dir = os.path.join(base, "sigs")
+    cands_dir = os.path.join(base, "sig_cands")
+    map_dir = os.path.join(base, "keeper_map")
+    spark.createDataFrame(
+        [(10, 111)], "doc_id long, simhash long"
+    ).write.parquet(sig_dir)
+    spark.createDataFrame(
+        [(10, 10, 1, 111), (10, 20, 5, 222)],
+        "key long, cand long, rank int, simhash long",
+    ).write.parquet(cands_dir)
+
+    assert _compact_redecide_near(spark, sig_dir, cands_dir, map_dir)
+    sigs = {(r.doc_id, r.simhash)
+            for r in spark.read.parquet(sig_dir).collect()}
+    assert sigs == {(20, 222)}             # winner's signature swapped in
+    kmap = {(r.old, r.new)
+            for r in spark.read.parquet(map_dir).collect()}
+    assert kmap == {(10, 20)}
+    cands = {(r.key, r.cand, r.rank)
+             for r in spark.read.parquet(cands_dir).collect()}
+    assert cands == {(20, 20, 5)}          # re-keyed incumbent row
+
+    # a later batch records a better candidate for the new rep
+    spark.createDataFrame(
+        [(20, 30, 9, 333)], "key long, cand long, rank int, simhash long"
+    ).write.mode("append").parquet(cands_dir)
+    assert _compact_redecide_near(spark, sig_dir, cands_dir, map_dir)
+    sigs = {(r.doc_id, r.simhash)
+            for r in spark.read.parquet(sig_dir).collect()}
+    assert sigs == {(30, 333)}
+    kmap = {(r.old, r.new)
+            for r in spark.read.parquet(map_dir).collect()}
+    assert kmap == {(10, 30), (20, 30)}    # composed, one-lookup deep
+    # idempotence: same state re-decided is a no-op
+    assert _compact_redecide_near(spark, sig_dir, cands_dir, map_dir)
+    assert {(r.old, r.new)
+            for r in spark.read.parquet(map_dir).collect()} == kmap
+    assert {(r.doc_id, r.simhash)
+            for r in spark.read.parquet(sig_dir).collect()} == sigs
+    shutil.rmtree(base, ignore_errors=True)
+
+
 def test_stream_curate_minhash_keep_best_swap(spark):
     """The MinHash arm of the near-mode re-decision: same swap + map
     contract riding the (doc_id, h0..h63) signature store — the
