@@ -24,9 +24,10 @@ pruned to one row per key at compaction), ``sigs/`` (signature store
 for the near methods), ``sig_cands/`` (the near modes' best-candidate
 ledger — ``(key, cand, rank, <signature cols>)``, key = the group
 representative the arrival deduped against; written only with
-``dedup_rank``), ``keeper_map/`` (``(old, new)`` representative
-displacements emitted by near-mode compactions, kept transitively
-composed so emitted ``dup_of`` edges resolve in one lookup),
+``dedup_rank``), ``keeper_map/`` (``(old, new)`` keeper
+displacements emitted by compactions in EVERY dedup mode, kept
+transitively composed so emitted ``dup_of`` edges resolve in one
+lookup — :func:`resolve_keepers`),
 ``_batches/`` (the shared replay ledger — one append per store per
 batch, guarded by batch id exactly as in :mod:`streaming.dedup`).
 
@@ -66,8 +67,9 @@ def resolve_keepers(decisions: DataFrame, store_path: str,
     Rows whose keeper was never displaced pass through unchanged; a
     displaced keeper's own arrival row resolves to the new
     representative (reading "this group is now represented by X").
-    With no map on disk (exact mode before any displacement, rank-less
-    stores) the frame is returned as-is."""
+    Every dedup mode's compaction emits the map (exact mode since r17,
+    parity with the near modes); with no map on disk (no displacement
+    yet, or a rank-less store) the frame is returned as-is."""
     spark = decisions.sparkSession
     m = _read_if_exists(spark, os.path.join(store_path, "keeper_map"))
     if m is None:
@@ -97,7 +99,37 @@ def _cand_argmax(cands):
     )
 
 
-def _compact_redecide(spark, fp_keys_dir: str, fp_cands_dir: str) -> bool:
+def _write_keeper_map(spark, map_dir: str, wmap) -> None:
+    """Append this compaction's ``(old, new)`` displacements to the
+    keeper map, keeping it TRANSITIVELY COMPOSED (a ``c -> d`` swap
+    rewrites earlier ``k -> c`` rows to ``k -> d``) so
+    :func:`resolve_keepers` needs one lookup.  Idempotent under
+    re-application of the same ``wmap``: within one compaction the
+    old and new sets are disjoint (a winning candidate was never a
+    representative), so re-composing changes nothing and the union
+    dedups under ``distinct``."""
+    prev = _read_if_exists(spark, map_dir)
+    if prev is None:
+        if wmap.limit(1).count() > 0:
+            wmap.write.parquet(map_dir)
+        return
+
+    def _compose(m):
+        wr = wmap.select(
+            F.col("old").alias("__wo"), F.col("new").alias("__wn")
+        )
+        return (
+            m.join(wr, m["new"] == wr["__wo"], "left")
+            .select(m["old"], F.coalesce("__wn", m["new"]).alias("new"))
+            .unionByName(wmap)
+            .distinct()
+        )
+
+    _compact_store(spark, map_dir, transform=_compose)
+
+
+def _compact_redecide(spark, fp_keys_dir: str, fp_cands_dir: str,
+                      map_dir: str | None = None) -> bool:
     """Compaction-time cross-batch keep-best re-decision (r16, verdict
     ask #2): re-run the score argmax over (stored keeper ∪ candidates
     recorded since — the keeper's own admission batch recorded it too)
@@ -112,35 +144,53 @@ def _compact_redecide(spark, fp_keys_dir: str, fp_cands_dir: str) -> bool:
     (their admission batch records them, and each compaction's pruned
     survivor IS the rewritten keeper), so the argmax path is unchanged
     in the normal case.  To rank-displace a pre-``dedup_rank`` store,
-    rebuild it through the batch cascade.  Both rewrites ride
-    :func:`_compact_store`'s crash-safe rename dance; a crash between
-    them leaves the re-decided ``fp_keys`` with an unpruned candidate
-    store, and the next compaction's argmax re-derives the same
-    keepers (idempotent).  Returns True when ``fp_keys`` was rewritten
-    (the caller skips its generic compaction pass for that dir)."""
+    rebuild it through the batch cascade.
+
+    ``map_dir`` (r17, parity with the near modes): displacements are
+    also appended to the composed keeper map BEFORE the store rewrite
+    — the map derives only from the UNREWRITTEN (fp_keys, fp_cands)
+    pair, so a crash at any point re-derives the same pairs (after
+    the fp rewrite the new keeper's own row wins the argmax and the
+    recomputed displacement set is empty — append-nothing, a no-op).
+    All rewrites ride :func:`_compact_store`'s crash-safe rename
+    dance with idempotent transforms.  Returns True when ``fp_keys``
+    was rewritten (the caller skips its generic compaction pass for
+    that dir)."""
     _recover_store(spark, fp_cands_dir)
+    if map_dir is not None:
+        _recover_store(spark, map_dir)
     if (
         _read_if_exists(spark, fp_cands_dir) is None
         or _read_if_exists(spark, fp_keys_dir) is None
     ):
         return False
+    fp0 = spark.read.parquet(fp_keys_dir)
+    cands = spark.read.parquet(fp_cands_dir)
+    # keys whose stored keeper has a recorded row of its own: only
+    # these are eligible for displacement (incumbent protection — an
+    # unrecorded keeper's rank is unknown, nothing can strictly
+    # outrank it).
+    eligible = fp0.join(
+        cands,
+        (fp0["key"] == cands["key"]) & (fp0["keeper"] == cands["cand"]),
+        "left_semi",
+    ).select("key")
+    best = (
+        _cand_argmax(cands)
+        .select("key", F.col("cand").alias("__new"))
+        .join(eligible, "key", "left_semi")
+    )
+    if map_dir is not None:
+        wmap = (
+            fp0.join(best, "key")
+            .where(F.col("__new") != F.col("keeper"))
+            .select(
+                F.col("keeper").alias("old"), F.col("__new").alias("new")
+            )
+        )
+        _write_keeper_map(spark, map_dir, wmap)
 
     def _redecide(fp):
-        cands = spark.read.parquet(fp_cands_dir)
-        # keys whose stored keeper has a recorded row of its own: only
-        # these are eligible for displacement (incumbent protection —
-        # an unrecorded keeper's rank is unknown, nothing can strictly
-        # outrank it).
-        eligible = fp.join(
-            cands,
-            (fp["key"] == cands["key"]) & (fp["keeper"] == cands["cand"]),
-            "left_semi",
-        ).select("key")
-        best = (
-            _cand_argmax(cands)
-            .select("key", F.col("cand").alias("__new"))
-            .join(eligible, "key", "left_semi")
-        )
         return fp.join(best, "key", "left").select(
             "key", F.coalesce("__new", "keeper").alias("keeper")
         )
@@ -218,27 +268,7 @@ def _compact_redecide_near(spark, sig_dir: str, cands_dir: str,
         return sg.join(dead, "doc_id", "left_anti").unionByName(add)
 
     _compact_store(spark, sig_dir, transform=_swap)
-
-    prev = _read_if_exists(spark, map_dir)
-    if prev is None:
-        if winners.limit(1).count() > 0:
-            wmap.write.parquet(map_dir)
-    else:
-        def _compose(m):
-            # one compaction's (old, new) sets are disjoint (a cand
-            # was never a representative), so composing then unioning
-            # is idempotent under re-application
-            wr = wmap.select(
-                F.col("old").alias("__wo"), F.col("new").alias("__wn")
-            )
-            return (
-                m.join(wr, m["new"] == wr["__wo"], "left")
-                .select(m["old"], F.coalesce("__wn", m["new"]).alias("new"))
-                .unionByName(wmap)
-                .distinct()
-            )
-
-        _compact_store(spark, map_dir, transform=_compose)
+    _write_keeper_map(spark, map_dir, wmap)
 
     def _rekey(cd):
         pruned = _cand_argmax(cd)
@@ -342,11 +372,12 @@ def stream_curate(
     re-runs the score argmax over (stored keeper ∪ recorded
     candidates).  Exact mode rewrites ``fp_keys`` (r16, verdict ask
     #2; :func:`_compact_redecide`); the near modes swap the displaced
-    representative's SIGNATURE row for the winner's and append the
-    ``(old, new)`` displacement to ``keeper_map/`` (r17, verdict ask
-    #4; :func:`_compact_redecide_near`), so emitted ``dup_of`` edges —
-    never retro-edited, the sink stays an append-only arrival log —
-    resolve to the current representative in one map lookup.  The
+    representative's SIGNATURE row for the winner's (r17, verdict ask
+    #4; :func:`_compact_redecide_near`).  Every mode appends its
+    displacements to the composed ``keeper_map/``, so emitted
+    ``dup_of`` edges — never retro-edited, the sink stays an
+    append-only arrival log — resolve to the current representative
+    in one :func:`resolve_keepers` lookup.  The
     STORE converges to the batch cascade's global keep-best: after a
     compaction, a fresh-checkpoint replay of the same data reproduces
     ``curate_corpus(survivor_score=...)`` verdicts exactly
@@ -601,7 +632,7 @@ def stream_curate(
             if compact_every and (n_led + 1) % compact_every == 0:
                 if dedup == "exact":
                     redecided = _compact_redecide(
-                        spark, fp_keys_dir, fp_cands_dir
+                        spark, fp_keys_dir, fp_cands_dir, keeper_map_dir
                     )
                     dirs = [url_keys_dir, sig_dir] + (
                         [] if redecided else [fp_keys_dir]

@@ -1019,6 +1019,23 @@ def test_stream_curate_keep_best_compaction(spark):
     fp2 = {r.key: r.keeper
            for r in spark.read.parquet(os.path.join(base, "store", "fp_keys")).collect()}
     assert fp2 == fp
+
+    # r17: exact-mode compactions emit the keeper map too (parity with
+    # the near modes) — the arrival-log edge (2, duplicate, 1) from
+    # batch 2 resolves to the post-displacement keeper in one lookup
+    from matcha_spark.streaming.curate import resolve_keepers
+
+    kmap = {(r.old, r.new) for r in spark.read.parquet(
+        os.path.join(base, "store", "keeper_map")).collect()}
+    assert kmap == {(1, 2)}
+    log = spark.createDataFrame(
+        [(1, "kept", None), (3, "kept", None),
+         (2, "duplicate", 1), (9, "duplicate", 2)],
+        "doc_id long, status string, dup_of long",
+    )
+    res = {r.doc_id: r.dup_of for r in resolve_keepers(
+        log, os.path.join(base, "store")).collect()}
+    assert res == {1: None, 3: None, 2: 2, 9: 2}
     shutil.rmtree(base, ignore_errors=True)
 
 
