@@ -37,6 +37,8 @@ __all__ = [
     "dup_ngram_stats",
     "cdc_chunks",
     "benchmark_contamination",
+    "bloom_contamination",
+    "ngram_bloom_bits",
     "unigram_logloss",
     "bigram_logloss",
     "perplexity_buckets",
@@ -1000,6 +1002,24 @@ def compression_ratio(
     )
 
 
+def _word_grams(frame, col, n, keep=()):
+    """The contamination family's shared word-n-gram stream: lowercase,
+    whitespace-split, one ``gram`` row per position (duplicates kept —
+    contamination is counted per POSITION).  Both the exact and the
+    Bloom operators MUST gram identically or the Bloom path's
+    no-false-negative guarantee silently breaks."""
+    toks = F.split(F.lower(F.trim(F.col(col))), r"\s+")
+    g = F.expr(
+        f"transform(sequence(1, size(__toks) - {n} + 1),"
+        f" i -> array_join(slice(__toks, i, {n}), ' '))"
+    )
+    return (
+        frame.select(*[F.col(c) for c in keep], toks.alias("__toks"))
+        .where(F.size("__toks") >= n)
+        .select(*[F.col(c) for c in keep], F.explode(g).alias("gram"))
+    )
+
+
 def benchmark_contamination(
     docs: DataFrame,
     probes: DataFrame,
@@ -1021,23 +1041,13 @@ def benchmark_contamination(
     so its distinct grams broadcast into a semi-join-shaped match
     against the corpus gram stream: one scan of the corpus, no shuffle
     of corpus grams beyond the per-doc rollup.  Grams stay text for the
-    oracle; hash both sides at 100 TB as in :func:`dup_ngram_stats`."""
-    def grams_of(frame, col, keep=()):
-        toks = F.split(F.lower(F.trim(F.col(col))), r"\s+")
-        g = F.expr(
-            f"transform(sequence(1, size(__toks) - {n} + 1),"
-            f" i -> array_join(slice(__toks, i, {n}), ' '))"
-        )
-        return (
-            frame.select(*[F.col(c) for c in keep], toks.alias("__toks"))
-            .where(F.size("__toks") >= n)
-            .select(*[F.col(c) for c in keep], F.explode(g).alias("gram"))
-        )
-
+    oracle; hash both sides at 100 TB as in :func:`dup_ngram_stats`.
+    For probe sets too big to broadcast (100M+ grams), see
+    :func:`ngram_bloom_bits` / :func:`bloom_contamination`."""
     probe_grams = F.broadcast(
-        grams_of(probes, probe_text_col).select("gram").distinct()
+        _word_grams(probes, probe_text_col, n).select("gram").distinct()
     )
-    doc_grams = grams_of(docs, text_col, keep=("doc_id",))
+    doc_grams = _word_grams(docs, text_col, n, keep=("doc_id",))
     per_doc = (
         doc_grams.join(probe_grams.withColumn("__hit", F.lit(1)), "gram", "left")
         .groupBy("doc_id")
@@ -1057,6 +1067,161 @@ def benchmark_contamination(
                 F.when(F.coalesce("n_grams", F.lit(0)) == 0, F.lit(0.0)).otherwise(
                     F.col("contaminated_grams") / F.col("n_grams")
                 ),
+                6,
+            ).alias("contamination"),
+        )
+    )
+
+
+def ngram_bloom_bits(
+    probes: DataFrame,
+    n: int = 8,
+    num_bits: int | None = None,
+    num_hashes: int = 5,
+    fpp: float = 0.01,
+    text_col: str = "text",
+    seed: int = 42,
+) -> dict:
+    """Distributed Bloom filter over a probe set's word n-grams — the
+    100-TB decontamination path (Brown et al. GPT-3 appendix C uses
+    exactly this shape: a Bloom filter over eval n-grams probed by the
+    training corpus).  :func:`benchmark_contamination` broadcasts the
+    DISTINCT probe grams, which stops working when the "benchmark"
+    side is itself large (a union of every eval suite, held-out
+    shards, 100M+ grams); a Bloom filter is ~10 bits per gram at 1%
+    false positives and builds WITHOUT any driver collect.
+
+    Returns ``{"bits": DataFrame, "num_bits": m, "num_hashes": k,
+    "n": n, "seed": seed}`` — ``bits`` is ``(word_idx long, bits
+    long)``, one row per NON-ZERO 64-bit word of the bit array, built
+    by one explode (k index rows per distinct gram) + one ``bit_or``
+    aggregate.  Feed the dict to :func:`bloom_contamination`.
+
+    ``num_bits=None`` sizes the array from the measured distinct-gram
+    count at the requested ``fpp`` (m = ceil(-n_grams ln fpp / ln²2),
+    rounded up to a 64 multiple; one count job over the probe side).
+    Hashing is ``xxhash64(gram, i)`` for i in 0..k-1 — deterministic
+    across sessions, so the false-positive SET is reproducible, and
+    membership never false-negatives (every inserted gram's k bits are
+    set by construction; the pytest battery pins the superset
+    guarantee against the exact operator)."""
+    import math
+
+    if not 0.0 < fpp < 1.0:
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+    grams = _word_grams(probes, text_col, n).select("gram").distinct()
+    if num_bits is None:
+        cnt = grams.count()  # one bounded job over the benchmark side
+        num_bits = max(64, int(math.ceil(-cnt * math.log(fpp) / (math.log(2) ** 2))))
+    num_bits = ((num_bits + 63) // 64) * 64
+    idx = grams.select(
+        F.explode(
+            F.array(*[
+                F.pmod(F.xxhash64("gram", F.lit(seed + i)), F.lit(num_bits))
+                for i in range(num_hashes)
+            ])
+        ).alias("__idx")
+    )
+    bits = (
+        idx.groupBy((F.col("__idx") / 64).cast("long").alias("word_idx"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT),"
+                " CAST(__idx % 64 AS INT)))"
+            ).alias("bits")
+        )
+    )
+    return {
+        "bits": bits, "num_bits": num_bits, "num_hashes": num_hashes,
+        "n": n, "seed": seed,
+    }
+
+
+def bloom_contamination(
+    docs: DataFrame,
+    bloom: dict,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination against a Bloom bit table
+    (:func:`ngram_bloom_bits`): same output contract as
+    :func:`benchmark_contamination` — ``(doc_id, n_grams,
+    contaminated_grams, contamination)`` — with SUPERSET semantics:
+    every exactly-contained n-gram position is flagged (no false
+    negatives, by Bloom construction over the identical
+    :func:`_word_grams` stream), plus a deterministic ~``fpp`` of
+    clean grams (xxhash64 is seed-stable, so reruns flag the same
+    set).  Filter ``contamination > 0`` to drop leaked documents; at
+    the default 1% fpp the expected clean-doc flag rate is
+    ``1 - (1-fpp)^n_grams`` — for aggressive dropping on long docs,
+    build the table at a smaller ``fpp`` (bits are cheap: 14.4 per
+    gram at 0.1%).
+
+    Scale shape: corpus grams dedup to one probe per DISTINCT gram
+    (`n_grams` positions still counted per doc), each distinct gram
+    explodes to k index rows that join the bit table on ``word_idx`` —
+    the table is ~``num_bits/8`` bytes total, so Spark broadcasts it
+    at any realistic size (1G bits = 128 MB table for ~100M grams at
+    1%); no corpus-side shuffle beyond the per-doc rollup and the
+    distinct.  Everything is JVM built-ins — no UDF, no driver-side
+    bit array."""
+    bits, m = bloom["bits"], bloom["num_bits"]
+    k, n, seed = bloom["num_hashes"], bloom["n"], bloom["seed"]
+    dg = _word_grams(docs, text_col, n, keep=("doc_id",))
+    counts = dg.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    uniq = counts.select("gram").distinct()
+    probe = uniq.select(
+        "gram",
+        F.explode(
+            F.array(*[
+                F.pmod(F.xxhash64("gram", F.lit(seed + i)), F.lit(m))
+                for i in range(k)
+            ])
+        ).alias("__idx"),
+    ).select(
+        "gram",
+        (F.col("__idx") / 64).cast("long").alias("word_idx"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(__idx % 64 AS INT))"
+        ).alias("__mask"),
+    )
+    gram_hit = (
+        probe.join(bits, "word_idx", "left")
+        .groupBy("gram")
+        .agg(
+            F.min(
+                F.coalesce(
+                    F.expr("(bits & __mask) = __mask"), F.lit(False)
+                ).cast("int")
+            ).alias("__hit")
+        )
+        .where(F.col("__hit") == 1)
+        .select("gram")
+    )
+    per_doc = (
+        counts.join(gram_hit.withColumn("__f", F.lit(1)), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("__c").alias("n_grams"),
+            F.sum(
+                F.when(F.col("__f") == 1, F.col("__c")).otherwise(F.lit(0))
+            ).alias("contaminated_grams"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("contaminated_grams", F.lit(0)).alias(
+                "contaminated_grams"
+            ),
+            F.round(
+                F.when(
+                    F.coalesce("n_grams", F.lit(0)) == 0, F.lit(0.0)
+                ).otherwise(F.col("contaminated_grams") / F.col("n_grams")),
                 6,
             ).alias("contamination"),
         )

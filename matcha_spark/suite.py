@@ -3309,6 +3309,22 @@ def doc_contamination(spark, sf_dir):
     return T.benchmark_contamination(docs, probes, n=8)
 
 
+def doc_contamination_bloom(spark, sf_dir):
+    """Bloom-filter twin of :func:`doc_contamination` — the 100-TB
+    probe-set path (r17): the same probe set goes through a
+    distributed ``ngram_bloom_bits`` table (no driver collect, no
+    broadcast of raw grams) and the corpus probes it with
+    ``bloom_contamination``.  Rows-only (the flagged set includes
+    xxhash64-seeded false positives with no SQL twin); the SUPERSET
+    contract vs the exact operator — every exactly-contaminated
+    position flagged, per-doc position counts identical, fp rate at
+    the configured 1% — is pinned by
+    ``test_operators.py::test_bloom_contamination_superset``."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    probes = docs.where(F.col("doc_id") % 50 == 0).select("text")
+    return T.bloom_contamination(docs, T.ngram_bloom_bits(probes, n=8))
+
+
 def doc_unigram_logloss(spark, sf_dir):
     """RETIRED from the oracle registry in r15 (funding
     doc_temperature_mixture; see the registry comment).  The unigram
@@ -3807,6 +3823,12 @@ QUERIES = {
     "doc_video_pipeline": doc_video_pipeline,
     "doc_png_features": doc_png_features,
     # --- rows-only by design (no oracle; pytest-pinned, with derived-invariant twins recorded above): parked last ---
+    # doc_contamination_bloom (r17): seeded Bloom false positives have
+    # no SQL twin; superset-vs-exact contract pytest-pinned.  Its
+    # sound twin (per-doc "bloom_flagged >= exact_contaminated"
+    # boolean, SQL-replayable on the exact side) is the named
+    # candidate for r18's next funded oracle slot.
+    "doc_contamination_bloom": doc_contamination_bloom,
     "dedup_incremental_simhash": dedup_incremental_simhash,
     "emb_pq_topk": emb_pq_topk,
     "emb_ivfpq_topk": emb_ivfpq_topk,

@@ -2451,3 +2451,73 @@ def test_capped_arms_drop_semantics(spark):
         audio_near_dup_pairs(media, decoder=raw_decode, max_fp_windows=16)
         .count() == m_pairs
     )
+
+
+def test_bloom_contamination_superset(spark):
+    """r17: the Bloom decontamination path (the 100-TB probe-set
+    shape).  Contract vs the exact operator on the identical gram
+    stream: SUPERSET — every exactly-contaminated gram position is
+    flagged (no false negatives, by construction), per-doc position
+    counts agree, and on a disjoint clean corpus the deterministic
+    false-positive rate stays within a few multiples of the configured
+    fpp.  The bit table auto-sizes from the measured distinct-gram
+    count and never needs a driver-side array."""
+    import numpy as np
+
+    from matcha_spark.operators.text import (
+        benchmark_contamination,
+        bloom_contamination,
+        ngram_bloom_bits,
+    )
+
+    rng = np.random.default_rng(3)
+    probe_rows = [
+        (i, " ".join(f"bench{rng.integers(0, 400)}" for _ in range(12)))
+        for i in range(40)
+    ]
+    probes = spark.createDataFrame(probe_rows, "pid long, text string")
+    # corpus: 10 leaked docs embedding a probe span, 200 clean docs
+    # over a DISJOINT vocabulary, one too-short doc
+    leaked = [
+        (i, "clean lead in words " + probe_rows[i][1] + " trailing words")
+        for i in range(10)
+    ]
+    clean = [
+        (100 + i, " ".join(f"web{rng.integers(0, 4000)}" for _ in range(25)))
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(
+        leaked + clean + [(999, "too short")], "doc_id long, text string"
+    )
+
+    exact = {r.doc_id: r for r in benchmark_contamination(
+        docs, probes, n=3).collect()}
+    bloom = ngram_bloom_bits(probes, n=3, fpp=0.01)
+    assert bloom["num_bits"] % 64 == 0 and bloom["num_bits"] >= 64
+    got = {r.doc_id: r for r in bloom_contamination(docs, bloom).collect()}
+
+    assert set(got) == set(exact)
+    fp_grams = fp_total = 0
+    for d, e in exact.items():
+        g = got[d]
+        assert g.n_grams == e.n_grams                       # same stream
+        assert g.contaminated_grams >= e.contaminated_grams  # superset
+        if e.contamination > 0:
+            assert g.contamination > 0                       # no misses
+        if d >= 100:                                         # clean docs
+            fp_grams += g.contaminated_grams
+            fp_total += g.n_grams
+    assert exact[0].contamination > 0                        # fixture sanity
+    assert got[999].n_grams == 0 and got[999].contamination == 0.0
+    # deterministic fp rate near the configured 1% (binomial slack)
+    assert fp_total > 3000 and fp_grams / fp_total < 0.05, (
+        fp_grams, fp_total
+    )
+
+    # a tighter fpp flags strictly fewer-or-equal clean grams
+    tight = ngram_bloom_bits(probes, n=3, fpp=0.0001)
+    got2 = {r.doc_id: r for r in bloom_contamination(docs, tight).collect()}
+    fp2 = sum(got2[d].contaminated_grams for d in got2 if d >= 100)
+    assert fp2 <= fp_grams
+    for i in range(10):                                      # recall intact
+        assert got2[i].contaminated_grams >= exact[i].contaminated_grams

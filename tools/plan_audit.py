@@ -130,6 +130,12 @@ EXPECT: dict[str, set[str]] = {
     # entry may go cartesian
     "emb_dup_pairs_lsh_planted": {"codegen", "broadcast"},
     "doc_audio_near_dup_planted": {"codegen"},
+    # Bloom decontamination (r17, rows-only): the bit table is tiny by
+    # construction (~10 bits/gram), so the probe join must ride a
+    # BROADCAST hash join — a shuffle there would defeat the entire
+    # point of compressing the probe set — and every layer (gramming,
+    # bit_or build, mask compare, rollup) is JVM built-ins in codegen
+    "doc_contamination_bloom": {"codegen", "broadcast"},
 }
 
 # deliberate 1-row broadcast scalars (Observation-style bound columns):
