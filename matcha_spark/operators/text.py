@@ -38,7 +38,9 @@ __all__ = [
     "cdc_chunks",
     "benchmark_contamination",
     "bloom_contamination",
+    "classify_tokens",
     "ngram_bloom_bits",
+    "train_token_classifier",
     "unigram_logloss",
     "bigram_logloss",
     "perplexity_buckets",
@@ -1224,6 +1226,154 @@ def bloom_contamination(
                 ).otherwise(F.col("contaminated_grams") / F.col("n_grams")),
                 6,
             ).alias("contamination"),
+        )
+    )
+
+
+def train_token_classifier(
+    examples: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    smoothing: float = 1.0,
+) -> dict:
+    """Distributed multinomial Naive Bayes over whitespace tokens —
+    the classifier-filtering shape production corpus pipelines use for
+    quality/domain/educational-value gating (CCNet's fasttext filter,
+    FineWeb-Edu's classifier threshold): train on a labeled seed set,
+    score the whole corpus, keep/route by predicted class and margin.
+
+    Returns a model dict of DataFrames — ``weights`` ``(class, tok,
+    logp)`` with add-``smoothing`` Laplace estimates, ``defaults``
+    ``(class, logp0)`` for unseen tokens, ``priors`` ``(class,
+    logprior)`` — plus ``vocab`` (global distinct-token count) and
+    ``smoothing``.  Everything stays distributed: the weight table is
+    token-keyed and joins corpus-side in :func:`classify_tokens`; no
+    driver-side model array (one bounded ``count`` job sizes the
+    vocabulary).  Tokenization matches the logloss family (lowercase,
+    whitespace split)."""
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    from .. import cache as _cache
+
+    toks = (
+        examples.select(
+            F.col(label_col).cast("string").alias("class"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    cc = _cache.memo_persist(
+        toks.groupBy("class", "tok").agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = cc.select("tok").distinct().count()  # bounded: one scalar
+    a = float(smoothing)
+    totals = cc.groupBy("class").agg(F.sum("c").alias("t"))
+    weights = cc.join(totals, "class").select(
+        "class", "tok",
+        F.log((F.col("c") + a) / (F.col("t") + a * vocab)).alias("logp"),
+    )
+    defaults = totals.select(
+        "class", F.log(F.lit(a) / (F.col("t") + a * vocab)).alias("logp0")
+    )
+    n_docs = examples.count()
+    priors = (
+        examples.groupBy(F.col(label_col).cast("string").alias("class"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("class", F.log(F.col("n") / F.lit(float(n_docs))).alias("logprior"))
+    )
+    return {
+        "weights": weights, "defaults": defaults, "priors": priors,
+        "vocab": vocab, "smoothing": a,
+    }
+
+
+def classify_tokens(
+    docs: DataFrame,
+    model: dict,
+    text_col: str = "text",
+) -> DataFrame:
+    """Score a corpus against a :func:`train_token_classifier` model:
+    per document, ``score(class) = logprior + Σ count(tok) ·
+    logp(tok | class)`` (unseen tokens take the class's smoothed
+    default), and the output is ``(doc_id, pred, margin)`` — the
+    argmax class (ties toward the lexicographically smallest, so the
+    result is deterministic) and the log-odds margin over the
+    runner-up (4dp; NULL for a single-class model).  Token-less
+    documents fall back to the prior-only argmax with the prior
+    margin.
+
+    Scale shape: per-doc token counts (one explode + rollup) fan out
+    to the #classes (tiny, broadcast) and join the token-keyed weight
+    table — the same equi-join class as the logloss scorers; the
+    per-doc argmax aggregates ``#classes`` rows per key via one
+    ``sort_array(collect_list(...))``, never a corpus-wide window.
+    Deterministic to 4dp (the logloss reordering argument)."""
+    classes = model["priors"].select("class")
+    dt = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    scored = (
+        dt.crossJoin(F.broadcast(classes))
+        .join(model["weights"], ["class", "tok"], "left")
+        .join(F.broadcast(model["defaults"]), "class")
+        .groupBy("doc_id", "class")
+        .agg(
+            F.sum(
+                F.col("__c") * F.coalesce(F.col("logp"), F.col("logp0"))
+            ).alias("__s")
+        )
+        .join(F.broadcast(model["priors"]), "class")
+        .select(
+            "doc_id",
+            F.struct(
+                (-(F.col("__s") + F.col("logprior"))).alias("ns"),
+                F.col("class"),
+            ).alias("__sc"),
+        )
+    )
+
+    def argmax(frame, key_cols):
+        # ascending (negated-score, class): head = best score, ties
+        # toward the smallest class; margin = gap to the runner-up
+        arr = F.sort_array(F.collect_list("__sc"))
+        return frame.groupBy(*key_cols).agg(
+            arr[0]["class"].alias("pred"),
+            F.round(
+                F.when(F.size(arr) > 1, arr[1]["ns"] - arr[0]["ns"]),
+                4,
+            ).alias("margin"),
+        )
+
+    per_doc = argmax(scored, ["doc_id"])
+    prior_only = argmax(
+        model["priors"].select(
+            F.lit(1).alias("__k"),
+            F.struct(
+                (-F.col("logprior")).alias("ns"), F.col("class")
+            ).alias("__sc"),
+        ),
+        ["__k"],
+    ).select(
+        F.col("pred").alias("__pp"), F.col("margin").alias("__pm")
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .crossJoin(F.broadcast(prior_only))
+        .select(
+            "doc_id",
+            F.coalesce("pred", "__pp").alias("pred"),
+            F.coalesce("margin", "__pm").alias("margin"),
         )
     )
 

@@ -837,6 +837,29 @@ def doc_lang_id(spark, sf_dir):
     return T.lang_id(load_tables(spark, sf_dir, "documents")["documents"])
 
 
+def doc_lang_classifier(spark, sf_dir):
+    """Distributed Naive-Bayes classifier filtering (r17): train the
+    token classifier on the fixture's ``lang`` labels (every 3rd doc
+    as the labeled seed set — the classifier-gating shape where a
+    small labeled set scores the whole corpus) and classify every
+    document.  Rows-only (log-sum floats argmaxed per doc; the 4dp
+    margins are engine-idiom-heavy SQL — a DuckDB twin is feasible
+    via the doc_bigram_logloss pattern and is, with the Bloom sound
+    twin, a named candidate for r18's funded oracle slots); pinned by
+    ``test_operators.py::test_token_classifier_nb`` (numpy parity,
+    fallbacks, tie determinism).  On THIS fixture the labels correlate
+    only weakly with the zipf word salad (self-train accuracy ~0.43
+    vs a 0.41 majority baseline at sf0.01) — the entry demonstrates
+    the distributed shape; discrimination is pinned on the separable
+    synthetic corpus in the pytest."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    seed = docs.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.col("lang").alias("label"), "text"
+    )
+    model = T.train_token_classifier(seed)
+    return T.classify_tokens(docs, model)
+
+
 def doc_quality_filter(spark, sf_dir):
     return T.quality_filter(
         load_tables(spark, sf_dir, "documents")["documents"],
@@ -3829,6 +3852,11 @@ QUERIES = {
     # boolean, SQL-replayable on the exact side) is the named
     # candidate for r18's next funded oracle slot.
     "doc_contamination_bloom": doc_contamination_bloom,
+    # doc_lang_classifier (r17): per-doc argmax of log-sum floats; the
+    # numpy-parity pytest pins values, and its DuckDB twin (the
+    # doc_bigram_logloss 4dp pattern) is the second named candidate
+    # for r18's funded oracle slots
+    "doc_lang_classifier": doc_lang_classifier,
     "dedup_incremental_simhash": dedup_incremental_simhash,
     "emb_pq_topk": emb_pq_topk,
     "emb_ivfpq_topk": emb_ivfpq_topk,

@@ -2521,3 +2521,86 @@ def test_bloom_contamination_superset(spark):
     assert fp2 <= fp_grams
     for i in range(10):                                      # recall intact
         assert got2[i].contaminated_grams >= exact[i].contaminated_grams
+
+
+def test_token_classifier_nb(spark):
+    """r17: the distributed Naive-Bayes classifier filter (the
+    CCNet/FineWeb-Edu classifier-gating shape).  Pins: separable
+    synthetic classes classify perfectly with positive margins; the
+    per-doc scores match an independent numpy NB (same Laplace
+    formula) to float tolerance; all-unseen-token docs and token-less
+    docs fall back deterministically (smoothed defaults / prior
+    argmax, ties toward the smallest class); single-class models give
+    NULL margins."""
+    import math
+
+    import numpy as np
+
+    from matcha_spark.operators.text import (
+        classify_tokens,
+        train_token_classifier,
+    )
+
+    rng = np.random.default_rng(9)
+    good_v = [f"edu{i}" for i in range(30)]
+    spam_v = [f"ad{i}" for i in range(30)]
+    mk = lambda v, n: " ".join(rng.choice(v) for _ in range(n))
+    train = [(i, "good", mk(good_v, 30)) for i in range(40)] + [
+        (100 + i, "spam", mk(spam_v, 30)) for i in range(60)
+    ]
+    examples = spark.createDataFrame(
+        train, "doc_id long, label string, text string"
+    )
+    model = train_token_classifier(examples)
+    assert model["vocab"] == 60
+
+    probes = [
+        (1, mk(good_v, 20)),
+        (2, mk(spam_v, 20)),
+        (3, mk(good_v, 12) + " " + mk(spam_v, 3)),   # mixed, good-heavy
+        (4, "zzz unseen tokens only here"),            # all unseen
+        (5, ""),                                       # token-less
+    ]
+    docs = spark.createDataFrame(probes, "doc_id long, text string")
+    got = {r.doc_id: r for r in classify_tokens(docs, model).collect()}
+    assert got[1].pred == "good" and got[1].margin > 0
+    assert got[2].pred == "spam" and got[2].margin > 0
+    assert got[3].pred == "good"
+    # all-unseen: identical per-token defaults differ only via class
+    # totals; token-less: prior argmax (spam has the larger prior)
+    assert got[5].pred == "spam"
+    assert got[5].margin == round(math.log(60 / 40), 4)
+
+    # numpy parity on the margin of a mixed doc
+    cc = {(r["class"], r.tok): r.c for r in spark.createDataFrame(
+        train, "doc_id long, label string, text string"
+    ).selectExpr("label as class", "explode(split(lower(trim(text)), '\\\\s+')) as tok")
+     .groupBy("class", "tok").count().withColumnRenamed("count", "c").collect()}
+    totals = {}
+    for (c, t), n in cc.items():
+        totals[c] = totals.get(c, 0) + n
+    V, a = 60, 1.0
+    pri = {"good": math.log(40 / 100), "spam": math.log(60 / 100)}
+
+    def np_score(text, c):
+        s = pri[c]
+        for t in text.lower().split():
+            s += math.log((cc.get((c, t), 0) + a) / (totals[c] + a * V))
+        return s
+
+    for d, text in probes[:4]:
+        sc = sorted(
+            ((-np_score(text, c), c) for c in ("good", "spam"))
+        )
+        assert got[d].pred == sc[0][1], d
+        want_margin = round(sc[1][0] - sc[0][0], 4)
+        assert abs(got[d].margin - want_margin) < 2e-4, (d, got[d].margin, want_margin)
+
+    # single-class model: margin NULL, pred that class
+    one = train_token_classifier(
+        spark.createDataFrame(
+            [(0, "x", "alpha beta")], "doc_id long, label string, text string"
+        )
+    )
+    g1 = classify_tokens(docs, one).collect()
+    assert all(r.pred == "x" and r.margin is None for r in g1)

@@ -136,12 +136,25 @@ EXPECT: dict[str, set[str]] = {
     # point of compressing the probe set — and every layer (gramming,
     # bit_or build, mask compare, rollup) is JVM built-ins in codegen
     "doc_contamination_bloom": {"codegen", "broadcast"},
+    # NB classifier filtering (r17, rows-only): classes/defaults/
+    # priors are class-cardinality frames and must BROADCAST into the
+    # token-keyed weight join; scoring layers (explode, rollup,
+    # collect_list argmax) stay codegen, nothing cartesian (the two
+    # deliberate 1-row broadcast cross-joins are the prior-only
+    # fallback scalar — whitelisted)
+    "doc_lang_classifier": {"codegen", "broadcast"},
 }
 
 # deliberate 1-row broadcast scalars (Observation-style bound columns):
 # the winnow twin's min-planted-id anchor frame and the ANN sound
 # twins' corpus-mean bound both join a single-row broadcast by design
-CARTESIAN_OK: set[str] = {"doc_winnow_planted", "emb_ivfpq_recall_sound"}
+CARTESIAN_OK: set[str] = {
+    "doc_winnow_planted", "emb_ivfpq_recall_sound",
+    # classifier fan-out: the class list (cardinality #classes) and
+    # the 1-row prior-only fallback both cross-join as broadcasts by
+    # design
+    "doc_lang_classifier",
+}
 
 
 def plan_of(df) -> str:
