@@ -1,0 +1,130 @@
+"""Cap-lever calibration protocol (r17 — the
+``test_ann_calibration.py`` pattern applied to the capped-arm planted
+entries' ``cap_sound`` levers).
+
+``_EMB_LSH_CAP`` and ``_AUDIO_FP_CAP`` are calibrated by MEASUREMENT
+on the shipped fixtures: every planted pair keeps under-cap shared
+evidence with margin (so the oracle's per-pair ``true`` is
+load-bearing, not lucky), while the caps bind on the sf0.1 tail.
+These tests re-run the measurements per shipped SF and assert the
+margins hold, so a REGENERATED fixture that shifts bucket occupancy or
+fingerprint entropy fails HERE — diagnosable as calibration scope —
+before it can flip a driver oracle.  The negative controls pin that
+the guards fire: a deliberately tiny cap violates them on sf0.1.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from matcha_spark.suite import _AUDIO_FP_CAP, _EMB_LSH_CAP, _audio_clips
+
+TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+SF_DIRS = [
+    os.path.join(TESTDATA, d)
+    for d in ("sf0.001", "sf0.01", "sf0.1")
+    if os.path.exists(os.path.join(TESTDATA, d, "documents.parquet"))
+]
+
+# survival margins: the measured worst case must sit at least this far
+# under/over the cap (r17 calibration: emb min-shared-bucket max 22 vs
+# cap 32; audio worst >=192-byte clip evidence comfortably >= 4)
+EMB_MARGIN = 8
+
+
+def _emb_min_shared(spark, sf_dir, planted_only=True):
+    """Per planted pair, the min shared-bucket size on base ∪ copies —
+    identical vectors share every bucket, so survival under cap C is
+    exactly min <= C."""
+    from matcha_spark.operators.similarity import sign_buckets
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.select("vec_id", "embedding")
+    copies = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    b = sign_buckets(
+        base.unionByName(copies).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        ),
+        "vec", dim=64, n_planes=8, n_tables=8, seed=42,
+    )
+    sizes = b.groupBy("table", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        b.where(F.col("id") < 100000)
+        .join(sizes, ["table", "bucket"])
+        .groupBy("id")
+        .agg(F.min("n").alias("min_bk"))
+    )
+
+
+def _audio_evidence(spark, sf_dir, cap):
+    """Per >=192-byte planted clip, the under-cap shared-row evidence
+    (Σ m_v² over not-hot fp values) — survival needs >= 4."""
+    from matcha_spark.operators.multimodal import audio_fingerprint
+
+    media, decode = _audio_clips(spark, sf_dir)
+    fps = audio_fingerprint(media, decoder=decode)
+    occ = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("occ"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    long_planted = docs.where(
+        (F.col("doc_id") % 10 == 0) & (F.length("text") >= 192)
+    ).select(F.col("doc_id").alias("media_id"))
+    mult = (
+        fps.join(long_planted, "media_id", "left_semi")
+        .groupBy("media_id", "fp")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    return (
+        mult.join(occ, "fp")
+        .groupBy("media_id")
+        .agg(
+            F.sum(
+                F.when(F.col("occ") <= cap, F.col("m") * F.col("m"))
+                .otherwise(F.lit(0))
+            ).alias("evidence")
+        )
+    )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS, ids=os.path.basename)
+def test_emb_cap_margin(spark, sf_dir):
+    worst = (
+        _emb_min_shared(spark, sf_dir).agg(F.max("min_bk")).first()[0]
+    )
+    assert worst + EMB_MARGIN <= _EMB_LSH_CAP, (
+        f"planted min-shared-bucket worst case {worst} no longer sits "
+        f">= {EMB_MARGIN} under _EMB_LSH_CAP={_EMB_LSH_CAP} on {sf_dir} "
+        "— the embedding fixture distribution moved; recalibrate the "
+        "cap (calibration scope, not an operator regression)"
+    )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS, ids=os.path.basename)
+def test_audio_cap_margin(spark, sf_dir):
+    ev = _audio_evidence(spark, sf_dir, _AUDIO_FP_CAP)
+    worst, n = ev.agg(F.min("evidence"), F.count(F.lit(1))).first()
+    assert n > 0
+    assert worst >= 4, (
+        f"a >=192-byte planted clip keeps only {worst} under-cap "
+        f"shared rows (< 4) at _AUDIO_FP_CAP={_AUDIO_FP_CAP} on "
+        f"{sf_dir} — fingerprint entropy moved; recalibrate "
+        "(calibration scope, not an operator regression)"
+    )
+
+
+def test_negative_controls(spark):
+    """The guards must FIRE when a cap is set under the fixture's
+    occupancy floor: on sf0.1 a cap of 2 strands planted embedding
+    pairs (every shared bucket holds at least the pair itself plus
+    neighbors) and starves audio evidence."""
+    sf = os.path.join(TESTDATA, "sf0.1")
+    worst = _emb_min_shared(spark, sf).agg(F.max("min_bk")).first()[0]
+    assert worst + EMB_MARGIN > 2, "embedding guard failed to fire at cap 2"
+    ev_worst = (
+        _audio_evidence(spark, sf, 1).agg(F.min("evidence")).first()[0]
+    )
+    assert ev_worst < 4, "audio guard failed to fire at cap 1"
