@@ -1307,6 +1307,71 @@ def test_optional_negation_combo_differential(spark, seed):
     )
 
 
+@pytest.mark.parametrize("seed", range(20))
+def test_path_optional_combo_differential(spark, seed):
+    """r17: property paths COMBINED with an Optional block — the path
+    algebra's derived (?a, ?b) pairs feeding the optional
+    regroup-and-cartesian-explode machinery, a seam no other fuzzer
+    crosses (path fuzzers project/aggregate, optional fuzzers use
+    plain patterns).  The model composes by hand: path pairs via the
+    Python path algebra, then per required solution the block's
+    per-var value SETS cartesian-explode (the reference's documented
+    optional semantics — NOT a left join) with UNBOUND markers when
+    the block misses."""
+    from matcha_spark.patterns import Optional as Opt
+
+    rng = random.Random(6600 + seed)
+    db_rows = _rand_path_db(rng)
+    path = _rand_path_expr(rng)
+    p1 = rng.choice(PATH_PREDS)
+    two = rng.random() < 0.5
+    block = [("?b", p1, "?d")]
+    if two:
+        p2 = rng.choice(PATH_PREDS)
+        block.append(("?d", p2, "?e"))
+    pvars = ["?a", "?b", "?d"] + (["?e"] if two else [])
+    rng.shuffle(pvars)
+
+    pairs = _model_path_pairs(path, db_rows)
+    idx = {v: i for i, v in enumerate(["?a", "?b", "?d", "?e"])}
+    expected = set()
+    for a, b in pairs:
+        if two:
+            sols = [
+                (d, e)
+                for s1, pr1, d in db_rows if s1 == b and pr1 == p1
+                for s2, pr2, e in db_rows if s2 == d and pr2 == p2
+            ]
+            dset = sorted({d for d, _ in sols})
+            eset = sorted({e for _, e in sols})
+            combos = (
+                [(d, e) for d in dset for e in eset]
+                if sols else [(UNBOUND, UNBOUND)]
+            )
+        else:
+            dset = sorted({d for s1, pr1, d in db_rows
+                           if s1 == b and pr1 == p1})
+            combos = [(d, None) for d in dset] if dset else [(UNBOUND, None)]
+        for d, e in combos:
+            full = (a, b, d, e)
+            expected.add(tuple(full[idx[v]] for v in pvars))
+    expected = _blind(expected)
+
+    db = TriplesDB.from_triples(spark, db_rows)
+    try:
+        got = select(pvars, [("?a", path, "?b"), Opt(block)], db)
+    finally:
+        db.unpersist()
+    got_rows = set()
+    if got is not None:
+        for r in got if len(pvars) > 1 else [(g,) for g in got]:
+            got_rows.add(r if isinstance(r, tuple) else (r,))
+    assert _blind(got_rows) == expected, (
+        f"seed={seed}\ndb={db_rows}\npath={path!r}\nblock={block}\n"
+        f"pvars={pvars}"
+    )
+
+
 # --- Bind expression fuzz (r14, verdict ask #7) ------------------------
 #
 # Two randomized generators over the termfns algebra — numeric trees
