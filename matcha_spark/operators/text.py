@@ -1111,6 +1111,10 @@ def ngram_bloom_bits(
 
     if not 0.0 < fpp < 1.0:
         raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+    if num_hashes < 1:
+        # r18 advice: k=0 builds an EMPTY bit table, silently violating
+        # the no-false-negative guarantee instead of failing loudly
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
     grams = _word_grams(probes, text_col, n).select("gram").distinct()
     if num_bits is None:
         cnt = grams.count()  # one bounded job over the benchmark side

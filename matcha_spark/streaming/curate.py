@@ -58,7 +58,8 @@ __all__ = ["resolve_keepers", "stream_curate"]
 
 
 def resolve_keepers(decisions: DataFrame, store_path: str,
-                    col: str = "dup_of") -> DataFrame:
+                    col: str = "dup_of",
+                    status_col: str = "status") -> DataFrame:
     """Resolve an arrival-log keeper column to CURRENT group
     representatives (r17, the consumer side of the near-mode
     keeper map): one left join against ``keeper_map/`` — the
@@ -69,15 +70,28 @@ def resolve_keepers(decisions: DataFrame, store_path: str,
     representative (reading "this group is now represented by X").
     Every dedup mode's compaction emits the map (exact mode since r17,
     parity with the near modes); with no map on disk (no displacement
-    yet, or a rank-less store) the frame is returned as-is."""
+    yet, or a rank-less store) the frame is returned as-is.
+
+    The map covers CONTENT-dedup edges only (r18 advice): url groups
+    are never re-decided, so when ``status_col`` is present only rows
+    with status ``"duplicate"`` are rewritten — a doc that is both a
+    URL-group keeper and a later-displaced content representative
+    keeps its ``url_duplicate`` edges pointing at the URL keeper.
+    Pass ``status_col=None`` for a bare (id, keeper) frame with no
+    status column."""
     spark = decisions.sparkSession
     m = _read_if_exists(spark, os.path.join(store_path, "keeper_map"))
     if m is None:
         return decisions
     m = m.select(F.col("old").alias("__o"), F.col("new").alias("__n"))
+    repl = F.coalesce("__n", col)
+    if status_col is not None and status_col in decisions.columns:
+        repl = F.when(
+            F.col(status_col) == "duplicate", repl
+        ).otherwise(F.col(col))
     return (
         decisions.join(m, decisions[col] == m["__o"], "left")
-        .withColumn(col, F.coalesce("__n", col))
+        .withColumn(col, repl)
         .drop("__o", "__n")
     )
 
@@ -106,23 +120,61 @@ def _write_keeper_map(spark, map_dir: str, wmap) -> None:
     :func:`resolve_keepers` needs one lookup.  Idempotent under
     re-application of the same ``wmap``: within one compaction the
     old and new sets are disjoint (a winning candidate was never a
-    representative), so re-composing changes nothing and the union
-    dedups under ``distinct``."""
+    representative), so re-composing changes nothing and the per-old
+    collapse keeps the identical row.
+
+    The first-ever write rides its own scratch+rename dance (r18
+    advice #1): a bare ``write.parquet(map_dir)`` interrupted mid-write
+    leaves a footer-less directory that every later read throws on —
+    and because the batch's ledger row is already committed, replay
+    never retries it.  Writing to ``map_dir + "._init"`` and renaming
+    in means a crash leaves either nothing (retried at the next
+    compaction from the same unrewritten stores) or a complete map.
+    The ``._init`` suffix is deliberately NOT ``._compact``:
+    :func:`_recover_store` trusts a ``._compact`` leftover as a
+    known-complete copy, which a crashed first write is not."""
     prev = _read_if_exists(spark, map_dir)
     if prev is None:
         if wmap.limit(1).count() > 0:
-            wmap.write.parquet(map_dir)
+            jvm = spark._jvm
+            live = jvm.org.apache.hadoop.fs.Path(map_dir)
+            tmp = jvm.org.apache.hadoop.fs.Path(map_dir + "._init")
+            fs = live.getFileSystem(spark._jsc.hadoopConfiguration())
+            if fs.exists(tmp):
+                fs.delete(tmp, True)
+            wmap.write.parquet(str(tmp))
+            if not fs.rename(tmp, live):
+                raise IOError(f"keeper map: could not publish {map_dir}")
         return
 
     def _compose(m):
+        # compose the existing rows through the fresh displacements,
+        # then collapse to ONE row per old (r18 advice #3): a crash
+        # between a map append and its companion store rewrite can
+        # leave a stale (old -> x) whose x is neither a current keeper
+        # nor in wmap's old set — union+distinct would let it sit
+        # beside the fresh (old -> y) forever and fan resolve_keepers
+        # out.  The freshly-derived wmap row wins its old; ties among
+        # leftovers break to min new for determinism.
         wr = wmap.select(
             F.col("old").alias("__wo"), F.col("new").alias("__wn")
         )
-        return (
+        allrows = (
             m.join(wr, m["new"] == wr["__wo"], "left")
-            .select(m["old"], F.coalesce("__wn", m["new"]).alias("new"))
-            .unionByName(wmap)
-            .distinct()
+            .select(
+                m["old"],
+                F.coalesce("__wn", m["new"]).alias("new"),
+                F.lit(0).alias("__pri"),
+            )
+            .unionByName(wmap.select("old", "new", F.lit(1).alias("__pri")))
+        )
+        w = Window.partitionBy("old").orderBy(
+            F.col("__pri").desc(), F.col("new").asc()
+        )
+        return (
+            allrows.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn", "__pri")
         )
 
     _compact_store(spark, map_dir, transform=_compose)

@@ -2453,6 +2453,23 @@ def test_capped_arms_drop_semantics(spark):
     )
 
 
+def test_bloom_num_hashes_validation(spark):
+    """r18 advice #4: ``num_hashes < 1`` would build an EMPTY bit
+    table and silently flag zero grams — violating the documented
+    no-false-negative guarantee; it must fail loudly like the fpp
+    check does."""
+    import pytest as _pytest
+
+    from matcha_spark.operators.text import ngram_bloom_bits
+
+    probes = spark.createDataFrame(
+        [(1, "a b c d")], "pid long, text string"
+    )
+    for bad in (0, -1):
+        with _pytest.raises(ValueError, match="num_hashes"):
+            ngram_bloom_bits(probes, n=2, num_hashes=bad)
+
+
 def test_bloom_contamination_superset(spark):
     """r17: the Bloom decontamination path (the 100-TB probe-set
     shape).  Contract vs the exact operator on the identical gram

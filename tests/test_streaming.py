@@ -1447,3 +1447,225 @@ def test_stream_seen_filter_equals_batch_dedup_url(spark):
     n_keys = spark.read.parquet(os.path.join(base, "store", "keys")).count()
     assert n_keys == len(batch)
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_resolve_keepers_status_filter(spark):
+    """r18 advice #2: the keeper map covers CONTENT-dedup edges only.
+    A doc that is both a URL-group keeper and a later-displaced content
+    representative must keep its ``url_duplicate`` edges pointing at
+    the URL keeper — only ``status == 'duplicate'`` rows resolve.
+    A frame WITHOUT the status column keeps the rewrite-everything
+    behavior (bare (id, keeper) logs)."""
+    import os
+
+    from matcha_spark.streaming.curate import resolve_keepers
+
+    base = tempfile.mkdtemp(prefix="mrk_status_")
+    spark.createDataFrame(
+        [(1, 7)], "old long, new long"
+    ).write.parquet(os.path.join(base, "keeper_map"))
+    log = spark.createDataFrame(
+        [(2, "url_duplicate", 1), (3, "duplicate", 1), (4, "kept", None)],
+        "doc_id long, status string, dup_of long",
+    )
+    res = {r.doc_id: r.dup_of for r in resolve_keepers(log, base).collect()}
+    assert res == {2: 1, 3: 7, 4: None}
+    # no status column -> every matching edge rewrites (documented)
+    bare = spark.createDataFrame(
+        [(2, 1), (3, 1)], "doc_id long, dup_of long"
+    )
+    res = {r.doc_id: r.dup_of for r in resolve_keepers(bare, base).collect()}
+    assert res == {2: 7, 3: 7}
+    # explicit opt-out on a status-bearing frame
+    res = {r.doc_id: r.dup_of for r in resolve_keepers(
+        log, base, status_col=None).collect()}
+    assert res == {2: 7, 3: 7, 4: None}
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_keeper_map_first_write_atomic(spark):
+    """r18 advice #1: the first-ever keeper_map write rides a
+    scratch+rename dance — a stale half-written ``._init`` leftover
+    from a crashed attempt is discarded and the retry publishes a
+    complete readable map; the live dir never exists in a footer-less
+    state."""
+    import os
+
+    from matcha_spark.streaming.curate import _write_keeper_map
+
+    base = tempfile.mkdtemp(prefix="mkm_init_")
+    map_dir = os.path.join(base, "keeper_map")
+    # a crashed first attempt: scratch dir with garbage, no live dir
+    os.makedirs(map_dir + "._init")
+    open(os.path.join(map_dir + "._init", "part-junk"), "w").write("x")
+    wmap = spark.createDataFrame([(1, 2)], "old long, new long")
+    _write_keeper_map(spark, map_dir, wmap)
+    assert {(r.old, r.new) for r in spark.read.parquet(map_dir).collect()} \
+        == {(1, 2)}
+    assert not os.path.exists(map_dir + "._init")
+    # empty wmap on a missing map: still no dir created
+    map2 = os.path.join(base, "km2")
+    _write_keeper_map(spark, map2, wmap.limit(0))
+    assert not os.path.exists(map2)
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_keeper_map_compose_collapses_stale(spark):
+    """r18 advice #3: a crash between the map append and its companion
+    store rewrite can leave a stale ``(old -> x)`` row; when the next
+    compaction derives ``(old -> y)`` the map must collapse to ONE row
+    per old (the freshly-derived winner), not fan out under
+    union+distinct."""
+    import os
+
+    from matcha_spark.streaming.curate import _write_keeper_map
+
+    base = tempfile.mkdtemp(prefix="mkm_stale_")
+    map_dir = os.path.join(base, "keeper_map")
+    spark.createDataFrame(
+        [(10, 20)], "old long, new long"
+    ).write.parquet(map_dir)
+    # crash-era retry: the re-derived displacement names a NEWER winner
+    wmap = spark.createDataFrame([(10, 30)], "old long, new long")
+    _write_keeper_map(spark, map_dir, wmap)
+    rows = {(r.old, r.new) for r in spark.read.parquet(map_dir).collect()}
+    assert rows == {(10, 30)}              # one row per old, fresh wins
+    # idempotence: re-applying the same wmap changes nothing
+    _write_keeper_map(spark, map_dir, wmap)
+    assert {(r.old, r.new)
+            for r in spark.read.parquet(map_dir).collect()} == rows
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_keeper_map_fuzz_union_find(spark):
+    """r18 (verdict ask #6): property fuzz of the keeper-map
+    composition — over random displacement sequences (with replayed
+    appends interleaved, the crash-retry shape) the composed map must
+    equal the brute-force union-find resolution of the raw
+    displacement log: every ever-displaced id maps DIRECTLY to its
+    final representative (one-lookup contract)."""
+    import os
+    import random
+
+    from matcha_spark.streaming.curate import _write_keeper_map
+
+    for seed in range(30):
+        rng = random.Random(seed)
+        base = tempfile.mkdtemp(prefix=f"mkm_fuzz{seed}_")
+        map_dir = os.path.join(base, "keeper_map")
+        reps = list(range(1, 1 + rng.randint(1, 4)))   # live reps
+        next_id = 100
+        raw_log = []                                    # displacement order
+        steps = rng.randint(1, 6)
+        for _ in range(steps):
+            # each compaction displaces a random subset of live reps,
+            # each by a fresh winner (old/new disjoint within a step)
+            k = rng.randint(1, len(reps))
+            olds = rng.sample(reps, k)
+            pairs = []
+            for o in olds:
+                n = next_id
+                next_id += 1
+                pairs.append((o, n))
+                reps[reps.index(o)] = n
+            raw_log.extend(pairs)
+            wmap = spark.createDataFrame(pairs, "old long, new long")
+            _write_keeper_map(spark, map_dir, wmap)
+            if rng.random() < 0.4:                      # crash-replay
+                _write_keeper_map(spark, map_dir, wmap)
+        # brute-force union-find over the raw log
+        parent = {}
+        for o, n in raw_log:
+            parent[o] = n
+
+        def find(x):
+            while x in parent:
+                x = parent[x]
+            return x
+
+        want = {o: find(o) for o, _ in raw_log}
+        got = {r.old: r.new
+               for r in spark.read.parquet(map_dir).collect()}
+        assert got == want, (seed, raw_log, got, want)
+        # one row per old (no fan-out)
+        assert spark.read.parquet(map_dir).count() == len(want)
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_curate_swap_membership_monotone(spark):
+    """r18 (verdict ask #4 follow-up): a compaction keeper swap never
+    un-admits an already-admitted member — every pre-swap arrival
+    verdict survives verbatim in the append-only log, each duplicate
+    edge resolves to the CURRENT representative in one lookup, and the
+    only arrivals whose verdict may diverge from a no-swap world are
+    the documented star-vs-component straddlers: docs near the OLD
+    representative but not the new one (here: a doc near BOTH reps
+    matches post-swap exactly as it would have pre-swap)."""
+    import os
+
+    from matcha_spark.streaming.curate import resolve_keepers, stream_curate
+
+    base = tempfile.mkdtemp(prefix="mcurate_mono_")
+    src_dir = os.path.join(base, "src")
+    os.makedirs(src_dir)
+    schema = "doc_id long, text string"
+    t = ("the cat and the dog sat in the house that is it for a story "
+         "about the animals and their day together in it all")
+    got = {}
+    log_rows = []
+
+    def sink(df, bid):
+        for r in df.collect():
+            got[r.doc_id] = (r.status, r.dup_of)
+            log_rows.append((r.doc_id, r.status, r.dup_of))
+
+    def run():
+        q = stream_curate(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src_dir),
+            os.path.join(base, "store"),
+            sink,
+            dedup="simhash",
+            max_hamming=16,
+            dedup_rank=F.length("text"),
+            quality_kwargs={"min_tokens": 5, "max_punct_ratio": 0.3},
+            checkpoint_dir=os.path.join(base, "ckpt"),
+            compact_every=2,
+        )
+        q.awaitTermination(180)
+
+    # batch 1: rep 1 (highest-ranked in batch) + member 5; batch 2: a
+    # still-better copy 2 -> the compaction swap fires
+    spark.createDataFrame(
+        [(1, t + " aa bb"), (5, t)], schema
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+    spark.createDataFrame(
+        [(2, t + " extended words here")], schema
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+    run()
+    pre_swap = dict(got)
+    assert pre_swap[1] == ("kept", None)
+    assert pre_swap[5] == ("duplicate", 1)
+    assert pre_swap[2] == ("duplicate", 1)
+    kmap = {(r.old, r.new) for r in spark.read.parquet(
+        os.path.join(base, "store", "keeper_map")).collect()}
+    assert kmap == {(1, 2)}
+
+    # batch 3: a straddler near both reps (a copy of the shared core)
+    spark.createDataFrame(
+        [(9, t + " zz")], schema
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+    got.clear()
+    run()
+    # monotonicity: no pre-swap verdict was retro-edited (append-only
+    # log never re-emits those ids), and the straddler still matches
+    assert not got.keys() & pre_swap.keys()
+    assert got[9] == ("duplicate", 2)
+    # every admitted member resolves to the CURRENT rep in one lookup
+    log = spark.createDataFrame(
+        log_rows, "doc_id long, status string, dup_of long")
+    res = {r.doc_id: r.dup_of
+           for r in resolve_keepers(log, os.path.join(base, "store"))
+           .where("status = 'duplicate'").collect()}
+    assert res == {5: 2, 2: 2, 9: 2}
+    shutil.rmtree(base, ignore_errors=True)
