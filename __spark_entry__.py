@@ -39,10 +39,10 @@ def oracle_sql() -> dict[str, str]:
     # oracle-backed entry OUTSIDE the window with no prior record would
     # break the registry audit, so its oracle publishes with the next
     # rotation instead — tools/check_oracle.py still verifies it
-    # locally from suite.ORACLES).  EMPTY as of r15: the three r14
-    # holdbacks (doc_warc_ingest, doc_dup_spans_planted,
-    # dedup_keep_best_docs) published with the r15 rotation, and the
-    # three NEW r15 entries ship with live oracles inside the window.
+    # locally from suite.ORACLES).  r18: holds doc_lang_classifier
+    # (promoted to oracle-backed; the full r18 window took the other
+    # promoted entry, doc_contamination_bloom) — it publishes at the
+    # head of the r19 window.
     # tools/registry_audit.py fails if any holdback persists past the
     # round it was declared, so the mechanism can never silently
     # shelve an entry.  Previous use: four r11 holdbacks published

@@ -55,6 +55,7 @@ def main() -> None:
         bgp_path_reach_urgent,
         bgp_path_region_members,
         doc_contamination,
+        doc_contamination_bloom,
         doc_image_phash,
         doc_media_features,
         doc_pipeline_curate,
@@ -231,6 +232,12 @@ def main() -> None:
     bench("emb_semdedup", lambda: force(D.semdedup(emb, threshold=0.4, n_clusters=8)))
     bench("doc_image_phash", lambda: force(doc_image_phash(spark, SF_DIR)))
     bench("doc_contamination", lambda: force(doc_contamination(spark, SF_DIR)))
+    # r18 (verdict ask #7): the Bloom decontamination path gets its own
+    # per-round trend entry — the suite entry runs BOTH arms (exact +
+    # bloom) plus the soundness booleans, so this watermarks the whole
+    # 100-TB shape, not just the bit-table probe
+    bench("doc_contamination_bloom",
+          lambda: force(doc_contamination_bloom(spark, SF_DIR)))
     bench("doc_unigram_logloss", lambda: force(doc_unigram_logloss(spark, SF_DIR)))
     bench("doc_pipeline_curate", lambda: force(doc_pipeline_curate(spark, SF_DIR)))
     bench("doc_strip_dup_ngrams", lambda: force(T.strip_dup_ngrams(docs, n=5)))

@@ -891,3 +891,73 @@ def test_iterative_oracle_equivalence():
     # union-find ground truth: a single chain, everyone keeps node 100
     assert it == [(i + 100, 100) for i in range(n)]
     con.close()
+
+
+def test_retired_entry_equivalences_r18(spark):
+    """r18 registry consolidation (funding the two promoted oracles
+    doc_contamination_bloom / doc_lang_classifier) — each retired
+    invariant is COMPUTED against the still-backed sibling that
+    subsumes it:
+
+    - doc_quality_filter (funding doc_contamination_bloom's slot):
+      quality_filter with no compression band is EXACTLY
+      text_quality filtered by the four threshold predicates — same
+      rows, same columns, same values (the signal values stay
+      hash-backed through doc_text_quality, and the gate also runs
+      inside doc_pipeline_curate's oracle-backed cascade).
+
+    - doc_contamination (funding doc_lang_classifier's slot): the
+      promoted doc_contamination_bloom hash-checks the exact side's
+      per-doc (n_grams, contaminated_grams) under the same oracle
+      CTEs; the only dropped column, the 6dp contamination ratio, is
+      the row-local derivation round(cg / ng, 6) — replayed below
+      from the subsuming entry's own columns."""
+    from pyspark.sql import functions as F
+
+    from matcha_spark import suite
+
+    sf = "/root/testdata/sf0.001"
+
+    # doc_quality_filter ≡ doc_text_quality + threshold predicates
+    gate = {
+        tuple(r) for r in suite.doc_quality_filter(spark, sf).collect()
+    }
+    derived = {
+        tuple(r)
+        for r in suite.doc_text_quality(spark, sf)
+        .where(
+            (F.col("n_tokens") >= 40)
+            & (F.col("avg_token_len") <= 12.0)
+            & (F.col("punct_ratio") <= 0.1)
+            & (F.col("stopword_ratio") >= 0.01)
+        )
+        .collect()
+    }
+    assert gate == derived and 0 < len(gate)
+
+    # doc_contamination ≡ doc_contamination_bloom's exact columns +
+    # the row-local ratio derivation
+    full = {
+        (r.doc_id, r.n_grams, r.contaminated_grams, r.contamination)
+        for r in suite.doc_contamination(spark, sf).collect()
+    }
+    replayed = {
+        (
+            r.doc_id,
+            r.n_grams,
+            r.contaminated_grams,
+            r.contamination,
+        )
+        for r in suite.doc_contamination_bloom(spark, sf)
+        .withColumn(
+            "contamination",
+            F.when(F.col("n_grams") == 0, F.lit(0.0)).otherwise(
+                F.round(
+                    F.col("contaminated_grams") / F.col("n_grams"), 6
+                )
+            ),
+        )
+        .select("doc_id", "n_grams", "contaminated_grams", "contamination")
+        .collect()
+    }
+    assert full == replayed and any(c > 0 for *_, c in full)

@@ -154,6 +154,9 @@ CARTESIAN_OK: set[str] = {
     # the 1-row prior-only fallback both cross-join as broadcasts by
     # design
     "doc_lang_classifier",
+    # r18 promotion: the fp_env_ok scalar (one corpus-wide aggregate
+    # row) broadcast-cross-joins onto the per-doc frame by design
+    "doc_contamination_bloom",
 }
 
 
@@ -327,11 +330,16 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    from matcha_spark import suite
     from matcha_spark.suite import QUERIES
 
     rc = 0
     for name in names:
-        df = QUERIES[name](spark, SF_DIR)
+        # retired registry entries keep their suite functions (the
+        # subsumption tests replay them), and their plan classes stay
+        # audit-worthy — fall back to the module attribute
+        fn = QUERIES.get(name, getattr(suite, name, None))
+        df = fn(spark, SF_DIR)
         problems = audit_entry(name, plan_of(df))
         if problems:
             rc = 1
