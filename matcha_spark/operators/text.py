@@ -1234,6 +1234,78 @@ def bloom_contamination(
     )
 
 
+def merge_bloom_bits(a: dict, b: dict) -> dict:
+    """Union two :func:`ngram_bloom_bits` tables built with IDENTICAL
+    parameters — the incremental-decontamination path (r18): when a
+    new eval suite lands, build its (small) bit table alone and merge,
+    instead of re-gramming every probe set ever shipped.  The union is
+    EXACT, not approximate: Bloom insertion is idempotent ``bit_or``,
+    which is associative and commutative, so
+    ``merge(bits(P1), bits(P2)) == bits(P1 ∪ P2)`` bit for bit (the
+    identity is pytest-pinned).  One full-outer join on ``word_idx``
+    + per-word ``bit_or`` — no collect, no driver array.
+
+    Raises ``ValueError`` on any parameter mismatch: differing sizes,
+    hash counts, gram lengths, or seeds index DIFFERENT bit positions,
+    and a silent union would destroy the no-false-negative
+    guarantee."""
+    for key in ("num_bits", "num_hashes", "n", "seed"):
+        if a[key] != b[key]:
+            raise ValueError(
+                f"bloom merge: {key} mismatch ({a[key]} vs {b[key]}) — "
+                "tables must be built with identical parameters"
+            )
+    bb = b["bits"].select(
+        "word_idx", F.col("bits").alias("__b2")
+    )
+    merged = (
+        a["bits"].join(bb, "word_idx", "full_outer")
+        .select(
+            "word_idx",
+            (
+                F.coalesce("bits", F.lit(0)).bitwiseOR(
+                    F.coalesce("__b2", F.lit(0))
+                )
+            ).alias("bits"),
+        )
+    )
+    return {**a, "bits": merged}
+
+
+def save_bloom_bits(bloom: dict, path: str) -> None:
+    """Persist a :func:`ngram_bloom_bits` table for reuse across jobs
+    (the nightly-decontamination workflow: build/merge once, probe
+    every training shard against it).  The non-zero words write as
+    parquet under ``path`` with the four scalar parameters stamped on
+    every row — self-describing, no sidecar file, and the redundancy
+    costs ~24 bytes/row against rows that are already 16."""
+    bloom["bits"].select(
+        "word_idx", "bits",
+        F.lit(int(bloom["num_bits"])).alias("num_bits"),
+        F.lit(int(bloom["num_hashes"])).alias("num_hashes"),
+        F.lit(int(bloom["n"])).alias("n"),
+        F.lit(int(bloom["seed"])).alias("seed"),
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_bloom_bits(spark, path: str) -> dict:
+    """Load a :func:`save_bloom_bits` table back into the dict shape
+    :func:`bloom_contamination` and :func:`merge_bloom_bits` consume.
+    The scalar parameters come from one ``first()`` row (every row
+    carries the same values by construction)."""
+    df = spark.read.parquet(path)
+    head = df.select("num_bits", "num_hashes", "n", "seed").first()
+    if head is None:
+        raise ValueError(f"bloom load: {path} is empty")
+    return {
+        "bits": df.select("word_idx", "bits"),
+        "num_bits": int(head["num_bits"]),
+        "num_hashes": int(head["num_hashes"]),
+        "n": int(head["n"]),
+        "seed": int(head["seed"]),
+    }
+
+
 def train_token_classifier(
     examples: DataFrame,
     label_col: str = "label",

@@ -2453,6 +2453,71 @@ def test_capped_arms_drop_semantics(spark):
     )
 
 
+def test_bloom_merge_and_persist(spark):
+    """r18: incremental decontamination — merging two bit tables built
+    with identical parameters equals the table built from the unioned
+    probe sets BIT FOR BIT (bit_or is associative/commutative and
+    insertion is idempotent, so the union is exact, not approximate);
+    parameter mismatches fail loudly; a save/load round-trip feeds
+    bloom_contamination unchanged."""
+    import os
+    import shutil
+    import tempfile
+
+    import pytest as _pytest
+
+    from matcha_spark.operators.text import (
+        bloom_contamination,
+        load_bloom_bits,
+        merge_bloom_bits,
+        ngram_bloom_bits,
+        save_bloom_bits,
+    )
+
+    p1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "pid long, text string",
+    )
+    p2 = spark.createDataFrame(
+        [(3, "iota kappa lambda mu"), (4, "alpha beta gamma delta")],
+        "pid long, text string",
+    )
+    kw = dict(n=2, num_bits=4096, num_hashes=5, seed=42)
+    b1 = ngram_bloom_bits(p1, **kw)
+    b2 = ngram_bloom_bits(p2, **kw)
+    merged = merge_bloom_bits(b1, b2)
+    union = ngram_bloom_bits(p1.unionByName(p2), **kw)
+    got = {(r.word_idx, r.bits) for r in merged["bits"].collect()}
+    want = {(r.word_idx, r.bits) for r in union["bits"].collect()}
+    assert got == want and len(want) > 0          # bit-exact union
+
+    for key, val in [("num_bits", 8192), ("num_hashes", 4),
+                     ("n", 3), ("seed", 7)]:
+        bad = ngram_bloom_bits(p2, **{**kw, key: val})
+        with _pytest.raises(ValueError, match=key):
+            merge_bloom_bits(b1, bad)
+
+    base = tempfile.mkdtemp(prefix="mbloom_")
+    path = os.path.join(base, "bloom")
+    save_bloom_bits(merged, path)
+    loaded = load_bloom_bits(spark, path)
+    assert {k: loaded[k] for k in ("num_bits", "num_hashes", "n", "seed")} \
+        == {k: merged[k] for k in ("num_bits", "num_hashes", "n", "seed")}
+    docs = spark.createDataFrame(
+        [(10, "alpha beta gamma delta trailing"),
+         (11, "totally unrelated clean words here")],
+        "doc_id long, text string",
+    )
+    via_loaded = {(r.doc_id, r.contaminated_grams)
+                  for r in bloom_contamination(docs, loaded).collect()}
+    via_merged = {(r.doc_id, r.contaminated_grams)
+                  for r in bloom_contamination(docs, merged).collect()}
+    assert via_loaded == via_merged
+    leaked = dict(via_loaded)
+    assert leaked[10] >= 3                         # planted span flagged
+    shutil.rmtree(base, ignore_errors=True)
+
+
 def test_bloom_num_hashes_validation(spark):
     """r18 advice #4: ``num_hashes < 1`` would build an EMPTY bit
     table and silently flag zero grams — violating the documented
