@@ -240,66 +240,81 @@ def write_ntriples(db: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 # one N-Triples term: IRI | blank node | literal (with optional @lang /
 # ^^<dt>); bnodes are accepted in every position (lenient — real-world
-# Turtle-ish dumps put them anywhere), labels per the spec's ASCII core
+# Turtle-ish dumps put them anywhere), labels per the spec's ASCII core.
+# The closed repetitions use POSSESSIVE quantifiers (r18, guide §1/§2:
+# the parse regex runs once per line over lines that can carry whole
+# documents): `[^>]*+` and the string-body loop can never legitimately
+# give characters back (the closing delimiter is excluded from the
+# repeated class), so possessive matching is exactly equivalent while
+# removing the backtracking state Java's engine would otherwise keep
+# per character of a multi-KB literal.  The bnode label's inner
+# repetition is deliberately NOT possessive — its trailing character
+# class overlaps the repeated one, so it genuinely needs to give one
+# character back.
 _TERM_RX = (
-    r'(?:<[^>]*>|_:[A-Za-z0-9_](?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?'
-    r'|"(?:[^"\\]|\\.)*"(?:@[A-Za-z][A-Za-z0-9-]*|\^\^<[^>]*>)?)'
+    r'(?:<[^>]*+>|_:[A-Za-z0-9_](?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?'
+    r'|"(?:[^"\\]|\\.)*+"(?:@[A-Za-z][A-Za-z0-9-]*+|\^\^<[^>]*+>)?)'
 )
 _LINE_RX = rf"^\s*({_TERM_RX})\s+({_TERM_RX})\s+({_TERM_RX})\s*\.\s*$"
 
 
-def _parse_iri_body(body: Column) -> Column:
-    """TERM struct from the inside of ``<...>`` (IRI or reserved
-    ``urn:matcha:`` encoding)."""
+# the reserved-scheme kinds _parse_iri_body recognises; anything else
+# under urn:matcha:* parses as an opaque URI (unchanged contract)
+_IRI_KINDS = (
+    "null", "uri", "bnode", "kw", "str", "int", "double", "bool",
+    "date", "datetime", "unbound", "lang", "typed",
+)
+
+
+def _iri_fields(body: Column) -> tuple[Column, Column, Column, Column, Column]:
+    """(kind, lex, num, lang, dt) for the inside of ``<...>`` — the
+    per-FIELD decomposition of the old case-of-structs chain (r18,
+    guide §1.2 "per-task work"): building one struct whose five fields
+    are each a small CASE is semantically identical to a 14-branch
+    CASE of five-field structs, but shrinks the generated code ~5× —
+    the old form compiled past the JIT method limit and the whole
+    parse stage ran interpreted."""
     pref = "urn:matcha:"
     rest = F.substring(body, len(pref) + 1, 1 << 30)
     kind = F.regexp_extract(rest, r"^([a-z]+)", 1)
     tail = F.regexp_extract(rest, r"^[a-z]+:(.*)$", 1)
     # lang mirrors typed: both lex and tag are ENC'd (ENC never emits
     # ':', so the last-colon split is unambiguous)
-    lang_lex = _dec(F.regexp_extract(tail, r"^(.*):([^:]*)$", 1))
-    lang_tag = _dec(F.regexp_extract(tail, r"^(.*):([^:]*)$", 2))
-    typed_lex = _dec(F.regexp_extract(tail, r"^(.*):([^:]*)$", 1))
-    typed_dt = _dec(F.regexp_extract(tail, r"^(.*):([^:]*)$", 2))
-    return (
-        F.when(~body.startswith(pref), _term(F.lit("uri"), body))
-        .when(kind == F.lit("null"), _term(F.lit("null"), F.lit("")))
-        .when(kind == F.lit("uri"), _term(F.lit("uri"), _dec(tail)))
-        .when(kind == F.lit("bnode"), _term(F.lit("bnode"), _dec(tail)))
-        .when(kind == F.lit("kw"), _term(F.lit("kw"), _dec(tail)))
-        .when(kind == F.lit("str"), _term(F.lit("str"), _dec(tail)))
-        .when(kind == F.lit("int"), _term(F.lit("int"), tail, num=_finite(tail)))
-        .when(
-            kind == F.lit("double"),
-            _term(F.lit("double"), F.lit(""), num=tail.cast("double")),
-        )
-        .when(
-            kind == F.lit("bool"),
-            _term(F.lit("bool"), tail, num=(tail == "true").cast("double")),
-        )
-        .when(
-            kind == F.lit("date"),
-            _term(
-                F.lit("date"),
-                tail,
-                num=(F.datediff(tail.cast("date"), F.lit("0001-01-01").cast("date")) + 1).cast(
-                    "double"
-                ),
-            ),
-        )
-        .when(kind == F.lit("datetime"), _datetime_term(_dec(tail)))
-        .when(
-            kind == F.lit("unbound"),
-            _term(
-                F.lit("unbound"),
-                tail,
-                num=F.regexp_extract(tail, r"^_(\d+)$", 1).cast("double"),
-            ),
-        )
-        .when(kind == F.lit("lang"), _term(F.lit("lang"), lang_lex, lang=lang_tag))
-        .when(kind == F.lit("typed"), _term(F.lit("typed"), typed_lex, dt=typed_dt))
-        .otherwise(_term(F.lit("uri"), body))  # unknown urn:matcha:* → opaque IRI
+    pair_lex = _dec(F.regexp_extract(tail, r"^(.*):([^:]*)$", 1))
+    pair_tag = _dec(F.regexp_extract(tail, r"^(.*):([^:]*)$", 2))
+    reserved = body.startswith(pref) & kind.isin(*_IRI_KINDS)
+    k = F.when(reserved, kind).otherwise(F.lit("uri"))
+    lex = (
+        F.when(~reserved, body)  # genuine / unknown-scheme URI
+        .when(kind == "null", F.lit(""))
+        .when(kind.isin("uri", "bnode", "kw", "str", "datetime"), _dec(tail))
+        .when(kind == "double", F.lit(""))
+        .when(kind.isin("lang", "typed"), pair_lex)
+        .otherwise(tail)  # int / bool / date / unbound: raw lexical form
     )
+    aware_dt = _dec(tail)
+    num = (
+        F.when(~reserved, F.lit(0.0))
+        .when(kind == "int", _finite(tail))
+        .when(kind == "double", tail.cast("double"))
+        .when(kind == "bool", (tail == "true").cast("double"))
+        .when(
+            kind == "date",
+            (
+                F.datediff(tail.cast("date"), F.lit("0001-01-01").cast("date"))
+                + 1
+            ).cast("double"),
+        )
+        .when(kind == "datetime", _datetime_num(aware_dt))
+        .when(
+            kind == "unbound",
+            F.regexp_extract(tail, r"^_(\d+)$", 1).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    lang = F.when(reserved & (kind == "lang"), pair_tag).otherwise(F.lit(""))
+    dt = F.when(reserved & (kind == "typed"), pair_tag).otherwise(F.lit(""))
+    return k, lex, num, lang, dt
 
 
 def _finite(c: Column) -> Column:
@@ -326,24 +341,30 @@ def _term(kind: Column, lex: Column, num: Column | None = None,
     )
 
 
-def _datetime_term(lex: Column) -> Column:
+def _datetime_num(lex: Column) -> Column:
     # num mirror = epoch seconds for tz-aware stamps (matches
     # ``to_term``: naive datetimes carry num 0.0).  ISO-8601 offsets
     # parse natively; micros preserved via unix_micros/1e6.
     aware = lex.rlike(r"(Z|[+-][0-9]{2}:[0-9]{2})$")
-    num = F.when(aware, F.unix_micros(F.to_timestamp(lex)) / F.lit(1000000.0)).otherwise(
-        F.lit(0.0)
-    )
-    return _term(F.lit("datetime"), lex, num=num)
+    return F.when(
+        aware, F.unix_micros(F.to_timestamp(lex)) / F.lit(1000000.0)
+    ).otherwise(F.lit(0.0))
 
 
 def _parse_term(ts: Column) -> Column:
-    """TERM struct from one rendered N-Triples term string."""
+    """TERM struct from one rendered N-Triples term string.
+
+    Built field-by-field (five small CASE chains feeding ONE struct)
+    rather than as a CASE over fully-built structs — same result, ~5×
+    less generated code, which keeps the whole parse projection inside
+    whole-stage codegen's JIT-compilable method size (r18; the old
+    shape made this the slowest expression in the suite)."""
     is_iri = ts.startswith("<")
+    is_bn = ts.startswith("_:")
     iri_body = F.regexp_extract(ts, r"^<(.*)>$", 1)
-    lit_body = _unesc_chain(F.regexp_extract(ts, r'^"((?:[^"\\]|\\.)*)"', 1))
-    lang_tag = F.regexp_extract(ts, r'"@([A-Za-z][A-Za-z0-9-]*)$', 1)
-    dt_iri = F.regexp_extract(ts, r"\^\^<([^>]*)>$", 1)
+    lit_body = _unesc_chain(F.regexp_extract(ts, r'^"((?:[^"\\]|\\.)*+)"', 1))
+    lang_tag = F.regexp_extract(ts, r'"@([A-Za-z][A-Za-z0-9-]*+)$', 1)
+    dt_iri = F.regexp_extract(ts, r"\^\^<([^>]*+)>$", 1)
     plain_kind = (
         F.when(dt_iri == f"{_XSD}integer", F.lit("int"))
         .when(dt_iri == f"{_XSD}double", F.lit("double"))
@@ -353,7 +374,7 @@ def _parse_term(ts: Column) -> Column:
         .when(dt_iri == "", F.lit("str"))
         .otherwise(F.lit("typed"))
     )
-    num = (
+    lit_num = (
         F.when(plain_kind == "int", _finite(lit_body))
         .when(plain_kind == "double", lit_body.cast("double"))
         .when(plain_kind == "bool", (lit_body == "true").cast("double"))
@@ -363,30 +384,45 @@ def _parse_term(ts: Column) -> Column:
                 "double"
             ),
         )
+        .when(plain_kind == "datetime", _datetime_num(lit_body))
         .otherwise(F.lit(0.0))
     )
-    literal = (
-        F.when(lang_tag != "", _term(F.lit("lang"), lit_body, lang=lang_tag))
-        .when(
-            plain_kind == "typed",
-            _term(F.lit("typed"), lit_body, dt=dt_iri),
-        )
-        .when(
-            plain_kind == "double",
-            _term(F.lit("double"), F.lit(""), num=num),
-        )
-        .when(plain_kind == "datetime", _datetime_term(lit_body))
-        .otherwise(_term(plain_kind, lit_body, num=num))
+    ik, ilex, inum, ilang, idt = _iri_fields(iri_body)
+    # the coalesce never fires for a non-null input (every branch ends
+    # in a literal; a NULL line falls through to plain_kind's "typed"
+    # exactly as the old chain did) — it exists to keep the field's
+    # TYPE non-nullable so the TERM_TYPE cast stays legal on nullable
+    # text columns
+    kind = F.coalesce(
+        F.when(is_iri, ik)
+        .when(is_bn, F.lit("bnode"))
+        .when(lang_tag != "", F.lit("lang"))
+        .otherwise(plain_kind),
+        F.lit("typed"),
     )
-    return (
-        F.when(is_iri, _parse_iri_body(iri_body))
-        .when(
-            ts.startswith("_:"),
-            _term(F.lit("bnode"), F.substring(ts, 3, 1 << 30)),
-        )
-        .otherwise(literal)
-        .cast(TERM_TYPE)
+    lex = (
+        F.when(is_iri, ilex)
+        .when(is_bn, F.substring(ts, 3, 1 << 30))
+        .when((lang_tag == "") & (plain_kind == "double"), F.lit(""))
+        .otherwise(lit_body)
     )
+    num = (
+        F.when(is_iri, inum)
+        .when(is_bn | (lang_tag != ""), F.lit(0.0))
+        .otherwise(lit_num)
+    )
+    lang = (
+        F.when(is_iri, ilang)
+        .when(is_bn, F.lit(""))
+        .otherwise(lang_tag)
+    )
+    dt = (
+        F.when(is_iri, idt)
+        .when(is_bn | (lang_tag != ""), F.lit(""))
+        .when(plain_kind == "typed", dt_iri)
+        .otherwise(F.lit(""))
+    )
+    return _term(kind, lex, num=num, lang=lang, dt=dt).cast(TERM_TYPE)
 
 
 def ntlines_to_triples(lines: DataFrame, col: str = "value") -> DataFrame:
@@ -399,14 +435,20 @@ def ntlines_to_triples(lines: DataFrame, col: str = "value") -> DataFrame:
     N-Triples dumps are machine-written).  Narrow map, no shuffle.
     """
     c = F.col(col)
-    parsed = (
-        lines.where(~F.trim(c).rlike(r"^(#.*)?$"))
-        .select(
-            F.regexp_extract(c, _LINE_RX, 1).alias("ts"),
-            F.regexp_extract(c, _LINE_RX, 2).alias("tp"),
-            F.regexp_extract(c, _LINE_RX, 3).alias("to"),
-        )
-        .where((F.col("ts") != "") & (F.col("tp") != "") & (F.col("to") != ""))
+    # ONE anchored full-match rlike is exactly the old two-step filter
+    # (blank/comment lines never match the line grammar, and a grammar
+    # match guarantees all three groups non-empty — every TERM
+    # alternative is ≥ 2 chars), but it references only the raw column:
+    # the old extract-based filter predicates were pushed below the
+    # projection and re-evaluated the full line regex (and, for
+    # composed render→parse pipelines, the entire rendering expression)
+    # three extra times per row (r18, guide §2.4/§7.2 — observed in
+    # doc_nt_roundtrip's plan as a Filter node carrying four inlined
+    # copies of the render CASE chain).
+    parsed = lines.where(c.rlike(_LINE_RX)).select(
+        F.regexp_extract(c, _LINE_RX, 1).alias("ts"),
+        F.regexp_extract(c, _LINE_RX, 2).alias("tp"),
+        F.regexp_extract(c, _LINE_RX, 3).alias("to"),
     )
     return parsed.select(
         _parse_term(F.col("ts")).alias("s"),
@@ -483,15 +525,16 @@ def nqlines_to_quads(lines: DataFrame, col: str = "value") -> DataFrame:
     skipped, malformed lines dropped (audit via
     :func:`nqlines_malformed`)."""
     c = F.col(col)
-    parsed = (
-        lines.where(~F.trim(c).rlike(r"^(#.*)?$"))
-        .select(
-            F.regexp_extract(c, _QLINE_RX, 1).alias("ts"),
-            F.regexp_extract(c, _QLINE_RX, 2).alias("tp"),
-            F.regexp_extract(c, _QLINE_RX, 3).alias("to"),
-            F.regexp_extract(c, _QLINE_RX, 4).alias("tg"),
-        )
-        .where((F.col("ts") != "") & (F.col("tp") != "") & (F.col("to") != ""))
+    # single anchored rlike filter for the same reason as
+    # ntlines_to_triples (r18): equivalent to the old blank/comment +
+    # non-empty-extract pair, without re-evaluating the line grammar
+    # (or an upstream rendering projection) inside pushed-down
+    # predicates
+    parsed = lines.where(c.rlike(_QLINE_RX)).select(
+        F.regexp_extract(c, _QLINE_RX, 1).alias("ts"),
+        F.regexp_extract(c, _QLINE_RX, 2).alias("tp"),
+        F.regexp_extract(c, _QLINE_RX, 3).alias("to"),
+        F.regexp_extract(c, _QLINE_RX, 4).alias("tg"),
     )
     return parsed.select(
         _parse_term(F.col("ts")).alias("s"),
