@@ -954,12 +954,23 @@ def triangle_count_global(
     )
 
 
+# auto-broadcast ceiling for the per-round node-value frame in
+# ``coreness`` (r18): one (node, int) row is ~20 B framed, so the
+# default caps the per-round broadcast relation around 20 MB — well
+# inside executor memory, far under the 8 GB broadcast hard cap.  At
+# cluster scale pass ``broadcast_values=False`` (or raise this) when
+# |V| exceeds it; the shuffle path stays one edge-scale exchange per
+# round instead of two.
+BROADCAST_VALUE_ROWS = 1_000_000
+
+
 def coreness(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
     unroll: int = 2,
+    broadcast_values: bool | None = None,
 ) -> DataFrame:
     """K-core decomposition over an undirected edge list: ``(node,
     core)`` where ``core`` is the largest k such that the node belongs
@@ -995,30 +1006,67 @@ def coreness(
     tail), and steps inside one linear plan cost only their shuffles.
     Monotonicity makes the batched convergence test exact: values only
     decrease, so "no change across ``unroll`` steps" ⟺ "no change at
-    the first of them" — the fixpoint and the result are unchanged."""
-    from ..cache import cut_lineage
+    the first of them" — the fixpoint and the result are unchanged.
 
-    e = (
+    Per-round shuffle shape (r18, guide §2.4): the symmetric edge set
+    is persisted PRE-PARTITIONED on the per-round join/aggregate key,
+    so each h-index step runs with **zero edge-scale exchanges** when
+    the node-value frame broadcasts (``broadcast_values``, auto at
+    ``BROADCAST_VALUE_ROWS``: join is a broadcast-hash probe of the
+    partitioned edges, and the per-node aggregate reuses that same
+    partitioning), and exactly one when it doesn't (values shuffle
+    node-scale onto the b-partitioned edges; only the aggregate
+    re-shuffles edge-scale).  The old shape re-shuffled the edge set
+    every single round.  The symmetric set is also built with one
+    ``explode`` pass instead of a union of two projections — a union
+    would execute the canonicalizing ``dropDuplicates`` once per
+    branch."""
+    from ..cache import cut_lineage, memo_persist
+
+    # canonical edges materialized ONCE (memo): the degree pass, the
+    # broadcast decision, and the partitioned symmetric set below each
+    # read the cache instead of re-running the canonicalizing dedup
+    e = memo_persist(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .where(F.col("a") != F.col("b"))
         .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .dropDuplicates()
     )
-    sym = cut_lineage(
-        e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym_plan = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a"), F.col("b")),
+                F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    # degrees first (one materialization — the barrier join consumed
+    # this subtree a second time when it was left lazy), which also
+    # yields |V| for the broadcast decision
+    cur = cut_lineage(
+        sym_plan.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("a").alias("n"), F.col("c"))
     )
-    cur = sym.groupBy("a").agg(F.count(F.lit(1)).alias("c")).select(
-        F.col("a").alias("n"), F.col("c")
-    )
+    if broadcast_values is None:
+        broadcast_values = cur.count() <= BROADCAST_VALUE_ROWS
+    # broadcast mode: partition by the AGGREGATE key so the whole step
+    # is exchange-free; shuffle mode: partition by the JOIN key so only
+    # the aggregate exchanges
+    sym = memo_persist(sym_plan.repartition("a" if broadcast_values else "b"))
     h_expr = F.expr(
         "aggregate(sort_array(collect_vals, false), 0, "
         "(h, v) -> CASE WHEN v >= h + 1 THEN h + 1 ELSE h END)"
     )
 
+    def _vals_side(frame):
+        side = frame.select(F.col("n").alias("b"), F.col("c").alias("cb"))
+        return F.broadcast(side) if broadcast_values else side
+
     def step(frame):
-        vals = sym.join(
-            frame.select(F.col("n").alias("b"), F.col("c").alias("cb")), "b"
-        ).select(F.col("a"), F.col("cb"))
+        vals = sym.join(_vals_side(frame), "b").select(
+            F.col("a"), F.col("cb")
+        )
         return (
             vals.groupBy("a")
             .agg(F.collect_list("cb").alias("collect_vals"))
@@ -1031,11 +1079,12 @@ def coreness(
         nxt_plan = frame
         for _ in range(k):
             nxt_plan = step(nxt_plan)
+        prev_side = frame.select(F.col("n"), F.col("c").alias("prev"))
+        if broadcast_values:
+            prev_side = F.broadcast(prev_side)
         obs = Observation()
         nxt = cut_lineage(
-            nxt_plan.join(
-                frame.select(F.col("n"), F.col("c").alias("prev")), "n"
-            )
+            nxt_plan.join(prev_side, "n")
             .observe(
                 obs,
                 F.sum(
