@@ -637,6 +637,7 @@ def pagerank(
     iters: int = 10,
     weight: str | None = None,
     sources: DataFrame | None = None,
+    broadcast_ranks: bool | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list: ``(node, rank)`` after
     ``iters`` synchronous power-iteration rounds with teleportation and
@@ -658,7 +659,20 @@ def pagerank(
     materialization as an ``Observation`` (the dangling flag is a
     static per-node column, so the conditional sum costs nothing) —
     ONE job per round, like ``connected_components`` and
-    ``coreness``, instead of a separate anti-join collect."""
+    ``coreness``, instead of a separate anti-join collect.
+
+    Per-round shuffle shape (r18, guide §2.4/§3.1): the contribution
+    edge list is memo-persisted PRE-PARTITIONED, so with
+    ``broadcast_ranks`` (auto at ``BROADCAST_VALUE_ROWS`` nodes) every
+    iteration runs with **zero shuffles**: ranks broadcast into the
+    contribution join, the dst-aggregate reuses the edges' cached dst
+    partitioning, and the node-scale contribs frame broadcasts into
+    the rank update, which becomes a pure scan of the cached flags.
+    Without broadcasting (cluster-scale |V|), edges partition on
+    ``src`` instead: ranks shuffle node-scale into the join and the
+    contribution aggregate exchanges edge-scale — still one edge-scale
+    exchange per round instead of the old shape's re-shuffle of the
+    edge list AND the flags every iteration."""
     from ..cache import cut_lineage, memo_persist
 
     wcol = (
@@ -675,12 +689,16 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.select("node", F.lit(0.0).alias("rank"))
+    if broadcast_ranks is None:
+        broadcast_ranks = n <= BROADCAST_VALUE_ROWS
     out_deg = e.groupBy("src").agg(F.sum("ew").alias("deg"))
-    # contribution edges with the weight/out-strength factor folded in once
+    # contribution edges with the weight/out-strength factor folded in
+    # once — partitioned on the aggregate key when ranks broadcast
+    # (zero-exchange rounds), on the join key when they don't
     weighted = memo_persist(
-        e.join(out_deg, "src").select(
-            "src", "dst", (F.col("ew") / F.col("deg")).alias("w")
-        )
+        e.join(out_deg, "src")
+        .select("src", "dst", (F.col("ew") / F.col("deg")).alias("w"))
+        .repartition("dst" if broadcast_ranks else "src")
     )
     if sources is None:
         teleport = nodes.select("node", F.lit(1.0 / n).alias("t"))
@@ -702,7 +720,8 @@ def pagerank(
             out_deg.select(F.col("src").alias("node"), F.lit(True).alias("__o")),
             "node",
             "left",
-        ).select("node", "t", F.col("__o").isNull().alias("dang"))
+        )
+        .select("node", "t", F.col("__o").isNull().alias("dang"))
     )
     dang_sum = F.sum(
         F.when(F.col("dang"), F.col("rank")).otherwise(F.lit(0.0))
@@ -715,12 +734,20 @@ def pagerank(
     )
     dangling = float(obs.get["dangling"] or 0.0)
     for _ in range(iters):
+        rank_side = ranks.select("node", "rank")
+        if broadcast_ranks:
+            rank_side = F.broadcast(rank_side)
         contribs = (
-            weighted.join(ranks, weighted.src == ranks.node)
+            weighted.join(rank_side, weighted.src == rank_side["node"])
             .select("dst", (F.col("rank") * F.col("w")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
+        if broadcast_ranks:
+            # node-scale by construction (one row per in-degree-positive
+            # node) — broadcasting it makes the rank update a pure scan
+            # of the cached flags: no exchange, no sort
+            contribs = F.broadcast(contribs)
         obs = Observation()
         ranks = cut_lineage(
             flags.join(contribs, flags.node == contribs.dst, "left")
