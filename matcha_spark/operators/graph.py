@@ -838,9 +838,16 @@ def triangle_counts(
             .where(F.col("a") != F.col("b"))
             .dropDuplicates()
         )
-    deg = (
-        e.select(F.col("a").alias("n"))
-        .unionAll(e.select(F.col("b").alias("n")))
+    # degrees via ONE explode pass (a union of two projections would
+    # scan e twice), and memo-persisted: the frame feeds the two
+    # orientation joins AND the final left join — left lazy, the plan
+    # re-ran the degree aggregate once per consumer (observed: ~8
+    # copies of this subtree in the r18-before plan, one per union
+    # branch per orientation side)
+    deg = memo_persist(
+        e.select(
+            F.explode(F.array(F.col("a"), F.col("b"))).alias("n")
+        )
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
@@ -867,10 +874,15 @@ def triangle_counts(
         (F.col("x") == F.col("a")) & (F.col("y") == F.col("b")),
         "inner",
     ).select("p", "x", "y")
+    # ONE pass over the closed triangles: the old 3-way unionAll
+    # re-executed the entire wedge + closing join pipeline once per
+    # branch (r18, guide §2.4 — the before plan carried three full
+    # copies of the O(m^1.5) join tree); explode emits the same
+    # (corner → count 1) multiset from a single execution
     per_node = (
-        closed.select(F.col("p").alias("n"))
-        .unionAll(closed.select(F.col("x").alias("n")))
-        .unionAll(closed.select(F.col("y").alias("n")))
+        closed.select(
+            F.explode(F.array(F.col("p"), F.col("x"), F.col("y"))).alias("n")
+        )
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
@@ -943,9 +955,10 @@ def triangle_count_global(
         e = memo_persist(e_all.where(u < F.lit(float(p))))
     else:
         e = e_all
+    # one explode pass for degrees (the union form scanned e per
+    # branch, r18 — same change as triangle_counts)
     deg = (
-        e.select(F.col("a").alias("n"))
-        .unionAll(e.select(F.col("b").alias("n")))
+        e.select(F.explode(F.array(F.col("a"), F.col("b"))).alias("n"))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
