@@ -409,6 +409,7 @@ def video_near_dup_pairs(
     distinct-frame count).  Scale: everything pairwise is bounded by
     the Hamming bands; the frame explosion is |videos|·(duration/step).
     """
+    from ..cache import cut_lineage
     from .dedup import banded_hamming_pairs
 
     frames = frame_sample(media, every_ms=every_ms)
@@ -434,7 +435,14 @@ def video_near_dup_pairs(
         F.lit("image").alias("kind"),
         "payload",
     )
-    sig = image_phash(sliced, decoder=decoder, hash_size=hash_size)
+    # materialize the (tiny) signature frame once PER CALL
+    # (cut_lineage, not the cross-call memo: each call must still pay
+    # its own decode): the banded matcher self-joins it, and left lazy
+    # both join sides re-ran the demux + frame-decode + pHash chain —
+    # the dominant per-task cost of this operator (r18, guide §4/§5)
+    sig = cut_lineage(
+        image_phash(sliced, decoder=decoder, hash_size=hash_size)
+    )
     pairs = banded_hamming_pairs(
         sig, id_col="media_id", sig_col="phash", max_hamming=max_hamming
     )
@@ -550,9 +558,19 @@ def audio_near_dup_pairs(
     the same ``media``/``window``/``stride`` — pass it (persisted) to
     amortize the decode across several cap settings (the suite's
     capped-arm entry runs two)."""
+    from ..cache import cut_lineage
+
     if fps is None:
-        fps = audio_fingerprint(
-            media, decoder=decoder, window=window, stride=stride
+        # materialize once per call (guide §4/§5, r18): the fingerprint
+        # frame feeds the hot-fp aggregate AND both sides of the
+        # overlap self-join — left lazy the decode + FFT fingerprint
+        # chain executed up to three times.  cut_lineage, not the
+        # cross-call memo: callers wanting cross-call amortization pass
+        # ``fps`` themselves (the suite's capped-arm entry does).
+        fps = cut_lineage(
+            audio_fingerprint(
+                media, decoder=decoder, window=window, stride=stride
+            )
         )
     hot = (
         fps.groupBy("fp")

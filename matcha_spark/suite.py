@@ -2927,10 +2927,21 @@ def doc_mp4_demux(spark, sf_dir):
                 }
             )
 
-    media = docs.select("doc_id", "text").mapInPandas(
-        build,
-        schema="media_id long, kind string, format string,"
-        " duration_ms long, payload binary",
+    from .cache import memo_persist
+
+    # repartition first (the documents parquet is few splits at bench
+    # scale, which would serialize the Python packing kernel onto a
+    # couple of cores — same fix as doc_video_mjpeg, r11), and persist:
+    # media feeds BOTH frame_sample and the payload join-back, so left
+    # lazy the container-packing kernel executed twice per run (r18,
+    # guide §4/§5 — two MapInPandas nodes in the before plan)
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    media = memo_persist(
+        docs.select("doc_id", "text").repartition(parts).mapInPandas(
+            build,
+            schema="media_id long, kind string, format string,"
+            " duration_ms long, payload binary",
+        )
     )
     frames = frame_sample(media, every_ms=1000)
     sliced = mp4_frame_slicer(
