@@ -1430,7 +1430,13 @@ def incremental_dedup_simhash(
     ).select("id_a", "id_b")
     # contraction round over the raw pairs: min over both directions in
     # ONE scan (explode, not a union of two projections — a union would
-    # execute the banded join once per branch)
+    # execute the banded join once per branch).  r18 measured-and-
+    # reverted: cut_lineage(raw) to single-execute the banded join made
+    # the entry 2-3x SLOWER (isolated min-of-4: 4.96 -> 11.6 s) — the
+    # pre-distinct candidate set is ~10x the distinct pairs through hot
+    # buckets, and materializing it defeats the map-side partial
+    # aggregation that both consumers otherwise push into the join's
+    # output; two streamed evaluations beat one stored copy.
     both = raw.select(
         F.explode(
             F.array(
