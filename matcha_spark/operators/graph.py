@@ -163,10 +163,18 @@ def seeded_reachability(
         # + rounds × read)
         e_lazy = edges.select(
             F.col(src).alias("src"), F.col(dst).alias("dst")
-        ).dropDuplicates()
+        )
         if materialize_edges:
-            e, _, n_edges = _materialize(e_lazy)
+            # dedup only what gets WRITTEN — parallel edges inflate the
+            # one-off parquet round-trip but never the answer (every
+            # consumer dedups or min-aggregates its own output)
+            e, _, n_edges = _materialize(e_lazy.dropDuplicates())
         else:
+            # plain-scan path: feed the RAW scan to the per-round joins.
+            # A dropDuplicates here would cost one edge-scale Exchange
+            # PER ROUND (r18); duplicate edges only produce duplicate
+            # frontier-expansion rows, which the per-round frontier
+            # dropDuplicates already absorbs.
             e, n_edges = e_lazy, 1  # unknown count; empty sets just
             # produce an empty first frontier and skip the loop
         seed_side = F.broadcast(seeds) if broadcast_seeds else seeds
@@ -332,27 +340,29 @@ def seeded_shortest_paths(
             raise ValueError("seeded_shortest_paths requires non-negative weights")
     try:
         if weight is None:
-            e = (
-                edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-                .dropDuplicates()
-                .withColumn("w", F.lit(1).cast("long"))
-            )
+            e = edges.select(
+                F.col(src).alias("src"), F.col(dst).alias("dst")
+            ).withColumn("w", F.lit(1).cast("long"))
         else:
-            e = (
-                edges.select(
-                    F.col(src).alias("src"),
-                    F.col(dst).alias("dst"),
-                    F.col(weight).cast("double").alias("w"),
-                )
-                .groupBy("src", "dst")
-                .agg(F.min("w").alias("w"))
+            e = edges.select(
+                F.col(src).alias("src"),
+                F.col(dst).alias("dst"),
+                F.col(weight).cast("double").alias("w"),
             )
         if materialize_edges:
-            e, _, n_edges = _materialize(e)
+            # collapse parallel edges only for the one-off write (see
+            # seeded_reachability: duplicates never change a min)
+            e, _, n_edges = _materialize(
+                e.groupBy("src", "dst").agg(F.min("w").alias("w"))
+            )
         else:
             # plain-scan edge relations: re-running the cheap cached
             # scan per round beats one full-corpus parquet write (see
-            # seeded_reachability)
+            # seeded_reachability).  No per-round dedup/pre-min either
+            # (r18): every consumer is a min-aggregate, so parallel or
+            # duplicate edges cost duplicate candidate rows at most —
+            # a dropDuplicates here was one edge-scale Exchange PER
+            # ROUND.
             n_edges = 1
         seed_side = F.broadcast(seeds) if broadcast_seeds else seeds
         frontier, _, n_front = _materialize(
@@ -360,35 +370,43 @@ def seeded_shortest_paths(
             .groupBy(F.col("dst").alias("n"))
             .agg(F.min("w").alias("dist"))
         )
-        known, known_path, _ = _materialize(frontier)
+        # r18: the known set is the UNION of every frontier ever written
+        # (same design as seeded_reachability's known_frames) — a node's
+        # final distance is the min over all its improvement rows, since
+        # every improvement lands in a later frontier.  This removes two
+        # write jobs per loop (the initial known copy and the per-round
+        # merged rewrite, which re-wrote the whole node set every round);
+        # per-round work drops to one materialization.  The improvement
+        # test rides the raw union as an anti-join: cand improves iff NO
+        # known row for the node is already ≤ it — identical to
+        # cand.dist < min(known.dist) without aggregating known first.
+        known_frames = [frontier]
         if n_front and n_edges:
             for _ in range(max_iter):
+                known = known_frames[0]
+                for kf in known_frames[1:]:
+                    known = known.unionByName(kf)
                 cand = (
                     frontier.join(e, frontier["n"] == e["src"], "inner")
                     .groupBy(F.col("dst").alias("n"))
                     .agg(F.min(frontier["dist"] + e["w"]).alias("dist"))
                 )
-                improved = (
-                    cand.alias("c")
-                    .join(known.alias("k"), "n", "left")
-                    .where(
-                        F.col("k.dist").isNull()
-                        | (F.col("c.dist") < F.col("k.dist"))
-                    )
-                    .select("n", F.col("c.dist").alias("dist"))
+                improved = cand.alias("c").join(
+                    known.alias("k"),
+                    (F.col("c.n") == F.col("k.n"))
+                    & (F.col("k.dist") <= F.col("c.dist")),
+                    "left_anti",
                 )
                 frontier, _, n_new = _materialize(improved)
                 if n_new == 0:
                     break
-                merged, merged_path, _ = _materialize(
-                    known.unionByName(frontier)
-                    .groupBy("n")
-                    .agg(F.min("dist").alias("dist"))
-                )
-                _fs_delete(spark, known_path)
-                known, known_path = merged, merged_path
-        known._matcha_closure_path = base  # type: ignore[attr-defined]
-        return known
+                known_frames.append(frontier)
+        out = known_frames[0]
+        for kf in known_frames[1:]:
+            out = out.unionByName(kf)
+        out = out.groupBy("n").agg(F.min("dist").alias("dist"))
+        out._matcha_closure_path = base  # type: ignore[attr-defined]
+        return out
     except BaseException:
         _fs_delete(spark, base)
         raise
