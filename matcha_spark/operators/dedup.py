@@ -418,42 +418,39 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact n-gram Jaccard for *given* candidate pairs only — the
     verification stage after LSH.  Join fan-out is bounded by the
-    candidate count, never by hot shingles: the shingle self-join is
-    replaced by pairs ⋈ shingles(a) ⋈ shingles(b).  Pairs sharing no
-    shingle get jaccard 0.0."""
+    candidate count, never by hot shingles.  Pairs sharing no shingle
+    get jaccard 0.0.
+
+    Shape (r18): each candidate doc's (already distinct) shingle set is
+    folded into ONE array row, and the intersection is a per-pair
+    ``array_intersect`` — two equi-joins on the pair ids and zero
+    pairwise fan-out.  The previous form exploded every pair by all of
+    doc_a's shingles (pairs × |A| intermediate rows through a shuffle)
+    before re-aggregating per pair, then paid two more joins for the
+    set sizes; the array form moves the same |A|+|B| work into a
+    hash-set probe inside the row and reads the sizes off the arrays.
+    Values are bit-identical: same string shingles, same set semantics."""
     docs_in = pairs.select(F.col("doc_a").alias("doc_id")).union(
         pairs.select(F.col("doc_b"))
     ).distinct()
-    sh = memo_persist(shingles(docs.join(docs_in, "doc_id"), n=n))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    inter = (
-        pairs.join(sh.alias("a"), F.col("doc_a") == F.col("a.doc_id"))
-        .join(
-            sh.alias("b"),
-            (F.col("doc_b") == F.col("b.doc_id"))
-            & (F.col("a.shingle") == F.col("b.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # shingles() output is distinct per doc, so collect_list IS the set
+    sh_arr = memo_persist(
+        shingles(docs.join(docs_in, "doc_id"), n=n)
+        .groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("__sh"))
     )
-    # left-join sizes: a doc with fewer than n tokens has no shingle rows
-    # and hence no size row — the pair must still surface with jaccard
-    # 0.0 (inner joins would silently drop it); 0/0 divides to NULL and
-    # coalesces to 0.0
-    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    # left joins: a doc with fewer than n tokens has no shingle rows and
+    # hence no array row — the pair must still surface with jaccard 0.0
+    # (inner joins would silently drop it)
+    arr_a = sh_arr.select(F.col("doc_id").alias("doc_a"), F.col("__sh").alias("__sha"))
+    arr_b = sh_arr.select(F.col("doc_id").alias("doc_b"), F.col("__sh").alias("__shb"))
+    inter = F.size(F.array_intersect("__sha", "__shb"))
+    sz_a, sz_b = F.size("__sha"), F.size("__shb")
+    jac = inter / (sz_a + sz_b - inter)
     return (
         pairs.select("doc_a", "doc_b")
-        .join(inter, ["doc_a", "doc_b"], "left")
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")),
-            "doc_a",
-            "left",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")),
-            "doc_b",
-            "left",
-        )
+        .join(arr_a, "doc_a", "left")
+        .join(arr_b, "doc_b", "left")
         .select(
             "doc_a",
             "doc_b",
