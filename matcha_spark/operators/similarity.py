@@ -310,19 +310,47 @@ def lsh_bucketed_topk(
     fanout = n_tables * ((n_planes + 1) if multi_probe else 1)
     pre_cap = max(1, MAX_BROADCAST_PROBE_ROWS // fanout)
     n_probe = len(queries.select(F.lit(1)).limit(pre_cap + 1).collect())
-    if n_probe <= pre_cap:
-        q = F.broadcast(q)
+    small_q = n_probe <= pre_cap
+    qb = q.select("table", "bucket", "q_id")
+    if small_q:
+        qb = F.broadcast(qb)
     c = with_buckets(
         corpus.select(F.col("vec_id").alias("n_id"), F.col(vec_col).alias("n_vec")), "n_vec"
     )
-    sim = _dot("q_vec", "n_vec") / (_norm("q_vec") * _norm("n_vec"))
-    scored = (
-        c.join(q, on=["table", "bucket"])
+    # r18: dedup the CANDIDATE IDS before scoring, then join the vectors
+    # back (the ids-only candidate idiom embedding_dup_pairs_lsh already
+    # uses).  A (query, neighbor) pair can collide in up to
+    # n_tables·(n_planes+1) table/probe combinations, and the previous
+    # shape evaluated the interpreted aggregate/zip_with cosine fold —
+    # three 64-element folds — once per COLLISION before dropping the
+    # copies; scoring after the distinct evaluates one fold per distinct
+    # pair, with each side's norm computed once per VECTOR (same
+    # expressions over the same values — results bit-identical), and the
+    # dedup shuffle carries 2 ids instead of 2 ids + 2 float vectors.
+    cand = (
+        c.select("table", "bucket", "n_id")
+        .join(qb, on=["table", "bucket"])
         .where(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id")
+        .distinct()
+    )
+    qv = queries.select(
+        F.col("vec_id").alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(vec_col).alias("q_norm"),
+    )
+    if small_q:
+        qv = F.broadcast(qv)
+    nv = corpus.select(
+        F.col("vec_id").alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        _norm(vec_col).alias("n_norm"),
+    )
+    sim = _dot("q_vec", "n_vec") / (F.col("q_norm") * F.col("n_norm"))
+    scored = (
+        cand.join(nv, "n_id")
+        .join(qv, "q_id")
         .select("q_id", "n_id", F.round(sim, 6).alias("cosine"))
-        # a (query, neighbor) pair can match in several tables/probes;
-        # keep one copy before ranking
-        .dropDuplicates(["q_id", "n_id"])
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -518,6 +546,11 @@ def ivf_topk(
     qm = _normalize(np.array([list(r[1]) for r in qrows], dtype=np.float64))
     probe = np.argsort(-(qm @ cents.T), axis=1)[:, : min(n_probe, len(cents))]
     spark = corpus.sparkSession
+    # r18: norms precomputed once per VECTOR (query rows: once per
+    # probe row; corpus rows: once in the scan-side projection) instead
+    # of re-running the interpreted 64-element aggregate fold twice per
+    # scored pair — same expressions over the same values, results
+    # bit-identical; the per-pair work drops to the single dot fold
     q = F.broadcast(
         spark.createDataFrame(
             [
@@ -526,9 +559,10 @@ def ivf_topk(
                 for cell in probe[qi]
             ],
             f"q_id {id_t}, q_vec array<double>, cell int",
-        )
+        ).withColumn("q_norm", _norm("q_vec"))
     )
-    sim = _dot("q_vec", "n_vec") / (_norm("q_vec") * _norm("n_vec"))
+    c = c.withColumn("n_norm", _norm("n_vec"))
+    sim = _dot("q_vec", "n_vec") / (F.col("q_norm") * F.col("n_norm"))
     scored = (
         c.join(q, on="cell")
         .where(F.col("n_id") != F.col("q_id"))
