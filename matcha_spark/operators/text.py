@@ -956,7 +956,18 @@ def cdc_chunks(
             )
 
     id_t = docs.schema["doc_id"].dataType.simpleString()
-    return docs.select("doc_id", text_col).mapInPandas(
+    src = docs.select("doc_id", text_col)
+    # r18 (guide §2.1/§4): a few-split input (one parquet file at bench
+    # scale) would serialize the whole chunking kernel onto one or two
+    # cores — fan it out to the session's shuffle width first.  Guarded
+    # on the CURRENT partition count so a corpus that already has
+    # enough splits (the 100-TB case) never pays a full-text shuffle;
+    # per-doc output is placement-independent, so results are
+    # multiset-identical either way (same fix as doc_video_mjpeg, r11).
+    parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    if src.rdd.getNumPartitions() < parts:
+        src = src.repartition(parts)
+    return src.mapInPandas(
         kernel,
         schema=f"doc_id {id_t}, chunk_idx int, start long, length long, "
                "chunk_hash string",
