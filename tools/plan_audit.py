@@ -269,16 +269,24 @@ def audit_iterative(spark) -> list[str]:
 
     # coreness: h-index fixpoint on a path P_n makes its last change at
     # step ceil((n-2)/2)-ish; P8 detects at batch 3, P16 at batch 5
-    # (unroll=2).  Budget: 1 barrier for the symmetrized edges + 1 per
-    # batch, zero driver reads (convergence rides an Observation).
+    # (unroll=2).  Budget: 1 barrier for the degree frame + 1 per
+    # batch; the 3 driver reads are the bounded SETUP (r18: eager
+    # memo-persist of the canonical + partitioned-symmetric edge sets,
+    # plus the |V| broadcast-values decision), constant in rounds —
+    # convergence still rides an Observation, zero reads per round.
     c8 = _count_actions(lambda: coreness(path(8)))
     c16 = _count_actions(lambda: coreness(path(16)))
-    check("coreness(P8)", c8, barriers=1 + 3, reads=0)
-    check("coreness(P16)", c16, barriers=1 + 5, reads=0)
+    check("coreness(P8)", c8, barriers=1 + 3, reads=3)
+    check("coreness(P16)", c16, barriers=1 + 5, reads=3)
     if c16["barriers"] - c8["barriers"] != 2:
         problems.append(
             "coreness: per-batch barrier increment != 1 "
             f"(P8→P16 delta {c16['barriers'] - c8['barriers']}, want 2)"
+        )
+    if c16["reads"] != c8["reads"]:
+        problems.append(
+            "coreness: driver reads grow with round count "
+            f"({c8['reads']} @P8 vs {c16['reads']} @P16)"
         )
 
     # pagerank: fixed-iteration loop — 1 barrier per iteration + 1 for
