@@ -170,13 +170,21 @@ def seeded_reachability(
             # consumer dedups or min-aggregates its own output)
             e, _, n_edges = _materialize(e_lazy.dropDuplicates())
         else:
-            # plain-scan path: feed the RAW scan to the per-round joins.
-            # A dropDuplicates here would cost one edge-scale Exchange
-            # PER ROUND (r18); duplicate edges only produce duplicate
-            # frontier-expansion rows, which the per-round frontier
-            # dropDuplicates already absorbs.
-            e, n_edges = e_lazy, 1  # unknown count; empty sets just
-            # produce an empty first frontier and skip the loop
+            # plain-scan path: memoize the filtered (src, dst)
+            # projection in executor storage (r18, guide §2.4/§5): the
+            # per-round joins previously re-ran the relation against
+            # the full cached triple store — once per Alt branch per
+            # round — where the filtered slice is a small fraction of
+            # the store.  One eager persist beats rounds × full-store
+            # scans, and unlike the parquet materialization (measured
+            # wash — docs/TUNING.md) it pays no write/read round-trip
+            # or dedup Exchange.  No dedup here either: duplicate
+            # edges only produce duplicate frontier-expansion rows,
+            # which the per-round frontier dropDuplicates absorbs.
+            from ..cache import memo_persist
+
+            e, n_edges = memo_persist(e_lazy), 1  # unknown count; empty
+            # sets just produce an empty first frontier and skip the loop
         seed_side = F.broadcast(seeds) if broadcast_seeds else seeds
         first = e.join(seed_side, e["src"] == seeds["n"], "inner")
         if keep_root:
@@ -356,14 +364,17 @@ def seeded_shortest_paths(
                 e.groupBy("src", "dst").agg(F.min("w").alias("w"))
             )
         else:
-            # plain-scan edge relations: re-running the cheap cached
-            # scan per round beats one full-corpus parquet write (see
-            # seeded_reachability).  No per-round dedup/pre-min either
+            # plain-scan edge relations: memoize the filtered
+            # projection once (r18 — see seeded_reachability: rounds ×
+            # full-store scans lose to one eager persist of the small
+            # filtered slice).  No per-round dedup/pre-min either
             # (r18): every consumer is a min-aggregate, so parallel or
             # duplicate edges cost duplicate candidate rows at most —
             # a dropDuplicates here was one edge-scale Exchange PER
             # ROUND.
-            n_edges = 1
+            from ..cache import memo_persist
+
+            e, n_edges = memo_persist(e), 1
         seed_side = F.broadcast(seeds) if broadcast_seeds else seeds
         frontier, _, n_front = _materialize(
             e.join(seed_side, e["src"] == seeds["n"], "inner")

@@ -273,7 +273,8 @@ def _reach_via_path(
             dst="o",
             keep_root=True,
             # plain-scan edge relations (predicate / Alt / NegSet over
-            # the CACHED triple store) re-run per BFS round instead of
+            # the CACHED triple store) are memo-persisted as their
+            # filtered slice (r18, inside the seeded loop) instead of
             # paying a full-corpus parquet write up front; composite
             # relations (Seq join trees, nested closures) still
             # materialize once

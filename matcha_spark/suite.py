@@ -454,8 +454,9 @@ def graph_distances_from_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = path_edges(db, Alt(KW["customer"], KW["nation"], KW["region"]))
     rev = edges.select(F.col("o").alias("s"), F.col("s").alias("o"))
     seeds = spark.range(1).select(_tl(URI("region:1")).alias("n"))
-    # Alt-of-predicates edge relation: plain cached scans, re-run per
-    # BFS round instead of a full-corpus materialization
+    # Alt-of-predicates edge relation: the filtered slice is memoized
+    # in executor storage (r18) instead of a full-corpus parquet
+    # materialization or per-round re-scans of the cached store
     out = seeded_shortest_paths(rev, seeds, src="s", dst="o", materialize_edges=False)
     return out.select(lex(F.col("n")).alias("src"), "dist")
 
