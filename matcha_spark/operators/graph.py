@@ -94,6 +94,262 @@ def _resolve_work_dir(spark: SparkSession, checkpoint_dir: str | None) -> str:
     return f"{base.rstrip('/')}/closure_{uuid.uuid4().hex}"
 
 
+# ---------------------------------------------------------------------------
+# driver tails (r18): once an iteration's input is KNOWN to be small —
+# the same "convergence-scalar class" of driver transfer that
+# connected_components' small_cutoff union-find already rides — running
+# diameter/log-diameter rounds of parquet-materialized Spark jobs over
+# a few thousand rows is pure scheduling overhead.  Each loop below
+# collects its (counted, bounded) edge set, computes the SAME answer in
+# driver memory, and writes ONE materialization through the loop's
+# normal round directory, so the returned frame scans the same
+# ``closure_*``/``seeded_*`` parquet path as the distributed shape
+# (plan audits and the cleanup contract are unchanged).  An explicit
+# work budget aborts the driver attempt (→ distributed loop runs as
+# before) when the OUTPUT would be large even though the input is small
+# (dense closures), so the tail can never blow driver memory.
+# ---------------------------------------------------------------------------
+
+# edge-count ceilings for attempting a driver tail (CC's small_cutoff
+# class); scale levers: the distributed loops are untouched above them.
+# Seeded loops may attempt at a larger size because their OUTPUT is
+# bounded by the reachable node set (≤ 2·edges rows); the all-pairs
+# closures can emit O(V²) pairs from a small edge set — and a failed
+# attempt still pays the edge collect — so they only try on edge sets
+# small enough that the collect itself is negligible (measured r18:
+# attempting at 45 k struct-term edges with ~121 k-pair outputs was a
+# net LOSS vs the distributed loop; at ≤ 5 k edges it is a pure win).
+DRIVER_PATH_EDGES = 100_000
+DRIVER_ALLPAIRS_EDGES = 5_000
+# output/work ceiling for the driver computation itself
+DRIVER_PATH_BUDGET = 4_000_000
+
+
+def _driver_reach_pairs(edge_rows, budget: int = DRIVER_PATH_BUDGET):
+    """All-pairs ≥1-hop reachability of a collected edge list: SCC
+    condensation (iterative Tarjan) + reverse-topological bitset DP —
+    O(V·E/64), no per-source BFS.  Returns a list of (u, v) pairs, or
+    None when the pair count would exceed ``budget`` (caller falls back
+    to the distributed loop).  Reflexive pairs appear exactly for nodes
+    on cycles (incl. self-loops), matching the distributed semantics."""
+    idx: dict = {}
+    vals: list = []
+
+    def ix(v):
+        i = idx.get(v)
+        if i is None:
+            i = idx[v] = len(vals)
+            vals.append(v)
+        return i
+
+    adj: list[list[int]] = []
+    for r in edge_rows:
+        u, v = ix(r[0]), ix(r[1])
+        while len(adj) < len(vals):
+            adj.append([])
+        adj[u].append(v)
+    n = len(vals)
+    while len(adj) < n:
+        adj.append([])
+
+    # iterative Tarjan: SCCs complete in reverse topological order
+    index = [-1] * n
+    low = [0] * n
+    on_stack = [False] * n
+    scc_of = [-1] * n
+    stack: list[int] = []
+    sccs: list[list[int]] = []
+    counter = 0
+    for root in range(n):
+        if index[root] != -1:
+            continue
+        work = [(root, 0)]
+        while work:
+            node, ei = work[-1]
+            if ei == 0:
+                index[node] = low[node] = counter
+                counter += 1
+                stack.append(node)
+                on_stack[node] = True
+            advanced = False
+            while ei < len(adj[node]):
+                nxt = adj[node][ei]
+                ei += 1
+                if index[nxt] == -1:
+                    work[-1] = (node, ei)
+                    work.append((nxt, 0))
+                    advanced = True
+                    break
+                if on_stack[nxt]:
+                    low[node] = min(low[node], index[nxt])
+            if advanced:
+                continue
+            work.pop()
+            if low[node] == index[node]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack[w] = False
+                    scc_of[w] = len(sccs)
+                    comp.append(w)
+                    if w == node:
+                        break
+                sccs.append(comp)
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[node])
+
+    # reverse-topo DP: sccs[i]'s successors all have smaller scc ids
+    member_mask = [0] * len(sccs)
+    for ci, comp in enumerate(sccs):
+        m = 0
+        for u in comp:
+            m |= 1 << u
+        member_mask[ci] = m
+    reach = [0] * len(sccs)
+    cyclic = [len(c) > 1 for c in sccs]
+    for ci, comp in enumerate(sccs):
+        r = 0
+        for u in comp:
+            for v in adj[u]:
+                cv = scc_of[v]
+                if cv == ci:
+                    cyclic[ci] = True  # self-loop or intra-SCC edge
+                else:
+                    r |= (1 << v) | reach[cv]
+        if cyclic[ci]:
+            r |= member_mask[ci]
+        reach[ci] = r
+
+    total = sum(reach[scc_of[u]].bit_count() for u in range(n))
+    if total > budget:
+        return None
+    pairs = []
+    for u in range(n):
+        m = reach[scc_of[u]]
+        uv = vals[u]
+        while m:
+            b = m & -m
+            pairs.append((uv, vals[b.bit_length() - 1]))
+            m ^= b
+    return pairs
+
+
+def _driver_sssp(edge_rows, sources, weighted: bool,
+                 budget: int = DRIVER_PATH_BUDGET, per_source: bool = False):
+    """Min ≥1-hop distances of a collected edge list on the driver:
+    one Dijkstra per source set (``per_source=False`` treats ``sources``
+    as ONE multi-source set — min over sources, the seeded contract;
+    ``per_source=True`` runs each source separately and returns
+    (src, dst, dist) — the all-pairs contract).  Distance arithmetic
+    accumulates along each path exactly as the distributed relaxation
+    does (dist + w, left to right), so float sums are bit-identical.
+    Returns a row list, or None when the settled-node work exceeds
+    ``budget``."""
+    import heapq
+
+    idx: dict = {}
+    vals: list = []
+
+    def ix(v):
+        i = idx.get(v)
+        if i is None:
+            i = idx[v] = len(vals)
+            vals.append(v)
+        return i
+
+    adj: list[list[tuple]] = []
+    for r in edge_rows:
+        u, v = ix(r[0]), ix(r[1])
+        w = (float(r[2]) if weighted else 1) if len(r) > 2 else 1
+        while len(adj) < len(vals):
+            adj.append([])
+        adj[u].append((v, w))
+    n = len(vals)
+    while len(adj) < n:
+        adj.append([])
+
+    src_groups = (
+        [[ix(s)] for s in sources] if per_source else [[ix(s) for s in sources]]
+    )
+    while len(adj) < len(vals):  # sources absent from the edge list
+        adj.append([])
+    out = []
+    work = 0
+    for group in src_groups:
+        dist: dict[int, float] = {}
+        heap: list = []
+        for s in group:
+            for v, w in adj[s]:
+                if v not in dist or w < dist[v]:
+                    dist[v] = w
+                    heapq.heappush(heap, (w, v))
+        settled: set[int] = set()
+        while heap:
+            d, u = heapq.heappop(heap)
+            if u in settled or dist.get(u) != d:
+                continue
+            settled.add(u)
+            work += 1
+            if work > budget:
+                return None
+            for v, w in adj[u]:
+                nd = d + w
+                if v not in dist or nd < dist[v]:
+                    dist[v] = nd
+                    heapq.heappush(heap, (nd, v))
+        if per_source:
+            sv = vals[group[0]]
+            out.extend((sv, vals[v], d) for v, d in dist.items())
+        else:
+            out.extend((vals[v], d) for v, d in dist.items())
+    return out
+
+
+def _driver_seeded_reach(edge_rows, seed_vals, keep_root: bool,
+                         budget: int = DRIVER_PATH_BUDGET):
+    """≥1-hop BFS reachability from a seed set on the driver: one
+    multi-source pass (``keep_root=False`` → node list) or one BFS per
+    root (``keep_root=True`` → (root, node) pairs).  Returns a row
+    list, or None when visited-node work exceeds ``budget``."""
+    from collections import deque
+
+    adj: dict = {}
+    for r in edge_rows:
+        adj.setdefault(r[0], []).append(r[1])
+
+    def bfs(starts):
+        reached = set()
+        q = deque()
+        for s in starts:
+            for v in adj.get(s, ()):
+                if v not in reached:
+                    reached.add(v)
+                    q.append(v)
+        while q:
+            u = q.popleft()
+            for v in adj.get(u, ()):
+                if v not in reached:
+                    reached.add(v)
+                    q.append(v)
+        return reached
+
+    if not keep_root:
+        reached = bfs(seed_vals)
+        if len(reached) > budget:
+            return None
+        return [(v,) for v in reached]
+    out = []
+    work = 0
+    for s in seed_vals:
+        reached = bfs([s])
+        work += len(reached) + 1
+        if work > budget:
+            return None
+        out.extend((s, v) for v in reached)
+    return out
+
+
 def seeded_reachability(
     edges: DataFrame,
     seeds: DataFrame,
@@ -104,6 +360,7 @@ def seeded_reachability(
     keep_root: bool = False,
     materialize_edges: bool = True,
     broadcast_seeds: bool = True,
+    small_cutoff: int = DRIVER_PATH_EDGES,
 ) -> DataFrame:
     """Every node reachable in ≥ 1 hop FROM any seed node — the
     ground-endpoint complement of :func:`transitive_closure`: when a
@@ -183,8 +440,41 @@ def seeded_reachability(
             # which the per-round frontier dropDuplicates absorbs.
             from ..cache import memo_persist
 
-            e, n_edges = memo_persist(e_lazy), 1  # unknown count; empty
-            # sets just produce an empty first frontier and skip the loop
+            e, n_edges = memo_persist(e_lazy), -1  # counted below if the
+            # driver tail is attempted; empty sets just produce an empty
+            # first frontier and skip the loop
+        # driver tail (r18): a counted-small edge set runs the whole BFS
+        # in driver memory and writes ONE materialization through the
+        # same seeded_reach_* dir (plan/cleanup contract unchanged) —
+        # the per-round scheduling floor was the dominant cost of these
+        # loops at suite scale (see connected_components' small_cutoff)
+        if small_cutoff > 0:
+            n_e = n_edges if n_edges >= 0 else e.count()
+            if n_edges < 0:
+                n_edges = n_e
+            if n_e <= small_cutoff:
+                seed_rows = seeds.limit(small_cutoff + 1).collect()
+                if len(seed_rows) <= small_cutoff:
+                    out_rows = _driver_seeded_reach(
+                        e.collect(), [r[0] for r in seed_rows], keep_root
+                    )
+                    if out_rows is not None:
+                        from pyspark.sql.types import StructField, StructType
+
+                        fields = [StructField("n", e.schema["dst"].dataType)]
+                        if keep_root:
+                            fields.insert(
+                                0,
+                                StructField("root", seeds.schema["n"].dataType),
+                            )
+                        schema = StructType(fields)
+                        out, _, _ = _materialize(
+                            spark.createDataFrame(out_rows, schema)
+                            if out_rows
+                            else spark.createDataFrame([], schema)
+                        )
+                        out._matcha_closure_path = base  # type: ignore[attr-defined]
+                        return out
         seed_side = F.broadcast(seeds) if broadcast_seeds else seeds
         first = e.join(seed_side, e["src"] == seeds["n"], "inner")
         if keep_root:
@@ -226,6 +516,7 @@ def transitive_closure(
     dst: str = "dst",
     max_iter: int = 30,
     checkpoint_dir: str | None = None,
+    small_cutoff: int = DRIVER_ALLPAIRS_EDGES,
 ) -> DataFrame:
     """All reachability pairs ``(src, dst)`` of the directed edge list
     (the ``+`` closure: at least one hop; reflexive pairs only appear on
@@ -233,7 +524,14 @@ def transitive_closure(
 
     ``checkpoint_dir``: shared base directory for the per-round parquet
     materialization (see module docstring for the resolution rule).
-    """
+
+    ``small_cutoff`` (r18): when the deduplicated edge count (known from
+    the first materialization's observed row count — no extra job) is at
+    most this, the closure is computed on the driver (SCC + bitset DP,
+    :func:`_driver_reach_pairs`) and written back as ONE round — the
+    same driver-transfer class as :func:`connected_components`'
+    union-find tail; a pair budget falls back to the distributed loop if
+    the output would be dense.  Set 0 to force the distributed loop."""
     spark = edges.sparkSession
     base = _resolve_work_dir(spark, checkpoint_dir)
 
@@ -260,6 +558,18 @@ def transitive_closure(
         acc, acc_path, n_acc = _materialize(
             edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).dropDuplicates()
         )
+        if 0 < n_acc <= small_cutoff:
+            pairs = _driver_reach_pairs(acc.collect())
+            if pairs is not None:
+                merged, _, _ = _materialize(
+                    spark.createDataFrame(pairs, acc.schema)
+                    if pairs
+                    else spark.createDataFrame([], acc.schema)
+                )
+                _fs_delete(spark, acc_path)
+                out = merged.select(F.col("src").alias(src), F.col("dst").alias(dst))
+                out._matcha_closure_path = base  # type: ignore[attr-defined]
+                return out
         # path doubling: each round composes the accumulated reachability
         # with itself, so a diameter-d graph converges in ⌈log₂ d⌉ rounds
         # instead of d — rounds (each a shuffle + materialization barrier)
@@ -304,6 +614,7 @@ def seeded_shortest_paths(
     checkpoint_dir: str | None = None,
     materialize_edges: bool = True,
     broadcast_seeds: bool = True,
+    small_cutoff: int = DRIVER_PATH_EDGES,
 ) -> DataFrame:
     """Shortest distances FROM any seed node — the ground-endpoint
     complement of :func:`shortest_path_lengths`, exactly as
@@ -374,7 +685,48 @@ def seeded_shortest_paths(
             # ROUND.
             from ..cache import memo_persist
 
-            e, n_edges = memo_persist(e), 1
+            e, n_edges = memo_persist(e), -1  # counted below if the
+            # driver tail is attempted
+        # driver tail (r18): counted-small edge set → one multi-source
+        # Dijkstra in driver memory (min over seeds, ≥ 1 hop — path
+        # sums accumulate in relaxation order exactly as the
+        # distributed rounds do), written back as ONE round through the
+        # seeded_dist_* dir (plan/cleanup contract unchanged)
+        if small_cutoff > 0:
+            n_e = n_edges if n_edges >= 0 else e.count()
+            if n_edges < 0:
+                n_edges = n_e
+            if n_e <= small_cutoff:
+                seed_rows = seeds.limit(small_cutoff + 1).collect()
+                if len(seed_rows) <= small_cutoff:
+                    out_rows = _driver_sssp(
+                        e.collect(),
+                        sources=[r[0] for r in seed_rows],
+                        weighted=weight is not None,
+                        per_source=False,
+                    )
+                    if out_rows is not None:
+                        from pyspark.sql.types import (
+                            DoubleType,
+                            LongType,
+                            StructField,
+                            StructType,
+                        )
+
+                        schema = StructType([
+                            StructField("n", e.schema["dst"].dataType),
+                            StructField(
+                                "dist",
+                                DoubleType() if weight is not None else LongType(),
+                            ),
+                        ])
+                        out, _, _ = _materialize(
+                            spark.createDataFrame(out_rows, schema)
+                            if out_rows
+                            else spark.createDataFrame([], schema)
+                        )
+                        out._matcha_closure_path = base  # type: ignore[attr-defined]
+                        return out
         seed_side = F.broadcast(seeds) if broadcast_seeds else seeds
         frontier, _, n_front = _materialize(
             e.join(seed_side, e["src"] == seeds["n"], "inner")
@@ -430,6 +782,7 @@ def shortest_path_lengths(
     weight: str | None = None,
     max_iter: int = 30,
     checkpoint_dir: str | None = None,
+    small_cutoff: int = DRIVER_ALLPAIRS_EDGES,
 ) -> DataFrame:
     """All-pairs shortest path lengths ``(src, dst, dist)`` over the
     directed edge list — hop counts by default, or summed edge weights
@@ -445,7 +798,18 @@ def shortest_path_lengths(
     materialized like :func:`transitive_closure` (same shared-storage
     contract; call :func:`cleanup_closure` on the result when done).
     Convergence needs BOTH the pair count and the distance total stable:
-    a round can shrink distances without discovering pairs."""
+    a round can shrink distances without discovering pairs.
+
+    ``small_cutoff`` (r18): with at most this many deduplicated edges
+    (the first materialization's observed count — no extra job), the
+    distances are computed on the driver — one Dijkstra per source
+    over the collected edge list (:func:`_driver_sssp`), written back
+    as ONE round; a settled-node work budget falls back to the
+    distributed loop on dense reachability.  Driver path sums
+    accumulate per-path left-to-right (the relaxation order), which
+    the suite's dyadic-weight contract makes exactly equal to the
+    doubling composition; hop counts are exact longs either way.  Set
+    0 to force the distributed loop."""
     spark = edges.sparkSession
     base = _resolve_work_dir(spark, checkpoint_dir)
 
@@ -482,6 +846,26 @@ def shortest_path_lengths(
                 .agg(F.min("dist").alias("dist"))
             )
         acc, acc_path, stats = _materialize(seed)
+        if 0 < stats[0] <= small_cutoff:
+            rows = acc.collect()
+            out_rows = _driver_sssp(
+                rows,
+                sources=list({r[0] for r in rows}),
+                weighted=weight is not None,
+                per_source=True,
+            )
+            if out_rows is not None:
+                merged, _, _ = _materialize(
+                    spark.createDataFrame(out_rows, acc.schema)
+                    if out_rows
+                    else spark.createDataFrame([], acc.schema)
+                )
+                _fs_delete(spark, acc_path)
+                out = merged.select(
+                    F.col("src").alias(src), F.col("dst").alias(dst), "dist"
+                )
+                out._matcha_closure_path = base  # type: ignore[attr-defined]
+                return out
         for _ in range(max_iter):
             composed = (
                 acc.alias("f")

@@ -961,3 +961,57 @@ def test_retired_entry_equivalences_r18(spark):
         .collect()
     }
     assert full == replayed and any(c > 0 for *_, c in full)
+
+
+def test_driver_tail_matches_distributed_loops(spark):
+    """r18 driver tails: each closure/path loop's small-graph driver
+    arm must equal the distributed arm (small_cutoff=0) row-for-row —
+    the tail is an execution strategy, never a semantics change.
+    Graphs cover cycles (reflexive pairs), diamonds (min over paths),
+    parallel weighted edges, and unreachable components."""
+    from matcha_spark.operators.graph import (
+        cleanup_closure,
+        seeded_reachability,
+        seeded_shortest_paths,
+        shortest_path_lengths,
+        transitive_closure,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"),
+         ("x", "y"), ("y", "x"), ("z", "z")],
+        "src string, dst string",
+    )
+    wedges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("a", "c", 5.0),
+         ("a", "c", 4.0), ("c", "d", 0.5), ("x", "y", 2.0), ("y", "x", 3.0)],
+        "src string, dst string, w double",
+    )
+    seeds = spark.createDataFrame([("a",), ("x",)], "n string")
+
+    for mk in (
+        lambda co: transitive_closure(edges, small_cutoff=co),
+        lambda co: shortest_path_lengths(edges, small_cutoff=co),
+        lambda co: shortest_path_lengths(wedges, weight="w", small_cutoff=co),
+        lambda co: seeded_reachability(edges, seeds, small_cutoff=co),
+        lambda co: seeded_reachability(
+            edges, seeds, keep_root=True, small_cutoff=co
+        ),
+        lambda co: seeded_reachability(
+            edges, seeds, materialize_edges=False, small_cutoff=co
+        ),
+        lambda co: seeded_shortest_paths(edges, seeds, small_cutoff=co),
+        lambda co: seeded_shortest_paths(
+            wedges, seeds, weight="w", small_cutoff=co
+        ),
+        lambda co: seeded_shortest_paths(
+            edges, seeds, materialize_edges=False, small_cutoff=co
+        ),
+    ):
+        driver_df = mk(10_000)
+        dist_df = mk(0)
+        got = sorted(map(tuple, driver_df.collect()))
+        want = sorted(map(tuple, dist_df.collect()))
+        assert got == want, (got, want)
+        cleanup_closure(driver_df)
+        cleanup_closure(dist_df)
