@@ -121,6 +121,10 @@ def _resolve_work_dir(spark: SparkSession, checkpoint_dir: str | None) -> str:
 # net LOSS vs the distributed loop; at ≤ 5 k edges it is a pure win).
 DRIVER_PATH_EDGES = 100_000
 DRIVER_ALLPAIRS_EDGES = 5_000
+# coreness peel: output is ≤ one int row per node (≤ 2·edges), so the
+# transfer is bounded like connected_components' union-find — same
+# 200k ceiling
+DRIVER_CORENESS_EDGES = 200_000
 # output/work ceiling for the driver computation itself
 DRIVER_PATH_BUDGET = 4_000_000
 
@@ -304,6 +308,40 @@ def _driver_sssp(edge_rows, sources, weighted: bool,
         else:
             out.extend((vals[v], d) for v, d in dist.items())
     return out
+
+
+def _driver_coreness(edge_rows):
+    """Exact k-core decomposition of a collected canonical edge list on
+    the driver: min-degree peel with a lazy-deletion heap, O(E log V).
+    The peel is the DEFINITION of coreness, and any min-degree removal
+    order yields the same core numbers, so this equals the h-index
+    fixpoint exactly (Lü et al. 2016).  Input rows are the
+    deduplicated canonical (a < b) undirected edges the distributed
+    loop uses; returns (node, core) rows."""
+    import heapq
+
+    adj: dict = {}
+    for r in edge_rows:
+        adj.setdefault(r[0], []).append(r[1])
+        adj.setdefault(r[1], []).append(r[0])
+    deg = {v: len(ns) for v, ns in adj.items()}
+    heap = [(d, i, v) for i, (v, d) in enumerate(deg.items())]
+    heapq.heapify(heap)
+    core: dict = {}
+    k = 0
+    cnt = len(heap)
+    while heap:
+        d, _, v = heapq.heappop(heap)
+        if v in core or deg[v] != d:
+            continue  # already peeled / stale lazy-deletion entry
+        k = max(k, d)
+        core[v] = k
+        for u in adj[v]:
+            if u not in core:
+                deg[u] -= 1
+                cnt += 1
+                heapq.heappush(heap, (deg[u], cnt, u))
+    return list(core.items())
 
 
 def _driver_seeded_reach(edge_rows, seed_vals, keep_root: bool,
@@ -1424,6 +1462,7 @@ def coreness(
     max_iter: int = 50,
     unroll: int = 2,
     broadcast_values: bool | None = None,
+    small_cutoff: int = DRIVER_CORENESS_EDGES,
 ) -> DataFrame:
     """K-core decomposition over an undirected edge list: ``(node,
     core)`` where ``core`` is the largest k such that the node belongs
@@ -1485,6 +1524,29 @@ def coreness(
         .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .dropDuplicates()
     )
+    # driver tail (r18): a counted-small graph peels on the driver —
+    # the small_cutoff driver-transfer class of connected_components'
+    # union-find (collect ≤ small_cutoff canonical edges; result ≤ one
+    # int row per node).  The h-index fixpoint's wall time at suite
+    # scale is ~46 rounds of barrier overhead; the min-degree peel
+    # computes the identical assignment (it IS the definition of
+    # coreness, and the fixpoint provably converges to it) in
+    # O(E log V) driver time.  Set 0 to force the distributed fixpoint
+    # (the iterative plan-audit budget checks do).
+    if small_cutoff > 0 and e.count() <= small_cutoff:
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        rows = _driver_coreness(e.collect())
+        schema = StructType([
+            StructField("node", e.schema["a"].dataType),
+            StructField("core", IntegerType()),
+        ])
+        spark = edges.sparkSession
+        return (
+            spark.createDataFrame(rows, schema)
+            if rows
+            else spark.createDataFrame([], schema)
+        )
     sym_plan = e.select(
         F.explode(
             F.array(

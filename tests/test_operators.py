@@ -2120,18 +2120,21 @@ def test_coreness_converges_inside_final_unroll_batch(spark):
 
     edges = [(i, i + 1) for i in range(7)]  # P8: coreness 1 everywhere
     df = spark.createDataFrame(edges, "src long, dst long")
+    # small_cutoff=0 forces the distributed fixpoint — the unroll
+    # batching and max_iter safety rail under test live there (the
+    # r18 driver-peel tail would otherwise answer without iterating)
     base = {
         r.node: r.core
-        for r in coreness(df, max_iter=4, unroll=1).collect()
+        for r in coreness(df, max_iter=4, unroll=1, small_cutoff=0).collect()
     }
     assert set(base.values()) == {1} and len(base) == 8
     got = {
         r.node: r.core
-        for r in coreness(df, max_iter=4, unroll=2).collect()
+        for r in coreness(df, max_iter=4, unroll=2, small_cutoff=0).collect()
     }
     assert got == base
     with pytest.raises(RuntimeError, match="did not converge"):
-        coreness(df, max_iter=2, unroll=2)
+        coreness(df, max_iter=2, unroll=2, small_cutoff=0)
 
 
 @pytest.mark.parametrize("seed", range(5))
@@ -2686,3 +2689,29 @@ def test_token_classifier_nb(spark):
     )
     g1 = classify_tokens(docs, one).collect()
     assert all(r.pred == "x" and r.margin is None for r in g1)
+
+
+def test_coreness_driver_peel_matches_distributed(spark):
+    """r18 driver tail: the small-graph driver peel must equal the
+    distributed h-index fixpoint (small_cutoff=0) in values AND schema
+    on planted-core and string-keyed graphs."""
+    import itertools
+
+    from matcha_spark.operators.graph import coreness
+
+    k5 = list(itertools.combinations(range(5), 2))
+    edges = k5 + [(10, 11), (11, 12), (10, 12), (4, 10), (12, 20),
+                  (20, 21), (1, 0), (3, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    drv, dist = coreness(df), coreness(df, small_cutoff=0)
+    assert drv.schema == dist.schema
+    assert sorted(map(tuple, drv.collect())) == sorted(
+        map(tuple, dist.collect())
+    )
+    sdf = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")],
+        "src string, dst string",
+    )
+    sd, ss = coreness(sdf), coreness(sdf, small_cutoff=0)
+    assert sd.schema == ss.schema
+    assert sorted(map(tuple, sd.collect())) == sorted(map(tuple, ss.collect()))

@@ -274,8 +274,11 @@ def audit_iterative(spark) -> list[str]:
     # memo-persist of the canonical + partitioned-symmetric edge sets,
     # plus the |V| broadcast-values decision), constant in rounds —
     # convergence still rides an Observation, zero reads per round.
-    c8 = _count_actions(lambda: coreness(path(8)))
-    c16 = _count_actions(lambda: coreness(path(16)))
+    # small_cutoff=0 forces the DISTRIBUTED fixpoint (the scale
+    # contract this budget pins); the driver-peel tail is budget-checked
+    # separately below, like cc-smallpath.
+    c8 = _count_actions(lambda: coreness(path(8), small_cutoff=0))
+    c16 = _count_actions(lambda: coreness(path(16), small_cutoff=0))
     check("coreness(P8)", c8, barriers=1 + 3, reads=3)
     check("coreness(P16)", c16, barriers=1 + 5, reads=3)
     if c16["barriers"] - c8["barriers"] != 2:
@@ -302,6 +305,15 @@ def audit_iterative(spark) -> list[str]:
             "pagerank: driver reads grow with iteration count "
             f"({p3['reads']} @3 vs {p6['reads']} @6)"
         )
+
+    # coreness below small_cutoff (r18): the driver-peel tail —
+    # constant 0 barriers + exactly 3 bounded reads (memo-persist
+    # count of the canonical edges, the cutoff count, the edge
+    # collect) however long the path is
+    k8 = _count_actions(lambda: coreness(path(8)))
+    k16 = _count_actions(lambda: coreness(path(16)))
+    check("coreness-smallpeel(P8)", k8, barriers=0, reads=3)
+    check("coreness-smallpeel(P16)", k16, barriers=0, reads=3)
 
     # connected_components below small_cutoff: the documented driver
     # union-find path — constant 2 barriers + exactly 1 bounded read
