@@ -1362,12 +1362,180 @@ def _incremental_decisions(
     )
 
 
+# driver tail for the SimHash admission (r18): the store is 16
+# bytes/doc, so a counted-small `sides` frame transfers like the
+# union-find / coreness-peel class (200k rows ≈ 5 MB); the driver
+# compute is the SAME banded-bucket pairing, numpy-vectorized, with an
+# explicit pair budget falling back to the distributed contraction on
+# pathological bucket occupancy (identical semantics either way).
+DRIVER_SIMHASH_SIDES = 200_000
+DRIVER_SIMHASH_PAIR_BUDGET = 50_000_000
+
+def _popcount64(x):
+    """Vectorized SWAR popcount over a uint64 numpy array (numpy < 2
+    has no ``bitwise_count``)."""
+    import numpy as np
+
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h = np.uint64(0x0101010101010101)
+    x = x - ((x >> np.uint64(1)) & m1)
+    x = (x & m2) + ((x >> np.uint64(2)) & m2)
+    x = (x + (x >> np.uint64(4))) & m4
+    return (x * h) >> np.uint64(56)
+
+
+def _driver_simhash_decisions(
+    side_rows,
+    max_hamming: int,
+    rank_map=None,
+    pair_budget: int = DRIVER_SIMHASH_PAIR_BUDGET,
+):
+    """Driver twin of the banded-candidate → min-label-contraction →
+    connected-components → :func:`_incremental_decisions` pipeline in
+    :func:`incremental_dedup_simhash`, for a collected ``sides`` frame
+    (``(doc_id, simhash, new)`` rows).  Exactly the distributed
+    semantics: zero/NULL signatures never pair; a candidate pair shares
+    a band, has ≥ 1 new side, and verifies ``popcount(a^b) <=
+    max_hamming``; components over those pairs; keeper = min accepted
+    member, else (``rank_map`` given — the r15 keep-best seam) the
+    min-id maximal-rank batch member with the NULL contract of
+    ``_incremental_decisions``, else the min member; docs outside every
+    pair keep themselves.  Returns ``(doc_id, keep, dup_of)`` tuples
+    for the NEW docs, or ``None`` when the banded bucket pair count
+    exceeds ``pair_budget`` (caller falls back to the distributed
+    arm).
+
+    Like the distributed arm's map-side contraction, the pairing runs
+    over DISTINCT signatures, which is provably doc-equivalent: band
+    keys and Hamming distance are functions of the signature alone, so
+    doc pairs across two sig groups all qualify or all don't, and a
+    qualifying group pair connects every member of both groups (each
+    store doc pairs with the other group's new docs; store members
+    reach their own group's stores through any new member).  Intra-
+    group doc pairs are hamming-0 clique edges iff the group has a new
+    member (store-store pairs are pruned); an all-store group with no
+    qualifying external edge contributes no pairs at all — exactly the
+    flag_col join condition."""
+    import numpy as np
+
+    ids = [r[0] for r in side_rows]
+    decisions = {r[0]: (r[0], True, None) for r in side_rows if r[2]}
+    # banding-eligible docs (signature present and nonzero) collapsed
+    # to distinct signatures
+    elig = [i for i, r in enumerate(side_rows) if r[1] not in (None, 0)]
+    if len(elig) >= 2:
+        sig_arr = np.array([side_rows[i][1] for i in elig], dtype=np.int64)
+        usig, inv = np.unique(sig_arr, return_inverse=True)
+        usig = usig.view(np.uint64)
+        ng = len(usig)
+        # per-group rollups: any new member, min accepted (store) id,
+        # min member id, member doc indices
+        g_new = np.zeros(ng, dtype=bool)
+        g_members: list = [[] for _ in range(ng)]
+        for pos, i in enumerate(elig):
+            g = int(inv[pos])
+            g_members[g].append(i)
+            if side_rows[i][2]:
+                g_new[g] = True
+        n_bands = max_hamming + 1
+        base, extra = divmod(64, n_bands)
+        off = 0
+        edge_i, edge_j = [], []
+        budget = pair_budget
+        for b in range(n_bands):
+            w = base + (1 if b < extra else 0)
+            mask = np.uint64((1 << w) - 1)
+            keys = (usig >> np.uint64(off)) & mask
+            off += w
+            o = np.argsort(keys, kind="stable")
+            ks = keys[o]
+            bounds = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1], True])
+            counts = bounds[1:] - bounds[:-1]
+            for ri in np.flatnonzero(counts >= 2):
+                c = int(counts[ri])
+                budget -= c * (c - 1) // 2
+                if budget < 0:
+                    return None
+                idx = o[bounds[ri]:bounds[ri + 1]]
+                ii, jj = np.triu_indices(c, k=1)
+                ei, ej = idx[ii], idx[jj]
+                # ≥1 new side (group-level flag), then exact Hamming
+                m = g_new[ei] | g_new[ej]
+                ei, ej = ei[m], ej[m]
+                if len(ei):
+                    m = _popcount64(usig[ei] ^ usig[ej]) <= max_hamming
+                    ei, ej = ei[m], ej[m]
+                if len(ei):
+                    edge_i.append(ei)
+                    edge_j.append(ej)
+        # components over the group graph: min-label propagation +
+        # pointer jumping (labels are group indices; identity is the
+        # component SET, aggregates below don't ride label order)
+        lab = np.arange(ng, dtype=np.int64)
+        if edge_i:
+            ei = np.concatenate(edge_i)
+            ej = np.concatenate(edge_j)
+            while True:
+                prev = lab
+                m = np.minimum(lab[ei], lab[ej])
+                lab = lab.copy()
+                np.minimum.at(lab, ei, m)
+                np.minimum.at(lab, ej, m)
+                while True:
+                    nxt = lab[lab]
+                    if np.array_equal(nxt, lab):
+                        break
+                    lab = nxt
+                if np.array_equal(lab, prev):
+                    break
+            has_edge = np.zeros(ng, dtype=bool)
+            has_edge[ei] = True
+            has_edge[ej] = True
+        else:
+            has_edge = np.zeros(ng, dtype=bool)
+        # a group is in the doc-level candidate graph iff it has a
+        # qualifying external edge, or ≥2 members with one new (the
+        # hamming-0 intra-group clique)
+        in_graph = has_edge | (
+            g_new & np.array([len(m) > 1 for m in g_members])
+        )
+        comp_groups: dict = {}
+        for g in np.flatnonzero(in_graph):
+            comp_groups.setdefault(int(lab[g]), []).append(int(g))
+        for groups in comp_groups.values():
+            mem = [i for g in groups for i in g_members[g]]
+            acc = [ids[i] for i in mem if not side_rows[i][2]]
+            keeper = min(acc) if acc else None
+            if keeper is None and rank_map is not None:
+                ranked = [
+                    (ids[i], rank_map.get(ids[i]))
+                    for i in mem if side_rows[i][2]
+                ]
+                vals = [rv for _, rv in ranked if rv is not None]
+                mx = max(vals) if vals else None
+                keeper = min(d for d, rv in ranked if rv == mx)
+            if keeper is None:
+                keeper = min(ids[i] for i in mem)
+            for i in mem:
+                if side_rows[i][2]:
+                    d = ids[i]
+                    decisions[d] = (
+                        d, keeper == d, None if keeper == d else keeper,
+                    )
+    # one row per NEW side row (id-keyed dict, re-expanded so duplicate
+    # batch ids keep their multiplicity exactly like the distributed join)
+    return [decisions[r[0]] for r in side_rows if r[2]]
+
+
 def incremental_dedup_simhash(
     new_docs: DataFrame,
     existing_sigs: DataFrame | None = None,
     max_hamming: int = 3,
     text_col: str = "text",
     rank=None,
+    small_cutoff: int = DRIVER_SIMHASH_SIDES,
 ):
     """Append-only near-dedup on SimHash signatures — the Hamming-
     distance sibling of :func:`incremental_dedup_near`, same
@@ -1417,6 +1585,48 @@ def incremental_dedup_simhash(
         existing_sigs.select("doc_id", "simhash").withColumn("new", F.lit(False))
         .unionByName(sig_new.withColumn("new", F.lit(True)))
     )
+    # driver tail (r18): a counted-small store+batch decides on the
+    # driver — collect the 16-byte signatures (the count rides the
+    # already-persisted frame), run the SAME banded pairing /
+    # contraction / keeper selection numpy-vectorized, and write the
+    # tiny decision frame back.  The distributed arm below is
+    # job-count-bound at this scale (~10 barriers per admission); the
+    # tail is 2 jobs.  Set small_cutoff=0 to force the distributed
+    # contraction; a bucket-occupancy pair budget also falls back.
+    if small_cutoff > 0 and sides.count() <= small_cutoff:
+        rank_map = None
+        if rank is not None:
+            rank_map = {
+                r[0]: r[1]
+                for r in new_docs.select("doc_id", rank.alias("__rank"))
+                .collect()
+            }
+        dec_rows = _driver_simhash_decisions(
+            [(r[0], r[1], r[2]) for r in sides.collect()],
+            max_hamming,
+            rank_map=rank_map,
+        )
+        if dec_rows is not None:
+            from pyspark.sql.types import BooleanType, StructField, StructType
+
+            id_type = sides.schema["doc_id"].dataType
+            schema = StructType([
+                StructField("doc_id", id_type),
+                StructField("keep", BooleanType()),
+                StructField("dup_of", id_type),
+            ])
+            spark = sides.sparkSession
+            decisions = spark.createDataFrame(dec_rows, schema)
+            kept_sigs = (
+                sides.where(F.col("new")).select("doc_id", "simhash").join(
+                    decisions.where(F.col("keep")).select("doc_id"),
+                    "doc_id", "left_semi",
+                )
+            )
+            updated = existing_sigs.select("doc_id", "simhash").unionByName(
+                kept_sigs
+            )
+            return decisions, updated
     raw = banded_hamming_pairs(
         sides.where(F.col("simhash") != 0),
         id_col="doc_id",

@@ -479,8 +479,15 @@ def test_incremental_simhash_decisions_differential(spark, seed):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     first = docs.where(F.col("doc_id") < cut)
     batch = docs.where(F.col("doc_id") >= cut)
-    dec1, sigs = D.incremental_dedup_simhash(first, None, max_hamming=mh)
-    dec2, _ = D.incremental_dedup_simhash(batch, sigs, max_hamming=mh)
+    # alternate the r18 driver tail and the distributed contraction so
+    # the model pins BOTH arms (cf. the connected_components test above)
+    cutoff = 0 if seed % 2 else 200_000
+    dec1, sigs = D.incremental_dedup_simhash(
+        first, None, max_hamming=mh, small_cutoff=cutoff
+    )
+    dec2, _ = D.incremental_dedup_simhash(
+        batch, sigs, max_hamming=mh, small_cutoff=cutoff
+    )
 
     store = {r["doc_id"]: r["simhash"] for r in sigs.collect()}
     bsig = {
@@ -2715,3 +2722,63 @@ def test_coreness_driver_peel_matches_distributed(spark):
     sd, ss = coreness(sdf), coreness(sdf, small_cutoff=0)
     assert sd.schema == ss.schema
     assert sorted(map(tuple, sd.collect())) == sorted(map(tuple, ss.collect()))
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_incremental_simhash_driver_tail_matches_distributed(spark, seed):
+    """r18 driver tail: the numpy banded-pairing/keeper kernel must
+    equal the distributed contraction (small_cutoff=0) row-for-row —
+    decisions AND updated store, schema included — across random
+    two-batch corpora with NULL texts (zero sigs), near-dup planted
+    copies, string ids, and the r15 rank (keep-best) seam."""
+    import random as _r
+
+    rng = _r.Random(7300 + seed)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    as_str = seed == 4
+
+    def mk(i):
+        ident = f"d{i:03d}" if as_str else i
+        if rng.random() < 0.15:
+            return (ident, None)
+        base = " ".join(rng.choice(words) for _ in range(rng.randint(3, 9)))
+        return (ident, base)
+
+    n = rng.randint(10, 30)
+    rows = [mk(i) for i in range(n)]
+    # planted near-copies drive multi-member clusters
+    for j in range(rng.randint(1, 4)):
+        src = rng.choice([r for r in rows if r[1]] or rows)
+        ident = f"d{n + j:03d}" if as_str else n + j
+        rows.append((ident, src[1]))
+    idt = "string" if as_str else "long"
+    docs = spark.createDataFrame(rows, f"doc_id {idt}, text string")
+    half = rows[len(rows) // 2][0]
+    first = docs.where(F.col("doc_id") < half)
+    batch = docs.where(F.col("doc_id") >= half)
+    rank = F.length("text") if seed % 2 else None
+    outs = []
+    for cutoff in (200_000, 0):
+        _, sigs = D.incremental_dedup_simhash(
+            first, None, max_hamming=8, small_cutoff=cutoff
+        )
+        dec, upd = D.incremental_dedup_simhash(
+            batch, sigs, max_hamming=8, small_cutoff=cutoff, rank=rank
+        )
+        outs.append((dec.schema, sorted(map(tuple, dec.collect())),
+                     sorted(map(tuple, upd.collect()))))
+    assert outs[0] == outs[1], f"seed={seed}\nrows={rows}"
+
+
+def test_incremental_simhash_pair_budget_falls_back():
+    """The driver kernel refuses pathological bucket occupancy: a tiny
+    pair budget returns None (caller then runs the distributed arm)."""
+    # DISTINCT sigs differing only in the low band: the other 8 band
+    # buckets each hold all 64 sigs (the pairing runs over distinct
+    # signatures — identical-sig groups collapse before any budget)
+    rows = [(i, 16 + (i % 8), True) for i in range(64)]
+    assert D._driver_simhash_decisions(rows, 8, pair_budget=10) is None
+    out = D._driver_simhash_decisions(rows, 8)
+    # all within hamming 8 of each other: one cluster keeping id 0
+    assert sorted(out) == [(i, i == 0, None if i == 0 else 0)
+                           for i in range(64)]
