@@ -28,6 +28,7 @@ reads them lazily).
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -127,6 +128,105 @@ DRIVER_ALLPAIRS_EDGES = 5_000
 DRIVER_CORENESS_EDGES = 200_000
 # output/work ceiling for the driver computation itself
 DRIVER_PATH_BUDGET = 4_000_000
+
+
+def _arrow_write_rows(spark, rows, schema, path):
+    """Write collected driver-tail rows as ONE parquet file via pyarrow
+    and read them back — bypassing ``createDataFrame``'s per-row Py4J
+    conversion (r18 guide §4: six-figure struct-term row lists cost
+    seconds through createDataFrame and tens of milliseconds through a
+    columnar Arrow build).  Returns the read-back DataFrame, or None
+    when the target isn't driver-local or the schema needs a type this
+    converter doesn't cover (caller falls back to createDataFrame +
+    the loop's normal materialize)."""
+    if "://" in path and not path.startswith("file:"):
+        return None  # shared-FS round dir: executors write it, not us
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+    except Exception:
+        return None
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructType,
+    )
+
+    prim = {
+        LongType: pa.int64(),
+        IntegerType: pa.int32(),
+        DoubleType: pa.float64(),
+        FloatType: pa.float32(),
+        StringType: pa.string(),
+        BooleanType: pa.bool_(),
+    }
+
+    def conv(values, dt):
+        if isinstance(dt, StructType):
+            children = [
+                conv([None if v is None else v[i] for v in values], f.dataType)
+                for i, f in enumerate(dt.fields)
+            ]
+            mask = (
+                pa.array([v is None for v in values], type=pa.bool_())
+                if any(v is None for v in values)
+                else None
+            )
+            return pa.StructArray.from_arrays(
+                children,
+                fields=[
+                    pa.field(f.name, c.type)
+                    for f, c in zip(dt.fields, children)
+                ],
+                mask=mask,
+            )
+        t = prim.get(type(dt))
+        if t is None:
+            raise TypeError(f"unsupported driver write-back type: {dt}")
+        return pa.array(values, type=t)
+
+    local = path
+    if local.startswith("file:"):
+        local = local[len("file:"):]
+        while local.startswith("//"):
+            local = local[1:]
+    try:
+        cols = (
+            [list(c) for c in zip(*rows)]
+            if rows
+            else [[] for _ in schema.fields]
+        )
+        arrays = [
+            conv(c, f.dataType) for c, f in zip(cols, schema.fields)
+        ]
+        table = pa.Table.from_arrays(
+            arrays, names=[f.name for f in schema.fields]
+        )
+        os.makedirs(local, exist_ok=True)
+        pq.write_table(table, os.path.join(local, "part-00000.parquet"))
+    except Exception:
+        return None
+    return spark.read.parquet(path)
+
+
+def _write_rows_back(spark, rows, schema, base, materialize):
+    """Materialize driver-computed rows through the loop's round dir:
+    Arrow fast path when possible, else ``createDataFrame`` through the
+    loop's own ``_materialize``.  Returns ``(df, path, n_rows)`` with
+    the same contract as ``_materialize``."""
+    path = f"{base}/{uuid.uuid4().hex}"
+    df = _arrow_write_rows(spark, rows, schema, path)
+    if df is not None:
+        return df, path, len(rows)
+    return materialize(
+        spark.createDataFrame(rows, schema)
+        if rows
+        else spark.createDataFrame([], schema)
+    )
 
 
 def _driver_reach_pairs(edge_rows, budget: int = DRIVER_PATH_BUDGET):
@@ -506,10 +606,8 @@ def seeded_reachability(
                                 StructField("root", seeds.schema["n"].dataType),
                             )
                         schema = StructType(fields)
-                        out, _, _ = _materialize(
-                            spark.createDataFrame(out_rows, schema)
-                            if out_rows
-                            else spark.createDataFrame([], schema)
+                        out, _, _ = _write_rows_back(
+                            spark, out_rows, schema, base, _materialize
                         )
                         out._matcha_closure_path = base  # type: ignore[attr-defined]
                         return out
@@ -599,10 +697,8 @@ def transitive_closure(
         if 0 < n_acc <= small_cutoff:
             pairs = _driver_reach_pairs(acc.collect())
             if pairs is not None:
-                merged, _, _ = _materialize(
-                    spark.createDataFrame(pairs, acc.schema)
-                    if pairs
-                    else spark.createDataFrame([], acc.schema)
+                merged, _, _ = _write_rows_back(
+                    spark, pairs, acc.schema, base, _materialize
                 )
                 _fs_delete(spark, acc_path)
                 out = merged.select(F.col("src").alias(src), F.col("dst").alias(dst))
@@ -758,10 +854,8 @@ def seeded_shortest_paths(
                                 DoubleType() if weight is not None else LongType(),
                             ),
                         ])
-                        out, _, _ = _materialize(
-                            spark.createDataFrame(out_rows, schema)
-                            if out_rows
-                            else spark.createDataFrame([], schema)
+                        out, _, _ = _write_rows_back(
+                            spark, out_rows, schema, base, _materialize
                         )
                         out._matcha_closure_path = base  # type: ignore[attr-defined]
                         return out
@@ -893,10 +987,8 @@ def shortest_path_lengths(
                 per_source=True,
             )
             if out_rows is not None:
-                merged, _, _ = _materialize(
-                    spark.createDataFrame(out_rows, acc.schema)
-                    if out_rows
-                    else spark.createDataFrame([], acc.schema)
+                merged, _, _ = _write_rows_back(
+                    spark, out_rows, acc.schema, base, _materialize
                 )
                 _fs_delete(spark, acc_path)
                 out = merged.select(
