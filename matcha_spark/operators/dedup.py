@@ -1453,23 +1453,40 @@ def _driver_simhash_decisions(
             ks = keys[o]
             bounds = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1], True])
             counts = bounds[1:] - bounds[:-1]
-            for ri in np.flatnonzero(counts >= 2):
-                c = int(counts[ri])
-                budget -= c * (c - 1) // 2
-                if budget < 0:
-                    return None
-                idx = o[bounds[ri]:bounds[ri + 1]]
-                ii, jj = np.triu_indices(c, k=1)
-                ei, ej = idx[ii], idx[jj]
-                # ≥1 new side (group-level flag), then exact Hamming
-                m = g_new[ei] | g_new[ej]
+            # all within-bucket (i < j) pairs for the whole band in one
+            # vectorized pass (r18 §4.2: the per-bucket
+            # ``triu_indices`` loop allocated c×c masks bucket by
+            # bucket — ~6 s of driver time at sf0.1's ~10M candidate
+            # pairs; this emits the identical pair multiset through
+            # repeat/cumsum index arithmetic).  Element at sorted
+            # position p pairs with every earlier member of its bucket:
+            # k(p) = p - bucket_start(p) partners each.
+            starts = np.repeat(bounds[:-1], counts)
+            pos = np.arange(len(ks))
+            k_arr = pos - starts
+            n_pairs = int(k_arr.sum())
+            budget -= n_pairs
+            if budget < 0:
+                return None
+            if n_pairs == 0:
+                continue
+            j_pos = np.repeat(pos, k_arr)
+            cum = np.cumsum(k_arr)
+            i_pos = (
+                np.arange(n_pairs)
+                - np.repeat(cum - k_arr, k_arr)
+                + np.repeat(starts, k_arr)
+            )
+            ei, ej = o[i_pos], o[j_pos]
+            # ≥1 new side (group-level flag), then exact Hamming
+            m = g_new[ei] | g_new[ej]
+            ei, ej = ei[m], ej[m]
+            if len(ei):
+                m = _popcount64(usig[ei] ^ usig[ej]) <= max_hamming
                 ei, ej = ei[m], ej[m]
-                if len(ei):
-                    m = _popcount64(usig[ei] ^ usig[ej]) <= max_hamming
-                    ei, ej = ei[m], ej[m]
-                if len(ei):
-                    edge_i.append(ei)
-                    edge_j.append(ej)
+            if len(ei):
+                edge_i.append(ei)
+                edge_j.append(ej)
         # components over the group graph: min-label propagation +
         # pointer jumping (labels are group indices; identity is the
         # component SET, aggregates below don't ride label order)

