@@ -1180,14 +1180,20 @@ def bloom_contamination(
     at any realistic size (1G bits = 128 MB table for ~100M grams at
     1%); no corpus-side shuffle beyond the per-doc rollup and the
     distinct.  Everything is JVM built-ins — no UDF, no driver-side
-    bit array."""
+    bit array.
+
+    r18 (guide §2.3/§2.4): the per-doc rollup joins the RAW gram
+    stream against the hit-gram set and partially aggregates on
+    ``doc_id`` — the previous shape pre-counted ``(doc_id, gram)``
+    pairs through a full gram-scale Exchange and then consumed that
+    aggregate twice (distinct side + rollup side) with no exchange
+    reuse.  Position counts are identical either way (Σ per-pair
+    counts ≡ count of positions); the hit set stays the per-DISTINCT-
+    gram probe it always was."""
     bits, m = bloom["bits"], bloom["num_bits"]
     k, n, seed = bloom["num_hashes"], bloom["n"], bloom["seed"]
     dg = _word_grams(docs, text_col, n, keep=("doc_id",))
-    counts = dg.groupBy("doc_id", "gram").agg(
-        F.count(F.lit(1)).alias("__c")
-    )
-    uniq = counts.select("gram").distinct()
+    uniq = dg.select("gram").distinct()
     probe = uniq.select(
         "gram",
         F.explode(
@@ -1217,12 +1223,12 @@ def bloom_contamination(
         .select("gram")
     )
     per_doc = (
-        counts.join(gram_hit.withColumn("__f", F.lit(1)), "gram", "left")
+        dg.join(gram_hit.withColumn("__f", F.lit(1)), "gram", "left")
         .groupBy("doc_id")
         .agg(
-            F.sum("__c").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_grams"),
             F.sum(
-                F.when(F.col("__f") == 1, F.col("__c")).otherwise(F.lit(0))
+                F.when(F.col("__f") == 1, F.lit(1)).otherwise(F.lit(0))
             ).alias("contaminated_grams"),
         )
     )

@@ -3480,8 +3480,18 @@ def doc_contamination_bloom(spark, sf_dir):
         F.col("n_grams").alias("__bn"),
         F.col("contaminated_grams").alias("__bc"),
     )
-    j = exact.select("doc_id", "n_grams", "contaminated_grams").join(
-        bloom, "doc_id"
+    # materialized per call (r18, guide §5): the envelope aggregate and
+    # the final projection BOTH consume `j`, and with it lazy the
+    # entire two-arm gram pipeline executed twice per run (the before
+    # plan shows 28 documents scans, zero reuse).  cut_lineage — not
+    # the cross-call memo — so every bench/oracle invocation still
+    # computes both arms from parquet exactly once.
+    from .cache import cut_lineage
+
+    j = cut_lineage(
+        exact.select("doc_id", "n_grams", "contaminated_grams").join(
+            bloom, "doc_id"
+        )
     )
     env = j.agg(
         (
