@@ -1707,10 +1707,18 @@ def strip_dup_ngrams(
     original token positions → per-doc ordered regroup.  Every step is
     an aggregate/join on gram or doc keys; nothing pairwise, no windows
     over the corpus."""
+    from ..cache import cut_lineage
+
     toks_lc = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     toks_raw = F.split(F.trim(F.col(text_col)), r"\s+")
     base = docs.select("doc_id", toks_lc.alias("__lc"), toks_raw.alias("__raw"))
-    occ = (
+    # occurrence frame materialized per call (r18, guide §5): BOTH the
+    # canonical aggregate and the join-back consume it, and the plan
+    # otherwise re-runs the tokenize+gram explode once per consumer
+    # (the committed before plan scans the corpus 8×) — measured ~1.2×
+    # on the suite entry; cut_lineage, not the cross-call memo, so
+    # every invocation still pays exactly one explode.
+    occ = cut_lineage(
         base.where(F.size("__lc") >= n)
         .select(
             "doc_id",
@@ -1792,9 +1800,16 @@ def dedup_paragraphs(
     window's running row number."""
     from pyspark.sql.window import Window
 
+    from ..cache import cut_lineage
+
     split_col = F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
-    paras = docs.select(
-        "doc_id", F.posexplode(split_col).alias("idx", "para")
+    # materialized per call (r18, guide §5): the eligible window branch
+    # and the short-paragraph union branch are two filters of this one
+    # explode — lazy, the split+posexplode executed once per branch
+    paras = cut_lineage(
+        docs.select(
+            "doc_id", F.posexplode(split_col).alias("idx", "para")
+        )
     )
     eligible = F.length(F.trim(F.col("para"))) >= min_chars
     key = F.xxhash64("para") if hash_paras else F.col("para")
@@ -1870,8 +1885,14 @@ def dsir_importance(
         "                     i -> array_join(slice(__toks, i, 2), ' '))"
         "      ELSE CAST(array() AS array<string>) END)"
     )
+    from ..cache import cut_lineage
+
     k = float(smoothing)
-    per_doc_gram = (
+    # materialized per call (r18, guide §5): the gram-stats rollup and
+    # the final scoring join BOTH consume this frame — lazy, the
+    # uni+bigram explode and its (doc, gram) aggregate ran twice (the
+    # committed before plan scans the corpus 12×)
+    per_doc_gram = cut_lineage(
         docs.select("doc_id", toks.alias("__toks"))
         .where(F.size("__toks") >= 1)
         .select("doc_id", F.explode(grams).alias("gram"))
