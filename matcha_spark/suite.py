@@ -3442,6 +3442,27 @@ def doc_contamination(spark, sf_dir):
     return T.benchmark_contamination(docs, probes, n=8)
 
 
+def _contamination_bloom_j(spark, sf_dir):
+    """The lazy two-arm (exact ⋈ bloom) pipeline of
+    :func:`doc_contamination_bloom` — factored out so the entry can
+    cut its lineage once per call while plan audits keep a handle on
+    the REAL pipeline plan (the checkpoint reduces the entry's own
+    explain to a LogicalRDD scan)."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    probes = docs.where(F.col("doc_id") % 50 == 0).select("text")
+    exact = T.benchmark_contamination(docs, probes, n=8)
+    bloom = T.bloom_contamination(
+        docs, T.ngram_bloom_bits(probes, n=8, fpp=0.01)
+    ).select(
+        "doc_id",
+        F.col("n_grams").alias("__bn"),
+        F.col("contaminated_grams").alias("__bc"),
+    )
+    return exact.select("doc_id", "n_grams", "contaminated_grams").join(
+        bloom, "doc_id"
+    )
+
+
 def doc_contamination_bloom(spark, sf_dir):
     """Bloom-filter twin of :func:`doc_contamination` — the 100-TB
     probe-set path (r17): the same probe set goes through a
@@ -3470,29 +3491,18 @@ def doc_contamination_bloom(spark, sf_dir):
     mismatch flips a boolean and the hash.  Both arms reuse one
     fingerprint of the corpus; the raw-output contract stays pinned by
     ``test_operators.py::test_bloom_contamination_superset``."""
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
-    probes = docs.where(F.col("doc_id") % 50 == 0).select("text")
-    exact = T.benchmark_contamination(docs, probes, n=8)
-    bloom = T.bloom_contamination(
-        docs, T.ngram_bloom_bits(probes, n=8, fpp=0.01)
-    ).select(
-        "doc_id",
-        F.col("n_grams").alias("__bn"),
-        F.col("contaminated_grams").alias("__bc"),
-    )
     # materialized per call (r18, guide §5): the envelope aggregate and
     # the final projection BOTH consume `j`, and with it lazy the
     # entire two-arm gram pipeline executed twice per run (the before
     # plan shows 28 documents scans, zero reuse).  cut_lineage — not
     # the cross-call memo — so every bench/oracle invocation still
-    # computes both arms from parquet exactly once.
+    # computes both arms from parquet exactly once.  The two-arm plan
+    # itself stays auditable through `_contamination_bloom_j`
+    # (plan_audit pins its codegen + broadcast shape there, since the
+    # checkpoint hides it from the final consumer plan).
     from .cache import cut_lineage
 
-    j = cut_lineage(
-        exact.select("doc_id", "n_grams", "contaminated_grams").join(
-            bloom, "doc_id"
-        )
-    )
+    j = cut_lineage(_contamination_bloom_j(spark, sf_dir))
     env = j.agg(
         (
             F.sum(F.col("__bc") - F.col("contaminated_grams"))
