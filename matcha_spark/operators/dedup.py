@@ -2009,14 +2009,18 @@ def scrub_duplicate_spans(
             F.collect_list(F.struct("span_start", "span_bytes"))
         ).alias("__spans")
     )
-    # r18 (guide §2.1/§4): fan a few-split docs frame out before the
-    # scrub kernel — same conditional-repartition guard as cdc_chunks
-    # (no-op when the corpus already has enough splits); sp is a
-    # doc-count-bounded aggregate, so the join stays broadcast-sized
-    # and the kernel parallelizes instead of running on one core
-    parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    if docs.rdd.getNumPartitions() < parts:
-        docs = docs.repartition(parts)
+    # r18 (guide §2.1/§2.5/§4): fan a few-split docs frame out before
+    # the scrub kernel — same size-derived conditional-repartition
+    # guard as cdc_chunks (``text._kernel_fanout``: no-op when the
+    # corpus already has enough splits, width capped by the size
+    # estimate on small ones); sp is a doc-count-bounded aggregate, so
+    # the join stays broadcast-sized and the kernel parallelizes
+    # instead of running on one core
+    from .text import _kernel_fanout
+
+    want = _kernel_fanout(docs)
+    if docs.rdd.getNumPartitions() < want:
+        docs = docs.repartition(want)
     joined = docs.join(sp, "doc_id", "left")
     out_schema = docs.schema
     cols = [f.name for f in out_schema.fields]

@@ -844,6 +844,28 @@ def dup_ngram_stats(
     )
 
 
+def _kernel_fanout(df: DataFrame, target_bytes: int = 8 << 20) -> int:
+    """Partition count for fanning a few-split frame out to a Python
+    kernel: the session shuffle width CAPPED by the optimizer's size
+    estimate / ``target_bytes`` (guide §2 — partitioning must derive
+    from input size, not a constant tuned for either local mode or the
+    cluster).  The r18 mid-round fanned such inputs straight to the
+    session width; a quiet-host A/B measured that 2-3× WORSE on
+    few-MB corpora (full-payload shuffle + per-task overhead dwarf the
+    parallelism), while at real corpus sizes the estimate saturates to
+    the full width — and the guard usually no-ops there anyway because
+    big inputs already arrive in many splits.  Falls back to the full
+    width when the estimate is unavailable (e.g. Spark Connect)."""
+    parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        return max(1, min(parts, (size + target_bytes - 1) // target_bytes))
+    except Exception:
+        return parts
+
+
 def cdc_chunks(
     docs: DataFrame,
     avg_size: int = 64,
@@ -957,16 +979,18 @@ def cdc_chunks(
 
     id_t = docs.schema["doc_id"].dataType.simpleString()
     src = docs.select("doc_id", text_col)
-    # r18 (guide §2.1/§4): a few-split input (one parquet file at bench
-    # scale) would serialize the whole chunking kernel onto one or two
-    # cores — fan it out to the session's shuffle width first.  Guarded
-    # on the CURRENT partition count so a corpus that already has
-    # enough splits (the 100-TB case) never pays a full-text shuffle;
-    # per-doc output is placement-independent, so results are
-    # multiset-identical either way (same fix as doc_video_mjpeg, r11).
-    parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    if src.rdd.getNumPartitions() < parts:
-        src = src.repartition(parts)
+    # r18 (guide §2.1/§2.5/§4): a few-split input (one parquet file at
+    # bench scale) would serialize the whole chunking kernel onto one
+    # or two cores — fan it out first, to a SIZE-DERIVED width (see
+    # ``_kernel_fanout``; a blanket session-width fanout measured 2-3×
+    # worse on few-MB corpora).  Guarded on the CURRENT partition
+    # count so a corpus that already has enough splits (the 100-TB
+    # case) never pays a full-text shuffle; per-doc output is
+    # placement-independent, so results are multiset-identical either
+    # way (same fix as doc_video_mjpeg, r11).
+    want = _kernel_fanout(src)
+    if src.rdd.getNumPartitions() < want:
+        src = src.repartition(want)
     return src.mapInPandas(
         kernel,
         schema=f"doc_id {id_t}, chunk_idx int, start long, length long, "
