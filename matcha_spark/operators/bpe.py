@@ -247,6 +247,23 @@ def _words_col(text_col: str):
     )
 
 
+def _words_src(docs: DataFrame, text_col: str) -> DataFrame:
+    """The ``(doc_id, __words)`` frame both encode kernels consume,
+    fanned out first when the input arrives in too few splits (one
+    parquet file at bench scale would serialize the whole Python-side
+    greedy-merge encode onto one core — guide §2.5/§4; same
+    size-derived guard as ``text.cdc_chunks``: a corpus that already
+    has enough splits never pays the shuffle, and per-doc output is
+    placement-independent so results are multiset-identical)."""
+    from .text import _kernel_fanout
+
+    src = docs.select("doc_id", text_col)
+    want = _kernel_fanout(src)
+    if src.rdd.getNumPartitions() < want:
+        src = src.repartition(want)
+    return src.select("doc_id", _words_col(text_col).alias("__words"))
+
+
 def bpe_encode(
     docs: DataFrame,
     merges: list[tuple[str, str]],
@@ -294,7 +311,7 @@ def bpe_encode(
             )
 
     id_t = docs.schema["doc_id"].dataType.simpleString()
-    return docs.select("doc_id", _words_col(text_col).alias("__words")).mapInPandas(
+    return _words_src(docs, text_col).mapInPandas(
         run, schema=f"doc_id {id_t}, tokens array<string>, n_tokens long"
     )
 
@@ -422,7 +439,7 @@ def bpe_encode_ids(
             )
 
     id_t = docs.schema["doc_id"].dataType.simpleString()
-    return docs.select("doc_id", _words_col(text_col).alias("__words")).mapInPandas(
+    return _words_src(docs, text_col).mapInPandas(
         run, schema=f"doc_id {id_t}, ids array<long>, n_tokens long, n_unk long"
     )
 

@@ -117,11 +117,18 @@ def _resolve_work_dir(spark: SparkSession, checkpoint_dir: str | None) -> str:
 # bounded by the reachable node set (≤ 2·edges rows); the all-pairs
 # closures can emit O(V²) pairs from a small edge set — and a failed
 # attempt still pays the edge collect — so they only try on edge sets
-# small enough that the collect itself is negligible (measured r18:
-# attempting at 45 k struct-term edges with ~121 k-pair outputs was a
-# net LOSS vs the distributed loop; at ≤ 5 k edges it is a pure win).
+# small enough that the collect itself is negligible.  r18 initially
+# measured the all-pairs attempt at 45 k struct-term edges as a net
+# LOSS — but that was BEFORE both driver transfers went through Arrow
+# (`_collect_rows` in, `_arrow_write_rows` out); re-measured r19 with
+# the Arrow paths in place, the driver arm wins ~2× at 46 k
+# struct-term edges / 122 k-pair outputs (closure 1.6 s vs 3.2 s,
+# all-pairs distances 1.8 s vs 3.5 s, interleaved same-session A/B),
+# so the all-pairs cutoff now matches the seeded one; the
+# DRIVER_PATH_BUDGET work/pair ceiling still bounces dense outputs
+# back to the distributed loop, which remains the 100-TB arm.
 DRIVER_PATH_EDGES = 100_000
-DRIVER_ALLPAIRS_EDGES = 5_000
+DRIVER_ALLPAIRS_EDGES = 100_000
 # coreness peel: output is ≤ one int row per node (≤ 2·edges), so the
 # transfer is bounded like connected_components' union-find — same
 # 200k ceiling
