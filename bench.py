@@ -35,6 +35,15 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # r19 (guide §1.2 step 2 "per-task work" — here per-QUERY driver
+        # work): PySpark 4's DataFrame debugging hook captures a Python
+        # call site (frame walk + an extra py4j round trip) on EVERY
+        # Column/DataFrame op; plan-heavy queries spend 30-60% of their
+        # driver-side plan-construction time in it (graph_build lazy
+        # build 0.96-1.04 s -> 0.69 s measured A/B).  Scale-independent
+        # (pure driver-Python cost), results unchanged — it only
+        # enriches error messages.  Off for production runs.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
