@@ -429,11 +429,20 @@ _ZIGZAG = np.array([
 ], dtype=np.int64)
 
 
+_DCT_MAT_MEMO: "np.ndarray | None" = None
+
+
 def _dct_mat() -> "np.ndarray":
-    n = np.arange(8)
-    m = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16)
-    m[0] *= 1 / np.sqrt(2)
-    return m * 0.5  # orthonormal scale folded in
+    # memoized (r19): rebuilt per encode/decode call before, which at
+    # tens of thousands of tiny tiles per run is pure overhead; the
+    # matrix is a constant
+    global _DCT_MAT_MEMO
+    if _DCT_MAT_MEMO is None:
+        n = np.arange(8)
+        m = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16)
+        m[0] *= 1 / np.sqrt(2)
+        _DCT_MAT_MEMO = m * 0.5  # orthonormal scale folded in
+    return _DCT_MAT_MEMO
 
 
 def _huff_encode_table(bits, vals):
@@ -458,6 +467,35 @@ def _huff_decode_table(bits, vals):
             k += 1
         code <<= 1
     return out
+
+
+# flat 16-bit-peek decode LUTs, memoized per (BITS, HUFFVAL) pair —
+# JPEG streams from the same encoder reuse identical tables, and the
+# multimodal operators decode tens of thousands of tiny tiles per run,
+# so the per-image dict walk (one dict probe PER BIT) was the hot loop
+# (r19, guide §4.2).  lut[peek16] = (symbol << 5) | code_length, 0 for
+# an invalid prefix — exactly the canonical T.81 Annex C assignment
+# _huff_decode_table builds, just resolved 16 bits at a time.
+_HUFF_LUT_MEMO: dict = {}
+
+
+def _huff_lut(bits, vals):
+    key = (bytes(bits), bytes(vals))
+    lut = _HUFF_LUT_MEMO.get(key)
+    if lut is None:
+        arr = np.zeros(1 << 16, dtype=np.int32)
+        code, k = 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                span = 16 - ln
+                base = code << span
+                arr[base : base + (1 << span)] = (int(vals[k]) << 5) | ln
+                code += 1
+                k += 1
+            code <<= 1
+        lut = arr.tolist()
+        _HUFF_LUT_MEMO[key] = lut
+    return lut
 
 
 class _BitWriter:
@@ -624,6 +662,10 @@ class _BitReader:
         self.n = 0
 
     def _fill(self) -> None:
+        # trim consumed high bits first: the accumulator otherwise keeps
+        # every byte ever read and the left-shifts go quadratic on long
+        # scans (r19)
+        self.acc &= (1 << self.n) - 1
         while self.n <= 24:
             if self.pos >= len(self.d):
                 self.acc = (self.acc << 8) | 0xFF  # pad past EOI
@@ -652,10 +694,19 @@ class _BitReader:
         return (self.acc >> self.n) & 1
 
     def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
-        return v
+        # MSB-first batch read — consumes the identical bit sequence the
+        # old per-bit loop did (r19: one fill + one mask instead of k
+        # function calls).  _fill tops the buffer up to >= 25 bits, so
+        # wider reads recurse in MSB-first halves.
+        if k <= 0:
+            return 0
+        if k > 16:
+            hi = self.bits(k - 16)
+            return (hi << 16) | self.bits(16)
+        if self.n < k:
+            self._fill()
+        self.n -= k
+        return (self.acc >> self.n) & ((1 << k) - 1)
 
     def huff(self, table: dict) -> int:
         code, ln = 0, 0
@@ -666,6 +717,19 @@ class _BitReader:
             if sym is not None:
                 return sym
         raise ValueError("jpeg: invalid Huffman code")
+
+    def huff_lut(self, lut: list) -> int:
+        # table-driven decode: peek 16 bits (padding past scan end the
+        # same way _fill pads for bit()), one flat-list probe, consume
+        # the matched code's length — canonical-code-identical to the
+        # per-bit ``huff`` walk above (r19, guide §4.2)
+        if self.n < 16:
+            self._fill()
+        v = lut[(self.acc >> (self.n - 16)) & 0xFFFF]
+        if v == 0:
+            raise ValueError("jpeg: invalid Huffman code")
+        self.n -= v & 31
+        return v >> 5
 
     def align_and_expect_rst(self, k: int) -> None:
         self.acc = 0
@@ -758,7 +822,7 @@ def _jpeg_decode(buf: bytes) -> np.ndarray:
                 nv = sum(bits)
                 vals = list(body[o + 17 : o + 17 + nv])
                 o += 17 + nv
-                (huff_dc if tc == 0 else huff_ac)[th] = _huff_decode_table(
+                (huff_dc if tc == 0 else huff_ac)[th] = _huff_lut(
                     bits, vals
                 )
         elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
@@ -808,14 +872,14 @@ def _jpeg_decode(buf: bytes) -> np.ndarray:
                         _, tdc, tac = next(s for s in sel if s[0] == cid)
                         for v in range(cv):
                             for u in range(ch):
-                                size = br.huff(huff_dc[tdc])
+                                size = br.huff_lut(huff_dc[tdc])
                                 diff = _extend(br.bits(size), size)
                                 prev[ci] += diff
                                 zz = np.zeros(64)
                                 zz[0] = prev[ci]
                                 k = 1
                                 while k < 64:
-                                    rs = br.huff(huff_ac[tac])
+                                    rs = br.huff_lut(huff_ac[tac])
                                     if rs == 0x00:  # EOB
                                         break
                                     if rs == 0xF0:  # ZRL
