@@ -37,6 +37,34 @@ KW = {
 }
 
 
+# Inferred-schema memo for :func:`load_tables` — METADATA only, never
+# data: ``spark.read.parquet`` eagerly lists + reads the footer on the
+# driver to infer the schema (~85 ms/table measured), and the suite
+# re-reads the same immutable fixture tables hundreds of times per
+# session.  Passing the once-inferred schema back via ``.schema(...)``
+# skips only that driver-side inference; every query still scans the
+# parquet bytes.  Keyed by (path, mtime_ns, size) so a rewritten file
+# re-infers — the moral twin of Spark's own file-listing cache
+# (``spark.sql.hive.filesourcePartitionFileCacheSize``, guide §6).
+_SCHEMA_CACHE: dict = {}
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    import os as _os
+
+    try:
+        st = _os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return spark.read.parquet(path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     names = names or (
         "region",
@@ -90,7 +118,7 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
                         spark.conf.set(key, prev)
             out[n] = df
         else:
-            out[n] = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+            out[n] = _read_parquet(spark, f"{sf_dir}/{n}.parquet")
     return out
 
 
