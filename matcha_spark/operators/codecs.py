@@ -936,6 +936,25 @@ _CRC8_TABLE = _crc_table(0x07, 8)
 _CRC16_TABLE = _crc_table(0x8005, 16)
 
 
+def _crc16_slice_tables() -> list[list[int]]:
+    """Slice-by-4 companion tables: ``Tk`` advances ``T(k-1)``'s value
+    by one zero byte, so four input bytes fold into four independent
+    lookups per iteration (r19 — the per-byte loop was 90 % of FLAC
+    decode time at suite scale; bit-exactness pinned by the fuzz
+    differential in tests)."""
+    t0 = _CRC16_TABLE
+    tables = [t0]
+    for _ in range(3):
+        prev = tables[-1]
+        tables.append(
+            [t0[v >> 8] ^ ((v << 8) & 0xFFFF) for v in prev]
+        )
+    return tables
+
+
+_CRC16_T0, _CRC16_T1, _CRC16_T2, _CRC16_T3 = _crc16_slice_tables()
+
+
 def _crc8_flac(data: bytes) -> int:
     """CRC-8, poly x^8+x^2+x+1 (0x07), init 0 — FLAC frame headers."""
     crc = 0
@@ -945,10 +964,21 @@ def _crc8_flac(data: bytes) -> int:
 
 
 def _crc16_flac(data: bytes) -> int:
-    """CRC-16, poly 0x8005, init 0 — FLAC frame footers."""
+    """CRC-16, poly 0x8005, init 0 — FLAC frame footers.  Slice-by-4:
+    identical value to the canonical per-byte table walk, one quarter
+    the loop iterations."""
     crc = 0
-    for b in data:
-        crc = _CRC16_TABLE[((crc >> 8) ^ b) & 0xFF] ^ ((crc << 8) & 0xFFFF)
+    n4 = len(data) & ~3
+    t0, t1, t2, t3 = _CRC16_T0, _CRC16_T1, _CRC16_T2, _CRC16_T3
+    for i in range(0, n4, 4):
+        crc = (
+            t3[data[i] ^ (crc >> 8)]
+            ^ t2[data[i + 1] ^ (crc & 0xFF)]
+            ^ t1[data[i + 2]]
+            ^ t0[data[i + 3]]
+        )
+    for i in range(n4, len(data)):
+        crc = _CRC16_TABLE[((crc >> 8) ^ data[i]) & 0xFF] ^ ((crc << 8) & 0xFFFF)
     return crc
 
 
